@@ -1,0 +1,133 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+/** Reference-parity ETL pipeline, re-expressed Spark-first.
+  *
+  * Semantics mirror `/root/reference/wallmart_pipeline.py` (see SURVEY.md §2
+  * for the operator-by-operator mapping):
+  *   - extract: CSV scan + Parquet scan + `index`-presence check + inner
+  *     equi-join on `index` (wallmart_pipeline.py:39-65)
+  *   - transform: mean-impute 3 columns, parse `Date`, derive `Month`,
+  *     filter `Weekly_Sales > 10000`, project 6 columns
+  *     (wallmart_pipeline.py:68-102)
+  *   - avgWeeklySalesPerMonth: drop null months (pandas groupby drops NaN
+  *     keys — Spark keeps them, so the filter is explicit), group-by-month
+  *     mean, rename, round 2dp half-to-even (wallmart_pipeline.py:105-126)
+  *   - load/validate: CSV sinks + output-existence check
+  *     (wallmart_pipeline.py:129-168)
+  *
+  * Differences by design (Spark-first, not a port):
+  *   - Lazy plans; only the fill means are eagerly collected (they must be
+  *     literals before `na.fill` enters the plan, mirroring pandas'
+  *     eagerness at wallmart_pipeline.py:83-87).
+  *   - `bround` (HALF_EVEN) matches numpy's banker's rounding where pandas
+  *     `.round(2)` is used (wallmart_pipeline.py:119).
+  *   - `try_to_timestamp` reproduces `pd.to_datetime(errors="coerce")`
+  *     (wallmart_pipeline.py:89) under Spark 4's default ANSI mode.
+  */
+object WalmartPipeline {
+
+  /** Declared schema for the grocery-sales CSV — what pandas infers at
+    * wallmart_pipeline.py:52, declared explicitly for determinism.
+    */
+  val grocerySchema: StructType = StructType(Seq(
+    StructField("level_0", LongType),
+    StructField("index", LongType),
+    StructField("Store_ID", LongType),
+    StructField("Date", StringType),
+    StructField("Dept", LongType),
+    StructField("Weekly_Sales", DoubleType)
+  ))
+
+  /** O1-O4: scans, schema presence check, inner equi-join on `index`.
+    * The CSV side is ~20k rows and the parquet side ~230k in the reference;
+    * at scale the smaller side should broadcast — Catalyst's JoinSelection
+    * picks broadcast-hash automatically under the size threshold.
+    */
+  def extract(spark: SparkSession, csvPath: String, parquetPath: String): DataFrame = {
+    val store = spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .schema(grocerySchema)
+      .csv(csvPath)
+    val extra = spark.read.parquet(parquetPath)
+    // O3 (wallmart_pipeline.py:55-57): fail fast if the join key is absent.
+    require(store.columns.contains("index"), "Input data is missing index column: csv")
+    require(extra.columns.contains("index"), "Input data is missing index column: parquet")
+    store.join(extra, Seq("index"), "inner")
+  }
+
+  /** O5-O10: mean-impute, date parse, month derivation, filter, project. */
+  def transform(df: DataFrame): DataFrame = {
+    // O5 (wallmart_pipeline.py:84-86): the three column means are a
+    // separate eager job — collected to the driver and injected as
+    // literals, the one place the lazy graph is deliberately cut.
+    val means = df
+      .agg(avg("Weekly_Sales"), avg("CPI"), avg("Unemployment"))
+      .first()
+    // O6 (wallmart_pipeline.py:83-87): null-fill with the column means.
+    val filled = df.na.fill(Map(
+      "Weekly_Sales" -> means.getDouble(0),
+      "CPI"          -> means.getDouble(1),
+      "Unemployment" -> means.getDouble(2)
+    ))
+    filled
+      // O7 (wallmart_pipeline.py:89): fixed-format parse, coerce-to-null.
+      .withColumn("Date", try_to_timestamp(col("Date"), lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+      // O8 (wallmart_pipeline.py:90): month-of-date; null-safe (null Date -> null Month).
+      .withColumn("Month", month(col("Date")))
+      // O9 (wallmart_pipeline.py:92-93): strict range predicate.
+      .filter(col("Weekly_Sales") > 10000)
+      // O10 (wallmart_pipeline.py:94): 6-column projection.
+      .select("Store_ID", "Weekly_Sales", "IsHoliday", "CPI", "Unemployment", "Month")
+  }
+
+  /** O11-O13: group-by-month mean, rename, round 2dp.
+    * pandas `groupby` drops NaN keys (wallmart_pipeline.py:117) — Spark
+    * keeps a NULL group, so the parity filter is explicit. `bround` is
+    * HALF_EVEN, matching numpy's banker's rounding at
+    * wallmart_pipeline.py:119.
+    */
+  def avgWeeklySalesPerMonth(df: DataFrame): DataFrame =
+    df.filter(col("Month").isNotNull)
+      .groupBy("Month")
+      .agg(bround(avg("Weekly_Sales"), 2).as("Avg_Sales"))
+      .orderBy("Month")
+
+  /** O14: CSV sinks, header on, overwrite (wallmart_pipeline.py:140-143).
+    * Returns the written paths for validation. `coalesce(1)` keeps the
+    * single-file shape of the reference output; drop it for large frames.
+    */
+  def load(frames: Map[String, DataFrame], outDir: String): Seq[String] =
+    frames.toSeq.sortBy(_._1).map { case (name, df) =>
+      val path = s"$outDir/$name"
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      path
+    }
+
+  /** O16: output-existence validation (wallmart_pipeline.py:157-168). */
+  def validate(paths: Seq[String]): Seq[(String, Boolean)] =
+    paths.map(p => p -> Files.exists(Paths.get(p)))
+
+  /** Full pipeline, mirroring `main()` (wallmart_pipeline.py:171-201).
+    * JDBC load is config-gated and off by default (db_url=None parity,
+    * wallmart_pipeline.py:129).
+    */
+  def run(spark: SparkSession, csvPath: String, parquetPath: String,
+          outDir: String, jdbcUrl: Option[String] = None): Seq[(String, Boolean)] = {
+    val merged = extract(spark, csvPath, parquetPath)
+    val clean  = transform(merged)
+    val agg    = avgWeeklySalesPerMonth(clean)
+    val frames = Map("clean_data" -> clean, "agg_data" -> agg)
+    val paths  = load(frames, outDir)
+    jdbcUrl.foreach { url =>
+      frames.foreach { case (name, df) => JdbcSink.write(df, url, name) }
+    }
+    validate(paths)
+  }
+}
