@@ -11,8 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters` carries the pushed predicates).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive: every oracle-compared query assumes UTC (timestamps cross
+    // the compare as epoch integers). Session builders pin it; this guard
+    // covers callers that hand us an unpinned session, and only writes the
+    // conf when it actually differs.
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -28,9 +35,14 @@ object Tables {
     * 1000`, not `/`, because nanosecond epochs (~1.7e18) exceed a double's
     * 2^53 integer range. DuckDB truncates ns->us the same way on read, so
     * both engines see identical timestamps.
+    *
+    * The nanosAsLong conf is pinned at session build in Bench/Verify and
+    * the test wrapper; the guard below only covers foreign sessions and
+    * writes the conf at most once (no per-read mutation).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -71,11 +71,14 @@ object WalmartPipeline {
       .agg(avg("Weekly_Sales"), avg("CPI"), avg("Unemployment"))
       .first()
     // O6 (wallmart_pipeline.py:83-87): null-fill with the column means.
-    val filled = df.na.fill(Map(
-      "Weekly_Sales" -> means.getDouble(0),
-      "CPI"          -> means.getDouble(1),
-      "Unemployment" -> means.getDouble(2)
-    ))
+    // A column that is entirely null (or an empty frame) yields a null
+    // mean; pandas `fillna(NaN)` is then a graceful no-op, so the null
+    // mean is simply dropped from the fill map instead of NPE-ing.
+    val fillMap = Seq("Weekly_Sales", "CPI", "Unemployment").zipWithIndex
+      .flatMap { case (name, i) =>
+        if (means.isNullAt(i)) None else Some(name -> means.getDouble(i))
+      }.toMap
+    val filled = if (fillMap.isEmpty) df else df.na.fill(fillMap)
     filled
       // O7 (wallmart_pipeline.py:89): fixed-format parse, coerce-to-null.
       .withColumn("Date", try_to_timestamp(col("Date"), lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
@@ -99,14 +102,25 @@ object WalmartPipeline {
       .agg(bround(avg("Weekly_Sales"), 2).as("Avg_Sales"))
       .orderBy("Month")
 
+  /** Frames whose Catalyst-estimated output size is below this are written
+    * as a single file (reference-parity shape); larger frames keep their
+    * partitioning. Catalyst plan statistics cost no extra job — unlike a
+    * count() heuristic — and 64 MB is comfortably one writer task.
+    */
+  val SingleFileMaxBytes: Long = 64L << 20
+
   /** O14: CSV sinks, header on, overwrite (wallmart_pipeline.py:140-143).
-    * Returns the written paths for validation. `coalesce(1)` keeps the
-    * single-file shape of the reference output; drop it for large frames.
+    * Returns the written paths for validation. `coalesce(1)` reproduces
+    * the reference's single-file output only when the optimizer's size
+    * estimate says the frame is small; a 100 TB `clean_data` would
+    * otherwise funnel through one task and one file.
     */
   def load(frames: Map[String, DataFrame], outDir: String): Seq[String] =
     frames.toSeq.sortBy(_._1).map { case (name, df) =>
       val path = s"$outDir/$name"
-      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val shaped = if (estBytes <= SingleFileMaxBytes) df.coalesce(1) else df
+      shaped.write.mode("overwrite").option("header", "true").csv(path)
       path
     }
 

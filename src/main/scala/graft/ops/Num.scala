@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 /** Numeric helpers shared by the query inventory. */
 object Num {
 
+  /** Epoch microseconds of a timestamp column. Testdata timestamps load as
+    * TIMESTAMP_NTZ (parquet isAdjustedToUTC=false); with the session TZ
+    * pinned to UTC the cast is an identity relabel, and the result matches
+    * DuckDB's `epoch_us` on the same naive values. Timestamps cross the
+    * oracle compare as these integers, never as raw timestamp encodings.
+    */
+  def epochUs(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Half-away-from-zero rounding computed on the scaled binary double:
     * `floor(x * 10^d + 0.5) / 10^d` (mirrored for negatives).
     *
@@ -20,15 +29,6 @@ object Num {
     * Whole-stage-codegen friendly: compiles to a when/floor/divide
     * expression tree, no UDF.
     */
-  /** Epoch microseconds of a timestamp column. Testdata timestamps load as
-    * TIMESTAMP_NTZ (parquet isAdjustedToUTC=false); with the session TZ
-    * pinned to UTC the cast is an identity relabel, and the result matches
-    * DuckDB's `epoch_us` on the same naive values. Timestamps cross the
-    * oracle compare as these integers, never as raw timestamp encodings.
-    */
-  def epochUs(c: Column): Column =
-    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-
   def roundAt(c: Column, d: Int): Column = {
     val p = math.pow(10, d)
     when(c >= 0, floor(c * p + 0.5) / p)
