@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** ScalaCheck algebraic invariants from SURVEY.md §5: null-fill
+  * completeness, filter containment, group cardinality, rounding
+  * idempotence. Plain ScalaCheck driven through FunSuite (the
+  * scalatest+scalacheck bridge artifact is not on the offline resolver).
+  */
+class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def check(name: String, p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val doubles: Gen[Double] =
+    Gen.chooseNum(-1e6, 1e6).suchThat(d => !d.isNaN && !d.isInfinite)
+  private val optDoubles: Gen[List[Option[Double]]] =
+    Gen.listOfN(12, Gen.option(doubles))
+
+  test("na.fill with a non-null mean leaves zero nulls") {
+    import spark.implicits._
+    check("fill", Prop.forAll(optDoubles) { xs =>
+      val df = xs.toDF("x")
+      val mean = df.agg(avg("x")).first()
+      // all-null column -> null mean -> fill is a no-op (pandas parity)
+      if (mean.isNullAt(0)) true
+      else df.na.fill(Map("x" -> mean.getDouble(0)))
+        .filter($"x".isNull).count() == 0L
+    })
+  }
+
+  test("filter output is a subset satisfying the predicate") {
+    import spark.implicits._
+    check("filter", Prop.forAll(optDoubles) { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+      val out = df.filter($"x" > 0.0)
+      val ids = out.select("id").as[Long].collect().toSet
+      val inIds = df.select("id").as[Long].collect().toSet
+      ids.subsetOf(inIds) &&
+        out.filter(!($"x" > 0.0)).count() == 0L &&
+        out.count() <= df.count()
+    })
+  }
+
+  test("groupBy cardinality equals distinct non-null key count") {
+    import spark.implicits._
+    val keys = Gen.listOfN(20, Gen.option(Gen.choose(0, 5)))
+    check("group", Prop.forAll(keys) { ks =>
+      val df = ks.map(k => (k, 1.0)).toDF("k", "v")
+      val grouped = df.filter($"k".isNotNull).groupBy("k").agg(sum("v")).count()
+      val distinct = ks.flatten.distinct.size.toLong
+      grouped == distinct
+    })
+  }
+
+  test("roundAt is idempotent and matches half-away-from-zero") {
+    import spark.implicits._
+    check("round", Prop.forAll(Gen.listOfN(24, doubles)) { xs =>
+      val df = xs.toDF("x")
+        .select(Num.roundAt($"x", 2).as("r1"), Num.roundAt(Num.roundAt($"x", 2), 2).as("r2"))
+      df.filter(not($"r1" <=> $"r2")).count() == 0L
+    })
+  }
+}
