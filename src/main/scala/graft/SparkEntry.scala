@@ -20,7 +20,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (ops.Core.queries, ops.Core.oracle)
+      (ops.Core.queries, ops.Core.oracle),
+      (ops.Dedup.queries, ops.Dedup.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the LLM-data-pipeline surface (north star; absent from the reference,
+  * whose only distinct-like behavior is the unique-key join at
+  * wallmart_pipeline.py:59).
+  *
+  * Scale design, common to all five:
+  *   - NEVER all-pairs. Candidate generation is always a bucketed
+  *     equi-join (digest, MinHash band, SimHash band, (lang, length)
+  *     cell, IVF cell) — Catalyst plans a shuffle on the bucket key, so
+  *     cost is Σ bucket² not n².
+  *   - Pair verification happens only inside buckets, on precomputed
+  *     per-row state (signatures, norms) so the verify join moves small
+  *     payloads, not documents.
+  *   - Everything is built-in higher-order functions — whole-stage
+  *     codegen, no UDFs, no driver-side loops.
+  *
+  * The testdata has no natural duplicates, so each query synthesizes a
+  * deterministic mutated corpus in-query (doc_id+10000 with the first
+  * token dropped; vec_id+10000 with the first coordinate halved) — the
+  * oracle SQL builds the identical corpus, making recall checkable.
+  */
+object Dedup {
+  import Det._
+
+  /** documents ∪ first-token-dropped copies of every 5th doc.
+    * DuckDB twin: UNION ALL with substring(text, strpos(text,' ')+1).
+    */
+  private def mutatedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+    d.unionAll(
+      d.filter($"doc_id" % 5 === 0).select(
+        ($"doc_id" + 10000).as("doc_id"), $"lang",
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q20: exact dedup via content digest.
+  // At 100 TB, dropDuplicates over full rows shuffles every byte of text;
+  // grouping by md5(text) shuffles a 16-byte digest + the aggregates, and
+  // min(doc_id) gives deterministic keep-first semantics.
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val dup = d.unionAll(d.filter($"doc_id" % 3 === 0))
+    dup.groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q21: MinHash + LSH banding. 3-token shingles → 28-bit md5 hashes →
+  // 64 permutations (Det.minhashPerm) → 16 bands × 4 rows → candidate
+  // pairs = docs sharing a band hash → estimated Jaccard = matching
+  // signature fraction. The only shuffles are the band-key self-join and
+  // the signature re-join; signatures are 64 longs per doc regardless of
+  // document size.
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = MinHashP
+
+    val withSig = mutatedDocs(s, dir)
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("shingles",
+        when(size($"tokens") >= 3,
+          transform(sequence(lit(1), size($"tokens") - 2),
+            i => concat_ws(" ", slice($"tokens", i, lit(3)))))
+          .otherwise(array($"text")))
+      .withColumn("hashes", array_distinct(transform($"shingles", sh => h7(sh))))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(63)),
+          j => array_min(transform($"hashes", h => minhashPerm(j, h)))))
+      .withColumn("bands",
+        transform(sequence(lit(0), lit(15)),
+          b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+            x => x.cast(StringType))))))
+      .select($"doc_id", $"sig", $"bands")
+
+    val exploded = withSig.select($"doc_id",
+      posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    val sigs = withSig.select($"doc_id", $"sig")
+    cand
+      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sigs.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sa.sig", $"sb.sig", (x, y) => x === y), v => v)) / lit(64.0))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", Num.roundAt($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q25: SimHash near-dup. 32-bit fingerprint from the token BAG (counts
+  // matter), banded 4×8 bits — any pair within Hamming distance 3 shares
+  // at least one clean band (pigeonhole), so the band join has perfect
+  // recall at the emitted threshold.
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withSim = mutatedDocs(s, dir)
+      .withColumn("hashes", transform(split($"text", " "), t => h8(t)))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
+          |  acc + CASE WHEN 2 * size(filter(hashes, h -> (shiftright(h, k) & 1) = 1)) > size(hashes)
+          |        THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select($"doc_id", $"simhash")
+
+    val exploded = withSim.select($"doc_id", $"simhash",
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, 8 * b) & 255)"))
+        .as(Seq("band_idx", "band_val")))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q26: exact n-gram (token bigram) Jaccard on candidates bucketed by
+  // (lang, token-count decile) — the cheap-blocking + exact-verify
+  // pattern. Set algebra via array_intersect/array_union sizes.
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withNg = mutatedDocs(s, dir)
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("ng", array_distinct(
+        when(size($"tokens") >= 2,
+          transform(sequence(lit(1), size($"tokens") - 1),
+            i => concat_ws(" ", element_at($"tokens", i), element_at($"tokens", i + 1))))
+          .otherwise(array($"text"))))
+      .withColumn("lb", expr("size(tokens) div 10"))
+      .select($"doc_id", $"lang", $"lb", $"ng")
+
+    withNg.as("a")
+      .join(withNg.as("b"),
+        $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
+      .withColumn("jaccard",
+        size(array_intersect($"a.ng", $"b.ng")) / size(array_union($"a.ng", $"b.ng")))
+      .filter($"jaccard" >= 0.3)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        Num.roundAt($"jaccard", 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q27: embedding-cosine near-dup, IVF-style: `label` plays the inverted
+  // list (at scale: k-means cell assignment from a sampled codebook), so
+  // pair verification runs per cell, never across the full corpus. Norms
+  // are precomputed per row; the pair join computes one left-fold dot.
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+    val mut = base.filter($"vec_id" % 10 === 0).select(
+      ($"vec_id" + 10000).as("vec_id"), $"label",
+      transform(sequence(lit(1), lit(64)),
+        i => when(i === 1, element_at($"v", i) * 0.5).otherwise(element_at($"v", i))).as("v"))
+    val corpus = base.unionAll(mut).withColumn("nrm", l2norm($"v"))
+
+    corpus.as("a")
+      .join(corpus.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.9)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        Num.roundAt($"cos", 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"    -> (dedupExact _),
+    "q21_dedup_minhash"  -> (dedupMinhash _),
+    "q25_dedup_simhash"  -> (dedupSimhash _),
+    "q26_dedup_jaccard"  -> (dedupNgramJaccard _),
+    "q27_dedup_embed"    -> (dedupEmbedding _)
+  )
+
+  /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
+    * mirror the Spark side literally — see Det for the determinism rules.
+    */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, lang,
+      |         substring(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM dup GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q21_dedup_minhash" ->
+      s"""WITH $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens, text FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tokens) >= 3
+        |              THEN list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |              ELSE [text] END AS shingles
+        |  FROM tok),
+        |h AS (
+        |  SELECT doc_id, list_distinct(list_transform(shingles,
+        |           s -> CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT))) AS hashes
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |           list_aggregate(list_transform(hashes, h ->
+        |             ((((j+1) * 2654435761) % 2147483647) * h
+        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b,
+        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, round(ej, 4) AS est_jaccard
+        |FROM est WHERE ej >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_dedup_simhash" ->
+      s"""WITH $corpusSql,
+        |h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)) AS hashes
+        |  FROM corpus),
+        |sim AS (
+        |  SELECT doc_id, list_aggregate(list_transform(range(0, 32), k ->
+        |           CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> k) & 1) = 1)) > len(hashes)
+        |                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv
+        |  FROM sim, (SELECT unnest(range(0, 4)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_dedup_jaccard" ->
+      s"""WITH $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tokens, text FROM corpus),
+        |ng AS (
+        |  SELECT doc_id, lang, len(tokens) // 10 AS lb,
+        |         list_distinct(CASE WHEN len(tokens) >= 2
+        |           THEN list_transform(range(1, len(tokens)),
+        |                  i -> concat_ws(' ', tokens[i], tokens[i+1]))
+        |           ELSE [text] END) AS ng
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.ng, b.ng))
+        |           / len(list_distinct(list_concat(a.ng, b.ng))) AS j
+        |  FROM ng a JOIN ng b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+        |FROM pairs WHERE j >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, label,
+        |         list_transform(range(1, 65),
+        |           i -> CASE WHEN i = 1 THEN v[i] * 0.5 ELSE v[i] END) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+        |              (x, y) -> x + y)) AS nrm
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+        |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+        |FROM pairs WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
