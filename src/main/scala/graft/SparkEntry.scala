@@ -21,7 +21,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Core.queries, ops.Core.oracle),
-      (ops.Dedup.queries, ops.Dedup.oracle)
+      (ops.Dedup.queries, ops.Dedup.oracle),
+      (ops.Similarity.queries, ops.Similarity.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

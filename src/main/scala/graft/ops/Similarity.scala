@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star extension; the reference has no vector surface).
+  *
+  * Two variants, per the standard scale ladder:
+  *   - q22: brute-force cosine top-k — the correctness baseline. Probes
+  *     broadcast (tiny side), the candidate table is scanned exactly
+  *     once, scoring is a codegen'd left-fold over the arrays, and only
+  *     scored (probe, candidate) rows — |probes| × n of them, the
+  *     irreducible brute-force cost — reach the top-k window.
+  *   - q28: LSH-bucketed ANN — the 100 TB path. Random-hyperplane
+  *     sign buckets (4 tables × 6 bits) computed per row in one pass;
+  *     candidate generation is an equi-join on (table, bucket), so the
+  *     per-probe work drops from n to the occupancy of 4 buckets. Bits
+  *     per table scale with log(n); hyperplane weights derive from
+  *     integer Knuth hashing (Det) so both engines see identical planes.
+  */
+object Similarity {
+  import Det._
+
+  private def base(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .withColumn("nrm", l2norm($"v"))
+  }
+
+  // q22: brute-force cosine top-5 for probes vec_id < 20.
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = base(s, dir)
+    val probes = all.select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"))
+      .filter($"probe_id" < 20)
+    val scored = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", dot($"pv", $"v") / ($"pn" * $"nrm"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"cos", 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** LSH bucket array (one 6-bit bucket per table) for vector column v.
+    * Hyperplane weight w(t,k,d) = Knuth-hash((t*6+k)*64+d) mapped to
+    * [-1, 1) — exact integer + power-of-two-division arithmetic, so the
+    * DuckDB twin computes identical planes and identical buckets.
+    */
+  private def lshBuckets(v: Column): Column =
+    transform(sequence(lit(0), lit(3)), t =>
+      aggregate(sequence(lit(0), lit(5)), lit(0L), (acc, k) =>
+        acc + when(
+          aggregate(sequence(lit(1), lit(64)), lit(0.0), (dacc, d) =>
+            dacc + ((((t * 6 + k) * 64 + d).cast(LongType) * Knuth % 4294967296L)
+              .cast(DoubleType) / 2147483648.0 - 1.0) * element_at(v, d)) >= 0.0,
+          pow(lit(2.0), k).cast(LongType)).otherwise(0L)))
+
+  // q28: LSH-bucketed ANN, top-3 per probe within bucket candidates.
+  private def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withB = base(s, dir).withColumn("buckets", lshBuckets($"v"))
+    val pe = withB.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"),
+        posexplode($"buckets").as(Seq("t", "bk")))
+    val ce = withB.select($"vec_id",
+      posexplode($"buckets").as(Seq("t", "bk")))
+    val candIds = pe.join(ce, Seq("t", "bk"))
+      .filter($"probe_id" =!= $"vec_id")
+      .select($"probe_id", $"vec_id".as("cand_id"))
+      .distinct()
+
+    val all = base(s, dir)
+    val scored = candIds
+      .join(all.select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn")), Seq("probe_id"))
+      .join(all.select($"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn")), Seq("cand_id"))
+      .withColumn("cos", dot($"pv", $"cv") / ($"pn" * $"cn"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"probe_id", $"cand_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"cos", 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_cosine_topk" -> (cosineTopK _),
+    "q28_lsh_ann"     -> (lshAnn _)
+  )
+
+  private val nSql =
+    """n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         sqrt(list_reduce(list_transform(range(1, 65),
+      |                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |              (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q22_cosine_topk" ->
+      s"""WITH $nSql,
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         list_reduce(list_transform(range(1, 65), i -> p.v[i] * c.v[i]),
+        |           (x, y) -> x + y) / (p.nrm * c.nrm) AS cos
+        |  FROM n p JOIN n c ON p.vec_id < 20 AND c.vec_id != p.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q28_lsh_ann" ->
+      s"""WITH $nSql,
+        |b AS (
+        |  SELECT vec_id, t,
+        |         list_aggregate(list_transform(range(0, 6), k ->
+        |           CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+        |                  (CAST((((t*6+k)*64+d) * 2654435761) % 4294967296 AS DOUBLE)
+        |                     / 2147483648.0 - 1.0) * v[d]),
+        |                  (x, y) -> x + y) >= 0.0
+        |                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END), 'sum') AS bk
+        |  FROM n, (SELECT unnest(range(0, 4)) AS t)),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+        |  FROM b p JOIN b c ON p.t = c.t AND p.bk = c.bk
+        |  WHERE p.vec_id < 20 AND p.vec_id != c.vec_id),
+        |scored AS (
+        |  SELECT cand.probe_id, cand.cand_id,
+        |         list_reduce(list_transform(range(1, 65), i -> p.v[i] * c.v[i]),
+        |           (x, y) -> x + y) / (p.nrm * c.nrm) AS cos
+        |  FROM cand
+        |  JOIN n p ON p.vec_id = cand.probe_id
+        |  JOIN n c ON c.vec_id = cand.cand_id),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT probe_id, cand_id AS neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  )
+}
