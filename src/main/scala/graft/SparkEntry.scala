@@ -22,7 +22,8 @@ object SparkEntry {
     Seq(
       (ops.Core.queries, ops.Core.oracle),
       (ops.Dedup.queries, ops.Dedup.oracle),
-      (ops.Similarity.queries, ops.Similarity.oracle)
+      (ops.Similarity.queries, ops.Similarity.oracle),
+      (ops.TextAnalysis.queries, ops.TextAnalysis.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

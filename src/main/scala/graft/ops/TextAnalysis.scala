@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents.text` — the LLM-pipeline
+  * quality/statistics surface (north-star extension; the reference's only
+  * string op is the timestamp parse at wallmart_pipeline.py:89).
+  *
+  * All per-document work is a single projection over the scan (no
+  * shuffle); only q24's term aggregation shuffles, and it shuffles
+  * (term, partial-count) pairs after map-side combine — at 100 TB the
+  * reduce side sees |vocabulary|, not |corpus|, per partition.
+  *
+  * Ratio/score arithmetic sticks to the Det rules (fixed operand order,
+  * int-derived doubles) so every query carries a full DuckDB oracle.
+  */
+object TextAnalysis {
+  import Det._
+
+  /** Tiny per-language marker-word lists for the lang-ID heuristic. The
+    * real-world analogue loads per-language frequency tables; the shape
+    * of the operator (array containment scoring + argmax) is what scales.
+    * Words drawn from the synthetic corpus vocabulary so scores are
+    * non-degenerate on the testdata.
+    */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("key", "hash", "merge", "group"),
+    "en" -> Seq("the", "a", "data", "fast", "slow"),
+    "es" -> Seq("table", "row", "value", "part"),
+    "fr" -> Seq("query", "join", "filter", "sort"),
+    "zh" -> Seq("stream", "window", "batch", "vector"))
+
+  private def markerCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(words.map(lit): _*), t)))
+
+  // q24: corpus term statistics — explode to (doc, term), aggregate term
+  // frequency + document frequency, keep the top 50 terms.
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"term".asc)
+      .limit(50)
+  }
+
+  // q40: language identification by marker-word scoring; argmax with
+  // alphabetical tie-break so the prediction is deterministic.
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .withColumn("tokens", split($"text", " "))
+    val withScores = langWords.foldLeft(scored) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", markerCount(col("tokens"), ws))
+    }
+    val m = greatest(langWords.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = langWords.foldLeft(when(lit(false), lit(""))) {
+      case (c, (l, _)) => c.when(col(s"s_$l") === m, lit(l))
+    }
+    withScores
+      .select($"doc_id", $"lang".as("actual_lang"),
+        predicted.as("predicted_lang"), m.as("marker_hits"),
+        Num.roundAt(m / size($"tokens"), 6).as("marker_ratio"))
+      .withColumn("correct", $"predicted_lang" === $"actual_lang")
+      .orderBy("doc_id")
+  }
+
+  // q41: heuristic quality score from length, marker-word ratio and
+  // average token length; bucketed for downstream filtering. The exact
+  // weighted formula is mirrored operand-for-operand in the oracle.
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = langWords.toMap.apply("en")
+    Tables.documents(s, dir)
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("n", size($"tokens"))
+      .withColumn("avg_len",
+        aggregate(transform($"tokens", t => length(t)), lit(0), (a, x) => a + x) / $"n")
+      .withColumn("stop_ratio", markerCount($"tokens", en) / $"n")
+      .withColumn("score",
+        lit(0.4) * least($"n", lit(100)) / 100.0 + lit(0.4) * $"stop_ratio"
+          + lit(0.2) * (lit(1.0) - least(abs($"avg_len" - 4.5), lit(4.5)) / 4.5))
+      .select($"doc_id", $"n".as("n_tokens"),
+        Num.roundAt($"avg_len", 6).as("avg_token_len"),
+        Num.roundAt($"stop_ratio", 6).as("stop_ratio"),
+        Num.roundAt($"score", 6).as("quality_score"),
+        when($"score" >= 0.6, "high").when($"score" >= 0.4, "medium")
+          .otherwise("low").as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  // q42: token counting three ways — whitespace, BPE-ish subword chunks
+  // (longest-match [a-z]{1,4} pieces), and the chars/4 estimate. All
+  // integers; zero float risk in the compare.
+  private def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))).as("subword_tokens"),
+        ceil(length($"text") / 4.0).cast(LongType).as("est_tokens"),
+        length($"text").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // q43: polynomial rolling-hash fingerprint (Rabin-Karp fold over md5
+  // token hashes) — whole-document plus an 8-token prefix variant. Pure
+  // int64 arithmetic, bit-identical across engines.
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = MinHashP
+    def roll(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, h) => (acc * 31L + h) % P)
+    Tables.documents(s, dir)
+      .withColumn("hashes", transform(split($"text", " "), t => h7(t)))
+      .select($"doc_id",
+        roll($"hashes").as("fingerprint"),
+        roll(slice($"hashes", 1, 8)).as("prefix_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_text_stats"  -> (textStats _),
+    "q40_lang_id"     -> (langId _),
+    "q41_quality"     -> (qualityScore _),
+    "q42_token_count" -> (tokenCount _),
+    "q43_fingerprint" -> (fingerprint _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_text_stats" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin,
+    "q40_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, len(tokens) AS n,
+        |    len(list_filter(tokens, x -> list_contains(['key','hash','merge','group'], x))) AS s_de,
+        |    len(list_filter(tokens, x -> list_contains(['the','a','data','fast','slow'], x))) AS s_en,
+        |    len(list_filter(tokens, x -> list_contains(['table','row','value','part'], x))) AS s_es,
+        |    len(list_filter(tokens, x -> list_contains(['query','join','filter','sort'], x))) AS s_fr,
+        |    len(list_filter(tokens, x -> list_contains(['stream','window','batch','vector'], x))) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |         greatest(s_de, s_en, s_es, s_fr, s_zh) AS m, n,
+        |         CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |              ELSE 'zh' END AS predicted_lang
+        |  FROM s)
+        |SELECT doc_id, actual_lang, predicted_lang,
+        |       CAST(m AS INTEGER) AS marker_hits,
+        |       round(m / n, 6) AS marker_ratio,
+        |       predicted_lang = actual_lang AS correct
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q41_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tokens) AS n,
+        |    list_aggregate(list_transform(tokens, x -> length(x)), 'sum') / len(tokens) AS avg_len,
+        |    len(list_filter(tokens, x -> list_contains(['the','a','data','fast','slow'], x)))
+        |      / len(tokens) AS stop_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n, avg_len, stop_ratio,
+        |    -- literals cast to DOUBLE: DuckDB would otherwise run the
+        |    -- integer subchain in exact DECIMAL, diverging from Spark's
+        |    -- binary doubles at the last ulp
+        |    0.4::DOUBLE * least(n, 100) / 100.0 + 0.4::DOUBLE * stop_ratio
+        |      + 0.2::DOUBLE * (1.0::DOUBLE - least(abs(avg_len - 4.5::DOUBLE), 4.5::DOUBLE) / 4.5::DOUBLE) AS score
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |       round(avg_len, 6) AS avg_token_len,
+        |       round(stop_ratio, 6) AS stop_ratio,
+        |       round(score, 6) AS quality_score,
+        |       CASE WHEN score >= 0.6 THEN 'high'
+        |            WHEN score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q42_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS subword_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(hashes, (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint,
+        |       list_reduce(hashes[1:8], (acc, x) -> (acc * 31 + x) % 2147483647) AS prefix_fp
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}
