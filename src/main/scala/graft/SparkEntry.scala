@@ -23,7 +23,8 @@ object SparkEntry {
       (ops.Core.queries, ops.Core.oracle),
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.Similarity.queries, ops.Similarity.oracle),
-      (ops.TextAnalysis.queries, ops.TextAnalysis.oracle)
+      (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+      (ops.Relational.queries, ops.Relational.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

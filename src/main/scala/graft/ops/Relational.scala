@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Extension relational operators (SURVEY.md §2 ▲ items): window
+  * functions, semi/anti/outer joins, top-k, set operations, rollup,
+  * JSON extraction, event-time windows. The reference has none of these
+  * (its whole surface is the 16-op ETL DAG); they are the north-star
+  * analytics surface, each expressed as the Catalyst-native primitive so
+  * the optimizer keeps pushdown/pruning/broadcast choices.
+  */
+object Relational {
+
+  // q23: JSON property extraction over events.props — both the schema'd
+  // `from_json` path (preferred at scale: one parse, typed struct) and
+  // the ad-hoc `get_json_object` path, aggregated per event type.
+  private def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("j", from_json($"props", StructType(Seq(StructField("k", IntegerType)))))
+      .withColumn("k2", get_json_object($"props", "$.k").cast(IntegerType))
+      .withColumn("missing", get_json_object($"props", "$.absent"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundAt(avg($"j.k"), 6).as("avg_k"),
+        min($"k2").as("min_k"),
+        max($"k2").as("max_k"),
+        count($"missing").as("n_missing_key"))
+      .orderBy("event_type")
+  }
+
+  // q30: ranking/analytic window functions per customer over orders.
+  // row_number over a unique sort key (deterministic), rank over the
+  // value column (tie-stable), lag, and a 3-row moving average.
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDate = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(byDate).as("rn"),
+        rank().over(byPrice).as("price_rank"),
+        Num.roundAt(lag($"o_totalprice", 1).over(byDate), 2).as("prev_price"),
+        Num.roundAt(avg($"o_totalprice").over(byDate.rowsBetween(-2, 0)), 2).as("mov_avg3"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // q31: semi + anti join — the EXISTS / NOT EXISTS pair. left_semi and
+  // left_anti never materialize right-side columns, so only the key
+  // column of orders crosses the shuffle.
+  private def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select($"o_custkey")
+    val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", lit(true).as("has_orders"))
+    val without = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", lit(false).as("has_orders"))
+    withOrders.unionAll(without).orderBy("c_custkey")
+  }
+
+  // q32: top-k = orderBy + limit. Catalyst plans TakeOrderedAndProject:
+  // per-partition top-k then a k-row driver merge — no global sort, the
+  // canonical 100 TB top-k.
+  private def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  // q33: set operations on customer-key sets (INTERSECT / EXCEPT /
+  // UNION-distinct semantics, tagged into one frame).
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.customer(s, dir).filter($"c_acctbal" > 1000).select($"c_custkey")
+    val b = Tables.orders(s, dir).select($"o_custkey".as("c_custkey")).distinct()
+    a.intersect(b).select(lit("intersect").as("op"), $"c_custkey")
+      .unionAll(a.except(b).select(lit("except").as("op"), $"c_custkey"))
+      .unionAll(a.union(b).distinct().select(lit("union").as("op"), $"c_custkey"))
+      .orderBy("op", "c_custkey")
+  }
+
+  // q34: ROLLUP over (mktsegment, orderstatus) with plain, distinct and
+  // sum aggregates — subtotal rows carry NULL group keys on both engines.
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .rollup($"c_mktsegment", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        Num.roundAt(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  // q35: event-time tumbling window (1 hour) — batch `window()`, the
+  // same construct Structured Streaming uses, so the aggregation is
+  // watermark-ready. Epoch-aligned on both engines.
+  private def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundAt(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .select(Num.epochUs($"window.start").as("bucket_us"), $"event_type",
+        $"n", $"sum_value", $"n_users")
+      .orderBy("bucket_us", "event_type")
+  }
+
+  // q36: approximate distinct (HyperLogLog++). Sketch internals are
+  // engine-specific, so no SQL oracle — the driver records a rows-only
+  // check; the query self-reports the exact count and relative error.
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .withColumn("rel_err_pct",
+        Num.roundAt(abs($"approx_parts" - $"exact_parts") / $"exact_parts" * 100.0, 2))
+  }
+
+  // q37: session windows (30-minute gap) per user — Spark's
+  // session_window; the oracle mirrors the merge semantics with a
+  // gaps-and-islands window (break when ts >= prev + gap).
+  private def sessionWin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        Num.epochUs($"session_window.start").as("start_us"),
+        Num.epochUs($"session_window.end").as("end_us"),
+        $"n_events")
+      .orderBy("user_id", "start_us")
+  }
+
+  // q38: full outer join with deliberately unmatched rows on BOTH sides
+  // (odd-key customers dropped from the dim side; order-less customers
+  // have no fact rows), plus an explicit broadcast-hint dimension lookup.
+  private def outerBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val dims = Tables.customer(s, dir)
+      .filter($"c_custkey" % 2 === 0)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+    counts.join(dims, $"o_custkey" === $"c_custkey", "full_outer")
+      .select(
+        coalesce($"o_custkey", $"c_custkey").as("custkey"),
+        $"c_name", $"n_name", $"n_orders")
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_json_props"      -> (jsonProps _),
+    "q30_window_rank"     -> (windowRank _),
+    "q31_semi_anti"       -> (semiAnti _),
+    "q32_topk"            -> (topK _),
+    "q33_setops"          -> (setOps _),
+    "q34_rollup"          -> (rollupAgg _),
+    "q35_tumbling_window" -> (tumbling _),
+    "q36_approx_distinct" -> (approxDistinct _),
+    "q37_session_window"  -> (sessionWin _),
+    "q38_outer_broadcast" -> (outerBroadcast _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q23_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |       CAST(count(json_extract_string(props, '$.absent')) AS BIGINT) AS n_missing_key
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       CAST(rank() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+        |       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q31_semi_anti" ->
+      """SELECT c_custkey, c_name, true AS has_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, false AS has_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q33_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 1000),
+        |b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q34_rollup" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q35_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "q37_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |brk AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q38_outer_broadcast" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |dims AS (
+        |  SELECT c_custkey, c_name, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey % 2 = 0)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey, c_name, n_name, n_orders
+        |FROM counts FULL JOIN dims ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin
+  )
+}
