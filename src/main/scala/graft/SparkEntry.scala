@@ -24,7 +24,8 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.Similarity.queries, ops.Similarity.oracle),
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
-      (ops.Relational.queries, ops.Relational.oracle)
+      (ops.Relational.queries, ops.Relational.oracle),
+      (ops.Multimodal.queries, ops.Multimodal.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

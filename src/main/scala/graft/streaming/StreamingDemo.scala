@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the event-time windowed aggregation
+  * from q35 re-expressed as a stream (`readStream` → watermark →
+  * windowed agg → sink). The reference is pure batch; this is the
+  * north-star streaming extension (SURVEY.md §2 ▲).
+  *
+  * Design notes for the 100 TB / continuous case:
+  *   - `withWatermark` bounds the state store: windows older than the
+  *     watermark are evicted, so state is O(active windows), not O(history).
+  *   - The aggregation is identical to the batch `window()` version —
+  *     Spark's unified Dataset API means q35's plan and this one share
+  *     the same logical operators, only the source/sink differ.
+  *   - `count`/`sum` are partial-aggregated per micro-batch before the
+  *     state-store merge (same map-side combine as batch).
+  *
+  * The parquet directory source replays the driver testdata as one
+  * micro-batch; `processAllAvailable` + a memory sink make the demo
+  * synchronous and assertable in the test suite (StreamingSpec).
+  */
+object StreamingDemo {
+
+  /** `events.parquet` schema as stored (ts is TIMESTAMP(NANOS), read as
+    * raw longs under the nanosAsLong conf pinned at session build).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly windowed counts over the streaming events source. Returns
+    * the in-memory sink contents after all available data is processed.
+    */
+  def hourlyCounts(spark: SparkSession, dir: String, queryName: String = "stream_demo"): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName)
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket_us", "event_type")
+  }
+}
+
+/** Standalone driver: `sbt "runMain graft.streaming.StreamingDemoRunner [sfDir]"`. */
+object StreamingDemoRunner {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = StreamingDemo.hourlyCounts(spark, dir)
+    println(s"[streaming-demo] windows=${out.count()}")
+    out.show(10, truncate = false)
+    spark.stop()
+  }
+}

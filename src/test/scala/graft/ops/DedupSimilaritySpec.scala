@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Semantic checks for the dedup/similarity operators beyond the oracle
+  * hash-compare: recall of the synthesized near-duplicates and ranking
+  * invariants of the top-k results.
+  */
+class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q20: duplicate groups have exactly the synthesized multiplicity") {
+    import spark.implicits._
+    val out = Dedup.queries("q20_dedup_exact")(spark, dir).cache()
+    val byCopies = out.groupBy("n_copies").count().as[(Long, Long)].collect().toMap
+    assert(byCopies.keySet == Set(1L, 2L), s"unexpected multiplicities: $byCopies")
+    // every doc_id % 3 == 0 doc was duplicated once
+    val expectedDups = out.filter($"doc_id" % 3 === 0).count()
+    assert(byCopies(2L) == expectedDups)
+    out.unpersist()
+  }
+
+  test("q21: MinHash recovers nearly all synthesized near-dup pairs") {
+    import spark.implicits._
+    val out = Dedup.queries("q21_dedup_minhash")(spark, dir)
+    val found = out.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 500L by 5L).map(d => (d, d + 10000L)).toSet
+    val recall = expected.count(found).toDouble / expected.size
+    assert(recall >= 0.9, s"MinHash recall $recall below 0.9")
+  }
+
+  test("q27: every synthesized embedding near-dup pair is found") {
+    import spark.implicits._
+    val out = Dedup.queries("q27_dedup_embed")(spark, dir)
+    val pairs = out.select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 500L by 10L).map(d => (d, d + 10000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    assert(out.agg(min("cosine")).first().getDouble(0) >= 0.9)
+  }
+
+  test("q22: ranks are contiguous and cosine is non-increasing per probe") {
+    import spark.implicits._
+    val out = Similarity.queries("q22_cosine_topk")(spark, dir).cache()
+    val ranks = out.groupBy("probe_id").agg(
+      collect_list(struct($"rank", $"cosine")).as("rc"))
+    ranks.as[(Long, Seq[(Int, Double)])].collect().foreach { case (p, rc) =>
+      val sorted = rc.sortBy(_._1)
+      assert(sorted.map(_._1) == (1 to sorted.size), s"probe $p ranks not contiguous")
+      assert(sorted.map(_._2).sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"probe $p cosine not monotone")
+    }
+    out.unpersist()
+  }
+
+  test("q28: ANN scores agree with brute-force cosine for the same pair") {
+    import spark.implicits._
+    val ann = Similarity.queries("q28_lsh_ann")(spark, dir)
+      .select($"probe_id", $"neighbor_id", $"cosine".as("ann_cos"))
+    // brute-force re-score of exactly those pairs
+    val b = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", Det.toDoubleArr($"embedding").as("v"))
+      .withColumn("nrm", Det.l2norm($"v"))
+    val joined = ann
+      .join(b.select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn")), Seq("probe_id"))
+      .join(b.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn")), Seq("neighbor_id"))
+      .withColumn("bf_cos", Num.roundAt(Det.dot($"pv", $"cv") / ($"pn" * $"cn"), 6))
+    assert(joined.filter($"ann_cos" =!= $"bf_cos").count() == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Semantic invariants for the text-analysis, multimodal and relational
+  * extension operators.
+  */
+class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q40: predictions are valid languages with ratios in [0,1]") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q40_lang_id")(spark, dir).cache()
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(out.filter(!$"predicted_lang".isin(langs.toSeq: _*)).count() == 0)
+    assert(out.filter($"marker_ratio" < 0 || $"marker_ratio" > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q42: token counts are consistent") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q42_token_count")(spark, dir).cache()
+    // every whitespace token contributes >= 1 subword chunk
+    assert(out.filter($"subword_tokens" < $"ws_tokens").count() == 0)
+    assert(out.filter($"n_chars" <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("q43: fingerprints separate distinct documents") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q43_fingerprint")(spark, dir).cache()
+    val n = out.count().toDouble
+    val distinct = out.select("fingerprint").distinct().count().toDouble
+    assert(distinct / n >= 0.99, s"fingerprint collision rate too high: ${1 - distinct / n}")
+    out.unpersist()
+  }
+
+  test("q44: decoded metadata is internally consistent") {
+    import spark.implicits._
+    val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
+    assert(out.count() == 500)
+    assert(out.filter($"n_frames" =!= ceil($"n_bytes" / 256.0).cast("int")).count() == 0)
+    assert(out.filter($"width" < 1 || $"width" > 1280 || $"height" < 1 || $"height" > 720).count() == 0)
+    // whole-payload digest of frame 0 only equals mid-frame when 1 frame
+    assert(out.filter($"n_frames" === 1 && $"frame0_digest" =!= $"mid_frame_digest").count() == 0)
+    out.unpersist()
+  }
+
+  test("q31: semi and anti join partition the customer set") {
+    import spark.implicits._
+    val out = Relational.queries("q31_semi_anti")(spark, dir).cache()
+    val total = graft.Tables.customer(spark, dir).count()
+    assert(out.count() == total)
+    assert(out.select("c_custkey").distinct().count() == total)
+    out.unpersist()
+  }
+
+  test("q32: top-k is k rows in strictly ordered sequence") {
+    import spark.implicits._
+    val out = Relational.queries("q32_topk")(spark, dir)
+    val prices = out.select("o_totalprice").as[Double].collect()
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q34: rollup grand total equals the join cardinality") {
+    import spark.implicits._
+    val out = Relational.queries("q34_rollup")(spark, dir)
+    val grand = out.filter($"c_mktsegment".isNull && $"o_orderstatus".isNull)
+      .select("n_orders").first().getLong(0)
+    assert(grand == graft.Tables.orders(spark, dir).count())
+  }
+
+  test("q37: sessions are disjoint and ordered per user") {
+    import spark.implicits._
+    val out = Relational.queries("q37_session_window")(spark, dir)
+    val byUser = out.select($"user_id", $"start_us", $"end_us")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byUser.foreach { case (u, sess) =>
+      val sorted = sess.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 >= e1, s"user $u sessions overlap: next start $s2 < prev end $e1")
+        case _ =>
+      }
+    }
+  }
+
+  test("q35: tumbling-window counts cover every event exactly once") {
+    import spark.implicits._
+    val out = Relational.queries("q35_tumbling_window")(spark, dir)
+    val total = out.agg(sum("n")).first().getLong(0)
+    assert(total == graft.Tables.events(spark, dir).count())
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSessionTestWrapper, Tables}
+
+/** The streaming windowed aggregation must agree with the equivalent
+  * batch computation over the same events — Spark's unified API promises
+  * exactly this, and it pins the demo against regressions.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts equal the batch equivalent") {
+    import spark.implicits._
+    val streamed = StreamingDemo.hourlyCounts(spark, dir, "stream_spec")
+      .select($"bucket_us", $"event_type", $"n",
+        Num2.round2($"sum_value").as("sum_value"))
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select(unix_micros($"window.start").as("bucket_us"), $"event_type",
+        $"n", Num2.round2($"sum_value").as("sum_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
+
+/** Local rounding helper (sum-of-doubles order differs between the
+  * state-store merge and the batch partial agg; 2dp absorbs it).
+  */
+private object Num2 {
+  import org.apache.spark.sql.Column
+  def round2(c: Column): Column = org.apache.spark.sql.functions.round(c, 2)
+}
