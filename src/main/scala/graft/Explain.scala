@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints `explain("formatted")` for the scale-critical
+  * queries so pushdown/pruning/broadcast/shuffle choices are reviewable.
+  * `sbt "runMain graft.Explain [sfDir] [query...]"` — no args prints the
+  * default audit set.
+  */
+object Explain {
+  val auditSet: Seq[String] = Seq(
+    "q09_filter_range",   // expect: PushedFilters into parquet scan
+    "q10_project",        // expect: pruned ReadSchema (4 of 11 cols)
+    "q04_join_inner",     // expect: BroadcastHashJoin (small side)
+    "q11_group_agg",      // expect: partial HashAggregate before exchange
+    "q21_dedup_minhash",  // expect: shuffle on band key, no CartesianProduct
+    "q22_cosine_topk",    // expect: BroadcastNestedLoopJoin (probes broadcast)
+    "q28_lsh_ann",        // expect: SortMergeJoin/ShuffledHashJoin on (t, bk)
+    "q32_topk",           // expect: TakeOrderedAndProject, no global Sort
+    "q35_tumbling_window",// expect: partial agg before exchange
+    "q38_outer_broadcast" // expect: BroadcastHashJoin on nation
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else auditSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

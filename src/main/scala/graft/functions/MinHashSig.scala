@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: 64-permutation MinHash signature of a
+  * document's token array — md5 token hashing, 3-token shingle
+  * combination and the permutation minima in ONE primitive pass.
+  *
+  * Why a custom `Expression` (escalation path (b) of the build rules):
+  * the same computation composed from built-ins
+  * (`transform`(md5/conv) → shingle combine via `element_at` → 64×
+  * `array_min(transform(...))`) evaluates interpreted, and Catalyst's
+  * project collapsing inlines each referenced array expression at every
+  * use site (no common-subexpression elimination for higher-order
+  * functions) — measured ~50 s for 1,200 documents at sf0.01, against
+  * ~0.2 s for this expression. The semantics are identical:
+  *
+  *   th[i]  = first 28 bits of md5(token_i)            (Det.h7)
+  *   sh[i]  = ((th[i]*31 + th[i+1]) % P * 31 + th[i+2]) % P
+  *   sig[j] = min_i (a_j * sh[i] + b_j) % P,  j = 0..63
+  *   a_j = (j+1)*2654435761 % P,  b_j = (j+1)*40503 % P,  P = 2^31-1
+  *
+  * (fewer than 3 tokens: one shingle = h7 of the space-joined tokens).
+  * The DuckDB oracle twin spells out the same formula, so results are
+  * bit-identical. Codegen and interpreted eval share `compute`; the
+  * generated code is a single static call — no boxed dispatch.
+  */
+case class MinHashSig(child: Expression, numPerms: Int = 64)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string> tokens, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $numPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val P = 2147483647L
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 28 bits (7 hex chars) of md5(bytes) — numerically identical
+    * to `CAST(concat('0x', substring(md5(s),1,7)) AS BIGINT)`.
+    */
+  def h7(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val m = d.digest(bytes)
+    ((m(0) & 0xffL) << 20) | ((m(1) & 0xffL) << 12) | ((m(2) & 0xffL) << 4) | ((m(3) & 0xffL) >>> 4)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData, numPerms: Int): GenericArrayData = {
+    val n = tokens.numElements()
+    // per-token 28-bit md5 hashes
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = h7(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    // 3-token shingle hashes (duplicates are harmless under min)
+    val sh =
+      if (n >= 3) {
+        val s = new Array[Long](n - 2)
+        var k = 0
+        while (k < n - 2) {
+          s(k) = ((th(k) * 31L + th(k + 1)) % P * 31L + th(k + 2)) % P
+          k += 1
+        }
+        s
+      } else {
+        val joined = new StringBuilder
+        var k = 0
+        while (k < n) {
+          if (k > 0) joined.append(' ')
+          joined.append(tokens.getUTF8String(k).toString)
+          k += 1
+        }
+        Array(h7(joined.toString.getBytes("UTF-8")))
+      }
+    // permutation minima
+    val out = new Array[Long](numPerms)
+    var j = 0
+    while (j < numPerms) {
+      val a = ((j + 1) * 2654435761L) % P
+      val b = ((j + 1) * 40503L) % P
+      var m = Long.MaxValue
+      var k = 0
+      while (k < sh.length) {
+        val v = (a * sh(k) + b) % P
+        if (v < m) m = v
+        k += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Session registration for graft's native expressions; idempotent. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+  }
+}

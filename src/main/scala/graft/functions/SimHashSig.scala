@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: 60-bit SimHash fingerprint of a token
+  * array (token bag — multiplicities count).
+  *
+  *   th[i]  = first 60 bits (15 hex chars) of md5(token_i)
+  *   bit k  = 1  iff  2 * |{i : th[i] has bit k}| > n     (k = 0..59)
+  *   result = Σ bit_k << k
+  *
+  * 60 bits stays clear of int64 sign arithmetic in both engines while
+  * giving 6 bands × 10 bits of LSH discrimination (the earlier 32-bit /
+  * 8-bit-band variant produced pathological bucket fan-out on the
+  * vocabulary-limited corpus: similar token distributions → clustered
+  * fingerprints → O(bucket²) pair blowup).
+  *
+  * Same rationale as MinHashSig: the built-in HOF composition of this
+  * formula evaluates interpreted (one md5 + 60 filter passes per
+  * document, all boxed); this expression is one primitive pass, shared
+  * by eval and codegen. DuckDB oracle twin spells out the identical
+  * formula over `range(0, 60)`.
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig expects array<string> tokens, got ${other.simpleString(10)}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSig.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  val Bits = 60
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits (15 hex chars) of md5 — numerically identical to
+    * `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)`.
+    */
+  def h15(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val m = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (m(i) & 0xffL); i += 1 }
+    (v << 4) | ((m(7) & 0xffL) >>> 4)
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      val h = h15(tokens.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < Bits) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1
+        k += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var k = 0
+    while (k < Bits) {
+      if (2 * counts(k) > n) sim |= (1L << k)
+      k += 1
+    }
+    sim
+  }
+}

@@ -32,6 +32,14 @@ object Dedup {
 
   /** documents ∪ first-token-dropped copies of every 5th doc.
     * DuckDB twin: UNION ALL with substring(text, strpos(text,' ')+1).
+    *
+    * The corpus is repartitioned before the compute-heavy per-document
+    * stages (shingling, 64-perm signatures): the documents table is a
+    * single parquet file, so without this every downstream signature
+    * computation would inherit ONE input split and serialize on one
+    * core — the classic small-file/expensive-map mismatch. A 5k-row
+    * shuffle buys full-cluster parallelism; at 100 TB the same principle
+    * holds (partition count follows compute cost, not file splits).
     */
   private def mutatedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -40,6 +48,7 @@ object Dedup {
       d.filter($"doc_id" % 5 === 0).select(
         ($"doc_id" + 10000).as("doc_id"), $"lang",
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
   // ---------------------------------------------------------------------
@@ -66,62 +75,69 @@ object Dedup {
   // document size.
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val P = MinHashP
+    graft.functions.GraftFunctions.register(s)
 
+    // Tokenize → md5 shingle hashes → 64-perm signature, all inside the
+    // native codegen'd expression (graft.functions.MinHashSig). The
+    // equivalent built-in HOF composition evaluates interpreted AND gets
+    // its sub-arrays inlined at every reference by project collapsing —
+    // measured minutes instead of sub-second on the same data.
     val withSig = mutatedDocs(s, dir)
-      .withColumn("tokens", split($"text", " "))
-      .withColumn("shingles",
-        when(size($"tokens") >= 3,
-          transform(sequence(lit(1), size($"tokens") - 2),
-            i => concat_ws(" ", slice($"tokens", i, lit(3)))))
-          .otherwise(array($"text")))
-      .withColumn("hashes", array_distinct(transform($"shingles", sh => h7(sh))))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(63)),
-          j => array_min(transform($"hashes", h => minhashPerm(j, h)))))
+      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"sig")
+      // Materialization boundary: banding references `sig` 16 times (one
+      // slice per band), and Catalyst's project collapsing would inline
+      // the 64-permutation signature expression at EVERY reference —
+      // higher-order functions run interpreted with no common-
+      // subexpression elimination, so without this exchange the
+      // signature is computed ~17x per document (measured: a 16-minute
+      // single-task stage at sf0.01). The tiny doc_id shuffle stores sig
+      // once; banding then reads a materialized attribute.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
       .withColumn("bands",
         transform(sequence(lit(0), lit(15)),
           b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
             x => x.cast(StringType))))))
       .select($"doc_id", $"sig", $"bands")
 
-    val exploded = withSig.select($"doc_id",
+    // Signatures ride along through the band explode, so pair scoring
+    // happens directly on the band join's output — two scans of the
+    // corpus total (one per join side) instead of four (a naive
+    // candidates-then-rejoin-signatures shape recomputes the 64-perm
+    // signature expression twice more). Duplicate band hits collapse in
+    // the final aggregate (their scores are identical by construction).
+    val exploded = withSig.select($"doc_id", $"sig",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))
-    val cand = exploded.as("a")
+    exploded.as("a")
       .join(exploded.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-
-    val sigs = withSig.select($"doc_id", $"sig")
-    cand
-      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sigs.as("sb"), $"doc_b" === $"sb.doc_id")
-      .withColumn("est_jaccard",
-        size(filter(zip_with($"sa.sig", $"sb.sig", (x, y) => x === y), v => v)) / lit(64.0))
+      .withColumn("est",
+        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v)) / lit(64.0))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(max($"est").as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", Num.roundAt($"est_jaccard", 4).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------
-  // q25: SimHash near-dup. 32-bit fingerprint from the token BAG (counts
-  // matter), banded 4×8 bits — any pair within Hamming distance 3 shares
-  // at least one clean band (pigeonhole), so the band join has perfect
-  // recall at the emitted threshold.
+  // q25: SimHash near-dup. 60-bit fingerprint from the token BAG (counts
+  // matter) via the native SimHashSig expression, banded 6×10 bits — any
+  // pair within Hamming distance 5 shares at least one clean band
+  // (pigeonhole over 6 bands), so the band join has perfect recall at
+  // the emitted threshold.
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val withSim = mutatedDocs(s, dir)
-      .withColumn("hashes", transform(split($"text", " "), t => h8(t)))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
-          |  acc + CASE WHEN 2 * size(filter(hashes, h -> (shiftright(h, k) & 1) = 1)) > size(hashes)
-          |        THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("simhash", expr("simhash_sig(split(text, ' '))"))
       .select($"doc_id", $"simhash")
+      // materialize simhash before banding references it 6x (see q21)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
 
     val exploded = withSim.select($"doc_id", $"simhash",
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, 8 * b) & 255)"))
+      posexplode(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
         .as(Seq("band_idx", "band_val")))
     exploded.as("a")
       .join(exploded.as("b"),
@@ -130,7 +146,7 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast(IntegerType).as("hamming"))
       .distinct()
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= 5)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -215,18 +231,18 @@ object Dedup {
     "q21_dedup_minhash" ->
       s"""WITH $corpusSql,
         |tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens, text FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(tokens) >= 3
-        |              THEN list_transform(range(1, len(tokens) - 1),
-        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-        |              ELSE [text] END AS shingles
-        |  FROM tok),
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
+        |         text FROM corpus),
         |h AS (
-        |  SELECT doc_id, list_distinct(list_transform(shingles,
-        |           s -> CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT))) AS hashes
-        |  FROM sh),
+        |  SELECT doc_id, list_distinct(
+        |           CASE WHEN len(th) >= 3
+        |                THEN list_transform(range(1, len(th) - 1), i ->
+        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
+        |                         + th[i+2]) % 2147483647)
+        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |           END) AS hashes
+        |  FROM tok),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 64), j ->
         |           list_aggregate(list_transform(hashes, h ->
@@ -253,23 +269,23 @@ object Dedup {
       s"""WITH $corpusSql,
         |h AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |           t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)) AS hashes
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hashes
         |  FROM corpus),
         |sim AS (
-        |  SELECT doc_id, list_aggregate(list_transform(range(0, 32), k ->
+        |  SELECT doc_id, list_aggregate(list_transform(range(0, 60), k ->
         |           CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> k) & 1) = 1)) > len(hashes)
         |                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
         |  FROM h),
         |bands AS (
-        |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv
-        |  FROM sim, (SELECT unnest(range(0, 4)) AS b)),
+        |  SELECT doc_id, simhash, b, (simhash >> (10 * b)) & 1023 AS bv
+        |  FROM sim, (SELECT unnest(range(0, 6)) AS b)),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |  FROM bands a JOIN bands b
         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs
-        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE hamming <= 5 ORDER BY doc_a, doc_b""".stripMargin,
     "q26_dedup_jaccard" ->
       s"""WITH $corpusSql,
         |tok AS (

@@ -83,6 +83,9 @@ object Multimodal {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      // single-file input -> one split; spread the decode stage across
+      // executors (a real codec is the expensive part of this pipeline)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .as[MediaRow]
     decodeMedia(media).toDF().orderBy("doc_id")
   }

@@ -26,10 +26,16 @@ import graft.Tables
 object Similarity {
   import Det._
 
+  /** Repartitioned before the per-vector compute (norms, LSH buckets):
+    * the embeddings table is one parquet file = one input split, which
+    * would serialize the 2k-mult-per-row bucket computation on a single
+    * core (see Dedup.mutatedDocs for the same principle).
+    */
   private def base(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("nrm", l2norm($"v"))
   }
 
@@ -67,21 +73,21 @@ object Similarity {
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val withB = base(s, dir).withColumn("buckets", lshBuckets($"v"))
+    // Vectors and norms ride through the bucket explode so scoring runs
+    // directly on the join output; duplicate bucket hits (same pair in
+    // several tables) collapse in the (probe, cand) aggregate — no
+    // id-distinct plus vector re-join, and each side's buckets are
+    // computed exactly once.
     val pe = withB.filter($"vec_id" < 20)
-      .select($"vec_id".as("probe_id"),
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"),
         posexplode($"buckets").as(Seq("t", "bk")))
-    val ce = withB.select($"vec_id",
+    val ce = withB.select($"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
       posexplode($"buckets").as(Seq("t", "bk")))
-    val candIds = pe.join(ce, Seq("t", "bk"))
-      .filter($"probe_id" =!= $"vec_id")
-      .select($"probe_id", $"vec_id".as("cand_id"))
-      .distinct()
-
-    val all = base(s, dir)
-    val scored = candIds
-      .join(all.select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn")), Seq("probe_id"))
-      .join(all.select($"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn")), Seq("cand_id"))
-      .withColumn("cos", dot($"pv", $"cv") / ($"pn" * $"cn"))
+    val scored = pe.join(ce, Seq("t", "bk"))
+      .filter($"probe_id" =!= $"cand_id")
+      .withColumn("c", dot($"pv", $"cv") / ($"pn" * $"cn"))
+      .groupBy($"probe_id", $"cand_id")
+      .agg(max($"c").as("cos"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)

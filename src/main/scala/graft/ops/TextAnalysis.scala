@@ -37,6 +37,13 @@ object TextAnalysis {
   private def markerCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => array_contains(array(words.map(lit): _*), t)))
 
+  /** documents, repartitioned before per-document token work — the table
+    * is a single parquet file (one input split); see Dedup.mutatedDocs.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   // q24: corpus term statistics — explode to (doc, term), aggregate term
   // frequency + document frequency, keep the top 50 terms.
   private def textStats(s: SparkSession, dir: String): DataFrame = {
@@ -53,7 +60,7 @@ object TextAnalysis {
   // alphabetical tie-break so the prediction is deterministic.
   private def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = Tables.documents(s, dir)
+    val scored = docs(s, dir)
       .withColumn("tokens", split($"text", " "))
     val withScores = langWords.foldLeft(scored) { case (df, (l, ws)) =>
       df.withColumn(s"s_$l", markerCount(col("tokens"), ws))
@@ -76,7 +83,7 @@ object TextAnalysis {
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val en = langWords.toMap.apply("en")
-    Tables.documents(s, dir)
+    docs(s, dir)
       .withColumn("tokens", split($"text", " "))
       .withColumn("n", size($"tokens"))
       .withColumn("avg_len",
@@ -99,7 +106,7 @@ object TextAnalysis {
   // integers; zero float risk in the compare.
   private def tokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    docs(s, dir)
       .select($"doc_id",
         size(split($"text", " ")).as("ws_tokens"),
         size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))).as("subword_tokens"),
@@ -116,7 +123,7 @@ object TextAnalysis {
     val P = MinHashP
     def roll(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, h) => (acc * 31L + h) % P)
-    Tables.documents(s, dir)
+    docs(s, dir)
       .withColumn("hashes", transform(split($"text", " "), t => h7(t)))
       .select($"doc_id",
         roll($"hashes").as("fingerprint"),
