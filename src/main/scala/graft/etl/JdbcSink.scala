@@ -6,11 +6,12 @@ import org.apache.spark.sql.DataFrame
   * with `if_exists="replace"`, wallmart_pipeline.py:145-150).
   *
   * Config-gated and off by default, matching the reference's
-  * `db_url=None` default (wallmart_pipeline.py:129). The sandbox has no
-  * database, so this path is exercised only for its gating logic; the
-  * write itself is plain `DataFrameWriter.jdbc`, which distributes one
-  * INSERT batch per partition — for a 100 TB-scale export, repartition to
-  * bound per-connection batch size and set `batchsize`/`isolationLevel`.
+  * `db_url=None` default (wallmart_pipeline.py:129). The write is plain
+  * `DataFrameWriter.jdbc`, which distributes one INSERT batch per
+  * partition — for a 100 TB-scale export, repartition to bound
+  * per-connection batch size and set `batchsize`/`isolationLevel`.
+  * Round-trip tested against an embedded Derby instance (JdbcSinkSpec);
+  * q15 additionally covers the disabled-gate parity path.
   */
 object JdbcSink {
   def write(df: DataFrame, url: String, table: String,

@@ -165,6 +165,51 @@ object Relational {
       .orderBy("custkey")
   }
 
+  // q39: CUBE with grouping_id — all four grouping-set combinations in
+  // one pass (Catalyst expands to a single Expand + partial aggregate).
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        Num.roundAt(avg($"o_totalprice"), 2).as("avg_price"))
+      .orderBy($"gid", $"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  // q45: sliding event-time window (2h size, 1h slide) — every event
+  // lands in exactly two buckets; Spark expands via a generator, no
+  // self-union.
+  private def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), Num.roundAt(sum($"value"), 2).as("sum_value"))
+      .select(Num.epochUs($"window.start").as("bucket_us"), $"n", $"sum_value")
+      .orderBy("bucket_us")
+  }
+
+  // q46: as-of join — an operator Spark lacks natively (DuckDB: ASOF
+  // JOIN). Composed from built-ins per escalation path (a): the latest
+  // prior purchase value per user rides a running last(..., ignoreNulls)
+  // window — one shuffle on user_id, no join at all, which is also the
+  // scale-optimal plan (an actual join formulation would shuffle both
+  // sides AND need a range-match).
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_purchase_value",
+        last(when($"event_type" === "purchase", $"value"), ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", Num.epochUs($"ts").as("ts_us"),
+        $"event_type", $"value", $"last_purchase_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -175,7 +220,10 @@ object Relational {
     "q35_tumbling_window" -> (tumbling _),
     "q36_approx_distinct" -> (approxDistinct _),
     "q37_session_window"  -> (sessionWin _),
-    "q38_outer_broadcast" -> (outerBroadcast _)
+    "q38_outer_broadcast" -> (outerBroadcast _),
+    "q39_cube"            -> (cubeAgg _),
+    "q45_sliding_window"  -> (slidingWindow _),
+    "q46_asof_join"       -> (asofJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,6 +296,28 @@ object Relational {
         |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q39_cube" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q45_sliding_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR) AS bucket_us,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events, (SELECT unnest(range(0, 2)) AS k)
+        |GROUP BY 1 ORDER BY bucket_us""".stripMargin,
+    "q46_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type, e.value,
+        |       p.value AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q38_outer_broadcast" ->
       """WITH counts AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
