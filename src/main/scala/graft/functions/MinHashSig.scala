@@ -126,5 +126,7 @@ object GraftFunctions {
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBuckets(exprs.head), "built-in")
   }
 }

@@ -107,7 +107,7 @@ object Dedup {
     // signature expression twice more). Duplicate band hits collapse in
     // the final aggregate (their scores are identical by construction).
     val exploded = withSig.select($"doc_id", $"sig",
-      posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
     exploded.as("a")
       .join(exploded.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
@@ -137,7 +137,7 @@ object Dedup {
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
 
     val exploded = withSim.select($"doc_id", $"simhash",
-      posexplode(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
+      posexplode_outer(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
         .as(Seq("band_idx", "band_val")))
     exploded.as("a")
       .join(exploded.as("b"),

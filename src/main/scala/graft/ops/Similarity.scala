@@ -55,24 +55,19 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** LSH bucket array (one 6-bit bucket per table) for vector column v.
-    * Hyperplane weight w(t,k,d) = Knuth-hash((t*6+k)*64+d) mapped to
-    * [-1, 1) — exact integer + power-of-two-division arithmetic, so the
-    * DuckDB twin computes identical planes and identical buckets.
-    */
-  private def lshBuckets(v: Column): Column =
-    transform(sequence(lit(0), lit(3)), t =>
-      aggregate(sequence(lit(0), lit(5)), lit(0L), (acc, k) =>
-        acc + when(
-          aggregate(sequence(lit(1), lit(64)), lit(0.0), (dacc, d) =>
-            dacc + ((((t * 6 + k) * 64 + d).cast(LongType) * Knuth % 4294967296L)
-              .cast(DoubleType) / 2147483648.0 - 1.0) * element_at(v, d)) >= 0.0,
-          pow(lit(2.0), k).cast(LongType)).otherwise(0L)))
-
   // q28: LSH-bucketed ANN, top-3 per probe within bucket candidates.
+  // Buckets come from the native codegen'd expression
+  // (graft.functions.LshBuckets): hyperplane weights are integer Knuth
+  // hashes mapped to [-1, 1) with power-of-two division and the sign
+  // dot products accumulate in strict dimension order, so the DuckDB
+  // twin (the formula spelled out over range()) computes identical
+  // planes and identical buckets. The equivalent nested-HOF composition
+  // evaluated interpreted (~12k boxed node evals per row) and dominated
+  // this query's bench time.
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withB = base(s, dir).withColumn("buckets", lshBuckets($"v"))
+    graft.functions.GraftFunctions.register(s)
+    val withB = base(s, dir).withColumn("buckets", expr("lsh_buckets(v)"))
     // Vectors and norms ride through the bucket explode so scoring runs
     // directly on the join output; duplicate bucket hits (same pair in
     // several tables) collapse in the (probe, cand) aggregate — no
@@ -80,9 +75,9 @@ object Similarity {
     // computed exactly once.
     val pe = withB.filter($"vec_id" < 20)
       .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"),
-        posexplode($"buckets").as(Seq("t", "bk")))
+        posexplode_outer($"buckets").as(Seq("t", "bk")))
     val ce = withB.select($"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
-      posexplode($"buckets").as(Seq("t", "bk")))
+      posexplode_outer($"buckets").as(Seq("t", "bk")))
     val scored = pe.join(ce, Seq("t", "bk"))
       .filter($"probe_id" =!= $"cand_id")
       .withColumn("c", dot($"pv", $"cv") / ($"pn" * $"cn"))
