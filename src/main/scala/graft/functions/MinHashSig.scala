@@ -128,5 +128,7 @@ object GraftFunctions {
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_buckets", exprs => LshBuckets(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head), "built-in")
   }
 }

@@ -153,18 +153,21 @@ object Dedup {
   // ---------------------------------------------------------------------
   // q26: exact n-gram (token bigram) Jaccard on candidates bucketed by
   // (lang, token-count decile) — the cheap-blocking + exact-verify
-  // pattern. Set algebra via array_intersect/array_union sizes.
+  // pattern. Bigram SETS are md5-hash int64s from the native
+  // ShingleHashes expression (set algebra over longs is ~10x cheaper per
+  // pair than over bigram strings; collisions are negligible); exact
+  // Jaccard via array_intersect/array_union sizes.
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val withNg = mutatedDocs(s, dir)
       .withColumn("tokens", split($"text", " "))
-      .withColumn("ng", array_distinct(
-        when(size($"tokens") >= 2,
-          transform(sequence(lit(1), size($"tokens") - 1),
-            i => concat_ws(" ", element_at($"tokens", i), element_at($"tokens", i + 1))))
-          .otherwise(array($"text"))))
+      .withColumn("ng", expr("shingle_hashes(tokens)"))
       .withColumn("lb", expr("size(tokens) div 10"))
       .select($"doc_id", $"lang", $"lb", $"ng")
+      // materialization boundary before the pair join references ng on
+      // both sides (see the q21 note on project-collapsing re-inlining)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
 
     withNg.as("a")
       .join(withNg.as("b"),
@@ -290,13 +293,19 @@ object Dedup {
       s"""WITH $corpusSql,
         |tok AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS tokens, text FROM corpus),
+        |th AS (
+        |  SELECT doc_id, lang, tokens, text,
+        |         list_transform(tokens,
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM tok),
         |ng AS (
         |  SELECT doc_id, lang, len(tokens) // 10 AS lb,
-        |         list_distinct(CASE WHEN len(tokens) >= 2
-        |           THEN list_transform(range(1, len(tokens)),
-        |                  i -> concat_ws(' ', tokens[i], tokens[i+1]))
-        |           ELSE [text] END) AS ng
-        |  FROM tok),
+        |         list_distinct(CASE WHEN len(th) >= 2
+        |           THEN list_transform(range(1, len(th)),
+        |                  i -> (th[i] * 31 + th[i+1]) % 2147483647)
+        |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |         END) AS ng
+        |  FROM th),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         len(list_intersect(a.ng, b.ng))

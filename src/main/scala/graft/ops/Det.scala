@@ -42,15 +42,11 @@ object Det {
   def h7(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
 
-  /** 32-bit variant (8 hex chars) for SimHash bit extraction.
-    * DuckDB twin: `CAST(concat('0x', substring(md5(s),1,8)) AS BIGINT)`.
-    */
-  def h8(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
-
   /** The j-th MinHash permutation (j is a 0-based int Column) applied to a
     * 28-bit hash h: `(a_j * h + b_j) mod P` with a_j, b_j derived from j
     * by integer arithmetic. DuckDB twin uses the same literal formula.
+    * Reference formulation for the native MinHashSig expression —
+    * NativeExprSpec pins the two bit-identical.
     */
   def minhashPerm(j: Column, h: Column): Column =
     (((j + 1).cast(LongType) * Knuth % MinHashP) * h +

@@ -210,6 +210,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // q47: top-k PER GROUP via the typed TopKAggregator — partial buffers
+  // hold at most k pairs, so the shuffle moves k rows per (group,
+  // partition) instead of sorting whole groups like the window
+  // formulation (which is exactly what the oracle uses; results must be
+  // identical).
+  private def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val topK = udaf(new graft.functions.TopKAggregator(3),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(topK($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_custkey", posexplode_outer($"top").as(Seq("pos", "pair")))
+      .select($"o_custkey", ($"pos" + 1).cast(IntegerType).as("rank"),
+        $"pair._2".as("o_orderkey"), $"pair._1".as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -223,7 +242,8 @@ object Relational {
     "q38_outer_broadcast" -> (outerBroadcast _),
     "q39_cube"            -> (cubeAgg _),
     "q45_sliding_window"  -> (slidingWindow _),
-    "q46_asof_join"       -> (asofJoin _)
+    "q46_asof_join"       -> (asofJoin _),
+    "q47_topk_per_group"  -> (topKPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +338,14 @@ object Relational {
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q47_topk_per_group" ->
+      """SELECT o_custkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
     "q38_outer_broadcast" ->
       """WITH counts AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

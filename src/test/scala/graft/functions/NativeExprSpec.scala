@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+import graft.ops.Det
+
+/** The native codegen expressions must be bit-identical to the
+  * built-in-composed formulas they replaced (Det documents those
+  * formulas; the DuckDB oracles spell them out in SQL). These tests pin
+  * the equivalence on randomized token/vector frames so a future edit
+  * to either side can't silently diverge from the oracles.
+  */
+class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def tokensDf = {
+    import spark.implicits._
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value", "a", "the")
+    (1 to 40).map { i =>
+      (i.toLong, (0 until (i % 7) + 2).map(j => words((i * 7 + j * 3) % words.size)))
+    }.toDF("id", "tokens")
+  }
+
+  test("minhash_sig == composed HOF formula (Det.minhashPerm over shingle hashes)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val P = Det.MinHashP
+    val composed = tokensDf
+      .withColumn("th", transform($"tokens", t => Det.h7(t)))
+      .withColumn("hashes",
+        when(size($"th") >= 3,
+          transform(sequence(lit(1), size($"th") - 2), i =>
+            ((element_at($"th", i) * 31L + element_at($"th", i + 1)) % P * 31L
+              + element_at($"th", i + 2)) % P))
+          .otherwise(array(Det.h7(concat_ws(" ", $"tokens")))))
+      .withColumn("sig_composed",
+        transform(sequence(lit(0), lit(63)),
+          j => array_min(transform($"hashes", h => Det.minhashPerm(j, h)))))
+      .withColumn("sig_native", expr("minhash_sig(tokens)"))
+    assert(composed.filter(not($"sig_composed" <=> $"sig_native")).count() == 0)
+  }
+
+  test("shingle_hashes == composed distinct bigram hash formula") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val P = Det.MinHashP
+    val composed = tokensDf
+      .withColumn("th", transform($"tokens", t => Det.h7(t)))
+      .withColumn("ng_composed", array_sort(array_distinct(
+        when(size($"th") >= 2,
+          transform(sequence(lit(1), size($"th") - 1), i =>
+            (element_at($"th", i) * 31L + element_at($"th", i + 1)) % P))
+          .otherwise(array(Det.h7(concat_ws(" ", $"tokens")))))))
+      .withColumn("ng_native", expr("shingle_hashes(tokens)"))
+    assert(composed.filter(not($"ng_composed" <=> $"ng_native")).count() == 0)
+  }
+
+  test("lsh_buckets == composed hyperplane-sign formula") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val vecs = (1 to 20).map { i =>
+      (i.toLong, (1 to 64).map(d => math.sin(i * 64.0 + d).toFloat).toArray)
+    }.toDF("id", "embedding")
+    val composed = vecs
+      .withColumn("v", Det.toDoubleArr($"embedding"))
+      .withColumn("b_composed",
+        transform(sequence(lit(0), lit(3)), t =>
+          aggregate(sequence(lit(0), lit(5)), lit(0L), (acc, k) =>
+            acc + when(
+              aggregate(sequence(lit(1), lit(64)), lit(0.0), (dacc, d) =>
+                dacc + ((((t * 6 + k) * 64 + d).cast(LongType) * Det.Knuth % 4294967296L)
+                  .cast(DoubleType) / 2147483648.0 - 1.0) * element_at($"v", d)) >= 0.0,
+              pow(lit(2.0), k).cast(LongType)).otherwise(0L))))
+      .withColumn("b_native", expr("lsh_buckets(v)"))
+    assert(composed.filter(not($"b_composed" <=> $"b_native")).count() == 0)
+  }
+}
