@@ -63,6 +63,74 @@ object StreamingDemo {
   }
 }
 
+/** Custom stateful streaming: per-user sessionization with
+  * `flatMapGroupsWithState` — the `KeyValueGroupedDataset` custom-state
+  * surface (north star; complements the declarative `session_window` in
+  * q37).
+  *
+  * Semantics match q37 exactly (new session when `ts >= last + gap`;
+  * session end = last + gap). Each micro-batch folds its events into the
+  * per-user open-session state and EMITS only sessions closed within the
+  * batch — the user's trailing session stays in the state store awaiting
+  * more events, which is the correct streaming answer (an unclosed
+  * session is not yet a fact). StreamingSessionSpec pins: emitted ==
+  * batch session_window result minus each user's final session.
+  *
+  * Scale: state is one small record per active user (start/last/count),
+  * evicted on session close; the shuffle is the groupByKey on user_id.
+  */
+object StatefulSessionizer {
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def sessionize(spark: SparkSession, dir: String,
+                 queryName: String = "session_stream", gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val events = spark.readStream
+      .schema(StreamingDemo.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, evs, state) =>
+        // batch iterators are unordered — sort this batch's event times
+        val times = evs.map(_.ts_us).toArray
+        java.util.Arrays.sort(times)
+        val closed = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        times.foreach { t =>
+          cur = cur match {
+            case Some(st) if t - st.lastUs < gapUs =>
+              Some(st.copy(lastUs = t, n = st.n + 1))
+            case Some(st) =>
+              closed += SessionOut(user, st.startUs, st.lastUs + gapUs, st.n)
+              Some(OpenSession(t, t, 1))
+            case None => Some(OpenSession(t, t, 1))
+          }
+        }
+        cur.foreach(state.update)
+        closed.result().iterator
+      }
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName).orderBy("user_id", "start_us")
+  }
+}
+
 /** Standalone driver: `sbt "runMain graft.streaming.StreamingDemoRunner [sfDir]"`. */
 object StreamingDemoRunner {
   def main(args: Array[String]): Unit = {
@@ -78,6 +146,9 @@ object StreamingDemoRunner {
     val out = StreamingDemo.hourlyCounts(spark, dir)
     println(s"[streaming-demo] windows=${out.count()}")
     out.show(10, truncate = false)
+    val sessions = StatefulSessionizer.sessionize(spark, dir, "runner_sessions")
+    println(s"[streaming-demo] closed sessions=${sessions.count()}")
+    sessions.show(5, truncate = false)
     spark.stop()
   }
 }
