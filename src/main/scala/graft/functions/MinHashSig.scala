@@ -130,5 +130,9 @@ object GraftFunctions {
       "lsh_buckets", exprs => LshBuckets(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fold_dot", exprs => FoldDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap", exprs => SortedOverlap(exprs(0), exprs(1)), "built-in")
   }
 }

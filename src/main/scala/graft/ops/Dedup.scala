@@ -172,8 +172,11 @@ object Dedup {
     withNg.as("a")
       .join(withNg.as("b"),
         $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" && $"a.doc_id" < $"b.doc_id")
+      // |A∩B| via zero-allocation sorted merge; |A∪B| = |A|+|B|-|A∩B|
+      // (array_intersect+array_union would build two arrays per pair)
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
       .withColumn("jaccard",
-        size(array_intersect($"a.ng", $"b.ng")) / size(array_union($"a.ng", $"b.ng")))
+        $"inter" / (size($"a.ng") + size($"b.ng") - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         Num.roundAt($"jaccard", 4).as("jaccard"))
@@ -187,17 +190,19 @@ object Dedup {
   // are precomputed per row; the pair join computes one left-fold dot.
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val mut = base.filter($"vec_id" % 10 === 0).select(
       ($"vec_id" + 10000).as("vec_id"), $"label",
       transform(sequence(lit(1), lit(64)),
         i => when(i === 1, element_at($"v", i) * 0.5).otherwise(element_at($"v", i))).as("v"))
-    val corpus = base.unionAll(mut).withColumn("nrm", l2norm($"v"))
+    val corpus = base.unionAll(mut).withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
 
     corpus.as("a")
       .join(corpus.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .withColumn("cos", expr("fold_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm"))
       .filter($"cos" >= 0.9)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         Num.roundAt($"cos", 6).as("cosine"))

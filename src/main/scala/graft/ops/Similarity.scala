@@ -33,10 +33,11 @@ object Similarity {
     */
   private def base(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select($"vec_id", toDoubleArr($"embedding").as("v"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .withColumn("nrm", l2norm($"v"))
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
   }
 
   // q22: brute-force cosine top-5 for probes vec_id < 20.
@@ -46,7 +47,7 @@ object Similarity {
     val probes = all.select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"))
       .filter($"probe_id" < 20)
     val scored = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
-      .withColumn("cos", dot($"pv", $"v") / ($"pn" * $"nrm"))
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -80,7 +81,7 @@ object Similarity {
       posexplode_outer($"buckets").as(Seq("t", "bk")))
     val scored = pe.join(ce, Seq("t", "bk"))
       .filter($"probe_id" =!= $"cand_id")
-      .withColumn("c", dot($"pv", $"cv") / ($"pn" * $"cn"))
+      .withColumn("c", expr("fold_dot(pv, cv)") / ($"pn" * $"cn"))
       .groupBy($"probe_id", $"cand_id")
       .agg(max($"c").as("cos"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)

@@ -76,4 +76,32 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .withColumn("b_native", expr("lsh_buckets(v)"))
     assert(composed.filter(not($"b_composed" <=> $"b_native")).count() == 0)
   }
+
+  test("fold_dot == composed Det.dot left fold") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = (1 to 20).map { i =>
+      (i.toLong,
+        (1 to 64).map(d => math.sin(i * 64.0 + d)).toArray,
+        (1 to 64).map(d => math.cos(i * 31.0 + d)).toArray)
+    }.toDF("id", "a", "b")
+    val composed = vecs
+      .withColumn("d_composed", Det.dot($"a", $"b"))
+      .withColumn("d_native", expr("fold_dot(a, b)"))
+    assert(composed.filter(not($"d_composed" <=> $"d_native")).count() == 0)
+  }
+
+  test("sorted_overlap == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val sets = (1 to 30).map { i =>
+      (i.toLong,
+        (0 until 20).map(j => ((i * 7 + j * 3) % 40).toLong).distinct.sorted.toArray,
+        (0 until 15).map(j => ((i * 5 + j * 4) % 40).toLong).distinct.sorted.toArray)
+    }.toDF("id", "a", "b")
+    val cmp = sets
+      .withColumn("n_composed", size(array_intersect($"a", $"b")).cast("long"))
+      .withColumn("n_native", expr("sorted_overlap(a, b)"))
+    assert(cmp.filter(not($"n_composed" <=> $"n_native")).count() == 0)
+  }
 }
