@@ -92,9 +92,48 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // q49: IVF-style ANN — the other canonical scale path (inverted file
+  // index). Cells are defined by a small centroid codebook (here: the
+  // first 8 vectors, deterministic; at scale a sampled k-means
+  // codebook), broadcast to assign every vector to its best cell in one
+  // pass. Probes search their nprobe=2 best cells only, so per-probe
+  // work is ~nprobe·n/k candidates instead of n. All ranking on
+  // bit-identical cosines (fold_dot) with cell-id tie-breaks, so the
+  // oracle twin reproduces the exact cell assignment and result set.
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = base(s, dir)
+    val cents = all.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+
+    // cell affinity of every vector: rank centroids by cosine
+    val affinity = all.join(broadcast(cents))
+      .withColumn("ccos", expr("fold_dot(v, cv)") / ($"nrm" * $"cn"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    val assign = affinity.filter($"crank" === 1)
+      .select($"vec_id".as("cand_id"), $"cent_id".as("cell"), $"v".as("cv2"), $"nrm".as("cn2"))
+    val probeCells = affinity
+      .filter($"vec_id" >= 20 && $"vec_id" < 40 && $"crank" <= 2)
+      .select($"vec_id".as("probe_id"), $"cent_id".as("cell"), $"v".as("pv"), $"nrm".as("pn"))
+
+    val scored = probeCells.join(assign, Seq("cell"))
+      .filter($"probe_id" =!= $"cand_id")
+      .withColumn("c", expr("fold_dot(pv, cv2)") / ($"pn" * $"cn2"))
+      .groupBy($"probe_id", $"cand_id")
+      .agg(max($"c").as("cos"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"probe_id", $"cand_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"cos", 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (cosineTopK _),
-    "q28_lsh_ann"     -> (lshAnn _)
+    "q28_lsh_ann"     -> (lshAnn _),
+    "q49_ivf_ann"     -> (ivfAnn _)
   )
 
   private val nSql =
@@ -120,6 +159,41 @@ object Similarity {
         |  FROM scored)
         |SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q49_ivf_ann" ->
+      s"""WITH $nSql,
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |aff AS (
+        |  SELECT n.vec_id, cents.cent_id,
+        |         list_reduce(list_transform(range(1, 65), i -> n.v[i] * cents.cv[i]),
+        |           (x, y) -> x + y) / (n.nrm * cents.cn) AS ccos
+        |  FROM n, cents),
+        |ranked_aff AS (
+        |  SELECT vec_id, cent_id, ccos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ccos DESC, cent_id ASC) AS crank
+        |  FROM aff),
+        |assign AS (
+        |  SELECT vec_id AS cand_id, cent_id AS cell FROM ranked_aff WHERE crank = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, cent_id AS cell FROM ranked_aff
+        |  WHERE vec_id >= 20 AND vec_id < 40 AND crank <= 2),
+        |scored AS (
+        |  SELECT p.probe_id, a.cand_id,
+        |         max(list_reduce(list_transform(range(1, 65), i -> pn.v[i] * cn2.v[i]),
+        |           (x, y) -> x + y) / (pn.nrm * cn2.nrm)) AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.cand_id != p.probe_id
+        |  JOIN n pn ON pn.vec_id = p.probe_id
+        |  JOIN n cn2 ON cn2.vec_id = a.cand_id
+        |  GROUP BY p.probe_id, a.cand_id),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT probe_id, cand_id AS neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q28_lsh_ann" ->
       s"""WITH $nSql,
         |b AS (
