@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked run output straight to stdout, bypassing sbt's logger —
+// the driver parses graft.Bench's JSON line from stdout, and the default
+// LoggedOutput strategy prefixes every line with "[info] ".
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

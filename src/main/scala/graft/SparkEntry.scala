@@ -25,7 +25,8 @@ object SparkEntry {
       (ops.Similarity.queries, ops.Similarity.oracle),
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
       (ops.Relational.queries, ops.Relational.oracle),
-      (ops.Multimodal.queries, ops.Multimodal.oracle)
+      (ops.Multimodal.queries, ops.Multimodal.oracle),
+      (ops.Layout.queries, ops.Layout.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

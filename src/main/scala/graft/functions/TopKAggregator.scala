@@ -12,22 +12,43 @@ import org.apache.spark.sql.expressions.Aggregator
   * of every group). Deterministic ordering: value descending, id
   * ascending as the tie-break.
   *
-  * Buffers are small sorted lists (k is small by contract); inputs fold
-  * in O(k) per row. Used by q47; oracle twin is the window formulation,
-  * which must produce identical rows.
+  * The buffer is kept sorted at all times, so `reduce` is a constant-time
+  * reject on the common path (row doesn't beat the current k-th) and an
+  * O(k) insert otherwise — no per-row sort, no allocation unless the
+  * buffer actually changes. `merge` is a linear two-pointer merge of two
+  * already-sorted buffers. Used by q47; oracle twin is the window
+  * formulation, which must produce identical rows.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy { case (v, id) => (-v, id) }.take(k)
+  /** true iff `a` ranks strictly before `b` (value desc, id asc). */
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
   override def zero: Seq[(Double, Long)] = Nil
+
   override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ x)
+    if (buf.length >= k && !before(x, buf.last)) buf
+    else {
+      val (hi, lo) = buf.span(before(_, x))
+      ((hi :+ x) ++ lo).take(k)
+    }
+
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    trim(a ++ b)
-  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      val (ia, ib) = (a.iterator.buffered, b.iterator.buffered)
+      while (out.length < k && (ia.hasNext || ib.hasNext)) {
+        if (!ib.hasNext || (ia.hasNext && before(ia.head, ib.head))) out += ia.next()
+        else out += ib.next()
+      }
+      out.toSeq
+    }
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()

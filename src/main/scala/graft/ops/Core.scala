@@ -32,12 +32,19 @@ object Core {
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.iterator().asScala.foreach(deleteRecursively)
+      finally children.close() // Files.list holds a handle until closed
+    }
     Files.deleteIfExists(p)
   }
 
-  private def tmp(prefix: String): String =
+  /** Scratch dir under the shared cleaned-up root — use for ALL per-run
+    * disk artifacts (CSV fixtures, sinks, bucketed tables, partitioned
+    * layouts) so nothing leaks across runs.
+    */
+  private[graft] def tmp(prefix: String): String =
     Files.createTempDirectory(tmpRoot, prefix).toString
 
   // O1 (wallmart_pipeline.py:52): CSV scan with declared schema + header —
@@ -47,8 +54,11 @@ object Core {
   // operator under test is the declared-schema read, not a full-dataset
   // rewrite (round-1 bench billed a whole-table CSV write to this query).
   private val csvFixtureCache = scala.collection.concurrent.TrieMap[String, String]()
-  private def csvScan(s: SparkSession, dir: String): DataFrame = {
-    val out = csvFixtureCache.getOrElseUpdate(dir, {
+  /** One-time CSV fixture ingest — also callable from the bench's untimed
+    * setup phase, so the timed q01 measures the declared-schema read.
+    */
+  private[graft] def ensureCsvFixture(s: SparkSession, dir: String): String =
+    csvFixtureCache.getOrElseUpdate(dir, {
       val p = tmp("graft_csv_fixture")
       Tables.lineitem(s, dir)
         .filter(col("l_orderkey") % 20 === 0)
@@ -56,6 +66,8 @@ object Core {
         .write.mode("overwrite").option("header", "true").csv(p)
       p
     })
+  private def csvScan(s: SparkSession, dir: String): DataFrame = {
+    val out = ensureCsvFixture(s, dir)
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType),
       StructField("l_linenumber", IntegerType),
@@ -103,8 +115,12 @@ object Core {
     import s.implicits._
     val withNulls = Tables.lineitem(s, dir)
       .withColumn("qty", when($"l_quantity" === 25.0, lit(null).cast(DoubleType)).otherwise($"l_quantity"))
-    val mean = withNulls.agg(avg("qty")).first().getDouble(0) // O5: eager, like pandas
-    withNulls.na.fill(Map("qty" -> mean))                     // O6
+    // O5: eager, like pandas; an all-null column yields a null mean, and
+    // pandas fillna(NaN) is then a graceful no-op — skip the fill.
+    val meanRow = withNulls.agg(avg("qty")).first()
+    val filled = if (meanRow.isNullAt(0)) withNulls
+      else withNulls.na.fill(Map("qty" -> meanRow.getDouble(0))) // O6
+    filled
       .groupBy("l_returnflag")
       .agg(Num.roundAt(avg("qty"), 2).as("avg_qty"), count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
@@ -119,13 +135,18 @@ object Core {
     import s.implicits._
     val withNulls = Tables.lineitem(s, dir)
       .withColumn("qty", when($"l_quantity" === 25.0, lit(null).cast(DoubleType)).otherwise($"l_quantity"))
-    val mean = withNulls.agg(avg("qty")).first().getDouble(0) // O5: eager, like pandas
-    val filled = withNulls.na.fill(Map("qty" -> mean))        // O6
+    // O5: eager, like pandas; a degenerate all-null column yields a null
+    // mean — mirror the transform() hardening: no fill, null fill_value
+    // (pandas fillna(NaN) is a no-op), instead of NPE on getDouble.
+    val meanRow = withNulls.agg(avg("qty")).first()
+    val meanOpt = if (meanRow.isNullAt(0)) None else Some(meanRow.getDouble(0))
+    val filled = meanOpt.fold(withNulls)(m => withNulls.na.fill(Map("qty" -> m))) // O6
+    val fillValue = meanOpt.fold(lit(null).cast(DoubleType))(m => Num.roundAt(lit(m), 2))
     withNulls.agg(count(lit(1)).minus(count($"qty")).as("nulls_before")).crossJoin(
       filled.agg(
         count(lit(1)).minus(count($"qty")).as("nulls_after"),
         Num.roundAt(avg($"qty"), 2).as("avg_filled_qty"),
-        Num.roundAt(lit(mean), 2).as("fill_value")))
+        fillValue.as("fill_value")))
   }
 
   // O7 (wallmart_pipeline.py:89): fixed-format string->timestamp with
@@ -233,10 +254,14 @@ object Core {
   private def jdbcSinkGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
-    val cleanCount = li.filter($"l_extendedprice" > 30000.0).count()
-    // countDistinct matches the oracle's count(DISTINCT ...) NULL
-    // semantics — a null month must not count as a group.
-    val aggCount = li.agg(countDistinct(month($"l_shipdate"))).first().getLong(0)
+    // Both gate counts in ONE job (one lineitem scan): a conditional count
+    // for the filter and countDistinct for the months. countDistinct
+    // matches the oracle's count(DISTINCT ...) NULL semantics — a null
+    // month must not count as a group.
+    val gate = li.agg(
+      count(when($"l_extendedprice" > 30000.0, lit(1))).as("clean"),
+      countDistinct(month($"l_shipdate")).as("agg")).first()
+    val (cleanCount, aggCount) = (gate.getLong(0), gate.getLong(1))
     val enabled = graft.etl.JdbcSink.writeIfEnabled(li.limit(0), None, "clean_data")
     Seq(("agg_data", aggCount, enabled), ("clean_data", cleanCount, enabled))
       .toDF("table_name", "row_count", "jdbc_enabled")

@@ -200,7 +200,13 @@ object Relational {
   // sides AND need a range-match).
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    // Deterministic tie-break: ASOF's `e.ts >= p.ts` matches a purchase at
+    // the SAME timestamp, so purchases must sort before other events at
+    // equal ts for the running window to expose them; event_id breaks any
+    // remaining tie so the frame order (hence `last`) is never
+    // partition-order dependent.
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", when($"event_type" === "purchase", 0).otherwise(1), $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("last_purchase_value",
@@ -231,25 +237,39 @@ object Relational {
 
   // q48: bucketed co-located join — the 100 TB join strategy when
   // neither side broadcasts. Both sides are written bucketBy(custkey)
-  // once per (session, sf) into scratch tables; the join then reads
+  // once per (catalog, sf) into scratch tables; the join then reads
   // bucket-aligned files and Catalyst plans a SortMergeJoin with ZERO
   // Exchange on either side (verify with graft.Explain: no shuffle
   // below the join). At scale this is the difference between re-shuffling
   // 100 TB per join and pre-paying the layout once at ingest.
-  private val bucketedOnce = scala.collection.concurrent.TrieMap[String, Unit]()
-  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  /** One-time bucketed-layout ingest for q48, idempotent per (catalog,
+    * dir). The scratch path lives under Core's cleaned tmp root (no leaks
+    * across runs), and idempotence is probed via `spark.catalog
+    * .tableExists` — not a JVM-lifetime map — so a restarted session in
+    * the same JVM re-ingests instead of hitting TABLE_OR_VIEW_NOT_FOUND.
+    * The bench calls this in its untimed setup phase: bucketing is
+    * ingest-time layout work, paid once per dataset, and the timed query
+    * must measure the join it buys, not the ingest itself.
+    */
+  private[graft] def ensureBuckets(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
     val suffix = dir.replaceAll("[^a-z0-9]", "_")
     val (ot, ct) = (s"graft_orders_b$suffix", s"graft_customer_b$suffix")
-    bucketedOnce.getOrElseUpdate(dir, {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      val scratch = Core.tmp("graft_buckets")
       Tables.orders(s, dir).select($"o_custkey", $"o_totalprice", $"o_orderstatus")
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$scratch/orders").saveAsTable(ot)
       Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$scratch/customer").saveAsTable(ct)
-    })
+    }
+    (ot, ct)
+  }
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ot, ct) = ensureBuckets(s, dir)
     // hint("merge"): at testdata scale Catalyst would auto-broadcast the
     // customer side (correctly — it fits); the hint forces the plan a
     // 100 TB optimizer would choose, showing the bucket-aligned
