@@ -18,7 +18,8 @@ object Explain {
     "q28_lsh_ann",        // expect: SortMergeJoin/ShuffledHashJoin on (t, bk)
     "q32_topk",           // expect: TakeOrderedAndProject, no global Sort
     "q35_tumbling_window",// expect: partial agg before exchange
-    "q38_outer_broadcast" // expect: BroadcastHashJoin on nation
+    "q38_outer_broadcast",// expect: BroadcastHashJoin on nation
+    "q50_partition_prune" // expect: PartitionFilters on order_month, 1/12 dirs read
   )
 
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,19 @@ import java.nio.file.{Files, Paths}
   */
 object WalmartPipeline {
 
+  /** Reference-parity stage contract (wallmart_pipeline.py:51-65 and
+    * peers): each stage logs `Error in <name>(): <msg>` on failure and
+    * re-raises the original exception — callers see the real error, the
+    * log carries the stage attribution.
+    */
+  private def stage[T](name: String)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        PipelineLog.error(s"Error in $name(): ${e.getMessage}")
+        throw e
+    }
+
   /** Declared schema for the grocery-sales CSV — what pandas infers at
     * wallmart_pipeline.py:52, declared explicitly for determinism.
     */
@@ -49,21 +62,24 @@ object WalmartPipeline {
     * at scale the smaller side should broadcast — Catalyst's JoinSelection
     * picks broadcast-hash automatically under the size threshold.
     */
-  def extract(spark: SparkSession, csvPath: String, parquetPath: String): DataFrame = {
-    val store = spark.read
-      .option("header", "true")
-      .option("encoding", "UTF-8")
-      .schema(grocerySchema)
-      .csv(csvPath)
-    val extra = spark.read.parquet(parquetPath)
-    // O3 (wallmart_pipeline.py:55-57): fail fast if the join key is absent.
-    require(store.columns.contains("index"), "Input data is missing index column: csv")
-    require(extra.columns.contains("index"), "Input data is missing index column: parquet")
-    store.join(extra, Seq("index"), "inner")
-  }
+  def extract(spark: SparkSession, csvPath: String, parquetPath: String): DataFrame =
+    stage("extract") {
+      val store = spark.read
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .schema(grocerySchema)
+        .csv(csvPath)
+      val extra = spark.read.parquet(parquetPath)
+      // O3 (wallmart_pipeline.py:55-57): fail fast if the join key is absent.
+      require(store.columns.contains("index"), "Input data is missing index column: csv")
+      require(extra.columns.contains("index"), "Input data is missing index column: parquet")
+      val merged = store.join(extra, Seq("index"), "inner")
+      PipelineLog.info("Data successfully extracted and merged.")
+      merged
+    }
 
   /** O5-O10: mean-impute, date parse, month derivation, filter, project. */
-  def transform(df: DataFrame): DataFrame = {
+  def transform(df: DataFrame): DataFrame = stage("transform") {
     // O5 (wallmart_pipeline.py:84-86): the three column means are a
     // separate eager job — collected to the driver and injected as
     // literals, the one place the lazy graph is deliberately cut.
@@ -79,7 +95,7 @@ object WalmartPipeline {
         if (means.isNullAt(i)) None else Some(name -> means.getDouble(i))
       }.toMap
     val filled = if (fillMap.isEmpty) df else df.na.fill(fillMap)
-    filled
+    val clean = filled
       // O7 (wallmart_pipeline.py:89): fixed-format parse, coerce-to-null.
       .withColumn("Date", try_to_timestamp(col("Date"), lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
       // O8 (wallmart_pipeline.py:90): month-of-date; null-safe (null Date -> null Month).
@@ -88,6 +104,8 @@ object WalmartPipeline {
       .filter(col("Weekly_Sales") > 10000)
       // O10 (wallmart_pipeline.py:94): 6-column projection.
       .select("Store_ID", "Weekly_Sales", "IsHoliday", "CPI", "Unemployment", "Month")
+    PipelineLog.info("Data transformation successful.")
+    clean
   }
 
   /** O11-O13: group-by-month mean, rename, round 2dp.
@@ -97,10 +115,14 @@ object WalmartPipeline {
     * wallmart_pipeline.py:119.
     */
   def avgWeeklySalesPerMonth(df: DataFrame): DataFrame =
-    df.filter(col("Month").isNotNull)
-      .groupBy("Month")
-      .agg(bround(avg("Weekly_Sales"), 2).as("Avg_Sales"))
-      .orderBy("Month")
+    stage("avg_weekly_sales_per_month") {
+      val agg = df.filter(col("Month").isNotNull)
+        .groupBy("Month")
+        .agg(bround(avg("Weekly_Sales"), 2).as("Avg_Sales"))
+        .orderBy("Month")
+      PipelineLog.info("Average weekly sales per month calculated successfully.")
+      agg
+    }
 
   /** Frames whose Catalyst-estimated output size is below this are written
     * as a single file (reference-parity shape); larger frames keep their
@@ -116,32 +138,55 @@ object WalmartPipeline {
     * otherwise funnel through one task and one file.
     */
   def load(frames: Map[String, DataFrame], outDir: String): Seq[String] =
-    frames.toSeq.sortBy(_._1).map { case (name, df) =>
-      val path = s"$outDir/$name"
-      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val shaped = if (estBytes <= SingleFileMaxBytes) df.coalesce(1) else df
-      shaped.write.mode("overwrite").option("header", "true").csv(path)
-      path
+    stage("load") {
+      frames.toSeq.sortBy(_._1).map { case (name, df) =>
+        val path = s"$outDir/$name"
+        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val shaped = if (estBytes <= SingleFileMaxBytes) df.coalesce(1) else df
+        shaped.write.mode("overwrite").option("header", "true").csv(path)
+        PipelineLog.info(s"$path saved successfully.")
+        path
+      }
     }
 
-  /** O16: output-existence validation (wallmart_pipeline.py:157-168). */
+  /** O16: output-existence validation (wallmart_pipeline.py:157-168) —
+    * like the reference's `validation`, a missing file logs an error but
+    * does not raise; the caller inspects the returned flags.
+    */
   def validate(paths: Seq[String]): Seq[(String, Boolean)] =
-    paths.map(p => p -> Files.exists(Paths.get(p)))
+    paths.map { p =>
+      val ok = Files.exists(Paths.get(p))
+      if (ok) PipelineLog.info(s"$p validated successfully.")
+      else PipelineLog.error(s"Error: $p was not created.")
+      p -> ok
+    }
 
   /** Full pipeline, mirroring `main()` (wallmart_pipeline.py:171-201).
     * JDBC load is config-gated and off by default (db_url=None parity,
-    * wallmart_pipeline.py:129).
+    * wallmart_pipeline.py:129). A failure in any stage logs
+    * `Critical error in main():` like the reference, then PROPAGATES —
+    * the reference's main swallows the exception and returns None, which
+    * is a script-level choice a library must not replicate (a caller
+    * needs to know the pipeline failed).
     */
   def run(spark: SparkSession, csvPath: String, parquetPath: String,
-          outDir: String, jdbcUrl: Option[String] = None): Seq[(String, Boolean)] = {
-    val merged = extract(spark, csvPath, parquetPath)
-    val clean  = transform(merged)
-    val agg    = avgWeeklySalesPerMonth(clean)
-    val frames = Map("clean_data" -> clean, "agg_data" -> agg)
-    val paths  = load(frames, outDir)
-    jdbcUrl.foreach { url =>
-      frames.foreach { case (name, df) => JdbcSink.write(df, url, name) }
+          outDir: String, jdbcUrl: Option[String] = None): Seq[(String, Boolean)] =
+    try {
+      PipelineLog.info("Starting data pipeline execution.")
+      val merged = extract(spark, csvPath, parquetPath)
+      val clean  = transform(merged)
+      val agg    = avgWeeklySalesPerMonth(clean)
+      val frames = Map("clean_data" -> clean, "agg_data" -> agg)
+      val paths  = load(frames, outDir)
+      jdbcUrl.foreach { url =>
+        frames.foreach { case (name, df) => JdbcSink.write(df, url, name) }
+      }
+      val results = validate(paths)
+      PipelineLog.info("Data pipeline execution completed successfully.")
+      results
+    } catch {
+      case e: Throwable =>
+        PipelineLog.critical(s"Critical error in main(): ${e.getMessage}")
+        throw e
     }
-    validate(paths)
-  }
 }

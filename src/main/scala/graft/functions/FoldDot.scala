@@ -41,12 +41,18 @@ case class FoldDot(left: Expression, right: Expression) extends BinaryExpression
 }
 
 object FoldDot {
+  /** Null elements contribute 0 to the sum — explicitly skipped, rather
+    * than relying on UnsafeArrayData's accidental 0.0-for-null read
+    * (GenericArrayData would NPE on the same input). Embedding columns
+    * are null-free; this guards the session-registered function surface.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc

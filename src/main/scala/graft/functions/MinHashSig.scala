@@ -59,6 +59,25 @@ object MinHashSig {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Non-null elements of a string array. The token expressions
+    * (minhash_sig / simhash_sig / shingle_hashes) SKIP null tokens — a
+    * null contributes no hash, so `array('a', NULL, 'b')` equals
+    * `array('a', 'b')`. `split()` outputs never contain nulls, but these
+    * are session-registered functions and must not NPE on arbitrary
+    * user arrays.
+    */
+  def nonNullStrings(arr: ArrayData): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val n = arr.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { out(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** First 28 bits (7 hex chars) of md5(bytes) — numerically identical
     * to `CAST(concat('0x', substring(md5(s),1,7)) AS BIGINT)`.
     */
@@ -71,12 +90,13 @@ object MinHashSig {
 
   /** Shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData, numPerms: Int): GenericArrayData = {
-    val n = tokens.numElements()
+    val toks = nonNullStrings(tokens)
+    val n = toks.length
     // per-token 28-bit md5 hashes
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = h7(tokens.getUTF8String(i).getBytes)
+      th(i) = h7(toks(i).getBytes)
       i += 1
     }
     // 3-token shingle hashes (duplicates are harmless under min)
@@ -94,7 +114,7 @@ object MinHashSig {
         var k = 0
         while (k < n) {
           if (k > 0) joined.append(' ')
-          joined.append(tokens.getUTF8String(k).toString)
+          joined.append(toks(k).toString)
           k += 1
         }
         Array(h7(joined.toString.getBytes("UTF-8")))

@@ -49,13 +49,14 @@ object ShingleHashes {
   val P = 2147483647L
 
   def compute(tokens: ArrayData): GenericArrayData = {
-    val n = tokens.numElements()
+    val toks = MinHashSig.nonNullStrings(tokens) // null tokens are skipped
+    val n = toks.length
     val raw =
       if (n >= 2) {
         val th = new Array[Long](n)
         var i = 0
         while (i < n) {
-          th(i) = MinHashSig.h7(tokens.getUTF8String(i).getBytes)
+          th(i) = MinHashSig.h7(toks(i).getBytes)
           i += 1
         }
         val s = new Array[Long](n - 1)
@@ -70,7 +71,7 @@ object ShingleHashes {
         var k = 0
         while (k < n) {
           if (k > 0) joined.append(' ')
-          joined.append(tokens.getUTF8String(k).toString)
+          joined.append(toks(k).toString)
           k += 1
         }
         Array(MinHashSig.h7(joined.toString.getBytes("UTF-8")))

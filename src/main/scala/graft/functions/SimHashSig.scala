@@ -67,11 +67,12 @@ object SimHashSig {
   }
 
   def compute(tokens: ArrayData): Long = {
-    val n = tokens.numElements()
+    val toks = MinHashSig.nonNullStrings(tokens) // null tokens are skipped
+    val n = toks.length
     val counts = new Array[Int](Bits)
     var i = 0
     while (i < n) {
-      val h = h15(tokens.getUTF8String(i).getBytes)
+      val h = h15(toks(i).getBytes)
       var k = 0
       while (k < Bits) {
         if (((h >>> k) & 1L) == 1L) counts(k) += 1

@@ -39,4 +39,44 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(JdbcSink.writeIfEnabled(df, Some(url), "gated_write") === true)
     assert(spark.read.jdbc(url, "gated_write", props).count() == 1)
   }
+
+  // --- DDL twin of create_sql_tables (wallmart_pipeline.py:17-36) ---
+
+  test("createJdbcTables: both tables exist with declared schema, idempotent") {
+    SqlTables.createJdbcTables(url)
+    SqlTables.createJdbcTables(url) // second call must be a no-op, not a DDL error
+    for ((name, cols) <- SqlTables.tableDefs) {
+      val got = spark.read.jdbc(url, name, props).schema.fieldNames.toSeq
+      assert(got.map(_.toLowerCase) == cols.map(_._1.toLowerCase),
+        s"$name columns: $got")
+    }
+    // declared primary keys are real constraints in the database
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      for ((name, cols) <- SqlTables.tableDefs) {
+        val rs = conn.getMetaData.getPrimaryKeys(null, null, name.toUpperCase)
+        val pk = Iterator.continually(rs).takeWhile(_.next())
+          .map(_.getString("COLUMN_NAME").toLowerCase).toSet
+        rs.close()
+        assert(pk == cols.collect { case (c, _, true) => c.toLowerCase }.toSet,
+          s"$name primary key: $pk")
+      }
+    } finally conn.close()
+  }
+
+  test("createSparkTables: catalog tables exist with declared schema, idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    SqlTables.createSparkTables(spark, base)
+    SqlTables.createSparkTables(spark, base) // IF NOT EXISTS: no error
+    try {
+      for ((name, cols) <- SqlTables.tableDefs) {
+        assert(spark.catalog.tableExists(name), s"$name missing from catalog")
+        assert(spark.table(name).schema.fieldNames.toSeq == cols.map(_._1),
+          s"$name schema mismatch")
+      }
+    } finally
+      SqlTables.tableDefs.foreach { case (name, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+      }
+  }
 }

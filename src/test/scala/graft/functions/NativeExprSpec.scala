@@ -91,6 +91,26 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(composed.filter(not($"d_composed" <=> $"d_native")).count() == 0)
   }
 
+  test("null array elements: token expressions skip them, fold_dot zeroes the term") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val row = Seq(1).toDF("x").select(
+      expr("minhash_sig(array('a', CAST(NULL AS STRING), 'b', 'c'))").as("m_null"),
+      expr("minhash_sig(array('a', 'b', 'c'))").as("m_ref"),
+      expr("simhash_sig(array('a', CAST(NULL AS STRING), 'b'))").as("s_null"),
+      expr("simhash_sig(array('a', 'b'))").as("s_ref"),
+      expr("shingle_hashes(array('a', CAST(NULL AS STRING), 'b'))").as("g_null"),
+      expr("shingle_hashes(array('a', 'b'))").as("g_ref"),
+      expr("fold_dot(CAST(array(1.0, NULL, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0, 5.0) AS ARRAY<DOUBLE>))").as("d"))
+      .first()
+    assert(row.getAs[scala.collection.Seq[Long]]("m_null") ==
+      row.getAs[scala.collection.Seq[Long]]("m_ref"))
+    assert(row.getAs[Long]("s_null") == row.getAs[Long]("s_ref"))
+    assert(row.getAs[scala.collection.Seq[Long]]("g_null") ==
+      row.getAs[scala.collection.Seq[Long]]("g_ref"))
+    assert(row.getAs[Double]("d") == 1.0 * 3.0 + 2.0 * 5.0)
+  }
+
   test("sorted_overlap == size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)

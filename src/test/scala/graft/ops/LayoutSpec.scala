@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Storage-layout invariants: the q50 partitioned write produces a
+  * hive-style directory per month, and the partition-key filter prunes
+  * at PLANNING time — the scan's selected partitions must be exactly the
+  * one matching directory, not all twelve. This is the assertion the
+  * plan comment in Layout.scala promises: pruning happens before any row
+  * group is opened, so at 100 TB the query reads ~1/12th of the table.
+  */
+class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q50: partitioned layout is one directory per order month") {
+    val path = Layout.ensurePartitionedOrders(spark, dir)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("order_month="))
+    assert(parts.length == 12, s"expected 12 month partitions, got ${parts.toSeq}")
+  }
+
+  test("q50: month filter prunes to exactly one partition at planning time") {
+    val df = Layout.queries("q50_partition_prune")(spark, dir)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // node whose children aren't visible to collectLeaves before execution
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "month predicate must be a partition filter, not a data filter")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 surviving partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("q50: pruned aggregate matches the unpartitioned computation") {
+    import spark.implicits._
+    val out = Layout.queries("q50_partition_prune")(spark, dir).collect()
+    val expect = graft.Tables.orders(spark, dir)
+      .filter(month($"o_orderdate") === 3)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"o_custkey").as("n_customers"),
+        Num.roundAt(sum($"o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+      .collect()
+    assert(out.toSeq == expect.toSeq)
+  }
+}
