@@ -19,7 +19,9 @@ object Explain {
     "q32_topk",           // expect: TakeOrderedAndProject, no global Sort
     "q35_tumbling_window",// expect: partial agg before exchange
     "q38_outer_broadcast",// expect: BroadcastHashJoin on nation
-    "q50_partition_prune" // expect: PartitionFilters on order_month, 1/12 dirs read
+    "q50_partition_prune",// expect: PartitionFilters on order_month, 1/12 dirs read
+    "q51_salted_join",    // expect: join keys (l_partkey, salt) — skew spread over 8
+    "q53_range_join"      // expect: BroadcastNestedLoopJoin, range predicate stream-side
   )
 
   def main(args: Array[String]): Unit = {

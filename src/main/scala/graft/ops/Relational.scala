@@ -280,6 +280,111 @@ object Relational {
       .orderBy("c_mktsegment", "o_orderstatus")
   }
 
+  // q51: salted join — the skew-mitigation shape for a hot key. The fact
+  // side gets a DETERMINISTIC per-row salt (hash of the row's unique
+  // (orderkey, linenumber) id — never rand(), results must reproduce),
+  // the dim side is replicated once per salt value, and the join key
+  // becomes (key, salt): a dominant key's rows spread across S reducers
+  // instead of hammering one. The salt never escapes the join — output is
+  // identical to the unsalted join, which is exactly what the oracle
+  // checks. At 100 TB this composes with AQE's skew-join split
+  // (spark.sql.adaptive.skewJoin) — AQE handles skew discovered at run
+  // time, explicit salting handles skew known at design time.
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val fact = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_orderkey", $"l_linenumber")
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(S)))
+    val dim = Tables.part(s, dir)
+      .select($"p_partkey", $"p_brand")
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    fact.join(dim,
+        fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), Num.roundAt(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  // q52: exact grouped percentiles — Spark's `percentile` interpolates at
+  // p*(n-1) over the sorted group, the same definition as DuckDB's
+  // quantile_cont, so the twin is oracle-exact. Exact percentile holds a
+  // group's values for the sort; the 100 TB default is the
+  // approx_percentile sketch (engine-specific like q36's HLL, hence not
+  // the oracle-checked path here).
+  private def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundAt(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        Num.roundAt(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        Num.roundAt(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  // q53: range (interval-containment) join — events matched to campaign
+  // windows on ts ∈ [start, end); overlapping windows are the point (an
+  // event can land in two periods — no equi-join can express that). The
+  // interval side is tiny and broadcast, so the plan is a
+  // BroadcastNestedLoopJoin with the range predicate evaluated
+  // stream-side: the right 100 TB plan for a small interval table. For a
+  // LARGE interval table, bucket both sides by a coarse time bin and
+  // equi-join on bin plus residual range check (the q21 banding idea
+  // applied to time).
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val periods = Seq(
+      ("week1",   "2024-01-03 00:00:00", "2024-01-10 00:00:00"),
+      ("week2",   "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+      ("mid",     "2024-01-15 12:00:00", "2024-01-22 12:00:00"),
+      ("closing", "2024-01-28 00:00:00", "2024-02-04 00:00:00"))
+      .toDF("period", "start_s", "end_s")
+      .select($"period",
+        to_timestamp($"start_s").as("start_ts"),
+        to_timestamp($"end_s").as("end_ts"))
+    Tables.events(s, dir)
+      .join(broadcast(periods), $"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .groupBy($"period")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        Num.roundAt(sum($"value"), 2).as("sum_value"))
+      .orderBy("period")
+  }
+
+  // q54: pivot (long→wide) with EXPLICIT pivot values — omitting them
+  // makes Spark run an extra distinct-collect job over the fact table
+  // just to learn the output columns, a silent full scan at 100 TB.
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Num.roundAt(sum($"l_quantity"), 2))
+      .orderBy("l_returnflag")
+  }
+
+  // q55: unpivot/melt (wide→long) — a single Expand node: each input row
+  // emits one output row per measure in one pass, no shuffle until the
+  // 3-group aggregate (vs the UNION ALL formulation's three scans, which
+  // is what the oracle spells out).
+  private def unpivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"), "metric", "value")
+      .groupBy($"metric")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundAt(sum($"value"), 2).as("total"),
+        Num.roundAt(min($"value"), 2).as("min_v"),
+        Num.roundAt(max($"value"), 2).as("max_v"))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -295,7 +400,12 @@ object Relational {
     "q45_sliding_window"  -> (slidingWindow _),
     "q46_asof_join"       -> (asofJoin _),
     "q47_topk_per_group"  -> (topKPerGroup _),
-    "q48_bucketed_join"   -> (bucketedJoin _)
+    "q48_bucketed_join"   -> (bucketedJoin _),
+    "q51_salted_join"     -> (saltedJoin _),
+    "q52_percentiles"     -> (percentiles _),
+    "q53_range_join"      -> (rangeJoin _),
+    "q54_pivot"           -> (pivotAgg _),
+    "q55_unpivot"         -> (unpivotAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -414,6 +524,42 @@ object Relational {
         |  WHERE c_custkey % 2 = 0)
         |SELECT coalesce(o_custkey, c_custkey) AS custkey, c_name, n_name, n_orders
         |FROM counts FULL JOIN dims ON o_custkey = c_custkey
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q51_salted_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q52_percentiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q53_range_join" ->
+      """SELECT period, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events e JOIN (VALUES
+        |  ('week1',   TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-10 00:00:00'),
+        |  ('week2',   TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        |  ('mid',     TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-22 12:00:00'),
+        |  ('closing', TIMESTAMP '2024-01-28 00:00:00', TIMESTAMP '2024-02-04 00:00:00')
+        |) AS p(period, start_ts, end_ts)
+        |  ON e.ts >= p.start_ts AND e.ts < p.end_ts
+        |GROUP BY 1 ORDER BY period""".stripMargin,
+    "q54_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+        |       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q55_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total,
+        |       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM m GROUP BY 1 ORDER BY metric""".stripMargin
   )
 }

@@ -49,6 +49,41 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q51: salted join result equals the unsalted join") {
+    import spark.implicits._
+    val salted = Relational.queries("q51_salted_join")(spark, dir)
+    // the salt must appear in the equi-join keys so a hot partkey spreads
+    // over 8 reducers instead of one
+    val joinStr = salted.queryExecution.sparkPlan.toString
+    assert(joinStr.contains("salt"), "salt column missing from physical join")
+    val plain = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+    val a = salted.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b, "salted join changed the result")
+  }
+
+  test("q53: range join matches events to overlapping windows") {
+    import spark.implicits._
+    val out = Relational.queries("q53_range_join")(spark, dir).cache()
+    // week1/week2 overlap for 2 days — both periods must be populated
+    assert(out.count() == 4)
+    assert(out.filter($"n" <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("q54/q55: pivot and unpivot shapes") {
+    import spark.implicits._
+    val piv = Relational.queries("q54_pivot")(spark, dir)
+    assert(piv.columns.toSeq == Seq("l_returnflag", "F", "O"))
+    val unp = Relational.queries("q55_unpivot")(spark, dir)
+    assert(unp.select("metric").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity"))
+  }
+
   test("q31: semi and anti join partition the customer set") {
     import spark.implicits._
     val out = Relational.queries("q31_semi_anti")(spark, dir).cache()
