@@ -225,12 +225,72 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q56: the end-to-end corpus-cleaning composition — what an actual
+  // LLM-data deployment runs nightly: quality gate → exact dedup →
+  // near-dup removal, each stage feeding the next, retained docs out.
+  //   1. quality: drop docs under 5 tokens (stand-in for q41's fuller
+  //      scoring — the gate must be cheap and SQL-mirrorable);
+  //   2. exact: keep the lowest doc_id per content digest (q20's shape);
+  //   3. near-dup: MinHash band candidates at est-Jaccard ≥ 0.5 (q21's
+  //      shape), greedy keep-lowest — for every surviving pair the larger
+  //      doc_id is dropped. Greedy-by-id is deterministic and
+  //      SQL-expressible; full transitive clustering would need iterative
+  //      connected components (GraphFrames/pregel territory).
+  // Scale shape: each stage is a shuffle on a SMALL key (digest / band
+  // hash / doc_id) with document text left behind after the signature is
+  // computed — no stage moves the corpus bytes twice.
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val corpus = mutatedDocs(s, dir)
+      .withColumn("n_tokens", size(split($"text", " ")))
+    val quality = corpus.filter($"n_tokens" >= 5)
+    // exact dedup: doc_ids are unique, so keep-set semi-join == keep-first
+    val keepIds = quality.groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("doc_id"))
+    // The exact-deduped corpus feeds TWO consumers (signature computation
+    // and the final anti-join), so persist it — otherwise the whole
+    // scan→quality→digest-dedup lineage runs twice. This is the natural
+    // stage boundary a deployment materializes to storage between
+    // pipeline runs; in-memory persistence is the single-job equivalent.
+    val exact = quality.join(keepIds.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // near-dup candidates: q21's banded MinHash over the exact-deduped set
+    val withSig = exact
+      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"sig")
+      .repartition(np, $"doc_id") // materialize sig before 16x band refs (see q21)
+      .withColumn("bands",
+        transform(sequence(lit(0), lit(15)),
+          b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+            x => x.cast(StringType))))))
+    val exploded = withSig.select($"doc_id", $"sig",
+      posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
+    val dropped = exploded.as("a")
+      .join(exploded.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .withColumn("est",
+        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v)) / lit(64.0))
+      .filter($"est" >= 0.5)
+      .select($"b.doc_id".as("doc_id")).distinct()
+
+    exact.join(dropped, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_tokens")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
     "q25_dedup_simhash"  -> (dedupSimhash _),
     "q26_dedup_jaccard"  -> (dedupNgramJaccard _),
-    "q27_dedup_embed"    -> (dedupEmbedding _)
+    "q27_dedup_embed"    -> (dedupEmbedding _),
+    "q56_corpus_clean"   -> (corpusClean _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -377,6 +437,53 @@ object Dedup {
         |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
-        |FROM pairs WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
+        |FROM pairs WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    "q56_corpus_clean" ->
+      s"""WITH $corpusSql,
+        |tokc AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM corpus),
+        |quality AS (SELECT * FROM tokc WHERE n_tokens >= 5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+        |exact AS (SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+        |tok AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
+        |         text FROM exact),
+        |h AS (
+        |  SELECT doc_id, list_distinct(
+        |           CASE WHEN len(th) >= 3
+        |                THEN list_transform(range(1, len(th) - 1), i ->
+        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
+        |                         + th[i+2]) % 2147483647)
+        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |           END) AS hashes
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |           list_aggregate(list_transform(hashes, h ->
+        |             ((((j+1) * 2654435761) % 2147483647) * h
+        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b,
+        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b),
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.5)
+        |SELECT e.doc_id, e.lang, e.n_tokens
+        |FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
+        |WHERE d.doc_id IS NULL
+        |ORDER BY e.doc_id""".stripMargin
   )
 }
