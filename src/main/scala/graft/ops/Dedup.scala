@@ -67,57 +67,64 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Banded MinHash candidate pairs with estimated Jaccard over a
+  // (doc_id, text) frame — the shared core of q21/q56/q57.
+  //
+  // Tokenize → md5 shingle hashes → 64-perm signature, all inside the
+  // native codegen'd expression (graft.functions.MinHashSig). The
+  // equivalent built-in HOF composition evaluates interpreted AND gets
+  // its sub-arrays inlined at every reference by project collapsing —
+  // measured minutes instead of sub-second on the same data.
+  //
+  // The repartition is a materialization boundary: banding references
+  // `sig` 16 times (one slice per band), and Catalyst's project
+  // collapsing would inline the 64-permutation signature expression at
+  // EVERY reference — higher-order functions run interpreted with no
+  // common-subexpression elimination, so without this exchange the
+  // signature is computed ~17x per document (measured: a 16-minute
+  // single-task stage at sf0.01). The tiny doc_id shuffle stores sig
+  // once; banding then reads a materialized attribute.
+  //
+  // Signatures ride along through the band explode, so pair scoring
+  // happens directly on the band join's output — two scans of the corpus
+  // total (one per join side) instead of four (a naive candidates-then-
+  // rejoin-signatures shape recomputes the 64-perm signature expression
+  // twice more). Duplicate band hits collapse in the final max-aggregate
+  // (their scores are identical by construction). The only shuffles are
+  // the band-key self-join and the pair aggregate; signatures are 64
+  // longs per doc regardless of document size.
+  private def bandPairs(docs: DataFrame, np: Int): DataFrame = {
+    val withSig = docs
+      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .select(col("doc_id"), col("sig"))
+      .repartition(np, col("doc_id"))
+      .withColumn("bands",
+        transform(sequence(lit(0), lit(15)),
+          b => md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
+            x => x.cast(StringType))))))
+    val exploded = withSig.select(col("doc_id"), col("sig"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("est",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v)) / lit(64.0))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(max(col("est")).as("est"))
+  }
+
   // q21: MinHash + LSH banding. 3-token shingles → 28-bit md5 hashes →
   // 64 permutations (Det.minhashPerm) → 16 bands × 4 rows → candidate
   // pairs = docs sharing a band hash → estimated Jaccard = matching
-  // signature fraction. The only shuffles are the band-key self-join and
-  // the signature re-join; signatures are 64 longs per doc regardless of
-  // document size.
+  // signature fraction. See bandPairs for the scale design.
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-
-    // Tokenize → md5 shingle hashes → 64-perm signature, all inside the
-    // native codegen'd expression (graft.functions.MinHashSig). The
-    // equivalent built-in HOF composition evaluates interpreted AND gets
-    // its sub-arrays inlined at every reference by project collapsing —
-    // measured minutes instead of sub-second on the same data.
-    val withSig = mutatedDocs(s, dir)
-      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
-      .select($"doc_id", $"sig")
-      // Materialization boundary: banding references `sig` 16 times (one
-      // slice per band), and Catalyst's project collapsing would inline
-      // the 64-permutation signature expression at EVERY reference —
-      // higher-order functions run interpreted with no common-
-      // subexpression elimination, so without this exchange the
-      // signature is computed ~17x per document (measured: a 16-minute
-      // single-task stage at sf0.01). The tiny doc_id shuffle stores sig
-      // once; banding then reads a materialized attribute.
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
-      .withColumn("bands",
-        transform(sequence(lit(0), lit(15)),
-          b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
-            x => x.cast(StringType))))))
-      .select($"doc_id", $"sig", $"bands")
-
-    // Signatures ride along through the band explode, so pair scoring
-    // happens directly on the band join's output — two scans of the
-    // corpus total (one per join side) instead of four (a naive
-    // candidates-then-rejoin-signatures shape recomputes the 64-perm
-    // signature expression twice more). Duplicate band hits collapse in
-    // the final aggregate (their scores are identical by construction).
-    val exploded = withSig.select($"doc_id", $"sig",
-      posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
-    exploded.as("a")
-      .join(exploded.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .withColumn("est",
-        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v)) / lit(64.0))
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(max($"est").as("est_jaccard"))
-      .filter($"est_jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", Num.roundAt($"est_jaccard", 4).as("est_jaccard"))
+    bandPairs(mutatedDocs(s, dir), s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .filter($"est" >= 0.5)
+      .select($"doc_a", $"doc_b", Num.roundAt($"est", 4).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -260,28 +267,74 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup candidates: q21's banded MinHash over the exact-deduped set
-    val withSig = exact
-      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
-      .select($"doc_id", $"sig")
-      .repartition(np, $"doc_id") // materialize sig before 16x band refs (see q21)
-      .withColumn("bands",
-        transform(sequence(lit(0), lit(15)),
-          b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
-            x => x.cast(StringType))))))
-    val exploded = withSig.select($"doc_id", $"sig",
-      posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
-    val dropped = exploded.as("a")
-      .join(exploded.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .withColumn("est",
-        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v)) / lit(64.0))
+    val dropped = bandPairs(exact, np)
       .filter($"est" >= 0.5)
-      .select($"b.doc_id".as("doc_id")).distinct()
+      .select($"doc_b".as("doc_id")).distinct()
 
     exact.join(dropped, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"n_tokens")
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q57: duplicate-CLUSTER assignment — connected components over the
+  // near-dup pair graph, because greedy pair-dropping (q56) under-merges
+  // when duplicates chain (A~B, B~C but A!~C): the whole chain is one
+  // cluster and retention policy should act on clusters, not pairs.
+  //
+  // Algorithm: iterative min-label propagation — every node starts
+  // labeled with its own doc_id; each round takes the min of its own and
+  // its neighbors' labels; at fixpoint every node carries its component's
+  // minimum doc_id. Each round is one distributed join + aggregate; the
+  // driver only evaluates the CONVERGENCE COUNT (a scalar), never row
+  // data, so the loop is still fully distributed. Rounds needed =
+  // component diameter (≤2 here: mutant corpora form stars); at 100 TB
+  // adversarial diameters call for the alternating small-star/large-star
+  // contraction (O(log n) rounds) or GraphX pregel — same per-round
+  // dataflow, smarter edge rewiring. Labels persist per round so each
+  // iteration computes one delta, not the whole history (lineage is cut
+  // by the cache, not by checkpoint files).
+  //
+  // Oracle: DuckDB WITH RECURSIVE transitive reachability + min() — a
+  // completely independent formulation of the same fixpoint.
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = bandPairs(mutatedDocs(s, dir), np)
+      .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"u".as("doc_id"))
+      .distinct()
+      .withColumn("lbl", $"doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var done = false
+    while (!done && iter < 16) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("v"), $"lbl"), Seq("v"))
+        .groupBy($"u".as("doc_id"))
+        .agg(min($"lbl").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select($"doc_id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
+        .filter($"lbl" =!= $"old").count()
+      System.err.println(s"[q57] iter=$iter changed=$changed took=${(System.nanoTime()-t0)/1e9}s")
+      labels = next // previous round's cache stays hot for `next`'s lineage
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"lbl".as("cluster")).orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -290,7 +343,8 @@ object Dedup {
     "q25_dedup_simhash"  -> (dedupSimhash _),
     "q26_dedup_jaccard"  -> (dedupNgramJaccard _),
     "q27_dedup_embed"    -> (dedupEmbedding _),
-    "q56_corpus_clean"   -> (corpusClean _)
+    "q56_corpus_clean"   -> (corpusClean _),
+    "q57_dup_clusters"   -> (dupClusters _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -484,6 +538,53 @@ object Dedup {
         |SELECT e.doc_id, e.lang, e.n_tokens
         |FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
         |WHERE d.doc_id IS NULL
-        |ORDER BY e.doc_id""".stripMargin
+        |ORDER BY e.doc_id""".stripMargin,
+    "q57_dup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
+        |         text FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_distinct(
+        |           CASE WHEN len(th) >= 3
+        |                THEN list_transform(range(1, len(th) - 1), i ->
+        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
+        |                         + th[i+2]) % 2147483647)
+        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |           END) AS hashes
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |           list_aggregate(list_transform(hashes, h ->
+        |             ((((j+1) * 2654435761) % 2147483647) * h
+        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b,
+        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b),
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        |  SELECT u AS doc_id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS doc_id, r.lbl
+        |  FROM edges e JOIN reach r ON e.v = r.doc_id)
+        |SELECT doc_id, min(lbl) AS cluster
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

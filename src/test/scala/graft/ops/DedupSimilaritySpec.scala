@@ -32,6 +32,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.9, s"MinHash recall $recall below 0.9")
   }
 
+  test("q56: retained corpus has no exact duplicates and excludes near-dup mutants") {
+    import spark.implicits._
+    val out = Dedup.queries("q56_corpus_clean")(spark, dir).cache()
+    // doc_ids unique and every near-dup pair (d, d+10000) keeps only d
+    assert(out.count() == out.select("doc_id").distinct().count())
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val mutantsKept = kept.count(id => id >= 10000L && kept.contains(id - 10000L))
+    // MinHash recall isn't exactly 1.0 — allow a small miss margin
+    assert(mutantsKept <= 5, s"$mutantsKept near-dup mutants survived cleaning")
+    out.unpersist()
+  }
+
+  test("q57: cluster labels are component minima and pair endpoints agree") {
+    import spark.implicits._
+    val clusters = Dedup.queries("q57_dup_clusters")(spark, dir).cache()
+    val lbl = clusters.as[(Long, Long)].collect().toMap
+    // label never exceeds the member id (min-label propagation invariant)
+    assert(lbl.forall { case (id, c) => c <= id })
+    // both endpoints of every scored pair carry the same cluster label
+    val pairs = Dedup.queries("q21_dedup_minhash")(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => lbl(a) == lbl(b) },
+      "a near-dup pair was split across clusters")
+    clusters.unpersist()
+  }
+
   test("q27: every synthesized embedding near-dup pair is found") {
     import spark.implicits._
     val out = Dedup.queries("q27_dedup_embed")(spark, dir)
