@@ -53,6 +53,27 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files near
+    * `targetBytes` each. The small-file problem is the routine 100 TB
+    * maintenance chore — streaming sinks and over-parallel writers leave
+    * thousands of KB-sized files whose per-file open/footer cost comes to
+    * dominate scans. `repartition(n)` (a shuffle) rather than
+    * `coalesce(n)`: coalesce only merges co-located partitions, can't
+    * split large ones, and skews output sizes; compaction wants uniform
+    * files and pays one shuffle of data that was being rewritten anyway.
+    * Returns (input file count, output file count).
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): (Int, Int) = {
+    val df = s.read.parquet(inPath)
+    val inFiles = df.inputFiles
+    val totalBytes = inFiles.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartition(nOut).write.mode("overwrite").parquet(outPath)
+    (inFiles.length, s.read.parquet(outPath).inputFiles.length)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_partition_prune" -> (partitionPrune _)
   )

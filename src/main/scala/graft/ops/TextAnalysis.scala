@@ -131,12 +131,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q58: per-document top-3 terms by TF-IDF — the classic signature-term
+  // extraction. Two shuffles total: the (doc, term) frequency aggregate
+  // and the per-doc ranking window; the document-frequency table is
+  // |vocabulary|-sized and BROADCAST onto the term frequencies (at
+  // 100 TB the vocabulary still fits an executor; a truly unbounded term
+  // space would shuffle-join on term instead). idf = ln(N/df) on binary
+  // doubles, identical operand order in the oracle.
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val nDocs = Tables.documents(s, dir).agg(countDistinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", $"tf" * log($"n_docs".cast(DoubleType) / $"df"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", Num.roundAt($"tfidf", 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats"  -> (textStats _),
     "q40_lang_id"     -> (langId _),
     "q41_quality"     -> (qualityScore _),
     "q42_token_count" -> (tokenCount _),
-    "q43_fingerprint" -> (fingerprint _)
+    "q43_fingerprint" -> (fingerprint _),
+    "q58_tfidf"       -> (tfidf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -209,6 +235,22 @@ object TextAnalysis {
         |SELECT doc_id,
         |       list_reduce(hashes, (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint,
         |       list_reduce(hashes[1:8], (acc, x) -> (acc * 31 + x) % 2147483647) AS prefix_fp
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q58_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |x AS (
+        |  SELECT t.doc_id, t.term, t.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        |  FROM tf t JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

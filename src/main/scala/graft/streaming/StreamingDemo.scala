@@ -131,6 +131,43 @@ object StatefulSessionizer {
   }
 }
 
+/** Streaming deduplication with BOUNDED state:
+  * `dropDuplicatesWithinWatermark` keeps a key in the state store only
+  * until the watermark passes it, so state is O(keys per watermark
+  * window) — the streaming twin of q20's exact dedup. Plain
+  * `dropDuplicates` on a stream would grow state forever (every key seen
+  * since the query started), which is the classic unbounded-state
+  * mistake on a continuous 100 TB feed.
+  *
+  * The demo doubles the source (self-union) so every event_id arrives
+  * exactly twice within one micro-batch; the deduped sink must contain
+  * each id once (pinned by StreamingSpec against the batch distinct).
+  */
+object StreamingDedup {
+
+  def dedupedEvents(spark: SparkSession, dir: String,
+                    queryName: String = "dedup_stream"): DataFrame = {
+    val base = spark.readStream
+      .schema(StreamingDemo.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = base.union(base)
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName).select("event_id", "ts", "user_id", "event_type")
+  }
+}
+
 /** Standalone driver: `sbt "runMain graft.streaming.StreamingDemoRunner [sfDir]"`. */
 object StreamingDemoRunner {
   def main(args: Array[String]): Unit = {

@@ -38,6 +38,23 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected 1 surviving partition, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("compact: merges small files to the size target without changing content") {
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate a streaming sink's debris: 64 tiny files
+    graft.Tables.events(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$scratch/small")
+    val (nIn, nOut) = Layout.compact(spark, s"$scratch/small", s"$scratch/compacted",
+      targetBytes = 1L << 20)
+    assert(nIn == 64, s"expected 64 input files, got $nIn")
+    assert(nOut < nIn / 8, s"compaction left $nOut files from $nIn")
+    val before = spark.read.parquet(s"$scratch/small")
+    val after = spark.read.parquet(s"$scratch/compacted")
+    assert(before.count() == after.count())
+    assert(before.exceptAll(after).count() == 0)
+    assert(after.exceptAll(before).count() == 0)
+  }
+
   test("q50: pruned aggregate matches the unpartitioned computation") {
     import spark.implicits._
     val out = Layout.queries("q50_partition_prune")(spark, dir).collect()

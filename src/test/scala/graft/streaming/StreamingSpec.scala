@@ -28,6 +28,16 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming dedup with watermark-bounded state removes the injected duplicates") {
+    import spark.implicits._
+    val out = StreamingDedup.dedupedEvents(spark, dir, "dedup_spec").cache()
+    val batchIds = Tables.events(spark, dir).select("event_id").distinct().count()
+    // the self-union doubled every event; exactly one copy must survive
+    assert(out.count() == batchIds, "deduped stream row count != distinct ids")
+    assert(out.select("event_id").distinct().count() == batchIds)
+    out.unpersist()
+  }
 }
 
 /** Local rounding helper (sum-of-doubles order differs between the
