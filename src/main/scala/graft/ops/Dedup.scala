@@ -313,6 +313,14 @@ object Dedup {
       .withColumn("lbl", $"doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Convergence via the label-sum invariant: min-label propagation is
+    // monotone non-increasing per node, so the label sum strictly
+    // decreases on any change — equal sums mean fixpoint. One aggregate
+    // over the cached frame per round, instead of a join + filter +
+    // count. decimal(38,0) so the sum can't overflow at any corpus size.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl").cast(DecimalType(38, 0))).first().getDecimal(0)
+    var prevSum = lblSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < 16) {
@@ -324,13 +332,10 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val t0 = System.nanoTime()
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
-        .filter($"lbl" =!= $"old").count()
-      System.err.println(s"[q57] iter=$iter changed=$changed took=${(System.nanoTime()-t0)/1e9}s")
+      val curSum = lblSum(next)
       labels = next // previous round's cache stays hot for `next`'s lineage
-      done = changed == 0
+      done = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
