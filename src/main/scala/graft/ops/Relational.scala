@@ -385,6 +385,48 @@ object Relational {
       .orderBy("metric")
   }
 
+  // q59: funnel analysis — per-user first-touch times per stage in ONE
+  // conditional-min aggregate pass (no per-stage self-joins: the naive
+  // N-way join formulation shuffles the event table once per stage), then
+  // a global single-row rollup of stage-ordering predicates. Null
+  // semantics do the gating: a user missing a stage has a null min, and
+  // null comparisons exclude them from every downstream stage count.
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stages = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      count($"t_signup").as("n_signup"),
+      count(when($"t_view" > $"t_signup", 1)).as("n_signup_view"),
+      count(when($"t_click" > $"t_view" && $"t_view" > $"t_signup", 1))
+        .as("n_signup_view_click"),
+      count(when($"t_purchase" > $"t_click" && $"t_click" > $"t_view" &&
+        $"t_view" > $"t_signup", 1)).as("n_full_funnel"))
+  }
+
+  // q60: cohort retention — users bucketed by first-activity day, counted
+  // per (cohort, day-offset) cell. The per-user first-day frame joins
+  // back on user_id: at 100 TB that's a shuffle join co-partitioned with
+  // the groupBy's user_id hashing, so the heavy side partitions once.
+  // Days cross the oracle as epoch-day integers (dates hash engine-
+  // dependently; integers don't).
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id", to_date($"ts").as("day"))
+    val first = e.groupBy($"user_id").agg(min($"day").as("cohort"))
+    e.join(first, Seq("user_id"))
+      .groupBy(unix_date($"cohort").as("cohort_day"),
+        datediff($"day", $"cohort").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -405,7 +447,9 @@ object Relational {
     "q52_percentiles"     -> (percentiles _),
     "q53_range_join"      -> (rangeJoin _),
     "q54_pivot"           -> (pivotAgg _),
-    "q55_unpivot"         -> (unpivotAgg _)
+    "q55_unpivot"         -> (unpivotAgg _),
+    "q59_funnel"          -> (funnel _),
+    "q60_cohort"          -> (cohortRetention _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -560,6 +604,32 @@ object Relational {
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
         |SELECT metric, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total,
         |       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
-        |FROM m GROUP BY 1 ORDER BY metric""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY metric""".stripMargin,
+    "q59_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+        |         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+        |         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+        |         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(t_signup) AS BIGINT) AS n_signup,
+        |       CAST(count(*) FILTER (WHERE t_view > t_signup) AS BIGINT)
+        |         AS n_signup_view,
+        |       CAST(count(*) FILTER (WHERE t_click > t_view AND t_view > t_signup)
+        |         AS BIGINT) AS n_signup_view_click,
+        |       CAST(count(*) FILTER (WHERE t_purchase > t_click
+        |         AND t_click > t_view AND t_view > t_signup) AS BIGINT)
+        |         AS n_full_funnel
+        |FROM s""".stripMargin,
+    "q60_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(datediff('day', DATE '1970-01-01', cohort) AS INTEGER) AS cohort_day,
+        |       CAST(datediff('day', cohort, day) AS INTEGER) AS day_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 }
