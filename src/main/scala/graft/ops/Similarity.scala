@@ -130,10 +130,42 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // q61: one Lloyd iteration of k-means over the embeddings — the
+  // codebook-refinement step the IVF comments (q27/q49) defer to
+  // "k-means at scale". Seeds = the first 8 vectors (deterministic);
+  // every vector joins the BROADCAST codebook and takes the argmin
+  // squared-L2 centroid, with d² = v·v − 2·v·c + c·c on native
+  // fold_dots — v·v computed once per vector and c·c once per centroid,
+  // never a 64-dim subtract-square per (vector, centroid) pair. The
+  // update step re-averages members per cell. At 100 TB this is the
+  // canonical iteration: broadcast k centroids, one scan, one k-group
+  // shuffle, repeat until movement < ε. Output pins the assignment
+  // counts and the first four centroid dimensions.
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = base(s, dir).withColumn("vv", expr("fold_dot(v, v)"))
+    val cents = all.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"v".as("c"), $"vv".as("cc"))
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    all.crossJoin(broadcast(cents))
+      .withColumn("d2", $"vv" - lit(2.0) * expr("fold_dot(v, c)") + $"cc")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"cid")
+      .agg(
+        count(lit(1)).as("n_members"),
+        Num.roundAt(avg(element_at($"v", 1)), 4).as("c1"),
+        Num.roundAt(avg(element_at($"v", 2)), 4).as("c2"),
+        Num.roundAt(avg(element_at($"v", 3)), 4).as("c3"),
+        Num.roundAt(avg(element_at($"v", 4)), 4).as("c4"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (cosineTopK _),
     "q28_lsh_ann"     -> (lshAnn _),
-    "q49_ivf_ann"     -> (ivfAnn _)
+    "q49_ivf_ann"     -> (ivfAnn _),
+    "q61_kmeans_step" -> (kmeansStep _)
   )
 
   private val nSql =
@@ -222,6 +254,28 @@ object Similarity {
         |              ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT probe_id, cand_id AS neighbor_id, rank, round(cos, 6) AS cosine
-        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q61_kmeans_step" ->
+      s"""WITH $nSql,
+        |vv AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+        |           (x, y) -> x + y) AS vv
+        |  FROM n),
+        |c AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM vv WHERE vec_id < 8),
+        |d AS (
+        |  SELECT a.vec_id, c.cid, a.v,
+        |         a.vv - 2.0::DOUBLE * list_reduce(
+        |           list_transform(range(1, 65), i -> a.v[i] * c.cv[i]),
+        |           (x, y) -> x + y) + c.cc AS d2
+        |  FROM vv a CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cid, v,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+        |       round(avg(v[1]), 4) AS c1, round(avg(v[2]), 4) AS c2,
+        |       round(avg(v[3]), 4) AS c3, round(avg(v[4]), 4) AS c4
+        |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
   )
 }
