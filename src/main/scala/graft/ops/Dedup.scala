@@ -93,17 +93,28 @@ object Dedup {
   // (their scores are identical by construction). The only shuffles are
   // the band-key self-join and the pair aggregate; signatures are 64
   // longs per doc regardless of document size.
-  private def bandPairs(docs: DataFrame, np: Int): DataFrame = {
-    val withSig = docs
+  /** Banded signatures, exploded: (doc_id, payload..., sig, band_idx,
+    * band_hash). `payload` columns of `docs` ride the materialization
+    * boundary and the explode so per-pair verification (q26's exact ng
+    * sets) can run directly on the band join's output.
+    */
+  private def bandExploded(docs: DataFrame, np: Int,
+                           payload: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ payload).map(col)
+    docs
       .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
-      .select(col("doc_id"), col("sig"))
+      .select(keep :+ col("sig"): _*)
       .repartition(np, col("doc_id"))
       .withColumn("bands",
         transform(sequence(lit(0), lit(15)),
           b => md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
             x => x.cast(StringType))))))
-    val exploded = withSig.select(col("doc_id"), col("sig"),
-      posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
+      .select(keep ++ Seq(col("sig"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash"))): _*)
+  }
+
+  private def bandPairs(docs: DataFrame, np: Int): DataFrame = {
+    val exploded = bandExploded(docs, np)
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -172,25 +183,15 @@ object Dedup {
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val withNg = mutatedDocs(s, dir)
-      .withColumn("tokens", split($"text", " "))
-      .withColumn("ng", expr("shingle_hashes(tokens)"))
-      .withColumn("sig", expr("minhash_sig(tokens)"))
-      .select($"doc_id", $"ng", $"sig")
-      // materialization boundary before banding references sig 16x and
-      // the pair join references ng on both sides (see the q21 note on
-      // project-collapsing re-inlining)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
-      .withColumn("bands",
-        transform(sequence(lit(0), lit(15)),
-          b => md5(concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
-            x => x.cast(StringType))))))
-      .select($"doc_id", $"ng",
-        posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
+    // ng rides the band explode as bandExploded payload (like sig does in
+    // q21), so the exact verify runs directly on the band join's output;
+    // duplicate band hits carry identical jaccard and collapse in the
+    // aggregate.
+    val withNg = bandExploded(
+      mutatedDocs(s, dir).withColumn("ng", expr("shingle_hashes(split(text, ' '))")),
+      s.conf.get("spark.sql.shuffle.partitions").toInt,
+      payload = Seq("ng"))
 
-    // ng rides the band explode like sig does in q21, so the exact verify
-    // runs directly on the band join's output; duplicate band hits carry
-    // identical jaccard and collapse in the aggregate.
     withNg.as("a")
       .join(withNg.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
@@ -302,8 +303,12 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     graft.functions.GraftFunctions.register(s)
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // pairs is persisted because edges unions two reads of it — without
+    // the cache the whole signature band self-join would run twice the
+    // first time edges materializes.
     val pairs = bandPairs(mutatedDocs(s, dir), np)
       .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("u", "v")
@@ -317,12 +322,18 @@ object Dedup {
     // monotone non-increasing per node, so the label sum strictly
     // decreases on any change — equal sums mean fixpoint. One aggregate
     // over the cached frame per round, instead of a join + filter +
-    // count. decimal(38,0) so the sum can't overflow at any corpus size.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl").cast(DecimalType(38, 0))).first().getDecimal(0)
+    // count. The cast to decimal(38,0) happens BEFORE the sum so the
+    // aggregate itself runs in decimal and can't overflow (or throw
+    // under ANSI) at any corpus size; an empty graph sums to null →
+    // ZERO, so a corpus with no near-dup pairs converges immediately
+    // instead of NPE-ing.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum($"lbl".cast(DecimalType(38, 0)))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var prevSum = lblSum(labels)
     var iter = 0
-    var done = false
+    var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("v"), $"lbl"), Seq("v"))
@@ -332,12 +343,16 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val curSum = lblSum(next)
-      labels = next // previous round's cache stays hot for `next`'s lineage
+      val curSum = lblSum(next) // materializes next's cache
+      // next is cached now; dropping the previous round's cache is safe
+      // (a re-computation would fall back to the persisted edges).
+      labels.unpersist()
+      labels = next
       done = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
     }
+    pairs.unpersist()
     edges.unpersist()
     labels.select($"doc_id", $"lbl".as("cluster")).orderBy("doc_id")
   }
@@ -363,6 +378,49 @@ object Dedup {
       |         substring(text, strpos(text, ' ') + 1) AS text
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** Shared banded-MinHash CTE chain over a (doc_id, text) source `src`:
+    * per-token md5 hashes → 3-token shingles → 64-perm signatures →
+    * 16×4 band hashes → candidate pairs → estimated Jaccard. The SQL
+    * twin of `bandExploded`/`bandPairs`, written once so a band-geometry
+    * or permutation change cannot desynchronize the q21/q26/q56/q57
+    * oracles (unreferenced CTEs are pruned by DuckDB, so consumers that
+    * stop at `cand` pay nothing for `est`).
+    */
+  private def bandCtes(src: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
+      |         text FROM $src),
+      |h AS (
+      |  SELECT doc_id, list_distinct(
+      |           CASE WHEN len(th) >= 3
+      |                THEN list_transform(range(1, len(th) - 1), i ->
+      |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
+      |                         + th[i+2]) % 2147483647)
+      |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+      |           END) AS hashes
+      |  FROM tok),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |           list_aggregate(list_transform(hashes, h ->
+      |             ((((j+1) * 2654435761) % 2147483647) * h
+      |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, sig, b,
+      |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+      |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """WITH dup AS (
@@ -373,39 +431,7 @@ object Dedup {
         |FROM dup GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q21_dedup_minhash" ->
       s"""WITH $corpusSql,
-        |tok AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
-        |         text FROM corpus),
-        |h AS (
-        |  SELECT doc_id, list_distinct(
-        |           CASE WHEN len(th) >= 3
-        |                THEN list_transform(range(1, len(th) - 1), i ->
-        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
-        |                         + th[i+2]) % 2147483647)
-        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
-        |           END) AS hashes
-        |  FROM tok),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |           list_aggregate(list_transform(hashes, h ->
-        |             ((((j+1) * 2654435761) % 2147483647) * h
-        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
-        |  FROM h),
-        |bands AS (
-        |  SELECT doc_id, sig, b,
-        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b)
+        |${bandCtes("corpus")}
         |SELECT doc_a, doc_b, round(ej, 4) AS est_jaccard
         |FROM est WHERE ej >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q25_dedup_simhash" ->
@@ -431,10 +457,7 @@ object Dedup {
         |WHERE hamming <= 5 ORDER BY doc_a, doc_b""".stripMargin,
     "q26_dedup_jaccard" ->
       s"""WITH $corpusSql,
-        |tok AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
-        |         text FROM corpus),
+        |${bandCtes("corpus")},
         |ng AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(th) >= 2
         |           THEN list_transform(range(1, len(th)),
@@ -442,28 +465,6 @@ object Dedup {
         |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
         |         END) AS ng
         |  FROM tok),
-        |h AS (
-        |  SELECT doc_id, list_distinct(
-        |           CASE WHEN len(th) >= 3
-        |                THEN list_transform(range(1, len(th) - 1), i ->
-        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
-        |                         + th[i+2]) % 2147483647)
-        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
-        |           END) AS hashes
-        |  FROM tok),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |           list_aggregate(list_transform(hashes, h ->
-        |             ((((j+1) * 2654435761) % 2147483647) * h
-        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
-        |  FROM h),
-        |bands AS (
-        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
         |pairs AS (
         |  SELECT c.doc_a, c.doc_b,
         |         len(list_intersect(na.ng, nb.ng))
@@ -506,39 +507,7 @@ object Dedup {
         |quality AS (SELECT * FROM tokc WHERE n_tokens >= 5),
         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
         |exact AS (SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
-        |tok AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
-        |         text FROM exact),
-        |h AS (
-        |  SELECT doc_id, list_distinct(
-        |           CASE WHEN len(th) >= 3
-        |                THEN list_transform(range(1, len(th) - 1), i ->
-        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
-        |                         + th[i+2]) % 2147483647)
-        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
-        |           END) AS hashes
-        |  FROM tok),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |           list_aggregate(list_transform(hashes, h ->
-        |             ((((j+1) * 2654435761) % 2147483647) * h
-        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
-        |  FROM h),
-        |bands AS (
-        |  SELECT doc_id, sig, b,
-        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b),
+        |${bandCtes("exact")},
         |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.5)
         |SELECT e.doc_id, e.lang, e.n_tokens
         |FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
@@ -546,39 +515,7 @@ object Dedup {
         |ORDER BY e.doc_id""".stripMargin,
     "q57_dup_clusters" ->
       s"""WITH RECURSIVE $corpusSql,
-        |tok AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
-        |         text FROM corpus),
-        |h AS (
-        |  SELECT doc_id, list_distinct(
-        |           CASE WHEN len(th) >= 3
-        |                THEN list_transform(range(1, len(th) - 1), i ->
-        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
-        |                         + th[i+2]) % 2147483647)
-        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
-        |           END) AS hashes
-        |  FROM tok),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |           list_aggregate(list_transform(hashes, h ->
-        |             ((((j+1) * 2654435761) % 2147483647) * h
-        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
-        |  FROM h),
-        |bands AS (
-        |  SELECT doc_id, sig, b,
-        |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b),
+        |${bandCtes("corpus")},
         |pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
         |edges AS (
         |  SELECT doc_a AS u, doc_b AS v FROM pairs

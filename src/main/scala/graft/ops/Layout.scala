@@ -67,8 +67,14 @@ object Layout {
               targetBytes: Long): (Int, Int) = {
     val df = s.read.parquet(inPath)
     val inFiles = df.inputFiles
-    val totalBytes = inFiles.map(f =>
-      java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))).sum
+    // Hadoop FileSystem, not java.nio: inputFiles URIs carry whatever
+    // scheme the table lives on (file://, hdfs://, s3a://) and sizing
+    // must work on all of them.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val totalBytes = inFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     df.repartition(nOut).write.mode("overwrite").parquet(outPath)
     (inFiles.length, s.read.parquet(outPath).inputFiles.length)
