@@ -427,6 +427,62 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // q62: MERGE / upsert semantics — apply a change batch (updates,
+  // deletes, inserts) to a base table in one co-partitioned full-outer
+  // join, the relational core of Delta/Iceberg MERGE INTO. Change rows
+  // are derived deterministically from the base (disjoint op classes) so
+  // the oracle can rebuild the identical batch. Scale shape: one shuffle
+  // join on the merge key; with the base bucketed on that key (q48's
+  // layout) the base side needs no shuffle at all, which is why MERGE
+  // targets are bucketed/clustered by key in practice.
+  private def upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+    val changes = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast(StringType).as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+      .unionAll(base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+        .select($"c_custkey", lit("D").as("op"),
+          lit(null).cast(StringType).as("new_name"),
+          lit(null).cast(DoubleType).as("new_bal")))
+      .unionAll(base.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 100000).as("c_custkey"), lit("I").as("op"),
+          concat(lit("Customer#new"), $"c_custkey".cast(StringType)).as("new_name"),
+          lit(1000.0).as("new_bal")))
+    base.join(changes, Seq("c_custkey"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"c_custkey",
+        coalesce($"new_name", $"c_name").as("c_name"),
+        Num.roundAt(coalesce($"new_bal", $"c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  // q63: incremental aggregate maintenance — refresh an aggregate with a
+  // delta batch by COMBINING PARTIALS instead of rescanning history:
+  // count and sum are algebraic, so agg(base ∪ delta) = re-agg of
+  // agg(base) ∪ agg(delta). The query computes the two partial frames
+  // separately (standing in for "yesterday's materialized agg" + "today's
+  // batch") and merges them; the oracle is the full recompute over the
+  // union, proving the maintenance identity. At 100 TB this is the
+  // difference between scanning one day and scanning seven years —
+  // partials are `k`-row frames, the merge is free. (avg must be carried
+  // as sum+count; max/min are algebraic too; exact distinct is NOT —
+  // that needs a sketch or a re-scan.)
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sq"))
+    val basePart = partial(li.filter($"l_shipdate" < lit("2000-01-01").cast(TimestampType)))
+    val deltaPart = partial(li.filter($"l_shipdate" >= lit("2000-01-01").cast(TimestampType)))
+    basePart.unionAll(deltaPart)
+      .groupBy($"l_returnflag")
+      .agg(sum($"n").as("n"), Num.roundAt(sum($"sq"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -449,7 +505,9 @@ object Relational {
     "q54_pivot"           -> (pivotAgg _),
     "q55_unpivot"         -> (unpivotAgg _),
     "q59_funnel"          -> (funnel _),
-    "q60_cohort"          -> (cohortRetention _)
+    "q60_cohort"          -> (cohortRetention _),
+    "q62_upsert"          -> (upsert _),
+    "q63_incremental_agg" -> (incrementalAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -630,6 +688,37 @@ object Relational {
         |       CAST(datediff('day', cohort, day) AS INTEGER) AS day_offset,
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q62_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'U' AS op, CAST(NULL AS VARCHAR) AS new_name,
+        |         c_acctbal + 100.0::DOUBLE AS new_bal
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', NULL, NULL
+        |  FROM base WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'I',
+        |         'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey,
+        |       coalesce(new_name, c_name) AS c_name,
+        |       round(coalesce(new_bal, c_acctbal), 2) AS c_acctbal
+        |FROM base FULL JOIN changes USING (c_custkey)
+        |WHERE op IS NULL OR op != 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "q63_incremental_agg" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sq
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT), sum(l_quantity)
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY 1)
+        |SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n,
+        |       round(sum(sq), 2) AS sum_qty
+        |FROM p GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }
