@@ -40,6 +40,7 @@ object Bench {
     val avail = Runtime.getRuntime.availableProcessors()
     val cpus = math.max(1, math.min(requested, avail))
     val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -28,6 +28,7 @@ object Explain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else auditSet
     val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

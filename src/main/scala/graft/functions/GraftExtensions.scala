@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The PUBLIC extension entry point for graft's native expressions:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on any cluster
+  * (spark-submit conf), or programmatically via
+  * `SparkSession.builder.withExtensions(GraftExtensions.inject)`.
+  *
+  * `injectFunction` registers each expression in the session's function
+  * registry at session-build time, so every session derived from the
+  * builder — including `spark.newSession()` children, which drop
+  * temp-function registrations — can call them from SQL. This is the
+  * Catalyst-native registration surface (SparkSessionExtensions is also
+  * where a custom Rule[LogicalPlan] or SparkStrategy would plug in);
+  * `GraftFunctions.register` remains the in-code fallback for foreign
+  * sessions built without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+
+  /** (name, builder) for every native expression the library ships. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig"    -> (e => MinHashSig(e.head)),
+    "simhash_sig"    -> (e => SimHashSig(e.head)),
+    "lsh_buckets"    -> (e => LshBuckets(e.head)),
+    "shingle_hashes" -> (e => ShingleHashes(e.head)),
+    "fold_dot"       -> (e => FoldDot(e(0), e(1))),
+    "sorted_overlap" -> (e => SortedOverlap(e(0), e(1)))
+  )
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), builder))
+    }
+}

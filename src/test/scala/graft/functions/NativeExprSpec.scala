@@ -91,6 +91,21 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(composed.filter(not($"d_composed" <=> $"d_native")).count() == 0)
   }
 
+  test("GraftExtensions: injected functions survive newSession (temp registrations don't)") {
+    // newSession() rebuilds session state from the builder's extensions,
+    // dropping per-session temp functions — so SQL working there proves
+    // the functions come from the injectFunction path, not from a
+    // GraftFunctions.register call some earlier test made.
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      """SELECT fold_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d,
+        |       size(minhash_sig(array('a', 'b', 'c'))) AS m
+        |""".stripMargin).first()
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Int]("m") == 64)
+  }
+
   test("null array elements: token expressions skip them, fold_dot zeroes the term") {
     import spark.implicits._
     GraftFunctions.register(spark)
