@@ -67,4 +67,35 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       df.filter(not($"r1" <=> $"r2")).count() == 0L
     })
   }
+
+  // --- TopKAggregator buffer algebra (pure, no Spark session needed).
+  // The O(k) sorted-insert/two-pointer-merge rewrite must agree with the
+  // obvious sort-everything reference on ANY input split — this is the
+  // partial-aggregation correctness contract Spark relies on when it
+  // reduces rows in arbitrary partition order and merges buffers in
+  // arbitrary tree shapes.
+
+  private val pairs: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.choose(0L, 20L)))
+
+  /** Sort-everything reference; duplicates kept, like repeated reduce. */
+  private def refTopK(k: Int, xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (v, id) => (-v, id) }.take(k)
+
+  test("TopKAggregator: reduce-fold equals sort-take reference for any input order") {
+    val agg = new graft.functions.TopKAggregator(3)
+    check("topk-reduce", Prop.forAll(pairs) { xs =>
+      xs.foldLeft(agg.zero)(agg.reduce) == refTopK(3, xs)
+    }, n = 50)
+  }
+
+  test("TopKAggregator: any split point merges to the same top-k (merge correctness)") {
+    val agg = new graft.functions.TopKAggregator(3)
+    check("topk-merge", Prop.forAll(Gen.zip(pairs, pairs)) { case (a, b) =>
+      val left = a.foldLeft(agg.zero)(agg.reduce)
+      val right = b.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(left, right) == refTopK(3, a ++ b) &&
+        agg.merge(right, left) == refTopK(3, a ++ b) // commutative
+    }, n = 50)
+  }
 }
