@@ -357,6 +357,32 @@ object Dedup {
     labels.select($"doc_id", $"lbl".as("cluster")).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q64: blocked fuzzy string join — edit-distance entity matching, the
+  // record-linkage workhorse. Probes are deterministic typo mutants
+  // (3rd character dropped) of every 20th part name; the join blocks on
+  // (second token, first character) — features that survive the expected
+  // error class — so levenshtein runs on block-mates only, never all
+  // pairs. Same scale contract as the LSH families: block-key equi-join,
+  // cost Σ block², with the O(|a|·|b|) DP confined to candidates.
+  // Distances are integers, so the oracle compare is exact by
+  // construction.
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+    val probes = parts.filter($"p_partkey" % 20 === 0)
+      .select(($"p_partkey" + 100000).as("probe_id"),
+        expr("concat(substring(p_name, 1, 2), substring(p_name, 4))").as("q_name"))
+    def blockKey(c: Column): Column =
+      struct(element_at(split(c, " "), 2), substring(c, 1, 1))
+    probes.withColumn("bk", blockKey($"q_name"))
+      .join(parts.withColumn("bk", blockKey($"p_name")), Seq("bk"))
+      .withColumn("dist", levenshtein($"q_name", $"p_name"))
+      .filter($"dist" <= 2)
+      .select($"probe_id", $"p_partkey".as("match_id"), $"q_name", $"p_name", $"dist")
+      .orderBy("probe_id", "match_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
@@ -364,7 +390,8 @@ object Dedup {
     "q26_dedup_jaccard"  -> (dedupNgramJaccard _),
     "q27_dedup_embed"    -> (dedupEmbedding _),
     "q56_corpus_clean"   -> (corpusClean _),
-    "q57_dup_clusters"   -> (dupClusters _)
+    "q57_dup_clusters"   -> (dupClusters _),
+    "q64_fuzzy_join"     -> (fuzzyJoin _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -527,6 +554,19 @@ object Dedup {
         |  SELECT e.u AS doc_id, r.lbl
         |  FROM edges e JOIN reach r ON e.v = r.doc_id)
         |SELECT doc_id, min(lbl) AS cluster
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_fuzzy_join" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+        |probes AS (
+        |  SELECT p_partkey + 100000 AS probe_id,
+        |         substring(p_name, 1, 2) || substring(p_name, 4) AS q_name
+        |  FROM parts WHERE p_partkey % 20 = 0)
+        |SELECT probe_id, p.p_partkey AS match_id, q_name, p.p_name,
+        |       CAST(levenshtein(q.q_name, p.p_name) AS INTEGER) AS dist
+        |FROM probes q JOIN parts p
+        |  ON split_part(q.q_name, ' ', 2) = split_part(p.p_name, ' ', 2)
+        | AND substring(q.q_name, 1, 1) = substring(p.p_name, 1, 1)
+        |WHERE levenshtein(q.q_name, p.p_name) <= 2
+        |ORDER BY probe_id, match_id""".stripMargin
   )
 }
