@@ -331,7 +331,9 @@ object Dedup {
       val r = df.agg(sum($"lbl".cast(DecimalType(38, 0)))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
+    val tInit = System.nanoTime()
     var prevSum = lblSum(labels)
+    System.err.println(s"[q57] init sum=$prevSum took=${(System.nanoTime()-tInit)/1e9}s")
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
@@ -343,7 +345,9 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
       val curSum = lblSum(next) // materializes next's cache
+      System.err.println(s"[q57] iter=$iter sum=$curSum took=${(System.nanoTime()-t0)/1e9}s")
       // next is cached now; dropping the previous round's cache is safe
       // (a re-computation would fall back to the persisted edges).
       labels.unpersist()
