@@ -65,7 +65,7 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("createSparkTables: catalog tables exist with declared schema, idempotent") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val base = graft.ops.Core.tmp("graft_ddl")
     SqlTables.createSparkTables(spark, base)
     SqlTables.createSparkTables(spark, base) // IF NOT EXISTS: no error
     try {

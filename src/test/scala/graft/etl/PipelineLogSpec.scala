@@ -15,8 +15,8 @@ class PipelineLogSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("failing extract stage logs reference-shaped lines and propagates") {
     import scala.jdk.CollectionConverters._
-    val logFile = java.nio.file.Files.createTempFile("graft_pipeline", ".log")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_logrun").toString
+    val logFile = java.nio.file.Paths.get(graft.ops.Core.tmp("graft_pipeline"), "pipeline.log")
+    val outDir = graft.ops.Core.tmp("graft_logrun")
     PipelineLog.logFile = Some(logFile)
     try {
       val e = intercept[Exception] {
@@ -35,8 +35,8 @@ class PipelineLogSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("successful run logs the full reference lifecycle") {
     import scala.jdk.CollectionConverters._
-    val logFile = java.nio.file.Files.createTempFile("graft_pipeline", ".log")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_logrun_ok").toString
+    val logFile = java.nio.file.Paths.get(graft.ops.Core.tmp("graft_pipeline"), "pipeline.log")
+    val outDir = graft.ops.Core.tmp("graft_logrun_ok")
     PipelineLog.logFile = Some(logFile)
     try {
       WalmartPipeline.run(spark, "/root/reference/grocery_sales.csv",

@@ -64,7 +64,7 @@ class WalmartPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   // --- golden end-to-end on the reference's shipped inputs ---
   test("full pipeline on reference inputs reproduces golden agg_data") {
     import spark.implicits._
-    val outDir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val outDir = graft.ops.Core.tmp("graft_e2e")
 
     val merged = WalmartPipeline.extract(spark,
       "/root/reference/grocery_sales.csv", "/root/reference/extra_data.parquet")

@@ -40,7 +40,7 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("compact: merges small files to the size target without changing content") {
     import spark.implicits._
-    val scratch = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val scratch = graft.ops.Core.tmp("graft_compact")
     // simulate a streaming sink's debris: 64 tiny files
     graft.Tables.events(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(s"$scratch/small")
