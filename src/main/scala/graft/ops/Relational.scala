@@ -483,6 +483,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q65: explicit GROUPING SETS — the general form rollup (q34) and cube
+  // (q39) are sugar for: exactly the requested combinations, here
+  // (mktsegment), (orderstatus) and () but NOT the cross pair, which
+  // neither rollup nor cube can express. One Expand + one aggregate
+  // pass, same as its siblings.
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .createOrReplaceTempView("graft_q65_oc")
+    s.sql(
+      """SELECT c_mktsegment, o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderstatus) AS INT) AS gid
+        |FROM graft_q65_oc
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -507,7 +528,8 @@ object Relational {
     "q59_funnel"          -> (funnel _),
     "q60_cohort"          -> (cohortRetention _),
     "q62_upsert"          -> (upsert _),
-    "q63_incremental_agg" -> (incrementalAgg _)
+    "q63_incremental_agg" -> (incrementalAgg _),
+    "q65_grouping_sets"   -> (groupingSets _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -719,6 +741,13 @@ object Relational {
         |  GROUP BY 1)
         |SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n,
         |       round(sum(sq), 2) AS sum_qty
-        |FROM p GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q65_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderstatus) AS INTEGER) AS gid
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
   )
 }

@@ -168,6 +168,47 @@ object StreamingDedup {
   }
 }
 
+/** Watermarked STREAM-STREAM join: each user's purchases joined to their
+  * views within the preceding hour. Both sides are unbounded, so Spark
+  * buffers rows in the state store and the join is only possible because
+  * (a) both sides carry watermarks and (b) the join condition bounds the
+  * event-time distance (`view.ts ∈ [purchase.ts - 1h, purchase.ts]`) —
+  * together they tell the engine when a buffered row can never match
+  * again and can be evicted. Without the time bound, state grows
+  * forever: the classic unbounded stream-stream join mistake. The spec
+  * pins the result against the identical batch join.
+  */
+object StreamStreamJoin {
+
+  def purchasesWithRecentViews(spark: SparkSession, dir: String,
+                               queryName: String = "ss_join"): DataFrame = {
+    def side(kind: String, alias: String) = spark.readStream
+      .schema(StreamingDemo.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === kind)
+      .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+        col("ts").as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+
+    val joined = side("purchase", "p").join(side("view", "v"),
+      expr("""p_user = v_user AND
+              v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName)
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+      .orderBy("p_id", "v_id")
+  }
+}
+
 /** Standalone driver: `sbt "runMain graft.streaming.StreamingDemoRunner [sfDir]"`. */
 object StreamingDemoRunner {
   def main(args: Array[String]): Unit = {

@@ -29,6 +29,23 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream join equals the batch interval join") {
+    import spark.implicits._
+    val streamed = StreamStreamJoin.purchasesWithRecentViews(spark, dir, "ss_join_spec")
+    val e = Tables.events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val v = e.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+    val batch = p.join(v,
+        $"user_id" === $"v_user" &&
+          $"v_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"p_ts")
+      .select($"p_id", $"v_id", $"user_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming dedup with watermark-bounded state removes the injected duplicates") {
     import spark.implicits._
     val out = StreamingDedup.dedupedEvents(spark, dir, "dedup_spec").cache()
