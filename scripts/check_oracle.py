@@ -64,11 +64,16 @@ def main():
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     import numpy as np
                     eq = (av.isna() & bv.isna()) | (np.abs(av - bv) < 1e-9)
-                    exact = (av.isna() & bv.isna()) | (av == bv)
+                    # byte-level equality: the driver's hash sees the raw
+                    # representation, so -0.0 vs 0.0 (== under IEEE) is a
+                    # real mismatch (round-3 q61 failed on exactly this)
+                    exact = (av.isna() & bv.isna()) | (
+                        av.astype("f8").to_numpy().view("i8")
+                        == bv.astype("f8").to_numpy().view("i8"))
                     if not eq.all():
                         bad.append(f"value[{c}]: {int((~eq).sum())} diffs, e.g. {av[~eq].iloc[0]} vs {bv[~eq].iloc[0]}")
                     elif not exact.all():
-                        bad.append(f"WARN inexact[{c}]: {int((~exact).sum())} float diffs <1e-9 (driver hash may fail)")
+                        bad.append(f"WARN inexact[{c}]: {int((~exact).sum())} float byte-diffs <1e-9 (e.g. {av[~exact].iloc[0]!r} vs {bv[~exact].iloc[0]!r}; driver hash may fail)")
                 else:
                     eq = (av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str))
                     if not eq.all():

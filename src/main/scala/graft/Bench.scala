@@ -79,14 +79,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Seconds rounded to 3 decimals: the driver keeps only the last ~2000
+    // chars of stdout, and full-precision doubles pushed the 61-query line
+    // to ~3.5k chars — the head (including `"metric"`) fell off the tail
+    // window and BENCH_r03 recorded `parsed: null`. 3 dp keeps the whole
+    // line near 1.6k chars.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val es = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val env =
       s"""{"requested_cpus":$requested,"available_cpus":$avail,"used_cpus":$cpus,"max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"env":$env,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$es,"env":$env,"sf":${jstr(sfDir)}}"""
 
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")

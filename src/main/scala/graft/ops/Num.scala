@@ -29,9 +29,17 @@ object Num {
     * Whole-stage-codegen friendly: compiles to a when/floor/divide
     * expression tree, no UDF.
     */
+  /** Negative inputs that round to zero must yield NEGATIVE zero: DuckDB's
+    * `round` preserves the sign bit (round(-1e-6, 4) = -0.0), and the
+    * driver's hash sees the byte difference even though -0.0 == 0.0
+    * (round-3 q61 failed on exactly this). The unary minus keeps the sign;
+    * `lit(0.0) - x` would normalize it away. ±0.0 and NaN pass through as
+    * themselves via the otherwise branch, same as DuckDB.
+    */
   def roundAt(c: Column, d: Int): Column = {
     val p = math.pow(10, d)
-    when(c >= 0, floor(c * p + 0.5) / p)
-      .otherwise(lit(0.0) - floor(lit(0.0) - c * p + 0.5) / p)
+    when(c > 0, floor(c * p + 0.5) / p)
+      .when(c < 0, negate(floor(lit(0.0) - c * p + 0.5) / p))
+      .otherwise(c)
   }
 }
