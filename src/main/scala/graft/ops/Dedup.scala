@@ -267,10 +267,12 @@ object Dedup {
     val exact = quality.join(keepIds.select($"doc_id"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup candidates: q21's banded MinHash over the exact-deduped set
+    // near-dup candidates: q21's banded MinHash over the exact-deduped
+    // set. No distinct on the drop-set: left_anti is set-semantic on the
+    // build side anyway, and the dedup would cost an extra exchange.
     val dropped = bandPairs(exact, np)
       .filter($"est" >= 0.5)
-      .select($"doc_b".as("doc_id")).distinct()
+      .select($"doc_b".as("doc_id"))
 
     exact.join(dropped, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"n_tokens")
@@ -303,19 +305,29 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     graft.functions.GraftFunctions.register(s)
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // pairs is persisted because edges unions two reads of it — without
-    // the cache the whole signature band self-join would run twice the
-    // first time edges materializes.
+    // pairs is persisted because the undirected edge set unions two reads
+    // of it — without the cache the whole signature band self-join would
+    // run twice the first time edges materializes.
     val pairs = bandPairs(mutatedDocs(s, dir), np)
       .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs
+    val und = pairs
       .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("u", "v")
+    // Self-loops fold the "keep my own label" term into the neighbor
+    // aggregate, so each round is ONE join + ONE aggregate (the classic
+    // two-step — neighbor-min then least(own, nbr) via outer join — costs
+    // a second join over the full label set every round). Cached
+    // pre-partitioned on the join key v: the per-round join reuses this
+    // partitioning and never re-shuffles the edge set.
+    val edges = und
+      .unionAll(und.select($"u").distinct().select($"u", $"u".as("v")))
+      .repartition(np, $"v")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select($"u".as("doc_id"))
-      .distinct()
-      .withColumn("lbl", $"doc_id")
+    // Round 0 fused: labels start as the node ids themselves, so the
+    // first propagation needs no label join at all — min neighbor id
+    // (self-loop included) is a plain aggregate over the edge set.
+    var labels = edges.groupBy($"u".as("doc_id")).agg(min($"v").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Convergence via the label-sum invariant: min-label propagation is
@@ -337,13 +349,10 @@ object Dedup {
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
-      val nbrMin = edges
+      val next = edges
         .join(labels.select($"doc_id".as("v"), $"lbl"), Seq("v"))
         .groupBy($"u".as("doc_id"))
-        .agg(min($"lbl").as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left_outer")
-        .select($"doc_id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+        .agg(min($"lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val curSum = lblSum(next) // materializes next's cache
