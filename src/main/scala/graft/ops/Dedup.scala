@@ -396,6 +396,51 @@ object Dedup {
       .orderBy("probe_id", "match_id")
   }
 
+  // q66: train/eval DECONTAMINATION — the n-gram overlap check every LLM
+  // pipeline runs so benchmark/eval text doesn't leak into training data.
+  // The eval set is constructed deterministically from the corpus itself:
+  // every 23rd doc minus its first token (simulated leakage — near-total
+  // overlap survives) and every 29th doc with token order REVERSED (same
+  // vocabulary, no shared bigrams — the clean control). Overlap is a hash
+  // equi-join on the same distinct bigram hashes the dedup family uses
+  // (native ShingleHashes): per (eval, train) pair, shared distinct
+  // shingles / eval shingles, top contaminating train doc per eval doc.
+  // Scale shape: the join key is a 28-bit shingle hash — the shuffle
+  // moves (id, hash) pairs, never text; per-hash fan-out is bounded by
+  // posting-list length exactly like an inverted index.
+  private def decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val train = Tables.documents(s, dir).select($"doc_id", $"text")
+    val leaked = train.filter($"doc_id" % 23 === 0)
+      .select(($"doc_id" + 20000).as("eval_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val control = train.filter($"doc_id" % 29 === 0)
+      .select(($"doc_id" + 30000).as("eval_id"),
+        array_join(reverse(split($"text", " ")), " ").as("text"))
+    val evalSh = leaked.unionAll(control)
+      .repartition(np, $"eval_id")
+      .withColumn("sh", expr("shingle_hashes(split(text, ' '))"))
+      .select($"eval_id", size($"sh").as("n_eval"), explode($"sh").as("h"))
+    val trainSh = train
+      .repartition(np)
+      .select($"doc_id".as("train_id"),
+        explode(expr("shingle_hashes(split(text, ' '))")).as("h"))
+    val w = Window.partitionBy($"eval_id")
+      .orderBy($"n_shared".desc, $"train_id".asc)
+    evalSh.join(trainSh, Seq("h"))
+      .groupBy($"eval_id", $"train_id", $"n_eval")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("ratio", $"n_shared".cast(DoubleType) / $"n_eval".cast(DoubleType))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"eval_id", $"train_id", $"n_shared", $"n_eval",
+        Num.roundAt($"ratio", 6).as("ratio"), ($"ratio" >= 0.5).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
@@ -404,7 +449,8 @@ object Dedup {
     "q27_dedup_embed"    -> (dedupEmbedding _),
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
-    "q64_fuzzy_join"     -> (fuzzyJoin _)
+    "q64_fuzzy_join"     -> (fuzzyJoin _),
+    "q66_decontamination" -> (decontamination _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -580,6 +626,46 @@ object Dedup {
         |  ON split_part(q.q_name, ' ', 2) = split_part(p.p_name, ' ', 2)
         | AND substring(q.q_name, 1, 1) = substring(p.p_name, 1, 1)
         |WHERE levenshtein(q.q_name, p.p_name) <= 2
-        |ORDER BY probe_id, match_id""".stripMargin
+        |ORDER BY probe_id, match_id""".stripMargin,
+    "q66_decontamination" ->
+      """WITH ev AS (
+        |  SELECT doc_id + 20000 AS eval_id,
+        |         substring(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS eval_id,
+        |         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |eth AS (
+        |  SELECT eval_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM ev),
+        |tth AS (
+        |  SELECT doc_id AS train_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM documents),
+        |eng AS (
+        |  SELECT eval_id, list_distinct(list_transform(range(1, len(th)),
+        |           i -> (th[i] * 31 + th[i + 1]) % 2147483647)) AS sh
+        |  FROM eth),
+        |tng AS (
+        |  SELECT train_id, list_distinct(list_transform(range(1, len(th)),
+        |           i -> (th[i] * 31 + th[i + 1]) % 2147483647)) AS sh
+        |  FROM tth),
+        |ex AS (SELECT eval_id, len(sh) AS n_eval, unnest(sh) AS h FROM eng),
+        |tx AS (SELECT train_id, unnest(sh) AS h FROM tng),
+        |ov AS (
+        |  SELECT eval_id, train_id, n_eval, count(*) AS n_shared
+        |  FROM ex JOIN tx USING (h) GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT eval_id, train_id, n_shared, n_eval,
+        |         CAST(n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE) AS ratio,
+        |         row_number() OVER (PARTITION BY eval_id
+        |              ORDER BY n_shared DESC, train_id ASC) AS rn
+        |  FROM ov)
+        |SELECT eval_id, train_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_eval AS INTEGER) AS n_eval, round(ratio, 6) AS ratio,
+        |       ratio >= 0.5 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin
   )
 }

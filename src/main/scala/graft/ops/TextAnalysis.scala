@@ -156,13 +156,144 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // q67: training-sample chunking — overlapping token windows (32 tokens,
+  // stride 24), the step that turns cleaned documents into fixed-length
+  // training samples. One projection + one generator per document, no
+  // shuffle: chunk starts come from `sequence`, each chunk is a `slice`
+  // of the token array, and the chunk identity is the 28-bit md5 hash of
+  // the re-joined window (Det.h7, exact in both engines). At 100 TB this
+  // is embarrassingly parallel and the output is immediately groupable by
+  // chunk_hash for cross-document sample dedup.
+  private def chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 32
+    val S = 24
+    docs(s, dir)
+      .withColumn("tokens", split($"text", " "))
+      .select($"doc_id", $"tokens",
+        posexplode(sequence(lit(0), size($"tokens") - 1, lit(S)))
+          .as(Seq("chunk_idx", "start")))
+      .select($"doc_id", $"chunk_idx", $"start",
+        size(slice($"tokens", $"start" + 1, lit(C))).as("chunk_len"),
+        h7(array_join(slice($"tokens", $"start" + 1, lit(C)), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // q68: PII scrubbing — regex removal of emails / URLs / long digit runs
+  // with per-document scrub counts, the compliance pass every corpus gets
+  // before training. The testdata is synthetic and clean, so the PII is
+  // INJECTED deterministically from doc_id first (both engines build the
+  // identical dirty string), then scrubbed; the output pins match counts,
+  // the cleaned text's hash and its length. Patterns stay in the common
+  // Java-regex/RE2 subset (char classes + quantifiers, no backrefs) so
+  // Spark and DuckDB match identically; replacement order (URL before
+  // NUM) keeps the patterns non-overlapping.
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{7,}"
+    docs(s, dir)
+      .withColumn("dirty",
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@mail.example.com or https://ex.com/d/"), $"doc_id",
+          lit(" ref "), ($"doc_id" * 7919L + 1000000L)))
+      .withColumn("cleaned",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"dirty", email, "<EMAIL>"),
+            url, "<URL>"),
+          num, "<NUM>"))
+      .select($"doc_id",
+        size(regexp_extract_all($"dirty", lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"dirty", lit(url), lit(0))).as("n_urls"),
+        size(regexp_extract_all($"dirty", lit(num), lit(0))).as("n_longnums"),
+        length($"cleaned").as("cleaned_len"),
+        h7($"cleaned").as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
+  // q69: sequence-length bucketing — docs binned to power-of-two token
+  // budgets (16..512), the batch-packing prep that decides padding waste
+  // before training. Per-bucket rollup: doc count, raw vs kept (truncated
+  // to budget) token totals, and the padded-slot waste fraction. One
+  // map-side-combined aggregate over a projection; the reduce side sees
+  // six rows.
+  private def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("n", size(split($"text", " ")))
+      .withColumn("bucket",
+        when($"n" <= 16, 16).when($"n" <= 32, 32).when($"n" <= 64, 64)
+          .when($"n" <= 128, 128).when($"n" <= 256, 256).otherwise(512))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("total_tokens"),
+        sum(least($"n", $"bucket")).as("kept_tokens"))
+      .withColumn("pad_waste",
+        Num.roundAt(lit(1.0) -
+          $"kept_tokens".cast(DoubleType) / ($"n_docs" * $"bucket").cast(DoubleType), 6))
+      .orderBy("bucket")
+  }
+
+  // q70: repetition scoring — the repeated-n-gram quality signal (the
+  // Gopher/C4 rule family): 1 − distinct-bigrams / total-bigrams per
+  // document. Docs at doc_id % 11 == 0 are doubled first so the signal is
+  // non-degenerate on the synthetic corpus (a doubled doc repeats every
+  // bigram once ⇒ ratio ≈ 0.5). Distinct counts ride the same native
+  // ShingleHashes expression as the dedup family — one projection, no
+  // shuffle.
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select($"doc_id",
+        when($"doc_id" % 11 === 0, concat($"text", lit(" "), $"text"))
+          .otherwise($"text").as("text"))
+      .withColumn("n", size(split($"text", " ")))
+      .withColumn("nd", size(expr("shingle_hashes(split(text, ' '))")))
+      .withColumn("ratio",
+        lit(1.0) - $"nd".cast(DoubleType) / ($"n" - 1).cast(DoubleType))
+      .select($"doc_id", $"n".as("n_tokens"), ($"n" - 1).as("n_bigrams"),
+        $"nd".as("n_distinct"), Num.roundAt($"ratio", 6).as("rep_ratio"),
+        ($"ratio" > 0.2).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // q71: stratified sampling — deterministic per-language downsampling by
+  // hash threshold (en 50%, de 30%, rest 10%), the data-mixing lever for
+  // corpus composition. Membership is a pure function of (lang, doc_id)
+  // via md5 (Det.h7), so the sample is reproducible on any cluster and in
+  // the oracle; the rollup pins per-language totals, kept counts, the
+  // realized rate and the kept-id range. No shuffle before the
+  // five-group aggregate.
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 50).when($"lang" === "de", 30).otherwise(10)
+    docs(s, dir)
+      .withColumn("keep", h7(concat($"lang", lit(":"), $"doc_id")) % 100 < rate)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        min(when($"keep", $"doc_id")).as("first_kept"),
+        max(when($"keep", $"doc_id")).as("last_kept"))
+      .withColumn("realized_rate",
+        Num.roundAt($"n_kept".cast(DoubleType) / $"n_total".cast(DoubleType), 6))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats"  -> (textStats _),
     "q40_lang_id"     -> (langId _),
     "q41_quality"     -> (qualityScore _),
     "q42_token_count" -> (tokenCount _),
     "q43_fingerprint" -> (fingerprint _),
-    "q58_tfidf"       -> (tfidf _)
+    "q58_tfidf"       -> (tfidf _),
+    "q67_chunking"    -> (chunking _),
+    "q68_pii_scrub"   -> (piiScrub _),
+    "q69_length_buckets" -> (lengthBuckets _),
+    "q70_repetition"  -> (repetition _),
+    "q71_stratified_sample" -> (stratifiedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +382,102 @@ object TextAnalysis {
         |              ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |  FROM x)
         |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q67_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, n, 24)) AS start FROM t),
+        |x AS (
+        |  SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+        |         CAST(start AS INTEGER) AS start,
+        |         toks[start + 1 : start + 32] AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, start,
+        |       CAST(len(chunk) AS INTEGER) AS chunk_len,
+        |       CAST(concat('0x', substring(md5(array_to_string(chunk, ' ')), 1, 7)) AS BIGINT) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q68_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         concat(text, ' contact user', doc_id,
+        |                '@mail.example.com or https://ex.com/d/', doc_id,
+        |                ' ref ', doc_id * 7919 + 1000000) AS dirty
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, dirty,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |             'https?://[^ ]+', '<URL>', 'g'),
+        |           '[0-9]{7,}', '<NUM>', 'g') AS cleaned
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(dirty, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |       CAST(len(regexp_extract_all(dirty, '[0-9]{7,}')) AS INTEGER) AS n_longnums,
+        |       CAST(length(cleaned) AS INTEGER) AS cleaned_len,
+        |       CAST(concat('0x', substring(md5(cleaned), 1, 7)) AS BIGINT) AS cleaned_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q69_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |                   WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |                   WHEN n <= 256 THEN 256 ELSE 512 END AS INTEGER) AS bucket
+        |  FROM t),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n) AS BIGINT) AS total_tokens,
+        |         CAST(sum(least(n, bucket)) AS BIGINT) AS kept_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, total_tokens, kept_tokens,
+        |       round(1.0::DOUBLE - CAST(kept_tokens AS DOUBLE)
+        |             / CAST(n_docs * bucket AS DOUBLE), 6) AS pad_waste
+        |FROM g ORDER BY bucket""".stripMargin,
+    "q70_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN concat(text, ' ', text)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |         list_transform(string_split(text, ' '),
+        |           x -> CAST(concat('0x', substring(md5(x), 1, 7)) AS BIGINT)) AS th
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         len(list_distinct(list_transform(range(1, len(th)),
+        |           i -> (th[i] * 31 + th[i + 1]) % 2147483647))) AS nd
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n, nd,
+        |         1.0::DOUBLE - CAST(nd AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS ratio
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |       CAST(n - 1 AS INTEGER) AS n_bigrams,
+        |       CAST(nd AS INTEGER) AS n_distinct,
+        |       round(ratio, 6) AS rep_ratio,
+        |       ratio > 0.2 AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q71_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substring(md5(concat(lang, ':', doc_id)), 1, 7)) AS BIGINT) % 100
+        |           < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS keep
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         min(CASE WHEN keep THEN doc_id END) AS first_kept,
+        |         max(CASE WHEN keep THEN doc_id END) AS last_kept
+        |  FROM k GROUP BY lang)
+        |SELECT lang, n_total, n_kept, first_kept, last_kept,
+        |       round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS realized_rate
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

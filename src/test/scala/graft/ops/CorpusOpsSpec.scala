@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Semantic invariants for the round-4 corpus operators: decontamination
+  * (q66), chunking (q67), PII scrubbing (q68), length bucketing (q69),
+  * repetition scoring (q70) and stratified sampling (q71).
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q66: leaked eval docs are flagged against their source; reversed controls are clean") {
+    import spark.implicits._
+    val out = Dedup.queries("q66_decontamination")(spark, dir).cache()
+    val leaked = out.filter($"eval_id" < 30000).cache()
+    // every leaked doc (source minus one token) must be contaminated and
+    // its top contaminator must be the very doc it was derived from
+    assert(leaked.filter(!$"contaminated").count() == 0)
+    assert(leaked.filter($"train_id" =!= $"eval_id" - 20000).count() == 0)
+    // reversed-token controls share vocabulary but no bigrams — none may
+    // cross the contamination threshold
+    assert(out.filter($"eval_id" >= 30000 && $"contaminated").count() == 0)
+    leaked.unpersist(); out.unpersist()
+  }
+
+  test("q67: chunks tile each document exactly (stride 24, window 32)") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q67_chunking")(spark, dir).cache()
+    assert(out.filter($"chunk_len" < 1 || $"chunk_len" > 32).count() == 0)
+    assert(out.filter($"start" =!= $"chunk_idx" * 24).count() == 0)
+    // the last chunk of every doc must reach exactly the doc's token count
+    val cover = out.groupBy($"doc_id")
+      .agg(max($"start" + $"chunk_len").as("covered"), min($"start").as("first"))
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    assert(cover.join(docs, "doc_id")
+      .filter($"covered" =!= $"n" || $"first" =!= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("q68: every doc has its injected PII found, and scrubbed text stays distinct") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q68_pii_scrub")(spark, dir).cache()
+    val n = out.count()
+    assert(out.filter($"n_emails" < 1 || $"n_urls" < 1 || $"n_longnums" < 1).count() == 0)
+    // the scrub replaces doc_id-bearing tokens, so remaining distinctness
+    // must come from the document text itself
+    val distinct = out.select("cleaned_hash").distinct().count()
+    assert(distinct.toDouble / n >= 0.99, s"cleaned hash collisions: ${n - distinct}")
+    out.unpersist()
+  }
+
+  test("q69: buckets are powers of two, partition the corpus, and waste is a fraction") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q69_length_buckets")(spark, dir).cache()
+    val valid = Set(16, 32, 64, 128, 256, 512)
+    assert(out.filter(!$"bucket".isin(valid.toSeq: _*)).count() == 0)
+    val total = out.agg(sum($"n_docs")).first().getLong(0)
+    assert(total == graft.Tables.documents(spark, dir).count())
+    assert(out.filter($"pad_waste" < 0 || $"pad_waste" >= 1).count() == 0)
+    assert(out.filter($"kept_tokens" > $"n_docs" * $"bucket").count() == 0)
+    out.unpersist()
+  }
+
+  test("q70: doubled docs are flagged repetitive, ratios well-formed") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q70_repetition")(spark, dir).cache()
+    assert(out.filter($"doc_id" % 11 === 0 && !$"repetitive").count() == 0)
+    assert(out.filter($"rep_ratio" < 0 || $"rep_ratio" > 1).count() == 0)
+    assert(out.filter($"n_distinct" > $"n_bigrams").count() == 0)
+    out.unpersist()
+  }
+
+  test("q71: sample is deterministic and bounded by stratum size") {
+    import spark.implicits._
+    val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
+    val run2 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
+    assert(run1.sameElements(run2), "hash-based sample must be reproducible")
+    val out = TextAnalysis.queries("q71_stratified_sample")(spark, dir).cache()
+    assert(out.filter($"n_kept" > $"n_total" || $"n_kept" < 0).count() == 0)
+    // en is sampled at 50%, others at 10-30% — with ~70-190 docs per
+    // stratum the realized rate must land within a generous band
+    assert(out.filter($"lang" === "en" &&
+      ($"realized_rate" < 0.3 || $"realized_rate" > 0.7)).count() == 0)
+    out.unpersist()
+  }
+}
