@@ -21,7 +21,8 @@ object Explain {
     "q38_outer_broadcast",// expect: BroadcastHashJoin on nation
     "q50_partition_prune",// expect: PartitionFilters on order_month, 1/12 dirs read
     "q51_salted_join",    // expect: join keys (l_partkey, salt) — skew spread over 8
-    "q53_range_join"      // expect: BroadcastNestedLoopJoin, range predicate stream-side
+    "q53_range_join",     // expect: BroadcastNestedLoopJoin, range predicate stream-side
+    "q66_decontamination" // expect: eval side broadcast (hinted), WindowGroupLimit for top-1
   )
 
   def main(args: Array[String]): Unit = {

@@ -430,7 +430,11 @@ object Dedup {
         explode(expr("shingle_hashes(split(text, ' '))")).as("h"))
     val w = Window.partitionBy($"eval_id")
       .orderBy($"n_shared".desc, $"train_id".asc)
-    evalSh.join(trainSh, Seq("h"))
+    // Broadcast the EVAL side: benchmark/eval suites are tiny next to the
+    // training corpus, so the right 100 TB plan streams the train-side
+    // postings past broadcast eval hashes. Without the hint Catalyst
+    // size-picks the train side at toy scale — right here, wrong at 100 TB.
+    broadcast(evalSh).join(trainSh, Seq("h"))
       .groupBy($"eval_id", $"train_id", $"n_eval")
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("ratio", $"n_shared".cast(DoubleType) / $"n_eval".cast(DoubleType))
