@@ -163,8 +163,10 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast(IntegerType).as("hamming"))
-      .distinct()
+      // threshold BEFORE the multi-band dedup: the filter drops most
+      // candidate rows, so the distinct's exchange moves only survivors
       .filter($"hamming" <= 5)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

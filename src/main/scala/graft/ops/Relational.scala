@@ -504,6 +504,51 @@ object Relational {
         |""".stripMargin)
   }
 
+  // q72: column profiling — the ANALYZE-style statistics pass (row count,
+  // nulls, exact NDV, min/max per column) that feeds optimizer stats and
+  // data-quality dashboards. ONE scan: all per-column aggregates run in a
+  // single agg (multi-countDistinct plans one Expand), and the 1-row
+  // result is exploded into per-column rows — never one scan per column.
+  // At 100 TB exact NDV would switch to approx_count_distinct (q36's
+  // sketch); the dataflow shape is identical.
+  private def profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast(StringType).as(s"min_$c"),
+      max(col(c)).cast(StringType).as(s"max_$c")))
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), $"n_rows",
+        ($"n_rows" - col(s"cnt_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"),
+        col(s"max_$c").as("max_val"))): _*)).as("p"))
+      .select($"p.*")
+      .orderBy("col_name")
+  }
+
+  // q73: equi-width histogram — fixed $5000 buckets over
+  // l_extendedprice, the optimizer-statistics / data-exploration
+  // companion to q72. Fixed bounds mean ONE aggregate pass (a
+  // data-dependent min/max would cost a prior scan); the reduce side
+  // sees ~22 rows.
+  private def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("bucket", floor($"l_extendedprice" / 5000.0).cast(IntegerType))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        Num.roundAt(sum($"l_extendedprice"), 2).as("sum_price"))
+      .withColumn("lo", $"bucket" * 5000)
+      .select($"bucket", $"lo", $"n_rows", $"sum_price")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -529,7 +574,9 @@ object Relational {
     "q60_cohort"          -> (cohortRetention _),
     "q62_upsert"          -> (upsert _),
     "q63_incremental_agg" -> (incrementalAgg _),
-    "q65_grouping_sets"   -> (groupingSets _)
+    "q65_grouping_sets"   -> (groupingSets _),
+    "q72_profile"         -> (profile _),
+    "q73_histogram"       -> (histogram _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -748,6 +795,49 @@ object Relational {
         |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderstatus) AS INTEGER) AS gid
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q72_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(l_quantity) AS BIGINT) AS cnt_q,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
+        |    CAST(min(l_quantity) AS VARCHAR) AS min_q,
+        |    CAST(max(l_quantity) AS VARCHAR) AS max_q,
+        |    CAST(count(l_extendedprice) AS BIGINT) AS cnt_p,
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv_p,
+        |    CAST(min(l_extendedprice) AS VARCHAR) AS min_p,
+        |    CAST(max(l_extendedprice) AS VARCHAR) AS max_p,
+        |    CAST(count(l_discount) AS BIGINT) AS cnt_d,
+        |    CAST(count(DISTINCT l_discount) AS BIGINT) AS ndv_d,
+        |    CAST(min(l_discount) AS VARCHAR) AS min_d,
+        |    CAST(max(l_discount) AS VARCHAR) AS max_d,
+        |    CAST(count(l_returnflag) AS BIGINT) AS cnt_r,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_r,
+        |    CAST(min(l_returnflag) AS VARCHAR) AS min_r,
+        |    CAST(max(l_returnflag) AS VARCHAR) AS max_r,
+        |    CAST(count(l_shipdate) AS BIGINT) AS cnt_s,
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_s,
+        |    CAST(min(l_shipdate) AS VARCHAR) AS min_s,
+        |    CAST(max(l_shipdate) AS VARCHAR) AS max_s
+        |  FROM lineitem)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_quantity' AS col_name, n_rows, n_rows - cnt_q AS n_nulls,
+        |         ndv_q AS n_distinct, min_q AS min_val, max_q AS max_val FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n_rows, n_rows - cnt_p, ndv_p, min_p, max_p FROM a
+        |  UNION ALL
+        |  SELECT 'l_discount', n_rows, n_rows - cnt_d, ndv_d, min_d, max_d FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, n_rows - cnt_r, ndv_r, min_r, max_r FROM a
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, n_rows - cnt_s, ndv_s, min_s, max_s FROM a)
+        |ORDER BY col_name""".stripMargin,
+    "q73_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) AS bucket,
+        |       CAST(floor(l_extendedprice / 5000.0) AS INTEGER) * 5000 AS lo,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
   )
 }

@@ -144,7 +144,10 @@ object TextAnalysis {
     val terms = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val docFreq = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // document frequency = rows per term in tf (one (doc, term) row each)
+    // — derived from the aggregated frame, NOT a second corpus-wide
+    // explode + countDistinct over raw terms
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(countDistinct($"doc_id").as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
     tf.join(broadcast(docFreq), Seq("term"))

@@ -74,6 +74,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q72: profile covers each column once with consistent counts") {
+    import spark.implicits._
+    val out = Relational.queries("q72_profile")(spark, dir).cache()
+    val n = graft.Tables.lineitem(spark, dir).count()
+    assert(out.count() == 5)
+    assert(out.filter($"n_rows" =!= n).count() == 0)
+    assert(out.filter($"n_distinct" > $"n_rows" - $"n_nulls").count() == 0)
+    assert(out.filter($"n_nulls" < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("q73: histogram partitions the table and labels buckets correctly") {
+    import spark.implicits._
+    val out = Relational.queries("q73_histogram")(spark, dir).cache()
+    val n = graft.Tables.lineitem(spark, dir).count()
+    assert(out.agg(sum($"n_rows")).first().getLong(0) == n)
+    assert(out.filter($"lo" =!= $"bucket" * 5000).count() == 0)
+    assert(out.filter($"n_rows" <= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
