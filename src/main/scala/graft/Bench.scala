@@ -79,13 +79,15 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Seconds rounded to 3 decimals: the driver keeps only the last ~2000
-    // chars of stdout, and full-precision doubles pushed the 61-query line
-    // to ~3.5k chars — the head (including `"metric"`) fell off the tail
-    // window and BENCH_r03 recorded `parsed: null`. 3 dp keeps the whole
-    // line near 1.6k chars.
+    // Seconds rounded (total 3 dp, per-query 2 dp): the driver keeps only
+    // the last ~2000 chars of stdout, and full-precision doubles pushed
+    // the 61-query line to ~3.5k chars — the head (including `"metric"`)
+    // fell off the tail window and BENCH_r03 recorded `parsed: null`.
+    // At ~23 chars/query the 70-query line stays ~1.7k with margin for
+    // sbt's trailing `[success]` line.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
+    def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
     val es = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -549,6 +549,38 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // q74: time-series resampling — per-user hourly grid with gap filling
+  // and forward fill (pandas `resample('1h').ffill()` re-expressed
+  // distributed). The hour grid is GENERATED per user from its own
+  // [first, last] event hours (`sequence` + explode — no driver-side
+  // calendar), joined to the hourly aggregate, and missing hours carry
+  // the last observed value via a running `last(ignoreNulls)` window.
+  // Scale shape: everything partitions by user_id — grid generation,
+  // join and fill window share one shuffle key; grid size is bounded by
+  // active span, not corpus size. Users bounded (< 30) to keep the demo
+  // output reviewable.
+  private def resample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter($"user_id" < 30)
+    val bounds = ev.groupBy($"user_id").agg(
+      date_trunc("hour", min($"ts")).as("t0"),
+      date_trunc("hour", max($"ts")).as("t1"))
+    val grid = bounds.select($"user_id",
+      explode(sequence($"t0", $"t1", expr("interval 1 hour"))).as("hour"))
+    val hourly = ev
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.roundAt(sum($"value"), 2).as("sum_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+      .withColumn("filled_value",
+        last($"sum_value", ignoreNulls = true).over(w))
+      .select($"user_id", Num.epochUs($"hour").as("hour_us"),
+        coalesce($"n_events", lit(0L)).as("n_events"), $"filled_value")
+      .orderBy("user_id", "hour_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -576,7 +608,8 @@ object Relational {
     "q63_incremental_agg" -> (incrementalAgg _),
     "q65_grouping_sets"   -> (groupingSets _),
     "q72_profile"         -> (profile _),
-    "q73_histogram"       -> (histogram _)
+    "q73_histogram"       -> (histogram _),
+    "q74_resample"        -> (resample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -838,6 +871,30 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
-        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q74_resample" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 30),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |         date_trunc('hour', max(ts)) AS t1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.user_id, g.hour,
+        |         coalesce(h.n_events, 0) AS n_events,
+        |         last_value(h.sum_value IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.hour
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, epoch_us(hour) AS hour_us,
+        |       CAST(n_events AS BIGINT) AS n_events, filled_value
+        |FROM j ORDER BY user_id, hour_us""".stripMargin
   )
 }

@@ -95,6 +95,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q74: resample grid is contiguous hourly and accounts for every event") {
+    import spark.implicits._
+    val out = Relational.queries("q74_resample")(spark, dir).cache()
+    // hours step by exactly 3600s within each user
+    val step = out.withColumn("prev",
+      lag($"hour_us", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"hour_us")))
+    assert(step.filter($"prev".isNotNull && $"hour_us" - $"prev" =!= 3600000000L)
+      .count() == 0)
+    // every source event lands in some grid hour
+    val nEvents = graft.Tables.events(spark, dir)
+      .filter($"user_id" < 30).count()
+    assert(out.agg(sum($"n_events")).first().getLong(0) == nEvents)
+    // forward fill leaves no gaps once a user has observed a value
+    assert(out.filter($"filled_value".isNull).count() == 0)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
