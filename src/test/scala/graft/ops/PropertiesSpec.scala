@@ -68,6 +68,26 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     })
   }
 
+  test("roundAt preserves the sign bit on negatives rounding to zero (DuckDB parity)") {
+    import spark.implicits._
+    // DuckDB's round() keeps the sign: round(-1e-6, 2) is -0.0, and the
+    // driver's hash compare sees the byte difference even though
+    // -0.0 == 0.0 (round-3 q61 failed on exactly this).
+    val tiny: Gen[Double] = Gen.chooseNum(-4.9e-3, 4.9e-3)
+    check("signbit", Prop.forAll(Gen.listOfN(24, tiny)) { xs =>
+      val rs = xs.zipWithIndex.toDF("x", "i")
+        .select($"x", Num.roundAt($"x", 2).as("r"))
+        .collect()
+      rs.forall { row =>
+        val x = row.getDouble(0); val r = row.getDouble(1)
+        if (r != 0.0) true
+        else java.lang.Double.doubleToRawLongBits(r) ==
+          java.lang.Double.doubleToRawLongBits(if (x < 0 || (x == 0.0 &&
+            java.lang.Double.doubleToRawLongBits(x) != 0L)) -0.0 else 0.0)
+      }
+    })
+  }
+
   // --- TopKAggregator buffer algebra (pure, no Spark session needed).
   // The O(k) sorted-insert/two-pointer-merge rewrite must agree with the
   // obvious sort-everything reference on ANY input split — this is the
