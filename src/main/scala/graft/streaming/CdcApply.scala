@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming CDC apply — the streaming form of q62's MERGE/upsert: a
+  * change feed consumed micro-batch by micro-batch, each batch merged
+  * into the running snapshot inside `foreachBatch`.
+  *
+  * This is the shape every Delta/Iceberg "streaming MERGE INTO" runs:
+  *   - the change source is replayed ONE FILE PER MICRO-BATCH
+  *     (`maxFilesPerTrigger=1`, public API — no internal test sources),
+  *     standing in for a Kafka/CDC topic;
+  *   - `foreachBatch` gives the batch DataFrame + a monotonically
+  *     increasing batch id; inside it the merge is exactly q62's
+  *     co-partitioned full-outer join (delete wins, update patches,
+  *     insert appends);
+  *   - the snapshot persists across batches (cache swap per batch, the
+  *     in-memory equivalent of a table version commit); lineage is cut
+  *     each batch so state never re-derives from batch 0.
+  *
+  * At 100 TB the snapshot lives in a table format and each batch commit
+  * rewrites only touched files; the per-batch dataflow — shuffle on the
+  * merge key, full-outer, filter-out deletes — is identical to this one.
+  */
+object CdcApply {
+
+  val changeSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("op", StringType),
+    StructField("new_name", StringType),
+    StructField("new_bal", DoubleType)))
+
+  /** One CDC batch merged into the snapshot — q62's merge core. */
+  def mergeBatch(snapshot: DataFrame, changes: DataFrame): DataFrame =
+    snapshot.join(changes, Seq("c_custkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("c_custkey"),
+        coalesce(col("new_name"), col("c_name")).as("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+
+  /** Consume every change file under `changesDir` (one per micro-batch,
+    * ordered by file modification time) and return the final snapshot.
+    */
+  def run(spark: SparkSession, base: DataFrame, changesDir: String,
+          queryName: String = "cdc_apply"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var snapshot = base.persist(StorageLevel.MEMORY_AND_DISK)
+    snapshot.count() // materialize the initial table version
+
+    val feed = spark.readStream
+      .schema(changeSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changesDir)
+
+    val q = feed.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = mergeBatch(snapshot, batch)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // commit this version before dropping the previous
+        snapshot.unpersist()
+        snapshot = next
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    snapshot
+  }
+}
