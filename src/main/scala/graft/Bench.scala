@@ -46,6 +46,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Measured, not assumed: AQE's coalescePartitions.parallelismFirst
+      // was tried at `false` (the docs' efficiency recommendation) and
+      // REGRESSED the suite 47.5s -> 54.8s at sf0.1 — size-based
+      // coalescing collapses the compute-heavy shingle/band shuffles to
+      // 1-2 tasks (q66: 2.0s -> 5.2s). Parallelism-first is the right
+      // default for compute-dense small shuffles; leave it.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
