@@ -581,6 +581,57 @@ object Relational {
       .orderBy("user_id", "hour_us")
   }
 
+  // q75: winsorization — clip a numeric column to its per-group
+  // [p01, p99] percentile band, the standard outlier treatment before
+  // training/statistics. Two passes, the canonical distributed shape:
+  // a tiny per-group bounds frame (q52's exact-percentile aggregate)
+  // broadcast back onto the fact scan, clip via least/greatest, then the
+  // audited rollup (rows clipped low/high, clipped sum). At 100 TB the
+  // bounds pass switches to approx_percentile; the broadcast-back and
+  // clip are unchanged.
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val bounds = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.01)").as("p01"),
+      expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("clipped", least(greatest($"l_extendedprice", $"p01"), $"p99"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_extendedprice" < $"p01", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"l_extendedprice" > $"p99", 1L).otherwise(0L)).as("n_high"),
+        Num.roundAt(min($"p01"), 4).as("p01"),
+        Num.roundAt(min($"p99"), 4).as("p99"),
+        Num.roundAt(sum($"clipped"), 2).as("sum_clipped"))
+      .orderBy("l_returnflag")
+  }
+
+  // q76: schema-drift union — ingesting batches whose schema evolved
+  // (columns added over time) with `unionByName(allowMissingColumns)`:
+  // legacy rows carry NULL for columns they predate, by POSITION-PROOF
+  // name matching (a positional unionAll would silently misalign).
+  // The rollup groups by a drifted column so the NULL legacy group is
+  // visible. Schema evolution is a metadata operation — no data is
+  // rewritten, exactly how a 100 TB table adds a column.
+  private def schemaUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val cut = lit("1996-01-01").cast(TimestampType)
+    // legacy extract: the narrow schema from before the cutover
+    val v1 = o.filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // current extract: two columns added since
+    val v2 = o.filter($"o_orderdate" >= cut)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderstatus", $"o_orderpriority")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Num.roundAt(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -609,7 +660,9 @@ object Relational {
     "q65_grouping_sets"   -> (groupingSets _),
     "q72_profile"         -> (profile _),
     "q73_histogram"       -> (histogram _),
-    "q74_resample"        -> (resample _)
+    "q74_resample"        -> (resample _),
+    "q75_winsorize"       -> (winsorize _),
+    "q76_schema_union"    -> (schemaUnion _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -895,6 +948,31 @@ object Relational {
         |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
         |SELECT user_id, epoch_us(hour) AS hour_us,
         |       CAST(n_events AS BIGINT) AS n_events, filled_value
-        |FROM j ORDER BY user_id, hour_us""".stripMargin
+        |FROM j ORDER BY user_id, hour_us""".stripMargin,
+    "q75_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.01) AS p01,
+        |         quantile_cont(l_extendedprice, 0.99) AS p99
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       round(min(p01), 4) AS p01,
+        |       round(min(p99), 4) AS p99,
+        |       round(sum(least(greatest(l_extendedprice, p01), p99)), 2) AS sum_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q76_schema_union" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin
   )
 }

@@ -113,6 +113,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q75: clip bounds are ordered and clipped counts stay within the tails") {
+    import spark.implicits._
+    val out = Relational.queries("q75_winsorize")(spark, dir).cache()
+    assert(out.filter($"p01" > $"p99").count() == 0)
+    // at most ~1% of each group can sit strictly outside each bound
+    assert(out.filter($"n_low" > $"n" * 0.02 || $"n_high" > $"n" * 0.02).count() == 0)
+    assert(out.filter($"n_low" + $"n_high" <= 0).count() == 0,
+      "testdata should have at least some clipped rows")
+    out.unpersist()
+  }
+
+  test("q76: drifted union keeps every order and isolates legacy rows in the NULL group") {
+    import spark.implicits._
+    val out = Relational.queries("q76_schema_union")(spark, dir).cache()
+    val o = graft.Tables.orders(spark, dir)
+    assert(out.agg(sum($"n_orders")).first().getLong(0) == o.count())
+    val legacy = o.filter($"o_orderdate" <
+      lit("1996-01-01").cast("timestamp")).count()
+    assert(out.filter($"o_orderstatus".isNull).select("n_orders")
+      .first().getLong(0) == legacy)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
