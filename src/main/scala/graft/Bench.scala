@@ -63,6 +63,7 @@ object Bench {
     // Setup: pre-pay one-time ingest/layout artifacts for the timed dir.
     try {
       ops.Core.ensureCsvFixture(spark, sfDir)
+      ops.Core.ensureJsonlDocs(spark, sfDir)
       ops.Relational.ensureBuckets(spark, sfDir)
       ops.Layout.ensurePartitionedOrders(spark, sfDir)
     } catch { case e: Throwable =>

@@ -284,8 +284,41 @@ object Core {
       .orderBy("output")
   }
 
+  // q77: JSONL source scan — the interchange format every LLM corpus
+  // ships in. The fixture is written ONCE per (jvm, sf dir) from the
+  // documents table (to_json line records, text excluded to keep the
+  // ingest bounded); the timed query is the DECLARED-SCHEMA `read.json`
+  // — no sampling pass for inference, the schema prunes to the four
+  // used fields at the scan exactly like parquet ReadSchema. Oracle:
+  // the same rollup over the parquet original, proving the JSON round
+  // trip is lossless.
+  private val jsonlFixtureCache = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureJsonlDocs(s: SparkSession, dir: String): String =
+    jsonlFixtureCache.getOrElseUpdate(dir, {
+      val p = tmp("graft_jsonl_fixture")
+      Tables.documents(s, dir)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+  private def jsonlScan(s: SparkSession, dir: String): DataFrame = {
+    val out = ensureJsonlDocs(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_csv_scan"       -> (csvScan _),
+    "q77_jsonl_scan"     -> (jsonlScan _),
     "q02_parquet_scan"   -> (parquetScan _),
     "q03_schema_check"   -> (schemaCheck _),
     "q04_join_inner"     -> (joinInner _),
@@ -308,6 +341,11 @@ object Core {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 20 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q77_jsonl_scan" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "q02_parquet_scan" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,

@@ -42,9 +42,16 @@ object CdcApply {
 
   /** Consume every change file under `changesDir` (one per micro-batch,
     * ordered by file modification time) and return the final snapshot.
+    *
+    * With `checkpointDir` set, the file-source offsets persist across
+    * restarts: a re-run with the same checkpoint applies ONLY files that
+    * arrived since — the exactly-once resume contract a production CDC
+    * apply relies on (the snapshot is the committed state, the
+    * checkpoint is the source cursor; StreamingCdcSpec pins it).
     */
   def run(spark: SparkSession, base: DataFrame, changesDir: String,
-          queryName: String = "cdc_apply"): DataFrame = {
+          queryName: String = "cdc_apply",
+          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     var snapshot = base.persist(StorageLevel.MEMORY_AND_DISK)
     snapshot.count() // materialize the initial table version
@@ -54,7 +61,7 @@ object CdcApply {
       .option("maxFilesPerTrigger", "1")
       .parquet(changesDir)
 
-    val q = feed.writeStream
+    val writer = feed.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val next = mergeBatch(snapshot, batch)
@@ -63,6 +70,8 @@ object CdcApply {
         snapshot.unpersist()
         snapshot = next
       }
+    val q = checkpointDir
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     try q.processAllAvailable() finally q.stop()
     snapshot

@@ -66,4 +66,35 @@ class StreamingCdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(keys.exists(_ >= 100000))
     streamed.unpersist()
   }
+
+  test("checkpointed restart applies only files that arrived since (exactly-once resume)") {
+    import spark.implicits._
+    val base = graft.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+
+    val upd1 = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+    val upd2 = base.filter($"c_custkey" % 10 === 5)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 7.0).as("new_bal"))
+
+    val feedDir = graft.ops.Core.tmp("cdc_feed_cp")
+    val cpDir = graft.ops.Core.tmp("cdc_checkpoint")
+    writeChangeFile(upd1, feedDir, "b0.parquet")
+
+    val after1 = CdcApply.run(spark, base, feedDir, "cdc_cp_run1", Some(cpDir))
+    // a NON-idempotent change (+100) applied twice would show here: the
+    // restart must not replay b0
+    writeChangeFile(upd2, feedDir, "b1.parquet")
+    val after2 = CdcApply.run(spark, after1, feedDir, "cdc_cp_run2", Some(cpDir))
+
+    val expected = CdcApply.mergeBatch(CdcApply.mergeBatch(base, upd1), upd2)
+    val a = after2.orderBy("c_custkey").collect()
+    val b = expected.orderBy("c_custkey").collect()
+    assert(a.sameElements(b), "restart replayed or skipped a change file")
+    after2.unpersist()
+  }
 }
