@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Plan-shape regression guards for the scale-critical properties the
+  * operator comments promise. These inspect `sparkPlan` (pre-AQE — the
+  * adaptive wrapper hides children from collectLeaves) and fail if a
+  * future refactor silently loses a pushdown, a pruned schema, a
+  * broadcast side or bucket alignment. Complements LayoutSpec's
+  * partition-pruning count and TextRelationalSpec's salt-key check.
+  */
+class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): (DataFrame, String) = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    (df, df.queryExecution.sparkPlan.toString)
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("q09: the range predicate reaches the parquet scan as a pushed filter") {
+    val (df, _) = plan("q09_filter_range")
+    val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan") || pushed.contains("IsNotNull"),
+      s"no pushed filters on the scan: $pushed")
+  }
+
+  test("q10: projection prunes the scan to the selected columns") {
+    val (df, _) = plan("q10_project")
+    val scan = scans(df).head
+    // lineitem has 11 columns; the projection needs at most 6
+    assert(scan.requiredSchema.size <= 6,
+      s"scan reads ${scan.requiredSchema.size} cols: ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q04: the dimension side joins via broadcast hash") {
+    val (_, p) = plan("q04_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+  }
+
+  test("q38: the nation dim is broadcast") {
+    val (_, p) = plan("q38_outer_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected a broadcast join:\n$p")
+  }
+
+  test("q48: bucket-aligned sort-merge join has no exchange below the join") {
+    val (_, p) = plan("q48_bucketed_join")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SortMergeJoin:\n$p")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"shuffle below the bucketed join:\n$below")
+  }
+
+  test("q66: the eval side of the decontamination join is the broadcast build") {
+    val (_, p) = plan("q66_decontamination")
+    // eval is the join's LEFT input, so the hinted broadcast must plan as
+    // BuildLeft — a regression to size-picking the train side would flip
+    // this to BuildRight at scale
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("BuildLeft"), s"broadcast build is not the eval (left) side:\n$p")
+  }
+
+  test("q32: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val (_, p) = plan("q32_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q21: the band self-join is an equi-join, never a cartesian product") {
+    val (_, p) = plan("q21_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidate join degenerated to all-pairs:\n$p")
+  }
+}
