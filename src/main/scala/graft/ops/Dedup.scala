@@ -447,6 +447,36 @@ object Dedup {
       .orderBy("eval_id")
   }
 
+  // q78: INCREMENTAL near-dup — dedupe an arrival batch against the
+  // existing corpus without re-verifying history against itself: the
+  // production shape for daily ingestion (signature index is append-only;
+  // history×history pairs were resolved when history was ingested). The
+  // probe side of the band join is ONLY the arrivals (here: the mutant
+  // block, doc_id >= 10000), the build side is the full banded index;
+  // arrival-arrival pairs count once via the id tie-break, history
+  // pairs never form. Cost per day ∝ |arrivals| × bucket occupancy,
+  // independent of |history| beyond the index scan.
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val exploded = bandExploded(mutatedDocs(s, dir), np)
+    val arrivals = exploded.filter(col("doc_id") >= 10000)
+    arrivals.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("b.doc_id") < 10000 || col("b.doc_id") < col("a.doc_id")))
+      .withColumn("est",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v)) / lit(64.0))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"))
+      .agg(max(col("est")).as("est"))
+      .filter($"est" >= 0.5)
+      .select($"new_id", $"match_id", Num.roundAt($"est", 4).as("est_jaccard"))
+      .orderBy("new_id", "match_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
@@ -456,7 +486,8 @@ object Dedup {
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
-    "q66_decontamination" -> (decontamination _)
+    "q66_decontamination" -> (decontamination _),
+    "q78_incremental_dedup" -> (incrementalDedup _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -672,6 +703,16 @@ object Dedup {
         |SELECT eval_id, train_id, CAST(n_shared AS BIGINT) AS n_shared,
         |       CAST(n_eval AS INTEGER) AS n_eval, round(ratio, 6) AS ratio,
         |       ratio >= 0.5 AS contaminated
-        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin,
+    // Every pair involving an arrival (the +10000 mutant block) has the
+    // arrival as doc_b of the all-pairs CTE: mixed pairs because
+    // arrival ids exceed all history ids, arrival-arrival pairs because
+    // doc_b is the greater id — exactly the Spark side's new_id.
+    "q78_incremental_dedup" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")}
+        |SELECT doc_b AS new_id, doc_a AS match_id, round(ej, 4) AS est_jaccard
+        |FROM est WHERE ej >= 0.5 AND doc_b >= 10000
+        |ORDER BY new_id, match_id""".stripMargin
   )
 }

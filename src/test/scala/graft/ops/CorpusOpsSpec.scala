@@ -136,6 +136,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q78: arrivals match their mutation source; history pairs never form") {
+    import spark.implicits._
+    val out = Dedup.queries("q78_incremental_dedup")(spark, dir).cache()
+    // only arrival-side rows, similarity at/above the threshold
+    assert(out.filter($"new_id" < 10000).count() == 0)
+    assert(out.filter($"est_jaccard" < 0.5).count() == 0)
+    // every arrival is a one-token mutant of (new_id - 10000): that
+    // source must be recalled among its matches
+    val matched = out.filter($"match_id" === $"new_id" - 10000)
+      .select("new_id").distinct().count()
+    val arrivals = out.select("new_id").distinct().count()
+    assert(matched == arrivals,
+      s"only $matched of $arrivals arrivals recalled their source")
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
