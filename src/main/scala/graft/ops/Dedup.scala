@@ -122,6 +122,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .withColumn("est",
         size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v)) / lit(64.0))
+      // Threshold BELOW the pair aggregate: est is a pure function of the
+      // two signatures, identical for every band hit of the same pair, so
+      // filtering pre-agg drops sub-threshold pairs' rows before the
+      // (doc_a, doc_b) shuffle and cannot change any surviving max. All
+      // three consumers (q21/q56/q57) keep ONLY est >= 0.5 — their
+      // post-agg filters become no-ops but document intent.
+      .filter(col("est") >= 0.5)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(max(col("est")).as("est"))
   }
@@ -422,8 +429,12 @@ object Dedup {
     val control = train.filter($"doc_id" % 29 === 0)
       .select(($"doc_id" + 30000).as("eval_id"),
         array_join(reverse(split($"text", " ")), " ").as("text"))
+    // No repartition boundary on the eval side: it is tens of rows, the
+    // 2-3x shingle recompute from project collapsing is nanoseconds, and
+    // the exchange it would take to avoid costs a whole extra stage.
+    // (The TRAIN side below keeps its boundary — 5k docs on one input
+    // split would serialize the shingle pass.)
     val evalSh = leaked.unionAll(control)
-      .repartition(np, $"eval_id")
       .withColumn("sh", expr("shingle_hashes(split(text, ' '))"))
       .select($"eval_id", size($"sh").as("n_eval"), explode($"sh").as("h"))
     val trainSh = train
