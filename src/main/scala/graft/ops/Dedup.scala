@@ -473,7 +473,12 @@ object Dedup {
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     val exploded = bandExploded(mutatedDocs(s, dir), np)
     val arrivals = exploded.filter(col("doc_id") >= 10000)
-    arrivals.as("a")
+    // Broadcast the ARRIVALS side: a day's batch is small next to the
+    // accumulated index, which must never be the broadcast build (Catalyst
+    // size-picks the index at toy scale). If a batch outgrows broadcast,
+    // the fallback is a shuffle join on the band key — still never
+    // index-side broadcast.
+    broadcast(arrivals).as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -73,6 +73,12 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("q78: the arrivals batch, not the index, is the broadcast build") {
+    val (_, p) = plan("q78_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("BuildLeft"), s"broadcast build is not the arrivals (left) side:\n$p")
+  }
+
   test("q21: the band self-join is an equi-join, never a cartesian product") {
     val (_, p) = plan("q21_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
