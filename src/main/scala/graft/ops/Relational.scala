@@ -119,17 +119,22 @@ object Relational {
       .orderBy("bucket_us", "event_type")
   }
 
-  // q36: approximate distinct (HyperLogLog++). Sketch internals are
-  // engine-specific, so no SQL oracle — the driver records a rows-only
-  // check; the query self-reports the exact count and relative error.
+  // q36: approximate distinct (HyperLogLog++). The raw sketch estimate is
+  // engine-specific and can never hash-match another engine — so the
+  // COMPARED columns are the exact count plus the sketch's accuracy
+  // CONTRACT (relative error within 5%, vs the default 5% rsd; measured
+  // 2.4-2.7% on this data, and deterministic for fixed input). That turns
+  // the one formerly rows-only query into a full oracle row while still
+  // exercising the sketch end to end.
   private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .agg(
         approx_count_distinct($"l_partkey").as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
-      .withColumn("rel_err_pct",
-        Num.roundAt(abs($"approx_parts" - $"exact_parts") / $"exact_parts" * 100.0, 2))
+      .select($"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") / $"exact_parts" <= 0.05)
+          .as("approx_in_bounds"))
   }
 
   // q37: session windows (30-minute gap) per user — Spark's
@@ -716,6 +721,10 @@ object Relational {
         |       round(sum(value), 2) AS sum_value,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "q36_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       true AS approx_in_bounds
+        |FROM lineitem""".stripMargin,
     "q37_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts,
