@@ -22,7 +22,10 @@ object Explain {
     "q50_partition_prune",// expect: PartitionFilters on order_month, 1/12 dirs read
     "q51_salted_join",    // expect: join keys (l_partkey, salt) — skew spread over 8
     "q53_range_join",     // expect: BroadcastNestedLoopJoin, range predicate stream-side
-    "q66_decontamination" // expect: eval side broadcast (hinted), WindowGroupLimit for top-1
+    "q66_decontamination",// expect: eval side broadcast (hinted), WindowGroupLimit for top-1
+    "q72_profile",        // expect: ONE scan + Expand (multi-countDistinct), never per-column scans
+    "q74_resample",       // expect: grid Generate + broadcast hourly join + fill Window, one shuffle key
+    "q78_incremental_dedup" // expect: arrivals broadcast (hinted, BuildLeft), index never broadcast
   )
 
   def main(args: Array[String]): Unit = {
