@@ -72,10 +72,20 @@ object Bench {
     // first execution 3.4s vs 0.23s warm for the same query). One untimed
     // pass over sfDir moves every compile out of the timed region; the
     // timed loop then measures steady-state execution, which is what a
-    // resident production session runs.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // resident production session runs. The pass runs 8 queries
+    // CONCURRENTLY (safe: results are discarded, Spark sessions are
+    // thread-safe, the ensure* layout helpers are TrieMap-guarded) so
+    // warmup wall-clock stays well under the serial suite time.
+    {
+      import scala.collection.parallel.CollectionConverters._
+      val warm = SparkEntry.queries.toSeq.par
+      warm.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(8))
+      warm.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
+    spark.catalog.clearCache() // warmup persists must not leak into timing
 
     val errs = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
