@@ -122,8 +122,11 @@ object Bench {
     val es = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // compact: used/available cpus (attribution for oversubscription
+    // drift, SURVEY round-2 notes) + heap; every byte counts against the
+    // 2000-char stdout tail the driver parses
     val env =
-      s"""{"requested_cpus":$requested,"available_cpus":$avail,"used_cpus":$cpus,"max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
+      s"""{"cpus":"$cpus/$avail","heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
     val json =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$es,"env":$env,"sf":${jstr(sfDir)}}"""
 
