@@ -285,6 +285,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // q79: sequence packing — greedy assignment of documents to fixed
+  // token-budget packs (4096) via a running per-language token cumsum:
+  // a doc opens in the pack its preceding cumsum lands in (the streaming
+  // first-fit approximation every training-data packer uses — slight
+  // overflow allowed, zero inter-doc coordination). One window + one
+  // aggregate, both partitioned by lang; completes the chunk (q67) →
+  // length-bucket (q69) → pack story. At 100 TB the window partitions
+  // by (lang, shard) so no single ordering grows unbounded.
+  private def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n"))
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("pack_id", floor(($"cum" - $"n") / lit(4096.0)).cast(IntegerType))
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats"  -> (textStats _),
     "q40_lang_id"     -> (langId _),
@@ -296,7 +319,8 @@ object TextAnalysis {
     "q68_pii_scrub"   -> (piiScrub _),
     "q69_length_buckets" -> (lengthBuckets _),
     "q70_repetition"  -> (repetition _),
-    "q71_stratified_sample" -> (stratifiedSample _)
+    "q71_stratified_sample" -> (stratifiedSample _),
+    "q79_sequence_pack" -> (sequencePack _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -481,6 +505,22 @@ object TextAnalysis {
         |  FROM k GROUP BY lang)
         |SELECT lang, n_total, n_kept, first_kept, last_kept,
         |       round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS realized_rate
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+    "q79_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n,
+        |         sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, CAST(floor((cum - n) / 4096.0) AS INTEGER) AS pack_id,
+        |         doc_id, n
+        |  FROM c)
+        |SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   )
 }

@@ -152,6 +152,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q79: packs conserve every token and number contiguously per language") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q79_sequence_pack")(spark, dir).cache()
+    val perLang = graft.Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).as("n"))
+      .groupBy($"lang").agg(sum($"n").as("total"))
+    // token conservation: packed totals equal source totals per language
+    val packed = out.groupBy($"lang").agg(sum($"pack_tokens").as("packed"))
+    assert(packed.join(perLang, "lang").filter($"packed" =!= $"total").count() == 0)
+    // pack ids start at 0 and are contiguous within each language
+    val ids = out.groupBy($"lang")
+      .agg(min($"pack_id").as("lo"), max($"pack_id").as("hi"),
+        count(lit(1)).as("k"))
+    assert(ids.filter($"lo" =!= 0 || $"hi" =!= $"k" - 1).count() == 0)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
