@@ -637,6 +637,33 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first)
   }
 
+  // q80: SCD Type-2 join — facts joined to the dimension VERSION valid at
+  // event time (effective-dated [eff_start, eff_end) rows, the warehouse
+  // pattern for history-preserving dimensions). The versioned dim is
+  // built deterministically from customer (v1 before the cutover, v2
+  // with a 10% balance restatement after); the join is an equi-join on
+  // the key with the validity range as a residual filter — Catalyst
+  // plans the hash join on c_custkey and applies the range post-probe,
+  // which is exactly the scale-right shape (never a range-only join).
+  private def scd2Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1996-06-01").cast(TimestampType)
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+    val dim = c.select($"c_custkey", $"c_acctbal".as("bal"), lit("v1").as("version"),
+        lit("1990-01-01").cast(TimestampType).as("eff_start"), cut.as("eff_end"))
+      .unionAll(c.select($"c_custkey", Num.roundAt($"c_acctbal" * 1.1, 2).as("bal"),
+        lit("v2").as("version"), cut.as("eff_start"),
+        lit("2099-01-01").cast(TimestampType).as("eff_end")))
+    Tables.orders(s, dir)
+      .join(dim, $"o_custkey" === $"c_custkey" &&
+        $"o_orderdate" >= $"eff_start" && $"o_orderdate" < $"eff_end")
+      .groupBy($"version")
+      .agg(count(lit(1)).as("n_orders"),
+        Num.roundAt(sum($"o_totalprice"), 2).as("sum_price"),
+        Num.roundAt(sum($"bal"), 2).as("sum_bal"))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -667,6 +694,7 @@ object Relational {
     "q73_histogram"       -> (histogram _),
     "q74_resample"        -> (resample _),
     "q75_winsorize"       -> (winsorize _),
+    "q80_scd2_join"       -> (scd2Join _),
     "q76_schema_union"    -> (schemaUnion _)
   )
 
@@ -721,6 +749,23 @@ object Relational {
         |       round(sum(value), 2) AS sum_value,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "q80_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal AS bal, 'v1' AS version,
+        |         TIMESTAMP '1990-01-01' AS eff_start,
+        |         TIMESTAMP '1996-06-01' AS eff_end
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal * 1.1::DOUBLE, 2), 'v2',
+        |         TIMESTAMP '1996-06-01', TIMESTAMP '2099-01-01'
+        |  FROM customer)
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       round(sum(bal), 2) AS sum_bal
+        |FROM orders JOIN dim
+        |  ON o_custkey = c_custkey
+        | AND o_orderdate >= eff_start AND o_orderdate < eff_end
+        |GROUP BY version ORDER BY version""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       true AS approx_in_bounds

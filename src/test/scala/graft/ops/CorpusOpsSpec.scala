@@ -169,6 +169,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q80: every order matches exactly one dimension version") {
+    import spark.implicits._
+    val out = Relational.queries("q80_scd2_join")(spark, dir).cache()
+    // validity ranges partition time, so the two versions together must
+    // account for every order exactly once
+    val total = out.agg(sum($"n_orders")).first().getLong(0)
+    assert(total == graft.Tables.orders(spark, dir).count(),
+      "SCD-2 validity ranges dropped or duplicated orders")
+    assert(out.count() == 2)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
