@@ -53,8 +53,13 @@ object CdcApply {
           queryName: String = "cdc_apply",
           checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    var snapshot = base.persist(StorageLevel.MEMORY_AND_DISK)
-    snapshot.count() // materialize the initial table version
+    // AtomicReference, not a captured var: foreachBatch runs on the
+    // stream-execution thread while the caller reads the final snapshot
+    // after stop() — the JMM guarantees visibility only through a proper
+    // barrier, which a plain closure-captured var does not provide.
+    val snapshot = new java.util.concurrent.atomic.AtomicReference(
+      base.persist(StorageLevel.MEMORY_AND_DISK))
+    snapshot.get().count() // materialize the initial table version
 
     val feed = spark.readStream
       .schema(changeSchema)
@@ -64,16 +69,17 @@ object CdcApply {
     val writer = feed.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = mergeBatch(snapshot, batch)
+        val prev = snapshot.get()
+        val next = mergeBatch(prev, batch)
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // commit this version before dropping the previous
-        snapshot.unpersist()
-        snapshot = next
+        prev.unpersist()
+        snapshot.set(next)
       }
     val q = checkpointDir
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     try q.processAllAvailable() finally q.stop()
-    snapshot
+    snapshot.get()
   }
 }
