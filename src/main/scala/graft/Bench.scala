@@ -78,12 +78,14 @@ object Bench {
     // warmup wall-clock stays well under the serial suite time.
     {
       import scala.collection.parallel.CollectionConverters._
-      val warm = SparkEntry.queries.toSeq.par
-      warm.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(8))
-      warm.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+      val pool = new java.util.concurrent.ForkJoinPool(8)
+      try {
+        val warm = SparkEntry.queries.toSeq.par
+        warm.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        warm.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      } finally pool.shutdown()
     }
     spark.catalog.clearCache() // warmup persists must not leak into timing
 
