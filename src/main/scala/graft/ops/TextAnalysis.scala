@@ -308,8 +308,31 @@ object TextAnalysis {
       .orderBy("lang", "pack_id")
   }
 
+  // q81: per-source capping — bound each source/domain to a fixed number
+  // of documents (15, keep-lowest-id), the data-mixing lever against
+  // over-represented domains (the Common-Crawl "cap per registered
+  // domain" rule). One ranking window partitioned by source + the audit
+  // rollup; deterministic keep order so the cap is reproducible.
+  private def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 15
+    val bySrc = Window.partitionBy($"source")
+    docs(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("n_total", count(lit(1)).over(bySrc))
+      .withColumn("rn", row_number().over(bySrc.orderBy($"doc_id")))
+      .filter($"rn" <= cap)
+      .groupBy($"source")
+      .agg(max($"n_total").as("n_total"), count(lit(1)).as("n_kept"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .withColumn("capped", $"n_total" > $"n_kept")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats"  -> (textStats _),
+    "q81_source_cap"  -> (sourceCap _),
     "q40_lang_id"     -> (langId _),
     "q41_quality"     -> (qualityScore _),
     "q42_token_count" -> (tokenCount _),
@@ -324,6 +347,17 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         count(*) OVER (PARTITION BY source) AS n_total,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(max(n_total) AS BIGINT) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       max(n_total) > count(*) AS capped
+        |FROM r WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
     "q24_text_stats" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS tf,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df

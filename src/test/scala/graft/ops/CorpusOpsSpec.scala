@@ -181,6 +181,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q81: no source exceeds the cap and kept docs are the lowest ids") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q81_source_cap")(spark, dir).cache()
+    assert(out.filter($"n_kept" > 15).count() == 0)
+    assert(out.filter($"n_kept" > $"n_total").count() == 0)
+    // capped flag is consistent with the counts
+    assert(out.filter($"capped" =!= ($"n_total" > $"n_kept")).count() == 0)
+    out.unpersist()
+  }
+
   test("q71: sample is deterministic and bounded by stratum size") {
     import spark.implicits._
     val run1 = TextAnalysis.queries("q71_stratified_sample")(spark, dir).collect()
