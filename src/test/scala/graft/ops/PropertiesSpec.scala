@@ -88,6 +88,29 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     })
   }
 
+  test("Det.h7 lands in [0, 2^28) for arbitrary strings") {
+    import spark.implicits._
+    check("h7range", Prop.forAll(Gen.listOfN(16, Gen.alphaNumStr)) { xs =>
+      val rs = xs.toDF("s").select(Det.h7(col("s")).as("h"))
+        .as[Long].collect()
+      rs.forall(h => h >= 0L && h < (1L << 28))
+    })
+  }
+
+  test("Det.minhashPerm stays in [0, P) with no int64 overflow headroom violation") {
+    import spark.implicits._
+    // j in 0..63 and h < 2^28 must keep a_j * h + b_j under 2^63 and the
+    // result under the Mersenne modulus — the invariant both engines'
+    // integer arithmetic relies on for bit parity
+    val gen = Gen.zip(Gen.choose(0, 63), Gen.choose(0L, (1L << 28) - 1))
+    check("perm", Prop.forAll(Gen.listOfN(16, gen)) { xs =>
+      val rs = xs.toDF("j", "h")
+        .select(Det.minhashPerm(col("j"), col("h")).as("p"))
+        .as[Long].collect()
+      rs.forall(p => p >= 0L && p < Det.MinHashP)
+    })
+  }
+
   // --- TopKAggregator buffer algebra (pure, no Spark session needed).
   // The O(k) sorted-insert/two-pointer-merge rewrite must agree with the
   // obvious sort-everything reference on ANY input split — this is the
