@@ -434,10 +434,17 @@ object Dedup {
     // the exchange it would take to avoid costs a whole extra stage.
     // (The TRAIN side below keeps its boundary — 5k docs on one input
     // split would serialize the shingle pass.)
+    // Guard both shingle feeds to >= 2 tokens: below that the native
+    // shingle_hashes fallback (one whole-string hash) and the oracle's
+    // range(1, len(th)) bigram CTE (empty list) diverge. No-op on the
+    // synthetic corpus; keeps degenerate short docs out of the overlap
+    // algebra on both engines.
     val evalSh = leaked.unionAll(control)
+      .filter(size(split($"text", " ")) >= 2)
       .withColumn("sh", expr("shingle_hashes(split(text, ' '))"))
       .select($"eval_id", size($"sh").as("n_eval"), explode($"sh").as("h"))
     val trainSh = train
+      .filter(size(split($"text", " ")) >= 2)
       .repartition(np)
       .select($"doc_id".as("train_id"),
         explode(expr("shingle_hashes(split(text, ' '))")).as("h"))
@@ -692,11 +699,11 @@ object Dedup {
         |eth AS (
         |  SELECT eval_id, list_transform(string_split(text, ' '),
         |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
-        |  FROM ev),
+        |  FROM ev WHERE len(string_split(text, ' ')) >= 2),
         |tth AS (
         |  SELECT doc_id AS train_id, list_transform(string_split(text, ' '),
         |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
-        |  FROM documents),
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
         |eng AS (
         |  SELECT eval_id, list_distinct(list_transform(range(1, len(th)),
         |           i -> (th[i] * 31 + th[i + 1]) % 2147483647)) AS sh

@@ -520,11 +520,20 @@ object Relational {
     import s.implicits._
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
       "l_returnflag", "l_shipdate")
+    // Double min/max go through DECIMAL(38,6) before the string cast:
+    // engine-default double->string is not byte-stable across JVMs
+    // (Double.toString may emit non-shortest digits on JDK <= 18, and the
+    // oracle relies on DuckDB's shortest-round-trip VARCHAR cast). A fixed
+    // scale pins both engines to the identical "1.000000" spelling.
+    val doubles = Set("l_quantity", "l_extendedprice", "l_discount")
+    def pinned(e: org.apache.spark.sql.Column, c: String) =
+      if (doubles(c)) e.cast(DecimalType(38, 6)).cast(StringType)
+      else e.cast(StringType)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"cnt_$c"),
       countDistinct(col(c)).as(s"ndv_$c"),
-      min(col(c)).cast(StringType).as(s"min_$c"),
-      max(col(c)).cast(StringType).as(s"max_$c")))
+      pinned(min(col(c)), c).as(s"min_$c"),
+      pinned(max(col(c)), c).as(s"max_$c")))
     Tables.lineitem(s, dir)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .select(explode(array(cols.map(c => struct(
@@ -941,16 +950,16 @@ object Relational {
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(count(l_quantity) AS BIGINT) AS cnt_q,
         |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
-        |    CAST(min(l_quantity) AS VARCHAR) AS min_q,
-        |    CAST(max(l_quantity) AS VARCHAR) AS max_q,
+        |    CAST(CAST(min(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS min_q,
+        |    CAST(CAST(max(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) AS max_q,
         |    CAST(count(l_extendedprice) AS BIGINT) AS cnt_p,
         |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv_p,
-        |    CAST(min(l_extendedprice) AS VARCHAR) AS min_p,
-        |    CAST(max(l_extendedprice) AS VARCHAR) AS max_p,
+        |    CAST(CAST(min(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR) AS min_p,
+        |    CAST(CAST(max(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR) AS max_p,
         |    CAST(count(l_discount) AS BIGINT) AS cnt_d,
         |    CAST(count(DISTINCT l_discount) AS BIGINT) AS ndv_d,
-        |    CAST(min(l_discount) AS VARCHAR) AS min_d,
-        |    CAST(max(l_discount) AS VARCHAR) AS max_d,
+        |    CAST(CAST(min(l_discount) AS DECIMAL(38,6)) AS VARCHAR) AS min_d,
+        |    CAST(CAST(max(l_discount) AS DECIMAL(38,6)) AS VARCHAR) AS max_d,
         |    CAST(count(l_returnflag) AS BIGINT) AS cnt_r,
         |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_r,
         |    CAST(min(l_returnflag) AS VARCHAR) AS min_r,

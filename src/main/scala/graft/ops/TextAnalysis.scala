@@ -249,7 +249,14 @@ object TextAnalysis {
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // Guard: docs with < 2 tokens have zero bigrams — the native
+    // shingle_hashes n<2 fallback (one whole-string hash) and the
+    // oracle's range(1, len(th)) CTE (empty list) disagree there, and
+    // the ratio would divide by zero. The filter is a no-op on the
+    // synthetic corpus but keeps the two formulations aligned on any
+    // future degenerate input.
     docs(s, dir)
+      .filter(size(split($"text", " ")) >= 2)
       .select($"doc_id",
         when($"doc_id" % 11 === 0, concat($"text", lit(" "), $"text"))
           .otherwise($"text").as("text"))
@@ -504,7 +511,8 @@ object TextAnalysis {
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 11 = 0 THEN concat(text, ' ', text)
         |              ELSE text END AS text
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
         |t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n,
         |         list_transform(string_split(text, ' '),

@@ -17,8 +17,14 @@ import org.apache.spark.sql.types._
   *     co-partitioned full-outer join (delete wins, update patches,
   *     insert appends);
   *   - the snapshot persists across batches (cache swap per batch, the
-  *     in-memory equivalent of a table version commit); lineage is cut
-  *     each batch so state never re-derives from batch 0.
+  *     in-memory equivalent of a table version commit). Note persist()
+  *     caches but does NOT truncate lineage: while each version's blocks
+  *     are alive nothing recomputes, but the logical plan still chains
+  *     through every prior merge. A production apply bounds that chain
+  *     with a durable per-version commit (Delta/Iceberg) or
+  *     checkpoint(); here explicit persist/unpersist is kept for its
+  *     deterministic block lifecycle in a shared test JVM, and in local
+  *     mode cached blocks cannot be lost short of JVM death.
   *
   * At 100 TB the snapshot lives in a table format and each batch commit
   * rewrites only touched files; the per-batch dataflow — shuffle on the

@@ -20,8 +20,10 @@ class StreamingCdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def writeChangeFile(df: DataFrame, outDir: String, name: String): Unit = {
     val staging = graft.ops.Core.tmp("cdc_stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
-    val part = Files.list(Paths.get(staging)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(Paths.get(staging))
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Files.createDirectories(Paths.get(outDir))
     Files.move(part, Paths.get(outDir, name))
   }
