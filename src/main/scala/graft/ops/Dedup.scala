@@ -265,15 +265,22 @@ object Dedup {
     val corpus = mutatedDocs(s, dir)
       .withColumn("n_tokens", size(split($"text", " ")))
     val quality = corpus.filter($"n_tokens" >= 5)
-    // exact dedup: doc_ids are unique, so keep-set semi-join == keep-first
-    val keepIds = quality.groupBy(md5($"text").as("digest"))
-      .agg(min($"doc_id").as("doc_id"))
+    // exact dedup: keep the min-doc_id row per content digest in ONE
+    // exchange — min_by's partial aggregate keeps a single candidate row
+    // per digest per map partition, so the shuffle moves at most one
+    // text per (digest, partition). The agg-then-semi-join alternative
+    // (q20's keep-set shape) costs a second pass that re-shuffles the
+    // full corpus text on doc_id; with doc_ids unique the two are
+    // row-identical.
     // The exact-deduped corpus feeds TWO consumers (signature computation
     // and the final anti-join), so persist it — otherwise the whole
     // scan→quality→digest-dedup lineage runs twice. This is the natural
     // stage boundary a deployment materializes to storage between
     // pipeline runs; in-memory persistence is the single-job equivalent.
-    val exact = quality.join(keepIds.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val exact = quality.groupBy(md5($"text").as("digest"))
+      .agg(min_by(struct($"doc_id", $"lang", $"text", $"n_tokens"), $"doc_id").as("d"))
+      .select($"d.doc_id".as("doc_id"), $"d.lang".as("lang"),
+        $"d.text".as("text"), $"d.n_tokens".as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup candidates: q21's banded MinHash over the exact-deduped
@@ -304,8 +311,9 @@ object Dedup {
   // adversarial diameters call for the alternating small-star/large-star
   // contraction (O(log n) rounds) or GraphX pregel — same per-round
   // dataflow, smarter edge rewiring. Labels persist per round so each
-  // iteration computes one delta, not the whole history (lineage is cut
-  // by the cache, not by checkpoint files).
+  // iteration computes one delta, not the whole history (the cache
+  // avoids recomputation; a long-running production loop would also
+  // checkpoint every ~10 rounds to bound the logical-plan chain).
   //
   // Oracle: DuckDB WITH RECURSIVE transitive reachability + min() — a
   // completely independent formulation of the same fixpoint.
@@ -320,24 +328,53 @@ object Dedup {
     val pairs = bandPairs(mutatedDocs(s, dir), np)
       .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materializes the pair cache AND sizes the loop: the dup-pair graph
+    // is orders of magnitude smaller than the corpus it came from, so the
+    // CC iteration re-plans its partitioning and join strategy from the
+    // MEASURED edge count (the same runtime-statistics re-plan AQE does
+    // for single queries, applied across a loop). Corpus-sized defaults
+    // here mean every 0.1s round pays 32-partition exchanges over a few
+    // thousand rows — fixed scheduler overhead, not compute.
+    val nPairs = pairs.count()
+    val itParts = math.max(1L, math.min(np.toLong, nPairs / 500000L + 1L)).toInt
+    // Broadcast the label frontier while it fits (labels ≤ nodes ≤
+    // 2·pairs): each round is then ONE narrow stage — broadcast-hash
+    // join + partial/final min fused over edges' cached clustering, no
+    // exchange at all. Past the threshold (billions of pairs at 100 TB)
+    // fall back to the co-partitioned shuffle join on v.
+    val bcastFrontier = nPairs <= 5000000L
     val und = pairs
       .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("u", "v")
     // Self-loops fold the "keep my own label" term into the neighbor
     // aggregate, so each round is ONE join + ONE aggregate (the classic
     // two-step — neighbor-min then least(own, nbr) via outer join — costs
-    // a second join over the full label set every round). Cached
-    // pre-partitioned on the join key v: the per-round join reuses this
-    // partitioning and never re-shuffles the edge set.
-    val edges = und
-      .unionAll(und.select($"u").distinct().select($"u", $"u".as("v")))
-      .repartition(np, $"v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a second join over the full label set every round). min() is
+    // idempotent, so one self-loop per incident edge (skipping the
+    // distinct's extra exchange) aggregates identically to one per node.
+    // Cache clustering follows the chosen strategy: by u (the aggregate
+    // key) when the frontier broadcasts, by v (the join key) when it
+    // must shuffle.
+    val edges = {
+      val e = und.unionAll(und.select($"u", $"u".as("v")))
+      (if (bcastFrontier) e.repartition(itParts, $"u")
+       else e.repartition(np, $"v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     // Round 0 fused: labels start as the node ids themselves, so the
     // first propagation needs no label join at all — min neighbor id
-    // (self-loop included) is a plain aggregate over the edge set.
+    // (self-loop included) is a plain aggregate over the edge set
+    // (exchange-free on the broadcast path: edges are already clustered
+    // by the aggregate key).
     var labels = edges.groupBy($"u".as("doc_id")).agg(min($"v").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def step(lbl: DataFrame): DataFrame = {
+      val l = lbl.select($"doc_id".as("v"), $"lbl")
+      val joined =
+        if (bcastFrontier) edges.join(broadcast(l), Seq("v"))
+        else edges.join(l.repartition(np, $"v"), Seq("v"))
+      joined.groupBy($"u".as("doc_id")).agg(min($"lbl").as("lbl"))
+    }
 
     // Convergence via the label-sum invariant: min-label propagation is
     // monotone non-increasing per node, so the label sum strictly
@@ -358,10 +395,7 @@ object Dedup {
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
-      val next = edges
-        .join(labels.select($"doc_id".as("v"), $"lbl"), Seq("v"))
-        .groupBy($"u".as("doc_id"))
-        .agg(min($"lbl").as("lbl"))
+      val next = step(labels)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val curSum = lblSum(next) // materializes next's cache

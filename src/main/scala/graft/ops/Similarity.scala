@@ -95,27 +95,44 @@ object Similarity {
   // q49: IVF-style ANN — the other canonical scale path (inverted file
   // index). Cells are defined by a small centroid codebook (here: the
   // first 8 vectors, deterministic; at scale a sampled k-means
-  // codebook), broadcast to assign every vector to its best cell in one
-  // pass. Probes search their nprobe=2 best cells only, so per-probe
+  // codebook), shipped to every task as plan literals to assign each
+  // vector to its best cell in one map-side pass. Probes search their
+  // nprobe=2 best cells only, so per-probe
   // work is ~nprobe·n/k candidates instead of n. All ranking on
   // bit-identical cosines (fold_dot) with cell-id tie-breaks, so the
   // oracle twin reproduces the exact cell assignment and result set.
   private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = base(s, dir)
-    val cents = all.filter($"vec_id" < 8)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
-
-    // cell affinity of every vector: rank centroids by cosine
-    val affinity = all.join(broadcast(cents))
-      .withColumn("ccos", expr("fold_dot(v, cv)") / ($"nrm" * $"cn"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
-    val assign = affinity.filter($"crank" === 1)
-      .select($"vec_id".as("cand_id"), $"cent_id".as("cell"), $"v".as("cv2"), $"nrm".as("cn2"))
-    val probeCells = affinity
-      .filter($"vec_id" >= 20 && $"vec_id" < 40 && $"crank" <= 2)
-      .select($"vec_id".as("probe_id"), $"cent_id".as("cell"), $"v".as("pv"), $"nrm".as("pn"))
+    // Collect the codebook to the driver — k·dim doubles, the canonical
+    // IVF shape (a codebook is small BY CONSTRUCTION; at 100 TB it is
+    // k-means output, still kilobytes). With centroids as literals, cell
+    // assignment is a pure per-row projection: all k cosines + the
+    // argmax run inside one codegen'd map stage — no fan-out join and no
+    // window shuffle of n·k vector-carrying rows (the previous shape).
+    // Norms are collected, not recomputed, so every ccos divides by the
+    // bit-identical double the oracle's formula produces.
+    val centRows = all.filter($"vec_id" < 8)
+      .select($"vec_id", $"v", $"nrm").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1)
+    // struct(ccos, -cent_id): ascending struct sort, reversed, ranks by
+    // (ccos DESC, cent_id ASC) — the window's orderBy, without the window.
+    val scoredCells = array(centRows.map { case (cid, cv, cn) =>
+      struct(
+        (call_function("fold_dot", $"v", typedlit(cv)) / ($"nrm" * lit(cn))).as("ccos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    val withCells = all.withColumn("cells", reverse(array_sort(scoredCells)))
+    val assign = withCells
+      .select($"vec_id".as("cand_id"), (-$"cells"(0)("negcid")).as("cell"),
+        $"v".as("cv2"), $"nrm".as("cn2"))
+    val probeCells = withCells
+      .filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("probe_id"), explode(slice($"cells", 1, 2)).as("pc"),
+        $"v".as("pv"), $"nrm".as("pn"))
+      .select($"probe_id", (-$"pc"("negcid")).as("cell"), $"pv", $"pn")
 
     val scored = probeCells.join(assign, Seq("cell"))
       .filter($"probe_id" =!= $"cand_id")
@@ -132,25 +149,33 @@ object Similarity {
 
   // q61: one Lloyd iteration of k-means over the embeddings — the
   // codebook-refinement step the IVF comments (q27/q49) defer to
-  // "k-means at scale". Seeds = the first 8 vectors (deterministic);
-  // every vector joins the BROADCAST codebook and takes the argmin
-  // squared-L2 centroid, with d² = v·v − 2·v·c + c·c on native
-  // fold_dots — v·v computed once per vector and c·c once per centroid,
-  // never a 64-dim subtract-square per (vector, centroid) pair. The
-  // update step re-averages members per cell. At 100 TB this is the
-  // canonical iteration: broadcast k centroids, one scan, one k-group
-  // shuffle, repeat until movement < ε. Output pins the assignment
-  // counts and the first four centroid dimensions.
+  // "k-means at scale". Seeds = the first 8 vectors (deterministic),
+  // collected and shipped as plan literals (same rationale as q49: a
+  // codebook is kilobytes by construction); the argmin squared-L2
+  // centroid is a map-side array_min over one struct per centroid, with
+  // d² = v·v − 2·v·c + c·c on native fold_dots — v·v computed once per
+  // vector, c·c once per centroid on the driver, never a 64-dim
+  // subtract-square per (vector, centroid) pair, and no n·k fan-out
+  // join or window shuffle. The update step re-averages members per
+  // cell. At 100 TB this is the canonical iteration: ship k centroids,
+  // one scan, one k-group shuffle, repeat until movement < ε. Output
+  // pins the assignment counts and the first four centroid dimensions.
   private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = base(s, dir).withColumn("vv", expr("fold_dot(v, v)"))
-    val cents = all.filter($"vec_id" < 8)
-      .select($"vec_id".as("cid"), $"v".as("c"), $"vv".as("cc"))
-    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
-    all.crossJoin(broadcast(cents))
-      .withColumn("d2", $"vv" - lit(2.0) * expr("fold_dot(v, c)") + $"cc")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    val centRows = all.filter($"vec_id" < 8)
+      .select($"vec_id", $"v", $"vv").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1)
+    // array_min over struct(d2, cid) = lexicographic min = argmin d²
+    // with cid ascending tie-break — the window's (d2, cid) orderBy.
+    val best = array_min(array(centRows.map { case (cid, c, cc) =>
+      struct(
+        ($"vv" - lit(2.0) * call_function("fold_dot", $"v", typedlit(c)) + lit(cc)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*))
+    all.withColumn("cid", best("cid"))
       .groupBy($"cid")
       .agg(
         count(lit(1)).as("n_members"),
