@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -53,6 +54,69 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  private val orcOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time ORC ingest of lineitem, idempotent per dir — ingest-time
+    * layout work like the partitioned/bucketed copies, pre-paid in the
+    * bench's untimed setup phase.
+    */
+  private[graft] def ensureOrcLineitem(s: SparkSession, dir: String): String =
+    orcOnce.getOrElseUpdate(dir, {
+      val out = Core.tmp("graft_orc_lineitem")
+      graft.Tables.lineitem(s, dir).write.mode("overwrite").orc(out)
+      out
+    })
+
+  // q82: ORC scan — the second columnar format a multi-team lake always
+  // ends up holding (Hive-era tables are ORC; Spark's reader is
+  // built-in). Same pushdown contract as parquet: the range predicate
+  // reaches the ORC reader (searchArguments) and row groups outside
+  // [45, ∞) are skipped via min/max stride stats; the projection prunes
+  // to 4 of 16 columns. Oracle runs the identical SQL over the parquet
+  // twin — format must not change a single bit of the result.
+  private def orcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureOrcLineitem(s, dir)
+    s.read.orc(path)
+      .filter($"l_quantity" >= 45.0)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundAt(sum($"l_extendedprice"), 2).as("revenue"),
+        Num.roundAt(avg($"l_discount"), 6).as("avg_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  // q86: z-order (Morton) clustering key — the multi-dimensional
+  // data-skipping layout lever (Delta OPTIMIZE ZORDER, Iceberg sort
+  // orders). Interleaving the bits of two filter dimensions makes rows
+  // close in EITHER dimension close in the sort order, so per-file
+  // min/max zone maps prune 2-D range filters that a single-column sort
+  // can only prune on its leading key. The key is 20 exact integer
+  // bit-ops per row (10 bits per dimension), identical on both engines;
+  // the query reports per-tile occupancy + per-dimension spans (the
+  // zone-map view: every 64-tile covers a 128x128 rectangle, which is
+  // exactly why both `x BETWEEN` and `y BETWEEN` filters skip files
+  // after a z-sort rewrite).
+  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def interleave(c: org.apache.spark.sql.Column, off: Int) =
+      (0 until 10).map(i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off))
+        .reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(
+        pmod($"o_custkey", lit(1024L)).as("x"),
+        pmod(datediff(to_date($"o_orderdate"),
+          lit("1970-01-01").cast(DateType)).cast(LongType), lit(1024L)).as("y"))
+      .withColumn("zkey", interleave($"x", 0) + interleave($"y", 1))
+      .groupBy(shiftright($"zkey", 14).as("ztile"))
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy("ztile")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into files near
     * `targetBytes` each. The small-file problem is the routine 100 TB
     * maintenance chore — streaming sinks and over-parallel writers leave
@@ -81,8 +145,15 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_partition_prune" -> (partitionPrune _)
+    "q50_partition_prune" -> (partitionPrune _),
+    "q82_orc_scan"        -> (orcScan _),
+    "q86_zorder_key"      -> (zorderKey _)
   )
+
+  private val zSumSql: String =
+    (0 until 10).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "q50_partition_prune" ->
@@ -91,6 +162,25 @@ object Layout {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE month(o_orderdate) = 3
-        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q82_orc_scan" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem WHERE l_quantity >= 45.0::DOUBLE
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q86_zorder_key" ->
+      s"""WITH d AS (
+        |  SELECT o_custkey % 1024 AS x,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |              CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y
+        |  FROM orders),
+        |z AS (SELECT x, y, $zSumSql AS zkey FROM d)
+        |SELECT CAST(zkey >> 14 AS BIGINT) AS ztile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY 1 ORDER BY ztile""".stripMargin
   )
 }

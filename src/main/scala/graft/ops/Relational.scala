@@ -673,6 +673,55 @@ object Relational {
       .orderBy("version")
   }
 
+  // q84: time-RANGE rolling window — per-user trailing 7-day purchase
+  // spend, evaluated at every purchase event. RANGE frames (interval
+  // lookback), unlike the ROWS frames of q30/q45, bound the frame by
+  // VALUE distance, which is what every "spend in the last N days"
+  // monitoring/feature query actually means when events are irregularly
+  // spaced. The frame key is exact int64 epoch-micros on both engines
+  // (unix_micros / epoch_us — no double seconds), so frame membership
+  // is bit-identical. One shuffle: the window's partitionBy(user_id);
+  // at 100 TB the partition key is (user_id) with bounded per-user
+  // history, the classic feature-store window shape.
+  private def rollingRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seven = 7L * 24 * 3600 * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"t")
+      .rangeBetween(-seven, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"), $"value")
+      .withColumn("spend_7d", Num.roundAt(sum($"value").over(w), 2))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .select($"event_id", $"user_id", $"t".as("ts_us"), $"n_7d", $"spend_7d")
+      .orderBy("event_id")
+  }
+
+  // q85: last-touch attribution — each purchase's value is credited to
+  // the channel (event_type) of the user's most recent PRECEDING
+  // non-purchase event, the marketing-analytics join every clickstream
+  // warehouse runs. last(..., ignoreNulls) over an UNBOUNDED PRECEDING →
+  // 1 PRECEDING frame finds the touch without a self-join (the naive
+  // as-of formulation is an O(n²) range join per user); ordering is
+  // (t, event_id) so ties are total on both engines. Purchases with no
+  // prior touch credit 'none'. One shuffle (the user_id window), then a
+  // 5-group aggregate.
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"),
+        $"event_type", $"value")
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Num.roundAt(sum($"value"), 2).as("attributed_value"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q30_window_rank"     -> (windowRank _),
@@ -704,7 +753,9 @@ object Relational {
     "q74_resample"        -> (resample _),
     "q75_winsorize"       -> (winsorize _),
     "q80_scd2_join"       -> (scd2Join _),
-    "q76_schema_union"    -> (schemaUnion _)
+    "q76_schema_union"    -> (schemaUnion _),
+    "q84_rolling_range"   -> (rollingRange _),
+    "q85_attribution"     -> (attribution _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1036,6 +1087,28 @@ object Relational {
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
-        |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q84_rolling_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        |       round(sum(value) OVER w, 2) AS spend_7d
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q85_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(sum(value), 2) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin
   )
 }

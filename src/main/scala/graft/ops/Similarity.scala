@@ -111,8 +111,15 @@ object Similarity {
     // argmax run inside one codegen'd map stage — no fan-out join and no
     // window shuffle of n·k vector-carrying rows (the previous shape).
     // Norms are collected, not recomputed, so every ccos divides by the
-    // bit-identical double the oracle's formula produces.
-    val centRows = all.filter($"vec_id" < 8)
+    // bit-identical double the oracle's formula produces. Read straight
+    // from the table — NOT through `base` — so the vec_id<8 filter
+    // pushes to the parquet scan instead of paying a full
+    // repartition+norms pass over the corpus to keep 8 rows (the
+    // expressions are identical, so the doubles are too).
+    val centRows = Tables.embeddings(s, dir)
+      .filter($"vec_id" < 8)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
       .select($"vec_id", $"v", $"nrm").collect()
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toSeq, r.getDouble(2)))
@@ -163,7 +170,12 @@ object Similarity {
   private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = base(s, dir).withColumn("vv", expr("fold_dot(v, v)"))
-    val centRows = all.filter($"vec_id" < 8)
+    // Codebook read straight from the table (filter pushed to the scan),
+    // not through `base` — see q49.
+    val centRows = Tables.embeddings(s, dir)
+      .filter($"vec_id" < 8)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .withColumn("vv", expr("fold_dot(v, v)"))
       .select($"vec_id", $"v", $"vv").collect()
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toSeq, r.getDouble(2)))

@@ -337,8 +337,52 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // q83: BM25 retrieval scoring — the lexical-search ranking function
+  // (Lucene/Elasticsearch default, k1=1.2, b=0.75) for the fixed query
+  // {join, scan, merge}, top-20 documents. Term frequencies come from
+  // ONE token explode with the query-term filter applied BEFORE the
+  // aggregate (map-side, prunes ~97% of token rows); document length
+  // rides the explode so no corpus re-join is needed. df and the corpus
+  // scalars (N, avgdl) broadcast. Per-term scores land in FIXED columns
+  // and the final score adds them left-to-right, so double addition
+  // order is identical on both engines (a per-doc SUM over term rows
+  // would leave the order engine-chosen). Top-20 via orderBy+limit —
+  // TakeOrderedAndProject, per-partition heaps, never a global sort.
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val toks = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
+      .filter($"term".isin("join", "scan", "merge"))
+    val tf = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scalars = Tables.documents(s, dir).agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(size(split($"text", " "))).as("avgdl"))
+    val perDoc = tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("sc", $"idf" * (($"tf" * (k1 + 1.0)) /
+        ($"tf" + k1 * (lit(1.0) - b + (b * $"dl") / $"avgdl"))))
+      .groupBy($"doc_id")
+      .agg(sum(when($"term" === "join", $"sc")).as("s1"),
+        sum(when($"term" === "scan", $"sc")).as("s2"),
+        sum(when($"term" === "merge", $"sc")).as("s3"))
+      .withColumn("score",
+        coalesce($"s1", lit(0.0)) + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
+    perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
+      .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
+      .select($"doc_id", $"rank", Num.roundAt($"score", 6).as("bm25"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats"  -> (textStats _),
+    "q83_bm25"        -> (bm25 _),
     "q81_source_cap"  -> (sourceCap _),
     "q40_lang_id"     -> (langId _),
     "q41_quality"     -> (qualityScore _),
@@ -354,6 +398,38 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q83_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |             score
+        |      FROM p)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, round(score, 6) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q81_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,

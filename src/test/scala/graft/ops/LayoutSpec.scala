@@ -55,6 +55,43 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.exceptAll(before).count() == 0)
   }
 
+  test("q82: ORC scan pushes the predicate and matches the parquet twin") {
+    import spark.implicits._
+    val df = Layout.queries("q82_orc_scan")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf over the ORC copy")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_quantity"),
+      s"quantity range predicate must reach the ORC reader, got: $pushed")
+    val expect = graft.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 45.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(sum($"l_extendedprice"), 2).as("revenue"),
+        Num.roundAt(avg($"l_discount"), 6).as("avg_disc"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(df.collect().toSeq == expect.toSeq,
+      "ORC and parquet scans of the same rows must agree bit-for-bit")
+  }
+
+  test("q86: every z-tile spans at most 128 values in BOTH dimensions") {
+    import spark.implicits._
+    val rows = Layout.queries("q86_zorder_key")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 127,
+        s"tile ${r.getAs[Long]("ztile")} x-span too wide — interleave broken")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 127,
+        s"tile ${r.getAs[Long]("ztile")} y-span too wide — interleave broken")
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.Tables.orders(spark, dir).count(),
+      "tile occupancies must partition the table")
+  }
+
   test("q50: pruned aggregate matches the unpartitioned computation") {
     import spark.implicits._
     val out = Layout.queries("q50_partition_prune")(spark, dir).collect()

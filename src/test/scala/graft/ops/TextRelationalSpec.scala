@@ -38,6 +38,41 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q83: BM25 ranks are contiguous with non-increasing positive scores") {
+    val rows = TextAnalysis.queries("q83_bm25")(spark, dir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing in rank order")
+  }
+
+  test("q84: trailing 7-day spend dominates the event's own value") {
+    import spark.implicits._
+    val out = Relational.queries("q84_rolling_range")(spark, dir).cache()
+    // frame includes CURRENT ROW: count >= 1 and the rolling sum is at
+    // least this purchase's value (values are non-negative)
+    assert(out.filter($"n_7d" < 1).count() == 0)
+    val joined = out.join(
+      graft.Tables.events(spark, dir).select($"event_id", $"value"), Seq("event_id"))
+    assert(joined.filter($"spend_7d" < $"value" - 0.01).count() == 0)
+    out.unpersist()
+  }
+
+  test("q85: attribution conserves purchases and uses real channels") {
+    import spark.implicits._
+    val out = Relational.queries("q85_attribution")(spark, dir).collect()
+    val channels = out.map(_.getAs[String]("channel")).toSet
+    val valid = Set("signup", "view", "click", "error", "none")
+    assert(channels.subsetOf(valid), s"unexpected channels: ${channels -- valid}")
+    val totalPurchases = out.map(_.getAs[Long]("n_purchases")).sum
+    val expected = graft.Tables.events(spark, dir)
+      .filter($"event_type" === "purchase").count()
+    assert(totalPurchases == expected,
+      "every purchase must be attributed to exactly one channel")
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
