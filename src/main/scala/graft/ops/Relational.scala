@@ -722,8 +722,41 @@ object Relational {
       .orderBy("channel")
   }
 
+  // q87: approximate per-group percentiles with a rank-error contract —
+  // the sketch rung of q52's exact-percentile ladder. percentile_approx
+  // (Greenwald-Khanna, accuracy 1000) is mergeable and
+  // partial-aggregating, the only per-group quantile shape that holds
+  // at 100 TB (exact percentile materializes every group's values on
+  // one reducer). Like q36, the sketch output itself is
+  // engine-specific, so the oracle pins the CONTRACT: the realized
+  // rank of each returned value must sit within sketch-ε (1/accuracy)
+  // of the target quantile, plus 2/n discreteness slack — rank space,
+  // not value space, because that is the guarantee GK actually makes
+  // (value error is unbounded on heavy-tailed columns). Second pass
+  // joins the 3-row sketch output back broadcast.
+  private def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ap = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("ap99"))
+    val bound = lit(0.001) + lit(2.0) / $"n"
+    Tables.lineitem(s, dir)
+      .join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_extendedprice" <= $"ap50", 1L).otherwise(0L)).as("r50"),
+        sum(when($"l_extendedprice" <= $"ap99", 1L).otherwise(0L)).as("r99"))
+      .select($"l_returnflag", $"n",
+        (abs($"r50".cast(DoubleType) / $"n" - 0.5) <= bound).as("p50_in_bounds"),
+        (abs($"r99".cast(DoubleType) / $"n" - 0.99) <= bound).as("p99_in_bounds"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
+    "q87_approx_percentiles" -> (approxPercentiles _),
     "q30_window_rank"     -> (windowRank _),
     "q31_semi_anti"       -> (semiAnti _),
     "q32_topk"            -> (topK _),
@@ -1088,6 +1121,10 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q87_approx_percentiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       true AS p50_in_bounds, true AS p99_in_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q84_rolling_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       CAST(count(*) OVER w AS BIGINT) AS n_7d,

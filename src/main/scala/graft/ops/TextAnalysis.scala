@@ -353,7 +353,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val k1 = lit(1.2)
     val b = lit(0.75)
-    val toks = docs(s, dir)
+    // No corpus repartition here (unlike the signature queries): the
+    // per-row work is one split+explode+isin — cheap narrow compute the
+    // single-file-split trap doesn't bite — and the (doc_id, term)
+    // aggregate's own exchange supplies downstream parallelism.
+    val toks = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
       .filter($"term".isin("join", "scan", "merge"))

@@ -73,6 +73,17 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "every purchase must be attributed to exactly one channel")
   }
 
+  test("q87: sketch percentiles honor the rank-error contract") {
+    val rows = Relational.queries("q87_approx_percentiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_bounds"),
+        s"${r.getAs[String]("l_returnflag")}: p50 outside GK rank bound")
+      assert(r.getAs[Boolean]("p99_in_bounds"),
+        s"${r.getAs[String]("l_returnflag")}: p99 outside GK rank bound")
+    }
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
