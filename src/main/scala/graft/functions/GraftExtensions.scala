@@ -31,12 +31,19 @@ object GraftExtensions {
     "lsh_buckets"    -> (e => LshBuckets(e.head)),
     "shingle_hashes" -> (e => ShingleHashes(e.head)),
     "fold_dot"       -> (e => FoldDot(e(0), e(1))),
-    "sorted_overlap" -> (e => SortedOverlap(e(0), e(1)))
+    "sorted_overlap" -> (e => SortedOverlap(e(0), e(1))),
+    "zip_eq_count"   -> (e => ZipEqCount(e(0), e(1)))
   )
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, name), builder))
     }
+    // Plan-rewrite surface: accelerate the declarative signature-match
+    // idiom (see RewriteZipEqCount) for every session built with the
+    // extension. Runs in the user-provided optimizer batch, after
+    // Catalyst's own.
+    ext.injectOptimizerRule(_ => RewriteZipEqCount)
+  }
 }

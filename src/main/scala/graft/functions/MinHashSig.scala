@@ -154,5 +154,7 @@ object GraftFunctions {
       "fold_dot", exprs => FoldDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_overlap", exprs => SortedOverlap(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zip_eq_count", exprs => ZipEqCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -126,6 +126,34 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Double]("d") == 1.0 * 3.0 + 2.0 * 5.0)
   }
 
+  test("zip_eq_count == the HOF idiom, and the optimizer rule rewrites it") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1 to 50).map { i =>
+      val a = (0 until 64).map(j => ((i * 31 + j * 7) % 9).toLong)
+      val b = (0 until 64).map(j => ((i * 17 + j * 5) % 9).toLong)
+      (a, b)
+    }.toDF("a", "b")
+    def hof = size(filter(zip_with($"a", $"b", (x, y) => x === y), v => v))
+    val out = df.select(hof.as("composed"), expr("zip_eq_count(a, b)").as("native"))
+    assert(out.filter($"composed" =!= $"native").count() == 0)
+    // some agreement exists in this fixture, so the test can't pass vacuously
+    assert(out.filter($"native" > 0).count() > 0)
+    // the injected rule must replace the declarative idiom in the plan
+    // Plan assertion needs a file-backed frame: over a LocalRelation,
+    // ConvertToLocalRelation evaluates the projection at optimize time
+    // and leaves no expression tree to rewrite.
+    val pq = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(expr("minhash_sig(split(text, ' '))").as("a"))
+      .withColumn("b", reverse($"a"))
+    val optimized = pq.select(hof.as("c")).queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists {
+      case _: ZipEqCount => true
+      case _ => false
+    })
+    assert(rewritten, "RewriteZipEqCount did not fire on the optimized plan")
+  }
+
   test("sorted_overlap == size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)
