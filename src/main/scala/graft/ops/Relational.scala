@@ -754,9 +754,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q88: robust anomaly detection — per-group median/MAD outlier
+  // scoring (|x − med| > 3·1.4826·MAD, the normal-consistent robust
+  // z-score), the data-quality monitor that survives the heavy tails
+  // that wreck mean/stddev gating. Exact medians need two grouped
+  // percentile passes with a broadcast join-back between them — three
+  // scans of the fact table total, which is the honest cost of exact
+  // robust stats (a deployment persists the dev frame, or swaps in
+  // q87's mergeable sketch for med/MAD at 100 TB; the dataflow is
+  // identical). Group medians are per-group scalars, so both
+  // join-backs broadcast.
+  private def robustAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(max($"med"), 4).as("med"),
+        Num.roundAt(max($"mad"), 4).as("mad"),
+        sum(when(abs($"value" - $"med") > lit(3.0) * lit(1.4826) * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        Num.roundAt($"n_outliers".cast(DoubleType) / $"n", 6))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q87_approx_percentiles" -> (approxPercentiles _),
+    "q88_robust_anomaly"  -> (robustAnomaly _),
     "q30_window_rank"     -> (windowRank _),
     "q31_semi_anti"       -> (semiAnti _),
     "q32_topk"            -> (topK _),
@@ -1121,6 +1153,27 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q88_robust_anomaly" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1),
+        |g AS (
+        |  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |         round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad,
+        |         CAST(sum(CASE WHEN abs(d.value - d.med)
+        |                         > 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM dev d JOIN mad m USING (event_type)
+        |  GROUP BY 1)
+        |SELECT event_type, n, med, mad, n_outliers,
+        |       round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_rate
+        |FROM g ORDER BY event_type""".stripMargin,
     "q87_approx_percentiles" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       true AS p50_in_bounds, true AS p99_in_bounds

@@ -84,6 +84,17 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q88: MAD gate flags a bounded share of events as outliers") {
+    val rows = Relational.queries("q88_robust_anomaly")(spark, dir).collect()
+    assert(rows.length == 5, "one row per event type")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      val rate = r.getAs[Double]("outlier_rate")
+      assert(rate >= 0.0 && rate < 0.5,
+        s"${r.getAs[String]("event_type")}: implausible outlier rate $rate")
+    }
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
