@@ -25,7 +25,12 @@ object Explain {
     "q66_decontamination",// expect: eval side broadcast (hinted), WindowGroupLimit for top-1
     "q72_profile",        // expect: ONE scan + Expand (multi-countDistinct), never per-column scans
     "q74_resample",       // expect: grid Generate + broadcast hourly join + fill Window, one shuffle key
-    "q78_incremental_dedup" // expect: arrivals broadcast (hinted, BuildLeft), index never broadcast
+    "q78_incremental_dedup", // expect: arrivals broadcast (hinted, BuildLeft), index never broadcast
+    "q82_orc_scan",       // expect: PushedFilters into the ORC scan, 4-col ReadSchema
+    "q83_bm25",           // expect: broadcast df/scalars joins, TakeOrderedAndProject top-20
+    "q84_rolling_range",  // expect: ONE user_id exchange, RangeFrame window
+    "q86_zorder_key",     // expect: map-side z-key projection, partial agg before exchange
+    "q88_robust_anomaly"  // expect: both join-backs BroadcastHashJoin
   )
 
   def main(args: Array[String]): Unit = {

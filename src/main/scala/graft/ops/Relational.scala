@@ -42,12 +42,20 @@ object Relational {
     import s.implicits._
     val byDate = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    // Window values are materialized RAW and rounded in a later
+    // projection: Num.roundAt references its argument ~5 times, and the
+    // window-expression extractor runs on the already-expanded tree, so
+    // rounding the .over() directly plans five identical window
+    // aggregates per column (caught in the q84 plan audit).
     Tables.orders(s, dir)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice",
         row_number().over(byDate).as("rn"),
         rank().over(byPrice).as("price_rank"),
-        Num.roundAt(lag($"o_totalprice", 1).over(byDate), 2).as("prev_price"),
-        Num.roundAt(avg($"o_totalprice").over(byDate.rowsBetween(-2, 0)), 2).as("mov_avg3"))
+        lag($"o_totalprice", 1).over(byDate).as("prev_raw"),
+        avg($"o_totalprice").over(byDate.rowsBetween(-2, 0)).as("mov_raw"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn", $"price_rank",
+        Num.roundAt($"prev_raw", 2).as("prev_price"),
+        Num.roundAt($"mov_raw", 2).as("mov_avg3"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -691,9 +699,13 @@ object Relational {
     Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", unix_micros($"ts").as("t"), $"value")
-      .withColumn("spend_7d", Num.roundAt(sum($"value").over(w), 2))
+      // raw window sum first, round in the next projection — see q30:
+      // rounding .over() inline plans one window aggregate per roundAt
+      // reference (five identical RANGE sums in the audit).
+      .withColumn("spend_raw", sum($"value").over(w))
       .withColumn("n_7d", count(lit(1)).over(w))
-      .select($"event_id", $"user_id", $"t".as("ts_us"), $"n_7d", $"spend_7d")
+      .select($"event_id", $"user_id", $"t".as("ts_us"), $"n_7d",
+        Num.roundAt($"spend_raw", 2).as("spend_7d"))
       .orderBy("event_id")
   }
 

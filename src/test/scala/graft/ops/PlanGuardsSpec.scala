@@ -79,6 +79,24 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("BuildLeft"), s"broadcast build is not the arrivals (left) side:\n$p")
   }
 
+  test("q84: the rolling window runs a RANGE frame, not a ROWS approximation") {
+    val (_, p) = plan("q84_rolling_range")
+    assert(p.contains("RangeFrame") || p.contains("RANGE BETWEEN"),
+      s"expected a RANGE window frame:\n$p")
+  }
+
+  test("q83: the BM25 top-20 plans as TakeOrderedAndProject") {
+    val (_, p) = plan("q83_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k, not a global sort:\n$p")
+  }
+
+  test("q88: both percentile join-backs broadcast the per-group scalars") {
+    val (_, p) = plan("q88_robust_anomaly")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 2, s"expected 2 broadcast join-backs, found $n:\n$p")
+  }
+
   test("q21: the band self-join is an equi-join, never a cartesian product") {
     val (_, p) = plan("q21_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
