@@ -797,10 +797,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q89: equi-DEPTH binning (quantile discretization) — the ML
+  // feature-engineering partner of q73's equi-width histogram: ntile
+  // assigns each value to its within-group decile, so bins carry equal
+  // populations and downstream models see a uniform code distribution
+  // regardless of skew. Ordering is total ((value, event_id)) so bin
+  // assignment is deterministic on both engines. One window shuffle on
+  // the group key, then the per-bin aggregate reuses the same
+  // clustering. At 100 TB the window partitions by (group, shard) or
+  // swaps in q87's sketch cutpoints; the audit columns (bin edges +
+  // populations) are what a feature store registers.
+  private def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Explicit NULLS FIRST: Spark's ASC default — DuckDB's ASC default
+    // is NULLS LAST, so the oracle says it explicitly (value is
+    // currently null-free; the pin is for degenerate future inputs).
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".asc_nulls_first, $"event_id")
+    Tables.events(s, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(min($"value"), 4).as("lo"),
+        Num.roundAt(max($"value"), 4).as("hi"),
+        Num.roundAt(avg($"value"), 6).as("mean"))
+      .orderBy("event_type", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_json_props"      -> (jsonProps _),
     "q87_approx_percentiles" -> (approxPercentiles _),
     "q88_robust_anomaly"  -> (robustAnomaly _),
+    "q89_quantile_bins"   -> (quantileBins _),
     "q30_window_rank"     -> (windowRank _),
     "q31_semi_anti"       -> (semiAnti _),
     "q32_topk"            -> (topK _),
@@ -1165,6 +1194,18 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q89_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         ntile(10) OVER (PARTITION BY event_type
+        |                         ORDER BY value ASC NULLS FIRST, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(min(value), 4) AS lo,
+        |       round(max(value), 4) AS hi,
+        |       round(avg(value), 6) AS mean
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
     "q88_robust_anomaly" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

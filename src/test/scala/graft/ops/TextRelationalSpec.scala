@@ -95,6 +95,22 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q89: deciles are equi-depth and value-ordered within each group") {
+    val rows = Relational.queries("q89_quantile_bins")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, bins) =>
+      val ns = bins.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$et: bin populations differ by ${ns.max - ns.min}")
+      val ordered = bins.sortBy(_.getAs[Int]("decile"))
+      ordered.foreach(b => assert(b.getAs[Double]("lo") <= b.getAs[Double]("hi")))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+            s"$et: decile ranges overlap across the ${b.getAs[Int]("decile")} boundary")
+        case _ =>
+      }
+    }
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
