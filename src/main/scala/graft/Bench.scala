@@ -60,6 +60,7 @@ object Bench {
       ops.Core.ensureJsonlDocs(spark, sfDir)
       ops.Relational.ensureBuckets(spark, sfDir)
       ops.Layout.ensurePartitionedOrders(spark, sfDir)
+      ops.Layout.ensureMonthDim(spark, sfDir)
       ops.Layout.ensureOrcLineitem(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed (queries will self-ingest): ${e.getMessage}")

@@ -54,6 +54,47 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  private val monthDimOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time 12-row calendar dimension (month -> quarter) written as
+    * parquet, idempotent per dir. File-backed on purpose: a dim held as a
+    * LocalRelation would have its filter constant-folded away before the
+    * PartitionPruning rule runs, and real lakehouse dims live in the lake
+    * anyway.
+    */
+  private[graft] def ensureMonthDim(s: SparkSession, dir: String): String =
+    monthDimOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_month_dim")
+      (1 to 12).map(m => (m, s"Q${(m - 1) / 3 + 1}"))
+        .toDF("order_month", "quarter")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  // q90: dynamic partition pruning — the runtime companion of q50's
+  // planning-time pruning. The filter sits on a DIM attribute (quarter),
+  // so the surviving months are unknowable until the dim is scanned:
+  // Spark plans a DynamicPruningSubquery on the fact's partition column,
+  // reuses the join's broadcast exchange to evaluate it, and only then
+  // opens the 3 surviving month directories (LayoutSpec asserts the
+  // dynamicpruning filter is present and exactly 3 partitions are read).
+  // At 100 TB this is the star-schema workhorse: every fact-to-calendar
+  // join with a dim-side predicate skips fact I/O without the query
+  // author naming a single partition value.
+  private def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.parquet(ensurePartitionedOrders(s, dir))
+    val dim = s.read.parquet(ensureMonthDim(s, dir))
+    fact.join(broadcast(dim.filter($"quarter" === "Q2")), Seq("order_month"))
+      .groupBy($"order_month")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"o_custkey").as("n_customers"),
+        Num.roundAt(sum($"o_totalprice"), 2).as("total"))
+      .orderBy("order_month")
+  }
+
   private val orcOnce = scala.collection.concurrent.TrieMap[String, String]()
 
   /** One-time ORC ingest of lineitem, idempotent per dir — ingest-time
@@ -147,7 +188,8 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_partition_prune" -> (partitionPrune _),
     "q82_orc_scan"        -> (orcScan _),
-    "q86_zorder_key"      -> (zorderKey _)
+    "q86_zorder_key"      -> (zorderKey _),
+    "q90_dpp_join"        -> (dppJoin _)
   )
 
   private val zSumSql: String =
@@ -163,6 +205,13 @@ object Layout {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE month(o_orderdate) = 3
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q90_dpp_join" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE month(o_orderdate) IN (4, 5, 6)
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
     "q82_orc_scan" ->
       """SELECT l_returnflag,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -825,7 +825,47 @@ object Relational {
       .orderBy("event_type", "decile")
   }
 
+  // q91: grouped linear regression + correlation via exact sufficient
+  // statistics — the distributed-trainer shape for y ~ x per segment.
+  // Spark has native regr_slope/corr, but their streaming central-moment
+  // accumulation is order-dependent and algorithm-specific, so two
+  // engines (or two shuffles) disagree in the last bits; a trainer at
+  // 100 TB materializes the MERGEABLE sums (n, Σx, Σy, Σxy, Σx², Σy²)
+  // instead — one map-side-combined pass, constant-size state per group,
+  // partial aggregates combine exactly. Inputs are 2-dp values, so the
+  // DECIMAL cast is lossless and every sum is exact integer arithmetic:
+  // identical bits on any engine, any partitioning, any row order. The
+  // closed forms then run in double on identical operands.
+  private def regression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      $"l_quantity".cast(DecimalType(12, 2)).as("x"),
+      $"l_extendedprice".cast(DecimalType(18, 2)).as("y"))
+    val sums = d.groupBy($"l_returnflag").agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum($"x").cast(DoubleType).as("sx"),
+      sum($"y").cast(DoubleType).as("sy"),
+      sum($"x" * $"y").cast(DoubleType).as("sxy"),
+      sum($"x" * $"x").cast(DoubleType).as("sxx"),
+      sum($"y" * $"y").cast(DoubleType).as("syy"))
+    val covN = $"n" * $"sxy" - $"sx" * $"sy" // n²·cov — shared numerator
+    val varXN = $"n" * $"sxx" - $"sx" * $"sx"
+    val varYN = $"n" * $"syy" - $"sy" * $"sy"
+    val slope = covN / varXN
+    val corr = covN / sqrt(varXN * varYN)
+    sums.select(
+      $"l_returnflag",
+      $"n".cast(LongType).as("n"),
+      Num.roundAt(slope, 6).as("slope"),
+      Num.roundAt(($"sy" - slope * $"sx") / $"n", 4).as("intercept"),
+      Num.roundAt(corr, 6).as("corr"),
+      Num.roundAt(corr * corr, 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_regression"      -> (regression _),
     "q23_json_props"      -> (jsonProps _),
     "q87_approx_percentiles" -> (approxPercentiles _),
     "q88_robust_anomaly"  -> (robustAnomaly _),
@@ -1194,6 +1234,36 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q91_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         n * sxy - sx * sy AS cov_n,
+        |         n * sxx - sx * sx AS varx_n,
+        |         n * syy - sy * sy AS vary_n
+        |  FROM s),
+        |f AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         cov_n / varx_n AS slope,
+        |         cov_n / sqrt(varx_n * vary_n) AS corr
+        |  FROM d)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round(slope, 6) AS slope,
+        |       round((sy - slope * sx) / n, 4) AS intercept,
+        |       round(corr, 6) AS corr,
+        |       round(corr * corr, 6) AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "q89_quantile_bins" ->
       """WITH b AS (
         |  SELECT event_type, value,

@@ -398,10 +398,64 @@ object TextAnalysis {
     "q69_length_buckets" -> (lengthBuckets _),
     "q70_repetition"  -> (repetition _),
     "q71_stratified_sample" -> (stratifiedSample _),
-    "q79_sequence_pack" -> (sequencePack _)
+    "q79_sequence_pack" -> (sequencePack _),
+    "q92_token_entropy" -> (tokenEntropy _)
   )
 
+  // q92: unigram (token) Shannon entropy per document — the
+  // information-density quality signal next to q41's surface ratios and
+  // q70's repetition score: near-zero entropy means one token dominates
+  // (boilerplate, keyword stuffing), high entropy tracks natural prose.
+  // Exact integer counts carry everything; the single FP reduction
+  // (Σ c·ln c) is a LEFT FOLD over token-sorted terms (Det rule 2), so
+  // both engines add identical doubles in identical order and
+  // H = ln N − (Σ c·ln c)/N is bit-stable. Scale shape: one
+  // map-side-combined shuffle to (doc_id, token) counts, one to per-doc
+  // rows — state per doc is its vocabulary, never the corpus.
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct($"tok", $"c"))).as("terms"))
+      .withColumn("clogc",
+        aggregate($"terms", lit(0.0),
+          (acc, t) => acc +
+            t.getField("c").cast(DoubleType) * log(t.getField("c").cast(DoubleType))))
+      .select(
+        $"doc_id", $"n_tokens", $"n_types",
+        Num.roundAt(
+          log($"n_tokens".cast(DoubleType)) - $"clogc" / $"n_tokens".cast(DoubleType),
+          6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q92_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |              ORDER BY tok) AS terms
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |       round(ln(CAST(n_tokens AS DOUBLE))
+        |             - list_reduce(list_prepend(0.0::DOUBLE, terms),
+        |                           (acc, x) -> acc + x)
+        |               / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q83_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -38,6 +38,41 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected 1 surviving partition, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("q90: dim-side filter prunes fact partitions via dynamic pruning") {
+    val df = Layout.queries("q90_dpp_join")(spark, dir)
+    // planning time: the fact scan must carry a DynamicPruningSubquery on
+    // the partition column — the months are not statically known
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "expected a partition-filtered fact scan")
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"expected a dynamicpruning partition filter, got ${scans.map(_.partitionFilters)}")
+    // runtime: only the 3 Q2 month directories are read
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("order_month")).toSeq == Seq(4, 5, 6))
+    // AQE materializes stages as leaf nodes; recurse through them (and
+    // reused exchanges) to reach the actual executed scan instances
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          allScans(r.child)
+        case other => other.children.flatMap(allScans)
+      }
+    val factScan = allScans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(factScan.nonEmpty, "expected the fact scan in the executed plan")
+    val partsRead = factScan.head.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.contains(3L),
+      s"expected 3 partitions read after dynamic pruning, got $partsRead")
+  }
+
   test("compact: merges small files to the size target without changing content") {
     import spark.implicits._
     val scratch = graft.ops.Core.tmp("graft_compact")

@@ -111,6 +111,49 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q91: sufficient-statistics regression matches Spark's native regr_* aggregates") {
+    import spark.implicits._
+    val out = Relational.queries("q91_regression")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("corr"), r.getAs[Double]("r2"))).toMap
+    val native = graft.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        corr($"l_extendedprice", $"l_quantity").as("corr"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("corr"))).toMap
+    assert(out.keySet == native.keySet)
+    out.foreach { case (flag, (slope, c, r2)) =>
+      val (ns, nc) = native(flag)
+      assert(math.abs(slope - ns) < 1e-4 * math.abs(ns),
+        s"$flag: exact-sums slope $slope vs native $ns")
+      assert(math.abs(c - nc) < 1e-6, s"$flag: exact-sums corr $c vs native $nc")
+      assert(math.abs(r2 - c * c) < 1e-5, s"$flag: r2 $r2 != corr^2")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q92: entropy is bounded by ln(n_types) and exact on a hand-checked doc") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q92_token_entropy")(spark, dir).cache()
+    assert(out.filter($"n_types" > $"n_tokens").count() == 0)
+    // 0 <= H <= ln(n_types), with rounding slack
+    assert(out.filter($"entropy" < -1e-6).count() == 0)
+    assert(out.filter($"entropy" > log($"n_types".cast("double")) + 1e-6).count() == 0)
+    // recompute one document by hand
+    val doc = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id").first()
+    val counts = doc.getAs[String]("text").split(" ")
+      .groupBy(identity).map(_._2.length.toDouble)
+    val n = counts.sum
+    val expected = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+    val got = out.filter($"doc_id" === doc.getAs[Long]("doc_id"))
+      .head().getAs[Double]("entropy")
+    assert(math.abs(got - expected) < 1e-5, s"doc0 entropy $got vs $expected")
+    out.unpersist()
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
