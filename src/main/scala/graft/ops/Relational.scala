@@ -864,7 +864,75 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q94: event-transition matrix — first-order Markov statistics over
+  // each user's event sequence (the clickstream/session feature next to
+  // q59's funnel and q60's cohorts: which action follows which, with
+  // conditional probabilities). lead() over the per-user time order
+  // pairs every event with its successor in ONE window pass — no
+  // self-join on (user, seq+1). Ordering ties break on event_id via
+  // epoch MICROSECONDS (Num.epochUs) so both engines agree even where
+  // the raw nanosecond timestamps collide at micro precision. The
+  // transition aggregate map-side combines to |types|² rows; the
+  // per-source probability normalization is a window over that tiny
+  // frame, nowhere near the event volume. At 100 TB everything keys on
+  // user_id — one shuffle.
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(Num.epochUs($"ts").asc, $"event_id".asc)
+    val counts = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy($"from_type")
+    counts
+      .withColumn("from_total", sum($"n").over(wf))
+      .select($"from_type", $"to_type", $"n",
+        Num.roundAt($"n".cast(DoubleType) / $"from_total".cast(DoubleType), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // q95: rolling 7-day distinct users (the DAU/WAU engagement metric)
+  // via MERGEABLE HLL sketches — the only shape that survives 100 TB:
+  // COUNT(DISTINCT) cannot slide (distinct state is not subtractable),
+  // so the naive plan fans every user-day into 7 window copies and
+  // re-deduplicates each. Instead each day aggregates ONCE into a
+  // kilobyte HLL sketch (datasketches, same family as q36), and the
+  // trailing window unions 7 sketches per day — the fan-out is
+  // days × 7 sketch rows, independent of user volume. The exact twin
+  // (distinct user-days, range fan-out, countDistinct) runs alongside
+  // as the validator, q36-style: the compared columns are the exact
+  // count plus the sketch's ≤5% error CONTRACT (the raw estimate is
+  // engine-specific; the contract is deterministic — and at 150 users
+  // the sketch is still in exact sparse mode). Epoch-day integers
+  // cross the oracle, per q60.
+  private def rollingDau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.events(s, dir)
+      .select(
+        datediff(to_date($"ts"), lit("1970-01-01").cast(DateType)).as("day"),
+        $"user_id")
+      .distinct()
+    val daySketch = userDays.groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val grid = daySketch.select($"day".as("d"))
+    val est = grid.join(daySketch, daySketch("day").between($"d" - 6, $"d"))
+      .groupBy($"d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = grid.join(userDays, userDays("day").between($"d" - 6, $"d"))
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    exact.join(est, Seq("d"))
+      .select($"d".cast(IntegerType).as("day"), $"n_exact",
+        (abs($"est" - $"n_exact").cast(DoubleType) / $"n_exact" <= 0.05).as("est_ok"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_rolling_dau"     -> (rollingDau _),
+    "q94_transitions"     -> (transitions _),
     "q91_regression"      -> (regression _),
     "q23_json_props"      -> (jsonProps _),
     "q87_approx_percentiles" -> (approxPercentiles _),
@@ -1234,6 +1302,32 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q95_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT datediff('day', DATE '1970-01-01',
+        |                           CAST(ts AS DATE)) AS day, user_id
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day AS d FROM ud),
+        |ex AS (
+        |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM grid JOIN ud ON ud.day BETWEEN d - 6 AND d
+        |  GROUP BY 1)
+        |SELECT CAST(d AS INTEGER) AS day, n_exact, TRUE AS est_ok
+        |FROM ex ORDER BY day""".stripMargin,
+    "q94_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+        |             6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q91_regression" ->
       """WITH s AS (
         |  SELECT l_returnflag,

@@ -198,7 +198,80 @@ object Similarity {
       .orderBy("cid")
   }
 
+  // q93: product-quantization ANN (ADC search) — the memory rung of the
+  // scale ladder below IVF: each 64-dim vector is encoded as 8 one-byte
+  // codes (one per 8-dim subspace, nearest of 16 sub-centroids), a 32×
+  // compression that is what actually lets a 100 TB embedding corpus be
+  // searched from RAM. Query-time is asymmetric distance computation:
+  // per probe, a 8×16 lookup table of probe-subvector-to-centroid
+  // squared distances is built ONCE (here on the driver, same rationale
+  // as q49's codebook collect — probes × codebook is kilobytes), and
+  // each candidate's approximate distance is 8 table lookups + 7 adds,
+  // never touching the original vector. Codebook = subvectors of the
+  // first 16 vectors (deterministic stand-in; q61 is the k-means
+  // refinement that would train it at scale). Encoding is one codegen'd
+  // map pass (argmin via ascending struct sort, centroid-id tie-break);
+  // the repartition materializes the codes so the per-probe ADC
+  // projections read an attribute instead of re-encoding per reference.
+  // Every distance is a fixed-order left fold (Det rule 2), so codes,
+  // LUTs and ADC sums are bit-identical to the oracle's formulation.
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = 8; val dims = 8; val k = 16
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    def subVecs(r: org.apache.spark.sql.Row): Array[Array[Double]] =
+      r.getAs[scala.collection.Seq[Double]]("v").toArray.grouped(dims).toArray
+    // codebook(j)(c) = centroid c of subspace j, collected once
+    val centRows = Tables.embeddings(s, dir)
+      .filter($"vec_id" < k)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .collect().sortBy(_.getLong(0)).map(subVecs)
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(sub, k)((j, c) => centRows(c)(j))
+    // squared L2 between a subvector column slice and a literal centroid,
+    // summed left-to-right (matches DuckDB list_reduce without seed)
+    def d2(v: Column, j: Int, cent: Array[Double]): Column =
+      (0 until dims).map { d =>
+        val x = element_at(v, j * dims + d + 1) - lit(cent(d))
+        x * x
+      }.reduce(_ + _)
+    def codeCol(v: Column, j: Int): Column =
+      array_sort(array((0 until k).map(c =>
+        struct(d2(v, j, cb(j)(c)).as("d2"), lit(c).as("cid"))): _*))(0)("cid")
+    val encoded = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .repartition(np) // single-split table: parallelize the encode pass
+      .select($"vec_id",
+        array((0 until sub).map(j => codeCol($"v", j)): _*).as("codes"))
+      .repartition(np) // materialize codes before the 5 probe references
+    // probe LUTs, driver-computed with the same left fold
+    def d2Arr(a: Array[Double], b: Array[Double]): Double =
+      (0 until dims).map(d => (a(d) - b(d)) * (a(d) - b(d))).reduce(_ + _)
+    val probes = Tables.embeddings(s, dir)
+      .filter($"vec_id" >= 40 && $"vec_id" < 45)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), subVecs(r)))
+    val scored = encoded
+      .select($"vec_id", explode(array(probes.map { case (pid, pv) =>
+        val adc = (0 until sub).map { j =>
+          val lut: Seq[Double] = (0 until k).map(c => d2Arr(pv(j), cb(j)(c)))
+          element_at(typedlit(lut), $"codes"(j) + 1)
+        }.reduce(_ + _)
+        struct(lit(pid).as("probe_id"), adc.as("adc"))
+      }: _*)).as("pa"))
+      .select($"vec_id", $"pa.probe_id", $"pa.adc")
+      .filter($"vec_id" =!= $"probe_id")
+    val w = Window.partitionBy($"probe_id").orderBy($"adc".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"adc", 6).as("adc_d2"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
     "q28_lsh_ann"     -> (lshAnn _),
     "q49_ivf_ann"     -> (ivfAnn _),
@@ -214,6 +287,47 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q93_pq_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, j, v[8*j+1 : 8*j+8] AS s
+        |  FROM v, (SELECT unnest(range(8)) AS j)),
+        |cent AS (SELECT vec_id AS cid, j, s AS c FROM sv WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT s.vec_id, s.j, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.j
+        |             ORDER BY list_reduce(list_transform(range(1, 9),
+        |               d -> (s.s[d] - c.c[d]) * (s.s[d] - c.c[d])),
+        |               (x, y) -> x + y), c.cid) AS rn
+        |    FROM sv s JOIN cent c ON s.j = c.j)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT p.vec_id AS probe_id, p.j, c.cid,
+        |         list_reduce(list_transform(range(1, 9),
+        |           d -> (p.s[d] - c.c[d]) * (p.s[d] - c.c[d])),
+        |           (x, y) -> x + y) AS pd2
+        |  FROM sv p JOIN cent c ON p.j = c.j
+        |  WHERE p.vec_id BETWEEN 40 AND 44),
+        |adcj AS (
+        |  SELECT l.probe_id, e.vec_id, e.j, l.pd2
+        |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cid),
+        |adc AS (
+        |  SELECT probe_id, vec_id,
+        |         max(CASE WHEN j=0 THEN pd2 END) + max(CASE WHEN j=1 THEN pd2 END)
+        |       + max(CASE WHEN j=2 THEN pd2 END) + max(CASE WHEN j=3 THEN pd2 END)
+        |       + max(CASE WHEN j=4 THEN pd2 END) + max(CASE WHEN j=5 THEN pd2 END)
+        |       + max(CASE WHEN j=6 THEN pd2 END) + max(CASE WHEN j=7 THEN pd2 END) AS adc
+        |  FROM adcj WHERE vec_id <> probe_id GROUP BY 1, 2),
+        |r AS (
+        |  SELECT probe_id, vec_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY adc, vec_id) AS INTEGER) AS rank, adc
+        |  FROM adc)
+        |SELECT probe_id, vec_id AS neighbor_id, rank, round(adc, 6) AS adc_d2
+        |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
     "q22_cosine_topk" ->
       s"""WITH $nSql,
         |scored AS (

@@ -96,4 +96,61 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       .withColumn("bf_cos", Num.roundAt(Det.dot($"pv", $"cv") / ($"pn" * $"cn"), 6))
     assert(joined.filter($"ann_cos" =!= $"bf_cos").count() == 0)
   }
+
+  test("q93: PQ-ADC top-10 beats chance recall and picks closer-than-average neighbors") {
+    import spark.implicits._
+    val pq = Similarity.queries("q93_pq_ann")(spark, dir).cache()
+    // contract shape: 5 probes × 10 non-negative, non-decreasing distances
+    assert(pq.select("probe_id").distinct().count() == 5)
+    assert(pq.filter($"adc_d2" < 0).count() == 0)
+    val byProbe = pq.collect().groupBy(_.getAs[Long]("probe_id"))
+    byProbe.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      assert(sorted.map(_.getAs[Double]("adc_d2")).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      })
+    }
+    // Quality vs exact squared-L2. The codebook is untrained (first-16
+    // subvectors; q61 is the k-means loop that would train it), and the
+    // synthetic embeddings are noise-dominated per subspace, so perfect
+    // recall is not the invariant — BEATING CHANCE decisively is:
+    // random top-10 draws from 499 candidates recall ~0.02, and the
+    // selected neighbors must be measurably closer than average.
+    val b = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", Det.toDoubleArr($"embedding").as("v"))
+    val probes = b.filter($"vec_id" >= 40 && $"vec_id" < 45)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val exact = b.crossJoin(probes).filter($"vec_id" =!= $"probe_id")
+      .withColumn("d2",
+        aggregate(zip_with($"pv", $"v", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"d2".asc, $"vec_id".asc)
+    val exactTop = exact.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"vec_id").collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val pqTop = byProbe.view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exactTop.map { case (p, ex) =>
+      (pqTop(p) & ex).size.toDouble / ex.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.1,
+      s"mean recall@10 not above chance: $meanRecall (per-probe: $recalls)")
+    // PQ-selected neighbors must sit in the near tail of the true
+    // distance distribution: their mean exact d2 well under the
+    // all-pairs mean
+    val allMean = exact.agg(avg($"d2")).head().getDouble(0)
+    val selMean = exact
+      .join(pq.select($"probe_id", $"neighbor_id".as("vec_id")),
+        Seq("probe_id", "vec_id"))
+      .agg(avg($"d2")).head().getDouble(0)
+    assert(selMean < 0.9 * allMean,
+      s"PQ picks are not closer than average: selected $selMean vs corpus $allMean")
+    exact.unpersist()
+    pq.unpersist()
+  }
 }

@@ -154,6 +154,38 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q94: transition counts cover every non-final event and rows are distributions") {
+    import spark.implicits._
+    val out = Relational.queries("q94_transitions")(spark, dir).cache()
+    // per-from probabilities sum to 1
+    val sums = out.groupBy("from_type").agg(sum($"p").as("ps")).collect()
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("ps") - 1.0) < 1e-4,
+      s"${r.get(0)}: probabilities sum to ${r.get(1)}"))
+    // every event except each user's last contributes exactly one transition
+    val ev = graft.Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val total = out.agg(sum($"n")).head().getLong(0)
+    assert(total == expected, s"transition total $total != events - users $expected")
+    out.unpersist()
+  }
+
+  test("q95: rolling 7-day distinct bounds daily actives and honors the sketch contract") {
+    import spark.implicits._
+    val out = Relational.queries("q95_rolling_dau")(spark, dir).cache()
+    assert(out.filter(!$"est_ok").count() == 0, "HLL estimate outside the 5% contract")
+    // rolling count >= that day's own distinct actives, <= total users
+    val daily = graft.Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("day"),
+        $"user_id")
+      .groupBy("day").agg(countDistinct($"user_id").as("n_day"))
+    val joined = out.join(daily, Seq("day"))
+    assert(joined.filter($"n_exact" < $"n_day").count() == 0)
+    val totalUsers = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(out.filter($"n_exact" > totalUsers).count() == 0)
+    out.unpersist()
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
