@@ -930,7 +930,84 @@ object Relational {
       .orderBy("day")
   }
 
+  // q96: declarative data-quality constraint audit — the Deequ/dbt-test
+  // surface every production lake runs before publishing a table:
+  // uniqueness, referential integrity, null-rate, value-range and
+  // accepted-values checks, each emitted as one (constraint, checked,
+  // violations, passed) row. Every check is a single scan-aggregate;
+  // the FK check is one anti-join keyed on the join column (at 100 TB
+  // that is a shuffle both sides — the irreducible cost of exact RI —
+  // and the first candidate for a bloom-filter pre-pass). The UNION of
+  // 1-row aggregates keeps each constraint independently parallel.
+  private def constraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    def row(name: String, checked: org.apache.spark.sql.Column,
+            violations: org.apache.spark.sql.Column, src: DataFrame) =
+      src.agg(checked.cast(LongType).as("n_checked"),
+          violations.cast(LongType).as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_checked", $"n_violations",
+          ($"n_violations" === 0L).as("passed"))
+    val unique = row("unique_o_orderkey",
+      count(lit(1)), count(lit(1)) - countDistinct($"o_orderkey"), orders)
+    // the anti-join emits only orphans, so the checked total (all child
+    // rows) rides in from a 1-row aggregate via crossJoin
+    val orphans = li.select($"l_orderkey")
+      .join(orders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("n_violations"))
+    val fkFixed = li.agg(count(lit(1)).cast(LongType).as("n_checked"))
+      .crossJoin(orphans)
+      .select(lit("fk_l_orderkey").as("check_name"), $"n_checked",
+        $"n_violations", ($"n_violations" === 0L).as("passed"))
+    val nn = row("nonnull_o_totalprice",
+      count(lit(1)), count(lit(1)) - count($"o_totalprice"), orders)
+    val rng = row("range_l_discount",
+      count(lit(1)),
+      sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L).otherwise(0L)), li)
+    val acc = row("accepted_o_orderstatus",
+      count(lit(1)),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L)), orders)
+    unique.unionByName(fkFixed).unionByName(nn).unionByName(rng).unionByName(acc)
+      .orderBy("check_name")
+  }
+
+  // q97: one PageRank power iteration over the customer -> supplier
+  // graph (who funds whom, edges = distinct (o_custkey, l_suppkey)
+  // pairs through orders) — the iterative-graph-analytics dataflow
+  // sibling of q57's connected components and q61's k-means step.
+  // Ranks are INTEGER-SCALED (each customer starts with 1e6 units;
+  // shares are floor-divided over out-degree, damping is 85/100 integer
+  // arithmetic): every operation is exact int64, so the result is
+  // bit-identical under any partitioning or aggregation order — the
+  // same trick production graph engines use to make convergence
+  // deterministic. Per iteration: one edge shuffle keyed on source for
+  // out-degrees, one keyed on target for the gather — at 100 TB that is
+  // the canonical pregel superstep cost, repeated to convergence.
+  private def pagerankStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lit(1000000L)
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+    val withDeg = edges
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy($"src")))
+      .withColumn("share", (base / $"outdeg").cast(LongType))
+    withDeg.groupBy($"dst")
+      .agg(sum($"share").as("gathered"), count(lit(1)).as("in_deg"))
+      .select($"dst".as("supp_id"),
+        (lit(150000L) + ($"gathered" * 85L / 100L).cast(LongType)).as("rank_units"),
+        $"in_deg")
+      .orderBy($"rank_units".desc, $"supp_id".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_constraints"     -> (constraints _),
+    "q97_pagerank_step"   -> (pagerankStep _),
     "q95_rolling_dau"     -> (rollingDau _),
     "q94_transitions"     -> (transitions _),
     "q91_regression"      -> (regression _),
@@ -1302,6 +1379,61 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q96_constraints" ->
+      """WITH u AS (
+        |  SELECT 'unique_o_orderkey' AS check_name,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+        |  FROM orders),
+        |fk AS (
+        |  SELECT 'fk_l_orderkey' AS check_name,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+        |         CAST((SELECT count(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                 WHERE o.o_orderkey = l.l_orderkey))
+        |              AS BIGINT) AS n_violations),
+        |nn AS (
+        |  SELECT 'nonnull_o_totalprice' AS check_name,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_violations
+        |  FROM orders),
+        |rng AS (
+        |  SELECT 'range_l_discount' AS check_name,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN l_discount < 0.0::DOUBLE
+        |                         OR l_discount > 0.1::DOUBLE
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem),
+        |acc AS (
+        |  SELECT 'accepted_o_orderstatus' AS check_name,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM orders),
+        |a AS (
+        |  SELECT * FROM u UNION ALL SELECT * FROM fk UNION ALL
+        |  SELECT * FROM nn UNION ALL SELECT * FROM rng UNION ALL
+        |  SELECT * FROM acc)
+        |SELECT check_name, n_checked, n_violations,
+        |       n_violations = 0 AS passed
+        |FROM a ORDER BY check_name""".stripMargin,
+    "q97_pagerank_step" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |d AS (
+        |  SELECT src, dst,
+        |         1000000 // count(*) OVER (PARTITION BY src) AS share
+        |  FROM e),
+        |g AS (
+        |  SELECT dst AS supp_id,
+        |         CAST(sum(share) AS BIGINT) AS gathered,
+        |         CAST(count(*) AS BIGINT) AS in_deg
+        |  FROM d GROUP BY 1)
+        |SELECT supp_id,
+        |       CAST(150000 + (gathered * 85) // 100 AS BIGINT) AS rank_units,
+        |       in_deg
+        |FROM g ORDER BY rank_units DESC, supp_id ASC LIMIT 20""".stripMargin,
     "q95_rolling_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT datediff('day', DATE '1970-01-01',

@@ -399,8 +399,39 @@ object TextAnalysis {
     "q70_repetition"  -> (repetition _),
     "q71_stratified_sample" -> (stratifiedSample _),
     "q79_sequence_pack" -> (sequencePack _),
-    "q92_token_entropy" -> (tokenEntropy _)
+    "q92_token_entropy" -> (tokenEntropy _),
+    "q98_heavy_hitters" -> (heavyHitters _)
   )
+
+  // q98: approximate heavy hitters — single-pass mergeable frequent-items
+  // sketch (Spark 4's approx_top_k, datasketches) validated against the
+  // exact counts, q36-style: the compared columns are the exact top-10
+  // (term, count) plus a deterministic agreement flag. The sketch is the
+  // piece that holds at 100 TB on UNBOUNDED-cardinality columns (URLs,
+  // user ids) where the exact groupBy's reduce side grows with the key
+  // space: one pass, fixed memory, partials merge associatively. The
+  // sketch asks for top-15 (k + slack) so count ties at the top-10
+  // boundary — where the sketch's intra-tie order is arbitrary — cannot
+  // break the containment contract; with maxItemsTracked far above the
+  // corpus vocabulary the tracked counts are exact, so agreement is
+  // deterministic.
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+    val sk = tok.agg(expr("approx_top_k(term, 15, 10000)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("term"), $"e.count".as("sk_n"))
+    val exact = tok.groupBy($"term").agg(count(lit(1)).as("n"))
+    // global window over the ~vocabulary-sized aggregate, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"term".asc)
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .join(broadcast(sk), Seq("term"), "left")
+      .select($"rank", $"term", $"n",
+        ($"sk_n".isNotNull && $"sk_n" === $"n").as("sketch_agrees"))
+      .orderBy("rank")
+  }
 
   // q92: unigram (token) Shannon entropy per document — the
   // information-density quality signal next to q41's surface ratios and
@@ -436,6 +467,16 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q98_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |e AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT term, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank
+        |  FROM e)
+        |SELECT rank, term, n, TRUE AS sketch_agrees
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q92_token_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -186,6 +186,49 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q96: all five constraints hold on the clean testdata with full coverage") {
+    import spark.implicits._
+    val out = Relational.queries("q96_constraints")(spark, dir).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Boolean]("passed")),
+      s"violations on clean data: ${out.filterNot(_.getAs[Boolean]("passed")).toSeq}")
+    assert(out.forall(_.getAs[Long]("n_violations") == 0L))
+    val byName = out.map(r => r.getAs[String]("check_name") -> r).toMap
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    val nLi = graft.Tables.lineitem(spark, dir).count()
+    assert(byName("unique_o_orderkey").getAs[Long]("n_checked") == nOrders)
+    assert(byName("fk_l_orderkey").getAs[Long]("n_checked") == nLi)
+    assert(byName("range_l_discount").getAs[Long]("n_checked") == nLi)
+  }
+
+  test("q97: pagerank units conserve the damped mass budget") {
+    import spark.implicits._
+    val out = Relational.queries("q97_pagerank_step")(spark, dir).collect()
+    // top-20, capped by the supplier population (sf0.001 has 10)
+    assert(out.nonEmpty && out.length <= 20)
+    // teleport floor + monotone ordering
+    assert(out.forall(_.getAs[Long]("rank_units") >= 150000L))
+    val units = out.map(_.getAs[Long]("rank_units"))
+    assert(units.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // total gathered mass cannot exceed the emitted mass: each of the C
+    // customers emits at most 1e6 units, so any node's damped gather is
+    // below 0.85 * C * 1e6 + teleport
+    val nCust = graft.Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    assert(units.head <= 150000L + 85L * nCust * 10000L)
+  }
+
+  test("q98: the sketch reproduces every exact top-10 count") {
+    import spark.implicits._
+    val hh = TextAnalysis.queries("q98_heavy_hitters")(spark, dir).collect()
+    assert(hh.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    assert(hh.forall(_.getAs[Boolean]("sketch_agrees")),
+      s"sketch missed: ${hh.filterNot(_.getAs[Boolean]("sketch_agrees")).toSeq}")
+    // counts strictly ordered given the (n desc, term asc) total order
+    val ns = hh.map(_.getAs[Long]("n"))
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
