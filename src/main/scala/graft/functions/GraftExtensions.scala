@@ -32,7 +32,8 @@ object GraftExtensions {
     "shingle_hashes" -> (e => ShingleHashes(e.head)),
     "fold_dot"       -> (e => FoldDot(e(0), e(1))),
     "sorted_overlap" -> (e => SortedOverlap(e(0), e(1))),
-    "zip_eq_count"   -> (e => ZipEqCount(e(0), e(1)))
+    "zip_eq_count"   -> (e => ZipEqCount(e(0), e(1))),
+    "pq_encode"      -> (e => PqEncode(e(0), e(1), e(2), e(3)))
   )
 
   def inject(ext: SparkSessionExtensions): Unit = {

@@ -156,5 +156,8 @@ object GraftFunctions {
       "sorted_overlap", exprs => SortedOverlap(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zip_eq_count", exprs => ZipEqCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }

@@ -1005,7 +1005,53 @@ object Relational {
       .limit(20)
   }
 
+  // q99: hierarchy flattening via a RECURSIVE CTE (Spark 4 finally
+  // speaks WITH RECURSIVE, so the engine's iterative surface now covers
+  // all three shapes: driver-loop fixpoint (q57), single materialized
+  // superstep (q97), and in-engine recursion — the hierarchy/
+  // reachability idiom every warehouse user expects to port verbatim).
+  // The region → nation → customer → order parent-child edge list is
+  // walked from the roots, labeling every node with its root region and
+  // depth — the org-chart/BOM flattening that ONLY recursion expresses
+  // in SQL. Depth is fixed by the schema (4 levels), so the engine runs
+  // exactly 4 supersteps regardless of data volume — Spark's recursion
+  // pays a fixed per-level cost, which is why the chain dimension here
+  // is schema depth, not a data-length chain (a 1000-day streak walk
+  // would mean 1000 sequential jobs; gaps-and-islands (q37) is the
+  // right tool for that shape). Each step is one equi-join of the
+  // frontier against the edge list on the parent key; frontier rows at
+  // the leaf level are the orders themselves, shuffled once.
+  private def hierarchyWalk(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("graft_q99_region")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q99_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q99_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q99_orders")
+    s.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'R' || CAST(r_regionkey AS STRING) AS child,
+        |         CAST(NULL AS STRING) AS parent
+        |  FROM graft_q99_region
+        |  UNION ALL
+        |  SELECT 'N' || CAST(n_nationkey AS STRING),
+        |         'R' || CAST(n_regionkey AS STRING) FROM graft_q99_nation
+        |  UNION ALL
+        |  SELECT 'C' || CAST(c_custkey AS STRING),
+        |         'N' || CAST(c_nationkey AS STRING) FROM graft_q99_customer
+        |  UNION ALL
+        |  SELECT 'O' || CAST(o_orderkey AS STRING),
+        |         'C' || CAST(o_custkey AS STRING) FROM graft_q99_orders),
+        |walk(node, root, depth) AS (
+        |  SELECT child, child, 0 FROM edges WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.child, w.root, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.parent = w.node)
+        |SELECT root, CAST(depth AS INTEGER) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM walk GROUP BY 1, 2 ORDER BY root, depth""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_hierarchy_walk"  -> (hierarchyWalk _),
     "q96_constraints"     -> (constraints _),
     "q97_pagerank_step"   -> (pagerankStep _),
     "q95_rolling_dau"     -> (rollingDau _),
@@ -1379,6 +1425,28 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q99_hierarchy_walk" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS child,
+        |         CAST(NULL AS VARCHAR) AS parent
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+        |         'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+        |         'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'O' || CAST(o_orderkey AS VARCHAR),
+        |         'C' || CAST(o_custkey AS VARCHAR) FROM orders),
+        |walk(node, root, depth) AS (
+        |  SELECT child, child, 0 FROM edges WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.child, w.root, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.parent = w.node)
+        |SELECT root, CAST(depth AS INTEGER) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM walk GROUP BY 1, 2 ORDER BY root, depth""".stripMargin,
     "q96_constraints" ->
       """WITH u AS (
         |  SELECT 'unique_o_orderkey' AS check_name,

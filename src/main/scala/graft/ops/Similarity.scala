@@ -228,21 +228,21 @@ object Similarity {
       .collect().sortBy(_.getLong(0)).map(subVecs)
     val cb: Array[Array[Array[Double]]] =
       Array.tabulate(sub, k)((j, c) => centRows(c)(j))
-    // squared L2 between a subvector column slice and a literal centroid,
-    // summed left-to-right (matches DuckDB list_reduce without seed)
-    def d2(v: Column, j: Int, cent: Array[Double]): Column =
-      (0 until dims).map { d =>
-        val x = element_at(v, j * dims + d + 1) - lit(cent(d))
-        x * x
-      }.reduce(_ + _)
-    def codeCol(v: Column, j: Int): Column =
-      array_sort(array((0 until k).map(c =>
-        struct(d2(v, j, cb(j)(c)).as("d2"), lit(c).as("cid"))): _*))(0)("cid")
+    // Encode via the native pq_encode expression (graft.functions
+    // .PqEncode): the codebook ships as ONE flat array literal, the
+    // argmin-with-lowest-index-ties loop is codegen'd, and — the reason
+    // it exists — the plan is 4 nodes where the composed argmin (8×16
+    // struct-sorts over 8-term squared diffs) was a ~3000-node Column
+    // tree costing >1s of driver-side analysis per query construction.
+    graft.functions.GraftFunctions.register(s)
+    val flatCb: Seq[Double] =
+      (0 until sub).flatMap(j => (0 until k).flatMap(c => cb(j)(c).toSeq))
     val encoded = Tables.embeddings(s, dir)
       .select($"vec_id", toDoubleArr($"embedding").as("v"))
       .repartition(np) // single-split table: parallelize the encode pass
       .select($"vec_id",
-        array((0 until sub).map(j => codeCol($"v", j)): _*).as("codes"))
+        call_function("pq_encode", $"v", typedlit(flatCb),
+          lit(sub), lit(dims)).as("codes"))
       .repartition(np) // materialize codes before the 5 probe references
     // probe LUTs, driver-computed with the same left fold
     def d2Arr(a: Array[Double], b: Array[Double]): Double =

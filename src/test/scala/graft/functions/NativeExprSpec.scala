@@ -91,6 +91,39 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(composed.filter(not($"d_composed" <=> $"d_native")).count() == 0)
   }
 
+  test("pq_encode == composed argmin over per-subspace squared-diff folds") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val sub = 8; val dims = 8; val k = 16
+    // deterministic pseudo-vectors including exact-tie cases (vector 0
+    // equals centroid 0 and centroid 1 in subspace 0 -> lowest index wins)
+    val cb: Array[Double] = Array.tabulate(sub * k * dims) { i =>
+      val c = (i / dims) % k
+      if (c <= 1) 0.5 else math.sin(i * 0.37)
+    }
+    val vecs = (0 to 19).map { i =>
+      (i.toLong, (0 until sub * dims).map { d =>
+        if (i == 0 && d < dims) 0.5 else math.cos(i * 64.0 + d)
+      }.toArray)
+    }.toDF("id", "v")
+    def d2(v: org.apache.spark.sql.Column, j: Int, c: Int) =
+      (0 until dims).map { d =>
+        val x = element_at(v, j * dims + d + 1) - lit(cb((j * k + c) * dims + d))
+        x * x
+      }.reduce(_ + _)
+    def codeCol(v: org.apache.spark.sql.Column, j: Int) =
+      array_sort(array((0 until k).map(c =>
+        struct(d2(v, j, c).as("d2"), lit(c).as("cid"))): _*))(0)("cid")
+    val both = vecs
+      .withColumn("native",
+        call_function("pq_encode", $"v", typedlit(cb.toSeq), lit(sub), lit(dims)))
+      .withColumn("composed",
+        array((0 until sub).map(j => codeCol($"v", j)): _*))
+    assert(both.filter(not($"native" <=> $"composed")).count() == 0)
+    // the planted tie resolves to centroid 0, not 1
+    assert(both.filter($"id" === 0).head().getAs[Seq[Int]]("native").head == 0)
+  }
+
   test("GraftExtensions: injected functions survive newSession (temp registrations don't)") {
     // newSession() rebuilds session state from the builder's extensions,
     // dropping per-session temp functions — so SQL working there proves
