@@ -30,7 +30,12 @@ object Explain {
     "q83_bm25",           // expect: broadcast df/scalars joins, TakeOrderedAndProject top-20
     "q84_rolling_range",  // expect: ONE user_id exchange, RangeFrame window
     "q86_zorder_key",     // expect: map-side z-key projection, partial agg before exchange
-    "q88_robust_anomaly"  // expect: both join-backs BroadcastHashJoin
+    "q88_robust_anomaly", // expect: both join-backs BroadcastHashJoin
+    "q90_dpp_join",       // expect: dynamicpruning#N in PartitionFilters, dim broadcast
+    "q91_regression",     // expect: ONE partial HashAggregate pass (6 decimal sums)
+    "q93_pq_ann",         // expect: 4-node pq_encode projection, no join for ADC scoring
+    "q95_rolling_dau",    // expect: sketch fan-out joins DAYS x 7 rows, never user rows
+    "q97_pagerank_step"   // expect: src-window + dst-aggregate, two exchanges total
   )
 
   def main(args: Array[String]): Unit = {
