@@ -139,7 +139,10 @@ object Layout {
   // zone-map view: every 64-tile covers a 128x128 rectangle, which is
   // exactly why both `x BETWEEN` and `y BETWEEN` filters skip files
   // after a z-sort rewrite).
-  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+  /** (x, y, zkey) per order — the shared encode of q86 and the z-sorted
+    * write LayoutSpec uses to verify per-file span bounds on real files.
+    */
+  private[graft] def zEncoded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def interleave(c: org.apache.spark.sql.Column, off: Int) =
       (0 until 10).map(i =>
@@ -151,6 +154,11 @@ object Layout {
         pmod(datediff(to_date($"o_orderdate"),
           lit("1970-01-01").cast(DateType)).cast(LongType), lit(1024L)).as("y"))
       .withColumn("zkey", interleave($"x", 0) + interleave($"y", 1))
+  }
+
+  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    zEncoded(s, dir)
       .groupBy(shiftright($"zkey", 14).as("ztile"))
       .agg(count(lit(1)).as("n"),
         min($"x").as("min_x"), max($"x").as("max_x"),

@@ -1050,7 +1050,50 @@ object Relational {
         |FROM walk GROUP BY 1, 2 ORDER BY root, depth""".stripMargin)
   }
 
+  // q100: full pairwise correlation matrix — q91's exact-sufficient-
+  // statistics machinery widened to ALL column pairs in ONE aggregate
+  // pass: 4 columns need 1 count + 4 sums + 4 square-sums + 6 cross-sums
+  // = 15 exact DECIMAL aggregates in a single scan (naive per-pair corr
+  // calls would scan 6 times; a driver loop would plan 6 jobs). The
+  // 1-row sum frame then fans into 6 correlation rows via one explode.
+  // This is the feature-selection / drift-monitoring primitive: at
+  // 100 TB the scan dominates everything, so amortizing every moment
+  // into one pass is the whole game — and the exact-decimal sums stay
+  // bit-stable under any partitioning, so two runs (or two clusters)
+  // can NEVER disagree on a correlation.
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols: Seq[(String, DecimalType)] = Seq(
+      "l_quantity"      -> DecimalType(12, 2),
+      "l_extendedprice" -> DecimalType(18, 2),
+      "l_discount"      -> DecimalType(8, 2),
+      "l_tax"           -> DecimalType(8, 2))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    val d = Tables.lineitem(s, dir)
+      .select(cols.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+    val aggs =
+      cols.map { case (c, _) => sum(col(c)).cast(DoubleType).as(s"s_$c") } ++
+      cols.map { case (c, _) =>
+        sum(col(c) * col(c)).cast(DoubleType).as(s"ss_$c") } ++
+      pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).cast(DoubleType).as(s"sp_${a}_$b") }
+    val sums = d.agg(count(lit(1)).cast(DoubleType).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val covN = $"n" * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val vaN = $"n" * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vbN = $"n" * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        Num.roundAt(covN / sqrt(vaN * vbN), 6).as("corr"))
+    }
+    sums.select($"n".cast(LongType).as("n"), explode(array(rows: _*)).as("p"))
+      .select($"p.col_a", $"p.col_b", $"n", $"p.corr")
+      .orderBy("col_a", "col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_corr_matrix"    -> (corrMatrix _),
     "q99_hierarchy_walk"  -> (hierarchyWalk _),
     "q96_constraints"     -> (constraints _),
     "q97_pagerank_step"   -> (pagerankStep _),
@@ -1425,6 +1468,60 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q100_corr_matrix" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS s_d,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS s_t,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_p,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))
+        |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS ss_d,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(8,2))
+        |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS ss_t,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp_qp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_qd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_qt,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_pd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_pt,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))
+        |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_dt
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |    round((n*sp_qp - s_q*s_p)
+        |          / sqrt((n*ss_q - s_q*s_q) * (n*ss_p - s_p*s_p)), 6) AS corr
+        |  FROM s UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n,
+        |    round((n*sp_qd - s_q*s_d)
+        |          / sqrt((n*ss_q - s_q*s_q) * (n*ss_d - s_d*s_d)), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', n,
+        |    round((n*sp_qt - s_q*s_t)
+        |          / sqrt((n*ss_q - s_q*s_q) * (n*ss_t - s_t*s_t)), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n,
+        |    round((n*sp_pd - s_p*s_d)
+        |          / sqrt((n*ss_p - s_p*s_p) * (n*ss_d - s_d*s_d)), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', n,
+        |    round((n*sp_pt - s_p*s_t)
+        |          / sqrt((n*ss_p - s_p*s_p) * (n*ss_t - s_t*s_t)), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', n,
+        |    round((n*sp_dt - s_d*s_t)
+        |          / sqrt((n*ss_d - s_d*s_d) * (n*ss_t - s_t*s_t)), 6) FROM s)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n, corr
+        |FROM r ORDER BY col_a, col_b""".stripMargin,
     "q99_hierarchy_walk" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS child,

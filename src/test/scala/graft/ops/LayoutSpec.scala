@@ -90,6 +90,31 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.exceptAll(before).count() == 0)
   }
 
+  test("q86: z-sorted files bound BOTH dimension spans; a linear sort bounds only one") {
+    import spark.implicits._
+    val enc = Layout.zEncoded(spark, dir).cache()
+    val scratch = graft.ops.Core.tmp("graft_zsort")
+    // the OPTIMIZE ZORDER write: range-partition + sort on the z-key
+    enc.repartitionByRange(16, $"zkey").sortWithinPartitions($"zkey")
+      .write.mode("overwrite").parquet(s"$scratch/z")
+    // the naive clustering: sort on x alone
+    enc.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$scratch/linear")
+    def spans(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(max($"sx"), max($"sy")).head()
+    val (zx, zy) = { val r = spans(s"$scratch/z"); (r.getLong(0), r.getLong(1)) }
+    val (lx, ly) = { val r = spans(s"$scratch/linear"); (r.getLong(0), r.getLong(1)) }
+    // z-sort: every file covers a bounded rectangle in BOTH dims — this
+    // is what lets parquet min/max stats prune 2-D range filters
+    assert(zx <= 512 && zy <= 512, s"z-sorted spans too wide: x=$zx y=$zy")
+    // linear sort: x tight, y unbounded (~ the full 0..1023 domain)
+    assert(lx <= 256, s"x-sorted files should have tight x spans, got $lx")
+    assert(ly >= 768, s"x-sorted files should span ~full y, got $ly")
+    enc.unpersist()
+  }
+
   test("q82: ORC scan pushes the predicate and matches the parquet twin") {
     import spark.implicits._
     val df = Layout.queries("q82_orc_scan")(spark, dir)

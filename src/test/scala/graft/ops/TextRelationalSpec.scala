@@ -229,6 +229,20 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("q100: one-pass correlation matrix matches Spark's native corr per pair") {
+    import spark.implicits._
+    val out = Relational.queries("q100_corr_matrix")(spark, dir).collect()
+    assert(out.length == 6)
+    assert(out.forall(r => math.abs(r.getAs[Double]("corr")) <= 1.0 + 1e-9))
+    val li = graft.Tables.lineitem(spark, dir)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+      val native = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(r.getAs[Double]("corr") - native) < 1e-6,
+        s"($a, $b): exact-sums ${r.getAs[Double]("corr")} vs native $native")
+    }
+  }
+
   test("q44: decoded metadata is internally consistent") {
     import spark.implicits._
     val out = Multimodal.queries("q44_multimodal")(spark, dir).cache()
