@@ -1092,7 +1092,40 @@ object Relational {
       .orderBy("col_a", "col_b")
   }
 
+  // q101: the TPC-H Q5 shape — local-supplier revenue by nation: a
+  // 6-table star join (region → nation → customer → orders → lineitem →
+  // supplier, with the c_nationkey = s_nationkey "local" residual) and
+  // THE canonical join-ordering/broadcast-cascade workout. Declared
+  // bottom-up and left to Catalyst: the region filter prunes nation
+  // before anything big moves, the three dimension joins broadcast, and
+  // only orders⋈lineitem shuffles — at 100 TB the plan's shape IS the
+  // query's cost, which is why this stays declarative instead of
+  // hand-ordered. Revenue sums l_extendedprice·(1−l_discount) in exact
+  // DECIMAL (the per-row product is exact, the sum order-free), so the
+  // aggregate is bit-stable — the same discipline as q91/q100.
+  private def localSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = ($"l_extendedprice".cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(8, 2)) -
+        $"l_discount".cast(DecimalType(8, 2))))
+    Tables.region(s, dir).filter($"r_name" === "ASIA")
+      .join(Tables.nation(s, dir), $"n_regionkey" === $"r_regionkey")
+      .join(Tables.customer(s, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(TimestampType)),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir),
+        $"s_suppkey" === $"l_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_items"),
+        Num.roundAt(sum(rev).cast(DoubleType), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_local_supplier" -> (localSupplier _),
     "q100_corr_matrix"    -> (corrMatrix _),
     "q99_hierarchy_walk"  -> (hierarchyWalk _),
     "q96_constraints"     -> (constraints _),
@@ -1468,6 +1501,23 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q101_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (CAST(1 AS DECIMAL(8,2))
+        |                         - CAST(l_discount AS DECIMAL(8,2))))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q100_corr_matrix" ->
       """WITH s AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,

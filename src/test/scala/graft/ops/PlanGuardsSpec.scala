@@ -24,6 +24,18 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def scans(df: DataFrame): Seq[FileSourceScanExec] =
     df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
 
+  test("q101: dimension joins broadcast; at most one shuffle-side join moves fact data") {
+    val (_, p) = plan("q101_local_supplier")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    val nShuffleJoin = ("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size)
+    assert(nBroadcast >= 3,
+      s"expected region/nation/customer/supplier joins to broadcast, got $nBroadcast in:\n$p")
+    assert(nShuffleJoin <= 2,
+      s"too many shuffle joins ($nShuffleJoin) — dimension join leaked into a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the star join")
+  }
+
   test("q09: the range predicate reaches the parquet scan as a pushed filter") {
     val (df, _) = plan("q09_filter_range")
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
