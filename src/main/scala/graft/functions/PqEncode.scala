@@ -52,6 +52,19 @@ case class PqEncode(first: Expression, second: Expression,
 
 object PqEncode {
   def compute(v: ArrayData, cb: ArrayData, sub: Int, dims: Int): ArrayData = {
+    // Geometry validation the type check cannot do (lengths are runtime
+    // values): without it a non-multiple codebook silently truncates and
+    // a short vector throws an opaque out-of-bounds mid-loop.
+    if (sub <= 0 || dims <= 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: sub and dims must be positive, got sub=$sub dims=$dims")
+    if (v.numElements() != sub * dims)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${v.numElements()} != sub*dims = ${sub * dims}")
+    if (cb.numElements() == 0 || cb.numElements() % (sub * dims) != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: codebook length ${cb.numElements()} is not a positive " +
+          s"multiple of sub*dims = ${sub * dims}")
     val k = cb.numElements() / (sub * dims)
     val codes = new Array[Int](sub)
     var j = 0

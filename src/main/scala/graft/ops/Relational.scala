@@ -836,12 +836,18 @@ object Relational {
   // DECIMAL cast is lossless and every sum is exact integer arithmetic:
   // identical bits on any engine, any partitioning, any row order. The
   // closed forms then run in double on identical operands.
+  // Precision picks the overflow headroom: inputs are DECIMAL(12,2)
+  // (lossless — quantity ≤ 50, extendedprice < 10^6), so each product is
+  // DECIMAL(25,4) and Spark caps its sum at DECIMAL(38,4) → 10^13 rows of
+  // worst-case headroom before overflow, comfortably past a 100 TB
+  // lineitem (~10^12 rows). An 18-digit input precision would make the
+  // product DECIMAL(37,4) and leave only ~10x sum headroom.
   private def regression(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.lineitem(s, dir).select(
       $"l_returnflag",
       $"l_quantity".cast(DecimalType(12, 2)).as("x"),
-      $"l_extendedprice".cast(DecimalType(18, 2)).as("y"))
+      $"l_extendedprice".cast(DecimalType(12, 2)).as("y"))
     val sums = d.groupBy($"l_returnflag").agg(
       count(lit(1)).cast(DoubleType).as("n"),
       sum($"x").cast(DoubleType).as("sx"),
@@ -979,15 +985,18 @@ object Relational {
   // sibling of q57's connected components and q61's k-means step.
   // Ranks are INTEGER-SCALED (each customer starts with 1e6 units;
   // shares are floor-divided over out-degree, damping is 85/100 integer
-  // arithmetic): every operation is exact int64, so the result is
-  // bit-identical under any partitioning or aggregation order — the
-  // same trick production graph engines use to make convergence
-  // deterministic. Per iteration: one edge shuffle keyed on source for
+  // arithmetic): every operation is exact int64 — `div` is true integer
+  // division (not double `/` truncated back, which silently loses
+  // exactness once the dividend passes 2^53), so the result is
+  // bit-identical under any partitioning or aggregation order at any
+  // scale — the same trick production graph engines use to make
+  // convergence deterministic. Remaining headroom: gathered*85 must stay
+  // under 2^63, i.e. gathered < ~1.1e17 units — forty billion customers
+  // funding one supplier before overflow. Per iteration: one edge shuffle keyed on source for
   // out-degrees, one keyed on target for the gather — at 100 TB that is
   // the canonical pregel superstep cost, repeated to convergence.
   private def pagerankStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = lit(1000000L)
     val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
@@ -995,11 +1004,11 @@ object Relational {
       .distinct()
     val withDeg = edges
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy($"src")))
-      .withColumn("share", (base / $"outdeg").cast(LongType))
+      .withColumn("share", expr("1000000L div outdeg"))
     withDeg.groupBy($"dst")
       .agg(sum($"share").as("gathered"), count(lit(1)).as("in_deg"))
       .select($"dst".as("supp_id"),
-        (lit(150000L) + ($"gathered" * 85L / 100L).cast(LongType)).as("rank_units"),
+        (lit(150000L) + expr("(gathered * 85) div 100")).as("rank_units"),
         $"in_deg")
       .orderBy($"rank_units".desc, $"supp_id".asc)
       .limit(20)
@@ -1060,12 +1069,15 @@ object Relational {
   // 100 TB the scan dominates everything, so amortizing every moment
   // into one pass is the whole game — and the exact-decimal sums stay
   // bit-stable under any partitioning, so two runs (or two clusters)
-  // can NEVER disagree on a correlation.
+  // can NEVER disagree on a correlation. Input precisions are the
+  // narrowest lossless ones (see q91's headroom note): DECIMAL(12,2)
+  // keeps every summed product under DECIMAL(38,4) with ~10^13 rows of
+  // overflow headroom.
   private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cols: Seq[(String, DecimalType)] = Seq(
       "l_quantity"      -> DecimalType(12, 2),
-      "l_extendedprice" -> DecimalType(18, 2),
+      "l_extendedprice" -> DecimalType(12, 2),
       "l_discount"      -> DecimalType(8, 2),
       "l_tax"           -> DecimalType(8, 2))
     val pairs = for {
@@ -1105,7 +1117,7 @@ object Relational {
   // aggregate is bit-stable — the same discipline as q91/q100.
   private def localSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = ($"l_extendedprice".cast(DecimalType(18, 2)) *
+    val rev = ($"l_extendedprice".cast(DecimalType(12, 2)) *
       (lit(BigDecimal(1)).cast(DecimalType(8, 2)) -
         $"l_discount".cast(DecimalType(8, 2))))
     Tables.region(s, dir).filter($"r_name" === "ASIA")
@@ -1504,7 +1516,7 @@ object Relational {
     "q101_local_supplier" ->
       """SELECT n_name,
         |       CAST(count(*) AS BIGINT) AS n_items,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |                      * (CAST(1 AS DECIMAL(8,2))
         |                         - CAST(l_discount AS DECIMAL(8,2))))
         |                  AS DOUBLE), 2) AS revenue
@@ -1522,26 +1534,26 @@ object Relational {
       """WITH s AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_p,
         |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS s_d,
         |    CAST(sum(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS s_t,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
         |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_p,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_p,
         |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))
         |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS ss_d,
         |    CAST(sum(CAST(l_tax AS DECIMAL(8,2))
         |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS ss_t,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp_qp,
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp_qp,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
         |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_qd,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
         |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_qt,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_pd,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_pt,
         |    CAST(sum(CAST(l_discount AS DECIMAL(8,2))
         |             * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_dt
@@ -1680,13 +1692,13 @@ object Relational {
         |  SELECT l_returnflag,
         |         CAST(count(*) AS DOUBLE) AS n,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-        |                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
         |                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1),
         |d AS (
         |  SELECT l_returnflag, n, sx, sy,

@@ -410,16 +410,18 @@ object TextAnalysis {
   // piece that holds at 100 TB on UNBOUNDED-cardinality columns (URLs,
   // user ids) where the exact groupBy's reduce side grows with the key
   // space: one pass, fixed memory, partials merge associatively. The
-  // sketch asks for top-15 (k + slack) so count ties at the top-10
+  // sketch asks for top-50 (k + slack) so count ties at the top-10
   // boundary — where the sketch's intra-tie order is arbitrary — cannot
-  // break the containment contract; with maxItemsTracked far above the
-  // corpus vocabulary the tracked counts are exact, so agreement is
-  // deterministic.
+  // break the containment contract unless MORE THAN 40 terms tie at the
+  // boundary count (a 5-term slack was flagged in round 5: a larger tie
+  // group could nondeterministically evict a term the exact side picked
+  // by term-asc). With maxItemsTracked far above the corpus vocabulary
+  // the tracked counts are exact, so agreement is deterministic.
   private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("term"))
-    val sk = tok.agg(expr("approx_top_k(term, 15, 10000)").as("tk"))
+    val sk = tok.agg(expr("approx_top_k(term, 50, 10000)").as("tk"))
       .select(explode($"tk").as("e"))
       .select($"e.item".as("term"), $"e.count".as("sk_n"))
     val exact = tok.groupBy($"term").agg(count(lit(1)).as("n"))

@@ -114,4 +114,21 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band candidate join degenerated to all-pairs:\n$p")
   }
+
+  test("q64: the fuzzy join is equi-keyed on the 3-feature block key, never all-pairs") {
+    val (df, p) = plan("q64_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    // all three block dimensions must stay the join's equi keys —
+    // levenshtein may only appear as a post-join filter
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty, s"no equi-join in the fuzzy-join plan:\n$p")
+    val keys = joins.head.mkString(",")
+    Seq("bk_tok", "bk_ch", "bk_len").foreach(k =>
+      assert(keys.contains(k), s"join keys miss block dimension $k: $keys"))
+  }
 }
