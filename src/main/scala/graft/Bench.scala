@@ -62,6 +62,7 @@ object Bench {
       ops.Layout.ensurePartitionedOrders(spark, sfDir)
       ops.Layout.ensureMonthDim(spark, sfDir)
       ops.Layout.ensureOrcLineitem(spark, sfDir)
+      table.TableOps.ensureDemoTable(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed (queries will self-ingest): ${e.getMessage}")
     }

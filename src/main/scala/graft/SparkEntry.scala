@@ -26,7 +26,8 @@ object SparkEntry {
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
       (ops.Relational.queries, ops.Relational.oracle),
       (ops.Multimodal.queries, ops.Multimodal.oracle),
-      (ops.Layout.queries, ops.Layout.oracle)
+      (ops.Layout.queries, ops.Layout.oracle),
+      (table.TableOps.queries, table.TableOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

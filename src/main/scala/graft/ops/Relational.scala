@@ -774,8 +774,8 @@ object Relational {
   // scans of the fact table total, which is the honest cost of exact
   // robust stats (a deployment persists the dev frame, or swaps in
   // q87's mergeable sketch for med/MAD at 100 TB; the dataflow is
-  // identical). Group medians are per-group scalars, so both
-  // join-backs broadcast.
+  // identical — q103 IS that swap, rank-contract-checked). Group
+  // medians are per-group scalars, so both join-backs broadcast.
   private def robustAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, dir).select($"event_type", $"value")
@@ -794,6 +794,43 @@ object Relational {
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_rate",
         Num.roundAt($"n_outliers".cast(DoubleType) / $"n", 6))
+      .orderBy("event_type")
+  }
+
+  // q103: q88's documented 100 TB swap made REAL — the same median/MAD
+  // robust gate driven by mergeable GK sketches (percentile_approx,
+  // accuracy 1000) instead of exact percentiles. Exact grouped medians
+  // hold a per-group sort buffer that grows with the group; the GK
+  // summary is fixed-size and merges associatively, so this variant is
+  // the one that actually runs at 100 TB. The oracle is q87's
+  // error-contract shape: the compared columns are the exact group
+  // counts plus deterministic rank-contract booleans — the realized rank
+  // of the sketch median (and of the sketch MAD within the deviation
+  // distribution) must sit within GK's worst-case ε = 1/accuracy of the
+  // 0.5 target, plus 2/n discreteness slack. GK's bound is
+  // deterministic, not probabilistic, so the booleans are stable TRUE on
+  // any engine; the raw sketch values stay out of the compare (they are
+  // algorithm-specific). Dataflow is identical to q88 — two grouped
+  // sketch passes with broadcast join-backs — proving the swap changes
+  // the aggregate, not the plan.
+  private def sketchAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(percentile_approx($"value", lit(0.5), lit(1000)).as("med_sk"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"value" - $"med_sk"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile_approx($"dev", lit(0.5), lit(1000)).as("mad_sk"))
+    val bound = lit(0.001) + lit(2.0) / $"n"
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" <= $"med_sk", 1L).otherwise(0L)).as("r_med"),
+        sum(when($"dev" <= $"mad_sk", 1L).otherwise(0L)).as("r_mad"))
+      .select($"event_type", $"n",
+        (abs($"r_med".cast(DoubleType) / $"n" - 0.5) <= bound).as("med_in_bounds"),
+        (abs($"r_mad".cast(DoubleType) / $"n" - 0.5) <= bound).as("mad_in_bounds"))
       .orderBy("event_type")
   }
 
@@ -1136,7 +1173,52 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name".asc)
   }
 
+  // q102: correlated SCALAR subquery — each order against its customer's
+  // own spend statistics, written as the everyday SQL idiom (a scalar
+  // subquery per statistic referencing the outer row) and left
+  // DECLARATIVE so Catalyst decorrelates it: the analyzer rewrites each
+  // correlated aggregate into a grouped aggregate joined on the
+  // correlation key, and MergeScalarSubqueries fuses the sum and count
+  // subqueries over the same correlated filter into ONE aggregate — the
+  // naive per-row re-execution (a nested loop at any scale) never plans.
+  // PlanGuardsSpec pins the decorrelated shape: equi-joins only, no
+  // nested-loop/cartesian. This is the reference's own fill-mean idiom
+  // (wallmart_pipeline.py:84-86 computes a scalar aggregate and applies
+  // it back per row) in its correlated per-group form. Determinism: the
+  // comparison runs in exact DECIMAL (price·count vs summed prices — no
+  // division), and the reported 2-dp average is computed in exact CENT
+  // arithmetic — floor((2·cents + n) / (2n)) is round-half-up of
+  // cents/n as pure integer division, because a double divide followed
+  // by round() lands exactly on half-cent quotients where Spark's
+  // binary-scaled rounding and DuckDB's disagree (found live: 3235649.13
+  // / 14 = 231117.795). Only the final /100 touches doubles, on an
+  // exactly-represented integer — identical bits on both engines.
+  private def corrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q102_orders")
+    s.sql(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM graft_q102_orders),
+        |flagged AS (
+        |  SELECT o_orderkey, o_custkey, price,
+        |         (SELECT sum(o2.price) FROM o o2
+        |          WHERE o2.o_custkey = o1.o_custkey) AS cust_total,
+        |         (SELECT count(*) FROM o o2
+        |          WHERE o2.o_custkey = o1.o_custkey) AS cust_n
+        |  FROM o o1)
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(price AS DOUBLE) AS o_totalprice, cust_n,
+        |       CAST((2 * CAST(cust_total * 100 AS BIGINT) + cust_n)
+        |            div (2 * cust_n) AS DOUBLE) / 100 AS cust_avg,
+        |       price * cust_n > cust_total AS above_avg
+        |FROM flagged
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_sketch_anomaly" -> (sketchAnomaly _),
+    "q102_corr_subquery"  -> (corrSubquery _),
     "q101_local_supplier" -> (localSupplier _),
     "q100_corr_matrix"    -> (corrMatrix _),
     "q99_hierarchy_walk"  -> (hierarchyWalk _),
@@ -1513,6 +1595,29 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q103_sketch_anomaly" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS med_in_bounds, TRUE AS mad_in_bounds
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q102_corr_subquery" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |flagged AS (
+        |  SELECT o_orderkey, o_custkey, price,
+        |         (SELECT sum(o2.price) FROM o o2
+        |          WHERE o2.o_custkey = o1.o_custkey) AS cust_total,
+        |         (SELECT count(*) FROM o o2
+        |          WHERE o2.o_custkey = o1.o_custkey) AS cust_n
+        |  FROM o o1)
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(price AS DOUBLE) AS o_totalprice, cust_n,
+        |       CAST((2 * CAST(cust_total * 100 AS BIGINT) + cust_n)
+        |            // (2 * cust_n) AS DOUBLE) / 100 AS cust_avg,
+        |       price * cust_n > cust_total AS above_avg
+        |FROM flagged
+        |ORDER BY o_orderkey""".stripMargin,
     "q101_local_supplier" ->
       """SELECT n_name,
         |       CAST(count(*) AS BIGINT) AS n_items,

@@ -88,4 +88,41 @@ object CdcApply {
     try q.processAllAvailable() finally q.stop()
     snapshot.get()
   }
+
+  /** CDC apply writing THROUGH the transaction log: each micro-batch is
+    * merged against the table's latest snapshot and committed as one
+    * durable version (graft.table.VersionedTable.merge — q62's merge
+    * core under an atomic commit). This is the production form of `run`:
+    * the in-memory cache-swap becomes a real table version per trigger,
+    * so a consumer can time-travel to any batch boundary and a restart
+    * resumes from durable state (checkpoint = source cursor, log =
+    * committed state — the same two-cursor contract, now both on disk).
+    * The merge targets `latestVersion` INSIDE foreachBatch: micro-batches
+    * are serialized by the stream execution thread, so each commit reads
+    * the version the previous batch produced and conflicts cannot arise
+    * from this writer; a concurrent foreign writer surfaces as
+    * CommitConflictException, failing the stream rather than losing its
+    * commit (fail-fast beats silent lost update).
+    */
+  def runThroughTable(spark: SparkSession, table: graft.table.VersionedTable,
+                      changesDir: String,
+                      queryName: String = "cdc_apply_table",
+                      checkpointDir: Option[String] = None): Unit = {
+    val feed = spark.readStream
+      .schema(changeSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changesDir)
+    val writer = feed.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // skip empty replays (a restart's batch 0 can be empty); an empty
+        // merge would still commit a full rewrite version
+        if (!batch.isEmpty)
+          table.merge(spark, batch, table.latestVersion): Unit
+      }
+    val q = checkpointDir
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

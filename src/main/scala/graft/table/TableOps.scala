@@ -1,0 +1,136 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Named queries over [[VersionedTable]] — the transactional-table
+  * surface as oracle-checked inventory rows.
+  *
+  * The demo table is built ONCE per (jvm, sf dir) with a deterministic
+  * three-version history derived from `customer` (the same change
+  * classes as q62, ops/Relational.scala — update %10, delete %7∧¬%10,
+  * insert %13 — so the oracle can rebuild every version by pure SQL):
+  *
+  *   v0 CREATE    = customer (c_custkey, c_name, c_acctbal)
+  *   v1 APPEND    = v0 ∪ the insert class (blind append — conflict-free)
+  *   v2 MERGE     = update + delete classes applied through
+  *                  VersionedTable.merge (q62's full-outer merge core,
+  *                  committed as one rewriting transaction)
+  *
+  * q104 time-travels to the PINNED version 1 — the read must see exactly
+  * the append snapshot regardless of the later merge commit. q105 reads
+  * the latest version — MERGE-through-the-log, oracle-checked against
+  * the same change algebra in SQL. TableSpec covers what SQL cannot:
+  * snapshot isolation across commits, atomicity, and the concurrent-
+  * writer conflict.
+  */
+object TableOps {
+
+  private val tableOnce = scala.collection.concurrent.TrieMap[String, String]()
+  private val buildLock = new Object
+
+  /** The q62 change classes on `base`, minus the insert class (those rows
+    * enter at v1 via append): updates patch c_acctbal, deletes drop rows.
+    */
+  private def mergeChanges(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast(StringType).as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+      .unionAll(base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+        .select($"c_custkey", lit("D").as("op"),
+          lit(null).cast(StringType).as("new_name"),
+          lit(null).cast(DoubleType).as("new_bal")))
+  }
+
+  /** The q62 insert class as plain rows (append payload). The new name
+    * carries the ORIGINAL key, mirroring q62 and its oracle.
+    */
+  private def insertRows(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.filter($"c_custkey" % 13 === 0)
+      .select(($"c_custkey" + 100000).as("c_custkey"),
+        concat(lit("Customer#new"), $"c_custkey".cast(StringType)).as("c_name"),
+        lit(1000.0).as("c_acctbal"))
+  }
+
+  /** One-time three-version table build, idempotent per sf dir (and
+    * locked: VersionedTable.create is errorifexists-strict, so the
+    * bench's concurrent warmup must not race two builders).
+    */
+  private[graft] def ensureDemoTable(s: SparkSession, dir: String): String =
+    buildLock.synchronized {
+      tableOnce.getOrElseUpdate(dir, {
+        import s.implicits._
+        val base = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+        val root = graft.ops.Core.tmp("graft_vtable")
+        val t = VersionedTable.create(root, base) // v0
+        t.append(insertRows(base))                // v1
+        t.merge(s, mergeChanges(base), readVersion = 1L) // v2
+        root
+      })
+    }
+
+  // q104: TIME TRAVEL — read the table VERSION AS OF 1 (the pinned
+  // pre-merge snapshot). The later merge commit removed v1's files from
+  // the ACTIVE set, but immutable data + log replay reconstruct exactly
+  // the append state; the oracle rebuilds it as customer ∪ insert class.
+  // No arithmetic touches c_acctbal on this path, so doubles cross the
+  // compare bit-exact (write → parquet → read is identity).
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    VersionedTable.open(root).snapshot(s, versionAsOf = Some(1L))
+      .orderBy("c_custkey")
+  }
+
+  // q105: MERGE INTO through the transaction log — the latest snapshot
+  // after the v2 merge commit. Update bals are base + 100.0 computed in
+  // double on BOTH engines (one exact-operand add, no rounding needed).
+  private def tableMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    VersionedTable.open(root).snapshot(s)
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_time_travel" -> (timeTravel _),
+    "q105_table_merge" -> (tableMerge _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q104_time_travel" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000,
+        |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q105_table_merge" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |del AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0),
+        |survivors AS (
+        |  SELECT c.c_custkey, c.c_name,
+        |         coalesce(u.new_bal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c
+        |  LEFT JOIN upd u USING (c_custkey)
+        |  LEFT JOIN del d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL)
+        |SELECT c_custkey, c_name, c_acctbal FROM survivors
+        |UNION ALL
+        |SELECT c_custkey + 100000,
+        |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -131,4 +131,15 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Seq("bk_tok", "bk_ch", "bk_len").foreach(k =>
       assert(keys.contains(k), s"join keys miss block dimension $k: $keys"))
   }
+
+  test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
+    val (_, p) = plan("q102_corr_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery planned as a nested loop:\n$p")
+    // decorrelation rewrites the per-row aggregate into a grouped
+    // aggregate joined on the correlation key
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no decorrelated aggregate in the plan:\n$p")
+    assert(p.contains("Join"), s"no join in the decorrelated plan:\n$p")
+  }
 }

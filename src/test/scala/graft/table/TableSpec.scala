@@ -1,0 +1,153 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** The transactional contract of VersionedTable — the pieces no SQL
+  * oracle can check: time travel across versions, snapshot isolation
+  * against concurrent commits, conflict detection between racing
+  * writers, and the CDC stream committing one durable version per
+  * micro-batch.
+  */
+class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def base = {
+    import spark.implicits._
+    graft.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  private def freshTable() =
+    VersionedTable.create(graft.ops.Core.tmp("vt_spec"), base)
+
+  test("create/append/overwrite advance versions; time travel reads each state") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(t.latestVersion == 0L)
+    val n0 = base.count()
+
+    val extra = base.limit(10).select($"c_custkey" + 500000 as "c_custkey",
+      $"c_name", $"c_acctbal")
+    assert(t.append(extra) == 1L)
+    assert(t.latestVersion == 1L)
+
+    val small = base.limit(5)
+    assert(t.overwrite(small, readVersion = 1L) == 2L)
+
+    assert(t.snapshot(spark, Some(0L)).count() == n0)
+    assert(t.snapshot(spark, Some(1L)).count() == n0 + 10)
+    assert(t.snapshot(spark, Some(2L)).count() == 5)
+    assert(t.snapshot(spark).count() == 5) // latest = v2
+  }
+
+  test("snapshot isolation: a reader's frame is pinned against later commits") {
+    val t = freshTable()
+    val n0 = base.count()
+    val snap = t.snapshot(spark) // resolves v0's file list NOW
+    t.overwrite(base.limit(3), readVersion = 0L)
+    // the pinned frame still reads v0's immutable files, not v1
+    assert(snap.count() == n0, "reader observed a commit that happened after it opened")
+    assert(t.snapshot(spark).count() == 3)
+  }
+
+  test("concurrent writers: second commit on the same read version is rejected") {
+    val t = freshTable()
+    // both writers read v0; writer A publishes v1 first
+    t.overwrite(base.limit(7), readVersion = 0L)
+    val e = intercept[CommitConflictException] {
+      t.overwrite(base.limit(9), readVersion = 0L)
+    }
+    assert(e.getMessage.contains("version 1"))
+    // the losing transaction left no trace: log is intact, v1 is writer A's
+    assert(t.latestVersion == 1L)
+    assert(t.snapshot(spark).count() == 7)
+  }
+
+  test("blind append retries through a conflict instead of failing") {
+    val t = freshTable()
+    // simulate a foreign writer landing between the append's read and
+    // publish by pre-claiming version 1 through a second handle
+    val foreign = VersionedTable.open(t.root.toString)
+    foreign.append(base.limit(2))
+    // this append reads latest=1 and must land at 2 without conflict
+    assert(t.append(base.limit(4)) == 2L)
+    assert(t.snapshot(spark).count() == base.count() + 2 + 4)
+  }
+
+  test("merge through the log equals q62's one-shot merge output") {
+    import spark.implicits._
+    val t = freshTable()
+    val changes = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+      .unionAll(base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+        .select($"c_custkey", lit("D").as("op"),
+          lit(null).cast("string").as("new_name"),
+          lit(null).cast("double").as("new_bal")))
+    t.merge(spark, changes, readVersion = 0L)
+
+    val viaTable = t.snapshot(spark).orderBy("c_custkey").collect()
+    val oneShot = graft.streaming.CdcApply.mergeBatch(base, changes)
+      .orderBy("c_custkey").collect()
+    assert(viaTable.length == oneShot.length)
+    assert(viaTable.sameElements(oneShot), "table merge != one-shot merge")
+    // time travel still sees the unmerged base
+    assert(t.snapshot(spark, Some(0L)).count() == base.count())
+  }
+
+  test("commit files are atomic: a torn temp file never becomes a version") {
+    val t = freshTable()
+    // a crashed writer's leftover temp must be invisible to readers
+    val logDir = t.root.resolve("_txn_log")
+    Files.writeString(logDir.resolve(".tmp-crashed.json"), "{\"commit\":")
+    assert(t.latestVersion == 0L)
+    assert(t.snapshot(spark).count() == base.count())
+  }
+
+  test("CDC stream commits one table version per micro-batch (durable CdcApply)") {
+    import spark.implicits._
+    val t = freshTable()
+
+    def changeFile(df: org.apache.spark.sql.DataFrame, outDir: String, name: String): Unit = {
+      val staging = graft.ops.Core.tmp("vt_cdc_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val listing = Files.list(Paths.get(staging))
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      Files.createDirectories(Paths.get(outDir))
+      Files.move(part, Paths.get(outDir, name))
+    }
+
+    val upd = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+    val del = base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+      .select($"c_custkey", lit("D").as("op"),
+        lit(null).cast("string").as("new_name"),
+        lit(null).cast("double").as("new_bal"))
+
+    val feedDir = graft.ops.Core.tmp("vt_cdc_feed")
+    changeFile(upd, feedDir, "b0.parquet")
+    changeFile(del, feedDir, "b1.parquet")
+
+    graft.streaming.CdcApply.runThroughTable(spark, t, feedDir)
+
+    // one version per batch: v0 create + v1/v2 merges
+    assert(t.latestVersion == 2L, s"expected 2 merge commits, log at ${t.latestVersion}")
+    val finalState = t.snapshot(spark).orderBy("c_custkey").collect()
+    val expected = graft.streaming.CdcApply.mergeBatch(
+      graft.streaming.CdcApply.mergeBatch(base, upd), del)
+      .orderBy("c_custkey").collect()
+    assert(finalState.sameElements(expected), "streamed table != sequential merges")
+    // and every intermediate batch boundary is time-travelable
+    assert(t.snapshot(spark, Some(1L)).count() == base.count()) // updates only
+  }
+}
