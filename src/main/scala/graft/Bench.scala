@@ -133,9 +133,31 @@ object Bench {
     // 2000-char stdout tail the driver parses
     val env =
       s"""{"cpus":"$cpus/$avail","heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
+    // Paired baseline: scripts/duckdb_bench.py times the same oracle SQLs
+    // in DuckDB and writes duckdb_bench.json (committed after each quiet
+    // back-to-back measurement). Embedding its total + timestamp makes
+    // the 2x gate self-contained in this artifact; the explicit
+    // `duckdb_recorded` date keeps the provenance honest — it is the
+    // paired twin's run date, not this JVM's wall clock.
+    val duck: String = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_DUCKDB_JSON", "duckdb_bench.json"))
+      if (!Files.exists(p)) ""
+      else try {
+        val s = Files.readString(p)
+        val v = """"value":\s*([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1))
+        val at = """"generated_at":\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+        val n = """"n_queries":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1))
+        (v, at) match {
+          case (Some(total), Some(ts)) =>
+            s""","duckdb_total":$total,"duckdb_recorded":${jstr(ts)}""" +
+              n.map(x => s""","duckdb_n_queries":$x""").getOrElse("")
+          case _ => ""
+        }
+      } catch { case _: Throwable => "" }
+    }
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qsJson(entries)},"errors":$es$om,"env":$env,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qsJson(entries)},"errors":$es$om$duck,"env":$env,"sf":${jstr(sfDir)}}"""
     }
 
     // Full detail always lands in bench.json; the STDOUT line must fit the

@@ -35,13 +35,35 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
       n_frames: Int, frame0_digest: String, mid_frame_digest: String)
 
+  /** The codec seam: everything Spark-side (schema, partitioning, typed
+    * mapPartitions, batch shape) is codec-agnostic — a production
+    * deployment drops a JNI/JVM decoder behind this trait and touches
+    * nothing else. Serializable because the instance ships inside the
+    * mapPartitions closure to executors; a native-handle-holding
+    * implementation would keep the handle transient and lazily init per
+    * executor (the batch interface exists precisely so that init
+    * amortizes across rows). MultimodalSpec proves the plumbing honors
+    * the contract independently of FakeCodec.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode one non-empty batch (≤ [[DecodeBatchSize]] rows), one
+      * output row per input row, order preserved.
+      */
+    def decode(batch: Seq[MediaRow]): Seq[MediaMeta]
+  }
+
+  /** Rows handed to the codec per call — the micro-batch a vectorized /
+    * native decoder amortizes its per-call overhead over.
+    */
+  val DecodeBatchSize = 64
+
   /** STUB CODEC. A real implementation would hand `batch` to an image /
     * video library (JNI or pure-JVM) and return true dimensions; the
     * container has none, so dimensions derive deterministically from the
     * payload's md5 — stable, cross-engine reproducible, and shaped like
     * the real thing (init-once-per-batch, vectorized over the batch).
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     private def md5hex(b: Array[Byte]): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(b).map("%02x".format(_)).mkString
@@ -67,12 +89,15 @@ object Multimodal {
     }
   }
 
-  /** The decode stage: partition-local, batched. This is the seam where
-    * a production pipeline swaps in the real codec.
+  /** The decode stage: partition-local, batched, codec-parameterized.
+    * This is the seam where a production pipeline swaps in the real
+    * codec — the dataflow (one pass, zero shuffle, `grouped` batching)
+    * is identical for any [[MediaCodec]].
     */
-  def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def decodeMedia(media: Dataset[MediaRow],
+                  codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(64).flatMap(FakeCodec.decode))
+    media.mapPartitions(_.grouped(DecodeBatchSize).flatMap(codec.decode))
   }
 
   // q44: documents.text encoded to a binary payload (stand-in for image

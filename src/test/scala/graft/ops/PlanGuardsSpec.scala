@@ -132,6 +132,41 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(keys.contains(k), s"join keys miss block dimension $k: $keys"))
   }
 
+  test("AQE splits a skewed join partition — the automatic answer to q51's manual salting") {
+    // q51 demonstrates MANUAL salting; this pins the engine's automatic
+    // path: with adaptive skew-join thresholds scaled to test data, AQE's
+    // OptimizeSkewedJoin must split the hot partition of a sort-merge
+    // join at runtime (SortMergeJoin prints skew=true in the final
+    // adaptive plan). At 100 TB these two are the complete answer to
+    // skew: AQE for the common case, explicit salting where a single key
+    // exceeds what partition-splitting can fix (the dim side must
+    // replicate per sub-split, which AQE does for free here).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ~90% of the fact lands on key 1 — one hot reduce partition
+      val fact = spark.range(0, 300000).select(
+        when($"id" % 10 === 0, $"id" % 50 + 1).otherwise(lit(1L)).as("k"),
+        $"id".as("payload"))
+      val dim = spark.range(1, 51).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS QueryExecution, finalizing its adaptive
+      // plan (count() would plan a separate aggregate query and leave
+      // this one unexecuted: isFinalPlan=false)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
     val (_, p) = plan("q102_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
