@@ -81,13 +81,36 @@ final class VersionedTable private (val root: Path) {
     } finally files.close()
   }
 
-  /** Active data paths (relative) at `version`: replay adds minus removes
-    * through the log prefix. Insertion order is kept so snapshots list
-    * files deterministically.
+  /** Largest checkpointed version ≤ `version`, or -1 if none. */
+  private def latestCheckpointAtOrBefore(version: Long): Long = {
+    val files = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+        .filter(_ <= version)
+        .foldLeft(-1L)(math.max)
+    } finally files.close()
+  }
+
+  /** Active data paths (relative) at `version`: start from the newest
+    * checkpoint at or before it, then replay only the log TAIL.
+    * Insertion order is kept so snapshots list files deterministically.
+    * With periodic checkpoints a reader's cost is O(commits since last
+    * checkpoint), not O(table lifetime) — the piece that keeps a table
+    * with years of minutely commits readable in constant time.
     */
   def activeFiles(version: Long): Seq[String] = {
     val active = scala.collection.mutable.LinkedHashSet[String]()
-    (0L to version).foreach { v =>
+    val cp = latestCheckpointAtOrBefore(version)
+    if (cp >= 0) {
+      val node = Mapper.readTree(
+        Files.readString(logDir.resolve(checkpointFileName(cp))))
+      node.get("active").forEach(p => active += p.asText())
+    }
+    (cp + 1 to version).foreach { v =>
       val f = logDir.resolve(versionFileName(v))
       require(Files.exists(f), s"missing log version $v in $logDir")
       Files.readAllLines(f).forEach { line =>
@@ -97,6 +120,28 @@ final class VersionedTable private (val root: Path) {
       }
     }
     active.toSeq
+  }
+
+  /** Write a checkpoint of the CURRENT latest version's active-file list.
+    * Idempotent and crash-safe (tmp + atomic link; an existing checkpoint
+    * for the version is left alone). Checkpoints are pure accelerators:
+    * replay without them is always correct, so losing one costs time,
+    * never consistency.
+    */
+  def checkpoint(): Long = {
+    val v = latestVersion
+    require(v >= 0, "nothing to checkpoint")
+    val target = logDir.resolve(checkpointFileName(v))
+    if (!Files.exists(target)) {
+      val files = activeFiles(v)
+      val tmp = logDir.resolve(s".tmp-cp-${UUID.randomUUID()}.json")
+      Files.writeString(tmp,
+        s"""{"version":$v,"active":[${files.map(f => s""""$f"""").mkString(",")}]}""")
+      try Files.createLink(target, tmp)
+      catch { case _: FileAlreadyExistsException => () } // racer wrote it
+      finally Files.deleteIfExists(tmp)
+    }
+    v
   }
 
   /** Snapshot read — latest version by default, `versionAsOf` for time
@@ -111,26 +156,109 @@ final class VersionedTable private (val root: Path) {
     spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
   }
 
-  /** Write `df` as a fresh immutable data directory; returns its
-    * table-relative path. Not yet visible — only a commit publishes it.
+  /** Per-file stats recorded in the log for `version`:
+    * path -> (min, max) of the table's stats column, absent for files
+    * committed without stats.
     */
-  private def writeData(df: DataFrame): (String, Long) = {
+  def fileStats(version: Long): Map[String, (Long, Long)] = {
+    val stats = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    (0L to version).foreach { v =>
+      val f = logDir.resolve(versionFileName(v))
+      if (Files.exists(f)) Files.readAllLines(f).forEach { line =>
+        val node = Mapper.readTree(line)
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (a.has("min") && a.has("max"))
+            stats(a.get("path").asText()) = (a.get("min").asLong(), a.get("max").asLong())
+        }
+        if (node.has("remove")) stats -= node.get("remove").get("path").asText()
+      }
+    }
+    stats.toMap
+  }
+
+  /** Data-skipping snapshot read: prune data files whose logged
+    * [min, max] span of the stats column cannot intersect [lo, hi] —
+    * BEFORE Spark lists a single footer. This is the zone-map / Delta
+    * data-skipping idea lifted into the commit log: parquet row-group
+    * stats prune I/O inside a file the scanner already opened, log
+    * stats prune the FILES, which at 100 TB is the difference between
+    * planning over thousands of objects and planning over the few a
+    * time-ordered ingest actually touches (append-mostly tables are
+    * naturally clustered on ingest keys, so spans are tight in
+    * practice; a z-order rewrite — q86 — tightens two dimensions at
+    * once). Files with no recorded stats are conservatively kept, and
+    * the residual filter still applies, so the read is always correct,
+    * just cheaper. Returns the frame plus how many files survived of
+    * the total (the spec pins the skipping really happened).
+    */
+  def snapshotWhere(spark: SparkSession, lo: Long, hi: Long,
+                    versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val statsCol = statsColumn.getOrElse(
+      throw new IllegalStateException(s"table at $root records no stats column"))
+    val v = versionAsOf.getOrElse(latestVersion)
+    val files = activeFiles(v)
+    val stats = fileStats(v)
+    val kept = files.filter { f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    require(kept.nonEmpty, s"no file of version $v can contain [$lo, $hi]")
+    val df = spark.read.parquet(kept.map(f => root.resolve(f).toString): _*)
+      .filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
+    (df, kept.length, files.length)
+  }
+
+  /** The column this table logs min/max stats for (from version 0's
+    * commit metadata), if any.
+    */
+  def statsColumn: Option[String] = {
+    val f = logDir.resolve(versionFileName(0L))
+    if (!Files.exists(f)) None
+    else {
+      var found: Option[String] = None
+      Files.readAllLines(f).forEach { line =>
+        val node = Mapper.readTree(line)
+        if (node.has("commit") && node.get("commit").has("statsCol"))
+          found = Some(node.get("commit").get("statsCol").asText())
+      }
+      found
+    }
+  }
+
+  /** Write `df` as a fresh immutable data directory; returns the add
+    * entry (path, rows, and — when the table logs a stats column — the
+    * written data's min/max of it, gathered in the SAME aggregate pass
+    * as the row count). Not yet visible — only a commit publishes it.
+    */
+  private def writeData(df: DataFrame,
+                        statsCol: Option[String] = statsColumn): AddEntry = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val rel = s"data/${UUID.randomUUID()}"
-    val rows = df.count()
+    val entry = statsCol match {
+      case Some(c) =>
+        val r = df.agg(count(lit(1)), min(col(c)).cast("long"),
+          max(col(c)).cast("long")).head()
+        AddEntry(rel, r.getLong(0),
+          if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))
+      case None => AddEntry(rel, df.count(), None)
+    }
     df.write.mode("errorifexists").parquet(root.resolve(rel).toString)
-    (rel, rows)
+    entry
   }
 
   /** Publish one commit targeting `readVersion + 1`.
     * @throws CommitConflictException if that version was taken first.
     */
   def commit(op: String, readVersion: Long,
-             adds: Seq[(String, Long)], removes: Seq[String]): Long = {
+             adds: Seq[AddEntry], removes: Seq[String],
+             statsColMeta: Option[String] = None): Long = {
     val version = readVersion + 1
     val sb = new StringBuilder
-    sb.append(s"""{"commit":{"version":$version,"op":"${op}","readVersion":$readVersion}}""")
-    adds.foreach { case (p, n) =>
-      sb.append('\n').append(s"""{"add":{"path":"$p","rows":$n}}""") }
+    val meta = statsColMeta.map(c => s""","statsCol":"$c"""").getOrElse("")
+    sb.append(s"""{"commit":{"version":$version,"op":"${op}","readVersion":$readVersion$meta}}""")
+    adds.foreach { a =>
+      val st = a.stats.map { case (mn, mx) => s""","min":$mn,"max":$mx""" }.getOrElse("")
+      sb.append('\n').append(s"""{"add":{"path":"${a.path}","rows":${a.rows}$st}}""") }
     removes.foreach { p =>
       sb.append('\n').append(s"""{"remove":{"path":"$p"}}""") }
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}.json")
@@ -138,6 +266,10 @@ final class VersionedTable private (val root: Path) {
     val target = logDir.resolve(versionFileName(version))
     try {
       Files.createLink(target, tmp) // atomic publish + conflict check
+      // periodic checkpoint so reader replay stays O(interval); purely
+      // an accelerator, so best-effort is correct
+      if (version > 0 && version % CheckpointInterval == 0)
+        try checkpoint() catch { case _: Throwable => () }
       version
     } catch {
       case _: FileAlreadyExistsException =>
@@ -151,10 +283,10 @@ final class VersionedTable private (val root: Path) {
     * file), so a lost race is safely retried against the fresh latest.
     */
   def append(df: DataFrame, maxRetries: Int = 5): Long = {
-    val (rel, rows) = writeData(df)
+    val add = writeData(df)
     var attempt = 0
     while (true) {
-      try return commit("append", latestVersion, Seq(rel -> rows), Nil)
+      try return commit("append", latestVersion, Seq(add), Nil)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -170,8 +302,8 @@ final class VersionedTable private (val root: Path) {
     */
   def overwrite(df: DataFrame, readVersion: Long): Long = {
     val removed = activeFiles(readVersion)
-    val (rel, rows) = writeData(df)
-    commit("overwrite", readVersion, Seq(rel -> rows), removed)
+    val add = writeData(df)
+    commit("overwrite", readVersion, Seq(add), removed)
   }
 
   /** MERGE INTO through the log: q62's co-partitioned full-outer merge
@@ -183,8 +315,63 @@ final class VersionedTable private (val root: Path) {
     val merged = graft.streaming.CdcApply.mergeBatch(
       snapshot(spark, Some(readVersion)), changes)
     val removed = activeFiles(readVersion)
-    val (rel, rows) = writeData(merged)
-    commit("merge", readVersion, Seq(rel -> rows), removed)
+    val add = writeData(merged)
+    commit("merge", readVersion, Seq(add), removed)
+  }
+
+  /** Small-file compaction THROUGH the log (Delta OPTIMIZE's shape): the
+    * active files of `readVersion` are rewritten into ~`targetBytes`
+    * outputs and swapped in one rewriting commit that changes ZERO rows
+    * — readers of any version, before or after, see identical data;
+    * only the file layout (and scan cost) changes. Pairs with
+    * ops/Layout.compact, which documents why repartition (a shuffle)
+    * beats coalesce for uniform output sizes.
+    */
+  def compact(spark: SparkSession, targetBytes: Long, readVersion: Long): Long = {
+    val removed = activeFiles(readVersion)
+    val df = snapshot(spark, Some(readVersion))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val add = writeData(df.repartition(nOut))
+    commit("compact", readVersion, Seq(add), removed)
+  }
+
+  /** Physically delete data directories no version ≥ `horizon`
+    * references — the retention trade every table format makes explicit:
+    * time travel BEFORE the horizon dies (a vacuumed version's read
+    * fails fast on the missing file, never silently returns partial
+    * data), storage is reclaimed, every version ≥ horizon is untouched.
+    * Returns the deleted table-relative paths.
+    */
+  def vacuum(horizon: Long): Seq[String] = {
+    val latest = latestVersion
+    require(horizon >= 0 && horizon <= latest,
+      s"vacuum horizon $horizon outside [0, $latest]")
+    val referenced = (horizon to latest).flatMap(activeFiles).toSet
+    val dataDir = root.resolve("data")
+    val all = Files.list(dataDir)
+    val victims =
+      try {
+        import scala.jdk.CollectionConverters._
+        all.iterator().asScala
+          .map(p => s"data/${p.getFileName}")
+          .filterNot(referenced)
+          .toList
+      } finally all.close()
+    victims.foreach { rel =>
+      val dir = root.resolve(rel)
+      val children = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala.foreach(Files.delete)
+      } finally children.close()
+      Files.delete(dir)
+    }
+    victims
   }
 }
 
@@ -192,16 +379,31 @@ object VersionedTable {
   private val LogDirName = "_txn_log"
   private val Mapper = new ObjectMapper()
 
-  private def versionFileName(v: Long): String = f"$v%020d.json"
+  /** Auto-checkpoint cadence: replay cost is bounded by this many
+    * commit files plus one checkpoint read.
+    */
+  val CheckpointInterval = 10
 
-  /** Create a new table at `root` with `df` as version 0. */
-  def create(root: String, df: DataFrame): VersionedTable = {
+  /** One published data write: table-relative path, row count, and the
+    * stats column's (min, max) when the table records stats.
+    */
+  final case class AddEntry(path: String, rows: Long, stats: Option[(Long, Long)])
+
+  private def versionFileName(v: Long): String = f"$v%020d.json"
+  private def checkpointFileName(v: Long): String = f"$v%020d.checkpoint.json"
+
+  /** Create a new table at `root` with `df` as version 0. `statsCol`
+    * (an integral column) turns on per-file min/max stats in every
+    * subsequent commit — the data-skipping input of `snapshotWhere`.
+    */
+  def create(root: String, df: DataFrame,
+             statsCol: Option[String] = None): VersionedTable = {
     val r = Paths.get(root)
     Files.createDirectories(r.resolve(LogDirName))
     val t = new VersionedTable(r)
     require(t.latestVersion == -1L, s"table already exists at $root")
-    val (rel, rows) = t.writeData(df)
-    t.commit("create", -1L, Seq(rel -> rows), Nil)
+    val add = t.writeData(df, statsCol)
+    t.commit("create", -1L, Seq(add), Nil, statsColMeta = statsCol)
     t
   }
 

@@ -110,6 +110,91 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.snapshot(spark).count() == base.count())
   }
 
+  test("checkpoints bound replay to the log tail (old log files become dead weight)") {
+    import spark.implicits._
+    val t = freshTable()
+    val n0 = base.count()
+    // 12 appends of 1 row each: the auto-checkpoint lands at version 10
+    (1 to 12).foreach { i =>
+      t.append(base.limit(1).select($"c_custkey" + (900000 + i) as "c_custkey",
+        $"c_name", $"c_acctbal"))
+    }
+    assert(t.latestVersion == 12L)
+    assert(Files.exists(t.root.resolve("_txn_log")
+      .resolve(f"${10L}%020d.checkpoint.json")), "auto-checkpoint at v10 missing")
+    assert(t.snapshot(spark).count() == n0 + 12)
+
+    // white-box proof that replay starts AT the checkpoint: destroy a
+    // pre-checkpoint commit file — reads at/after the checkpoint must
+    // not notice, reads before it must fail fast
+    Files.delete(t.root.resolve("_txn_log").resolve(f"${3L}%020d.json"))
+    assert(t.snapshot(spark).count() == n0 + 12)
+    assert(t.snapshot(spark, Some(11L)).count() == n0 + 11)
+    intercept[IllegalArgumentException] { t.snapshot(spark, Some(5L)) }
+  }
+
+  test("compaction through the log changes layout, never rows; history intact") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 3).foreach { i =>
+      t.append(base.limit(20).select($"c_custkey" + (800000 + i * 1000) as "c_custkey",
+        $"c_name", $"c_acctbal"))
+    }
+    val preVersion = t.latestVersion
+    val pre = t.snapshot(spark)
+    val preRows = pre.orderBy("c_custkey").collect()
+    val preFiles = pre.inputFiles.length
+
+    t.compact(spark, targetBytes = 1L << 30, readVersion = preVersion)
+
+    val post = t.snapshot(spark)
+    assert(post.inputFiles.length < preFiles,
+      s"compaction did not reduce files: $preFiles -> ${post.inputFiles.length}")
+    assert(post.orderBy("c_custkey").collect().sameElements(preRows),
+      "compaction changed table content")
+    // the pre-compact version still reads the original layout
+    assert(t.snapshot(spark, Some(preVersion)).count() == preRows.length)
+  }
+
+  test("vacuum reclaims unreferenced files; horizon versions keep reading, older fail fast") {
+    val t = freshTable()
+    t.overwrite(base.limit(50), readVersion = 0L)
+    t.compact(spark, targetBytes = 1L << 30, readVersion = 1L)
+    val latest = t.latestVersion // v2
+
+    val deleted = t.vacuum(horizon = latest)
+    assert(deleted.nonEmpty, "expected v0/v1 data dirs to be reclaimed")
+    assert(t.snapshot(spark).count() == 50) // latest untouched
+    // time travel below the horizon fails FAST (missing path), never
+    // silently returns partial data
+    intercept[Exception] { t.snapshot(spark, Some(0L)).count() }
+  }
+
+  test("log-level data skipping: snapshotWhere prunes files by logged min/max") {
+    import spark.implicits._
+    // time-ordered ingest: each append covers a disjoint key range, the
+    // natural clustering of event-time data at scale
+    val t = VersionedTable.create(graft.ops.Core.tmp("vt_stats"),
+      base.filter($"c_custkey" < 50), statsCol = Some("c_custkey"))
+    t.append(base.filter($"c_custkey" >= 50 && $"c_custkey" < 100))
+    t.append(base.filter($"c_custkey" >= 100))
+    assert(t.statsColumn.contains("c_custkey"))
+
+    val (df, kept, total) = t.snapshotWhere(spark, lo = 60, hi = 90)
+    assert(total == 3, s"expected 3 active files, saw $total")
+    assert(kept == 1, s"log stats should prune to the one overlapping file, kept $kept")
+    // pruning is an optimization, never a semantics change
+    val expected = base.filter($"c_custkey".between(60, 90)).count()
+    assert(df.count() == expected)
+
+    // a compaction rewrite re-derives stats for the merged file: the
+    // span widens to the union, skipping degrades, correctness holds
+    t.compact(spark, targetBytes = 1L << 30, readVersion = t.latestVersion)
+    val (df2, kept2, total2) = t.snapshotWhere(spark, 60, 90)
+    assert(total2 == 1 && kept2 == 1)
+    assert(df2.count() == expected)
+  }
+
   test("CDC stream commits one table version per micro-batch (durable CdcApply)") {
     import spark.implicits._
     val t = freshTable()
