@@ -797,6 +797,53 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q106: LATERAL join — the "for each row, run this subquery" SQL idiom
+  // (top-3 orders per customer here). Left declarative so Catalyst does
+  // the scale-critical rewrite: the correlated LIMIT becomes
+  // WindowGroupLimit (PARTIAL on the map side, FINAL after the shuffle —
+  // each task keeps only 3 candidates per customer before anything
+  // moves) feeding one equi-join on the correlation key; the naive
+  // per-row subquery execution (a nested loop) never plans.
+  // PlanGuardsSpec pins WindowGroupLimit + no nested loop. Functional
+  // twin of q47's typed-Aggregator top-k-per-group — same dataflow,
+  // reached from the everyday SQL spelling.
+  private def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q106_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q106_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_q106_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_q106_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  // q107: VARIANT — Spark 4's schema-on-read binary JSON (the open-
+  // source form of the shredded semi-structured type): parse once into
+  // the typed binary encoding, then `variant_get` with a type-targeted
+  // path instead of per-access string re-parsing (q23's
+  // get_json_object re-tokenizes the JSON text on every extraction; at
+  // 100 TB parse-once-access-many is the difference). The aggregate
+  // matches q23's shape so the two formulations are directly
+  // comparable; the oracle extracts the same fields with DuckDB's JSON
+  // operators — the VALUES must agree bit-for-bit even though the
+  // encodings differ completely.
+  private def variantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", expr("parse_json(props)").as("v"))
+      .select($"event_type",
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("variant_get(v, '$.absent', 'int')").as("missing"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(avg($"k"), 6).as("avg_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        count($"missing").as("n_missing_key"))
+      .orderBy("event_type")
+  }
+
   // q103: q88's documented 100 TB swap made REAL — the same median/MAD
   // robust gate driven by mergeable GK sketches (percentile_approx,
   // accuracy 1000) instead of exact percentiles. Exact grouped medians
@@ -1217,6 +1264,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_variant_props"  -> (variantProps _),
+    "q106_lateral_topn"   -> (lateralTopN _),
     "q103_sketch_anomaly" -> (sketchAnomaly _),
     "q102_corr_subquery"  -> (corrSubquery _),
     "q101_local_supplier" -> (localSupplier _),
@@ -1595,6 +1644,20 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q106_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    "q107_variant_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |       CAST(count(json_extract_string(props, '$.absent')) AS BIGINT) AS n_missing_key
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q103_sketch_anomaly" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       TRUE AS med_in_bounds, TRUE AS mad_in_bounds

@@ -167,6 +167,17 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q106: the LATERAL LIMIT decorrelates to WindowGroupLimit, not a nested loop") {
+    val (_, p) = plan("q106_lateral_topn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral subquery planned as a nested loop:\n$p")
+    // the correlated LIMIT must become the map-side group-limit rewrite:
+    // a Partial WindowGroupLimit keeps <=3 rows per customer per task
+    // BEFORE the shuffle — the piece that makes per-group top-k scale
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+    assert(p.contains("Partial"), s"group limit is not map-side partial:\n$p")
+  }
+
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
     val (_, p) = plan("q102_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
