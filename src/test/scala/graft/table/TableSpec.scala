@@ -195,6 +195,51 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df2.count() == expected)
   }
 
+  test("model check: every version of a random op history matches an in-memory model") {
+    import spark.implicits._
+    // a seeded op sequence (append / overwrite / delete-merge) executed
+    // against BOTH the table and a plain in-memory key set; afterwards
+    // EVERY version's snapshot must reproduce its model state exactly —
+    // the whole-history contract none of the single-op tests pin
+    val rnd = new scala.util.Random(42)
+    def rows(ks: Seq[Long]) = ks.toDF("c_custkey")
+      .select($"c_custkey", concat(lit("n"), $"c_custkey").as("c_name"),
+        ($"c_custkey" * 1.5).as("c_acctbal"))
+
+    var model = (0L until 30L).toSet
+    val history = scala.collection.mutable.ArrayBuffer(model)
+    val t = VersionedTable.create(graft.ops.Core.tmp("vt_model"), rows(model.toSeq))
+    var nextKey = 1000L
+    (1 to 6).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => // append a fresh batch
+          val batch = (nextKey until nextKey + 5).toSet
+          nextKey += 5
+          t.append(rows(batch.toSeq))
+          model = model ++ batch
+        case 1 => // overwrite with a random subset
+          model = model.filter(_ => rnd.nextBoolean())
+          if (model.isEmpty) model = Set(nextKey) // keep the table non-empty
+          if (model == history.last) model = model + { nextKey += 1; nextKey }
+          t.overwrite(rows(model.toSeq), t.latestVersion)
+        case 2 => // merge deleting a random subset (always leave a survivor)
+          var dels = model.filter(_ => rnd.nextInt(3) == 0)
+          if (dels == model && dels.nonEmpty) dels = dels - dels.head
+          val changes = rows(dels.toSeq).select($"c_custkey", lit("D").as("op"),
+            lit(null).cast("string").as("new_name"),
+            lit(null).cast("double").as("new_bal"))
+          t.merge(spark, changes, t.latestVersion)
+          model = model -- dels
+      }
+      history += model
+    }
+    history.zipWithIndex.foreach { case (expected, v) =>
+      val got = t.snapshot(spark, Some(v.toLong))
+        .select("c_custkey").as[Long].collect().toSet
+      assert(got == expected, s"version $v diverged from the model")
+    }
+  }
+
   test("CDC stream commits one table version per micro-batch (durable CdcApply)") {
     import spark.implicits._
     val t = freshTable()
