@@ -63,6 +63,7 @@ object Bench {
       ops.Layout.ensureMonthDim(spark, sfDir)
       ops.Layout.ensureOrcLineitem(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
+      table.TableOps.ensureEvoTable(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed (queries will self-ingest): ${e.getMessage}")
     }

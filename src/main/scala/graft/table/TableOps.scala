@@ -78,6 +78,39 @@ object TableOps {
       })
     }
 
+  private val evoOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time schema-evolution demo table: v0 carries (c_custkey,
+    * c_acctbal); v1 appends a batch that INTRODUCES c_segment. The
+    * logged schema widens additively, so the latest read surfaces the
+    * new column with NULL for pre-evolution files.
+    */
+  private[graft] def ensureEvoTable(s: SparkSession, dir: String): String =
+    buildLock.synchronized {
+      evoOnce.getOrElseUpdate(dir, {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val root = graft.ops.Core.tmp("graft_vtable_evo")
+        val t = VersionedTable.create(root,
+          cust.select($"c_custkey", $"c_acctbal"))
+        t.append(cust.filter($"c_custkey" % 3 === 0)
+          .select(($"c_custkey" + 200000).as("c_custkey"), $"c_acctbal",
+            $"c_mktsegment".as("c_segment")))
+        root
+      })
+    }
+
+  // q108: SCHEMA EVOLUTION read — the snapshot is driven by the LOGGED
+  // schema of the target version, not any one file's footer: rows
+  // written before c_segment existed surface it as NULL (the parquet
+  // reader fills missing columns), rows after carry their values. The
+  // oracle rebuilds exactly that frame with a NULL literal — proving
+  // additive evolution changes no existing byte and invents no rows.
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureEvoTable(s, dir)
+    VersionedTable.open(root).snapshot(s).orderBy("c_custkey")
+  }
+
   // q104: TIME TRAVEL — read the table VERSION AS OF 1 (the pinned
   // pre-merge snapshot). The later merge commit removed v1's files from
   // the ACTIVE set, but immutable data + log replay reconstruct exactly
@@ -101,7 +134,8 @@ object TableOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_time_travel" -> (timeTravel _),
-    "q105_table_merge" -> (tableMerge _)
+    "q105_table_merge" -> (tableMerge _),
+    "q108_schema_evolution" -> (schemaEvolution _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,6 +165,13 @@ object TableOps {
         |SELECT c_custkey + 100000,
         |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
         |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q108_schema_evolution" ->
+      """SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_segment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 200000, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 3 = 0
         |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -144,16 +144,53 @@ final class VersionedTable private (val root: Path) {
     v
   }
 
+  /** The table schema AT `version`: the newest commit at or before it
+    * that recorded one (every data-writing commit does). Scanned
+    * newest-first so vacuum/checkpoint-obsoleted old log files are never
+    * needed. None only for pre-schema-logging tables (falls back to
+    * parquet self-description).
+    */
+  def schemaOf(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    var v = version
+    while (v >= 0) {
+      val f = logDir.resolve(versionFileName(v))
+      if (Files.exists(f)) {
+        var found: Option[String] = None
+        Files.readAllLines(f).forEach { line =>
+          val node = Mapper.readTree(line)
+          if (node.has("commit") && node.get("commit").has("schema"))
+            found = Some(node.get("commit").get("schema").toString)
+        }
+        found.foreach { s =>
+          return Some(org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        }
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** Snapshot read — latest version by default, `versionAsOf` for time
     * travel. The returned frame is pinned to the resolved file list:
     * commits that land afterwards cannot change what it reads.
+    *
+    * SCHEMA EVOLUTION: the read is driven by the LOGGED schema of the
+    * target version, not by any one file's footer — files written
+    * before an additive column existed surface it as NULL (the parquet
+    * reader fills missing columns), and time travel to an old version
+    * reads the old schema without the later columns. This is why the
+    * schema lives in the log: a directory of mixed-footer files has no
+    * authoritative answer to "what columns does this table have as of
+    * version v"; the commit that created v does.
     */
   def snapshot(spark: SparkSession, versionAsOf: Option[Long] = None): DataFrame = {
     val v = versionAsOf.getOrElse(latestVersion)
     require(v >= 0, s"table at $root has no committed version")
     val files = activeFiles(v)
     require(files.nonEmpty, s"version $v of $root holds no data files")
-    spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
+    val reader = schemaOf(v).fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(files.map(f => root.resolve(f).toString): _*)
   }
 
   /** Per-file stats recorded in the log for `version`:
@@ -251,10 +288,12 @@ final class VersionedTable private (val root: Path) {
     */
   def commit(op: String, readVersion: Long,
              adds: Seq[AddEntry], removes: Seq[String],
-             statsColMeta: Option[String] = None): Long = {
+             statsColMeta: Option[String] = None,
+             schemaJson: Option[String] = None): Long = {
     val version = readVersion + 1
     val sb = new StringBuilder
-    val meta = statsColMeta.map(c => s""","statsCol":"$c"""").getOrElse("")
+    val meta = statsColMeta.map(c => s""","statsCol":"$c"""").getOrElse("") +
+      schemaJson.map(j => s""","schema":$j""").getOrElse("")
     sb.append(s"""{"commit":{"version":$version,"op":"${op}","readVersion":$readVersion$meta}}""")
     adds.foreach { a =>
       val st = a.stats.map { case (mn, mx) => s""","min":$mn,"max":$mx""" }.getOrElse("")
@@ -283,10 +322,15 @@ final class VersionedTable private (val root: Path) {
     * file), so a lost race is safely retried against the fresh latest.
     */
   def append(df: DataFrame, maxRetries: Int = 5): Long = {
+    // additive evolution: the new logged schema is the previous schema
+    // plus any columns this batch introduces — an append can widen the
+    // table, never narrow it (a batch missing an existing column just
+    // writes files that read as NULL for it)
+    val schema = Some(evolvedSchema(df))
     val add = writeData(df)
     var attempt = 0
     while (true) {
-      try return commit("append", latestVersion, Seq(add), Nil)
+      try return commit("append", latestVersion, Seq(add), Nil, schemaJson = schema)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -303,7 +347,20 @@ final class VersionedTable private (val root: Path) {
   def overwrite(df: DataFrame, readVersion: Long): Long = {
     val removed = activeFiles(readVersion)
     val add = writeData(df)
-    commit("overwrite", readVersion, Seq(add), removed)
+    // a full replace REDEFINES the schema (it may drop columns)
+    commit("overwrite", readVersion, Seq(add), removed,
+      schemaJson = Some(df.schema.json))
+  }
+
+  /** Previous schema widened by any columns `df` introduces. */
+  private def evolvedSchema(df: DataFrame): String = {
+    val merged = schemaOf(latestVersion) match {
+      case Some(p) =>
+        val extra = df.schema.fields.filterNot(f => p.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(p.fields ++ extra)
+      case None => df.schema
+    }
+    merged.json
   }
 
   /** MERGE INTO through the log: q62's co-partitioned full-outer merge
@@ -316,7 +373,8 @@ final class VersionedTable private (val root: Path) {
       snapshot(spark, Some(readVersion)), changes)
     val removed = activeFiles(readVersion)
     val add = writeData(merged)
-    commit("merge", readVersion, Seq(add), removed)
+    commit("merge", readVersion, Seq(add), removed,
+      schemaJson = Some(merged.schema.json))
   }
 
   /** Small-file compaction THROUGH the log (Delta OPTIMIZE's shape): the
@@ -337,7 +395,8 @@ final class VersionedTable private (val root: Path) {
     }.sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val add = writeData(df.repartition(nOut))
-    commit("compact", readVersion, Seq(add), removed)
+    commit("compact", readVersion, Seq(add), removed,
+      schemaJson = Some(df.schema.json))
   }
 
   /** Physically delete data directories no version ≥ `horizon`
@@ -403,7 +462,8 @@ object VersionedTable {
     val t = new VersionedTable(r)
     require(t.latestVersion == -1L, s"table already exists at $root")
     val add = t.writeData(df, statsCol)
-    t.commit("create", -1L, Seq(add), Nil, statsColMeta = statsCol)
+    t.commit("create", -1L, Seq(add), Nil, statsColMeta = statsCol,
+      schemaJson = Some(df.schema.json))
     t
   }
 

@@ -195,6 +195,30 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df2.count() == expected)
   }
 
+  test("schema evolution: appends widen the logged schema; time travel reads the old one") {
+    import spark.implicits._
+    val t = VersionedTable.create(graft.ops.Core.tmp("vt_evo"),
+      base.select($"c_custkey", $"c_acctbal"))
+    val n0 = base.count()
+    t.append(base.limit(10).select($"c_custkey" + 700000 as "c_custkey",
+      $"c_acctbal", lit("GOLD").as("tier")))
+
+    val latest = t.snapshot(spark)
+    assert(latest.columns.toSeq == Seq("c_custkey", "c_acctbal", "tier"))
+    // pre-evolution rows surface the new column as NULL; new rows carry it
+    assert(latest.filter($"tier".isNull).count() == n0)
+    assert(latest.filter($"tier" === "GOLD").count() == 10)
+    // time travel reads the OLD schema — the later column does not exist
+    assert(t.snapshot(spark, Some(0L)).columns.toSeq == Seq("c_custkey", "c_acctbal"))
+    // a batch MISSING an existing column appends as NULL for it, and the
+    // schema never narrows
+    t.append(base.limit(5).select($"c_custkey" + 800000 as "c_custkey",
+      $"c_acctbal"))
+    val v2 = t.snapshot(spark)
+    assert(v2.columns.toSeq == Seq("c_custkey", "c_acctbal", "tier"))
+    assert(v2.filter($"c_custkey" >= 800000 && $"tier".isNull).count() == 5)
+  }
+
   test("model check: every version of a random op history matches an in-memory model") {
     import spark.implicits._
     // a seeded op sequence (append / overwrite / delete-merge) executed
