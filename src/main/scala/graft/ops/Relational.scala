@@ -844,6 +844,34 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q110: nested-array packing — denormalize each order's line items
+  // into ONE ordered array column (the document/feature-record shape a
+  // lakehouse materializes so downstream reads are single-row lookups
+  // instead of joins). Scale discipline for collect_list: the group key
+  // is o_orderkey, so per-group state is bounded by the schema (≤7
+  // lines per order), never by data volume — collect_list over a
+  // low-cardinality key (the classic unbounded-state mistake) is
+  // exactly what this is NOT. Line order inside the array is pinned by
+  // sort_array over (l_linenumber, l_quantity) structs — the quantity
+  // tie-break matters: the synthetic data has duplicate line numbers,
+  // and an ORDER BY on the number alone leaves tie order
+  // engine-nondeterministic; the qty fold then runs
+  // in that order on both engines (Det rule 2 — identical IEEE bits,
+  // no rounding needed), and first/last are plain element_at accesses.
+  private def nestedPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
+      .select($"l_orderkey".as("o_orderkey"),
+        size($"lines").as("n_lines"),
+        element_at($"lines", 1)("l_quantity").as("first_qty"),
+        element_at($"lines", -1)("l_quantity").as("last_qty"),
+        expr("aggregate(transform(lines, x -> x.l_quantity), 0D, (a, q) -> a + q)")
+          .as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
   // q103: q88's documented 100 TB swap made REAL — the same median/MAD
   // robust gate driven by mergeable GK sketches (percentile_approx,
   // accuracy 1000) instead of exact percentiles. Exact grouped medians
@@ -1264,6 +1292,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_nested_pack"    -> (nestedPack _),
     "q107_variant_props"  -> (variantProps _),
     "q106_lateral_topn"   -> (lateralTopN _),
     "q103_sketch_anomaly" -> (sketchAnomaly _),
@@ -1644,6 +1673,17 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q110_nested_pack" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey AS o_orderkey,
+        |       CAST(len(qs) AS INTEGER) AS n_lines,
+        |       qs[1] AS first_qty,
+        |       qs[-1] AS last_qty,
+        |       list_reduce(qs, (a, q) -> a + q) AS qty_sum
+        |FROM l ORDER BY o_orderkey""".stripMargin,
     "q106_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM customer c, LATERAL (

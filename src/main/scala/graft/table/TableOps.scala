@@ -132,10 +132,24 @@ object TableOps {
       .orderBy("c_custkey")
   }
 
+  // q109: CHANGE DATA FEED — the row-level diff a consumer applies to
+  // move from v0 to v2 of the demo table: the append batch surfaces as
+  // inserts, the merge's update class as updates (value diff on the
+  // struct compare — bal moved by +100), its delete class as deletes.
+  // Unchanged keys never appear, so feed volume tracks churn. The
+  // oracle rebuilds the three change classes by pure SQL.
+  private def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    VersionedTable.open(root)
+      .changes(s, "c_custkey", fromVersion = 0L, toVersion = 2L)
+      .orderBy("c_custkey", "_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_time_travel" -> (timeTravel _),
     "q105_table_merge" -> (tableMerge _),
-    "q108_schema_evolution" -> (schemaEvolution _)
+    "q108_schema_evolution" -> (schemaEvolution _),
+    "q109_change_feed" -> (changeFeed _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,6 +186,15 @@ object TableOps {
         |UNION ALL
         |SELECT c_custkey + 200000, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q109_change_feed" ->
+      """SELECT c_custkey + 100000 AS c_custkey, 'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'update' FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'delete' FROM customer
+        |WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0
+        |ORDER BY c_custkey, _change_type""".stripMargin
   )
 }

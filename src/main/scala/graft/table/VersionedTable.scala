@@ -377,6 +377,35 @@ final class VersionedTable private (val root: Path) {
       schemaJson = Some(merged.schema.json))
   }
 
+  /** CHANGE DATA FEED between two versions, keyed by `keyCol`: what a
+    * downstream consumer must apply to move from `fromVersion`'s state
+    * to `toVersion`'s — one row per changed key tagged insert / update /
+    * delete. Computed as one full-outer join of the two snapshots on the
+    * key with a struct compare over their common columns (version-diff
+    * semantics; a log that RECORDED row-level changes per commit could
+    * serve this without the join, which is the production upgrade path —
+    * the API contract is identical). Unchanged keys drop out before
+    * anything is returned, so feed volume tracks churn, not table size.
+    */
+  def changes(spark: SparkSession, keyCol: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    require(fromVersion < toVersion,
+      s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val before = snapshot(spark, Some(fromVersion))
+    val after = snapshot(spark, Some(toVersion))
+    val common = before.columns.filter(after.columns.contains).filter(_ != keyCol)
+    val b = before.select(col(keyCol), struct(common.map(col): _*).as("_before"))
+    val a = after.select(col(keyCol), struct(common.map(col): _*).as("_after"))
+    b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("_change_type",
+        when(col("_before").isNull, "insert")
+          .when(col("_after").isNull, "delete")
+          .when(col("_before") =!= col("_after"), "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(col(keyCol), col("_change_type"))
+  }
+
   /** Small-file compaction THROUGH the log (Delta OPTIMIZE's shape): the
     * active files of `readVersion` are rewritten into ~`targetBytes`
     * outputs and swapped in one rewriting commit that changes ZERO rows
