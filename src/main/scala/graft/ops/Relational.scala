@@ -367,6 +367,50 @@ object Relational {
       .orderBy("period")
   }
 
+  // q112: BUCKETIZED range join — q53's semantics when BOTH sides are
+  // too big to broadcast, which is where the nested-loop formulation
+  // dies (every pair compared, no partitioning on a range predicate).
+  // The standard rewrite (Databricks' binned range join, interval
+  // trees' flat cousin): pick a bucket width W; each interval EXPLODES
+  // to the W-buckets it covers, each point maps to exactly ONE bucket;
+  // the join becomes an EQUI join on bucket (shuffle-partitionable,
+  // AQE-skew-splittable) with the true range predicate as residual.
+  // Points land in one bucket, so containment pairs appear exactly once
+  // — no dedup pass. Cost: interval fan-out = span/W rows (here ~8 per
+  // period), per-bucket pair count tunable by W against bucket
+  // occupancy. Identical results to q53 BY CONSTRUCTION — the oracle
+  // runs the plain range join, so the compare proves bucketization
+  // changes nothing; PlanGuardsSpec pins the equi-join + no nested
+  // loop. Epoch-µs integer buckets via `div` keep the bucket math
+  // exact on both engines.
+  private def bucketedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 86400000000L // 1 day in µs
+    val periods = Seq(
+      ("week1",   "2024-01-03 00:00:00", "2024-01-10 00:00:00"),
+      ("week2",   "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+      ("mid",     "2024-01-15 12:00:00", "2024-01-22 12:00:00"),
+      ("closing", "2024-01-28 00:00:00", "2024-02-04 00:00:00"))
+      .toDF("period", "start_s", "end_s")
+      .select($"period",
+        Num.epochUs(to_timestamp($"start_s")).as("start_us"),
+        Num.epochUs(to_timestamp($"end_s")).as("end_us"))
+      // end is EXCLUSIVE: the last covered bucket is (end_us - 1) div W
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_us div ${W}L"), expr(s"(end_us - 1) div ${W}L"))))
+    Tables.events(s, dir)
+      .withColumn("t", Num.epochUs($"ts"))
+      .withColumn("bucket", expr(s"t div ${W}L"))
+      .join(periods, Seq("bucket"))
+      .filter($"t" >= $"start_us" && $"t" < $"end_us")
+      .groupBy($"period")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        Num.roundAt(sum($"value"), 2).as("sum_value"))
+      .orderBy("period")
+  }
+
   // q54: pivot (long→wide) with EXPLICIT pivot values — omitting them
   // makes Spark run an extra distinct-collect job over the fact table
   // just to learn the output columns, a silent full scan at 100 TB.
@@ -844,6 +888,42 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q111: TIME-WEIGHTED average over an irregular event series — the
+  // metric that answers "what was the average LEVEL of this signal",
+  // which a plain avg over sampling events gets wrong whenever sampling
+  // is bursty (each reading holds until the next one, so it must carry
+  // its holding duration as weight). One lead() window pairs every
+  // event with its successor (no self-join; epoch-µs + event_id total
+  // order, q94's discipline); the weighted sum is EXACT — value
+  // quantized to DECIMAL(14,4) identically on both engines × integer µs
+  // duration, summed in decimal, so no accumulation order can move a
+  // bit — and only the final twa division runs in double on identical
+  // operands. Zero-total-duration users (all events at one µs) are
+  // HAVING'd out rather than left to engine-specific ÷0 behavior. At
+  // 100 TB this is one user_id shuffle, same key for window and
+  // aggregate.
+  private def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(Num.epochUs($"ts").asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts",
+        $"value".cast(DecimalType(14, 4)).as("v"))
+      .withColumn("t", Num.epochUs($"ts"))
+      .withColumn("nxt", lead($"t", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .withColumn("dur", $"nxt" - $"t")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"v" * $"dur").as("wsum"),
+        sum($"dur").as("total_dur"))
+      .filter($"total_dur" > 0L)
+      .select($"user_id", $"n_intervals",
+        Num.roundAt($"wsum".cast(DoubleType) / $"total_dur".cast(DoubleType), 6)
+          .as("twa"))
+      .orderBy("user_id")
+  }
+
   // q110: nested-array packing — denormalize each order's line items
   // into ONE ordered array column (the document/feature-record shape a
   // lakehouse materializes so downstream reads are single-row lookups
@@ -1292,6 +1372,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_bucketed_range" -> (bucketedRangeJoin _),
+    "q111_time_weighted"  -> (timeWeightedAvg _),
     "q110_nested_pack"    -> (nestedPack _),
     "q107_variant_props"  -> (variantProps _),
     "q106_lateral_topn"   -> (lateralTopN _),
@@ -1504,6 +1586,18 @@ object Relational {
         |) AS p(period, start_ts, end_ts)
         |  ON e.ts >= p.start_ts AND e.ts < p.end_ts
         |GROUP BY 1 ORDER BY period""".stripMargin,
+    "q112_bucketed_range" ->
+      """SELECT period, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events e JOIN (VALUES
+        |  ('week1',   TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-10 00:00:00'),
+        |  ('week2',   TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        |  ('mid',     TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-22 12:00:00'),
+        |  ('closing', TIMESTAMP '2024-01-28 00:00:00', TIMESTAMP '2024-02-04 00:00:00')
+        |) AS p(period, start_ts, end_ts)
+        |  ON e.ts >= p.start_ts AND e.ts < p.end_ts
+        |GROUP BY 1 ORDER BY period""".stripMargin,
     "q54_pivot" ->
       """SELECT l_returnflag,
         |       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
@@ -1673,6 +1767,21 @@ object Relational {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q111_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(value AS DECIMAL(14,4)) AS v,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, v, nxt - t AS dur
+        |  FROM e WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       round(CAST(sum(v * dur) AS DOUBLE)
+        |             / CAST(sum(dur) AS DOUBLE), 6) AS twa
+        |FROM i GROUP BY 1 HAVING sum(dur) > 0
+        |ORDER BY user_id""".stripMargin,
     "q110_nested_pack" ->
       """WITH l AS (
         |  SELECT l_orderkey,

@@ -167,6 +167,48 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain on the fact scan") {
+    // the engine's automatic semi-join pre-filter (InjectRuntimeFilter):
+    // when a shuffled join's small side carries a selective predicate,
+    // the optimizer builds a bloom filter over its join keys and guards
+    // the FACT side's scan with might_contain — rows that cannot match
+    // never enter the shuffle. At 100 TB this is the standard answer to
+    // "exact referential joins shuffle both sides" (q96's FK-check note
+    // names a bloom pre-pass as the first candidate); DPP (q90) does the
+    // same for partition columns, this covers arbitrary keys. Thresholds
+    // are scaled to test data — defaults want a 10 GB application side.
+    import org.apache.spark.sql.functions.count
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // broadcast would filter already
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.Tables.lineitem(spark, dir)
+      val o = graft.Tables.orders(spark, dir).filter("o_totalprice > 500000")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count("*"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("q112: the bucketized range join is an equi-join on bucket, never a nested loop") {
+    val (df, p) = plan("q112_bucketed_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketized range join degenerated to a nested loop:\n$p")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty && joins.head.mkString(",").contains("bucket"),
+      s"join is not equi-keyed on bucket: ${joins.map(_.mkString(",")).mkString(" | ")}")
+  }
+
   test("q106: the LATERAL LIMIT decorrelates to WindowGroupLimit, not a nested loop") {
     val (_, p) = plan("q106_lateral_topn")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
