@@ -221,9 +221,11 @@ object Dedup {
   // list (at scale: k-means cell assignment from a sampled codebook), so
   // pair verification runs per cell, never across the full corpus. Norms
   // are precomputed per row; the pair join computes one left-fold dot.
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  /** q27/q113's shared corpus: embeddings ∪ first-coordinate-halved
+    * mutants, with per-row norms precomputed (pairs then cost one fold).
+    */
+  private def embedCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
@@ -231,15 +233,51 @@ object Dedup {
       ($"vec_id" + 10000).as("vec_id"), $"label",
       transform(sequence(lit(1), lit(64)),
         i => when(i === 1, element_at($"v", i) * 0.5).otherwise(element_at($"v", i))).as("v"))
-    val corpus = base.unionAll(mut).withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+    base.unionAll(mut).withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+  }
 
+  /** Within-cell candidate pairs above the cosine threshold (never
+    * cross-cell, never all-pairs — `label` plays the IVF cell).
+    */
+  private def embedPairs(corpus: DataFrame, threshold: Double): DataFrame =
     corpus.as("a")
-      .join(corpus.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", expr("fold_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm"))
-      .filter($"cos" >= 0.9)
+      .join(corpus.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr("fold_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    embedPairs(embedCorpus(s, dir), 0.9)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         Num.roundAt($"cos", 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  // q113: SEMANTIC dedup end-to-end — the embedding-space sibling of
+  // q56's text pipeline (the SemDeDup recipe: bucket by cell, prune
+  // near-identical vectors within each cell, keep-lowest survives):
+  // q27's within-cell cosine pairs feed a greedy drop of every pair's
+  // higher vec_id via one left_anti join, and the output is the
+  // per-cell retention census a corpus-curation run reports. Scale
+  // shape: pair generation is per-cell (Σ cell², the IVF contract), the
+  // drop set is pair-sized not corpus-sized, and the census is one
+  // count-filter aggregate — no stage touches vectors after the pair
+  // fold.
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val corpus = embedCorpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = embedPairs(corpus, 0.9).select($"b.vec_id".as("vec_id"))
+    corpus.join(drops, Seq("vec_id"), "left_anti")
+      .groupBy($"label").agg(count(lit(1)).as("n_after"))
+      .join(corpus.groupBy($"label").agg(count(lit(1)).as("n_before")), Seq("label"))
+      .select($"label", $"n_before", $"n_after",
+        ($"n_before" - $"n_after").as("n_dropped"))
+      .orderBy("label")
   }
 
   // ---------------------------------------------------------------------
@@ -567,7 +605,8 @@ object Dedup {
     "q57_dup_clusters"   -> (dupClusters _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q66_decontamination" -> (decontamination _),
-    "q78_incremental_dedup" -> (incrementalDedup _)
+    "q78_incremental_dedup" -> (incrementalDedup _),
+    "q113_semdedup"      -> (semDedup _)
   )
 
   /** DuckDB twins. The mutated corpus, hashing, folds and thresholds
@@ -701,6 +740,34 @@ object Dedup {
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
         |FROM pairs WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    "q113_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, label,
+        |         list_transform(range(1, 65),
+        |           i -> CASE WHEN i = 1 THEN v[i] * 0.5 ELSE v[i] END) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+        |              (x, y) -> x + y)) AS nrm
+        |  FROM corpus),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+        |          (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.9)
+        |SELECT c.label,
+        |       CAST(count(*) AS BIGINT) AS n_before,
+        |       CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_after,
+        |       CAST(count(*) FILTER (WHERE d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+        |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "q56_corpus_clean" ->
       s"""WITH $corpusSql,
         |tokc AS (

@@ -384,7 +384,33 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // q114: BPE merge-candidate counting — the first iteration of
+  // byte-pair-encoding vocabulary induction: which adjacent character
+  // pair is most frequent across the corpus, weighted by word
+  // frequency. The BPE trick that makes this tractable at 100 TB is
+  // done here the way real trainers do it: the pair statistics are
+  // computed over the VOCABULARY (distinct words + their counts, a
+  // dictionary-sized frame), never over the raw corpus — the corpus is
+  // touched exactly once to build the vocab, and every later BPE
+  // iteration would re-scan only the vocab rows containing the merged
+  // pair. Deterministic: exact counts, total order (n desc, pair asc)
+  // through the top-20 boundary.
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    vocab.filter(length($"w") >= 2)
+      .select($"f", explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"f").as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_bpe_merges" -> (bpeMerges _),
     "q24_text_stats"  -> (textStats _),
     "q83_bm25"        -> (bm25 _),
     "q81_source_cap"  -> (sourceCap _),
@@ -542,6 +568,18 @@ object TextAnalysis {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |       max(n_total) > count(*) AS capped
         |FROM r WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
+    "q114_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |p AS (
+        |  SELECT f, unnest(list_transform(range(1, len(w)),
+        |           i -> substring(w, i, 2))) AS pair
+        |  FROM vocab WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q24_text_stats" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS tf,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -389,7 +389,7 @@ final class VersionedTable private (val root: Path) {
     */
   def changes(spark: SparkSession, keyCol: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, struct, when}
+    import org.apache.spark.sql.functions.{col, not, struct, when}
     require(fromVersion < toVersion,
       s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
     val before = snapshot(spark, Some(fromVersion))
@@ -401,7 +401,10 @@ final class VersionedTable private (val root: Path) {
       .withColumn("_change_type",
         when(col("_before").isNull, "insert")
           .when(col("_after").isNull, "delete")
-          .when(col("_before") =!= col("_after"), "update"))
+          // null-SAFE struct compare: a field moving null->value (or
+          // back) is an update; plain =!= returns null there and the
+          // row would silently vanish from the feed
+          .when(not(col("_before") <=> col("_after")), "update"))
       .filter(col("_change_type").isNotNull)
       .select(col(keyCol), col("_change_type"))
   }

@@ -219,6 +219,23 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(v2.filter($"c_custkey" >= 800000 && $"tier".isNull).count() == 5)
   }
 
+  test("change feed classifies null transitions as updates (null-safe struct compare)") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1: same keys, but every %5 key's balance goes to NULL — a plain
+    // =!= compare returns null on those rows and would drop them
+    val v1 = base.select($"c_custkey", $"c_name",
+      when($"c_custkey" % 5 === 0, lit(null).cast("double"))
+        .otherwise($"c_acctbal").as("c_acctbal"))
+    t.overwrite(v1, readVersion = 0L)
+    val feed = t.changes(spark, "c_custkey", 0L, 1L)
+      .select($"c_custkey".as[Long], $"_change_type".as[String]).collect()
+    val expectedUpdates = base.filter($"c_custkey" % 5 === 0 && $"c_acctbal".isNotNull).count()
+    assert(feed.forall(_._2 == "update"))
+    assert(feed.length == expectedUpdates,
+      s"null-transition updates missing: ${feed.length} vs $expectedUpdates")
+  }
+
   test("model check: every version of a random op history matches an in-memory model") {
     import spark.implicits._
     // a seeded op sequence (append / overwrite / delete-merge) executed
