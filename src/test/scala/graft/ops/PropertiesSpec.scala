@@ -141,4 +141,26 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
         agg.merge(right, left) == refTopK(3, a ++ b) // commutative
     }, n = 50)
   }
+
+  // q112's recall contract: a point inside [s, e) always lands in one of
+  // the interval's covering buckets, for ANY bucket width — so the
+  // bucketized equi-join can never lose a pair the range predicate would
+  // keep (the bucket condition is IMPLIED by containment; pure long
+  // arithmetic, no Spark needed).
+  test("q112 bucket covering: containment implies bucket membership for any width") {
+    val cases = for {
+      w <- Gen.chooseNum(1L, 1000L)
+      s <- Gen.chooseNum(-100000L, 100000L)
+      len <- Gen.chooseNum(1L, 50000L)
+      off <- Gen.chooseNum(0L, len - 1)
+    } yield (w, s, s + len, s + off)
+    check("bucket-cover", Prop.forAll(cases) { case (w, s, e, p) =>
+      // floor division; q112's epoch-µs operands are non-negative, where
+      // Spark's truncating `div` and DuckDB's flooring `//` both equal
+      // this (on negatives the two ENGINES differ — a bucketized join
+      // over signed keys must pin floor semantics explicitly)
+      def fdiv(a: Long, b: Long) = Math.floorDiv(a, b)
+      fdiv(s, w) <= fdiv(p, w) && fdiv(p, w) <= fdiv(e - 1, w)
+    }, n = 200)
+  }
 }

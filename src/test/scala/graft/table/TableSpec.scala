@@ -219,6 +219,32 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(v2.filter($"c_custkey" >= 800000 && $"tier".isNull).count() == 5)
   }
 
+  test("concurrent appenders: every writer lands, versions stay dense, nothing is lost") {
+    import spark.implicits._
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = freshTable()
+    val n0 = base.count()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 writers race on the same log; blind appends retry through
+      // every lost publish, so ALL must land — the atomic hard-link
+      // publish is the only serialization point
+      val writers = (1 to 8).map { i =>
+        Future {
+          t.append(base.limit(3).select($"c_custkey" + (i * 10000) as "c_custkey",
+            $"c_name", $"c_acctbal"), maxRetries = 50)
+        }
+      }
+      val versions = Await.result(Future.sequence(writers), 120.seconds)
+      assert(versions.toSet.size == 8, s"two appends claimed one version: $versions")
+      assert(versions.max == 8L, s"versions not dense: $versions")
+      assert(t.snapshot(spark).count() == n0 + 8 * 3)
+    } finally pool.shutdown()
+  }
+
   test("change feed classifies null transitions as updates (null-safe struct compare)") {
     import spark.implicits._
     val t = freshTable()
