@@ -262,6 +262,73 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"null-transition updates missing: ${feed.length} vs $expectedUpdates")
   }
 
+  test("GDPR erasure: delete-merge + vacuum leaves no active or on-disk trace of the key") {
+    import spark.implicits._
+    val victim = 42L
+    val t = freshTable()
+    // the erasure request: a delete-class change for the key, applied as
+    // a normal rewriting merge...
+    val erase = Seq(victim).toDF("c_custkey")
+      .select($"c_custkey", lit("D").as("op"),
+        lit(null).cast("string").as("new_name"),
+        lit(null).cast("double").as("new_bal"))
+    t.merge(spark, erase, readVersion = 0L)
+    assert(t.snapshot(spark).filter($"c_custkey" === victim).count() == 0)
+    // ...but the PRE-merge version still holds the row (immutability) —
+    // compliance requires vacuuming history up to the erasure commit
+    assert(t.snapshot(spark, Some(0L)).filter($"c_custkey" === victim).count() == 1)
+    t.vacuum(horizon = t.latestVersion)
+    // nothing on disk under data/ contains the key anymore
+    val remaining = spark.read.parquet(
+      t.activeFiles(t.latestVersion).map(f => t.root.resolve(f).toString): _*)
+    assert(remaining.filter($"c_custkey" === victim).count() == 0)
+    val dataDirs = Files.list(t.root.resolve("data"))
+    try {
+      import scala.jdk.CollectionConverters._
+      val all = dataDirs.iterator().asScala.map(_.toString).toList
+      assert(all.size == t.activeFiles(t.latestVersion).size,
+        s"vacuum left unreferenced data dirs: $all")
+    } finally dataDirs.close()
+  }
+
+  test("CDC through the table resumes exactly-once from a checkpoint") {
+    import spark.implicits._
+    val t = freshTable()
+    def changeFile(df: org.apache.spark.sql.DataFrame, outDir: String, name: String): Unit = {
+      val staging = graft.ops.Core.tmp("vt_cdc_cp_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val listing = Files.list(Paths.get(staging))
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      Files.createDirectories(Paths.get(outDir))
+      Files.move(part, Paths.get(outDir, name))
+    }
+    // +100 is NOT idempotent: a replayed b0 would show as +200
+    val upd1 = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 100.0).as("new_bal"))
+    val upd2 = base.filter($"c_custkey" % 10 === 5)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 7.0).as("new_bal"))
+    val feedDir = graft.ops.Core.tmp("vt_cdc_cp_feed")
+    val cpDir = graft.ops.Core.tmp("vt_cdc_cp")
+    changeFile(upd1, feedDir, "b0.parquet")
+    graft.streaming.CdcApply.runThroughTable(spark, t, feedDir, "vt_cp_run1", Some(cpDir))
+    assert(t.latestVersion == 1L)
+    changeFile(upd2, feedDir, "b1.parquet")
+    graft.streaming.CdcApply.runThroughTable(spark, t, feedDir, "vt_cp_run2", Some(cpDir))
+    // exactly one commit per NEW file — the restart neither replayed b0
+    // (no +200 balances) nor skipped b1
+    assert(t.latestVersion == 2L, s"restart replayed or skipped: at ${t.latestVersion}")
+    val expected = graft.streaming.CdcApply.mergeBatch(
+      graft.streaming.CdcApply.mergeBatch(base, upd1), upd2)
+      .orderBy("c_custkey").collect()
+    assert(t.snapshot(spark).orderBy("c_custkey").collect().sameElements(expected))
+  }
+
   test("model check: every version of a random op history matches an in-memory model") {
     import spark.implicits._
     // a seeded op sequence (append / overwrite / delete-merge) executed
