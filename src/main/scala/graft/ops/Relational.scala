@@ -924,6 +924,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // q115: JSON → MapType — the schema-LESS cousin of q23 (fixed struct)
+  // and q107 (variant): when the property keys are not known at plan
+  // time, `from_json` into map<string,int> + explode(map) turns every
+  // (row, key) into a relational row — the EAV/property-bag shape. One
+  // pass, the per-key aggregate map-side combines; key cardinality, not
+  // event volume, bounds the output. Oracle walks the same keys
+  // dynamically with DuckDB's json_keys + a computed extract path.
+  private def mapProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        from_json($"props", MapType(StringType, IntegerType)).as("m"))
+      .select($"event_type", explode($"m").as(Seq("key", "v")))
+      .groupBy($"event_type", $"key")
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(avg($"v"), 6).as("avg_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy("event_type", "key")
+  }
+
   // q110: nested-array packing — denormalize each order's line items
   // into ONE ordered array column (the document/feature-record shape a
   // lakehouse materializes so downstream reads are single-row lookups
@@ -1372,6 +1392,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_map_props"      -> (mapProps _),
     "q112_bucketed_range" -> (bucketedRangeJoin _),
     "q111_time_weighted"  -> (timeWeightedAvg _),
     "q110_nested_pack"    -> (nestedPack _),
@@ -1586,6 +1607,15 @@ object Relational {
         |) AS p(period, start_ts, end_ts)
         |  ON e.ts >= p.start_ts AND e.ts < p.end_ts
         |GROUP BY 1 ORDER BY period""".stripMargin,
+    "q115_map_props" ->
+      """WITH kv AS (
+        |  SELECT event_type, unnest(json_keys(props)) AS key, props
+        |  FROM events)
+        |SELECT event_type, key, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.' || key) AS INTEGER)), 6) AS avg_v,
+        |       min(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS min_v,
+        |       max(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS max_v
+        |FROM kv GROUP BY 1, 2 ORDER BY event_type, key""".stripMargin,
     "q112_bucketed_range" ->
       """SELECT period, CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -322,14 +322,16 @@ final class VersionedTable private (val root: Path) {
     * file), so a lost race is safely retried against the fresh latest.
     */
   def append(df: DataFrame, maxRetries: Int = 5): Long = {
-    // additive evolution: the new logged schema is the previous schema
-    // plus any columns this batch introduces — an append can widen the
-    // table, never narrow it (a batch missing an existing column just
-    // writes files that read as NULL for it)
-    val schema = Some(evolvedSchema(df))
     val add = writeData(df)
     var attempt = 0
     while (true) {
+      // additive evolution: the new logged schema is the previous schema
+      // plus any columns this batch introduces — an append can widen the
+      // table, never narrow it (a batch missing an existing column just
+      // writes files that read as NULL for it). Recomputed INSIDE the
+      // retry loop: a lost race may mean the winner evolved the schema,
+      // and logging a stale merge would silently narrow it away.
+      val schema = Some(evolvedSchema(df))
       try return commit("append", latestVersion, Seq(add), Nil, schemaJson = schema)
       catch {
         case e: CommitConflictException =>
