@@ -102,7 +102,9 @@ object CdcApply {
     * the version the previous batch produced and conflicts cannot arise
     * from this writer; a concurrent foreign writer surfaces as
     * CommitConflictException, failing the stream rather than losing its
-    * commit (fail-fast beats silent lost update).
+    * commit (fail-fast beats silent lost update). Each commit records
+    * its batch id as a transaction cursor, so foreachBatch's
+    * at-least-once replays are detected and skipped (see the body).
     */
   def runThroughTable(spark: SparkSession, table: graft.table.VersionedTable,
                       changesDir: String,
@@ -114,11 +116,17 @@ object CdcApply {
       .parquet(changesDir)
     val writer = feed.writeStream
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // skip empty replays (a restart's batch 0 can be empty); an empty
-        // merge would still commit a full rewrite version
-        if (!batch.isEmpty)
-          table.merge(spark, batch, table.latestVersion): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-once: a crash between the table commit
+        // and the stream's own commit log replays the batch on restart.
+        // The table commit therefore records the batch id (txn), and a
+        // replayed id <= the last committed one is skipped — the public
+        // Delta txnAppId/txnVersion idempotence pattern, making the
+        // end-to-end pipeline exactly-once. Empty replays are skipped
+        // too (an empty merge would still commit a rewrite version).
+        val alreadyApplied = table.lastTxnId.exists(_ >= batchId)
+        if (!alreadyApplied && !batch.isEmpty)
+          table.merge(spark, batch, table.latestVersion, txnId = Some(batchId)): Unit
       }
     val q = checkpointDir
       .fold(writer)(cp => writer.option("checkpointLocation", cp))

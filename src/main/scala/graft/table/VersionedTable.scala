@@ -108,7 +108,8 @@ final class VersionedTable private (val root: Path) {
     if (cp >= 0) {
       val node = Mapper.readTree(
         Files.readString(logDir.resolve(checkpointFileName(cp))))
-      node.get("active").forEach(p => active += p.asText())
+      node.get("active").forEach(p =>
+        active += (if (p.isTextual) p.asText() else p.get("path").asText()))
     }
     (cp + 1 to version).foreach { v =>
       val f = logDir.resolve(versionFileName(v))
@@ -134,9 +135,18 @@ final class VersionedTable private (val root: Path) {
     val target = logDir.resolve(checkpointFileName(v))
     if (!Files.exists(target)) {
       val files = activeFiles(v)
+      // stats ride the checkpoint too, so data-skipping reads share the
+      // O(tail) replay bound instead of re-walking the whole log
+      val stats = fileStats(v)
+      val entries = files.map { f =>
+        stats.get(f) match {
+          case Some((mn, mx)) => s"""{"path":"$f","min":$mn,"max":$mx}"""
+          case None => s"""{"path":"$f"}"""
+        }
+      }
       val tmp = logDir.resolve(s".tmp-cp-${UUID.randomUUID()}.json")
       Files.writeString(tmp,
-        s"""{"version":$v,"active":[${files.map(f => s""""$f"""").mkString(",")}]}""")
+        s"""{"version":$v,"active":[${entries.mkString(",")}]}""")
       try Files.createLink(target, tmp)
       catch { case _: FileAlreadyExistsException => () } // racer wrote it
       finally Files.deleteIfExists(tmp)
@@ -195,13 +205,26 @@ final class VersionedTable private (val root: Path) {
 
   /** Per-file stats recorded in the log for `version`:
     * path -> (min, max) of the table's stats column, absent for files
-    * committed without stats.
+    * committed without stats. Same O(tail) replay as activeFiles — the
+    * checkpoint carries the stats, and the tail replay is STRICT
+    * (missing tail log file = loud failure, never silently degraded
+    * pruning).
     */
   def fileStats(version: Long): Map[String, (Long, Long)] = {
     val stats = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-    (0L to version).foreach { v =>
+    val cp = latestCheckpointAtOrBefore(version)
+    if (cp >= 0) {
+      val node = Mapper.readTree(
+        Files.readString(logDir.resolve(checkpointFileName(cp))))
+      node.get("active").forEach { p =>
+        if (!p.isTextual && p.has("min") && p.has("max"))
+          stats(p.get("path").asText()) = (p.get("min").asLong(), p.get("max").asLong())
+      }
+    }
+    (cp + 1 to version).foreach { v =>
       val f = logDir.resolve(versionFileName(v))
-      if (Files.exists(f)) Files.readAllLines(f).forEach { line =>
+      require(Files.exists(f), s"missing log version $v in $logDir")
+      Files.readAllLines(f).forEach { line =>
         val node = Mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
@@ -240,7 +263,10 @@ final class VersionedTable private (val root: Path) {
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     require(kept.nonEmpty, s"no file of version $v can contain [$lo, $hi]")
-    val df = spark.read.parquet(kept.map(f => root.resolve(f).toString): _*)
+    // same logged-schema read discipline as snapshot(): which footers
+    // survive pruning must not decide the result schema
+    val reader = schemaOf(v).fold(spark.read)(sch => spark.read.schema(sch))
+    val df = reader.parquet(kept.map(f => root.resolve(f).toString): _*)
       .filter(org.apache.spark.sql.functions.col(statsCol).between(lo, hi))
     (df, kept.length, files.length)
   }
@@ -289,11 +315,13 @@ final class VersionedTable private (val root: Path) {
   def commit(op: String, readVersion: Long,
              adds: Seq[AddEntry], removes: Seq[String],
              statsColMeta: Option[String] = None,
-             schemaJson: Option[String] = None): Long = {
+             schemaJson: Option[String] = None,
+             txnId: Option[Long] = None): Long = {
     val version = readVersion + 1
     val sb = new StringBuilder
     val meta = statsColMeta.map(c => s""","statsCol":"$c"""").getOrElse("") +
-      schemaJson.map(j => s""","schema":$j""").getOrElse("")
+      schemaJson.map(j => s""","schema":$j""").getOrElse("") +
+      txnId.map(t => s""","txn":$t""").getOrElse("")
     sb.append(s"""{"commit":{"version":$version,"op":"${op}","readVersion":$readVersion$meta}}""")
     adds.foreach { a =>
       val st = a.stats.map { case (mn, mx) => s""","min":$mn,"max":$mx""" }.getOrElse("")
@@ -325,14 +353,18 @@ final class VersionedTable private (val root: Path) {
     val add = writeData(df)
     var attempt = 0
     while (true) {
-      // additive evolution: the new logged schema is the previous schema
-      // plus any columns this batch introduces — an append can widen the
-      // table, never narrow it (a batch missing an existing column just
-      // writes files that read as NULL for it). Recomputed INSIDE the
-      // retry loop: a lost race may mean the winner evolved the schema,
-      // and logging a stale merge would silently narrow it away.
-      val schema = Some(evolvedSchema(df))
-      try return commit("append", latestVersion, Seq(add), Nil, schemaJson = schema)
+      // ONE latestVersion read per attempt, used for BOTH the schema
+      // merge and the commit target: reading it twice would let a
+      // foreign commit slip between the reads and this append succeed
+      // while logging a schema merged against the stale version —
+      // silently narrowing away the racer's new columns. With a single
+      // read, any interleaving commit surfaces as a conflict and the
+      // retry recomputes the merge (additive evolution: the new logged
+      // schema is the previous schema plus any columns this batch
+      // introduces — an append can widen the table, never narrow it).
+      val rv = latestVersion
+      val schema = Some(evolvedSchema(df, rv))
+      try return commit("append", rv, Seq(add), Nil, schemaJson = schema)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -354,9 +386,9 @@ final class VersionedTable private (val root: Path) {
       schemaJson = Some(df.schema.json))
   }
 
-  /** Previous schema widened by any columns `df` introduces. */
-  private def evolvedSchema(df: DataFrame): String = {
-    val merged = schemaOf(latestVersion) match {
+  /** Schema at `asOf` widened by any columns `df` introduces. */
+  private def evolvedSchema(df: DataFrame, asOf: Long): String = {
+    val merged = schemaOf(asOf) match {
       case Some(p) =>
         val extra = df.schema.fields.filterNot(f => p.fieldNames.contains(f.name))
         org.apache.spark.sql.types.StructType(p.fields ++ extra)
@@ -370,13 +402,38 @@ final class VersionedTable private (val root: Path) {
     * insert appends) applied to the `readVersion` snapshot, committed as
     * one rewriting transaction. Same conflict semantics as overwrite.
     */
-  def merge(spark: SparkSession, changes: DataFrame, readVersion: Long): Long = {
+  def merge(spark: SparkSession, changes: DataFrame, readVersion: Long,
+            txnId: Option[Long] = None): Long = {
     val merged = graft.streaming.CdcApply.mergeBatch(
       snapshot(spark, Some(readVersion)), changes)
     val removed = activeFiles(readVersion)
     val add = writeData(merged)
     commit("merge", readVersion, Seq(add), removed,
-      schemaJson = Some(merged.schema.json))
+      schemaJson = Some(merged.schema.json), txnId = txnId)
+  }
+
+  /** The most recently committed transaction id (the idempotence cursor
+    * for at-least-once writers like foreachBatch: batch ids are
+    * monotonic, so a batch ≤ this id was already applied and must be
+    * skipped on replay — the public Delta txnAppId/txnVersion pattern).
+    * Scans newest→oldest and stops at the first commit carrying one.
+    */
+  def lastTxnId: Option[Long] = {
+    var v = latestVersion
+    while (v >= 0) {
+      val f = logDir.resolve(versionFileName(v))
+      if (Files.exists(f)) {
+        var found: Option[Long] = None
+        Files.readAllLines(f).forEach { line =>
+          val node = Mapper.readTree(line)
+          if (node.has("commit") && node.get("commit").has("txn"))
+            found = Some(node.get("commit").get("txn").asLong())
+        }
+        if (found.isDefined) return found
+      }
+      v -= 1
+    }
+    None
   }
 
   /** CHANGE DATA FEED between two versions, keyed by `keyCol`: what a
@@ -440,17 +497,24 @@ final class VersionedTable private (val root: Path) {
     * data), storage is reclaimed, every version ≥ horizon is untouched.
     * Returns the deleted table-relative paths.
     */
-  def vacuum(horizon: Long): Seq[String] = {
+  def vacuum(horizon: Long, minAgeMs: Long = 600000L): Seq[String] = {
     val latest = latestVersion
     require(horizon >= 0 && horizon <= latest,
       s"vacuum horizon $horizon outside [0, $latest]")
     val referenced = (horizon to latest).flatMap(activeFiles).toSet
     val dataDir = root.resolve("data")
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val all = Files.list(dataDir)
     val victims =
       try {
         import scala.jdk.CollectionConverters._
         all.iterator().asScala
+          // the age guard protects a CONCURRENT writer: its data dir is
+          // on disk before its commit publishes, and deleting it would
+          // corrupt the commit that then succeeds (log-only). Directories
+          // younger than the retention window are never victims — the
+          // same modification-time guard production table formats use.
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .map(p => s"data/${p.getFileName}")
           .filterNot(referenced)
           .toList

@@ -25,6 +25,19 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def freshTable() =
     VersionedTable.create(graft.ops.Core.tmp("vt_spec"), base)
 
+  /** Stage a change batch as a single parquet file in a CDC feed dir. */
+  private def changeFile(df: org.apache.spark.sql.DataFrame,
+                         outDir: String, name: String): Unit = {
+    val staging = graft.ops.Core.tmp("vt_cdc_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val listing = Files.list(Paths.get(staging))
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    Files.createDirectories(Paths.get(outDir))
+    Files.move(part, Paths.get(outDir, name))
+  }
+
   test("create/append/overwrite advance versions; time travel reads each state") {
     import spark.implicits._
     val t = freshTable()
@@ -162,7 +175,7 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     t.compact(spark, targetBytes = 1L << 30, readVersion = 1L)
     val latest = t.latestVersion // v2
 
-    val deleted = t.vacuum(horizon = latest)
+    val deleted = t.vacuum(horizon = latest, minAgeMs = 0L)
     assert(deleted.nonEmpty, "expected v0/v1 data dirs to be reclaimed")
     assert(t.snapshot(spark).count() == 50) // latest untouched
     // time travel below the horizon fails FAST (missing path), never
@@ -277,7 +290,7 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // ...but the PRE-merge version still holds the row (immutability) —
     // compliance requires vacuuming history up to the erasure commit
     assert(t.snapshot(spark, Some(0L)).filter($"c_custkey" === victim).count() == 1)
-    t.vacuum(horizon = t.latestVersion)
+    t.vacuum(horizon = t.latestVersion, minAgeMs = 0L) // test files are seconds old
     // nothing on disk under data/ contains the key anymore
     val remaining = spark.read.parquet(
       t.activeFiles(t.latestVersion).map(f => t.root.resolve(f).toString): _*)
@@ -294,16 +307,6 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("CDC through the table resumes exactly-once from a checkpoint") {
     import spark.implicits._
     val t = freshTable()
-    def changeFile(df: org.apache.spark.sql.DataFrame, outDir: String, name: String): Unit = {
-      val staging = graft.ops.Core.tmp("vt_cdc_cp_stage")
-      df.coalesce(1).write.mode("overwrite").parquet(staging)
-      val listing = Files.list(Paths.get(staging))
-      val part =
-        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally listing.close()
-      Files.createDirectories(Paths.get(outDir))
-      Files.move(part, Paths.get(outDir, name))
-    }
     // +100 is NOT idempotent: a replayed b0 would show as +200
     val upd1 = base.filter($"c_custkey" % 10 === 0)
       .select($"c_custkey", lit("U").as("op"),
@@ -327,6 +330,25 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       graft.streaming.CdcApply.mergeBatch(base, upd1), upd2)
       .orderBy("c_custkey").collect()
     assert(t.snapshot(spark).orderBy("c_custkey").collect().sameElements(expected))
+  }
+
+  test("txn cursor: the last batch id survives interleaved commits (replay guard)") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(t.lastTxnId.isEmpty)
+    val upd = base.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", lit("U").as("op"),
+        lit(null).cast("string").as("new_name"),
+        ($"c_acctbal" + 1.0).as("new_bal"))
+    t.merge(spark, upd, t.latestVersion, txnId = Some(7L))
+    assert(t.lastTxnId.contains(7L))
+    // a non-txn commit (compaction, manual append) must not erase the
+    // cursor — runThroughTable's replay check scans past it
+    t.append(base.limit(2))
+    assert(t.lastTxnId.contains(7L))
+    // the at-least-once guard: a replayed batch id <= cursor is skipped
+    assert(t.lastTxnId.exists(_ >= 7L))
+    assert(!t.lastTxnId.exists(_ >= 8L))
   }
 
   test("model check: every version of a random op history matches an in-memory model") {
@@ -377,17 +399,6 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("CDC stream commits one table version per micro-batch (durable CdcApply)") {
     import spark.implicits._
     val t = freshTable()
-
-    def changeFile(df: org.apache.spark.sql.DataFrame, outDir: String, name: String): Unit = {
-      val staging = graft.ops.Core.tmp("vt_cdc_stage")
-      df.coalesce(1).write.mode("overwrite").parquet(staging)
-      val listing = Files.list(Paths.get(staging))
-      val part =
-        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally listing.close()
-      Files.createDirectories(Paths.get(outDir))
-      Files.move(part, Paths.get(outDir, name))
-    }
 
     val upd = base.filter($"c_custkey" % 10 === 0)
       .select($"c_custkey", lit("U").as("op"),
