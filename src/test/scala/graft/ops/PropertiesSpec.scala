@@ -142,6 +142,22 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }, n = 50)
   }
 
+  // q25's recall contract: any pair within Hamming distance 5 over a
+  // 60-bit SimHash shares at least one untouched 10-bit band (6 bands,
+  // ≤5 flipped bits — pigeonhole), so the band equi-join has PERFECT
+  // recall at the emitted threshold. Pure bit math.
+  test("q25 pigeonhole: hamming <= 5 over 60 bits always leaves a clean 10-bit band") {
+    val cases = for {
+      x <- Gen.chooseNum(0L, (1L << 60) - 1)
+      nFlips <- Gen.chooseNum(0, 5)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 59))
+    } yield (x, flips)
+    check("pigeonhole", Prop.forAll(cases) { case (x, flips) =>
+      val y = flips.foldLeft(x)((v, b) => v ^ (1L << b))
+      (0 until 6).exists(b => ((x >> (10 * b)) & 1023L) == ((y >> (10 * b)) & 1023L))
+    }, n = 300)
+  }
+
   // q112's recall contract: a point inside [s, e) always lands in one of
   // the interval's covering buckets, for ANY bucket width — so the
   // bucketized equi-join can never lose a pair the range predicate would
