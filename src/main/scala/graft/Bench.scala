@@ -58,6 +58,7 @@ object Bench {
     try {
       ops.Core.ensureCsvFixture(spark, sfDir)
       ops.Core.ensureJsonlDocs(spark, sfDir)
+      ops.Core.ensureXmlOrders(spark, sfDir)
       ops.Relational.ensureBuckets(spark, sfDir)
       ops.Layout.ensurePartitionedOrders(spark, sfDir)
       ops.Layout.ensureMonthDim(spark, sfDir)

@@ -302,6 +302,46 @@ object Core {
         .write.mode("overwrite").text(p)
       p
     })
+  private val xmlFixtureCache = scala.collection.concurrent.TrieMap[String, String]()
+  /** One-time XML ingest of the orders subset — the fourth source format
+    * (CSV q01, parquet q02, ORC q82, JSONL q77, XML q116): Spark 4 ships
+    * the XML data source natively. Written once per (jvm, dir) like the
+    * other fixtures; pre-paid in the bench's untimed setup.
+    */
+  private[graft] def ensureXmlOrders(s: SparkSession, dir: String): String =
+    xmlFixtureCache.getOrElseUpdate(dir, {
+      val p = tmp("graft_xml_fixture")
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .option("rootTag", "orders").option("rowTag", "order")
+        .xml(p)
+      p
+    })
+
+  // q116: XML source scan with a DECLARED schema (inference would cost
+  // an extra pass and can mistype sparse fields) — the interchange
+  // format B2B/legacy feeds still arrive in. The oracle runs the same
+  // rollup on the parquet original: the round trip must change no bits
+  // (q77's JSONL contract, third text format).
+  private def xmlScan(s: SparkSession, dir: String): DataFrame = {
+    val out = ensureXmlOrders(s, dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).option("rowTag", "order").xml(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Num.roundAt(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy("o_orderstatus")
+  }
+
   private def jsonlScan(s: SparkSession, dir: String): DataFrame = {
     val out = ensureJsonlDocs(s, dir)
     val schema = StructType(Seq(
@@ -319,6 +359,7 @@ object Core {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_csv_scan"       -> (csvScan _),
     "q77_jsonl_scan"     -> (jsonlScan _),
+    "q116_xml_scan"      -> (xmlScan _),
     "q02_parquet_scan"   -> (parquetScan _),
     "q03_schema_check"   -> (schemaCheck _),
     "q04_join_inner"     -> (joinInner _),
@@ -349,6 +390,13 @@ object Core {
     "q02_parquet_scan" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q116_xml_scan" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       min(o_orderkey) AS first_key,
+        |       max(o_orderkey) AS last_key
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q03_schema_check" ->
       """SELECT * FROM (VALUES
         |  ('l_extendedprice', true), ('l_orderkey', true), ('l_partkey', true),
