@@ -1391,7 +1391,71 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // q117: count-min-sketch frequency estimation — the point-query sketch
+  // family (HLL=distinct q36/q95, GK=percentiles q87, approx_top_k=q98;
+  // CMS=per-key counts) validated q36-style against exact counts. The CMS
+  // is THE mergeable structure for "how often did key X occur" over
+  // unbounded key spaces at 100 TB: fixed 5x2048 int64 grid per
+  // partition, partials merge by cell-wise ADDITION (associative +
+  // commutative, so task order can't change the result), one pass, no
+  // reduce-side key state. The sketch itself is ~80 KB — collecting it to
+  // the driver and probing 20 candidate keys is the IVF-codebook pattern
+  // (Similarity.scala), not a data-scale collect. Compared columns: the
+  // exact top-20 (rank, key, n) plus two deterministic contract flags —
+  // CMS never under-counts (est >= n always) and over-counts by at most
+  // eps*N with confidence 1-delta (seed fixed => deterministic here).
+  private def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_partkey")
+    val eps = 0.0005
+    val cms = li.stat.countMinSketch($"l_partkey", eps, 0.99, seed = 42)
+    val slack = (eps * cms.totalCount()).toLong
+    val w = Window.orderBy($"n".desc, $"l_partkey".asc)
+    val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w)) // vocabulary-sized frame
+      .filter($"rank" <= 20)
+      .collect() // 20 rows
+    val probed = top.map { r =>
+      val key = r.getLong(0); val n = r.getLong(1); val rank = r.getInt(2)
+      val est = cms.estimateCount(java.lang.Long.valueOf(key))
+      (rank, key, n, est >= n, est <= n + slack)
+    }
+    s.createDataFrame(probed.toSeq)
+      .toDF("rank", "l_partkey", "n", "lower_ok", "upper_ok")
+      .orderBy("rank")
+  }
+
+  // q122: deterministic exact mode + median per group — the everyday
+  // descriptive-stats pair. Both engines' native mode() is
+  // NONDETERMINISTIC on ties (arbitrary winner), so the mode here is the
+  // rank-1 row of the (source, lang) count frame ordered (count desc,
+  // value asc) — deterministic in any engine, and the window runs over
+  // the |sources|x|langs| AGGREGATE, never the corpus. median() is the
+  // built-in exact interpolated median on both sides (avg of the two
+  // middle int64s — exact in a double far past any real char length).
+  // Scale shape: two map-side-combined aggregations on the same key, one
+  // broadcast-sized join; per-group state is O(group count), except the
+  // exact median which at 100 TB swaps for q87's GK sketch (the
+  // documented sketch path).
+  private def exactMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"c".desc, $"lang".asc)
+    val modes = counts.withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"source", $"lang".as("mode_lang"), $"c".as("mode_n"))
+    val med = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        median($"n_chars").as("med_chars"))
+    modes.join(med, Seq("source"))
+      .select($"source", $"mode_lang", $"mode_n", $"n_docs", $"med_chars")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_cms_freq"       -> (cmsFreq _),
+    "q122_exact_mode"     -> (exactMode _),
     "q115_map_props"      -> (mapProps _),
     "q112_bucketed_range" -> (bucketedRangeJoin _),
     "q111_time_weighted"  -> (timeWeightedAvg _),
@@ -1447,6 +1511,36 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact top-20 with hardcoded contract flags (q36 pattern): the CMS
+    // lower bound holds unconditionally, the upper bound with the fixed
+    // seed is deterministic on this data
+    "q117_cms_freq" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, l_partkey ASC)
+        |              AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT rank, l_partkey, n, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q122_exact_mode" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, lang AS mode_lang, c AS mode_n,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, lang ASC) AS r
+        |  FROM c),
+        |d AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(median(n_chars) AS DOUBLE) AS med_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT m.source, mode_lang, mode_n, n_docs, med_chars
+        |FROM m JOIN d ON m.source = d.source
+        |WHERE m.r = 1 ORDER BY m.source""".stripMargin,
     "q23_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,

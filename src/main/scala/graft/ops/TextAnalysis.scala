@@ -410,6 +410,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_hash_split" -> (hashSplit _),
+    "q121_mixture_reweight" -> (mixtureReweight _),
     "q114_bpe_merges" -> (bpeMerges _),
     "q24_text_stats"  -> (textStats _),
     "q83_bm25"        -> (bm25 _),
@@ -494,7 +496,119 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q120: deterministic train/val/test split — the reproducibility
+  // primitive of every training pipeline. rand()-based splits break under
+  // retries, AQE re-plans and cluster-size changes; a global sort+ntile is
+  // a full shuffle. Instead the split is a PURE PROJECTION of the key:
+  // two rounds of the minstd Lehmer LCG (x -> x*16807 mod 2^31-1, then
+  // *48271 mod 2^31-1) mix doc_id into a uniform 31-bit value, and
+  // bucket h mod 100 cuts 80/10/10. Every operand stays under 2^47, so
+  // the same arithmetic runs overflow-free in any engine with 64-bit
+  // integers — the oracle executes the IDENTICAL formula. At 100 TB this
+  // means: no shuffle, stable under re-execution and partial recompute,
+  // and any derived table (embeddings, labels) lands in the SAME split by
+  // recomputing the hash on the foreign key alone, no join against a
+  // split-assignment table needed. Output: per-(split, source) census
+  // with token mass, proving the cut tracks the 80/10/10 target.
+  private def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L // 2^31 - 1, the minstd modulus (Mersenne prime)
+    val h = $"doc_id" % M * 16807L % M * 48271L % M
+    val splitCol = when(h % 100 < 80, lit("train"))
+      .when(h % 100 < 90, lit("val"))
+      .otherwise(lit("test"))
+    docs(s, dir)
+      .select($"source", splitCol.as("split"),
+        size(split($"text", " ")).cast(LongType).as("toks"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+      .orderBy($"split", $"source")
+  }
+
+  // q121: domain-mixture reweighting — given per-source token masses, a
+  // target mixture weight per source and a total token budget, compute
+  // per-source sampling allocations with one water-filling redistribution
+  // round (the DoReMi/Pile-style "sample web down, books up" op). Shape:
+  // ONE corpus scan reduces to a |sources|-row frame; every subsequent
+  // step (budget, caps, redistribution) is arithmetic over that tiny
+  // frame joined via 1-row aggregates — at 100 TB the scan is the whole
+  // cost and the mixture math is free. All allocation arithmetic is
+  // exact int64 (div, least) so the oracle reproduces it bit-for-bit;
+  // rate_pct is the integer floor percentage. Sources whose target
+  // exceeds their inventory cap at inventory (deficit=true); the spare
+  // budget spreads equally across the uncapped rest — one round,
+  // documented as such (a full fixpoint iterates the same two steps).
+  private def mixtureReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // target weight: odd-numbered sources 9, even 1 (literal policy map;
+    // a production run would join a curated weights table)
+    val t = docs(s, dir)
+      .select($"source", size(split($"text", " ")).cast(LongType).as("tk"))
+      .groupBy($"source")
+      .agg(sum($"tk").as("toks"))
+      .withColumn("w",
+        when(substring($"source", 4, 10).cast(LongType) % 2 === 1, 9L)
+          .otherwise(1L))
+    val g = t.agg(sum($"toks").as("total"), sum($"w").as("sw"))
+    val p1 = t.crossJoin(g) // 1-row aggregate frame
+      .withColumn("share", expr("total * 4 div 5 * w div sw"))
+    val caps = p1.agg(
+      sum(when($"toks" < $"share", $"share" - $"toks").otherwise(0L)).as("spare"),
+      sum(when($"toks" >= $"share", 1L).otherwise(0L)).as("nun"))
+    p1.crossJoin(caps) // 1-row aggregate frame
+      .select(
+        $"source", $"toks", $"share".as("base_share"),
+        when($"toks" < $"share", $"toks")
+          .otherwise(least($"toks",
+            $"share" + expr("spare div greatest(nun, 1)"))).as("alloc_tokens"),
+        ($"toks" < $"share").as("deficit"))
+      .withColumn("rate_pct", expr("alloc_tokens * 100 div toks"))
+      .orderBy($"source")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q120_hash_split" ->
+      """WITH h AS (
+        |  SELECT source,
+        |         doc_id % 2147483647 * 16807 % 2147483647
+        |                * 48271 % 2147483647 AS h2,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, toks,
+        |         CASE WHEN h2 % 100 < 80 THEN 'train'
+        |              WHEN h2 % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "q121_mixture_reweight" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |         CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 1
+        |              THEN 9 ELSE 1 END AS w
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+        |             CAST(sum(w) AS BIGINT) AS sw FROM t),
+        |p1 AS (SELECT source, toks, w,
+        |              total * 4 // 5 * w // sw AS share
+        |       FROM t, g),
+        |caps AS (SELECT CAST(sum(CASE WHEN toks < share
+        |                              THEN share - toks ELSE 0 END) AS BIGINT) AS spare,
+        |                CAST(sum(CASE WHEN toks >= share
+        |                              THEN 1 ELSE 0 END) AS BIGINT) AS nun
+        |         FROM p1)
+        |SELECT source, toks, CAST(share AS BIGINT) AS base_share,
+        |       CAST(CASE WHEN toks < share THEN toks
+        |            ELSE least(toks, share + spare // greatest(nun, 1))
+        |            END AS BIGINT) AS alloc_tokens,
+        |       toks < share AS deficit,
+        |       CAST(CASE WHEN toks < share THEN toks
+        |            ELSE least(toks, share + spare // greatest(nun, 1))
+        |            END * 100 // toks AS BIGINT) AS rate_pct
+        |FROM p1, caps ORDER BY source""".stripMargin,
     "q98_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
