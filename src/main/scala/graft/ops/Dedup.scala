@@ -595,7 +595,47 @@ object Dedup {
       .orderBy("new_id", "match_id")
   }
 
+  // q118: exact duplicated-SUBSTRING detection — the span-level sibling of
+  // q20's whole-document hash and q21's whole-document near-dup: find every
+  // 8-token window that recurs across distinct documents and score each
+  // document by the fraction of its windows that are so duplicated (the
+  // metric the exact-substring-dedup literature reports; repeated spans are
+  // memorization fuel even when documents as wholes are unique). Dataflow:
+  // one projection explodes each doc into its n-7 sliding windows; windows
+  // reduce by xxhash64 of the window text — an 8-BYTE shuffle key instead
+  // of a ~50-byte string, which at 100 TB is the difference between
+  // shuffling the corpus once more and shuffling a tenth of it (a 64-bit
+  // collision needs ~2^32 distinct spans ... with ~10^10 spans expected
+  // false-merges are ~10^-5 of one span — below any reportable threshold;
+  // a paranoid pipeline uses two independent hashes). The per-gram
+  // aggregate keeps countDistinct(doc) state per WINDOW TEXT, not per
+  // document pair — no pairwise blow-up anywhere. Docs under 8 tokens have
+  // no windows and are excluded by construction (both engines).
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(
+        expr("transform(sequence(1, size(toks) - 7)," +
+          " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("gh"))
+    val dup = g.groupBy($"gh")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gh")
+    val nw = g.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+    val dw = g.join(dup, Seq("gh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_windows"))
+    nw.join(dw, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_windows",
+        coalesce($"dup_windows", lit(0L)).as("dup_windows"),
+        Num.roundAt(coalesce($"dup_windows", lit(0L)).cast(DoubleType) /
+          $"n_windows".cast(DoubleType), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_substring_dedup" -> (substringDedup _),
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
     "q25_dedup_simhash"  -> (dedupSimhash _),
@@ -664,6 +704,32 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle groups by the window TEXT itself; the Spark side groups
+    // by xxhash64 of it — identical counts absent a 64-bit collision,
+    // and none exist at this scale
+    "q118_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ti AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks) - 7)) AS i
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM ti),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |nw AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM g GROUP BY 1),
+        |dw AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+        |  FROM g JOIN dup USING (gram) GROUP BY 1)
+        |SELECT nw.doc_id, n_windows,
+        |       coalesce(dup_windows, 0) AS dup_windows,
+        |       round(coalesce(dup_windows, 0) / n_windows, 6) AS dup_frac
+        |FROM nw LEFT JOIN dw ON nw.doc_id = dw.doc_id
+        |ORDER BY nw.doc_id""".stripMargin,
     "q20_dedup_exact" ->
       """WITH dup AS (
         |  SELECT doc_id, text FROM documents

@@ -1453,7 +1453,67 @@ object Relational {
       .orderBy($"source")
   }
 
+  // q119: triangle counting + global clustering coefficient over the
+  // part co-purchase graph (parts sharing an order are adjacent) — the
+  // third iterative-graph op next to q57's connected components and
+  // q97's PageRank, and the canonical "join carefully or die" workload.
+  // The naive neighbor-pair join is Σ d² with d the UNDIRECTED degree —
+  // one celebrity vertex quadratically dominates. The standard fix
+  // (degree orientation): direct every edge from its (degree, id)-lower
+  // endpoint to its higher one; the orientation is acyclic, every
+  // triangle survives as exactly ONE directed wedge s->v, s->w with a
+  // closing edge v->w, and out-degrees are bounded by ~sqrt(2m), cutting
+  // wedge volume to O(m^1.5) worst-case regardless of skew. Every step
+  // is an equi-join (order-key pair generation, degree attach, wedge
+  // build on source, wedge close on (v,w)) — shuffle-partitionable, no
+  // cartesian anywhere; the (degree,id) tuple order is total, so both
+  // engines orient identically and the count is exact-deterministic.
+  // Pair generation within an order is bounded by order size (Σ k² per
+  // order, k ~ single digits), the same per-container bound as q26's
+  // shingle blocks. oe is persisted: it feeds both sides of the wedge
+  // join and the closing probe (three consumers, one materialization).
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_quantity" >= 25)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+    val e = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .filter($"u" < $"v")
+      .select($"u", $"v")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+    val fwd = struct($"du", $"u") < struct($"dv", $"v")
+    val oe = e
+      .join(deg.toDF("u", "du"), Seq("u"))
+      .join(deg.toDF("v", "dv"), Seq("v"))
+      .select(
+        when(fwd, $"u").otherwise($"v").as("s"),
+        when(fwd, $"v").otherwise($"u").as("t"),
+        when(fwd, $"dv").otherwise($"du").as("td"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oe.select($"s", $"t".as("v1"), $"td".as("d1"))
+      .join(oe.select($"s", $"t".as("v2"), $"td".as("d2")), Seq("s"))
+      .filter(struct($"d1", $"v1") < struct($"d2", $"v2"))
+      .select($"v1", $"v2")
+    val tri = wedges
+      .join(oe.select($"s".as("v1"), $"t".as("v2")), Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val vstats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val estats = e.agg(count(lit(1)).as("n_edges"))
+    vstats.crossJoin(estats).crossJoin(tri) // 1-row aggregate frames
+      .select(
+        $"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
+        Num.roundAt(($"n_triangles" * 3).cast(DoubleType) /
+          $"n_wedges".cast(DoubleType), 6).as("clustering"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_triangles"      -> (triangles _),
     "q117_cms_freq"       -> (cmsFreq _),
     "q122_exact_mode"     -> (exactMode _),
     "q115_map_props"      -> (mapProps _),
@@ -1511,6 +1571,36 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |oe AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |w AS (
+        |  SELECT a.t AS v1, b.t AS v2
+        |  FROM oe a JOIN oe b
+        |    ON a.s = b.s AND (a.td, a.t) < (b.td, b.t)),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN oe ON oe.s = w.v1 AND oe.t = w.v2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       n_triangles,
+        |       round(n_triangles * 3 / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+        |         AS clustering
+        |FROM tri""".stripMargin,
     // exact top-20 with hardcoded contract flags (q36 pattern): the CMS
     // lower bound holds unconditionally, the upper bound with the fixed
     // seed is deterministic on this data

@@ -220,6 +220,49 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("Partial"), s"group limit is not map-side partial:\n$p")
   }
 
+  test("q119: every triangle-counting join is an equi-join, never all-pairs") {
+    val (df, p) = plan("q119_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"a triangle join degenerated to all-pairs:\n$p")
+    // the only nested-loop joins are the two 1-row stat-frame crossJoins
+    // at the very top; the wedge/close/degree joins must all be equi
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nBnlj == 2, s"unexpected nested-loop join count $nBnlj:\n$p")
+    // the wedge join must key on the oriented source s (its rank filter
+    // is post-join); the closing join must key on both wedge endpoints
+    val keySets = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.mkString(",")
+    }
+    assert(keySets.exists(k => k.contains("v1") && k.contains("v2")),
+      s"no (v1,v2)-keyed closing join in:\n$keySets")
+  }
+
+  test("q118: duplicated-span detection joins on the 8-byte window hash") {
+    val (df, p) = plan("q118_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span-dup join degenerated to all-pairs:\n$p")
+    val keySets = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.mkString(",")
+    }
+    assert(keySets.exists(_.contains("gh")),
+      s"dup-gram join does not key on the window hash: $keySets")
+  }
+
+  test("q120: the split is a pure projection - no rand, no shuffle below the census aggregate") {
+    val (df, p) = plan("q120_hash_split")
+    assert(!p.toLowerCase.contains("rand"),
+      s"hash split must not involve rand():\n$p")
+    // exactly two exchanges: the census aggregate and the final sort -
+    // nothing repartitions the corpus before the per-row hash projection
+    val nExchange = "Exchange".r.findAllIn(p).size
+    assert(nExchange <= 2, s"unexpected extra shuffle ($nExchange):\n$p")
+    val _ = df // silence unused warning paranoia
+  }
+
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
     val (_, p) = plan("q102_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
