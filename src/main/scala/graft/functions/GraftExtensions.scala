@@ -46,5 +46,11 @@ object GraftExtensions {
     // extension. Runs in the user-provided optimizer batch, after
     // Catalyst's own.
     ext.injectOptimizerRule(_ => RewriteZipEqCount)
+    // Whole-operator surface: the native grouped top-k (logical node +
+    // strategy + heap-based physical operator, graft.plans.NativeTopK).
+    // The rule turns the declarative row_number()<=k idiom into the
+    // custom node; the strategy plans it.
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToNativeTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.NativeTopKStrategy)
   }
 }

@@ -1512,7 +1512,30 @@ object Relational {
           $"n_wedges".cast(DoubleType), 6).as("clustering"))
   }
 
+  // q123: grouped top-k through the NATIVE whole-operator extension
+  // (graft.plans.NativeTopK): the query is written as the standard
+  // declarative row_number idiom — the exact SQL the oracle runs — and
+  // the injected rule + strategy plan it as per-partition bounded heaps
+  // instead of exchange + sort + window. The correctness gate therefore
+  // checks the custom physical operator END TO END against an engine
+  // that never heard of it. Top-3 customers by account balance per
+  // nation; the (acctbal desc, custkey asc) order is total, so the k
+  // boundary is deterministic on both engines. See NativeTopK.scala for
+  // the scale argument (shuffle carries ≤ k rows per group per task).
+  private def nativeTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_native_topk"    -> (nativeTopK _),
     "q119_triangles"      -> (triangles _),
     "q117_cms_freq"       -> (cmsFreq _),
     "q122_exact_mode"     -> (exactMode _),
@@ -1571,6 +1594,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q123_native_topk" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |SELECT c_nationkey, c_custkey, c_acctbal
+        |FROM r WHERE rn <= 3
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
     "q119_triangles" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -209,15 +209,28 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"join is not equi-keyed on bucket: ${joins.map(_.mkString(",")).mkString(" | ")}")
   }
 
-  test("q106: the LATERAL LIMIT decorrelates to WindowGroupLimit, not a nested loop") {
-    val (_, p) = plan("q106_lateral_topn")
+  test("q106: the LATERAL LIMIT decorrelates to the native partial top-k, not a nested loop") {
+    val (df, p) = plan("q106_lateral_topn")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"lateral subquery planned as a nested loop:\n$p")
-    // the correlated LIMIT must become the map-side group-limit rewrite:
-    // a Partial WindowGroupLimit keeps <=3 rows per customer per task
-    // BEFORE the shuffle — the piece that makes per-group top-k scale
-    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
-    assert(p.contains("Partial"), s"group limit is not map-side partial:\n$p")
+    // the correlated LIMIT decorrelates to the row_number idiom, which the
+    // graft extension (plans.NativeTopK) plans as heap-based partial +
+    // final TopKPerGroup — ≤3 rows per customer leave each task BEFORE
+    // the shuffle, and no sort materializes a partition. (Stock Spark
+    // would use Partial WindowGroupLimit + sorts here; the native
+    // operator subsumes it.)
+    val topks = df.queryExecution.sparkPlan.collect {
+      case t: graft.plans.TopKPerGroupExec => t.partial
+    }
+    assert(topks.sorted == Seq(false, true),
+      s"expected partial+final native top-k in:\n$p")
+    // the only Sort left is the query's own presentation ORDER BY at the
+    // root — none below the top-k subtree
+    assert(!p.contains("WindowExec"), s"window survived the rewrite:\n$p")
+    val sortsBelowTopK = df.queryExecution.sparkPlan.collect {
+      case t: graft.plans.TopKPerGroupExec => t
+    }.flatMap(_.collect { case s: org.apache.spark.sql.execution.SortExec => s })
+    assert(sortsBelowTopK.isEmpty, s"sort below the native top-k:\n$p")
   }
 
   test("q119: every triangle-counting join is an equi-join, never all-pairs") {
