@@ -1534,7 +1534,57 @@ object Relational {
       .orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey")
   }
 
+  // q124: distribution-position window functions — ntile / percent_rank /
+  // cume_dist / nth_value, the remaining quarter of the window surface
+  // (q30 covers rank/lag/moving-avg, q84 RANGE frames, q47/q123 group
+  // top-k). One window pass per customer; the (o_totalprice desc,
+  // o_orderkey asc) order is total so every position statistic is
+  // deterministic, and percent_rank/cume_dist are exact small-int
+  // divisions both engines compute identically in doubles. Scale: one
+  // shuffle on the partition key, per-group state O(group) — the same
+  // cost class as any per-entity window; ntile's quartile label is what
+  // downstream stratified jobs (q71) key on.
+  private def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", Num.roundAt(percent_rank().over(w), 6))
+      .withColumn("cume", Num.roundAt(cume_dist().over(w), 6))
+      .withColumn("second_best", nth_value($"o_totalprice", 2).over(w))
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  // q125: bitmap-index EXACT distinct counting — the mergeable exact
+  // sibling of q36/q95's approximate HLL: map each user id to a (bucket,
+  // bit) position, bitmap_construct_agg per (event_type, bucket), then
+  // count bits and sum over buckets. Per-bucket bitmaps are fixed-size
+  // (4096 bits) and merge by OR (bitmap_or_agg re-merges finer
+  // pre-aggregations, e.g. per-day slices, without rescanning events) —
+  // so at 100 TB the reduce state is |types| x |occupied buckets| x
+  // 512 B, id-density-proportional and far below a per-key count-
+  // distinct set, while staying EXACT where HLL gives ±2%. The query
+  // publishes both paths and their agreement as the compared contract.
+  private def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type", $"user_id")
+    val viaBitmap = e
+      .groupBy($"event_type", expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_bitmap"))
+    e.groupBy($"event_type").agg(countDistinct($"user_id").as("n_exact"))
+      .join(viaBitmap, Seq("event_type"))
+      .select($"event_type", $"n_exact", $"n_bitmap",
+        ($"n_exact" === $"n_bitmap").as("bitmap_exact"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_window_suite"   -> (windowSuite _),
+    "q125_bitmap_distinct" -> (bitmapDistinct _),
     "q123_native_topk"    -> (nativeTopK _),
     "q119_triangles"      -> (triangles _),
     "q117_cms_freq"       -> (cmsFreq _),
@@ -1594,6 +1644,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       nth_value(o_totalprice, 2) OVER w AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    // the bitmap path is exact by construction; the oracle checks the
+    // published counts and pins the agreement flag TRUE
+    "q125_bitmap_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_bitmap,
+        |       TRUE AS bitmap_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q123_native_topk" ->
       """WITH r AS (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
