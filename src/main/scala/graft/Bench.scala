@@ -65,6 +65,7 @@ object Bench {
       ops.Layout.ensureOrcLineitem(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
+      table.TableOps.ensureRestoreTable(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed (queries will self-ingest): ${e.getMessage}")
     }

@@ -50,7 +50,9 @@ object GraftExtensions {
     // strategy + heap-based physical operator, graft.plans.NativeTopK).
     // The rule turns the declarative row_number()<=k idiom into the
     // custom node; the strategy plans it.
-    ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToNativeTopK)
-    ext.injectPlannerStrategy(_ => graft.plans.NativeTopKStrategy)
+    if (sys.env.get("GRAFT_DISABLE_NATIVE_TOPK").isEmpty) {
+      ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToNativeTopK)
+      ext.injectPlannerStrategy(_ => graft.plans.NativeTopKStrategy)
+    }
   }
 }

@@ -145,7 +145,41 @@ object TableOps {
       .orderBy("c_custkey", "_change_type")
   }
 
+  private val restoreOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time restore demo table: the demo history (v0 create, v1
+    * append, v2 merge) plus v3 = RESTORE to v1 — the metadata-only
+    * rollback that undoes the merge without rewriting a byte of data.
+    */
+  private[graft] def ensureRestoreTable(s: SparkSession, dir: String): String =
+    buildLock.synchronized {
+      restoreOnce.getOrElseUpdate(dir, {
+        import s.implicits._
+        val base = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+        val root = graft.ops.Core.tmp("graft_vtable_restore")
+        val t = VersionedTable.create(root, base)       // v0
+        t.append(insertRows(base))                      // v1
+        t.merge(s, mergeChanges(base), readVersion = 1L) // v2
+        t.restore(toVersion = 1L, readVersion = 2L)     // v3
+        root
+      })
+    }
+
+  // q126: RESTORE — the latest snapshot AFTER the rollback commit must
+  // equal the v1 content exactly (same oracle as q104's pinned time
+  // travel, but read through latestVersion: the restore re-activated
+  // v1's file set as v3 without copying data). TableSpec covers what
+  // SQL cannot: the rolled-back v2 stays time-travelable, the restore
+  // reinstates the target version's logged schema, and a concurrent
+  // commit makes the restore conflict propagate.
+  private def tableRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureRestoreTable(s, dir)
+    VersionedTable.open(root).snapshot(s).orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_table_restore" -> (tableRestore _),
     "q104_time_travel" -> (timeTravel _),
     "q105_table_merge" -> (tableMerge _),
     "q108_schema_evolution" -> (schemaEvolution _),
@@ -153,6 +187,14 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // restore(v1) read at latest == the v1 append snapshot
+    "q126_table_restore" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000,
+        |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "q104_time_travel" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |UNION ALL

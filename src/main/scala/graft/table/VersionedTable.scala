@@ -123,6 +123,75 @@ final class VersionedTable private (val root: Path) {
     active.toSeq
   }
 
+  /** Active files at `version` WITH their logged row counts and stats —
+    * the full add-entry view [[restore]] needs to re-activate a past
+    * file set. Same checkpoint + tail replay as activeFiles; files that
+    * entered via a checkpoint written before checkpoints carried row
+    * counts surface rows = -1 (advisory metadata, never load-bearing).
+    */
+  def activeAdds(version: Long): Seq[AddEntry] = {
+    val active = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
+    val cp = latestCheckpointAtOrBefore(version)
+    if (cp >= 0) {
+      val node = Mapper.readTree(
+        Files.readString(logDir.resolve(checkpointFileName(cp))))
+      node.get("active").forEach { p =>
+        if (p.isTextual) active(p.asText()) = AddEntry(p.asText(), -1L, None)
+        else {
+          val path = p.get("path").asText()
+          val rows = if (p.has("rows")) p.get("rows").asLong() else -1L
+          val st = if (p.has("min") && p.has("max"))
+            Some((p.get("min").asLong(), p.get("max").asLong())) else None
+          active(path) = AddEntry(path, rows, st)
+        }
+      }
+    }
+    (cp + 1 to version).foreach { v =>
+      val f = logDir.resolve(versionFileName(v))
+      require(Files.exists(f), s"missing log version $v in $logDir")
+      Files.readAllLines(f).forEach { line =>
+        val node = Mapper.readTree(line)
+        if (node.has("add")) {
+          val a = node.get("add")
+          val path = a.get("path").asText()
+          val st = if (a.has("min") && a.has("max"))
+            Some((a.get("min").asLong(), a.get("max").asLong())) else None
+          active(path) = AddEntry(path, a.get("rows").asLong(), st)
+        }
+        if (node.has("remove")) active -= node.get("remove").get("path").asText()
+      }
+    }
+    active.values.toSeq
+  }
+
+  /** RESTORE the table to the content (and schema) of `toVersion` as a
+    * NEW commit — the Delta-style metadata-only rollback: no data file
+    * is copied or rewritten, the commit simply re-activates the target
+    * version's file set and removes everything added since. History is
+    * PRESERVED: the rolled-back versions stay time-travelable, and a
+    * restore can itself be restored away. Conflict class: rewriting
+    * (like overwrite) — a racer's commit invalidates the file-set
+    * delta, so the conflict propagates to the caller. Fails loudly if
+    * vacuum already reclaimed a target file (the restore horizon is the
+    * vacuum horizon, exactly as in the Delta protocol).
+    */
+  def restore(toVersion: Long, readVersion: Long): Long = {
+    require(toVersion <= readVersion,
+      s"restore target $toVersion is ahead of read version $readVersion")
+    val target = activeAdds(toVersion)
+    target.foreach { a =>
+      require(Files.exists(root.resolve(a.path).resolve("_SUCCESS")) ||
+          Files.exists(root.resolve(a.path)),
+        s"restore target file ${a.path} was vacuumed; version $toVersion is unrecoverable")
+    }
+    val current = activeFiles(readVersion).toSet
+    val targetPaths = target.map(_.path).toSet
+    val adds = target.filterNot(a => current.contains(a.path))
+    val removes = current.diff(targetPaths).toSeq
+    commit("restore", readVersion, adds, removes,
+      schemaJson = schemaOf(toVersion).map(_.json))
+  }
+
   /** Write a checkpoint of the CURRENT latest version's active-file list.
     * Idempotent and crash-safe (tmp + atomic link; an existing checkpoint
     * for the version is left alone). Checkpoints are pure accelerators:
@@ -138,10 +207,12 @@ final class VersionedTable private (val root: Path) {
       // stats ride the checkpoint too, so data-skipping reads share the
       // O(tail) replay bound instead of re-walking the whole log
       val stats = fileStats(v)
+      val rows = activeAdds(v).map(a => a.path -> a.rows).toMap
       val entries = files.map { f =>
+        val r = rows.get(f).filter(_ >= 0).map(n => s""","rows":$n""").getOrElse("")
         stats.get(f) match {
-          case Some((mn, mx)) => s"""{"path":"$f","min":$mn,"max":$mx}"""
-          case None => s"""{"path":"$f"}"""
+          case Some((mn, mx)) => s"""{"path":"$f"$r,"min":$mn,"max":$mx}"""
+          case None => s"""{"path":"$f"$r}"""
         }
       }
       val tmp = logDir.resolve(s".tmp-cp-${UUID.randomUUID()}.json")

@@ -351,6 +351,43 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!t.lastTxnId.exists(_ >= 8L))
   }
 
+  test("restore rolls content and schema back as a new commit; history stays travelable") {
+    import spark.implicits._
+    val t = freshTable() // v0 = base
+    t.append(base.filter($"c_custkey" % 5 === 0)
+      .select(($"c_custkey" + 900000).as("c_custkey"), $"c_name",
+        $"c_acctbal", lit("gold").as("tier"))) // v1 widens schema
+    t.overwrite(base.limit(3), readVersion = 1L) // v2 shrinks to 3 rows
+    val v3 = t.restore(toVersion = 1L, readVersion = 2L)
+    assert(v3 == 3L)
+    // latest == v1 content AND v1 schema (tier back, overwrite undone)
+    val latest = t.snapshot(spark)
+    val v1 = t.snapshot(spark, Some(1L))
+    assert(latest.columns.toSeq == v1.columns.toSeq)
+    assert(latest.count() == v1.count())
+    assert(latest.exceptAll(v1).count() == 0 && v1.exceptAll(latest).count() == 0)
+    // the rolled-back v2 is still there for time travel
+    assert(t.snapshot(spark, Some(2L)).count() == 3)
+    // restore the restore away: back to the 3-row overwrite state
+    t.restore(toVersion = 2L, readVersion = 3L)
+    assert(t.snapshot(spark).count() == 3)
+  }
+
+  test("restore conflicts propagate when a racer commits first") {
+    import spark.implicits._
+    val t = freshTable() // v0
+    t.append(base.limit(5)) // v1
+    val rv = t.latestVersion
+    t.append(base.limit(2)) // racer lands v2
+    intercept[CommitConflictException] {
+      t.restore(toVersion = 0L, readVersion = rv)
+    }
+    // recompute against the new latest and it lands
+    val v = t.restore(toVersion = 0L, readVersion = t.latestVersion)
+    assert(v == 3L)
+    assert(t.snapshot(spark).count() == base.count())
+  }
+
   test("model check: every version of a random op history matches an in-memory model") {
     import spark.implicits._
     // a seeded op sequence (append / overwrite / delete-merge) executed
