@@ -33,11 +33,49 @@ import java.nio.file.{Files, Paths}
   * code — a broken query can't masquerade as a green bench.
   */
 object Bench {
+
+  /** Measured effective parallelism: `availableProcessors` reports vCPUs,
+    * not what the hypervisor actually delivers — an oversubscribed VM can
+    * expose 32 vCPUs backed by ~13 cores of real throughput. Sizing
+    * `local[n]` past the delivered width only adds scheduler contention:
+    * measured on this suite, 32 threads on a box delivering ~13 cores ran
+    * the sf0.1 suite in 103s vs 82s at 16 (flat across 12-20). The probe
+    * runs one fixed LCG kernel alone, then one copy per vCPU
+    * concurrently; delivered cores = vCPUs x t1/tN, worst of 3 reps.
+    * Worst-of is deliberate: contention here is bursty, and the suite's
+    * thread-count curve is flat on the low side (12-20 threads all ran
+    * ~82s) but steep on the high side (32 ran 103s) — sizing for the
+    * burst costs nothing when the burst misses and saves 25% when it
+    * hits. The 1.25x headroom keeps a healthy box at full width — SMT
+    * makes eff measure ~0.8-0.95 of nominal, and ceil(0.8n x 1.25) >= n.
+    */
+  private def deliveredCores(vcpus: Int): Double = {
+    @volatile var sink = 0L
+    def burn(): Long = {
+      var s = 0L; var i = 0
+      while (i < 40000000) { s = s * 6364136223846793005L + i; i += 1 }
+      s
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    sink ^= burn() // JIT warmup
+    (1 to 3).map { _ =>
+      val t1 = time { sink ^= burn() }
+      val threads = (0 until vcpus).map(_ => new Thread(() => { sink ^= burn(); () }))
+      val tN = time { threads.foreach(_.start()); threads.foreach(_.join()) }
+      if (sink == 42L) println("") // keep the kernel observable
+      vcpus * t1 / tN
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val requested = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val avail = Runtime.getRuntime.availableProcessors()
-    val cpus = math.max(1, math.min(requested, avail))
+    val eff = deliveredCores(avail)
+    val cpus = math.max(1,
+      math.min(math.min(requested, avail), math.ceil(eff * 1.25).toInt))
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftExtensions.inject)
       .master(s"local[$cpus]")
@@ -135,7 +173,7 @@ object Bench {
     // drift, SURVEY round-2 notes) + heap; every byte counts against the
     // 2000-char stdout tail the driver parses
     val env =
-      s"""{"cpus":"$cpus/$avail","heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
+      s"""{"cpus":"$cpus/$avail","eff_cores":${sec2(eff)},"heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
     // Paired baseline: scripts/duckdb_bench.py times the same oracle SQLs
     // in DuckDB and writes duckdb_bench.json (committed after each quiet
     // back-to-back measurement). Embedding its total + timestamp makes
