@@ -29,7 +29,8 @@ object GraftExtensions {
     "minhash_sig"    -> (e => MinHashSig(e.head)),
     "simhash_sig"    -> (e => SimHashSig(e.head)),
     "lsh_buckets"    -> (e => LshBuckets(e.head)),
-    "shingle_hashes" -> (e => ShingleHashes(e.head)),
+    "shingle_hashes" -> (e =>
+      if (e.size >= 2) ShingleHashes(e(0), e(1)) else ShingleHashes(e.head)),
     "fold_dot"       -> (e => FoldDot(e(0), e(1))),
     "sorted_overlap" -> (e => SortedOverlap(e(0), e(1))),
     "zip_eq_count"   -> (e => ZipEqCount(e(0), e(1))),

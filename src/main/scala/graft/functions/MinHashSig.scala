@@ -149,7 +149,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_buckets", exprs => LshBuckets(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs.head), "built-in")
+      "shingle_hashes", exprs =>
+        if (exprs.size >= 2) ShingleHashes(exprs(0), exprs(1))
+        else ShingleHashes(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fold_dot", exprs => FoldDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -634,8 +634,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q128: EXACT set-similarity self-join via prefix filtering (the
+  // AllPairs/PPJoin candidate rule) — the deterministic sibling of q21's
+  // LSH: zero false negatives by construction, no banding/recall
+  // trade-off, same verify machinery. The standard result: order every
+  // doc's shingle set by a global total order (rarest first — df asc,
+  // shingle asc); if J(A,B) >= t, the first |A| - ceil(t|A|) + 1
+  // elements of A must share an element with B's prefix, so the
+  // candidate join is an equi-join on PREFIX shingles only. Cost is
+  // Σ prefix-posting² — and posting lists stay BOUNDED as the corpus
+  // grows only if the shingle space dwarfs the corpus. That is why this
+  // query shingles at w=4 (space 31^4 on this synthetic vocab; measured
+  // max df 5-9 flat from sf0.01→0.1, candidates ≈ true pairs 139/139)
+  // where w=2 saturates (916 distinct shingles, df linear in corpus,
+  // 128k candidates for 600 docs — the quadratic defect class). Verify
+  // is exact integer arithmetic: J >= 0.3 ⟺ 13·inter >= 3·(n1+n2),
+  // inter via the zero-allocation sorted_overlap merge. The df table is
+  // vocabulary-sized (broadcast); the only data-scale shuffles are the
+  // per-doc sort-by-rarity aggregate and the prefix equi-join.
+  private def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val ng = mutatedDocs(s, dir)
+      .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+    val e = ng.select($"doc_id", explode($"ng").as("sh"))
+    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // per-doc shingles ordered rarest-first; prefix = n - ceil(0.3 n) + 1
+    val pref = e.join(broadcast(df), Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"),
+        count(lit(1)).as("n"))
+      .select($"doc_id",
+        expr("transform(slice(ord, 1, cast(n - ((3*n + 9) div 10) + 1 as int))," +
+          " x -> x.sh)").as("prefix"))
+      .select($"doc_id", explode($"prefix").as("sh"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(ng.select($"doc_id".as("doc_a"), $"ng".as("ng_a")), Seq("doc_a"))
+      .join(ng.select($"doc_id".as("doc_b"), $"ng".as("ng_b")), Seq("doc_b"))
+      .withColumn("inter", expr("sorted_overlap(ng_a, ng_b)"))
+      .withColumn("n1", size($"ng_a").cast(LongType))
+      .withColumn("n2", size($"ng_b").cast(LongType))
+      .filter(lit(13L) * $"inter" >= lit(3L) * ($"n1" + $"n2"))
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"n1" + $"n2" - $"inter").as("uni"),
+        Num.roundAt($"inter" / ($"n1" + $"n2" - $"inter"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_substring_dedup" -> (substringDedup _),
+    "q128_simjoin_prefix" -> (simjoinPrefix _),
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
     "q25_dedup_simhash"  -> (dedupSimhash _),
@@ -704,6 +757,52 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q128: the same prefix-filter algorithm spelled out in SQL — w=4
+    // shingle fold, df-asc/shingle-asc global order, integer prefix
+    // length n - ceil(3n/10) + 1 (computed as (3n+9)//10 in BOTH
+    // engines: float ceil(0.3*n) misrounds at n=10 because 0.3*10
+    // = 3.0000000000000004 in doubles), integer threshold test. A spec
+    // additionally proves the prefix filter lossless against the
+    // brute-force all-pairs join at sf0.001.
+    "q128_simjoin_prefix" ->
+      s"""WITH $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM corpus),
+        |ng AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(th) >= 4
+        |           THEN list_transform(range(1, len(th) - 2),
+        |                  i -> list_reduce(th[i : i + 3],
+        |                         (a, x) -> (a * 31 + x) % 2147483647))
+        |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |         END) AS ng
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(ng) AS sh FROM ng),
+        |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |lst AS (
+        |  SELECT doc_id, list(e.sh ORDER BY df.df, e.sh) AS srt
+        |  FROM e JOIN df USING (sh) GROUP BY doc_id),
+        |pre AS (
+        |  SELECT doc_id,
+        |         unnest(srt[1 : len(srt) - ((3 * len(srt) + 9) // 10) + 1]) AS sh
+        |  FROM lst),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT) AS inter,
+        |         CAST(len(na.ng) AS BIGINT) AS n1,
+        |         CAST(len(nb.ng) AS BIGINT) AS n2
+        |  FROM cand
+        |  JOIN ng na ON na.doc_id = doc_a
+        |  JOIN ng nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, inter, n1 + n2 - inter AS uni,
+        |       round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+        |FROM ver WHERE 13 * inter >= 3 * (n1 + n2)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the oracle groups by the window TEXT itself; the Spark side groups
     // by xxhash64 of it — identical counts absent a 64-bit collision,
     // and none exist at this scale

@@ -409,7 +409,85 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // q127: bigram language-model perplexity scoring — the CCNet-style
+  // quality filter: train add-one-smoothed bigram statistics ON the
+  // corpus itself (one scan: bigram counts c12, head counts c1, vocab
+  // size V — all exact integers), then score every document by its mean
+  // negative log-likelihood  nll = −(1/m)·Σ ln((c12+1)/(c1+V))  and
+  // perplexity exp(nll). High-perplexity docs are the ones the corpus's
+  // own statistics find improbable — boilerplate mashups, shuffled
+  // text, wrong-language fragments. Scale shape: the count tables are
+  // VOCABULARY-sized (broadcast here; at a real corpus's bigram
+  // cardinality the same joins run as shuffle equi-joins — the plan is
+  // declarative either way), the corpus is scanned twice (train, score),
+  // and the per-doc reduction keeps one row per document. Determinism:
+  // every ln argument is a ratio of exact ints, and the per-doc sum is
+  // a LEFT FOLD in position order (Det rule 2) — identical doubles
+  // added in identical order on both engines.
+  private def perplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir).select($"doc_id", split($"text", " ").as("t"))
+    val big = tok.filter(size($"t") >= 2)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .as(Seq("pos", "b")))
+      .select($"doc_id", $"pos", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = tok.select(explode($"t").as("w")).agg(count_distinct($"w").as("v"))
+    big
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v)) // 1-row vocab-size frame
+      .withColumn("lp",
+        log(($"c12" + 1).cast(DoubleType) / ($"c1" + $"v").cast(DoubleType)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct($"pos", $"lp"))).as("lps"))
+      .withColumn("nll",
+        -aggregate($"lps", lit(0.0), (acc, x) => acc + x.getField("lp")) /
+          $"n_bigrams".cast(DoubleType))
+      .select($"doc_id", $"n_bigrams",
+        Num.roundAt($"nll", 6).as("nll"),
+        Num.roundAt(exp($"nll"), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  // q129: weighted sampling without replacement (Efraimidis–Spirakis
+  // A-ES), the reproducible "sample the best data under a budget"
+  // primitive: per source keep the 5 docs with the largest u^(1/w) —
+  // equivalently the largest key = ln(u)/w — where w is the doc's token
+  // count (the weight: longer docs proportionally likelier) and u is a
+  // DETERMINISTIC uniform from q120's minstd double-LCG of doc_id, not
+  // rand() (stable under retries, AQE re-plans and cluster resizing;
+  // every operand < 2^47 so the oracle runs the identical integer
+  // arithmetic). Scale shape: a pure projection followed by top-k per
+  // group — the rank column is dropped from the output, so the
+  // RewriteRankLimitToNativeTopK rule replaces the window with the
+  // native heap operator and only k rows per group per task cross the
+  // shuffle. Works identically (modulo plan) without the extension.
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    val h = $"doc_id" % M * 16807L % M * 48271L % M
+    val keyed = docs(s, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast(LongType).as("weight"),
+        (h + 1L).as("h1"))
+      .withColumn("key", log($"h1".cast(DoubleType) / M) / $"weight")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"key".desc, $"doc_id".asc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"source", $"doc_id", $"weight",
+        Num.roundAt($"key", 6).as("priority"))
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_perplexity" -> (perplexity _),
+    "q129_weighted_sample" -> (weightedSample _),
     "q120_hash_split" -> (hashSplit _),
     "q121_mixture_reweight" -> (mixtureReweight _),
     "q114_bpe_merges" -> (bpeMerges _),
@@ -567,6 +645,52 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q127_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, (b).pos AS pos, (b).w1 AS w1, (b).w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |          i -> struct_pack(pos := i, w1 := t[i], w2 := t[i+1]))) AS b
+        |        FROM tok WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS w FROM tok)),
+        |lp AS (
+        |  SELECT b.doc_id, b.pos,
+        |         ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lp
+        |  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         list(lp ORDER BY pos) AS lps
+        |  FROM lp GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |       round(-list_reduce(list_prepend(0.0::DOUBLE, lps),
+        |                          (acc, x) -> acc + x)
+        |             / CAST(n_bigrams AS DOUBLE), 6) AS nll,
+        |       round(exp(-list_reduce(list_prepend(0.0::DOUBLE, lps),
+        |                              (acc, x) -> acc + x)
+        |                 / CAST(n_bigrams AS DOUBLE)), 4) AS ppl
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q129_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+        |         doc_id % 2147483647 * 16807 % 2147483647
+        |           * 48271 % 2147483647 + 1 AS h1
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id, weight,
+        |         ln(CAST(h1 AS DOUBLE) / 2147483647) / weight AS key
+        |  FROM s),
+        |r AS (
+        |  SELECT source, doc_id, weight, key,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY key DESC, doc_id ASC) AS rn
+        |  FROM k)
+        |SELECT source, doc_id, weight, round(key, 6) AS priority
+        |FROM r WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "q120_hash_split" ->
       """WITH h AS (
         |  SELECT source,

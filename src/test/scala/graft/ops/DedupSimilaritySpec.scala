@@ -153,4 +153,45 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     exact.unpersist()
     pq.unpersist()
   }
+
+  test("q128: prefix filter is lossless — identical to the brute-force all-pairs join") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Dedup.queries("q128_simjoin_prefix")(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // brute force over the same mutated corpus and w=4 shingle sets
+    val d = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = d.unionAll(
+      d.filter($"doc_id" % 5 === 0).select(($"doc_id" + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val ng = corpus.select($"doc_id",
+      expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+    val brute = ng.as("a").crossJoin(ng.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
+      .filter(lit(13L) * $"inter" >=
+        lit(3L) * (size($"a.ng") + size($"b.ng")).cast("long"))
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(out == brute,
+      s"prefix join diverged from brute force: missing ${brute -- out}, extra ${out -- brute}")
+    assert(out.nonEmpty, "degenerate test: no similar pairs at sf0.001")
+  }
+
+  test("shingle_hashes width: w=2 default unchanged; wider widths shrink df saturation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val t = Seq("a b c d e").toDF("text")
+      .select(expr("shingle_hashes(split(text, ' '))").as("w2"),
+        expr("shingle_hashes(split(text, ' '), 2)").as("w2x"),
+        expr("shingle_hashes(split(text, ' '), 4)").as("w4"),
+        expr("shingle_hashes(split(text, ' '), 5)").as("w5"))
+      .head()
+    assert(t.getSeq[Long](0) == t.getSeq[Long](1), "explicit w=2 must equal default")
+    assert(t.getSeq[Long](2).length == 2, "5 tokens at w=4 -> 2 shingles")
+    assert(t.getSeq[Long](3).length == 1, "5 tokens at w=5 -> 1 shingle")
+    // fewer than w tokens: single whole-text hash fallback
+    val short = Seq("a b").toDF("text")
+      .select(expr("shingle_hashes(split(text, ' '), 4)").as("s")).head()
+    assert(short.getSeq[Long](0).length == 1)
+  }
 }

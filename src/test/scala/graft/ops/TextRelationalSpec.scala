@@ -335,4 +335,35 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val total = out.agg(sum("n")).first().getLong(0)
     assert(total == graft.Tables.events(spark, dir).count())
   }
+
+  test("q127: every multi-token doc scores; nll positive; ppl = exp(nll)") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q127_perplexity")(spark, dir).cache()
+    val eligible = graft.Tables.documents(spark, dir)
+      .filter(size(split($"text", " ")) >= 2).count()
+    assert(out.count() == eligible, "a scoreable doc is missing a score")
+    // add-one smoothed probabilities are < 1, so mean NLL is positive
+    assert(out.filter($"nll" <= 0).count() == 0)
+    // ppl is exp(nll) to rounding: recompute and compare at 2dp slack
+    val bad = out.filter(abs(exp($"nll") - $"ppl") > 0.01).count()
+    assert(bad == 0, s"$bad docs where ppl != exp(nll)")
+    out.unpersist()
+  }
+
+  test("q129: five docs per source, weights positive, native top-k plans the window") {
+    import spark.implicits._
+    val q = TextAnalysis.queries("q129_weighted_sample")(spark, dir)
+    // the rank column is dropped, so the native heap operator must plan it
+    // (assert on sparkPlan BEFORE caching wraps it in InMemoryTableScan)
+    val execs = q.queryExecution.sparkPlan.collect {
+      case t: graft.plans.TopKPerGroupExec => t
+    }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final TopKPerGroupExec in q129's plan:\n${q.queryExecution.sparkPlan}")
+    val out = q.cache()
+    val perSource = out.groupBy("source").count().as[(String, Long)].collect()
+    assert(perSource.forall(_._2 == 5), s"sources without 5 picks: ${perSource.filter(_._2 != 5).mkString(",")}")
+    assert(out.filter($"weight" <= 0).count() == 0)
+    out.unpersist()
+  }
 }
