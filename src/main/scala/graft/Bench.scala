@@ -95,6 +95,7 @@ object Bench {
     // Setup: pre-pay one-time ingest/layout artifacts for the timed dir.
     try {
       ops.Core.ensureCsvFixture(spark, sfDir)
+      ops.Core.ensureCorruptCsv(spark, sfDir)
       ops.Core.ensureJsonlDocs(spark, sfDir)
       ops.Core.ensureXmlOrders(spark, sfDir)
       ops.Relational.ensureBuckets(spark, sfDir)

@@ -356,7 +356,58 @@ object Core {
       .orderBy("lang", "source")
   }
 
+  // q131: robust CSV ingest with malformed-record quarantine — the
+  // schema-enforcement contract every production pipeline needs at the
+  // door (the reference trusts its inputs; a 100 TB feed cannot). The
+  // fixture deterministically corrupts the quantity field of every
+  // l_orderkey % 97 == 0 row. The read runs mode=DROPMALFORMED (typed
+  // schema; a field that fails to parse drops the row) and the
+  // quarantine census is total text lines minus surviving rows — two
+  // scans of the file, both distributed, no caching. The PERMISSIVE
+  // corrupt-record-column variant (raw line preserved per bad row) is
+  // spec-tested instead of benched because Spark disallows plans that
+  // reference only the corrupt column without a cache barrier. The
+  // oracle reconstructs both partitions from the corruption rule over
+  // the clean table. l_quantity is integer-valued, so its double sum
+  // is exact under any partitioning.
+  private val corruptCsvCache = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureCorruptCsv(s: SparkSession, dir: String): String =
+    corruptCsvCache.getOrElseUpdate(dir, {
+      val p = tmp("graft_corrupt_csv")
+      Tables.lineitem(s, dir)
+        .select(concat_ws(",",
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 97 === 0, lit("NOT_A_NUMBER"))
+            .otherwise(col("l_quantity").cast(StringType)),
+          col("l_returnflag")).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+  private def csvQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val p = ensureCorruptCsv(s, dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    val good = s.read.schema(schema).option("mode", "DROPMALFORMED").csv(p)
+    val byFlag = good.groupBy(col("l_returnflag").as("category"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+    val nLines = s.read.text(p).agg(count(lit(1)).as("n_lines"))
+    // count(l_quantity), not count(*): a CSV count with no required
+    // columns skips parsing entirely, so malformed rows would be
+    // counted as good — referencing the corrupted field forces the
+    // parse (quantity is never null in surviving rows)
+    val nGood = good.agg(count(col("l_quantity")).as("n_good"))
+    val corrupt = nLines.crossJoin(nGood) // two 1-row aggregate frames
+      .select(lit("_corrupt").as("category"),
+        (col("n_lines") - col("n_good")).as("n"),
+        lit(null).cast(LongType).as("sum_qty"))
+    byFlag.unionAll(corrupt).orderBy("category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_csv_quarantine" -> (csvQuarantine _),
     "q01_csv_scan"       -> (csvScan _),
     "q77_jsonl_scan"     -> (jsonlScan _),
     "q116_xml_scan"      -> (xmlScan _),
@@ -378,6 +429,14 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q131_csv_quarantine" ->
+      """SELECT l_returnflag AS category, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 97 != 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |ORDER BY category""".stripMargin,
     "q01_csv_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 20 = 0

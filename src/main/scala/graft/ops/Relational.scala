@@ -1582,7 +1582,37 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q130: Benford leading-digit audit — the classic fraud/corruption
+  // screen on magnitude-spanning monetary columns, completing the
+  // data-quality family (q72 profile, q96 constraints): observed
+  // leading-digit shares vs Benford's log10(1 + 1/d) expectation, with
+  // per-digit chi-square contributions. One scan, a 9-row aggregate;
+  // every count is exact, and the FP tail (ln, the chi-square ratio)
+  // runs on identical operands in both engines. Leading digit comes
+  // from the DECIMAL(12,2) string form — double-to-string would
+  // diverge across engines at scientific-notation boundaries; the
+  // decimal print form is canonical in both.
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.lineitem(s, dir)
+      .select(substring($"l_extendedprice".cast(DecimalType(12, 2))
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+    val obs = d.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    obs.crossJoin(tot) // 9 x 1-row aggregate frames
+      .withColumn("p_benford",
+        log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+      .withColumn("expected", $"p_benford" * $"n_total")
+      .select($"digit", $"n_obs", $"n_total",
+        Num.roundAt($"n_obs".cast(DoubleType) / $"n_total", 6).as("p_obs"),
+        Num.roundAt($"p_benford", 6).as("p_benford"),
+        Num.roundAt(($"n_obs" - $"expected") * ($"n_obs" - $"expected") /
+          $"expected", 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_benford"        -> (benford _),
     "q124_window_suite"   -> (windowSuite _),
     "q125_bitmap_distinct" -> (bitmapDistinct _),
     "q123_native_topk"    -> (nativeTopK _),
@@ -1644,6 +1674,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q130_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem),
+        |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |x AS (
+        |  SELECT digit, n_obs, n_total,
+        |         ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0::DOUBLE) AS p_benford,
+        |         ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0::DOUBLE) * n_total AS expected
+        |  FROM obs, tot)
+        |SELECT digit, n_obs, n_total,
+        |       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+        |       round(p_benford, 6) AS p_benford,
+        |       round((n_obs - expected) * (n_obs - expected) / expected, 6) AS chi2_term
+        |FROM x ORDER BY digit""".stripMargin,
     "q124_window_suite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,

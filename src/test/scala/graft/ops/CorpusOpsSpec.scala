@@ -204,4 +204,49 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ($"realized_rate" < 0.3 || $"realized_rate" > 0.7)).count() == 0)
     out.unpersist()
   }
+
+  test("q131 PERMISSIVE variant: corrupt-record column preserves the raw line per bad row") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val p = Core.ensureCorruptCsv(spark, dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("_bad", StringType)))
+    // cache first: Spark disallows plans referencing ONLY the internal
+    // corrupt column of a CSV scan (the documented cache barrier)
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(p).cache()
+    val bad = raw.filter($"_bad".isNotNull)
+    val expected = graft.Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 97 === 0).count()
+    assert(bad.count() == expected, "every corrupted row must be quarantined")
+    // the raw line survives verbatim: it still carries the poison token,
+    // and the malformed field parsed as null while good fields kept values
+    assert(bad.filter(!$"_bad".contains("NOT_A_NUMBER")).count() == 0)
+    assert(bad.filter($"l_quantity".isNotNull).count() == 0)
+    assert(bad.filter($"l_orderkey".isNull).count() == 0)
+    raw.unpersist()
+  }
+
+  test("binaryFile source reads exact bytes (multimodal ingest path)") {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dir)
+      .select($"path", $"length", $"content")
+      .collect()
+    assert(rows.nonEmpty, "no files ingested")
+    rows.foreach { r =>
+      val p = java.nio.file.Paths.get(new java.net.URI(r.getAs[String]("path")))
+      val disk = java.nio.file.Files.readAllBytes(p)
+      assert(r.getAs[Long]("length") == disk.length.toLong)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("content"), disk),
+        s"content mismatch for $p")
+    }
+  }
 }
