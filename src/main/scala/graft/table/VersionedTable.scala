@@ -561,6 +561,59 @@ final class VersionedTable private (val root: Path) {
       schemaJson = Some(df.schema.json))
   }
 
+  /** OPTIMIZE: rewrite the active file set CLUSTERED by `clusterKey`
+    * into up to `nBuckets` range buckets — one add entry per bucket,
+    * written in a single pass (`write.partitionBy` on the computed
+    * bucket id), published as ONE rewriting commit. Layout-only: same
+    * rows, every version's readers unaffected, history intact. What it
+    * buys: per-entry min/max stats become tight near-disjoint ranges,
+    * so [[snapshotWhere]] prunes to ~1/nBuckets of the data instead of
+    * reading everything — the `OPTIMIZE ... ZORDER BY` shape (pass an
+    * interleaved key, ops/Layout.scala's bit trick, for
+    * multi-dimensional locality; the bucketing mechanics don't care
+    * what the key expression is). Boundaries are exact percentiles of
+    * the key — an (nBuckets−1)-value driver-held literal, the
+    * IVF-codebook pattern; at 100 TB swap in `approx_percentile`
+    * (boundary placement changes, correctness doesn't: any boundaries
+    * yield the same rows, only skipping tightness varies). Conflict
+    * class: rewriting, like compact/overwrite.
+    */
+  def optimize(spark: SparkSession, clusterKey: org.apache.spark.sql.Column,
+               nBuckets: Int, readVersion: Long): Long = {
+    import org.apache.spark.sql.functions._
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val removed = activeFiles(readVersion)
+    val df = snapshot(spark, Some(readVersion))
+    val keyed = df.withColumn("__ck", clusterKey.cast("double"))
+    val cuts: Seq[Double] =
+      if (nBuckets == 1) Nil
+      else {
+        val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+        keyed.agg(expr(s"percentile(__ck, array(${qs.mkString(",")}))"))
+          .head().getSeq[Double](0)
+      }
+    val bucket = cuts.foldLeft(lit(0))((acc, c) =>
+      acc + when(col("__ck") >= c, 1).otherwise(0))
+    val rel = s"data/${UUID.randomUUID()}"
+    val out = keyed.withColumn("__bucket", bucket).drop("__ck")
+    out.write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(root.resolve(rel).toString)
+    // one aggregate yields every bucket's row count and stats span
+    val adds = (statsColumn match {
+      case Some(c) =>
+        out.groupBy(col("__bucket"))
+          .agg(count(lit(1)), min(col(c)).cast("long"), max(col(c)).cast("long"))
+          .collect()
+          .map(r => AddEntry(s"$rel/__bucket=${r.getInt(0)}", r.getLong(1),
+            if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      case None =>
+        out.groupBy(col("__bucket")).agg(count(lit(1))).collect()
+          .map(r => AddEntry(s"$rel/__bucket=${r.getInt(0)}", r.getLong(1), None))
+    }).toSeq.sortBy(_.path)
+    commit("optimize", readVersion, adds, removed,
+      schemaJson = Some(df.schema.json))
+  }
+
   /** Physically delete data directories no version ≥ `horizon`
     * references — the retention trade every table format makes explicit:
     * time travel BEFORE the horizon dies (a vacuumed version's read

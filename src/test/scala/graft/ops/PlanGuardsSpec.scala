@@ -252,6 +252,19 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no (v1,v2)-keyed closing join in:\n$keySets")
   }
 
+  test("q128: prefix-filter candidates come from an equi-join on the prefix shingle") {
+    val (df, p) = plan("q128_simjoin_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the prefix candidate join degenerated to all-pairs:\n$p")
+    val keySets = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.mkString(",")
+    }
+    assert(keySets.exists(_.contains("sh")),
+      s"no shingle-keyed candidate join in:\n$keySets")
+  }
+
   test("q118: duplicated-span detection joins on the 8-byte window hash") {
     val (df, p) = plan("q118_substring_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

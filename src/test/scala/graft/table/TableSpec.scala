@@ -208,6 +208,40 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df2.count() == expected)
   }
 
+  test("OPTIMIZE: clustered rewrite restores skipping that compaction destroyed") {
+    import spark.implicits._
+    // WORST-case layout: three appends each spanning the WHOLE key
+    // range (c_custkey % 3 slices), so every file overlaps every probe
+    // and log stats can prune nothing
+    val t = VersionedTable.create(graft.ops.Core.tmp("vt_opt"),
+      base.filter($"c_custkey" % 3 === 0), statsCol = Some("c_custkey"))
+    t.append(base.filter($"c_custkey" % 3 === 1))
+    t.append(base.filter($"c_custkey" % 3 === 2))
+    val before = t.snapshot(spark)
+    val expected = base.filter($"c_custkey".between(10, 30)).count()
+    val (_, kept0, total0) = t.snapshotWhere(spark, 10, 30)
+    assert(total0 == 3 && kept0 == 3, "interleaved appends must defeat skipping")
+
+    val v = t.optimize(spark, $"c_custkey", nBuckets = 4,
+      readVersion = t.latestVersion)
+    assert(v == 3L)
+    // layout-only: identical content, history intact
+    val after = t.snapshot(spark)
+    assert(after.exceptAll(before).count() == 0 && before.exceptAll(after).count() == 0)
+    assert(t.snapshot(spark, Some(2L)).count() == before.count())
+    // tight disjoint ranges: the narrow probe now reads 1 of 4 entries
+    val (df, kept, total) = t.snapshotWhere(spark, 10, 30)
+    assert(total == 4, s"expected 4 bucket entries, saw $total")
+    assert(kept == 1, s"optimize should prune to one bucket, kept $kept")
+    assert(df.count() == expected)
+    // conflict class is rewriting: a racer's commit invalidates it
+    val rv = t.latestVersion
+    t.append(base.limit(1))
+    intercept[CommitConflictException] {
+      t.optimize(spark, $"c_custkey", nBuckets = 2, readVersion = rv)
+    }
+  }
+
   test("schema evolution: appends widen the logged schema; time travel reads the old one") {
     import spark.implicits._
     val t = VersionedTable.create(graft.ops.Core.tmp("vt_evo"),
