@@ -178,7 +178,24 @@ object TableOps {
     VersionedTable.open(root).snapshot(s).orderBy("c_custkey")
   }
 
+  // q132: DESCRIBE HISTORY through the custom DataSource V2 connector
+  // (graft.sources.TableLogSource, short name "graft-table-log") — one
+  // row per committed version of the demo table's deterministic
+  // create → append → merge history. The oracle reconstructs every row
+  // from the change rules over the clean customer table: add/remove
+  // counts are protocol facts (append adds 1 entry; merge rewrites 2),
+  // rows_added is the committed batch's logged row count. The same
+  // connector streams the log (offsets = versions) — spec-tested, since
+  // a streaming read has no SQL twin.
+  private def tableHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDemoTable(s, dir)
+    s.read.format("graft-table-log").load(root)
+      .select("version", "op", "read_version", "n_adds", "n_removes", "rows_added")
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_table_history" -> (tableHistory _),
     "q126_table_restore" -> (tableRestore _),
     "q104_time_travel" -> (timeTravel _),
     "q105_table_merge" -> (tableMerge _),
@@ -187,6 +204,25 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_table_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+        |         CAST(-1 AS BIGINT) AS read_version,
+        |         CAST(1 AS INTEGER) AS n_adds, CAST(0 AS INTEGER) AS n_removes,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_added
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'append', CAST(0 AS BIGINT),
+        |         CAST(1 AS INTEGER), CAST(0 AS INTEGER),
+        |         (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |          WHERE c_custkey % 13 = 0)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'merge', CAST(1 AS BIGINT),
+        |         CAST(1 AS INTEGER), CAST(2 AS INTEGER),
+        |         (SELECT CAST(count(*) AS BIGINT) FROM customer)
+        |         + (SELECT count(*) FROM customer WHERE c_custkey % 13 = 0)
+        |         - (SELECT count(*) FROM customer
+        |            WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0)
+        |) ORDER BY version""".stripMargin,
     // restore(v1) read at latest == the v1 append snapshot
     "q126_table_restore" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

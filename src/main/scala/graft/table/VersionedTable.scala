@@ -657,7 +657,7 @@ final class VersionedTable private (val root: Path) {
 }
 
 object VersionedTable {
-  private val LogDirName = "_txn_log"
+  private[graft] val LogDirName = "_txn_log"
   private val Mapper = new ObjectMapper()
 
   /** Auto-checkpoint cadence: replay cost is bounded by this many
