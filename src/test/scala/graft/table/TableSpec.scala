@@ -424,10 +424,12 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("model check: every version of a random op history matches an in-memory model") {
     import spark.implicits._
-    // a seeded op sequence (append / overwrite / delete-merge) executed
-    // against BOTH the table and a plain in-memory key set; afterwards
-    // EVERY version's snapshot must reproduce its model state exactly —
-    // the whole-history contract none of the single-op tests pin
+    // a seeded op sequence (append / overwrite / delete-merge /
+    // optimize / restore) executed against BOTH the table and a plain
+    // in-memory key set; afterwards EVERY version's snapshot must
+    // reproduce its model state exactly — the whole-history contract
+    // none of the single-op tests pin. optimize is layout-only (model
+    // unchanged); restore jumps the model to the targeted past state.
     val rnd = new scala.util.Random(42)
     def rows(ks: Seq[Long]) = ks.toDF("c_custkey")
       .select($"c_custkey", concat(lit("n"), $"c_custkey").as("c_name"),
@@ -437,8 +439,8 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val history = scala.collection.mutable.ArrayBuffer(model)
     val t = VersionedTable.create(graft.ops.Core.tmp("vt_model"), rows(model.toSeq))
     var nextKey = 1000L
-    (1 to 6).foreach { _ =>
-      rnd.nextInt(3) match {
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(5) match {
         case 0 => // append a fresh batch
           val batch = (nextKey until nextKey + 5).toSet
           nextKey += 5
@@ -457,6 +459,13 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
             lit(null).cast("double").as("new_bal"))
           t.merge(spark, changes, t.latestVersion)
           model = model -- dels
+        case 3 => // optimize: clustered rewrite, content must not move
+          t.optimize(spark, $"c_custkey", nBuckets = 1 + rnd.nextInt(3),
+            readVersion = t.latestVersion)
+        case 4 => // restore to a random past version
+          val target = rnd.nextInt(history.size).toLong
+          t.restore(toVersion = target, readVersion = t.latestVersion)
+          model = history(target.toInt)
       }
       history += model
     }
