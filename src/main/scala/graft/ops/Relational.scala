@@ -1611,7 +1611,40 @@ object Relational {
       .orderBy("digit")
   }
 
+  // q133: ordered LISTAGG (Spark 4's listagg / DuckDB's ordered
+  // string_agg) — the everyday "csv of the group" report shape, done
+  // the only way it scales: top-k per group FIRST (the native heap
+  // operator plans the row_number idiom — k rows per group per task
+  // cross the shuffle), THEN the string aggregate runs on a bounded
+  // set. listagg straight over a data-scale group would build
+  // corpus-sized strings — the anti-pattern this query exists to show
+  // the alternative to. WITHIN GROUP ordering is total (acctbal desc,
+  // custkey asc), so the csv is byte-identical on both engines.
+  private def listaggTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val top3 = Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_name", $"c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn") // rank dropped -> RewriteRankLimitToNativeTopK fires
+    top3
+      .groupBy($"c_nationkey")
+      .agg(
+        count(lit(1)).as("n_top"),
+        expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)")
+          .as("top_names"),
+        max($"c_acctbal").as("best_bal"))
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"n_top", $"top_names",
+        Num.roundAt($"best_bal", 2).as("best_bal"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_listagg"        -> (listaggTop _),
     "q130_benford"        -> (benford _),
     "q124_window_suite"   -> (windowSuite _),
     "q125_bitmap_distinct" -> (bitmapDistinct _),
@@ -1674,6 +1707,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q133_listagg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer),
+        |t AS (SELECT * FROM r WHERE rn <= 3)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_top,
+        |       string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+        |         AS top_names,
+        |       round(max(c_acctbal), 2) AS best_bal
+        |FROM t JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q130_benford" ->
       """WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
