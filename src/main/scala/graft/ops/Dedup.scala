@@ -650,9 +650,9 @@ object Dedup {
   // where w=2 saturates (916 distinct shingles, df linear in corpus,
   // 128k candidates for 600 docs — the quadratic defect class). Verify
   // is exact integer arithmetic: J >= 0.3 ⟺ 13·inter >= 3·(n1+n2),
-  // inter via the zero-allocation sorted_overlap merge. The df table is
-  // vocabulary-sized (broadcast); the only data-scale shuffles are the
-  // per-doc sort-by-rarity aggregate and the prefix equi-join.
+  // inter via the zero-allocation sorted_overlap merge. The data-scale
+  // shuffles are the df aggregate, the per-doc sort-by-rarity
+  // aggregate, and the prefix equi-join — all keyed, none all-pairs.
   private def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -660,8 +660,12 @@ object Dedup {
       .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
     val e = ng.select($"doc_id", explode($"ng").as("sh"))
     val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
-    // per-doc shingles ordered rarest-first; prefix = n - ceil(0.3 n) + 1
-    val pref = e.join(broadcast(df), Seq("sh"))
+    // per-doc shingles ordered rarest-first; prefix = n - ceil(0.3 n) + 1.
+    // The df join is UNHINTED: distinct-shingle cardinality grows with
+    // the corpus (that growth is the whole point of w=4), so forcing a
+    // broadcast would OOM at scale — Catalyst broadcasts it while small
+    // and shuffles on sh once it isn't.
+    val pref = e.join(df, Seq("sh"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"),
         count(lit(1)).as("n"))

@@ -417,7 +417,7 @@ object TextAnalysis {
   // perplexity exp(nll). High-perplexity docs are the ones the corpus's
   // own statistics find improbable — boilerplate mashups, shuffled
   // text, wrong-language fragments. Scale shape: the count tables are
-  // VOCABULARY-sized (broadcast here; at a real corpus's bigram
+  // VOCABULARY-sized (auto-broadcast here; at a real corpus's bigram
   // cardinality the same joins run as shuffle equi-joins — the plan is
   // declarative either way), the corpus is scanned twice (train, score),
   // and the per-doc reduction keeps one row per document. Determinism:
@@ -437,8 +437,13 @@ object TextAnalysis {
     val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val v = tok.select(explode($"t").as("w")).agg(count_distinct($"w").as("v"))
     big
-      .join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      // count-table joins left UNHINTED: at this vocabulary Catalyst
+      // broadcasts them on its own; at a real corpus's bigram
+      // cardinality (vocab², not broadcastable) the same plan runs as
+      // shuffle equi-joins — a broadcast() hint here would force an
+      // OOM at exactly the scale the query is for
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v)) // 1-row vocab-size frame
       .withColumn("lp",
         log(($"c12" + 1).cast(DoubleType) / ($"c1" + $"v").cast(DoubleType)))
