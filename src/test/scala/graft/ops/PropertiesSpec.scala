@@ -179,4 +179,37 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       fdiv(s, w) <= fdiv(p, w) && fdiv(p, w) <= fdiv(e - 1, w)
     }, n = 200)
   }
+
+  test("shingle_hashes(w): equals the naive w-gram model for any tokens and width") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 2147483647L
+    def model(toks: List[String], w: Int): Seq[Long] = {
+      val th = toks.map(t => graft.functions.MinHashSig.h7(t.getBytes))
+      val raw =
+        if (toks.length >= w)
+          th.sliding(w).map(_.reduceLeft((a, x) => (a * 31L + x) % P)).toSeq
+        else
+          Seq(graft.functions.MinHashSig.h7(toks.mkString(" ").getBytes("UTF-8")))
+      raw.distinct.sorted
+    }
+    val toks = Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "d", "ee", "key", "x9"))
+      .flatMap(l => Gen.chooseNum(0, 12).map(n => l.take(n)))
+    val widths = Gen.chooseNum(2, 6)
+    check("shingle model", Prop.forAll(toks, widths) { (ts, w) =>
+      val in = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.ShingleHashes.compute(in, w).toLongArray().toSeq
+      got == model(ts, w)
+    }, n = 300)
+  }
+
+  test("prefix length n - ceil(3n/10) + 1 stays in [1, n] and the integer form matches real ceil") {
+    check("prefix bound", Prop.forAll(Gen.chooseNum(1, 10000)) { n =>
+      val p = n - ((3 * n + 9) / 10) + 1
+      val ceilRef = math.ceil(3.0 * n / 10.0).toInt // exact: 3n/10 has
+      // an exact binary float form only when 3n%10==0, but double holds
+      // 3n <= 30000 exactly, so the quotient rounds correctly here
+      1 <= p && p <= n && ((3 * n + 9) / 10) == ceilRef
+    }, n = 500)
+  }
 }
