@@ -1643,7 +1643,54 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // q134: spatial radius join via grid bucketing — the 2-D sibling of
+  // q112's bucketized range join and the operator class behind
+  // point-in-radius / nearest-store analytics. Coordinates are derived
+  // deterministically from the keys (q120's two-round minstd mix — one
+  // round is LINEAR on small sequential keys and clusters every point
+  // near the origin; measured before/after). The algorithm is the
+  // canonical grid join: cell size == radius, probes explode to their
+  // 3×3 cell neighborhood (complete for L2 <= cell by construction),
+  // candidates come from an equi-join on the cell id, and the exact
+  // distance check runs per candidate — cost Σ (cell occupancy ×
+  // neighborhood probes), never |points|×|probes|. The oracle is the
+  // BRUTE-FORCE cross join, so the compare also proves grid
+  // completeness. Every arithmetic step (integer LCG, one double
+  // division chain, fixed-order d²) is identical on both engines.
+  private def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    def coord(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      h.cast(DoubleType) / lit(2147483647.0) * lit(100.0)
+    val pxh = $"c_custkey" % M * 16807L % M * 48271L % M
+    val pts = Tables.customer(s, dir)
+      .select($"c_custkey".as("point_id"), pxh.as("xh"))
+      .select($"point_id", coord($"xh").as("x"), coord($"xh" * 16807L % M).as("y"))
+      .withColumn("cx", floor($"x" / 5.0).cast(IntegerType))
+      .withColumn("cy", floor($"y" / 5.0).cast(IntegerType))
+    val qxh = $"s_suppkey" % M * 69621L % M * 16807L % M
+    val probes = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("probe_id"), qxh.as("xh"))
+      .select($"probe_id", coord($"xh").as("px"), coord($"xh" * 48271L % M).as("py"))
+      .withColumn("cx0", floor($"px" / 5.0).cast(IntegerType))
+      .withColumn("cy0", floor($"py" / 5.0).cast(IntegerType))
+      .select($"probe_id", $"px", $"py", $"cx0", $"cy0",
+        explode(expr(
+          "flatten(transform(sequence(-1, 1), dx ->" +
+            " transform(sequence(-1, 1), dy -> struct(dx, dy))))")).as("d"))
+      .select($"probe_id", $"px", $"py",
+        ($"cx0" + $"d.dx").cast(IntegerType).as("cx"),
+        ($"cy0" + $"d.dy").cast(IntegerType).as("cy"))
+    pts.join(probes, Seq("cx", "cy"))
+      .withColumn("d2",
+        ($"x" - $"px") * ($"x" - $"px") + ($"y" - $"py") * ($"y" - $"py"))
+      .filter($"d2" <= 25.0)
+      .select($"probe_id", $"point_id", Num.roundAt($"d2", 6).as("d2"))
+      .orderBy("probe_id", "point_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_spatial_join"   -> (spatialJoin _),
     "q133_listagg"        -> (listaggTop _),
     "q130_benford"        -> (benford _),
     "q124_window_suite"   -> (windowSuite _),
@@ -1707,6 +1754,34 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // brute-force twin: no grid, so a hash match proves the 3x3 cell
+    // neighborhood loses no pair
+    "q134_spatial_join" ->
+      """WITH P AS (
+        |  SELECT c_custkey AS point_id,
+        |         (c_custkey % 2147483647 * 16807 % 2147483647
+        |            * 48271 % 2147483647) AS xh
+        |  FROM customer),
+        |P2 AS (
+        |  SELECT point_id,
+        |         xh / 2147483647.0 * 100.0 AS x,
+        |         (xh * 16807 % 2147483647) / 2147483647.0 * 100.0 AS y
+        |  FROM P),
+        |Q AS (
+        |  SELECT s_suppkey AS probe_id,
+        |         (s_suppkey % 2147483647 * 69621 % 2147483647
+        |            * 16807 % 2147483647) AS xh
+        |  FROM supplier),
+        |Q2 AS (
+        |  SELECT probe_id,
+        |         xh / 2147483647.0 * 100.0 AS px,
+        |         (xh * 48271 % 2147483647) / 2147483647.0 * 100.0 AS py
+        |  FROM Q)
+        |SELECT probe_id, point_id,
+        |       round((x - px) * (x - px) + (y - py) * (y - py), 6) AS d2
+        |FROM P2, Q2
+        |WHERE (x - px) * (x - px) + (y - py) * (y - py) <= 25.0
+        |ORDER BY probe_id, point_id""".stripMargin,
     "q133_listagg" ->
       """WITH r AS (
         |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,

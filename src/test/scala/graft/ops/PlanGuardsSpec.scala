@@ -265,6 +265,19 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no shingle-keyed candidate join in:\n$keySets")
   }
 
+  test("q134: the spatial join keys on grid cells, never points x probes") {
+    val (df, p) = plan("q134_spatial_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the grid join degenerated to all-pairs:\n$p")
+    val keySets = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.mkString(",")
+    }
+    assert(keySets.exists(k => k.contains("cx") && k.contains("cy")),
+      s"no (cx,cy)-keyed join in:\n$keySets")
+  }
+
   test("q118: duplicated-span detection joins on the 8-byte window hash") {
     val (df, p) = plan("q118_substring_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
