@@ -640,17 +640,22 @@ final class VersionedTable private (val root: Path) {
           // same modification-time guard production table formats use.
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .map(p => s"data/${p.getFileName}")
-          .filterNot(referenced)
+          // an optimize commit's add entries are NESTED under one data
+          // dir (data/<uuid>/__bucket=N), so a top-level child is live
+          // when any referenced path sits below it — a flat contains()
+          // here would hand a live optimized table to the deleter
+          .filterNot(rel => referenced.contains(rel) ||
+            referenced.exists(_.startsWith(rel + "/")))
           .toList
       } finally all.close()
     victims.foreach { rel =>
-      val dir = root.resolve(rel)
-      val children = Files.list(dir)
+      // recursive: victims can themselves hold bucket subdirectories
+      val walk = Files.walk(root.resolve(rel))
       try {
         import scala.jdk.CollectionConverters._
-        children.iterator().asScala.foreach(Files.delete)
-      } finally children.close()
-      Files.delete(dir)
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      } finally walk.close()
     }
     victims
   }

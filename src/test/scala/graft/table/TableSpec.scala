@@ -242,6 +242,27 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("vacuum keeps a live optimized layout and reclaims a superseded one recursively") {
+    import spark.implicits._
+    val t = VersionedTable.create(graft.ops.Core.tmp("vt_opt_vac"),
+      base, statsCol = Some("c_custkey"))
+    t.optimize(spark, $"c_custkey", nBuckets = 3, readVersion = 0L) // v1
+    val n = t.snapshot(spark).count()
+    // horizon = latest, zero age guard: v0's flat dir is reclaimable,
+    // v1's nested bucket layout is LIVE and must survive the sweep
+    val gone = t.vacuum(horizon = t.latestVersion, minAgeMs = 0L)
+    assert(gone.nonEmpty, "v0's unreferenced dir should be reclaimed")
+    assert(t.snapshot(spark).count() == n, "live optimized data vacuumed")
+    // supersede the optimize with another rewrite; its nested dir now
+    // becomes the victim and must delete recursively (bucket subdirs)
+    t.optimize(spark, $"c_custkey", nBuckets = 2, readVersion = 1L) // v2
+    val gone2 = t.vacuum(horizon = t.latestVersion, minAgeMs = 0L)
+    assert(gone2.nonEmpty, "the superseded optimize dir should be reclaimed")
+    assert(t.snapshot(spark).count() == n)
+    // the vacuumed v1 fails fast, v2 still reads
+    intercept[Exception] { t.snapshot(spark, Some(1L)).count() }
+  }
+
   test("schema evolution: appends widen the logged schema; time travel reads the old one") {
     import spark.implicits._
     val t = VersionedTable.create(graft.ops.Core.tmp("vt_evo"),
