@@ -420,7 +420,8 @@ final class VersionedTable private (val root: Path) {
   /** Blind append: conflict-free by construction (touches no existing
     * file), so a lost race is safely retried against the fresh latest.
     */
-  def append(df: DataFrame, maxRetries: Int = 5): Long = {
+  def append(df: DataFrame, maxRetries: Int = 5,
+             txnId: Option[Long] = None): Long = {
     val add = writeData(df)
     var attempt = 0
     while (true) {
@@ -435,7 +436,8 @@ final class VersionedTable private (val root: Path) {
       // introduces — an append can widen the table, never narrow it).
       val rv = latestVersion
       val schema = Some(evolvedSchema(df, rv))
-      try return commit("append", rv, Seq(add), Nil, schemaJson = schema)
+      try return commit("append", rv, Seq(add), Nil, schemaJson = schema,
+        txnId = txnId)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -449,12 +451,37 @@ final class VersionedTable private (val root: Path) {
     * race means the inputs changed, so the conflict PROPAGATES — the
     * caller must recompute against the new snapshot, not blind-retry).
     */
-  def overwrite(df: DataFrame, readVersion: Long): Long = {
+  def overwrite(df: DataFrame, readVersion: Long,
+                txnId: Option[Long] = None): Long = {
     val removed = activeFiles(readVersion)
     val add = writeData(df)
     // a full replace REDEFINES the schema (it may drop columns)
     commit("overwrite", readVersion, Seq(add), removed,
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json), txnId = txnId)
+  }
+
+  /** The op name and the add-entry delta of ONE commit (not the
+    * replayed active set) — what an incremental consumer (replication,
+    * audit) needs to apply exactly that commit's effect.
+    */
+  def commitInfo(version: Long): (String, Seq[AddEntry], Seq[String]) = {
+    val f = logDir.resolve(versionFileName(version))
+    require(Files.exists(f), s"missing log version $version in $logDir")
+    var op = "?"
+    val adds = scala.collection.mutable.ArrayBuffer[AddEntry]()
+    val removes = scala.collection.mutable.ArrayBuffer[String]()
+    Files.readAllLines(f).forEach { line =>
+      val node = Mapper.readTree(line)
+      if (node.has("commit")) op = node.get("commit").get("op").asText()
+      if (node.has("add")) {
+        val a = node.get("add")
+        val st = if (a.has("min") && a.has("max"))
+          Some((a.get("min").asLong(), a.get("max").asLong())) else None
+        adds += AddEntry(a.get("path").asText(), a.get("rows").asLong(), st)
+      }
+      if (node.has("remove")) removes += node.get("remove").get("path").asText()
+    }
+    (op, adds.toSeq, removes.toSeq)
   }
 
   /** Schema at `asOf` widened by any columns `df` introduces. */
@@ -683,14 +710,15 @@ object VersionedTable {
     * subsequent commit — the data-skipping input of `snapshotWhere`.
     */
   def create(root: String, df: DataFrame,
-             statsCol: Option[String] = None): VersionedTable = {
+             statsCol: Option[String] = None,
+             txnId: Option[Long] = None): VersionedTable = {
     val r = Paths.get(root)
     Files.createDirectories(r.resolve(LogDirName))
     val t = new VersionedTable(r)
     require(t.latestVersion == -1L, s"table already exists at $root")
     val add = t.writeData(df, statsCol)
     t.commit("create", -1L, Seq(add), Nil, statsColMeta = statsCol,
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json), txnId = txnId)
     t
   }
 
