@@ -1689,7 +1689,48 @@ object Relational {
       .orderBy("probe_id", "point_id")
   }
 
+  // q135: share-of-total + Pareto/ABC contribution analysis — the
+  // classic retail revenue breakdown (the reference's domain): revenue
+  // per nation, its share of the REGION total (window sum over the
+  // 25-row aggregate), the running cumulative share in contribution
+  // order, and the ABC class cut at 80/95%. All sums are exact
+  // DECIMAL(12,2) with a total contribution order (revenue desc,
+  // nation asc), so the cumulative ratios are position-stable; the
+  // windows run over the nation-level AGGREGATE (dictionary-sized),
+  // never the fact table — at 100 TB the only data-scale work is the
+  // one partial-aggregated groupBy.
+  private def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("rev"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
+      .orderBy($"rev".desc, $"n_name".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rev
+      .withColumn("region_rev", sum($"rev").over(wTot))
+      .withColumn("cum_rev", sum($"rev").over(wCum))
+      // ratios divide DOUBLE by DOUBLE: decimal-division scale rules
+      // differ between engines, a double quotient of identical operands
+      // does not
+      .withColumn("share",
+        $"rev".cast(DoubleType) / $"region_rev".cast(DoubleType))
+      .withColumn("cum_share",
+        $"cum_rev".cast(DoubleType) / $"region_rev".cast(DoubleType))
+      .select($"r_name", $"n_name", $"rev".cast(StringType).as("rev"),
+        Num.roundAt($"share", 6).as("share"),
+        Num.roundAt($"cum_share", 6).as("cum_share"),
+        when($"cum_share" <= 0.8, "A").when($"cum_share" <= 0.95, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_share_of_total" -> (shareOfTotal _),
     "q134_spatial_join"   -> (spatialJoin _),
     "q133_listagg"        -> (listaggTop _),
     "q130_benford"        -> (benford _),
@@ -1754,6 +1795,33 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT r_name, n_name, rev,
+        |         sum(rev) OVER (PARTITION BY r_name) AS region_rev,
+        |         sum(rev) OVER (PARTITION BY r_name
+        |           ORDER BY rev DESC, n_name ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev),
+        |x AS (
+        |  SELECT r_name, n_name, rev,
+        |         CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE) AS share,
+        |         CAST(cum_rev AS DOUBLE) / CAST(region_rev AS DOUBLE) AS cum_share
+        |  FROM w)
+        |SELECT r_name, n_name, CAST(rev AS VARCHAR) AS rev,
+        |       round(share, 6) AS share,
+        |       round(cum_share, 6) AS cum_share,
+        |       CASE WHEN cum_share <= 0.8 THEN 'A'
+        |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc
+        |FROM x ORDER BY r_name, n_name""".stripMargin,
     // brute-force twin: no grid, so a hash match proves the 3x3 cell
     // neighborhood loses no pair
     "q134_spatial_join" ->
