@@ -1729,7 +1729,104 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  // q136: market-basket association rules — support / confidence / lift
+  // over part pairs co-purchased in one order, the canonical retail
+  // affinity analysis (the reference's domain). Pair generation is the
+  // q119 shape: within-order self-join, Σ order-size² per order (k in
+  // single digits), NEVER items×items; the pair aggregate is bounded by
+  // observed co-occurrence, thresholded at min-support before the
+  // top-20 ranking. Lift = N·c_uv/(c_u·c_v) is a double ratio of exact
+  // integers — bit-identical on both engines — and the ranking order
+  // (lift desc, u, v) is total.
+  private def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+    val nOrders = li.select($"o").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemN = li.groupBy($"p").agg(count(lit(1)).as("c_item"))
+    val pairs = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .filter($"u" < $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("c_pair"))
+      // min support 2: the synthetic baskets draw from a part space that
+      // grows with SF, so repeated pairs are rare (max support measured
+      // 3-5 across SFs) — the threshold still cuts the pair frame to a
+      // few thousand rows before the global ranking window
+      .filter($"c_pair" >= 2)
+    val scored = pairs
+      .join(itemN.toDF("u", "c_u"), Seq("u"))
+      .join(itemN.toDF("v", "c_v"), Seq("v"))
+      .crossJoin(broadcast(nOrders)) // 1-row aggregate frame
+      .withColumn("lift",
+        ($"n_orders" * $"c_pair").cast(DoubleType) /
+          ($"c_u" * $"c_v").cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"lift".desc, $"u".asc, $"v".asc) // thresholded pair frame
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 20)
+      .select($"rank", $"u".as("part_a"), $"v".as("part_b"),
+        $"c_pair", $"c_u", $"c_v",
+        Num.roundAt($"c_pair".cast(DoubleType) / $"n_orders", 6).as("support"),
+        Num.roundAt($"c_pair".cast(DoubleType) / $"c_u", 6).as("confidence"),
+        Num.roundAt($"lift", 6).as("lift"))
+      .orderBy("rank")
+  }
+
+  // q137: RFM customer segmentation — recency / frequency / monetary
+  // quintile scores and the classic segment labels, the retail
+  // lifecycle analysis beside q60's cohorts. Scale shape: per-customer
+  // metrics are one partial-aggregated groupBy; the quintile cuts are
+  // FOUR exact percentile boundaries per metric (a 1-row aggregate,
+  // broadcast back and compared) — NOT a global ntile window over the
+  // customer frame, which would single-partition billions of rows at
+  // the design point (at 100 TB swap percentile for approx_percentile,
+  // q103's documented trade). Scores fold to a ≤125-row census, so the
+  // output is bounded regardless of customer count. Recency is scored
+  // INVERTED (recent = high). DuckDB's quantile_cont interpolates
+  // exactly like Spark's percentile (q52 precedent), and every
+  // boundary comparison runs on identical doubles.
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val maxDate = o.agg(max($"o_orderdate").as("d_max"))
+    val m = o.crossJoin(broadcast(maxDate)) // 1-row aggregate frame
+      .groupBy($"o_custkey")
+      .agg(
+        min(datediff($"d_max", $"o_orderdate")).cast(DoubleType).as("recency"),
+        count(lit(1)).cast(DoubleType).as("frequency"),
+        sum($"o_totalprice".cast(DecimalType(12, 2))).cast(DoubleType).as("monetary"))
+    val cuts = m.agg(
+      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def score(metric: org.apache.spark.sql.Column,
+              c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1) +
+        when(metric > element_at(c, 1), 1).otherwise(0) +
+        when(metric > element_at(c, 2), 1).otherwise(0) +
+        when(metric > element_at(c, 3), 1).otherwise(0) +
+        when(metric > element_at(c, 4), 1).otherwise(0)
+    val scored = m.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(6) - score($"recency", $"rc")) // recent = high
+      .withColumn("f_score", score($"frequency", $"fc"))
+      .withColumn("m_score", score($"monetary", $"mc"))
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" >= 4 && $"f_score" < 3, "new")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk")
+          .when($"r_score" <= 2 && $"f_score" <= 2, "hibernating")
+          .otherwise("regular"))
+    scored.groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        Num.roundAt(avg($"r_score"), 4).as("avg_r"),
+        Num.roundAt(avg($"f_score"), 4).as("avg_f"),
+        Num.roundAt(avg($"m_score"), 4).as("avg_m"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_rfm"            -> (rfm _),
+    "q136_market_basket"  -> (marketBasket _),
     "q135_share_of_total" -> (shareOfTotal _),
     "q134_spatial_join"   -> (spatialJoin _),
     "q133_listagg"        -> (listaggTop _),
@@ -1795,6 +1892,73 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q137_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+        |m AS (
+        |  SELECT o_custkey,
+        |         CAST(min(datediff('day', o_orderdate, d_max)) AS DOUBLE) AS recency,
+        |         CAST(count(*) AS DOUBLE) AS frequency,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM orders CROSS JOIN mx GROUP BY 1),
+        |c AS (
+        |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM m),
+        |sc AS (
+        |  SELECT o_custkey,
+        |         6 - (1 + CASE WHEN recency > rc[1] THEN 1 ELSE 0 END
+        |                + CASE WHEN recency > rc[2] THEN 1 ELSE 0 END
+        |                + CASE WHEN recency > rc[3] THEN 1 ELSE 0 END
+        |                + CASE WHEN recency > rc[4] THEN 1 ELSE 0 END) AS r_score,
+        |         1 + CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END AS f_score,
+        |         1 + CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END
+        |           + CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END
+        |           + CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END
+        |           + CASE WHEN monetary > mc[4] THEN 1 ELSE 0 END AS m_score
+        |  FROM m CROSS JOIN c),
+        |lab AS (
+        |  SELECT *,
+        |         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |              WHEN r_score >= 4 AND f_score < 3 THEN 'new'
+        |              WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |              WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |              ELSE 'regular' END AS segment
+        |  FROM sc)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       round(avg(r_score), 4) AS avg_r,
+        |       round(avg(f_score), 4) AS avg_f,
+        |       round(avg(m_score), 4) AS avg_m
+        |FROM lab GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q136_market_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |item AS (SELECT p, CAST(count(*) AS BIGINT) AS c_item FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT u, v, c_pair, iu.c_item AS c_u, iv.c_item AS c_v, n_orders,
+        |         CAST(n_orders * c_pair AS DOUBLE)
+        |           / CAST(iu.c_item * iv.c_item AS DOUBLE) AS lift
+        |  FROM pr
+        |  JOIN item iu ON iu.p = u
+        |  JOIN item iv ON iv.p = v
+        |  CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, u, v)
+        |            AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT rank, u AS part_a, v AS part_b, c_pair, c_u, c_v,
+        |       round(CAST(c_pair AS DOUBLE) / n_orders, 6) AS support,
+        |       round(CAST(c_pair AS DOUBLE) / c_u, 6) AS confidence,
+        |       round(lift, 6) AS lift
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q135_share_of_total" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,
