@@ -3,8 +3,6 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
-
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.catalyst.InternalRow

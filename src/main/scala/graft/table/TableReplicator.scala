@@ -45,7 +45,8 @@ object TableReplicator {
           .collect() // metadata-scale: a handful of (version, op) rows
           .map(r => (r.getLong(0), r.getString(1)))
           .sortBy(_._1)
-        if (versions.nonEmpty) applyVersions(spark, sourceRoot, targetRoot, versions)
+        if (versions.nonEmpty)
+          applyVersions(spark, sourceRoot, targetRoot, versions.toIndexedSeq)
         ()
       }
       .start()
