@@ -1740,9 +1740,13 @@ object Relational {
   // (lift desc, u, v) is total.
   private def marketBasket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: li feeds the order census, the item counts and BOTH
+    // sides of the pair join — four consumers, one scan+distinct
+    // (the q119 materialization pattern)
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = li.select($"o").distinct().agg(count(lit(1)).as("n_orders"))
     val itemN = li.groupBy($"p").agg(count(lit(1)).as("c_item"))
     val pairs = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
