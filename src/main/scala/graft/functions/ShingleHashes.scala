@@ -38,7 +38,15 @@ case class ShingleHashes(child: Expression, widthExpr: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, widthExpr.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if widthExpr.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // evaluate the foldable width HERE so an invalid literal is an
+        // analysis error, not a mid-query runtime require() failure
+        widthExpr.eval() match {
+          case w: Int if w >= 2 => TypeCheckResult.TypeCheckSuccess
+          case null => TypeCheckResult.TypeCheckFailure(
+            "shingle_hashes width must not be null")
+          case w => TypeCheckResult.TypeCheckFailure(
+            s"shingle_hashes width must be >= 2, got $w")
+        }
       case (ArrayType(StringType, _), IntegerType) =>
         TypeCheckResult.TypeCheckFailure(
           "shingle_hashes width must be a literal")

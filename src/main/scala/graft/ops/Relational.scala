@@ -1050,10 +1050,13 @@ object Relational {
   // closed forms then run in double on identical operands.
   // Precision picks the overflow headroom: inputs are DECIMAL(12,2)
   // (lossless — quantity ≤ 50, extendedprice < 10^6), so each product is
-  // DECIMAL(25,4) and Spark caps its sum at DECIMAL(38,4) → 10^13 rows of
-  // worst-case headroom before overflow, comfortably past a 100 TB
+  // DECIMAL(25,4) and its sum accumulates in DECIMAL(35,4) (Spark adds
+  // 10 digits, type pinned in PropertiesSpec). The binding bound is the
+  // DOMAIN, not the type: every product is < 5·10^7, so the 10^31
+  // capacity absorbs ~10^23 rows — astronomically past a 100 TB
   // lineitem (~10^12 rows). An 18-digit input precision would make the
-  // product DECIMAL(37,4) and leave only ~10x sum headroom.
+  // product DECIMAL(37,4), whose sum hits the 38-digit cap with only
+  // ~10x worst-case headroom.
   private def regression(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.lineitem(s, dir).select(
@@ -1282,9 +1285,10 @@ object Relational {
   // into one pass is the whole game — and the exact-decimal sums stay
   // bit-stable under any partitioning, so two runs (or two clusters)
   // can NEVER disagree on a correlation. Input precisions are the
-  // narrowest lossless ones (see q91's headroom note): DECIMAL(12,2)
-  // keeps every summed product under DECIMAL(38,4) with ~10^13 rows of
-  // overflow headroom.
+  // narrowest lossless ones (see q91's headroom note): products cap at
+  // DECIMAL(25,4), sums accumulate in ≤ DECIMAL(35,4), and the
+  // domain-bounded products (< 5·10^7) leave ~10^23 rows of overflow
+  // headroom.
   private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cols: Seq[(String, DecimalType)] = Seq(
@@ -1395,10 +1399,11 @@ object Relational {
   // family (HLL=distinct q36/q95, GK=percentiles q87, approx_top_k=q98;
   // CMS=per-key counts) validated q36-style against exact counts. The CMS
   // is THE mergeable structure for "how often did key X occur" over
-  // unbounded key spaces at 100 TB: fixed 5x2048 int64 grid per
-  // partition, partials merge by cell-wise ADDITION (associative +
-  // commutative, so task order can't change the result), one pass, no
-  // reduce-side key state. The sketch itself is ~80 KB — collecting it to
+  // unbounded key spaces at 100 TB: a fixed int64 grid per partition —
+  // width ceil(2/eps)=4000, depth ceil(-ln(1-conf)/ln 2)=7 at conf 0.99 —
+  // partials merge by cell-wise ADDITION (associative + commutative, so
+  // task order can't change the result), one pass, no reduce-side key
+  // state. The sketch itself is ~224 KB (7x4000 longs) — collecting it to
   // the driver and probing 20 candidate keys is the IVF-codebook pattern
   // (Similarity.scala), not a data-scale collect. Compared columns: the
   // exact top-20 (rank, key, n) plus two deterministic contract flags —
@@ -1410,13 +1415,20 @@ object Relational {
     val eps = 0.0005
     val cms = li.stat.countMinSketch($"l_partkey", eps, 0.99, seed = 42)
     val slack = (eps * cms.totalCount()).toLong
-    val w = Window.orderBy($"n".desc, $"l_partkey".asc)
+    // Top-20 via orderBy+limit, which Spark plans as TakeOrderedAndProject
+    // — each task keeps a 20-row heap and the driver merges partials, so
+    // the vocabulary frame never moves to one partition. (The previous
+    // global row_number window kept `rank` in the output, which both
+    // blocked the native top-k rewrite and forced a single-partition
+    // exchange — a scale-killer at a 100 TB vocabulary.) Rank is derived
+    // from the collected order over the 20 survivors, identical by the
+    // total (n desc, key asc) sort.
     val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w)) // vocabulary-sized frame
-      .filter($"rank" <= 20)
-      .collect() // 20 rows
-    val probed = top.map { r =>
-      val key = r.getLong(0); val n = r.getLong(1); val rank = r.getInt(2)
+      .orderBy($"n".desc, $"l_partkey".asc)
+      .limit(20)
+      .collect() // 20 rows, in top-k order
+    val probed = top.zipWithIndex.map { case (r, i) =>
+      val key = r.getLong(0); val n = r.getLong(1); val rank = i + 1
       val est = cms.estimateCount(java.lang.Long.valueOf(key))
       (rank, key, n, est >= n, est <= n + slack)
     }
@@ -1561,10 +1573,10 @@ object Relational {
   // sibling of q36/q95's approximate HLL: map each user id to a (bucket,
   // bit) position, bitmap_construct_agg per (event_type, bucket), then
   // count bits and sum over buckets. Per-bucket bitmaps are fixed-size
-  // (4096 bits) and merge by OR (bitmap_or_agg re-merges finer
-  // pre-aggregations, e.g. per-day slices, without rescanning events) —
-  // so at 100 TB the reduce state is |types| x |occupied buckets| x
-  // 512 B, id-density-proportional and far below a per-key count-
+  // (4096 BYTES = 32768 bits, Spark's bitmap bucket width) and merge by
+  // OR (bitmap_or_agg re-merges finer pre-aggregations, e.g. per-day
+  // slices, without rescanning events) — so at 100 TB the reduce state is
+  // |types| x |occupied buckets| x 4 KB, id-density-proportional and far below a per-key count-
   // distinct set, while staying EXACT where HLL gives ±2%. The query
   // publishes both paths and their agreement as the compared contract.
   private def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {

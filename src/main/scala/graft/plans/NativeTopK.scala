@@ -29,12 +29,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * DuckDB oracle runs); sessions without the extension keep Spark's
   * stock plan — semantics identical either way.
   *
-  * Memory bound: (groups per task) × k row copies — the same class as
-  * hash aggregation state but without its spill path, which is why the
-  * rewrite is gated at k ≤ [[RewriteRankLimitToNativeTopK.maxK]] and on
-  * a deterministic total order. Degenerate-cardinality inputs (every row
-  * its own group) pay one heap per row exactly like a hash aggregate
-  * pays one state slot per key.
+  * Memory contract: partial state is capped at
+  * `spark.graft.topk.partialBudgetBytes` (default 64 MB) — on overflow
+  * the partial stage flushes its retained candidates downstream and
+  * resets, so degenerate cardinality (every row its own group) degrades
+  * to pass-through rather than OOM; the final stage runs in O(k) state
+  * over a sorted survivor stream whose sort inherits Spark's external
+  * spill path (see [[TopKPerGroupExec]]). The rewrite is additionally
+  * gated at k ≤ [[RewriteRankLimitToNativeTopK.maxK]] and on a
+  * deterministic total order.
   *
   * Reference analogue: top-n per group over the reference's monthly agg
   * (wallmart_pipeline.py:117-119 computes the mean per month; "best k
@@ -111,14 +114,33 @@ object NativeTopKStrategy extends SparkStrategy {
   }
 }
 
-/** Heap-based per-group top-k. Each task streams its input once,
-  * keeping at most `limit` rows per group in a bounded max-at-head
-  * priority queue (head = worst row retained; a new row enters only if
-  * it orders strictly before the head). Partial mode runs on raw input
-  * partitions; final mode runs after clustering on the group key and
-  * merges the partial survivors with the identical loop. Output order
-  * within a group is unspecified, as with any hash-based operator — a
-  * parent Sort imposes presentation order.
+/** Per-group top-k with a BOUNDED memory contract in both modes —
+  * Spark's hash aggregate spills when state outgrows memory; a custom
+  * operator must offer the same guarantee or it can OOM where the stock
+  * window plan would have spilled (advisor finding, round 7).
+  *
+  * PARTIAL mode streams each raw input partition once through per-group
+  * bounded max-at-head heaps (head = worst row retained; a new row
+  * enters only if it orders strictly before the head). Retained bytes
+  * are tracked, and when they exceed `spark.graft.topk.partialBudgetBytes`
+  * (default 64 MB) the operator FLUSHES: emits every retained row
+  * downstream (into the spill-capable shuffle writer) and starts fresh.
+  * A flush can only over-emit candidates — the final stage re-selects
+  * exactly — so degenerate cardinality (every row its own group) degrades
+  * to pass-through, never to OOM, exactly like a map-side combiner.
+  *
+  * FINAL mode requires its input sorted on (group keys, order spec) —
+  * EnsureRequirements plans a SortExec over the partial SURVIVORS (≤ k
+  * rows per group per upstream task, NOT the raw data; the full-data
+  * no-sort claim lives in NativeTopKSpec/PlanGuardsSpec), and that sort
+  * inherits Spark's external spill path. The final pass then streams in
+  * O(k) state: emit the first k rows of each group, skip the rest.
+  * Group boundaries are detected with the SORT ordering itself (not key
+  * byte-equality) so float keys follow window semantics: -0.0 groups
+  * with 0.0 and every NaN encoding groups together — the byte-keyed
+  * hash map this replaces could split such groups and emit up to 2k
+  * rows. Output arrives already sorted by (group, order), declared via
+  * `outputOrdering` so a downstream presentation sort can elide.
   */
 case class TopKPerGroupExec(
     partitionSpec: Seq[Expression],
@@ -135,38 +157,115 @@ case class TopKPerGroupExec(
     else if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
+  private def groupSort: Seq[SortOrder] =
+    partitionSpec.map(e => SortOrder(e, Ascending)) ++ orderSpec
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(groupSort)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupSort
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  private def doExecutePartial(): RDD[InternalRow] = {
     val partSpec = partitionSpec
     val order = orderSpec
     val attrs = child.output
     val k = limit
+    val budget = session.sessionState.conf
+      .getConfString("spark.graft.topk.partialBudgetBytes", (64L << 20).toString)
+      .toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partSpec, attrs)
       val rowProj = UnsafeProjection.create(attrs, attrs)
       val ord = new InterpretedOrdering(order, attrs)
       // head of each queue = the WORST retained row (reverse ordering)
       val worstAtHead = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = rowProj(iter.next())
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k, worstAtHead)
-          heaps.put(key.copy(), heap)
+      import scala.jdk.CollectionConverters._
+      new Iterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var retained = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        /** Consume input until the budget trips or input ends; then hand
+          * the retained rows to `out` and reset state (the flush).
+          */
+        private def fill(): Unit = {
+          while (iter.hasNext && retained <= budget) {
+            val row = rowProj(iter.next())
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[UnsafeRow](k, worstAtHead)
+              val kc = key.copy()
+              heaps.put(kc, heap)
+              retained += kc.getSizeInBytes
+            }
+            if (heap.size < k) {
+              val c = row.copy(); heap.add(c); retained += c.getSizeInBytes
+            } else if (ord.compare(row, heap.peek()) < 0) {
+              retained -= heap.poll().getSizeInBytes
+              val c = row.copy(); heap.add(c); retained += c.getSizeInBytes
+            }
+          }
+          val drained = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+          heaps.values().asScala.foreach(h => drained ++= h.asScala)
+          heaps.clear(); retained = 0L
+          out = drained.iterator
         }
-        if (heap.size < k) {
-          heap.add(row.copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        override def hasNext: Boolean = {
+          if (!out.hasNext && iter.hasNext) fill()
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val partSpec = partitionSpec
+    val attrs = child.output
+    val k = limit
+    child.execute().mapPartitions { iter =>
+      val rowProj = UnsafeProjection.create(attrs, attrs)
+      // boundary test = the sort's own equality (never byte equality)
+      val groupOrd =
+        new InterpretedOrdering(partSpec.map(e => SortOrder(e, Ascending)), attrs)
+      new Iterator[InternalRow] {
+        private var prev: UnsafeRow = _
+        private var emitted = 0
+        private var nextRow: UnsafeRow = _
+
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && iter.hasNext) {
+            val row = rowProj(iter.next())
+            if (prev == null || groupOrd.compare(prev, row) != 0) {
+              prev = row.copy(); emitted = 0
+            }
+            if (emitted < k) { emitted += 1; nextRow = row }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (nextRow == null) advance()
+          nextRow != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          val r = nextRow; nextRow = null; r
+        }
+      }
     }
   }
 }

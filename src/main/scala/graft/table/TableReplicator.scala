@@ -60,16 +60,15 @@ object TableReplicator {
       val tgt = ensureTarget(spark, src, targetRoot, v)
       // idempotence cursor: a replayed batch (crash before checkpoint)
       // must not re-apply a version the target already committed
-      if (!tgt.exists(_.lastTxnId.exists(_ >= v))) (op match {
+      if (!tgt.lastTxnId.exists(_ >= v)) (op match {
         case "append" =>
           val (_, adds, _) = src.commitInfo(v)
           val files = adds.map(a => Paths.get(sourceRoot).resolve(a.path).toString)
           val reader = src.schemaOf(v).fold(spark.read)(s => spark.read.schema(s))
-          tgt.get.append(reader.parquet(files: _*), txnId = Some(v))
+          tgt.append(reader.parquet(files: _*), txnId = Some(v))
         case o if Rewrites(o) =>
-          tgt.foreach(t =>
-            t.overwrite(src.snapshot(spark, Some(v)), t.latestVersion,
-              txnId = Some(v)))
+          tgt.overwrite(src.snapshot(spark, Some(v)), tgt.latestVersion,
+            txnId = Some(v))
         case _ => () // compact/optimize: layout-only, nothing to replicate
       })
     }
@@ -77,15 +76,15 @@ object TableReplicator {
 
   /** Open the target, creating it from the source's version-`v` snapshot
     * on first contact (txn-stamped, so replayed creation is detected).
-    * Returns None only before the first content version arrives.
+    * Always yields a live table — creation IS the first contact.
     */
   private def ensureTarget(spark: SparkSession, src: VersionedTable,
-                           targetRoot: String, v: Long): Option[VersionedTable] =
+                           targetRoot: String, v: Long): VersionedTable =
     if (Files.isDirectory(Paths.get(targetRoot).resolve(VersionedTable.LogDirName)))
-      Some(VersionedTable.open(targetRoot))
+      VersionedTable.open(targetRoot)
     else
       // created directly from the source snapshot at v, txn-stamped so a
       // replay of the same micro-batch sees the cursor and skips
-      Some(VersionedTable.create(targetRoot, src.snapshot(spark, Some(v)),
-        txnId = Some(v)))
+      VersionedTable.create(targetRoot, src.snapshot(spark, Some(v)),
+        txnId = Some(v))
 }

@@ -180,9 +180,22 @@ final class VersionedTable private (val root: Path) {
       s"restore target $toVersion is ahead of read version $readVersion")
     val target = activeAdds(toVersion)
     target.foreach { a =>
-      require(Files.exists(root.resolve(a.path).resolve("_SUCCESS")) ||
-          Files.exists(root.resolve(a.path)),
-        s"restore target file ${a.path} was vacuumed; version $toVersion is unrecoverable")
+      // "fails loudly" must mean real content: a bare existence check
+      // passes on a partially deleted directory and surfaces later as a
+      // read error. Evidence = at least one parquet part file, or a
+      // bucket subdirectory (optimize commits nest __bucket=N dirs).
+      val dir = root.resolve(a.path)
+      val hasContent = Files.isDirectory(dir) && {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists { p =>
+            p.getFileName.toString.endsWith(".parquet") || Files.isDirectory(p)
+          }
+        } finally s.close()
+      }
+      require(hasContent,
+        s"restore target ${a.path} was vacuumed or partially deleted; version $toVersion is unrecoverable")
     }
     val current = activeFiles(readVersion).toSet
     val targetPaths = target.map(_.path).toSet

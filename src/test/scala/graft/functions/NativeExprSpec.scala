@@ -124,6 +124,35 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(both.filter($"id" === 0).head().getAs[Seq[Int]]("native").head == 0)
   }
 
+  test("pq_encode rejects bad geometry with clear errors, not opaque out-of-bounds") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(n: Int) = new GenericArrayData(Array.tabulate(n)(_.toDouble))
+    val shortVec = intercept[IllegalArgumentException](
+      PqEncode.compute(arr(7), arr(32), 2, 4))
+    assert(shortVec.getMessage.contains("vector length 7"))
+    val badCb = intercept[IllegalArgumentException](
+      PqEncode.compute(arr(8), arr(33), 2, 4))
+    assert(badCb.getMessage.contains("codebook length 33"))
+    val emptyCb = intercept[IllegalArgumentException](
+      PqEncode.compute(arr(8), arr(0), 2, 4))
+    assert(emptyCb.getMessage.contains("codebook length 0"))
+    val zeroSub = intercept[IllegalArgumentException](
+      PqEncode.compute(arr(8), arr(32), 0, 4))
+    assert(zeroSub.getMessage.contains("must be positive"))
+  }
+
+  test("shingle_hashes width < 2 is an ANALYSIS error, not a runtime failure") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(expr("shingle_hashes(toks, 1)")).queryExecution.analyzed)
+    assert(e.getMessage.contains("width must be >= 2"))
+    val n = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(expr("shingle_hashes(toks, CAST(NULL AS INT))")).queryExecution.analyzed)
+    assert(n.getMessage.toLowerCase.contains("width must not be null"))
+  }
+
   test("GraftExtensions: injected functions survive newSession (temp registrations don't)") {
     // newSession() rebuilds session state from the builder's extensions,
     // dropping per-session temp functions — so SQL working there proves

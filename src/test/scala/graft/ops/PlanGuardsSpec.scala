@@ -224,13 +224,14 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(topks.sorted == Seq(false, true),
       s"expected partial+final native top-k in:\n$p")
-    // the only Sort left is the query's own presentation ORDER BY at the
-    // root — none below the top-k subtree
+    // no sort ever sees the RAW data — the final stage's survivor sort
+    // (≤k rows per group per task, spill-capable) is expected, so the
+    // forbidden shape is a SortExec below the PARTIAL operator
     assert(!p.contains("WindowExec"), s"window survived the rewrite:\n$p")
-    val sortsBelowTopK = df.queryExecution.sparkPlan.collect {
-      case t: graft.plans.TopKPerGroupExec => t
+    val sortsBelowPartial = df.queryExecution.sparkPlan.collect {
+      case t: graft.plans.TopKPerGroupExec if t.partial => t
     }.flatMap(_.collect { case s: org.apache.spark.sql.execution.SortExec => s })
-    assert(sortsBelowTopK.isEmpty, s"sort below the native top-k:\n$p")
+    assert(sortsBelowPartial.isEmpty, s"sort below the partial native top-k:\n$p")
   }
 
   test("q119: every triangle-counting join is an equi-join, never all-pairs") {

@@ -23,6 +23,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val optDoubles: Gen[List[Option[Double]]] =
     Gen.listOfN(12, Gen.option(doubles))
 
+  test("q97's integer div stays exact past 2^53 where double / + cast diverges") {
+    import spark.implicits._
+    // operands in the range where doubles lose integer precision but the
+    // q97 damping product (x * 85) still fits int64
+    val big: Gen[Long] = Gen.chooseNum((1L << 53) + 1, Long.MaxValue / 100)
+    val den: Gen[Long] = Gen.chooseNum(1L, 1000000L)
+    check("div", Prop.forAll(big, den) { (x, d) =>
+      val r = Seq((x, d)).toDF("x", "d")
+        .select(expr("x div d").as("q"),
+          expr("(x * 85) div 100").as("damped"))
+        .head()
+      r.getLong(0) == x / d &&
+        BigInt(r.getLong(1)) == BigInt(x) * 85 / 100
+    })
+    // a concrete operand where the double round-trip is WRONG: 2^53 + 1
+    // collapses to 2^53 as a double, so `/ 1` + cast drops the low bit
+    val r = Seq(((1L << 53) + 1, 1L)).toDF("x", "d")
+      .select(expr("x div d").as("q"),
+        expr("CAST(CAST(x AS DOUBLE) / d AS BIGINT)").as("q_double"))
+      .head()
+    assert(r.getLong(0) == (1L << 53) + 1)
+    assert(r.getLong(1) == (1L << 53), "the double path loses the low bit — q97 must use div")
+  }
+
+  test("q91/q100 decimal sufficient statistics: sum type is DECIMAL(35,4), below the 38 cap") {
+    import org.apache.spark.sql.types.{DecimalType, StructType}
+    import spark.implicits._
+    // pins the type arithmetic q91's headroom comment relies on:
+    // DECIMAL(12,2) x DECIMAL(12,2) -> DECIMAL(25,4); sum adds 10 digits
+    // -> DECIMAL(35,4). If a precision change ever pushed the sum to the
+    // 38-digit cap, worst-case headroom collapses to ~10x and this fails.
+    val d = Seq((1.0, 2.0)).toDF("a", "b")
+      .select($"a".cast(DecimalType(12, 2)).as("x"),
+        $"b".cast(DecimalType(12, 2)).as("y"))
+    val schema: StructType = d.agg(sum($"x" * $"y").as("sxy")).schema
+    assert(schema("sxy").dataType == DecimalType(35, 4),
+      s"sum type drifted: ${schema("sxy").dataType}")
+  }
+
   test("na.fill with a non-null mean leaves zero nulls") {
     import spark.implicits._
     check("fill", Prop.forAll(optDoubles) { xs =>

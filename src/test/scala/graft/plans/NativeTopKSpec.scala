@@ -23,7 +23,7 @@ class NativeTopKSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .drop("rn")
   }
 
-  test("the row_number idiom plans as partial+final TopKPerGroupExec, no sort, no window") {
+  test("the row_number idiom plans as partial+final TopKPerGroupExec, no raw-data sort, no window") {
     val df = topk(3)
     val p = df.queryExecution.sparkPlan
     val execs = p.collect { case t: TopKPerGroupExec => t }
@@ -32,7 +32,51 @@ class NativeTopKSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val s = p.toString
     assert(!s.contains("WindowExec") && !s.contains("WindowGroupLimit"),
       s"window survived the rewrite:\n$s")
-    assert(!s.contains("Sort"), s"a sort survived the rewrite:\n$s")
+    // The scale claim: no sort ever sees the RAW data. The final stage
+    // DOES require its ≤k-per-group-per-task survivor stream sorted
+    // (that sort is spill-capable and tiny by construction), so the only
+    // forbidden shape is a SortExec below the PARTIAL operator.
+    val partialExec = execs.find(_.partial).get
+    val sortsBelowPartial = partialExec.collect {
+      case srt: org.apache.spark.sql.execution.SortExec => srt
+    }
+    assert(sortsBelowPartial.isEmpty, s"a sort below the partial top-k:\n$s")
+  }
+
+  test("partial budget flush over-emits candidates but the final stage re-selects exactly") {
+    import spark.implicits._
+    // a budget so small every few rows trip a flush — the partial stage
+    // degrades toward pass-through and the final stage must still produce
+    // exactly the window semantics
+    spark.conf.set("spark.graft.topk.partialBudgetBytes", "256")
+    try {
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val stock = graft.Tables.customer(spark, dir)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .drop("rn")
+        .orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey").collect().toSeq
+      val got = topk(3)
+        .orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey").collect().toSeq
+      assert(got == stock)
+    } finally spark.conf.unset("spark.graft.topk.partialBudgetBytes")
+  }
+
+  test("float group keys follow window semantics: -0.0 groups with 0.0") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L), (1.5, 5L))
+      .toDF("g", "id")
+      .repartition(4) // spread the ±0.0 rows across tasks
+    val w = Window.partitionBy($"g").orderBy($"id".asc)
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).drop("rn")
+    assert(top.queryExecution.sparkPlan.collect { case t: TopKPerGroupExec => t }.nonEmpty,
+      "float-key idiom should rewrite")
+    val got = top.orderBy($"g", $"id").select($"id").as[Long].collect().toSeq
+    // one zero-group (ids 1,2), not two byte-distinct ±0.0 groups
+    assert(got == Seq(1L, 2L, 5L), s"got $got")
   }
 
   test("native result matches the stock window plan row-for-row") {
