@@ -1776,15 +1776,25 @@ object Relational {
       .withColumn("lift",
         ($"n_orders" * $"c_pair").cast(DoubleType) /
           ($"c_u" * $"c_v").cast(DoubleType))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"lift".desc, $"u".asc, $"v".asc) // thresholded pair frame
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 20)
-      .select($"rank", $"u".as("part_a"), $"v".as("part_b"),
-        $"c_pair", $"c_u", $"c_v",
+    // top-20 via TakeOrderedAndProject over the thresholded pair frame;
+    // rank from the collected order (the q117 fix — a global rank window
+    // here would move the whole pair frame to one partition). Rounding
+    // stays in Column space (Num.roundAt) on the rebuilt 20-row frame so
+    // the oracle's bit-contract is untouched.
+    val top = scored
+      .orderBy($"lift".desc, $"u".asc, $"v".asc).limit(20)
+      .select($"u", $"v", $"c_pair", $"c_u", $"c_v", $"n_orders", $"lift")
+      .collect()
+    li.unpersist(false) // the eager top-20 was the last consumer
+    s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    }).toDF("rank", "part_a", "part_b", "c_pair", "c_u", "c_v",
+        "n_orders", "lift_raw")
+      .select($"rank", $"part_a", $"part_b", $"c_pair", $"c_u", $"c_v",
         Num.roundAt($"c_pair".cast(DoubleType) / $"n_orders", 6).as("support"),
         Num.roundAt($"c_pair".cast(DoubleType) / $"c_u", 6).as("confidence"),
-        Num.roundAt($"lift", 6).as("lift"))
+        Num.roundAt($"lift_raw", 6).as("lift"))
       .orderBy("rank")
   }
 

@@ -378,9 +378,16 @@ object TextAnalysis {
         sum(when($"term" === "merge", $"sc")).as("s3"))
       .withColumn("score",
         coalesce($"s1", lit(0.0)) + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
-    perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
-      .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
-      .select($"doc_id", $"rank", Num.roundAt($"score", 6).as("bm25"))
+    // top-20 via TakeOrderedAndProject (distributed partial top-k); rank
+    // derives from the collected order — no empty-partition WindowExec,
+    // which would log the single-partition warning and, pre-limit, move
+    // the whole frame to one task (the q117 fix, applied suite-wide)
+    val top = perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
+      .select($"doc_id", $"score").collect()
+    s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
+      (r.getLong(0), i + 1, r.getDouble(1))
+    }).toDF("doc_id", "rank", "score_raw")
+      .select($"doc_id", $"rank", Num.roundAt($"score_raw", 6).as("bm25"))
       .orderBy("rank")
   }
 
@@ -490,7 +497,34 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  // q138: corpus-wide frequent 3-token shingles via the native
+  // shingle_windows GENERATOR (functions.ShingleWindows) — the
+  // table-generating rung of the extension ladder exercised by an oracle
+  // query: one Generate node fans each document into its sliding token
+  // windows INSIDE whole-stage codegen (CollectionGenerator protocol; no
+  // intermediate lambda arrays like explode-of-transform would build),
+  // then a map-side-combined count and a distributed top-20. The
+  // phrase-frequency census is the n-gram LM / contamination-probe
+  // primitive over a training corpus. Scale shape: generated rows ≈
+  // corpus tokens, streamed straight into the partial aggregate — no
+  // per-document buffer beyond one row's windows; the shingle census is
+  // Σ distinct shingles (vocabulary-sized), and the top-20 plans as
+  // TakeOrderedAndProject, never a global window.
+  private def shingleWindowsTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr("shingle_windows(toks, 3)"))
+    win.groupBy($"shingle")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"doc_id").as("df"),
+        min($"pos").as("first_pos"))
+      .orderBy($"n".desc, $"shingle".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_shingle_census" -> (shingleWindowsTop _),
     "q127_perplexity" -> (perplexity _),
     "q129_weighted_sample" -> (weightedSample _),
     "q120_hash_split" -> (hashSplit _),
@@ -536,10 +570,15 @@ object TextAnalysis {
       .select(explode($"tk").as("e"))
       .select($"e.item".as("term"), $"e.count".as("sk_n"))
     val exact = tok.groupBy($"term").agg(count(lit(1)).as("n"))
-    // global window over the ~vocabulary-sized aggregate, not the corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n".desc, $"term".asc)
-    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+    // exact top-10 via TakeOrderedAndProject — the vocabulary aggregate
+    // is UNBOUNDED at 100 TB, so a global rank window over it would
+    // single-partition the whole vocabulary (the q117 defect, fixed the
+    // same way): distributed partial top-k, rank from the collected
+    // 10-row order
+    val top = exact.orderBy($"n".desc, $"term".asc).limit(10).collect()
+    s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
+      (i + 1, r.getString(0), r.getLong(1))
+    }).toDF("rank", "term", "n")
       .join(broadcast(sk), Seq("term"), "left")
       .select($"rank", $"term", $"n",
         ($"sk_n".isNotNull && $"sk_n" === $"n").as("sketch_agrees"))
@@ -650,6 +689,21 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q138_shingle_census" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+        |  FROM tok WHERE len(toks) >= 3),
+        |win AS (
+        |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |         array_to_string(toks[pos:pos+2], ' ') AS shingle
+        |  FROM idx)
+        |SELECT shingle, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(min(pos) AS INTEGER) AS first_pos
+        |FROM win GROUP BY shingle
+        |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
     "q127_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

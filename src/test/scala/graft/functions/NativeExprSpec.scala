@@ -153,6 +153,37 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n.getMessage.toLowerCase.contains("width must not be null"))
   }
 
+  test("shingle_windows generator: exact windows, edge cases, codegen'd Generate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a b c d"), // two windows
+      (2L, "x y"),     // fewer than w: no rows
+      (3L, "k k k"),   // exactly one window
+      (4L, null.asInstanceOf[String]) // null input: no rows
+    ).toDF("doc_id", "text")
+    val gen = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr("shingle_windows(toks, 3)"))
+    val p = gen.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"no Generate node:\n$p")
+    // CollectionGenerator + doGenCode => the fan-out stays inside
+    // whole-stage codegen (the starred span)
+    assert("""\*\(\d+\) Generate""".r.findFirstIn(p).isDefined,
+      s"Generate fell out of whole-stage codegen:\n$p")
+    val rows = gen.orderBy($"doc_id", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 1, "a b c"), (1L, 2, "b c d"), (3L, 1, "k k k")))
+    // width 1 degenerates to per-token rows with 1-based positions
+    val w1 = docs.filter($"doc_id" === 1L)
+      .select(expr("shingle_windows(split(text, ' '), 1)"))
+      .orderBy($"pos").collect().map(_.getString(1)).toSeq
+    assert(w1 == Seq("a", "b", "c", "d"))
+    // invalid widths are analysis errors, not runtime failures
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      docs.select(expr("shingle_windows(split(text, ' '), 0)")).queryExecution.analyzed)
+    assert(bad.getMessage.contains("width must be >= 1"))
+  }
+
   test("GraftExtensions: injected functions survive newSession (temp registrations don't)") {
     // newSession() rebuilds session state from the builder's extensions,
     // dropping per-session temp functions — so SQL working there proves

