@@ -27,7 +27,7 @@ object Explain {
     "q74_resample",       // expect: grid Generate + broadcast hourly join + fill Window, one shuffle key
     "q78_incremental_dedup", // expect: arrivals broadcast (hinted, BuildLeft), index never broadcast
     "q82_orc_scan",       // expect: PushedFilters into the ORC scan, 4-col ReadSchema
-    "q83_bm25",           // expect: broadcast df/scalars joins, TakeOrderedAndProject top-20
+    "q83_bm25",           // expect: bounded local ranked frame (top-20 pre-collected via TakeOrdered)
     "q84_rolling_range",  // expect: ONE user_id exchange, RangeFrame window
     "q86_zorder_key",     // expect: map-side z-key projection, partial agg before exchange
     "q88_robust_anomaly", // expect: both join-backs BroadcastHashJoin
@@ -43,7 +43,8 @@ object Explain {
     "q119_triangles",     // expect: equi-joins only below the 1-row stat crossJoins
     "q123_native_topk",   // expect: partial+final TopKPerGroupExec, no Window, no Sort
     "q128_simjoin_prefix",// expect: shingle-keyed candidate equi-join, sorted_overlap verify
-    "q129_weighted_sample"// expect: TopKPerGroupExec planned from the row_number idiom
+    "q129_weighted_sample",// expect: TopKPerGroupExec planned from the row_number idiom
+    "q138_shingle_census" // expect: codegen'd Generate (shingle_windows), partial agg, TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {
