@@ -560,6 +560,53 @@ object Dedup {
       .orderBy("eval_id")
   }
 
+  // q139: EXACT n-gram collision decontamination — the GPT-3-style
+  // contamination probe next to q66's similarity-overlap screen: an eval
+  // example is flagged when whole 8-token windows of it appear verbatim
+  // in the training corpus (q66 answers "how SIMILAR is the nearest
+  // training doc"; this answers "which EXACT spans leaked", the check
+  // model-eval pipelines actually run before reporting benchmark
+  // numbers). Windows come from the native shingle_windows GENERATOR —
+  // the per-document fan-out stays inside whole-stage codegen — and are
+  // made DISTINCT per document, so the join is an inverted-index
+  // equi-join on the 8-gram: posting-list sized, never docs×docs
+  // (PlanGuardsSpec pins the equi-key). At 100 TB the additional
+  // production guard is a document-frequency cap on hot shingles
+  // (boilerplate phrases — q98's heavy-hitter census is the feed);
+  // the synthetic corpus has no such stop-phrases, so the cap is
+  // documented rather than applied. The eval set reuses the corpus
+  // mutation seam (first word dropped, id+20000): every surviving
+  // window of a mutated doc exists verbatim in its source, so mutants
+  // flag contaminated while the boolean stays a deterministic exact
+  // count compare.
+  private def ngramCollision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables.documents(s, dir)
+    val trainWin = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .repartition(np) // compute-dense generator off the single-file split
+      .select($"doc_id", expr("shingle_windows(toks, 8)"))
+      .select($"doc_id", $"shingle").distinct()
+    val evalWin = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 20000L).as("eval_id"),
+        split(expr("substring(text, instr(text, ' ') + 1)"), " ").as("toks"))
+      .select($"eval_id", expr("shingle_windows(toks, 8)"))
+      .select($"eval_id", $"shingle").distinct()
+    val base = evalWin.groupBy($"eval_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = evalWin.join(trainWin, Seq("shingle"))
+      .groupBy($"eval_id")
+      .agg(countDistinct($"shingle").as("n_matched"),
+        countDistinct($"doc_id").as("n_train_docs"))
+    base.join(hits, Seq("eval_id"), "left")
+      .select($"eval_id", $"n_shingles",
+        coalesce($"n_matched", lit(0L)).as("n_matched"),
+        coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+        (coalesce($"n_matched", lit(0L)) >= 5L).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
   // q78: INCREMENTAL near-dup — dedupe an arrival batch against the
   // existing corpus without re-verifying history against itself: the
   // production shape for daily ingestion (signature index is append-only;
@@ -702,6 +749,7 @@ object Dedup {
     "q57_dup_clusters"   -> (dupClusters _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q66_decontamination" -> (decontamination _),
+    "q139_ngram_collision" -> (ngramCollision _),
     "q78_incremental_dedup" -> (incrementalDedup _),
     "q113_semdedup"      -> (semDedup _)
   )
@@ -981,6 +1029,39 @@ object Dedup {
         | AND len(p.p_name) BETWEEN len(q.q_name) - 2 AND len(q.q_name) + 2
         |WHERE levenshtein(q.q_name, p.p_name) <= 2
         |ORDER BY probe_id, match_id""".stripMargin,
+    "q139_ngram_collision" ->
+      """WITH train AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |trainidx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |  FROM train WHERE len(toks) >= 8),
+        |tw AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+        |  FROM trainidx),
+        |ev AS (
+        |  SELECT doc_id + 20000 AS eval_id,
+        |         string_split(substring(text, strpos(text, ' ') + 1), ' ') AS toks
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |evalidx AS (
+        |  SELECT eval_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |  FROM ev WHERE len(toks) >= 8),
+        |ew AS (
+        |  SELECT DISTINCT eval_id, array_to_string(toks[i:i+7], ' ') AS shingle
+        |  FROM evalidx),
+        |base AS (
+        |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM ew GROUP BY 1),
+        |hits AS (
+        |  SELECT e.eval_id,
+        |         CAST(count(DISTINCT e.shingle) AS BIGINT) AS n_matched,
+        |         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+        |  FROM ew e JOIN tw t USING (shingle) GROUP BY 1)
+        |SELECT b.eval_id, b.n_shingles,
+        |       coalesce(h.n_matched, 0) AS n_matched,
+        |       coalesce(h.n_train_docs, 0) AS n_train_docs,
+        |       coalesce(h.n_matched, 0) >= 5 AS contaminated
+        |FROM base b LEFT JOIN hits h USING (eval_id)
+        |ORDER BY eval_id""".stripMargin,
     "q66_decontamination" ->
       """WITH ev AS (
         |  SELECT doc_id + 20000 AS eval_id,

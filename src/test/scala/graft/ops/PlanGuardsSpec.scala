@@ -242,6 +242,19 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sortsBelowPartial.isEmpty, s"sort below the partial native top-k:\n$p")
   }
 
+  test("q139: collision candidates come from an equi-join on the 8-gram shingle") {
+    val (df, p) = plan("q139_ngram_collision")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"collision join degenerated to all-pairs:\n$p")
+    val joinKeys = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joinKeys.exists(_.exists(_.toString.contains("shingle"))),
+      s"no join keyed on the shingle:\n$p")
+  }
+
   test("q119: every triangle-counting join is an equi-join, never all-pairs") {
     val (df, p) = plan("q119_triangles")
     assert(!p.contains("CartesianProduct"),
