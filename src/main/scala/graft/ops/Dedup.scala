@@ -595,7 +595,12 @@ object Dedup {
       .select($"eval_id", expr("shingle_windows(toks, 8)"))
       .select($"eval_id", $"shingle").distinct()
     val base = evalWin.groupBy($"eval_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = evalWin.join(trainWin, Seq("shingle"))
+    // Broadcast the EVAL side (q66's decision, same reasoning): eval
+    // suites are tiny next to the training corpus, so the 100 TB plan
+    // streams train postings past broadcast eval windows. Unhinted,
+    // Catalyst size-picked the TRAIN side at toy scale — right here,
+    // an impossible broadcast at 100 TB. PlanGuardsSpec pins BuildRight.
+    val hits = trainWin.join(broadcast(evalWin), Seq("shingle"))
       .groupBy($"eval_id")
       .agg(countDistinct($"shingle").as("n_matched"),
         countDistinct($"doc_id").as("n_train_docs"))

@@ -253,6 +253,11 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(joinKeys.exists(_.exists(_.toString.contains("shingle"))),
       s"no join keyed on the shingle:\n$p")
+    // eval is the collision join's RIGHT input and hinted broadcast —
+    // BuildRight pins the 100 TB shape (train postings stream past the
+    // broadcast eval windows, never the reverse)
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+      s"eval (right) side is not the broadcast build:\n$p")
   }
 
   test("q119: every triangle-counting join is an equi-join, never all-pairs") {
