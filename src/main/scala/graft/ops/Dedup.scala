@@ -500,6 +500,50 @@ object Dedup {
       .orderBy("probe_id", "match_id")
   }
 
+  // q140: blocked record LINKAGE against a MASTER entity table — the
+  // other half of entity resolution (q64 matches dirty↔dirty; this
+  // resolves dirty records to a canonical catalog). Master = distinct
+  // part names with min(p_partkey) as the canonical entity id; probes
+  // are deterministic transposition mutants (chars 2↔3 swapped — the
+  // error class Jaro-Winkler was designed for and edit distance
+  // over-penalizes) of every 17th part name. Scoring is the native
+  // `jaro_winkler` expression (functions/JaroWinkler.scala),
+  // bit-compatible with DuckDB's `jaro_winkler_similarity` so the
+  // oracle compares exact rounded doubles. Blocking is (second token,
+  // first char, exact length): JW has no pigeonhole bound (unlike
+  // q64's levenshtein length window), so linkage blocking is
+  // heuristic by nature — these keys are complete for the
+  // transposition class (length and every non-first token survive the
+  // swap) and that contract is what the spec pins. Scale shape: the
+  // master side is an entity CATALOG — aggregated once (one shuffle on
+  // p_name), dictionary-sized here so Catalyst broadcasts it, and the
+  // probe corpus streams past; were the catalog to outgrow broadcast,
+  // the same equi-join shuffles both sides on the block key with
+  // per-block cost Σ block_probes × block_entities, never all-pairs.
+  private def jaroLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+    val master = parts.groupBy($"p_name")
+      .agg(min($"p_partkey").as("entity_id"))
+    val probes = parts.filter($"p_partkey" % 17 === 0)
+      .select(($"p_partkey" + 200000).as("probe_id"),
+        concat(substring($"p_name", 1, 1), substring($"p_name", 3, 1),
+          substring($"p_name", 2, 1), expr("substring(p_name, 4)")).as("q_name"))
+    def keys(c: Column): Seq[Column] = Seq(
+      element_at(split(c, " "), 2).as("bk_tok"),
+      substring(c, 1, 1).as("bk_ch"),
+      length(c).as("bk_len"))
+    probes.select($"probe_id" +: $"q_name" +: keys($"q_name"): _*)
+      .join(master.select($"entity_id" +: $"p_name" +: keys($"p_name"): _*),
+        Seq("bk_tok", "bk_ch", "bk_len"))
+      .withColumn("score", expr("jaro_winkler(q_name, p_name)"))
+      .filter($"score" >= 0.92)
+      .select($"probe_id", $"entity_id", $"q_name",
+        $"p_name".as("entity_name"), Num.roundAt($"score", 4).as("score"))
+      .orderBy("probe_id", "entity_id")
+  }
+
   // q66: train/eval DECONTAMINATION — the n-gram overlap check every LLM
   // pipeline runs so benchmark/eval text doesn't leak into training data.
   // The eval set is constructed deterministically from the corpus itself:
@@ -753,6 +797,7 @@ object Dedup {
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
+    "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
     "q139_ngram_collision" -> (ngramCollision _),
     "q78_incremental_dedup" -> (incrementalDedup _),
@@ -1034,6 +1079,22 @@ object Dedup {
         | AND len(p.p_name) BETWEEN len(q.q_name) - 2 AND len(q.q_name) + 2
         |WHERE levenshtein(q.q_name, p.p_name) <= 2
         |ORDER BY probe_id, match_id""".stripMargin,
+    "q140_jaro_linkage" ->
+      """WITH master AS (
+        |  SELECT p_name, min(p_partkey) AS entity_id FROM part GROUP BY p_name),
+        |probes AS (
+        |  SELECT p_partkey + 200000 AS probe_id,
+        |         substring(p_name, 1, 1) || substring(p_name, 3, 1) ||
+        |         substring(p_name, 2, 1) || substring(p_name, 4) AS q_name
+        |  FROM part WHERE p_partkey % 17 = 0)
+        |SELECT q.probe_id, m.entity_id, q.q_name, m.p_name AS entity_name,
+        |       round(jaro_winkler_similarity(q.q_name, m.p_name), 4) AS score
+        |FROM probes q JOIN master m
+        |  ON split_part(q.q_name, ' ', 2) = split_part(m.p_name, ' ', 2)
+        | AND substring(q.q_name, 1, 1) = substring(m.p_name, 1, 1)
+        | AND len(q.q_name) = len(m.p_name)
+        |WHERE jaro_winkler_similarity(q.q_name, m.p_name) >= 0.92
+        |ORDER BY probe_id, entity_id""".stripMargin,
     "q139_ngram_collision" ->
       """WITH train AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -260,4 +260,51 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .withColumn("n_native", expr("sorted_overlap(a, b)"))
     assert(cmp.filter(not($"n_composed" <=> $"n_native")).count() == 0)
   }
+
+  test("jaro_winkler == DuckDB jaro_winkler_similarity golden values (byte-wise)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // Golden fixtures probed from DuckDB this round; they pin every
+    // semantic branch the q140 oracle depends on: empty → 0 (not the
+    // textbook 1), UTF-8 BYTE comparison, the max/2−1 window, halved
+    // transpositions, and the >0.7-gated Winkler boost.
+    val golden = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),     // one transposition
+      ("DIXON", "DICKSONX", 0.8133333333333332),    // 2-byte prefix boost
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no common prefix
+      ("", "", 0.0),                                // DuckDB: empty → 0
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("aaaaaab", "aaaaaac", 0.9428571428571428),
+      ("abcdefgh", "hgfedcba", 0.5),
+      ("CRATE", "TRACE", 0.7333333333333334),       // jaro>0.7, prefix 0
+      ("ab", "ba", 0.0),                            // window 0: no matches
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),            // prefix 4 but jaro≤0.7: NO boost
+      ("ab", "abcdefghijklmnop", 0.7666666666666667), // boost just past 0.7
+      ("héllo", "hello", 0.8400000000000001),       // BYTES: 6 vs 5, not chars
+      ("日本語テスト", "日本語テスロ", 0.9777777777777777), // 18-byte CJK
+      ("clod widget", "cold widget", 0.9727272727272728), // q140's mutant class
+      ("lrage bolt", "large bolt", 0.97),
+      ("hto rod", "hot rod", 0.9571428571428572))
+    golden.toDF("a", "b", "want")
+      .withColumn("got", expr("jaro_winkler(a, b)"))
+      .collect()
+      .foreach { r =>
+        assert(r.getDouble(3) == r.getDouble(2),
+          s"jaro_winkler(${r.getString(0)}, ${r.getString(1)})")
+      }
+    // symmetry and [0,1] range over arbitrary token-soup pairs
+    val pairs = tokensDf.select(concat_ws(" ", $"tokens").as("a"))
+      .crossJoin(tokensDf.select(concat_ws(" ", $"tokens").as("b")).limit(7))
+      .withColumn("ab", expr("jaro_winkler(a, b)"))
+      .withColumn("ba", expr("jaro_winkler(b, a)"))
+    assert(pairs.filter(not($"ab" <=> $"ba")).count() == 0)
+    assert(pairs.filter($"ab" < 0.0 || $"ab" > 1.0).count() == 0)
+    // non-string inputs are an analysis error
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(expr("jaro_winkler(id, 'x')")).queryExecution.analyzed
+    }
+    assert(err.getMessage.contains("jaro_winkler"))
+  }
 }
