@@ -145,6 +145,44 @@ object TableOps {
       .orderBy("c_custkey", "_change_type")
   }
 
+  // q141: INCREMENTAL AGGREGATE MAINTENANCE off the change feed — the
+  // materialized-view refresh a 100 TB pipeline runs instead of
+  // recomputing: a per-bucket (count, sum) materialization built at v0
+  // is rolled forward to v2 by SIGNED DELTAS from the CDF images
+  // (insert → +after, delete → −before, update → after − before), then
+  // must equal the direct aggregate of the final state — which is
+  // exactly what the oracle computes by the change algebra in SQL. The
+  // state is exact DECIMAL, so the delta algebra is associative and the
+  // incremental result is bit-equal to the recompute (double sums would
+  // diverge in the last bits by addition order — the q91/q100
+  // contract). Groups whose count reaches zero are retracted, the MV
+  // invariant a maintenance path must keep that a recompute gets for
+  // free. Scale shape: update cost is one shuffle over |feed| + |groups|
+  // — churn-sized, never table-sized; the demo feed derives from a
+  // snapshot diff (see changesWithImages), a writer that logs row-level
+  // changes serves the same contract without it.
+  private def deltaAggMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureDemoTable(s, dir)
+    val t = VersionedTable.open(root)
+    val dec = DecimalType(18, 2)
+    val a0 = t.snapshot(s, Some(0L))
+      .groupBy(($"c_custkey" % 50).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum($"c_acctbal".cast(dec)).as("bal"))
+    val deltas = t.changesWithImages(s, "c_custkey", fromVersion = 0L, toVersion = 2L)
+      .select(($"c_custkey" % 50).as("bucket"),
+        when($"_change_type" === "insert", 1L)
+          .when($"_change_type" === "delete", -1L)
+          .otherwise(0L).as("cnt"),
+        (coalesce($"_after.c_acctbal".cast(dec), lit(0).cast(dec))
+          - coalesce($"_before.c_acctbal".cast(dec), lit(0).cast(dec))).as("bal"))
+    a0.unionByName(deltas)
+      .groupBy($"bucket")
+      .agg(sum($"cnt").as("n_rows"), sum($"bal").cast(dec).as("sum_bal"))
+      .filter($"n_rows" > 0)
+      .orderBy("bucket")
+  }
+
   private val restoreOnce = scala.collection.concurrent.TrieMap[String, String]()
 
   /** One-time restore demo table: the demo history (v0 create, v1
@@ -200,7 +238,8 @@ object TableOps {
     "q104_time_travel" -> (timeTravel _),
     "q105_table_merge" -> (tableMerge _),
     "q108_schema_evolution" -> (schemaEvolution _),
-    "q109_change_feed" -> (changeFeed _)
+    "q109_change_feed" -> (changeFeed _),
+    "q141_delta_agg_maintenance" -> (deltaAggMaintenance _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,6 +312,31 @@ object TableOps {
         |UNION ALL
         |SELECT c_custkey, 'delete' FROM customer
         |WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0
-        |ORDER BY c_custkey, _change_type""".stripMargin
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+    // the maintained MV must equal the direct aggregate of the final
+    // (v2) state, rebuilt here by the q105 change algebra
+    "q141_delta_agg_maintenance" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |del AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0),
+        |survivors AS (
+        |  SELECT c.c_custkey,
+        |         coalesce(u.new_bal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c
+        |  LEFT JOIN upd u USING (c_custkey)
+        |  LEFT JOIN del d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL),
+        |final AS (
+        |  SELECT c_custkey, c_acctbal FROM survivors
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 1000.0::DOUBLE
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey % 50 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -558,7 +558,21 @@ final class VersionedTable private (val root: Path) {
     * anything is returned, so feed volume tracks churn, not table size.
     */
   def changes(spark: SparkSession, keyCol: String,
-              fromVersion: Long, toVersion: Long): DataFrame = {
+              fromVersion: Long, toVersion: Long): DataFrame =
+    changesWithImages(spark, keyCol, fromVersion, toVersion)
+      .select(org.apache.spark.sql.functions.col(keyCol),
+        org.apache.spark.sql.functions.col("_change_type"))
+
+  /** [[changes]] plus the row IMAGES (Delta CDF's preimage/postimage):
+    * `_before` is the row's non-key struct at `fromVersion` (NULL for
+    * inserts), `_after` at `toVersion` (NULL for deletes). This is the
+    * feed shape incremental consumers need — an aggregate
+    * materialization updates from `_after − _before` signed deltas
+    * (q141) without touching unchanged rows; key-only [[changes]] can
+    * say WHAT moved but not by how much.
+    */
+  def changesWithImages(spark: SparkSession, keyCol: String,
+                        fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, struct, when}
     require(fromVersion < toVersion,
       s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
@@ -576,7 +590,7 @@ final class VersionedTable private (val root: Path) {
           // row would silently vanish from the feed
           .when(not(col("_before") <=> col("_after")), "update"))
       .filter(col("_change_type").isNotNull)
-      .select(col(keyCol), col("_change_type"))
+      .select(col(keyCol), col("_change_type"), col("_before"), col("_after"))
   }
 
   /** Small-file compaction THROUGH the log (Delta OPTIMIZE's shape): the

@@ -330,6 +330,49 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"null-transition updates missing: ${feed.length} vs $expectedUpdates")
   }
 
+  test("changesWithImages: per-class image nullity, and signed deltas roll an MV forward") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1: update %4 balances (+7.5), delete %9∧¬%4, insert 3 new keys
+    val v1 = base.filter(!($"c_custkey" % 9 === 0 && $"c_custkey" % 4 =!= 0))
+      .select($"c_custkey", $"c_name",
+        when($"c_custkey" % 4 === 0, $"c_acctbal" + 7.5)
+          .otherwise($"c_acctbal").as("c_acctbal"))
+      .unionAll(Seq((900001L, "n1", 10.0), (900002L, "n2", 20.0),
+        (900003L, "n3", 30.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+    t.overwrite(v1, readVersion = 0L)
+    val feed = t.changesWithImages(spark, "c_custkey", 0L, 1L).cache()
+    // image nullity per class is the API contract consumers branch on
+    assert(feed.filter($"_change_type" === "insert" &&
+      ($"_before".isNotNull || $"_after".isNull)).count() == 0)
+    assert(feed.filter($"_change_type" === "delete" &&
+      ($"_before".isNull || $"_after".isNotNull)).count() == 0)
+    assert(feed.filter($"_change_type" === "update" &&
+      ($"_before".isNull || $"_after".isNull)).count() == 0)
+    // update images must carry both sides of the value move
+    assert(feed.filter($"_change_type" === "update").count() > 0)
+    assert(feed.filter($"_change_type" === "update" &&
+      $"_after.c_acctbal" =!= $"_before.c_acctbal" + 7.5).count() == 0)
+    // the q141 algebra: MV(v0) + signed deltas == direct aggregate of v1,
+    // exactly (decimal state)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val mv0 = t.snapshot(spark, Some(0L))
+      .groupBy(($"c_custkey" % 10).as("b"))
+      .agg(count(lit(1)).as("cnt"), sum($"c_acctbal".cast(dec)).as("bal"))
+    val rolled = mv0.unionByName(feed.select(($"c_custkey" % 10).as("b"),
+        when($"_change_type" === "insert", 1L)
+          .when($"_change_type" === "delete", -1L).otherwise(0L).as("cnt"),
+        (coalesce($"_after.c_acctbal".cast(dec), lit(0).cast(dec))
+          - coalesce($"_before.c_acctbal".cast(dec), lit(0).cast(dec))).as("bal")))
+      .groupBy($"b").agg(sum($"cnt").as("cnt"), sum($"bal").cast(dec).as("bal"))
+      .filter($"cnt" > 0)
+    val direct = t.snapshot(spark, Some(1L))
+      .groupBy(($"c_custkey" % 10).as("b"))
+      .agg(count(lit(1)).as("cnt"), sum($"c_acctbal".cast(dec)).cast(dec).as("bal"))
+    assert(rolled.exceptAll(direct).isEmpty && direct.exceptAll(rolled).isEmpty)
+    feed.unpersist()
+  }
+
   test("GDPR erasure: delete-merge + vacuum leaves no active or on-disk trace of the key") {
     import spark.implicits._
     val victim = 42L
