@@ -29,23 +29,32 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) on disk, which Spark's parquet reader
-    * rejects outright. Read it as raw nanos (legacy conf) and convert to a
-    * proper micros TimestampType with exact integer division — `ts div
-    * 1000`, not `/`, because nanosecond epochs (~1.7e18) exceed a double's
-    * 2^53 integer range. DuckDB truncates ns->us the same way on read, so
-    * both engines see identical timestamps.
-    *
-    * The nanosAsLong conf is pinned at session build in Bench/Verify and
-    * the test wrapper; the guard below only covers foreign sessions and
-    * writes the conf at most once (no per-read mutation).
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * unless read as raw longs via the legacy conf) and plain micros
+    * (surfacing as TIMESTAMP_NTZ under Spark 4's NTZ inference). Normalize
+    * both to a session-UTC micros TimestampType so every downstream query
+    * and oracle compare sees identical values regardless of generation:
+    *  - LongType (legacy nanos-as-long): exact integer `div 1000` — not
+    *    `/`, because nanosecond epochs (~1.7e18) exceed a double's 2^53
+    *    integer range — then `timestamp_micros`. DuckDB truncates ns->us
+    *    the same way on read.
+    *  - TIMESTAMP_NTZ: cast to TimestampType; bit-identical micros under
+    *    the UTC session zone pinned in `table()`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

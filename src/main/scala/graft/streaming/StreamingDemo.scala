@@ -24,26 +24,47 @@ import org.apache.spark.sql.types._
   */
 object StreamingDemo {
 
-  /** `events.parquet` schema as stored (ts is TIMESTAMP(NANOS), read as
-    * raw longs under the nanosAsLong conf pinned at session build).
+  /** `events.parquet` schema with `ts` in its on-disk physical form,
+    * which differs across testdata generations (TIMESTAMP(NANOS) read as
+    * raw longs under the nanosAsLong conf, or plain micros surfacing as
+    * TIMESTAMP_NTZ). `readStream` needs the stored type; the probe is one
+    * batch footer read.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** The streaming events source with `ts` normalized to a session-UTC
+    * micros TimestampType regardless of the stored form — the streaming
+    * twin of `Tables.events`. All streaming demos build on this.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventsSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 
   /** Hourly windowed counts over the streaming events source. Returns
     * the in-memory sink contents after all available data is processed.
     */
   def hourlyCounts(spark: SparkSession, dir: String, queryName: String = "stream_demo"): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -90,11 +111,8 @@ object StatefulSessionizer {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
 
-    val events = spark.readStream
-      .schema(StreamingDemo.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val events = StreamingDemo.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
 
     val sessions = events
@@ -147,11 +165,7 @@ object StreamingDedup {
 
   def dedupedEvents(spark: SparkSession, dir: String,
                     queryName: String = "dedup_stream"): DataFrame = {
-    val base = spark.readStream
-      .schema(StreamingDemo.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val base = StreamingDemo.eventsStream(spark, dir)
     val doubled = base.union(base)
     val deduped = doubled
       .withWatermark("ts", "1 hour")
@@ -182,11 +196,7 @@ object StreamStreamJoin {
 
   def purchasesWithRecentViews(spark: SparkSession, dir: String,
                                queryName: String = "ss_join"): DataFrame = {
-    def side(kind: String, alias: String) = spark.readStream
-      .schema(StreamingDemo.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(kind: String, alias: String) = StreamingDemo.eventsStream(spark, dir)
       .filter(col("event_type") === kind)
       .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
         col("ts").as(s"${alias}_ts"))

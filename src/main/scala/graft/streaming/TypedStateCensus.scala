@@ -67,10 +67,7 @@ object TypedStateCensus {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    val events = spark.readStream
-      .schema(StreamingDemo.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = StreamingDemo.eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .as[Ev]
 
