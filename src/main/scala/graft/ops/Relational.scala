@@ -1850,7 +1850,181 @@ object Relational {
       .orderBy("segment")
   }
 
+  // q142: distributed skyline / Pareto frontier — the preference-query
+  // operator (minimize price, maximize size over parts; a point survives
+  // iff no other part is cheaper-or-equal AND bigger-or-equal with one
+  // strict). Three bounded phases, never all-pairs:
+  //   1. distinct (price, size) pairs (one partial-aggregated groupBy;
+  //      strict dominance is clean on distinct pairs),
+  //   2. cross-bucket prune: 64 price buckets, per-bucket max size, a
+  //      64-row PREFIX-max cut frame broadcast back — any point at or
+  //      below the max size of a strictly-cheaper bucket is dominated
+  //      and drops; then the per-bucket LOCAL skyline via a window
+  //      PARTITIONED BY bucket (parallel across buckets, each bucket's
+  //      staircase is its local frontier),
+  //   3. exact global skyline over the union of local skylines — a
+  //      window over frontier-sized survivors (skyline ⊆ survivors, and
+  //      any dominated survivor has a skyline dominator earlier in the
+  //      (price asc, size desc) order, so the running-max test is exact).
+  // The oracle runs the same running-max formulation over ALL pairs in
+  // one global window — fine in DuckDB, exactly the single-partition
+  // shape phase 2/3 exist to avoid at scale. A hash match proves the
+  // bucket prune loses no frontier point.
+  private def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    skylineOf(s, Tables.part(s, dir)
+      .groupBy($"p_retailprice".as("price"), $"p_size".as("sz"))
+      .agg(count(lit(1)).as("n_parts")))
+  }
+
+  /** Three-phase distributed skyline over a distinct (price, sz, n_parts)
+    * frame — package-visible so PropertiesSpec can check it against the
+    * brute-force dominance definition on arbitrary inputs.
+    */
+  private[ops] def skylineOf(s: SparkSession, pts: DataFrame): DataFrame = {
+    import s.implicits._
+    val B = 64
+    val bounds = pts.agg(min($"price").as("lo"), max($"price").as("hi"))
+    val bucketed = pts.crossJoin(broadcast(bounds)) // 1-row aggregate frame
+      .withColumn("bkt", least(lit(B - 1), floor(
+        ($"price" - $"lo") / (($"hi" - $"lo") / B + lit(1e-9))).cast(IntegerType)))
+      .drop("lo", "hi")
+    // 64-row cut frame: max size over all STRICTLY cheaper buckets
+    val wPrefix = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = bucketed.groupBy($"bkt").agg(max($"sz").as("bkt_max"))
+      .withColumn("prefix_max", max($"bkt_max").over(wPrefix)) // 64 rows
+      .select($"bkt", $"prefix_max")
+    val wLocal = Window.partitionBy($"bkt")
+      .orderBy($"price".asc, $"sz".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .join(broadcast(cuts), Seq("bkt"))
+      .filter($"prefix_max".isNull || $"sz" > $"prefix_max")
+      .withColumn("run_max", max($"sz").over(wLocal))
+      .filter($"run_max".isNull || $"sz" > $"run_max")
+    val wGlobal = Window.orderBy($"price".asc, $"sz".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("gmax", max($"sz").over(wGlobal)) // frontier-sized input
+      .filter($"gmax".isNull || $"sz" > $"gmax")
+      .select($"price", $"sz", $"n_parts")
+      .orderBy($"price", $"sz")
+  }
+
+  // q143: A/B experiment readout — Welch z-test on order value between
+  // two variants assigned by the q120 minstd hash of the customer key
+  // (pure projection: derived tables land in the same arm by recomputing
+  // the hash, no assignment join). One scan reduces to two rows of exact
+  // DECIMAL moment sums (n, Σx, Σx²) — the same mergeable-moments shape
+  // as q91/q100, so at 100 TB the readout is one partial-aggregated
+  // pass and the statistics are free. Variance and z then run in double
+  // on identical operands (the decimal sums) in a fixed order, so both
+  // engines produce the same bits; the 1.96 two-sided 5% gate is the
+  // published decision contract.
+  private def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    val arm = when($"o_custkey" % M * 16807L % M * 48271L % M % 2 === 0,
+      lit("control")).otherwise(lit("treatment"))
+    val moments = Tables.orders(s, dir)
+      .select(arm.as("variant"), $"o_totalprice".cast(DecimalType(12, 2)).as("x"))
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(($"x" * $"x").cast(DecimalType(28, 4))).as("sxx"))
+      .withColumn("mean", $"sx".cast(DoubleType) / $"n")
+      .withColumn("variance",
+        ($"sxx".cast(DoubleType) - $"mean" * $"mean" * $"n") / ($"n" - 1))
+    val c = moments.filter($"variant" === "control")
+      .select($"n".as("n_control"), $"mean".as("mean_control"),
+        $"variance".as("var_control"))
+    val t = moments.filter($"variant" === "treatment")
+      .select($"n".as("n_treatment"), $"mean".as("mean_treatment"),
+        $"variance".as("var_treatment"))
+    c.crossJoin(t) // two 1-row frames
+      .withColumn("z", ($"mean_treatment" - $"mean_control") /
+        sqrt($"var_control" / $"n_control" + $"var_treatment" / $"n_treatment"))
+      .select($"n_control", $"n_treatment",
+        Num.roundAt($"mean_control", 6).as("mean_control"),
+        Num.roundAt($"mean_treatment", 6).as("mean_treatment"),
+        Num.roundAt($"var_control", 4).as("var_control"),
+        Num.roundAt($"var_treatment", 4).as("var_treatment"),
+        Num.roundAt($"z", 4).as("z"),
+        (abs($"z") > 1.96).as("significant"))
+  }
+
+  // q144: gaps-and-islands — consecutive-active-day streaks per user via
+  // the difference-of-row-numbers anchor (day minus per-user row number
+  // is constant within a run of consecutive days). Both windows are
+  // PARTITIONED BY user_id — key-parallel, state one row per user per
+  // task, never a global sort — and the island frame collapses straight
+  // into a streak-length census, so the output is bounded by the longest
+  // streak regardless of user count. Date arithmetic is integer
+  // (date_sub by an int column), identical across engines.
+  private def gapsIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days
+      .withColumn("anchor", expr("date_sub(d, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY d))"))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"len")
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"len")
+  }
+
+  // q145: population-stability-index drift detection — the training-data
+  // health check that catches distribution shift between two ingestion
+  // periods (the ML-ops sibling of q72 profile / q96 constraints).
+  // Period split at the integer midpoint of the date range (1-row
+  // aggregate, exact datediff/2 arithmetic); bins are the BASELINE
+  // period's deciles (one 9-cut percentile row broadcast back, the q137
+  // cut-frame shape — never a global ntile); per-bin counts are exact,
+  // and the PSI term (p_b - p_a)·ln(p_b/p_a) runs on identical doubles
+  // in both engines. One scan + a 10-row frame at any corpus size.
+  private def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderdate", $"o_totalprice".cast(DoubleType).as("x"))
+    val cut = o.agg(min($"o_orderdate").as("lo"), max($"o_orderdate").as("hi"))
+      // `div`, not `/`+cast: double->int casts ROUND in DuckDB but
+      // TRUNCATE in Spark; integer division floors identically in both
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").as("d_cut"))
+    val staged = o.crossJoin(broadcast(cut)) // 1-row aggregate frame
+      .withColumn("period", when($"o_orderdate" < $"d_cut", "a").otherwise("b"))
+    val cuts = staged.filter($"period" === "a")
+      .agg(expr("percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("qs")) // 1-row, 9 doubles
+    val binned = staged.crossJoin(broadcast(cuts))
+      .withColumn("bin", (lit(1) +
+        (1 to 9).map(i => when($"x" > element_at($"qs", i), 1).otherwise(0))
+          .reduce(_ + _)).cast(IntegerType))
+      .groupBy($"bin")
+      .agg(sum(when($"period" === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"period" === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = binned.agg(sum($"n_a").as("t_a"), sum($"n_b").as("t_b"))
+    binned.crossJoin(broadcast(tot)) // 10 x 1-row frames
+      .withColumn("p_a", $"n_a".cast(DoubleType) / $"t_a")
+      .withColumn("p_b", $"n_b".cast(DoubleType) / $"t_b")
+      .withColumn("psi_term",
+        when($"n_a" > 0 && $"n_b" > 0,
+          ($"p_b" - $"p_a") * log($"p_b" / $"p_a")).otherwise(lit(0.0)))
+      .select($"bin", $"n_a", $"n_b",
+        Num.roundAt($"p_a", 6).as("p_a"),
+        Num.roundAt($"p_b", 6).as("p_b"),
+        Num.roundAt($"psi_term", 6).as("psi_term"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_skyline"        -> (skyline _),
+    "q143_ab_test"        -> (abTest _),
+    "q144_gaps_islands"   -> (gapsIslands _),
+    "q145_psi_drift"      -> (psiDrift _),
     "q137_rfm"            -> (rfm _),
     "q136_market_basket"  -> (marketBasket _),
     "q135_share_of_total" -> (shareOfTotal _),
@@ -1918,6 +2092,107 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // single global running-max window (the single-partition shape the
+    // Spark side's bucket prune exists to avoid); a hash match proves
+    // the distributed prune loses no frontier point
+    "q142_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, p_size AS sz,
+        |         CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, max(sz) OVER (ORDER BY price ASC, sz DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pts)
+        |SELECT price, sz, n_parts FROM w
+        |WHERE pm IS NULL OR sz > pm
+        |ORDER BY price, sz""".stripMargin,
+    "q143_ab_test" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN ((((o_custkey % 2147483647) * 16807)
+        |                  % 2147483647 * 48271) % 2147483647) % 2 = 0
+        |              THEN 'control' ELSE 'treatment' END AS variant,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS x
+        |  FROM orders),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx,
+        |         sum(CAST(x * x AS DECIMAL(28,4))) AS sxx
+        |  FROM m GROUP BY 1),
+        |s AS (
+        |  SELECT variant, n, CAST(sx AS DOUBLE) / n AS mean,
+        |         (CAST(sxx AS DOUBLE)
+        |            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * n)
+        |           / (n - 1) AS variance
+        |  FROM g),
+        |z AS (
+        |  SELECT c.n AS n_control, t.n AS n_treatment,
+        |         c.mean AS mc, t.mean AS mt,
+        |         c.variance AS vc, t.variance AS vt,
+        |         (t.mean - c.mean)
+        |           / sqrt(c.variance / c.n + t.variance / t.n) AS z
+        |  FROM (SELECT * FROM s WHERE variant = 'control') c
+        |  CROSS JOIN (SELECT * FROM s WHERE variant = 'treatment') t)
+        |SELECT n_control, n_treatment,
+        |       round(mc, 6) AS mean_control, round(mt, 6) AS mean_treatment,
+        |       round(vc, 4) AS var_control, round(vt, 4) AS var_treatment,
+        |       round(z, 4) AS z, abs(z) > 1.96 AS significant
+        |FROM z""".stripMargin,
+    "q144_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |               AS INTEGER) AS anchor
+        |  FROM days),
+        |g AS (
+        |  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT len, CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g GROUP BY 1 ORDER BY len""".stripMargin,
+    "q145_psi_drift" ->
+      """WITH o AS (
+        |  SELECT o_orderdate, CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+        |cut AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE)
+        |           + CAST(datediff('day', min(o_orderdate),
+        |               max(o_orderdate)) // 2 AS INTEGER) AS d_cut
+        |  FROM o),
+        |staged AS (
+        |  SELECT x, CASE WHEN o_orderdate < d_cut THEN 'a' ELSE 'b' END AS period
+        |  FROM o CROSS JOIN cut),
+        |qs AS (
+        |  SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        |  FROM staged WHERE period = 'a'),
+        |b AS (
+        |  SELECT CAST(1 + CASE WHEN x > q[1] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[2] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[3] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[4] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[5] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[6] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[7] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[8] THEN 1 ELSE 0 END
+        |                + CASE WHEN x > q[9] THEN 1 ELSE 0 END AS INTEGER) AS bin,
+        |         period
+        |  FROM staged CROSS JOIN qs),
+        |c AS (
+        |  SELECT bin,
+        |         CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c)
+        |SELECT bin, n_a, n_b,
+        |       round(CAST(n_a AS DOUBLE) / t_a, 6) AS p_a,
+        |       round(CAST(n_b AS DOUBLE) / t_b, 6) AS p_b,
+        |       round(CASE WHEN n_a > 0 AND n_b > 0
+        |             THEN (CAST(n_b AS DOUBLE) / t_b - CAST(n_a AS DOUBLE) / t_a)
+        |                  * ln((CAST(n_b AS DOUBLE) / t_b)
+        |                       / (CAST(n_a AS DOUBLE) / t_a))
+        |             ELSE 0.0 END, 6) AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
     "q137_rfm" ->
       """WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
         |m AS (

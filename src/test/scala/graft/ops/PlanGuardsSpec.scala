@@ -329,6 +329,28 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val _ = df // silence unused warning paranoia
   }
 
+  test("q142: the local-skyline window partitions by bucket; no cartesian anywhere") {
+    val (df, p) = plan("q142_skyline")
+    assert(!p.contains("CartesianProduct"),
+      s"skyline phases must never form an unbounded cross product:\n$p")
+    val windowParts = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.mkString(",")
+    }
+    assert(windowParts.exists(_.contains("bkt")),
+      s"phase-2 local skyline lost its bucket partitioning: $windowParts")
+  }
+
+  test("q144: both island windows partition by user_id — never a global sort of the day frame") {
+    val (df, p) = plan("q144_gaps_islands")
+    val windowParts = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.mkString(",")
+    }
+    assert(windowParts.nonEmpty && windowParts.forall(_.contains("user_id")),
+      s"gaps-and-islands window must be keyed per user: $windowParts\n$p")
+  }
+
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
     val (_, p) = plan("q102_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -251,4 +251,29 @@ class PropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       1 <= p && p <= n && ((3 * n + 9) / 10) == ceilRef
     }, n = 500)
   }
+
+  // q142's completeness contract: the three-phase distributed skyline
+  // (bucket prefix prune -> per-bucket local skyline -> global pass over
+  // survivors) equals the O(n^2) dominance definition for ANY point set —
+  // narrow coordinate ranges force heavy price/size ties, the case where
+  // a sloppy strictness rule would drop or keep the wrong points.
+  test("q142 skyline: three-phase prune equals brute-force dominance for any point set") {
+    import spark.implicits._
+    val ptsGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 12), Gen.chooseNum(0, 12))))
+    check("skyline", Prop.forAll(ptsGen) { raw =>
+      val pts = raw.map { case (p, sz) => (p.toDouble, sz) }
+      val distinct = pts.distinct
+      val brute = distinct.filter { case (p, sz) =>
+        !distinct.exists { case (p2, s2) =>
+          p2 <= p && s2 >= sz && (p2 < p || s2 > sz)
+        }
+      }.map { case (p, sz) => (p, sz, pts.count(_ == (p, sz)).toLong) }
+      val df = pts.toDF("price", "sz")
+        .groupBy("price", "sz").agg(count(lit(1)).as("n_parts"))
+      val got = Relational.skylineOf(spark, df).collect()
+        .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+      got.toSet == brute.toSet && got == got.sortBy(t => (t._1, t._2))
+    }, n = 40)
+  }
 }
