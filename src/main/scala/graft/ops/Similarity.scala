@@ -103,6 +103,23 @@ object Similarity {
   // oracle twin reproduces the exact cell assignment and result set.
   private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    ivfRanked(s, dir, kTop = 3)
+      .select($"probe_id", $"cand_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"cos", 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The IVF index core shared by q49 (top-3 report) and q146 (top-10
+    * recall evaluation): returns (probe_id, cand_id, cos, rank) with
+    * rank <= kTop under the (cos DESC, cand_id ASC) total order.
+    * `nprobe` = number of best cells each probe searches; at nprobe = k
+    * (all cells) the candidate set is the full corpus and the result
+    * must equal brute force — the completeness property
+    * DedupSimilaritySpec pins.
+    */
+  private[ops] def ivfRanked(s: SparkSession, dir: String, kTop: Int,
+                             nprobe: Int = 2): DataFrame = {
+    import s.implicits._
     val all = base(s, dir)
     // Collect the codebook to the driver — k·dim doubles, the canonical
     // IVF shape (a codebook is small BY CONSTRUCTION; at 100 TB it is
@@ -137,7 +154,7 @@ object Similarity {
         $"v".as("cv2"), $"nrm".as("cn2"))
     val probeCells = withCells
       .filter($"vec_id" >= 20 && $"vec_id" < 40)
-      .select($"vec_id".as("probe_id"), explode(slice($"cells", 1, 2)).as("pc"),
+      .select($"vec_id".as("probe_id"), explode(slice($"cells", 1, nprobe)).as("pc"),
         $"v".as("pv"), $"nrm".as("pn"))
       .select($"probe_id", (-$"pc"("negcid")).as("cell"), $"pv", $"pn")
 
@@ -148,10 +165,44 @@ object Similarity {
       .agg(max($"c").as("cos"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"probe_id", $"cand_id".as("neighbor_id"), $"rank",
-        Num.roundAt($"cos", 6).as("cosine"))
-      .orderBy("probe_id", "rank")
+      .filter($"rank" <= kTop)
+  }
+
+  // q146: ANN recall evaluation — the quality gate every approximate
+  // index needs before it replaces brute force in a 100 TB pipeline:
+  // recall@10 of the q49 IVF index (nprobe=2) against the EXACT
+  // brute-force top-10, per probe. Ground truth costs |probes| × n
+  // scored pairs (probes broadcast, one candidate scan — the q22
+  // shape, affordable because the probe set is small; at scale one
+  // evaluates on a sampled probe set exactly like this); the IVF side
+  // reuses the q49 core. Every cosine is the same fold_dot double in
+  // both engines and ties break on cand_id, so the two top-10 sets —
+  // and hence the recall fractions — are deterministic and
+  // hash-comparable, not just statistically close.
+  private def annRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallAt(s, dir, nprobe = 2)
+
+  private[ops] def annRecallAt(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val all = base(s, dir)
+    val probes = all.filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"))
+    val wExact = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
+    val exact = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"vec_id".as("cand_id"))
+    val ivf = ivfRanked(s, dir, kTop = 10, nprobe).select($"probe_id", $"cand_id")
+    val hits = exact.join(ivf, Seq("probe_id", "cand_id"))
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select($"probe_id", $"n_exact",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        Num.roundAt(coalesce($"n_hit", lit(0L)).cast(DoubleType) / $"n_exact", 6)
+          .as("recall"))
+      .orderBy("probe_id")
   }
 
   // q61: one Lloyd iteration of k-means over the embeddings — the
@@ -275,6 +326,7 @@ object Similarity {
     "q22_cosine_topk" -> (cosineTopK _),
     "q28_lsh_ann"     -> (lshAnn _),
     "q49_ivf_ann"     -> (ivfAnn _),
+    "q146_ann_recall" -> (annRecall _),
     "q61_kmeans_step" -> (kmeansStep _)
   )
 
@@ -287,6 +339,67 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q146_ann_recall" ->
+      s"""WITH $nSql,
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |aff AS (
+        |  SELECT n.vec_id, cents.cent_id,
+        |         list_reduce(list_transform(range(1, 65), i -> n.v[i] * cents.cv[i]),
+        |           (x, y) -> x + y) / (n.nrm * cents.cn) AS ccos
+        |  FROM n, cents),
+        |ranked_aff AS (
+        |  SELECT vec_id, cent_id, ccos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ccos DESC, cent_id ASC) AS crank
+        |  FROM aff),
+        |assign AS (
+        |  SELECT vec_id AS cand_id, cent_id AS cell FROM ranked_aff WHERE crank = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, cent_id AS cell FROM ranked_aff
+        |  WHERE vec_id >= 20 AND vec_id < 40 AND crank <= 2),
+        |ivf_scored AS (
+        |  SELECT p.probe_id, a.cand_id,
+        |         max(list_reduce(list_transform(range(1, 65), i -> pn.v[i] * cn2.v[i]),
+        |           (x, y) -> x + y) / (pn.nrm * cn2.nrm)) AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.cand_id != p.probe_id
+        |  JOIN n pn ON pn.vec_id = p.probe_id
+        |  JOIN n cn2 ON cn2.vec_id = a.cand_id
+        |  GROUP BY p.probe_id, a.cand_id),
+        |ivf AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           row_number() OVER (PARTITION BY probe_id
+        |             ORDER BY cos DESC, cand_id ASC) AS rank
+        |    FROM ivf_scored)
+        |  WHERE rank <= 10),
+        |exact_scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_reduce(list_transform(range(1, 65), i -> p.v[i] * c.v[i]),
+        |           (x, y) -> x + y) / (p.nrm * c.nrm) AS cos
+        |  FROM n p JOIN n c
+        |    ON p.vec_id >= 20 AND p.vec_id < 40 AND c.vec_id != p.vec_id),
+        |exact AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           row_number() OVER (PARTITION BY probe_id
+        |             ORDER BY cos DESC, cand_id ASC) AS rank
+        |    FROM exact_scored)
+        |  WHERE rank <= 10),
+        |hit AS (
+        |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM exact e JOIN ivf i
+        |    ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM exact GROUP BY 1)
+        |SELECT ex.probe_id, ex.n_exact,
+        |       coalesce(hit.n_hit, 0) AS n_hit,
+        |       round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
+        |FROM ex LEFT JOIN hit ON ex.probe_id = hit.probe_id
+        |ORDER BY ex.probe_id""".stripMargin,
     "q93_pq_ann" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -194,4 +194,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select(expr("shingle_hashes(split(text, ' '), 4)").as("s")).head()
     assert(short.getSeq[Long](0).length == 1)
   }
+
+  test("q146: IVF recall is exactly 1.0 at nprobe=8 (all cells == brute force) and nprobe-monotone") {
+    import spark.implicits._
+    // searching every cell makes the IVF candidate set the whole corpus;
+    // identical cosines + cand_id tie-break mean the top-10 sets must be
+    // EQUAL, not just close — any recall < 1 here is a candidate-
+    // generation bug, not an approximation artifact
+    val full = Similarity.annRecallAt(spark, dir, nprobe = 8)
+      .select($"probe_id", $"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(full.nonEmpty && full.forall(r => r._2 == 10 && r._3 == 10 && r._4 == 1.0),
+      s"nprobe=8 recall must be exactly 1: ${full.filter(_._4 != 1.0).toSeq}")
+    // widening the search can only add candidates -> per-probe recall is
+    // monotone in nprobe
+    val narrow = Similarity.annRecallAt(spark, dir, nprobe = 2)
+      .select($"probe_id", $"recall").as[(Long, Double)].collect().toMap
+    assert(narrow.keySet == full.map(_._1).toSet)
+    assert(narrow.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
 }
