@@ -786,7 +786,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT trigram-Jaccard pairs at tau = 0.5 over a (doc_id, text)
+    * frame via the q128 prefix-filter rule on the SAME trigram sets
+    * q21's MinHash signatures estimate (shingle_hashes w=3 == the native
+    * MinHashSig shingle fold). Prefix length n - ceil(n/2) + 1 under the
+    * (df asc, shingle asc) global order; the threshold test is exact
+    * integer arithmetic (J >= 1/2  <=>  3*inter >= n1 + n2). Shared by
+    * q147 (ground truth) and its losslessness spec.
+    */
+  private[ops] def exactTrigramPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val ng = docs.select($"doc_id", expr("shingle_hashes(split(text, ' '), 3)").as("ng"))
+    val e = ng.select($"doc_id", explode($"ng").as("sh"))
+    val dfreq = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val pref = e.join(dfreq, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"),
+        count(lit(1)).as("n"))
+      .select($"doc_id",
+        expr("transform(slice(ord, 1, cast(n - ((n + 1) div 2) + 1 as int))," +
+          " x -> x.sh)").as("prefix"))
+      .select($"doc_id", explode($"prefix").as("sh"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(ng.select($"doc_id".as("doc_a"), $"ng".as("ng_a")), Seq("doc_a"))
+      .join(ng.select($"doc_id".as("doc_b"), $"ng".as("ng_b")), Seq("doc_b"))
+      .withColumn("inter", expr("sorted_overlap(ng_a, ng_b)"))
+      .filter(lit(3L) * $"inter" >=
+        size($"ng_a").cast(LongType) + size($"ng_b").cast(LongType))
+      .select($"doc_a", $"doc_b")
+  }
+
+  // q147: LSH dedup quality evaluation — the dedup sibling of q146's ANN
+  // recall: how many TRUE near-duplicate pairs (exact trigram Jaccard
+  // >= 0.5, the similarity q21's signatures estimate) does the
+  // production MinHash pipeline (16x4 banding + est >= 0.5) actually
+  // catch, and how many of its reported pairs are true? Ground truth
+  // comes from the exact prefix-filter join (zero false negatives by
+  // the AllPairs rule, pinned lossless in spec) — never all-pairs; the
+  // LSH side is bandPairs verbatim. Expected shape: banding at J ~ 0.5
+  // catches ~1-(1-J^4)^16 of boundary pairs and nearly all high-J
+  // mutated dups — the measured recall/precision IS the operator's
+  // value, and both engines compute it bit-identically. At 100 TB the
+  // evaluation runs on a sampled subcorpus exactly like this (the w=3
+  // shingle space is the corpus-growth bound — q128's w-choice note).
+  private def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = mutatedDocs(s, dir)
+    val truth = exactTrigramPairs(s, docs)
+    val lsh = bandPairs(docs, s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select($"doc_a", $"doc_b")
+    val hit = truth.join(lsh, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit"))) // 1-row frames
+      .select($"n_true", $"n_lsh", $"n_hit",
+        Num.roundAt($"n_hit".cast(DoubleType) / $"n_true", 6).as("recall"),
+        Num.roundAt($"n_hit".cast(DoubleType) / $"n_lsh", 6).as("precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_dedup_recall" -> (dedupRecall _),
     "q118_substring_dedup" -> (substringDedup _),
     "q128_simjoin_prefix" -> (simjoinPrefix _),
     "q20_dedup_exact"    -> (dedupExact _),
@@ -938,6 +1002,39 @@ object Dedup {
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
         |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM dup GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q147_dedup_recall" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |e AS (SELECT doc_id, unnest(hashes) AS sh FROM h),
+        |dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY 1),
+        |pref AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT e.doc_id, e.sh,
+        |           row_number() OVER (PARTITION BY e.doc_id
+        |             ORDER BY dfq.df, e.sh) AS rn,
+        |           count(*) OVER (PARTITION BY e.doc_id) AS n
+        |    FROM e JOIN dfq USING (sh))
+        |  WHERE rn <= n - ((n + 1) // 2) + 1),
+        |candx AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |truth AS (
+        |  SELECT c.doc_a, c.doc_b FROM candx c
+        |  JOIN h ha ON ha.doc_id = c.doc_a
+        |  JOIN h hb ON hb.doc_id = c.doc_b
+        |  WHERE 3 * len(list_intersect(ha.hashes, hb.hashes))
+        |          >= len(ha.hashes) + len(hb.hashes)),
+        |lsh AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |hit AS (
+        |  SELECT t.doc_a, t.doc_b FROM truth t
+        |  JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
+        |SELECT n_true, n_lsh, n_hit,
+        |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+        |       round(CAST(n_hit AS DOUBLE) / n_lsh, 6) AS precision
+        |FROM nt CROSS JOIN nl CROSS JOIN nh""".stripMargin,
     "q21_dedup_minhash" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")}

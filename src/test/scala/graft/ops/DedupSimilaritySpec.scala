@@ -195,6 +195,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(short.getSeq[Long](0).length == 1)
   }
 
+  test("q147: the tau=0.5 prefix-filter ground truth is lossless vs brute-force all-pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+    val corpus = docs.unionAll(
+      docs.filter($"doc_id" % 5 === 0).select(($"doc_id" + 10000).as("doc_id"),
+        $"lang", expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val got = Dedup.exactTrigramPairs(spark, corpus)
+      .as[(Long, Long)].collect().toSet
+    // brute force: every pair, exact trigram Jaccard >= 1/2 in integers
+    val sets = corpus
+      .select($"doc_id", expr("shingle_hashes(split(text, ' '), 3)").as("ng"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.toSet.intersect(sb.toSet).size
+      if 3L * inter >= sa.size + sb.size
+    } yield (a, b)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+  }
+
   test("q146: IVF recall is exactly 1.0 at nprobe=8 (all cells == brute force) and nprobe-monotone") {
     import spark.implicits._
     // searching every cell makes the IVF candidate set the whole corpus;
