@@ -108,6 +108,33 @@ object WalmartPipeline {
     clean
   }
 
+  /** Pipeline observability via `Dataset.observe` (CollectMetrics): the
+    * input-health and transform-yield counters a production run reports —
+    * rows in, per-column null counts, rows kept, unparsed dates — are
+    * computed INSIDE the pipeline's own jobs, not by separate
+    * monitoring scans. At 100 TB a `count()`-based metrics pass rereads
+    * the corpus once per counter; `observe` piggybacks on the pass the
+    * pipeline already makes (the input observation is satisfied by the
+    * impute-means job, which scans every row anyway; the output
+    * observation by the first downstream action). The transform is the
+    * SAME `transform` the parity suite pins — observation adds a
+    * metrics node, never a semantic fork.
+    */
+  def transformObserved(df: DataFrame):
+      (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = org.apache.spark.sql.Observation("transform_in")
+    val outObs = org.apache.spark.sql.Observation("transform_out")
+    val observedIn = df.observe(inObs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("Weekly_Sales").isNull, 1L).otherwise(0L)).as("n_null_sales"),
+      sum(when(col("CPI").isNull, 1L).otherwise(0L)).as("n_null_cpi"),
+      sum(when(col("Unemployment").isNull, 1L).otherwise(0L)).as("n_null_unemp"))
+    val out = transform(observedIn).observe(outObs,
+      count(lit(1)).as("n_kept"),
+      sum(when(col("Month").isNull, 1L).otherwise(0L)).as("n_null_month"))
+    (out, inObs, outObs)
+  }
+
   /** O11-O13: group-by-month mean, rename, round 2dp.
     * pandas `groupby` drops NaN keys (wallmart_pipeline.py:117) — Spark
     * keeps a NULL group, so the parity filter is explicit. `bround` is

@@ -118,4 +118,35 @@ class WalmartPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the malformed date coerces to null Month rather than raising (ANSI-safe)
     assert(out.filter(col("Month").isNull).count() == 1)
   }
+
+  test("transformObserved reports input health and yield without extra scans") {
+    val schema = StructType(Seq(
+      StructField("Store_ID", LongType),
+      StructField("Weekly_Sales", DoubleType),
+      StructField("IsHoliday", BooleanType),
+      StructField("CPI", DoubleType),
+      StructField("Unemployment", DoubleType),
+      StructField("Date", StringType)))
+    val rows = Seq(
+      Row(1L, 15000.0, false, 200.5, 6.5, "2024-01-15T00:00:00.000"),
+      Row(2L, null, true, null, 7.1, "2024-02-20T00:00:00.000"),
+      Row(3L, 8000.0, false, 190.3, null, "not a date"))
+    val data = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val (out, inObs, outObs) = WalmartPipeline.transformObserved(data)
+    val kept = out.count()
+    // input observation is satisfied by the impute-means job the
+    // transform already runs; output observation by the count above
+    val in = inObs.get
+    val o = outObs.get
+    assert(in("n_rows") == 3L && in("n_null_sales") == 1L &&
+      in("n_null_cpi") == 1L && in("n_null_unemp") == 1L, s"in=$in")
+    // row 3's sales (8000) < 10000 drops; rows 1-2 survive (2 filled to mean)
+    assert(kept == 2L && o("n_kept") == 2L, s"out=$o kept=$kept")
+    // row 3 would have null Month (bad date) but is filtered before; the
+    // surviving rows parse clean
+    assert(o("n_null_month") == 0L, s"out=$o")
+    // observed semantics identical to the un-observed transform
+    val plain = WalmartPipeline.transform(data)
+    assert(plain.collect().toSet == out.collect().toSet)
+  }
 }

@@ -166,4 +166,40 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect()
     assert(out.toSeq == expect.toSeq)
   }
+
+  test("dynamic partition overwrite rewrites only the patched day; other partitions' files untouched") {
+    import spark.implicits._
+    val path = Layout.writeDayPartitionedEvents(spark, dir)
+    def fileState(p: String): Map[String, Long] = {
+      val root = new java.io.File(p)
+      root.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = fileState(path)
+    val days = spark.read.parquet(path).select($"event_day").distinct()
+      .as[java.sql.Date].collect().sorted
+    assert(days.length > 1, "fixture must span multiple days")
+    val target = days.head
+    // patch: one synthetic row for the target day only
+    val patch = Seq((999999L, java.sql.Timestamp.valueOf(s"${target} 12:00:00"),
+      42L, "patched", 1.0, "{}", target))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "event_day")
+    Layout.overwriteDayPartition(spark, path, patch)
+    val after = fileState(path)
+    val dirOf = (k: String) => k.split("/")(0)
+    val targetDir = s"event_day=$target"
+    // untouched partitions: identical file names AND modification times
+    assert(before.filter(kv => dirOf(kv._1) != targetDir) ==
+      after.filter(kv => dirOf(kv._1) != targetDir),
+      "dynamic overwrite must not rewrite unpatched partitions")
+    // target partition fully replaced by the patch
+    val targetRows = spark.read.parquet(path)
+      .filter($"event_day" === lit(target)).collect()
+    assert(targetRows.length == 1 && targetRows.head.getAs[String]("event_type") == "patched")
+    // static overwrite (the default) would have truncated everything: prove
+    // the other days' data is still there
+    assert(spark.read.parquet(path).count() > 1)
+  }
 }
