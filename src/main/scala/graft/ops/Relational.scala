@@ -2020,7 +2020,58 @@ object Relational {
       .orderBy($"bin")
   }
 
+  // q148: multi-touch attribution — the position-aware credit models
+  // beside q85's last-touch: each non-purchase touch is assigned to the
+  // user's NEXT purchase within a 7-day lookback (one ignore-nulls
+  // window over the user timeline — the touch→conversion assignment is
+  // a single pass, no journey self-join), then positions within each
+  // conversion's journey drive LINEAR (1/n each) and U-SHAPED credit
+  // (40/40 first+last, 20% spread over the middle; 100% / 50-50 for 1-
+  // and 2-touch journeys). Every window partitions by user or by
+  // (user, conversion) — key-parallel, state bounded by journey length.
+  // Conversions with no preceding touch carry no credit by definition
+  // (identically in both engines). The conversion id is the purchase's
+  // globally-unique event_id, so n_conversions is a plain distinct
+  // count; value sums are doubles rounded at 2dp (q85's contract).
+  private def multiTouch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"),
+        $"event_type", $"value")
+    val wNext = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    def nextConv(c: org.apache.spark.sql.Column) =
+      first(when($"event_type" === "purchase", c), ignoreNulls = true).over(wNext)
+    val touches = ev
+      .withColumn("ct", nextConv($"t"))
+      .withColumn("cid", nextConv($"event_id"))
+      .withColumn("cval", nextConv($"value"))
+      .filter($"event_type" =!= "purchase" && $"cid".isNotNull &&
+        $"ct" - $"t" <= lit(7L * 86400L * 1000000L))
+      .select($"user_id", $"event_type".as("channel"), $"t", $"event_id",
+        $"cid", $"cval")
+    val wPos = Window.partitionBy($"user_id", $"cid").orderBy($"t", $"event_id")
+    val wCnt = Window.partitionBy($"user_id", $"cid")
+    touches
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .withColumn("w_lin", lit(1.0) / $"n")
+      .withColumn("w_u",
+        when($"n" === 1, 1.0)
+          .when($"n" === 2, 0.5)
+          .when($"pos" === 1 || $"pos" === $"n", 0.4)
+          .otherwise(lit(0.2) / ($"n" - 2)))
+      .groupBy($"channel")
+      .agg(count_distinct($"cid").as("n_conversions"),
+        Num.roundAt(sum($"w_lin" * $"cval"), 2).as("linear_value"),
+        Num.roundAt(sum($"w_u" * $"cval"), 2).as("u_value"),
+        Num.roundAt(sum(when($"pos" === $"n", $"cval").otherwise(0.0)), 2)
+          .as("last_touch_value"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_multitouch"     -> (multiTouch _),
     "q142_skyline"        -> (skyline _),
     "q143_ab_test"        -> (abTest _),
     "q144_gaps_islands"   -> (gapsIslands _),
@@ -2092,6 +2143,46 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_multitouch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value
+        |  FROM events),
+        |tch AS (
+        |  SELECT user_id, event_type AS channel, t, event_id,
+        |         first_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
+        |           OVER w AS ct,
+        |         first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |           OVER w AS cid,
+        |         first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |           OVER w AS cval
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |j AS (
+        |  SELECT * FROM tch
+        |  WHERE channel <> 'purchase' AND cid IS NOT NULL
+        |    AND ct - t <= CAST(7 AS BIGINT) * 86400 * 1000000),
+        |pos AS (
+        |  SELECT user_id, channel, cid, cval,
+        |         row_number() OVER (PARTITION BY user_id, cid
+        |           ORDER BY t, event_id) AS pos,
+        |         count(*) OVER (PARTITION BY user_id, cid) AS n
+        |  FROM j),
+        |cr AS (
+        |  SELECT channel, cid, cval, pos, n,
+        |         1.0 / n AS w_lin,
+        |         CASE WHEN n = 1 THEN 1.0
+        |              WHEN n = 2 THEN 0.5
+        |              WHEN pos = 1 OR pos = n THEN 0.4
+        |              ELSE 0.2 / (n - 2) END AS w_u
+        |  FROM pos)
+        |SELECT channel,
+        |       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |       round(sum(w_lin * cval), 2) AS linear_value,
+        |       round(sum(w_u * cval), 2) AS u_value,
+        |       round(sum(CASE WHEN pos = n THEN cval ELSE 0.0 END), 2)
+        |         AS last_touch_value
+        |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
     // single global running-max window (the single-partition shape the
     // Spark side's bucket prune exists to avoid); a hash match proves
     // the distributed prune loses no frontier point
