@@ -2070,7 +2070,81 @@ object Relational {
       .orderBy("channel")
   }
 
+  // q149: seasonal-naive forecast + holdout evaluation — the baseline
+  // every forecasting deployment must beat, and the backtest harness
+  // that scores it: train on the first year of daily revenue, predict
+  // each holdout day as the train mean for that day-of-week x month
+  // cell (the seasonal-naive profile), score MAE / bias / naive-ratio
+  // per month. Scale shape: the corpus reduces to a daily frame with
+  // one partial-aggregated groupBy (days are bounded by the calendar,
+  // not the data); the 84-cell seasonal profile is a broadcast
+  // cut-frame join (q137's shape); every error statistic is a
+  // fixed-order double over exact DECIMAL daily sums, so both engines
+  // score identically. The train/holdout cut reuses q145's integer
+  // midpoint rule.
+  private def seasonalForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast(DateType).as("d"))
+      .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("rev"))
+    val cut = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").as("d_cut"))
+    val staged = daily.crossJoin(broadcast(cut))
+      .withColumn("m", month($"d")).withColumn("dw", dayofweek($"d"))
+    val profile = staged.filter($"d" < $"d_cut")
+      .groupBy($"m", $"dw")
+      .agg((sum($"rev").cast(DoubleType) / count(lit(1))).as("fc"))
+    val trainMean = staged.filter($"d" < $"d_cut")
+      .agg((sum($"rev").cast(DoubleType) / count(lit(1))).as("naive_fc"))
+    staged.filter($"d" >= $"d_cut")
+      .join(broadcast(profile), Seq("m", "dw"), "inner")
+      .crossJoin(broadcast(trainMean)) // 1-row aggregate frame
+      .withColumn("err", $"rev".cast(DoubleType) - $"fc")
+      .withColumn("nerr", $"rev".cast(DoubleType) - $"naive_fc")
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_days"),
+        Num.roundAt(avg(abs($"err")), 4).as("mae"),
+        Num.roundAt(avg($"err"), 4).as("bias"),
+        Num.roundAt(avg(abs($"err")) / avg(abs($"nerr")), 6).as("mase_vs_naive"))
+      .orderBy($"m")
+  }
+
+  // q150: frequent session paths — sequence mining one rung above q94's
+  // single-step transition matrix: sessionize each user timeline (30-min
+  // gap, the q37 rule, via a per-user lag + running sum of new-session
+  // flags), form every consecutive event-type TRIGRAM inside a session
+  // with two leads, and report the top-20 paths by support. All windows
+  // partition by user (or user+session) — key-parallel, state is one
+  // row of lookahead; the path census is bounded by |event_types|^3,
+  // dictionary-sized however large the corpus; the top-20 plans as
+  // TakeOrderedAndProject over that census (never a global rank
+  // window). The driver compare sorts rows, so the checked contract is
+  // the exact top-20 SET under the (n desc, path asc) total order.
+  private def sequencePaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val wU = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id", $"event_type")
+      .withColumn("prev_t", lag($"t", 1).over(wU))
+      .withColumn("new_s",
+        when($"prev_t".isNull || $"t" - $"prev_t" >= gapUs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum($"new_s").over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+    val wS = Window.partitionBy($"user_id", $"sess").orderBy($"t", $"event_id")
+    ev
+      .withColumn("e2", lead($"event_type", 1).over(wS))
+      .withColumn("e3", lead($"event_type", 2).over(wS))
+      .filter($"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"), $"user_id")
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path".asc).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_sequence_paths" -> (sequencePaths _),
+    "q149_seasonal_forecast" -> (seasonalForecast _),
     "q148_multitouch"     -> (multiTouch _),
     "q142_skyline"        -> (skyline _),
     "q143_ab_test"        -> (abTest _),
@@ -2143,6 +2217,64 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q150_sequence_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev_t
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, t, event_id, event_type,
+        |         sum(CASE WHEN prev_t IS NULL
+        |                    OR t - prev_t >= CAST(30 AS BIGINT) * 60 * 1000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM ev),
+        |tri AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM sess
+        |  WINDOW w AS (PARTITION BY user_id, sess ORDER BY t, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+    // dw buckets differ numerically (DuckDB 0-6 vs Spark 1-7, both
+    // Sunday-based) but define the same equivalence classes, and dw
+    // never reaches the output
+    "q149_seasonal_forecast" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |cut AS (
+        |  SELECT min(d) + CAST(datediff('day', min(d), max(d)) // 2 AS INTEGER)
+        |           AS d_cut
+        |  FROM daily),
+        |staged AS (
+        |  SELECT d, rev, month(d) AS m, dayofweek(d) AS dw, d_cut
+        |  FROM daily CROSS JOIN cut),
+        |profile AS (
+        |  SELECT m, dw, CAST(sum(rev) AS DOUBLE) / count(*) AS fc
+        |  FROM staged WHERE d < d_cut GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS naive_fc
+        |  FROM staged WHERE d < d_cut),
+        |h AS (
+        |  SELECT s.m, CAST(s.rev AS DOUBLE) - p.fc AS err,
+        |         CAST(s.rev AS DOUBLE) - naive_fc AS nerr
+        |  FROM staged s
+        |  JOIN profile p ON s.m = p.m AND s.dw = p.dw
+        |  CROSS JOIN tm
+        |  WHERE s.d >= s.d_cut)
+        |SELECT CAST(m AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS n_days,
+        |       round(avg(abs(err)), 4) AS mae,
+        |       round(avg(err), 4) AS bias,
+        |       round(avg(abs(err)) / avg(abs(nerr)), 6) AS mase_vs_naive
+        |FROM h GROUP BY 1 ORDER BY m""".stripMargin,
     "q148_multitouch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value
