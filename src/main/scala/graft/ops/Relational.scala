@@ -2142,7 +2142,54 @@ object Relational {
       .orderBy($"n".desc, $"path".asc).limit(20)
   }
 
+  // q151: whole-schema referential-integrity audit — one row per FK
+  // edge (lineitem→orders/part/supplier, orders→customer,
+  // customer/supplier→nation, nation→region) with child cardinality,
+  // orphan count and a pass flag; the cross-table completion of q96's
+  // single-table constraint audit. Each edge is a LEFT ANTI join
+  // aggregated to a count — Catalyst broadcasts the dictionary-sized
+  // parent key sets (nation, region) and shuffle-keys the data-scale
+  // ones, exactly the per-edge plan a 100 TB audit wants; counting
+  // DISTINCT child keys first would add an exchange per edge for
+  // nothing (the orphan count over rows is the actionable number).
+  // Edges run as one union of independent 1-row aggregates, so the
+  // whole audit is a single job with per-edge parallel stages.
+  private def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"))) // 1-row frames
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans",
+          ($"n_orphans" === 0L).as("ok"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    Seq(
+      edge("lineitem.l_orderkey -> orders", li.select($"l_orderkey"), "l_orderkey",
+        o, "o_orderkey"),
+      edge("lineitem.l_partkey -> part", li.select($"l_partkey"), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey -> supplier", li.select($"l_suppkey"), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.o_custkey -> customer", o.select($"o_custkey"), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("customer.c_nationkey -> nation",
+        Tables.customer(s, dir).select($"c_nationkey"), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      edge("supplier.s_nationkey -> nation",
+        Tables.supplier(s, dir).select($"s_nationkey"), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      edge("nation.n_regionkey -> region",
+        Tables.nation(s, dir).select($"n_regionkey"), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey")
+    ).reduce(_ unionAll _).orderBy("fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_fk_orphans"     -> (fkOrphans _),
     "q150_sequence_paths" -> (sequencePaths _),
     "q149_seasonal_forecast" -> (seasonalForecast _),
     "q148_multitouch"     -> (multiTouch _),
@@ -2217,6 +2264,53 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q151_fk_orphans" ->
+      """WITH e AS (
+        |  SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+        |         (SELECT count(*) FROM lineitem) AS n_child,
+        |         (SELECT count(*) FROM lineitem l
+        |            WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey -> part',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem l
+        |            WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                              WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey -> supplier',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem l
+        |            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                              WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders o
+        |            WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                              WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey -> nation',
+        |         (SELECT count(*) FROM customer),
+        |         (SELECT count(*) FROM customer c
+        |            WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                              WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey -> nation',
+        |         (SELECT count(*) FROM supplier),
+        |         (SELECT count(*) FROM supplier s
+        |            WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                              WHERE n.n_nationkey = s.s_nationkey))
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey -> region',
+        |         (SELECT count(*) FROM nation),
+        |         (SELECT count(*) FROM nation n
+        |            WHERE NOT EXISTS (SELECT 1 FROM region r
+        |                              WHERE r.r_regionkey = n.n_regionkey)))
+        |SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+        |       CAST(n_orphans AS BIGINT) AS n_orphans,
+        |       n_orphans = 0 AS ok
+        |FROM e ORDER BY fk_edge""".stripMargin,
     "q150_sequence_paths" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
