@@ -719,6 +719,39 @@ object VersionedTable {
   private[graft] val LogDirName = "_txn_log"
   private val Mapper = new ObjectMapper()
 
+  /** NET-EFFECT composition of two change feeds (the Delta CDF
+    * "net changes" semantic): given the v0→v1 and v1→v2 image feeds,
+    * produce the v0→v2 feed directly — insert∘delete and
+    * update-back-to-original cancel, insert∘update collapses to one
+    * insert with the final image, delete∘insert of an identical row
+    * vanishes. The algebra is one keyed full-outer join (net before =
+    * the OLDER feed's preimage where present, net after = the NEWER
+    * feed's postimage where present) + the same null-safe classifier
+    * snapshots use — so `compose(changes(a,b), changes(b,c)) ==
+    * changes(a,c)` exactly, which TableSpec pins. Consumers replaying a
+    * backlog apply one net row per key instead of every intermediate
+    * event; feed volume stays churn-bounded under composition.
+    */
+  def composeChanges(keyCol: String, older: DataFrame, newer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not, when}
+    val a = older.select(col(keyCol), col("_before").as("_b1"), col("_after").as("_a1"))
+    val b = newer.select(col(keyCol), col("_before").as("_b2"), col("_after").as("_a2"))
+    // a feed row always carries >= 1 non-null image, so "present" is
+    // distinguishable from the full-outer join's all-null absence
+    val in1 = col("_b1").isNotNull || col("_a1").isNotNull
+    val in2 = col("_b2").isNotNull || col("_a2").isNotNull
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("_before", when(in1, col("_b1")).otherwise(col("_b2")))
+      .withColumn("_after", when(in2, col("_a2")).otherwise(col("_a1")))
+      .withColumn("_change_type",
+        when(col("_before").isNull && col("_after").isNull, null)
+          .when(col("_before").isNull, "insert")
+          .when(col("_after").isNull, "delete")
+          .when(not(col("_before") <=> col("_after")), "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(col(keyCol), col("_change_type"), col("_before"), col("_after"))
+  }
+
   /** Auto-checkpoint cadence: replay cost is bounded by this many
     * commit files plus one checkpoint read.
     */

@@ -351,6 +351,29 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"gaps-and-islands window must be keyed per user: $windowParts\n$p")
   }
 
+  test("q148: every attribution window partitions by user (or user+conversion)") {
+    val (df, p) = plan("q148_multitouch")
+    val windowParts = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.mkString(",")
+    }
+    assert(windowParts.nonEmpty && windowParts.forall(_.contains("user_id")),
+      s"multi-touch windows must be user-keyed: $windowParts\n$p")
+  }
+
+  test("q151: dictionary-sized FK parents join as broadcast anti-joins") {
+    val (df, p) = plan("q151_fk_orphans")
+    val anti = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    // all seven edges have parent key sets far under the broadcast
+    // threshold at test scale; at minimum the nation/region dictionaries
+    // must broadcast rather than shuffle
+    assert(anti.size >= 2, s"expected broadcast anti-joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"orphan census must stay keyed:\n$p")
+  }
+
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
     val (_, p) = plan("q102_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -330,6 +330,42 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"null-transition updates missing: ${feed.length} vs $expectedUpdates")
   }
 
+  test("composeChanges: net-effect composition equals the direct two-version diff") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1: insert two keys, update %7 balances, delete %11∧¬%7
+    val v1 = base.filter(!($"c_custkey" % 11 === 0 && $"c_custkey" % 7 =!= 0))
+      .select($"c_custkey", $"c_name",
+        when($"c_custkey" % 7 === 0, $"c_acctbal" + 3.25)
+          .otherwise($"c_acctbal").as("c_acctbal"))
+      .unionAll(Seq((900001L, "t1", 10.0), (900002L, "t2", 20.0))
+        .toDF("c_custkey", "c_name", "c_acctbal"))
+    t.overwrite(v1, readVersion = 0L)
+    // v2 exercises every cancellation class: delete 900001 (insert∘delete
+    // -> nothing), revert the %7 updates (update∘update -> nothing),
+    // re-insert the %11 deletes with their ORIGINAL rows (delete∘insert of
+    // an identical row -> nothing), update 900002 (insert∘update ->
+    // net insert with the final image), and touch a fresh key
+    val v2 = base // all %7 reverts and %11 re-inserts restore v0 exactly
+      .unionAll(Seq((900002L, "t2", 25.0), (900003L, "t3", 30.0))
+        .toDF("c_custkey", "c_name", "c_acctbal"))
+    t.overwrite(v2, readVersion = 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"c_custkey".as[Long], $"_change_type".as[String],
+        $"_before.c_acctbal".as[Option[Double]],
+        $"_after.c_acctbal".as[Option[Double]]).collect().toSet
+    val composed = VersionedTable.composeChanges("c_custkey",
+      t.changesWithImages(spark, "c_custkey", 0L, 1L),
+      t.changesWithImages(spark, "c_custkey", 1L, 2L))
+    val direct = t.changesWithImages(spark, "c_custkey", 0L, 2L)
+    assert(canon(composed) == canon(direct),
+      s"composition law broken: only-composed=${(canon(composed) -- canon(direct)).take(5)} " +
+        s"only-direct=${(canon(direct) -- canon(composed)).take(5)}")
+    // the cancellations actually happened: net feed touches exactly the
+    // two keys that differ between v0 and v2
+    assert(canon(composed).map(_._1) == Set(900002L, 900003L))
+  }
+
   test("changesWithImages: per-class image nullity, and signed deltas roll an MV forward") {
     import spark.implicits._
     val t = freshTable()
