@@ -44,7 +44,12 @@ object Explain {
     "q123_native_topk",   // expect: partial+final TopKPerGroupExec, no Window, no Sort
     "q128_simjoin_prefix",// expect: shingle-keyed candidate equi-join, sorted_overlap verify
     "q129_weighted_sample",// expect: TopKPerGroupExec planned from the row_number idiom
-    "q138_shingle_census" // expect: codegen'd Generate (shingle_windows), partial agg, TakeOrdered
+    "q138_shingle_census", // expect: codegen'd Generate (shingle_windows), partial agg, TakeOrdered
+    "q142_skyline",       // expect: bkt-partitioned local window; global pass only over survivors
+    "q147_dedup_recall",  // expect: prefix-shingle + band equi-joins, no all-pairs anywhere
+    "q148_multitouch",    // expect: user-keyed windows only, one timeline pass
+    "q150_sequence_paths",// expect: user/session windows + TakeOrderedAndProject census
+    "q151_fk_orphans"     // expect: broadcast anti-joins for dictionary parents
   )
 
   def main(args: Array[String]): Unit = {
