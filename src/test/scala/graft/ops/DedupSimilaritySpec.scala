@@ -236,4 +236,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(narrow.keySet == full.map(_._1).toSet)
     assert(narrow.values.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  test("q146 harness drives index quality: k-means-trained codebook beats the naive seeds") {
+    import spark.implicits._
+    // the evaluation operator's whole point: swap the index codebook,
+    // re-measure recall@10 at the SAME nprobe, keep the better index.
+    // Everything is deterministic (fixed seeds, exact fold_dot argmins),
+    // so the measured lift is a stable contract, not a flaky bound —
+    // measured 0.405 -> 0.465 at sf0.001 (and 0.405 -> 0.55 at sf0.01
+    // with 5 iterations).
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg($"recall")).head().getDouble(0)
+    val naive = mean(Similarity.annRecallAt(spark, dir, nprobe = 2))
+    val trained = mean(Similarity.annRecallAt(spark, dir, nprobe = 2,
+      Similarity.trainCodebook(spark, dir, iters = 3)))
+    assert(trained > naive,
+      s"Lloyd-trained codebook must improve recall: trained=$trained naive=$naive")
+  }
 }
