@@ -2188,7 +2188,54 @@ object Relational {
     ).reduce(_ unionAll _).orderBy("fk_edge")
   }
 
+  // q152: price-volume bridge — the FP&A waterfall that decomposes
+  // period-over-period revenue change per brand into PRICE effect
+  // (Δp·q_a), VOLUME effect (Δq·p_a) and the joint/mix term (Δp·Δq),
+  // which sum to Δrev EXACTLY by algebraic identity (the output carries
+  // the reconciliation flag). Periods split at the q145/q149 integer
+  // midpoint of the ship-date range. Scale shape: ONE scan reduces to a
+  // per-(brand, period) aggregate of exact DECIMAL qty/revenue sums
+  // (brand dictionary-sized), the bridge math is arithmetic over a
+  // pivoted ~25-row frame, and every derived number is a fixed-order
+  // double over identical decimal operands. Brands present in only one
+  // period are excluded (no base to bridge against), identically in
+  // both engines via the inner self-join.
+  private def priceVolumeBridge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_shipdate",
+        $"l_quantity".cast(DecimalType(12, 2)).as("qty"),
+        $"l_extendedprice".cast(DecimalType(12, 2)).as("rev"))
+    val cut = li.agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").as("d_cut"))
+    val byPeriod = li.crossJoin(broadcast(cut))
+      .withColumn("period", when($"l_shipdate" < $"d_cut", "a").otherwise("b"))
+      .groupBy($"p_brand", $"period")
+      .agg(sum($"qty").as("q"), sum($"rev").as("r"))
+      .withColumn("p", $"r".cast(DoubleType) / $"q".cast(DoubleType))
+    val a = byPeriod.filter($"period" === "a")
+      .select($"p_brand", $"q".cast(DoubleType).as("q_a"), $"r".cast(DoubleType).as("r_a"), $"p".as("p_a"))
+    val b = byPeriod.filter($"period" === "b")
+      .select($"p_brand", $"q".cast(DoubleType).as("q_b"), $"r".cast(DoubleType).as("r_b"), $"p".as("p_b"))
+    a.join(b, Seq("p_brand"))
+      .withColumn("price_effect", ($"p_b" - $"p_a") * $"q_a")
+      .withColumn("volume_effect", ($"q_b" - $"q_a") * $"p_a")
+      .withColumn("joint_effect", ($"p_b" - $"p_a") * ($"q_b" - $"q_a"))
+      .select($"p_brand",
+        Num.roundAt($"r_a", 2).as("rev_a"),
+        Num.roundAt($"r_b", 2).as("rev_b"),
+        Num.roundAt($"price_effect", 4).as("price_effect"),
+        Num.roundAt($"volume_effect", 4).as("volume_effect"),
+        Num.roundAt($"joint_effect", 4).as("joint_effect"),
+        (abs(($"price_effect" + $"volume_effect" + $"joint_effect") -
+          ($"r_b" - $"r_a")) < 1e-6).as("reconciles"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_price_volume_bridge" -> (priceVolumeBridge _),
     "q151_fk_orphans"     -> (fkOrphans _),
     "q150_sequence_paths" -> (sequencePaths _),
     "q149_seasonal_forecast" -> (seasonalForecast _),
@@ -2264,6 +2311,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q152_price_volume_bridge" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_shipdate,
+        |         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cut AS (
+        |  SELECT CAST(min(l_shipdate) AS DATE)
+        |           + CAST(datediff('day', min(l_shipdate),
+        |               max(l_shipdate)) // 2 AS INTEGER) AS d_cut
+        |  FROM li),
+        |g AS (
+        |  SELECT p_brand,
+        |         CASE WHEN l_shipdate < d_cut THEN 'a' ELSE 'b' END AS period,
+        |         sum(qty) AS q, sum(rev) AS r
+        |  FROM li CROSS JOIN cut GROUP BY 1, 2),
+        |p AS (
+        |  SELECT p_brand, period, q, r,
+        |         CAST(r AS DOUBLE) / CAST(q AS DOUBLE) AS p
+        |  FROM g),
+        |j AS (
+        |  SELECT a.p_brand,
+        |         CAST(a.q AS DOUBLE) AS q_a, CAST(a.r AS DOUBLE) AS r_a, a.p AS p_a,
+        |         CAST(b.q AS DOUBLE) AS q_b, CAST(b.r AS DOUBLE) AS r_b, b.p AS p_b
+        |  FROM (SELECT * FROM p WHERE period = 'a') a
+        |  JOIN (SELECT * FROM p WHERE period = 'b') b USING (p_brand))
+        |SELECT p_brand,
+        |       round(r_a, 2) AS rev_a, round(r_b, 2) AS rev_b,
+        |       round((p_b - p_a) * q_a, 4) AS price_effect,
+        |       round((q_b - q_a) * p_a, 4) AS volume_effect,
+        |       round((p_b - p_a) * (q_b - q_a), 4) AS joint_effect,
+        |       abs(((p_b - p_a) * q_a + (q_b - q_a) * p_a
+        |            + (p_b - p_a) * (q_b - q_a)) - (r_b - r_a)) < 1e-6
+        |         AS reconciles
+        |FROM j ORDER BY p_brand""".stripMargin,
     "q151_fk_orphans" ->
       """WITH e AS (
         |  SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
