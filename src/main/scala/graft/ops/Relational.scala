@@ -2234,7 +2234,47 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  // q153: bidirectional nearest-event alignment — the sensor-fusion
+  // sibling of q46's backward-only as-of join: each purchase is matched
+  // to the NEAREST error event of the same user within ±1 hour, either
+  // direction, min |Δt| with the earlier event winning exact ties. Both
+  // candidates come from ONE pass of user-keyed ignore-nulls windows
+  // (last error strictly before, first error after — the q85/q148
+  // idiom), so there is no events×events join at any scale and state
+  // per task is one row of lookahead each way; Δt arithmetic is exact
+  // integer microseconds.
+  private def nearestEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tolUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"), $"event_type")
+    val before = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    def errCol(c: org.apache.spark.sql.Column) = when($"event_type" === "error", c)
+    val cand = ev
+      .withColumn("pt", last(errCol($"t"), ignoreNulls = true).over(before))
+      .withColumn("pid", last(errCol($"event_id"), ignoreNulls = true).over(before))
+      .withColumn("nt", first(errCol($"t"), ignoreNulls = true).over(after))
+      .withColumn("nid", first(errCol($"event_id"), ignoreNulls = true).over(after))
+      .filter($"event_type" === "purchase")
+      .withColumn("dp", $"t" - $"pt") // >= 0; null if no earlier error
+      .withColumn("dn", $"nt" - $"t") // >= 0; null if no later error
+      .withColumn("use_prev",
+        $"pt".isNotNull && $"dp" <= tolUs &&
+          ($"nt".isNull || $"dn" > tolUs || $"dp" <= $"dn"))
+      .withColumn("use_next",
+        !$"use_prev" && $"nt".isNotNull && $"dn" <= tolUs)
+      .filter($"use_prev" || $"use_next")
+    cand.select($"event_id", $"user_id",
+      when($"use_prev", $"pid").otherwise($"nid").as("matched_error_id"),
+      when($"use_prev", -$"dp").otherwise($"dn").as("delta_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_nearest_event"  -> (nearestEvent _),
     "q152_price_volume_bridge" -> (priceVolumeBridge _),
     "q151_fk_orphans"     -> (fkOrphans _),
     "q150_sequence_paths" -> (sequencePaths _),
@@ -2311,6 +2351,38 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q153_nearest_event" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, t, event_type,
+        |         last_value(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS)
+        |           OVER wb AS pt,
+        |         last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |           OVER wb AS pid,
+        |         first_value(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS)
+        |           OVER wa AS nt,
+        |         first_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |           OVER wa AS nid
+        |  FROM ev
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |m AS (
+        |  SELECT event_id, user_id, t, pt, pid, nt, nid,
+        |         t - pt AS dp, nt - t AS dn,
+        |         (pt IS NOT NULL AND t - pt <= CAST(3600 AS BIGINT) * 1000000
+        |          AND (nt IS NULL OR nt - t > CAST(3600 AS BIGINT) * 1000000
+        |               OR t - pt <= nt - t)) AS use_prev
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |       CASE WHEN use_prev THEN pid ELSE nid END AS matched_error_id,
+        |       CASE WHEN use_prev THEN -dp ELSE dn END AS delta_us
+        |FROM m
+        |WHERE use_prev
+        |   OR (nt IS NOT NULL AND dn <= CAST(3600 AS BIGINT) * 1000000)
+        |ORDER BY event_id""".stripMargin,
     "q152_price_volume_bridge" ->
       """WITH li AS (
         |  SELECT p_brand, l_shipdate,
