@@ -2273,7 +2273,34 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // q154: day-N retention (D1/D7/D14) — the growth metric beside q60's
+  // monthly cohort matrix: of all users, what fraction is active again
+  // exactly N days after their first-seen day. One distinct-day frame,
+  // one per-user min (first day), one keyed join back, and per-user
+  // boolean flags folded to a single census row — three keyed
+  // exchanges total, output O(1) at any corpus size. Exact integer day
+  // arithmetic; rates are double ratios of exact counts.
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val first = days.groupBy($"user_id").agg(min($"d").as("f"))
+    val flags = days.join(first, Seq("user_id"))
+      .withColumn("delta", datediff($"d", $"f"))
+      .groupBy($"user_id")
+      .agg(max(when($"delta" === 1, 1L).otherwise(0L)).as("r1"),
+        max(when($"delta" === 7, 1L).otherwise(0L)).as("r7"),
+        max(when($"delta" === 14, 1L).otherwise(0L)).as("r14"))
+    flags.agg(count(lit(1)).as("n_users"),
+      sum($"r1").as("n_d1"), sum($"r7").as("n_d7"), sum($"r14").as("n_d14"))
+      .select($"n_users", $"n_d1", $"n_d7", $"n_d14",
+        Num.roundAt($"n_d1".cast(DoubleType) / $"n_users", 6).as("d1_rate"),
+        Num.roundAt($"n_d7".cast(DoubleType) / $"n_users", 6).as("d7_rate"),
+        Num.roundAt($"n_d14".cast(DoubleType) / $"n_users", 6).as("d14_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_retention"      -> (retention _),
     "q153_nearest_event"  -> (nearestEvent _),
     "q152_price_volume_bridge" -> (priceVolumeBridge _),
     "q151_fk_orphans"     -> (fkOrphans _),
@@ -2351,6 +2378,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q154_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS f FROM days GROUP BY 1),
+        |fl AS (
+        |  SELECT days.user_id,
+        |         max(CASE WHEN datediff('day', f, d) = 1 THEN 1 ELSE 0 END) AS r1,
+        |         max(CASE WHEN datediff('day', f, d) = 7 THEN 1 ELSE 0 END) AS r7,
+        |         max(CASE WHEN datediff('day', f, d) = 14 THEN 1 ELSE 0 END) AS r14
+        |  FROM days JOIN f ON days.user_id = f.user_id
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(r1) AS BIGINT) AS n_d1,
+        |       CAST(sum(r7) AS BIGINT) AS n_d7,
+        |       CAST(sum(r14) AS BIGINT) AS n_d14,
+        |       round(CAST(sum(r1) AS DOUBLE) / count(*), 6) AS d1_rate,
+        |       round(CAST(sum(r7) AS DOUBLE) / count(*), 6) AS d7_rate,
+        |       round(CAST(sum(r14) AS DOUBLE) / count(*), 6) AS d14_rate
+        |FROM fl""".stripMargin,
     "q153_nearest_event" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
