@@ -2299,7 +2299,46 @@ object Relational {
         Num.roundAt($"n_d14".cast(DoubleType) / $"n_users", 6).as("d14_rate"))
   }
 
+  // q155: spend-concentration Lorenz deciles — the entity-quantile
+  // version of q135's Pareto shares (there the cumulated unit is the
+  // 25-nation dictionary; here it is BILLIONS of customers at the
+  // design point, so the curve is built from decile bins, not a global
+  // per-customer rank): per-customer spend in one partial-aggregated
+  // pass, 9 exact percentile cuts broadcast back (the q137 cut-frame
+  // shape — never a global ntile), exact DECIMAL spend per bin, and
+  // share/cumulative-share windows over the bounded 10-row frame. The
+  // top-decile share and the cumulative curve are the published
+  // concentration metrics; every ratio is a double over identical
+  // decimal sums.
+  private def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("spend"))
+      .withColumn("sd", $"spend".cast(DoubleType))
+    val cuts = spend.agg(
+      expr("percentile(sd, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+    val binned = spend.crossJoin(broadcast(cuts))
+      .withColumn("bin", (lit(1) +
+        (1 to 9).map(i => when($"sd" > element_at($"qs", i), 1).otherwise(0))
+          .reduce(_ + _)).cast(IntegerType))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_customers"), sum($"spend").as("bin_spend"))
+    val tot = binned.agg(sum($"bin_spend").as("total"))
+    val wCum = Window.orderBy($"bin") // 10-row frame
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("share", $"bin_spend".cast(DoubleType) / $"total".cast(DoubleType))
+      .withColumn("cum_share", sum($"share").over(wCum))
+      .select($"bin", $"n_customers",
+        $"bin_spend".cast(StringType).as("bin_spend"),
+        Num.roundAt($"share", 6).as("share"),
+        Num.roundAt($"cum_share", 6).as("cum_share"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_lorenz_deciles" -> (lorenzDeciles _),
     "q154_retention"      -> (retention _),
     "q153_nearest_event"  -> (nearestEvent _),
     "q152_price_volume_bridge" -> (priceVolumeBridge _),
@@ -2378,6 +2417,40 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_lorenz_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sd
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT quantile_cont(sd, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM spend),
+        |b AS (
+        |  SELECT CAST(1 + CASE WHEN sd > qs[1] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[2] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[3] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[4] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[5] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[6] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[7] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[8] THEN 1 ELSE 0 END
+        |                + CASE WHEN sd > qs[9] THEN 1 ELSE 0 END AS INTEGER) AS bin,
+        |         spend
+        |  FROM spend CROSS JOIN c),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_customers,
+        |         sum(spend) AS bin_spend
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(bin_spend) AS total FROM g),
+        |sh AS (
+        |  SELECT bin, n_customers, bin_spend,
+        |         CAST(bin_spend AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |  FROM g CROSS JOIN t)
+        |SELECT bin, n_customers, CAST(bin_spend AS VARCHAR) AS bin_spend,
+        |       round(share, 6) AS share,
+        |       round(sum(share) OVER (ORDER BY bin
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+        |FROM sh ORDER BY bin""".stripMargin,
     "q154_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
