@@ -181,21 +181,17 @@ object Layout {
     * every other partition's files untouched. Static overwrite (the
     * default) would truncate the whole table first — at 100 TB the
     * difference between rewriting one day and rewriting three years.
-    * Session-conf scoped here (`partitionOverwriteMode=dynamic` is also
-    * settable per-write via option); LayoutSpec pins both halves of the
-    * contract: untouched partitions byte-identical (same files, same
-    * modification times), targeted partition fully replaced.
+    * Scoped PER WRITE via the DataFrameWriter option — no session-conf
+    * mutation, so concurrent writers on one session can't race on a
+    * set/restore window. LayoutSpec pins both halves of the contract:
+    * untouched partitions byte-identical (same files, same modification
+    * times), targeted partition fully replaced.
     */
   def overwriteDayPartition(s: SparkSession, tablePath: String,
-                            patch: DataFrame): Unit = {
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try patch.write.mode("overwrite").partitionBy("event_day").parquet(tablePath)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+                            patch: DataFrame): Unit =
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_day").parquet(tablePath)
 
   /** Day-partitioned events ingest for the dynamic-overwrite spec. */
   def writeDayPartitionedEvents(s: SparkSession, dir: String): String = {

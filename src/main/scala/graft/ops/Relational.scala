@@ -1243,34 +1243,50 @@ object Relational {
   // is schema depth, not a data-length chain (a 1000-day streak walk
   // would mean 1000 sequential jobs; gaps-and-islands (q37) is the
   // right tool for that shape). Each step is one equi-join of the
-  // frontier against the edge list on the parent key; frontier rows at
-  // the leaf level are the orders themselves, shuffled once.
+  // frontier against the edge list on the parent key. The final census
+  // only needs COUNTS per (root, depth), so the aggregate is pushed
+  // THROUGH the recursion (the classic aggregate-pushdown-into-
+  // recursion rewrite): the leaf level pre-aggregates orders to one
+  // weighted edge per customer and the walk carries a multiplicative
+  // weight — the deepest superstep joins a customer-sized frontier
+  // against a customer-sized edge list instead of materializing one
+  // row (and one built string id) per order.
   private def hierarchyWalk(s: SparkSession, dir: String): DataFrame = {
-    Tables.region(s, dir).createOrReplaceTempView("graft_q99_region")
-    Tables.nation(s, dir).createOrReplaceTempView("graft_q99_nation")
-    Tables.customer(s, dir).createOrReplaceTempView("graft_q99_customer")
-    Tables.orders(s, dir).createOrReplaceTempView("graft_q99_orders")
+    import s.implicits._
+    // Node ids are BIGINTs (level * 10^12 + key — collision-free past
+    // sf100's 1.5·10^9 order keys) instead of built strings: the
+    // frontier joins hash fixed-width longs, and the root label is
+    // reconstructed only on the 20-row census. The edge list is
+    // materialized ONCE and persisted — a recursive CTE re-evaluates
+    // its non-recursive terms every superstep, which would re-run the
+    // orders pre-aggregation four times.
+    val edges = Tables.region(s, dir)
+      .select($"r_regionkey".cast(LongType).as("child"),
+        lit(null).cast(LongType).as("parent"), lit(1L).as("ew"))
+      .unionAll(Tables.nation(s, dir)
+        .select(($"n_nationkey" + 1000000000000L).cast(LongType),
+          $"n_regionkey".cast(LongType), lit(1L)))
+      .unionAll(Tables.customer(s, dir)
+        .select(($"c_custkey" + 2000000000000L).cast(LongType),
+          ($"c_nationkey" + 1000000000000L).cast(LongType), lit(1L)))
+      .unionAll(Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .select(($"o_custkey" + 3000000000000L).cast(LongType),
+          ($"o_custkey" + 2000000000000L).cast(LongType), $"n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize before the supersteps re-read it
+    edges.createOrReplaceTempView("graft_q99_edges")
     s.sql(
-      """WITH RECURSIVE edges AS (
-        |  SELECT 'R' || CAST(r_regionkey AS STRING) AS child,
-        |         CAST(NULL AS STRING) AS parent
-        |  FROM graft_q99_region
+      """WITH RECURSIVE walk(node, root, depth, w) AS (
+        |  SELECT child, child, 0, ew FROM graft_q99_edges
+        |  WHERE parent IS NULL
         |  UNION ALL
-        |  SELECT 'N' || CAST(n_nationkey AS STRING),
-        |         'R' || CAST(n_regionkey AS STRING) FROM graft_q99_nation
-        |  UNION ALL
-        |  SELECT 'C' || CAST(c_custkey AS STRING),
-        |         'N' || CAST(c_nationkey AS STRING) FROM graft_q99_customer
-        |  UNION ALL
-        |  SELECT 'O' || CAST(o_orderkey AS STRING),
-        |         'C' || CAST(o_custkey AS STRING) FROM graft_q99_orders),
-        |walk(node, root, depth) AS (
-        |  SELECT child, child, 0 FROM edges WHERE parent IS NULL
-        |  UNION ALL
-        |  SELECT e.child, w.root, w.depth + 1
-        |  FROM walk w JOIN edges e ON e.parent = w.node)
-        |SELECT root, CAST(depth AS INTEGER) AS depth,
-        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |  SELECT e.child, wk.root, wk.depth + 1, wk.w * e.ew
+        |  FROM walk wk JOIN graft_q99_edges e ON e.parent = wk.node)
+        |SELECT 'R' || CAST(root AS STRING) AS root,
+        |       CAST(depth AS INTEGER) AS depth,
+        |       CAST(sum(w) AS BIGINT) AS n_nodes
         |FROM walk GROUP BY 1, 2 ORDER BY root, depth""".stripMargin)
   }
 
@@ -1482,14 +1498,20 @@ object Relational {
   // engines orient identically and the count is exact-deterministic.
   // Pair generation within an order is bounded by order size (Σ k² per
   // order, k ~ single digits), the same per-container bound as q26's
-  // shingle blocks. oe is persisted: it feeds both sides of the wedge
-  // join and the closing probe (three consumers, one materialization).
+  // shingle blocks. One distinct suffices: e's pair-level distinct is
+  // the cross-order dedup, and it subsumes a per-(order, part) dedup of
+  // the input (duplicate lines only inflate the bounded per-order pair
+  // gen, never the result) — so li is NOT pre-distinct'd, saving a full
+  // shuffle of the largest frame. e and deg are persisted (deg feeds
+  // both orientation attaches plus the wedge census; e feeds deg and
+  // oe); the degree attach BROADCASTS deg — a vertex-cardinality frame
+  // of two longs per row (≤ |part|, megabytes at sf100), so orientation
+  // is map-side over cached e instead of two shuffle joins.
   private def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .filter($"l_quantity" >= 25)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .distinct()
     val e = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
       .filter($"u" < $"v")
       .select($"u", $"v")
@@ -1497,10 +1519,11 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
       .groupBy($"x").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fwd = struct($"du", $"u") < struct($"dv", $"v")
     val oe = e
-      .join(deg.toDF("u", "du"), Seq("u"))
-      .join(deg.toDF("v", "dv"), Seq("v"))
+      .join(broadcast(deg.toDF("u", "du")), Seq("u"))
+      .join(broadcast(deg.toDF("v", "dv")), Seq("v"))
       .select(
         when(fwd, $"u").otherwise($"v").as("s"),
         when(fwd, $"v").otherwise($"u").as("t"),
@@ -1752,16 +1775,24 @@ object Relational {
   // (lift desc, u, v) is total.
   private def marketBasket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persisted: li feeds the order census, the item counts and BOTH
-    // sides of the pair join — four consumers, one scan+distinct
-    // (the q119 materialization pattern)
-    val li = Tables.lineitem(s, dir)
+    // ONE shuffle builds the per-order basket (collect_set dedups
+    // (o, p) in the same pass a distinct would, and order sizes are
+    // single digits so the array state is bounded); everything else
+    // derives from the persisted basket frame map-side: the order
+    // census is its count, item counts explode it, and pair generation
+    // is a double explode with u < v — the Σ k² per-order bound WITHOUT
+    // the self-join's second shuffle of the full item frame. itemN is
+    // dictionary-sized (≤ |part|), so both scoring attaches broadcast.
+    val baskets = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .distinct()
+      .groupBy($"o").agg(collect_set($"p").as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = li.select($"o").distinct().agg(count(lit(1)).as("n_orders"))
-    val itemN = li.groupBy($"p").agg(count(lit(1)).as("c_item"))
-    val pairs = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemN = baskets.select(explode($"items").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("c_item"))
+    val pairs = baskets
+      .select(explode($"items").as("u"), $"items")
+      .select($"u", explode($"items").as("v"))
       .filter($"u" < $"v")
       .groupBy($"u", $"v").agg(count(lit(1)).as("c_pair"))
       // min support 2: the synthetic baskets draw from a part space that
@@ -1770,8 +1801,8 @@ object Relational {
       // few thousand rows before the global ranking window
       .filter($"c_pair" >= 2)
     val scored = pairs
-      .join(itemN.toDF("u", "c_u"), Seq("u"))
-      .join(itemN.toDF("v", "c_v"), Seq("v"))
+      .join(broadcast(itemN.toDF("u", "c_u")), Seq("u"))
+      .join(broadcast(itemN.toDF("v", "c_v")), Seq("v"))
       .crossJoin(broadcast(nOrders)) // 1-row aggregate frame
       .withColumn("lift",
         ($"n_orders" * $"c_pair").cast(DoubleType) /
@@ -1785,7 +1816,7 @@ object Relational {
       .orderBy($"lift".desc, $"u".asc, $"v".asc).limit(20)
       .select($"u", $"v", $"c_pair", $"c_u", $"c_v", $"n_orders", $"lift")
       .collect()
-    li.unpersist(false) // the eager top-20 was the last consumer
+    baskets.unpersist(false) // the eager top-20 was the last consumer
     s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
       (i + 1, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getDouble(6))

@@ -154,7 +154,10 @@ object Similarity {
             lit(cn * cn)).as("d2"),
           lit(cid).as("cid"))
       }: _*))
-      val dims = 1 to 64
+      // width derived from the seed centroids (they carry the embedding
+      // schema's true dimension) — a hardcoded width would silently
+      // truncate centroids if the embedding table ever changed shape
+      val dims = 1 to cents.head._2.length
       val updated = all.withColumn("cid", best("cid"))
         .groupBy($"cid")
         .agg(avg(element_at($"v", 1)).as("d1"),
@@ -171,7 +174,7 @@ object Similarity {
 
   private[ops] def ivfRanked(s: SparkSession, dir: String, kTop: Int,
                              nprobe: Int = 2,
-                             codebook: Seq[(Long, Seq[Double], Double)] = null): DataFrame = {
+                             codebook: Option[Seq[(Long, Seq[Double], Double)]] = None): DataFrame = {
     import s.implicits._
     val all = base(s, dir)
     // Collect the codebook to the driver — k·dim doubles, the canonical
@@ -187,7 +190,7 @@ object Similarity {
     // repartition+norms pass over the corpus to keep 8 rows (the
     // expressions are identical, so the doubles are too).
     val centRows =
-      if (codebook != null) codebook else naiveCodebook(s, dir)
+      codebook.getOrElse(naiveCodebook(s, dir))
     // struct(ccos, -cent_id): ascending struct sort, reversed, ranks by
     // (ccos DESC, cent_id ASC) — the window's orderBy, without the window.
     val scoredCells = array(centRows.map { case (cid, cv, cn) =>
@@ -230,7 +233,7 @@ object Similarity {
     annRecallAt(s, dir, nprobe = 2)
 
   private[ops] def annRecallAt(s: SparkSession, dir: String, nprobe: Int,
-                               codebook: Seq[(Long, Seq[Double], Double)] = null): DataFrame = {
+                               codebook: Option[Seq[(Long, Seq[Double], Double)]] = None): DataFrame = {
     import s.implicits._
     val all = base(s, dir)
     val probes = all.filter($"vec_id" >= 20 && $"vec_id" < 40)

@@ -55,7 +55,7 @@ object TableOps {
     val s = base.sparkSession
     import s.implicits._
     base.filter($"c_custkey" % 13 === 0)
-      .select(($"c_custkey" + 100000).as("c_custkey"),
+      .select(($"c_custkey" + 1000000000L).as("c_custkey"),
         concat(lit("Customer#new"), $"c_custkey".cast(StringType)).as("c_name"),
         lit(1000.0).as("c_acctbal"))
   }
@@ -94,7 +94,7 @@ object TableOps {
         val t = VersionedTable.create(root,
           cust.select($"c_custkey", $"c_acctbal"))
         t.append(cust.filter($"c_custkey" % 3 === 0)
-          .select(($"c_custkey" + 200000).as("c_custkey"), $"c_acctbal",
+          .select(($"c_custkey" + 2000000000L).as("c_custkey"), $"c_acctbal",
             $"c_mktsegment".as("c_segment")))
         root
       })
@@ -176,10 +176,16 @@ object TableOps {
           .otherwise(0L).as("cnt"),
         (coalesce($"_after.c_acctbal".cast(dec), lit(0).cast(dec))
           - coalesce($"_before.c_acctbal".cast(dec), lit(0).cast(dec))).as("bal"))
+    // explicit canonical projection: every output type pinned (the
+    // union widens bal to an intermediate precision; nothing downstream
+    // may depend on what that intermediate happens to be)
     a0.unionByName(deltas)
       .groupBy($"bucket")
-      .agg(sum($"cnt").as("n_rows"), sum($"bal").cast(dec).as("sum_bal"))
+      .agg(sum($"cnt").as("n_rows"), sum($"bal").as("bal"))
       .filter($"n_rows" > 0)
+      .select($"bucket".cast(LongType).as("bucket"),
+        $"n_rows".cast(LongType).as("n_rows"),
+        $"bal".cast(dec).as("sum_bal"))
       .orderBy("bucket")
   }
 
@@ -266,14 +272,14 @@ object TableOps {
     "q126_table_restore" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |UNION ALL
-        |SELECT c_custkey + 100000,
+        |SELECT c_custkey + 1000000000,
         |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
     "q104_time_travel" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |UNION ALL
-        |SELECT c_custkey + 100000,
+        |SELECT c_custkey + 1000000000,
         |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
@@ -293,7 +299,7 @@ object TableOps {
         |  WHERE d.c_custkey IS NULL)
         |SELECT c_custkey, c_name, c_acctbal FROM survivors
         |UNION ALL
-        |SELECT c_custkey + 100000,
+        |SELECT c_custkey + 1000000000,
         |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
@@ -301,11 +307,11 @@ object TableOps {
       """SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_segment
         |FROM customer
         |UNION ALL
-        |SELECT c_custkey + 200000, c_acctbal, c_mktsegment
+        |SELECT c_custkey + 2000000000, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0
         |ORDER BY c_custkey""".stripMargin,
     "q109_change_feed" ->
-      """SELECT c_custkey + 100000 AS c_custkey, 'insert' AS _change_type
+      """SELECT c_custkey + 1000000000 AS c_custkey, 'insert' AS _change_type
         |FROM customer WHERE c_custkey % 13 = 0
         |UNION ALL
         |SELECT c_custkey, 'update' FROM customer WHERE c_custkey % 10 = 0
@@ -332,7 +338,7 @@ object TableOps {
         |final AS (
         |  SELECT c_custkey, c_acctbal FROM survivors
         |  UNION ALL
-        |  SELECT c_custkey + 100000, 1000.0::DOUBLE
+        |  SELECT c_custkey + 1000000000, 1000.0::DOUBLE
         |  FROM customer WHERE c_custkey % 13 = 0)
         |SELECT c_custkey % 50 AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_rows,

@@ -573,17 +573,34 @@ final class VersionedTable private (val root: Path) {
     */
   def changesWithImages(spark: SparkSession, keyCol: String,
                         fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, not, struct, when}
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, max,
+      not, raise_error, struct, when}
     require(fromVersion < toVersion,
       s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
     val before = snapshot(spark, Some(fromVersion))
     val after = snapshot(spark, Some(toVersion))
     val common = before.columns.filter(after.columns.contains).filter(_ != keyCol)
-    val b = before.select(col(keyCol), struct(common.map(col): _*).as("_before"))
-    val a = after.select(col(keyCol), struct(common.map(col): _*).as("_after"))
+    // PRECONDITION, enforced: `keyCol` identifies at most one row per
+    // snapshot. A duplicated key would fan the full-outer join out and
+    // silently corrupt every downstream delta algebra (q141), so each
+    // side pre-aggregates per key — max(struct) is the row itself when
+    // the key is unique, and the guard raises DURING execution (inside
+    // the _change_type expression, so column pruning can't drop it) the
+    // moment any key holds >1 row. The groupBy hash-partitions each
+    // side on the key, which is exactly the join's requirement — the
+    // guard adds no exchange beyond what the join itself needs.
+    def keyed(df: DataFrame, img: String, n: String) =
+      df.groupBy(col(keyCol)).agg(
+        max(struct(common.map(col): _*)).as(img), count(lit(1)).as(n))
+    val b = keyed(before, "_before", "_nb")
+    val a = keyed(after, "_after", "_na")
+    val dupGuard = raise_error(concat_ws("",
+      lit(s"changesWithImages: duplicate '$keyCol' in snapshot (key="),
+      col(keyCol).cast("string"), lit(")"))).cast("string")
     b.join(a, Seq(keyCol), "full_outer")
       .withColumn("_change_type",
-        when(col("_before").isNull, "insert")
+        when(col("_nb") > 1 || col("_na") > 1, dupGuard)
+          .when(col("_before").isNull, "insert")
           .when(col("_after").isNull, "delete")
           // null-SAFE struct compare: a field moving null->value (or
           // back) is an update; plain =!= returns null there and the
@@ -731,6 +748,12 @@ object VersionedTable {
     * changes(a,c)` exactly, which TableSpec pins. Consumers replaying a
     * backlog apply one net row per key instead of every intermediate
     * event; feed volume stays churn-bounded under composition.
+    *
+    * PRECONDITION: each feed carries AT MOST ONE row per key — the
+    * contract [[changesWithImages]] guarantees (and now enforces) for
+    * its own output. A multi-row-per-key feed would fan the full-outer
+    * join out and produce a corrupt net feed; when composing feeds from
+    * an external writer, net them per key first.
     */
   def composeChanges(keyCol: String, older: DataFrame, newer: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, not, when}

@@ -249,7 +249,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       df.agg(avg($"recall")).head().getDouble(0)
     val naive = mean(Similarity.annRecallAt(spark, dir, nprobe = 2))
     val trained = mean(Similarity.annRecallAt(spark, dir, nprobe = 2,
-      Similarity.trainCodebook(spark, dir, iters = 3)))
+      Some(Similarity.trainCodebook(spark, dir, iters = 3))))
     assert(trained > naive,
       s"Lloyd-trained codebook must improve recall: trained=$trained naive=$naive")
   }

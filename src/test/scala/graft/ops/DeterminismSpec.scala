@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Run-to-run determinism audit — the failure class a one-shot oracle
+  * compare can't catch (round 8's q141 hash-failed at the driver while
+  * matching the oracle byte-for-byte in every local run). Each audited
+  * query runs in TWO fresh sessions with coprime shuffle-partition
+  * counts — different partitioning, different task interleavings,
+  * different reduce orders — and must collect to IDENTICAL rendered
+  * rows. Candidates are the historically fragile ones: decimal/CDF
+  * delta algebra (q141), iterative float state (q61), trained-codebook
+  * ANN (q93), float log-sums (q127), plus the exact-decimal regression
+  * contract (q91).
+  */
+class DeterminismSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def render(name: String, partitions: Int): Seq[String] = {
+    // newSession: fresh session state (confs, temp views) over the same
+    // shared context — the driver's schedule runs many queries in one
+    // JVM, so per-JVM artifacts (demo tables, fixtures) intentionally
+    // persist across the two runs, exactly as they do under the driver.
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    graft.SparkEntry.queries(name)(s, dir)
+      .collect().map(_.toString).toSeq
+  }
+
+  for (q <- Seq("q141_delta_agg_maintenance", "q61_kmeans_step",
+    "q93_pq_ann", "q127_perplexity", "q91_regression")) {
+    test(s"$q collects byte-identically across partitioning changes") {
+      val a = render(q, 3)
+      val b = render(q, 7)
+      assert(a.length == b.length, s"row counts differ: ${a.length} vs ${b.length}")
+      val diffs = a.zip(b).zipWithIndex.filter { case ((x, y), _) => x != y }
+      assert(diffs.isEmpty,
+        s"${diffs.length} unstable rows, first: ${diffs.headOption}")
+    }
+  }
+}

@@ -409,6 +409,25 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     feed.unpersist()
   }
 
+  test("changesWithImages fails loudly on a duplicated key instead of fanning out") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1 carries key 1 twice — the one-row-per-key precondition broken
+    val v1 = base.unionAll(Seq((1L, "dup", 99.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"))
+    t.overwrite(v1, readVersion = 0L)
+    val e = intercept[Exception] {
+      t.changesWithImages(spark, "c_custkey", 0L, 1L).count()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("duplicate 'c_custkey'")),
+      s"expected the dup-key guard, got: ${e.getMessage}")
+    // restoring uniqueness clears the guard on the same table
+    t.overwrite(base, readVersion = 1L)
+    assert(t.changes(spark, "c_custkey", 0L, 2L).count() == 0)
+  }
+
   test("GDPR erasure: delete-merge + vacuum leaves no active or on-disk trace of the key") {
     import spark.implicits._
     val victim = 42L
