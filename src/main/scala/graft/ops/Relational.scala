@@ -1009,6 +1009,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q156: q75's documented 100 TB swap made REAL — winsorization bounds
+  // from mergeable GK sketches (percentile_approx, accuracy 1000, both
+  // tails in ONE sketch pass via the array form) instead of exact
+  // per-group percentiles, exactly as q103 realized q88's swap. Exact
+  // percentile holds a per-group sort buffer that grows with the group;
+  // the GK summary is fixed-size and merges associatively, so this is
+  // the variant that runs at 100 TB. The oracle is the q87/q103
+  // rank-error contract: compared columns are the exact group counts
+  // plus deterministic booleans asserting the realized rank of each
+  // sketch bound sits within GK's worst-case ε = 1/accuracy of its
+  // target quantile (+ 2/n discreteness slack) — GK's bound is
+  // deterministic, not probabilistic, so the booleans are stable TRUE
+  // on any engine while the sketch values themselves (algorithm-
+  // specific) stay out of the compare. Dataflow is identical to q75 —
+  // one grouped sketch pass, broadcast join-back, clip + audit — the
+  // swap changes the aggregate, not the plan.
+  private def sketchWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(lit(0.01), lit(0.99)), lit(1000)).as("b"))
+      .select($"l_returnflag", $"b"(0).as("p01_sk"), $"b"(1).as("p99_sk"))
+    val slack = lit(0.001) + lit(2.0) / $"n"
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_extendedprice" <= $"p01_sk", 1L).otherwise(0L)).as("r01"),
+        sum(when($"l_extendedprice" <= $"p99_sk", 1L).otherwise(0L)).as("r99"))
+      .select($"l_returnflag", $"n",
+        (abs($"r01".cast(DoubleType) / $"n" - 0.01) <= slack).as("p01_in_bounds"),
+        (abs($"r99".cast(DoubleType) / $"n" - 0.99) <= slack).as("p99_in_bounds"))
+      .orderBy("l_returnflag")
+  }
+
   // q89: equi-DEPTH binning (quantile discretization) — the ML
   // feature-engineering partner of q73's equi-width histogram: ntile
   // assigns each value to its within-group decile, so bins carry equal
@@ -2112,7 +2147,13 @@ object Relational {
   // cut-frame join (q137's shape); every error statistic is a
   // fixed-order double over exact DECIMAL daily sums, so both engines
   // score identically. The train/holdout cut reuses q145's integer
-  // midpoint rule.
+  // midpoint rule. KNOWN EXCLUSION (deliberate, mirrored in the
+  // oracle): a holdout day whose (month, day-of-week) cell never
+  // occurred in training drops out of the score via the inner profile
+  // join — n_days can undercount the holdout; a production backtest
+  // would left-join and coalesce to the train-mean naive forecast.
+  // The synthetic calendar covers all 84 cells, so no row is dropped
+  // here; the note pins the semantics for sparser inputs.
   private def seasonalForecast(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.orders(s, dir)
@@ -2369,6 +2410,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_sketch_winsorize" -> (sketchWinsorize _),
     "q155_lorenz_deciles" -> (lorenzDeciles _),
     "q154_retention"      -> (retention _),
     "q153_nearest_event"  -> (nearestEvent _),
@@ -2448,6 +2490,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_sketch_winsorize" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p01_in_bounds, TRUE AS p99_in_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q155_lorenz_deciles" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,

@@ -78,6 +78,16 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // this to BuildRight at scale
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
     assert(p.contains("BuildLeft"), s"broadcast build is not the eval (left) side:\n$p")
+    // the shingle-hash key must never be a shuffle key: the broadcast
+    // probe is the whole point (an 'Exchange hashpartitioning(h...' would
+    // mean the posting join regressed to a shuffle join)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(h#")),
+      s"train postings shuffled on the shingle hash:\n$p")
+    // exactly ONE full exchange of train data (the deliberate round-robin
+    // compute spread); everything after the join is eval-pair-sized
+    assert("RoundRobinPartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one round-robin spread of the train side:\n$p")
   }
 
   test("q32: top-k plans as TakeOrderedAndProject, not a global sort") {
