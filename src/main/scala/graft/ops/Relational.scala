@@ -1242,9 +1242,14 @@ object Relational {
   // scale — the same trick production graph engines use to make
   // convergence deterministic. Remaining headroom: gathered*85 must stay
   // under 2^63, i.e. gathered < ~1.1e17 units — forty billion customers
-  // funding one supplier before overflow. Per iteration: one edge shuffle keyed on source for
-  // out-degrees, one keyed on target for the gather — at 100 TB that is
-  // the canonical pregel superstep cost, repeated to convergence.
+  // funding one supplier before overflow. Per iteration: out-degrees
+  // come from a map-side-combined groupBy folded to a vertex-
+  // cardinality frame and BROADCAST back (the q119 degree-attach
+  // pattern — a per-source window would re-shuffle and sort the whole
+  // edge list for a per-key count; past broadcast size the attach
+  // falls back to a shuffle join and the superstep cost is the
+  // canonical two keyed edge exchanges), then one shuffle keyed on
+  // target for the gather, repeated to convergence.
   private def pagerankStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
@@ -1252,8 +1257,9 @@ object Relational {
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
       .distinct()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val withDeg = edges
-      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy($"src")))
+      .join(broadcast(deg), Seq("src"))
       .withColumn("share", expr("1000000L div outdeg"))
     withDeg.groupBy($"dst")
       .agg(sum($"share").as("gathered"), count(lit(1)).as("in_deg"))

@@ -589,6 +589,10 @@ final class VersionedTable private (val root: Path) {
     // moment any key holds >1 row. The groupBy hash-partitions each
     // side on the key, which is exactly the join's requirement — the
     // guard adds no exchange beyond what the join itself needs.
+    // (max(struct) requires orderable field types — no new restriction:
+    // the null-safe struct compare below already requires comparable
+    // ones, and MapType is neither; CDF over map-typed columns was
+    // never expressible in this classifier.)
     def keyed(df: DataFrame, img: String, n: String) =
       df.groupBy(col(keyCol)).agg(
         max(struct(common.map(col): _*)).as(img), count(lit(1)).as(n))
