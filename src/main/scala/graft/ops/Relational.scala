@@ -1356,8 +1356,14 @@ object Relational {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i)._1, cols(j)._1)
+    // single-file input -> one scan split: spread the 15-aggregate
+    // decimal pass across cores (the q66 round-robin pattern; the
+    // exchange moves 4 narrow columns, the partial aggregation is the
+    // compute). On a real multi-file table the scan parallelizes
+    // itself and this boundary coalesces to a no-op.
     val d = Tables.lineitem(s, dir)
       .select(cols.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val aggs =
       cols.map { case (c, _) => sum(col(c)).cast(DoubleType).as(s"s_$c") } ++
       cols.map { case (c, _) =>
