@@ -35,7 +35,7 @@ object Explain {
     "q91_regression",     // expect: ONE partial HashAggregate pass (6 decimal sums)
     "q93_pq_ann",         // expect: 4-node pq_encode projection, no join for ADC scoring
     "q95_rolling_dau",    // expect: sketch fan-out joins DAYS x 7 rows, never user rows
-    "q97_pagerank_step",  // expect: src-window + dst-aggregate, two exchanges total
+    "q97_pagerank_step",  // expect: broadcast degree attach + dst-aggregate; no window sort
     "q102_corr_subquery", // expect: decorrelated aggregate + equi-join, merged sum/count subqueries
     "q104_time_travel",   // expect: plain parquet scan over the pinned snapshot's file list
     "q106_lateral_topn",  // expect: WindowGroupLimit Partial/Final + equi-join, no nested loop

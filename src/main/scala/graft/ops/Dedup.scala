@@ -752,8 +752,12 @@ object Dedup {
   private def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // ng feeds the document-frequency census, the prefix build and both
+    // verify join-backs — persist the one shingle pass (doc-count rows
+    // of int-array state) instead of re-running the generator per use
     val ng = mutatedDocs(s, dir)
       .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = ng.select($"doc_id", explode($"ng").as("sh"))
     val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered rarest-first; prefix = n - ceil(0.3 n) + 1.
@@ -797,7 +801,9 @@ object Dedup {
   private[ops] def exactTrigramPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // same persist rationale as q128: one shingle pass, four consumers
     val ng = docs.select($"doc_id", expr("shingle_hashes(split(text, ' '), 3)").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = ng.select($"doc_id", explode($"ng").as("sh"))
     val dfreq = e.groupBy($"sh").agg(count(lit(1)).as("df"))
     val pref = e.join(dfreq, Seq("sh"))
@@ -840,10 +846,15 @@ object Dedup {
     val truth = exactTrigramPairs(s, docs)
     val lsh = bandPairs(docs, s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select($"doc_a", $"doc_b")
-    val hit = truth.join(lsh, Seq("doc_a", "doc_b"))
-    truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit"))) // 1-row frames
+    // ONE pass over each pair set: a marked full-outer join classifies
+    // every pair as truth-only / lsh-only / hit, and a single aggregate
+    // reads off all three counts — the separate count-per-frame shape
+    // would re-run the whole prefix-filter and banding pipelines once
+    // per referenced count (no persist needed; nothing is read twice).
+    truth.withColumn("t", lit(1L))
+      .join(lsh.withColumn("l", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum($"t").as("n_true"), sum($"l").as("n_lsh"),
+        sum($"t" * $"l").as("n_hit"))
       .select($"n_true", $"n_lsh", $"n_hit",
         Num.roundAt($"n_hit".cast(DoubleType) / $"n_true", 6).as("recall"),
         Num.roundAt($"n_hit".cast(DoubleType) / $"n_lsh", 6).as("precision"))
