@@ -92,6 +92,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A/B knob for the suite's fixed per-query cost: AQE re-optimizes
+      // after every shuffle stage, which buys plan quality at sf >= 1 but
+      // bills ~tens of ms of driver latency per stage — measurable across
+      // a 152-query suite of sub-second queries. Default stays ON (the
+      // production posture); the knob exists so the trade is measured,
+      // not assumed.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Measured, not assumed: AQE's coalescePartitions.parallelismFirst
       // was tried at `false` (the docs' efficiency recommendation) and
       // REGRESSED the suite 47.5s -> 54.8s at sf0.1 — size-based

@@ -22,16 +22,39 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in per-job breakdown (`-Dgraft.profile.jobs=true`): prints each
+    // job's wall time + first stage name during the LAST timed rep, so a
+    // slow query's cost attributes to its jobs (broadcast builds, persist
+    // materializations, final collect) instead of one opaque total.
+    val jobDetail = sys.props.get("graft.profile.jobs").contains("true")
+    @volatile var traceJobs = false
+    if (jobDetail) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          if (traceJobs) {
+            val desc = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+            starts.put(js.jobId, (System.nanoTime(), desc))
+          }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          if (traceJobs) Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+            println(f"[job] #${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
+          }
+      })
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       try fn(spark, dir).count() catch { case e: Throwable =>
         System.err.println(s"[profile] $n warmup failed: ${e.getMessage}") }
-      val ts = (1 to reps).map { _ =>
+      val ts = (1 to reps).map { i =>
         spark.catalog.clearCache()
+        traceJobs = jobDetail && i == reps
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      traceJobs = false
       println(f"[profile] $n min=${ts.min}%.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()

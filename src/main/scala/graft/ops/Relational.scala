@@ -1834,7 +1834,14 @@ object Relational {
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .groupBy($"o").agg(collect_set($"p").as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    // Materialize the cache ONCE before the three broadcast builds fan
+    // out: Spark submits broadcast-exchange jobs concurrently, and each
+    // of them racing an unmaterialized cache re-runs the basket shuffle
+    // behind the per-partition cache locks (job trace showed three ~0.6s
+    // broadcast jobs where one ~0.1s read suffices). The count doubles
+    // as the order census — n_orders becomes a driver literal instead of
+    // a 1-row crossJoin frame, removing that broadcast entirely.
+    val nOrders = baskets.count()
     val itemN = baskets.select(explode($"items").as("p"))
       .groupBy($"p").agg(count(lit(1)).as("c_item"))
     val pairs = baskets
@@ -1850,7 +1857,7 @@ object Relational {
     val scored = pairs
       .join(broadcast(itemN.toDF("u", "c_u")), Seq("u"))
       .join(broadcast(itemN.toDF("v", "c_v")), Seq("v"))
-      .crossJoin(broadcast(nOrders)) // 1-row aggregate frame
+      .withColumn("n_orders", lit(nOrders))
       .withColumn("lift",
         ($"n_orders" * $"c_pair").cast(DoubleType) /
           ($"c_u" * $"c_v").cast(DoubleType))

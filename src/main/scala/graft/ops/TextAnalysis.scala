@@ -434,14 +434,21 @@ object TextAnalysis {
   private def perplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = docs(s, dir).select($"doc_id", split($"text", " ").as("t"))
+    // The exploded bigram frame feeds train (c12) and score — persist the
+    // one explode instead of re-running it per consumer (pre-persist the
+    // corpus tokenized+exploded three times: c12 build, c1 build, score
+    // scan). c1 derives from c12 by marginalization (Σ_w2 c12 = c1 —
+    // exact, and the c12 frame is bigram-vocabulary-sized, far smaller
+    // than the corpus), so training is ONE aggregate over the cache.
     val big = tok.filter(size($"t") >= 2)
       .select($"doc_id", posexplode(expr(
         "transform(sequence(1, size(t) - 1)," +
           " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
         .as(Seq("pos", "b")))
       .select($"doc_id", $"pos", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val v = tok.select(explode($"t").as("w")).agg(count_distinct($"w").as("v"))
     big
       // count-table joins left UNHINTED: at this vocabulary Catalyst
