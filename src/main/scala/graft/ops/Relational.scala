@@ -1583,11 +1583,13 @@ object Relational {
     val tri = wedges
       .join(oe.select($"s".as("v1"), $"t".as("v2")), Seq("v1", "v2"))
       .agg(count(lit(1)).as("n_triangles"))
+    // All three graph censuses from the ONE degree frame (Σd = 2m gives
+    // the edge count — no separate pass over e, no third crossJoin job)
     val vstats = deg.agg(
       count(lit(1)).as("n_vertices"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val estats = e.agg(count(lit(1)).as("n_edges"))
-    vstats.crossJoin(estats).crossJoin(tri) // 1-row aggregate frames
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+      expr("sum(d) div 2").as("n_edges"))
+    vstats.crossJoin(tri) // 1-row aggregate frames
       .select(
         $"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
         Num.roundAt(($"n_triangles" * 3).cast(DoubleType) /
