@@ -197,8 +197,19 @@ object Bench {
       case (n, t) if t >= 0.4 && !errs.contains(n) => n
     }.toSet
     val pass2 = timedPass(ordered.filter(q => retimeSet(q._1)), probe = false).toMap
+    // Disagreement-triggered third pass: when a query's two timings
+    // differ by >40%, a steal burst hit one of them — and with bursts
+    // lasting whole minutes, it may have hit BOTH the same way is
+    // unknowable; a third sample bounds the damage for ~seconds of extra
+    // wall on only the contested queries (measured steal windows swing
+    // 13-26 of 32 cores within one run, round-9 artifacts).
+    val contested = retimeSet.filter { n =>
+      val (t1, t2) = (t1ByName(n), pass2(n))
+      math.max(t1, t2) > 1.4 * math.min(t1, t2)
+    }
+    val pass3 = timedPass(ordered.filter(q => contested(q._1)), probe = false).toMap
     val results = pass1.map { case (n, t1) =>
-      n -> math.min(t1, pass2.getOrElse(n, t1))
+      n -> math.min(math.min(t1, pass2.getOrElse(n, t1)), pass3.getOrElse(n, t1))
     }
     val effEnd = deliveredCores(avail)
 
@@ -260,10 +271,11 @@ object Bench {
     // and bounded in the artifact itself.
     val pass1Json = qsJson(
       retimeSet.toSeq.sorted.map(n => n -> t1ByName(n)))
+    val pass3Json = qsJson(pass3.toSeq.sortBy(_._1))
     val stealJson = stealWindows
       .map { case (i, e) => s"[$i,${sec2(e)}]" }.mkString("[", ",", "]")
     val detailExtra =
-      s""","pass1":$pass1Json,"steal_windows":$stealJson"""
+      s""","pass1":$pass1Json,"pass3":$pass3Json,"steal_windows":$stealJson"""
 
     // Full detail always lands in bench.json; the STDOUT line must fit the
     // driver's 2000-char output tail WITH sbt's trailing `[success]` line.
