@@ -274,10 +274,11 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val (df, p) = plan("q119_triangles")
     assert(!p.contains("CartesianProduct"),
       s"a triangle join degenerated to all-pairs:\n$p")
-    // the only nested-loop joins are the two 1-row stat-frame crossJoins
-    // at the very top; the wedge/close/degree joins must all be equi
+    // the only nested-loop join is the single 1-row stat-frame crossJoin
+    // at the very top (vertex/edge/wedge censuses all fold out of the one
+    // degree aggregate); the wedge/close/degree joins must all be equi
     val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(nBnlj == 2, s"unexpected nested-loop join count $nBnlj:\n$p")
+    assert(nBnlj == 1, s"unexpected nested-loop join count $nBnlj:\n$p")
     // the wedge join must key on the oriented source s (its rank filter
     // is post-join); the closing join must key on both wedge endpoints
     val keySets = df.queryExecution.sparkPlan.collect {
@@ -382,6 +383,22 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // must broadcast rather than shuffle
     assert(anti.size >= 2, s"expected broadcast anti-joins in:\n$p")
     assert(!p.contains("CartesianProduct"), s"orphan census must stay keyed:\n$p")
+  }
+
+  test("q127: training and scoring share ONE cached bigram explode") {
+    val (df, p) = plan("q127_perplexity")
+    // the persisted bigram frame must appear as a reused in-memory scan
+    // (score side + c12 build) — losing the persist regresses to three
+    // corpus-wide explodes, and deriving c1 from c12 keeps the third
+    // consumer off the corpus entirely
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 2, s"bigram cache not shared (saw $inMem InMemoryTableScans):\n$p")
+    // only the vocabulary census may touch the parquet scan directly
+    val docScans = scans(df).count(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents")))
+    assert(docScans <= 1,
+      s"corpus scanned $docScans times outside the cache — explode re-ran:\n$p")
+    spark.catalog.clearCache() // drop the query's persist from the shared session
   }
 
   test("q102: the correlated scalar subqueries decorrelate into equi-joins") {
