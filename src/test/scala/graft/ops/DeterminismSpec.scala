@@ -30,8 +30,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(_.toString).toSeq
   }
 
+  // q136/q147 joined round 9: q136 rebuilds its frame from an eager
+  // top-20 collect (driver literal must be order-stable), q147's
+  // recall/precision ratios fold two whole candidate pipelines into one
+  // full-outer aggregate — both must hold under any partitioning.
   for (q <- Seq("q141_delta_agg_maintenance", "q61_kmeans_step",
-    "q93_pq_ann", "q127_perplexity", "q91_regression")) {
+    "q93_pq_ann", "q127_perplexity", "q91_regression",
+    "q136_market_basket", "q147_dedup_recall")) {
     test(s"$q collects byte-identically across partitioning changes") {
       val a = render(q, 3)
       val b = render(q, 7)
