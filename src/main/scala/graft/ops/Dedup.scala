@@ -452,6 +452,35 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q157: duplicate-cluster RETENTION — the policy step a production
+  // dedup pipeline runs after q57's clustering: for every duplicate
+  // cluster keep ONE representative, chosen by quality (most tokens,
+  // ties to the lowest doc_id — deterministic total order), and report
+  // the cluster size that was collapsed. q56 hard-codes keep-lowest-id;
+  // real retention wants keep-best, which needs the cluster extent
+  // first — exactly what the connected-components fixpoint provides.
+  // Scale shape: the cluster frame is pair-graph-sized (orders of
+  // magnitude under the corpus), the quality attach is one equi-join,
+  // and the per-cluster argmax is a single max_by aggregate — no
+  // window, no second pass. The oracle recomputes the same fixpoint
+  // via DuckDB's recursive CTE and picks representatives with a
+  // row_number window — an independent formulation on both counts.
+  private def clusterRepresentative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dupClusters(s, dir) // (doc_id, cluster), pair-graph nodes
+    val toks = mutatedDocs(s, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+    labels.join(toks, Seq("doc_id"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct($"doc_id", $"n_tokens"),
+          struct($"n_tokens", -$"doc_id")).as("rep"))
+      .select($"cluster", $"n_members",
+        $"rep.doc_id".as("rep_doc"), $"rep.n_tokens".as("rep_tokens"))
+      .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------------
   // q64: blocked fuzzy string join — edit-distance entity matching, the
   // record-linkage workhorse. Probes are deterministic typo mutants
   // (3rd character dropped) of every 20th part name; levenshtein runs on
@@ -871,6 +900,7 @@ object Dedup {
     "q27_dedup_embed"    -> (dedupEmbedding _),
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
+    "q157_cluster_representative" -> (clusterRepresentative _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1173,6 +1203,33 @@ object Dedup {
         |  FROM edges e JOIN reach r ON e.v = r.doc_id)
         |SELECT doc_id, min(lbl) AS cluster
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q157_cluster_representative" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |${bandCtes("corpus")},
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        |  SELECT u AS doc_id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS doc_id, r.lbl
+        |  FROM edges e JOIN reach r ON e.v = r.doc_id),
+        |labels AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+        |tokc AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT l.cluster, l.doc_id, t.n_tokens,
+        |         row_number() OVER (PARTITION BY l.cluster
+        |                            ORDER BY t.n_tokens DESC, l.doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY l.cluster) AS nm
+        |  FROM labels l JOIN tokc t ON l.doc_id = t.doc_id)
+        |SELECT cluster, CAST(nm AS BIGINT) AS n_members,
+        |       doc_id AS rep_doc, n_tokens AS rep_tokens
+        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "q64_fuzzy_join" ->
       """WITH parts AS (SELECT p_partkey, p_name FROM part),
         |probes AS (
