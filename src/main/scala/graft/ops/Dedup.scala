@@ -481,6 +481,50 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q158: cross-source contamination matrix — for every pair of corpus
+  // sources, how many exact-duplicate documents they share, and what
+  // fraction of the smaller source that overlap covers (containment).
+  // The census a corpus-mixing pipeline runs before weighting sources:
+  // a source that is mostly a re-crawl of another should not be counted
+  // twice in the mixture (q121). Cross-posting is synthesized
+  // deterministically: every doc_id % 3 == 0 doc is re-posted under the
+  // next source id (mod 20) — same digest, different source.
+  // Scale shape: one groupBy on the 16-byte digest collects each
+  // digest's source set (bounded by |sources|, dozens not billions);
+  // pairs come from a map-side double explode of that set with a < b
+  // (the q136 basket shape — Σ set² per digest, never docs×docs); the
+  // census is ≤ |sources|² rows and the per-source totals it joins are
+  // a |sources|-row broadcast. No text ever shuffles — only digests.
+  private def crossSourceContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"source", md5($"text").as("digest"))
+    val reposted = Tables.documents(s, dir)
+      .filter($"doc_id" % 3 === 0)
+      .select(concat(lit("src"),
+        ((substring($"source", 4, 10).cast(LongType) + 1L) % 20L).cast("string"))
+        .as("source"), md5($"text").as("digest"))
+    val posted = d.unionAll(reposted)
+    // per-digest source set: one shuffle of (digest, source) pairs
+    val srcSets = posted.groupBy($"digest")
+      .agg(collect_set($"source").as("srcs"))
+    // per-source distinct-digest totals: dictionary-sized, broadcast
+    val totals = posted.groupBy($"source")
+      .agg(count_distinct($"digest").as("n_total"))
+    val pairs = srcSets
+      .select(explode($"srcs").as("src_a"), $"srcs")
+      .select($"src_a", explode($"srcs").as("src_b"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.toDF("src_a", "n_a")), Seq("src_a"))
+      .join(broadcast(totals.toDF("src_b", "n_b")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b",
+        Num.roundAt($"n_shared".cast(DoubleType) /
+          least($"n_a", $"n_b").cast(DoubleType), 6).as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // ---------------------------------------------------------------------
   // q64: blocked fuzzy string join — edit-distance entity matching, the
   // record-linkage workhorse. Probes are deterministic typo mutants
   // (3rd character dropped) of every 20th part name; levenshtein runs on
@@ -901,6 +945,7 @@ object Dedup {
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
     "q157_cluster_representative" -> (clusterRepresentative _),
+    "q158_cross_source_contamination" -> (crossSourceContamination _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -964,6 +1009,33 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q158_cross_source_contamination" ->
+      """WITH posted AS (
+        |  SELECT source, md5(text) AS digest FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(substring(source, 4) AS BIGINT) + 1) % 20
+        |           AS VARCHAR) AS source,
+        |         md5(text) AS digest
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |srcs AS (SELECT DISTINCT digest, source FROM posted),
+        |totals AS (
+        |  SELECT source, CAST(count(DISTINCT digest) AS BIGINT) AS n_total
+        |  FROM posted GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM srcs a JOIN srcs b
+        |    ON a.digest = b.digest AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_shared,
+        |       ta.n_total AS n_a, tb.n_total AS n_b,
+        |       round(CAST(p.n_shared AS DOUBLE) /
+        |             CAST(least(ta.n_total, tb.n_total) AS DOUBLE), 6)
+        |         AS containment
+        |FROM pairs p
+        |JOIN totals ta ON ta.source = p.src_a
+        |JOIN totals tb ON tb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // q128: the same prefix-filter algorithm spelled out in SQL — w=4
     // shingle fold, df-asc/shingle-asc global order, integer prefix
     // length n - ceil(3n/10) + 1 (computed as (3n+9)//10 in BOTH

@@ -2430,7 +2430,43 @@ object Relational {
       .orderBy($"bin")
   }
 
+  // q161: event-time disorder census — how out-of-order each event class
+  // arrives: for every event, lateness = (max event-time among SAME-USER
+  // events that arrived earlier, arrival order = event_id) − own
+  // event-time, floored at 0. This is the measurement that SIZES a
+  // Structured Streaming watermark (streaming/StreamingDemo's
+  // withWatermark delay) before deployment: the p95/max lateness bound
+  // the event-time skew a stateful stream must tolerate before it drops
+  // data. Scale shape: ONE window partitioned per user (arrival order
+  // within user — never a global sort) and a |event_type|-row census;
+  // the per-type percentile is exact (at 100 TB swap for
+  // approx_percentile — q103's documented trade). Lateness values are
+  // exact micros integers; the p95 interpolation runs on identical
+  // doubles in both engines (q52 precedent).
+  private def eventLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        Num.epochUs($"ts").as("t"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max($"t").over(w) - $"t", lit(0L))))
+    late.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0L, 1L).otherwise(0L)).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        expr("percentile(cast(late_us AS DOUBLE), 0.95)").as("p95"))
+      .select($"event_type", $"n_events", $"n_late",
+        Num.roundAt($"n_late".cast(DoubleType) / $"n_events".cast(DoubleType),
+          6).as("late_frac"),
+        $"max_late_us",
+        Num.roundAt($"p95", 4).as("p95_late_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_event_lateness" -> (eventLateness _),
     "q156_sketch_winsorize" -> (sketchWinsorize _),
     "q155_lorenz_deciles" -> (lorenzDeciles _),
     "q154_retention"      -> (retention _),
@@ -2511,6 +2547,26 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q161_event_lateness" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         CAST(greatest(0, coalesce(
+        |           max(t) OVER (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t,
+        |           0)) AS BIGINT) AS late_us
+        |  FROM t)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS late_frac,
+        |       max(late_us) AS max_late_us,
+        |       round(quantile_cont(CAST(late_us AS DOUBLE), 0.95), 4)
+        |         AS p95_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q156_sketch_winsorize" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       TRUE AS p01_in_bounds, TRUE AS p99_in_bounds

@@ -373,7 +373,63 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // q160: label-centroid purity — the embedding-space quality gate
+  // beside q146/q147's index evals: how separable are the labels the
+  // corpus claims? Per label, build the exact mean-direction centroid,
+  // assign EVERY vector to its nearest centroid by cosine, and report
+  // per-label membership, own-centroid assignment fraction (purity) and
+  // mean own-centroid cosine (cohesion). A label whose purity collapses
+  // is mislabeled or unclusterable — caught before the labels feed a
+  // classifier. Scale shape: the centroid build is one partial-
+  // aggregated groupBy over (label, dim) — 64·|labels| cells regardless
+  // of corpus size — collected as a kilobyte driver literal (the
+  // documented q49/q93 codebook pattern); assignment is one map-side
+  // pass, |labels| fold_dots per vector; the readout is a |labels|-row
+  // census. Determinism: the ONLY cross-partition fp reductions are
+  // exact int64 sums — per-dim centroid coordinates via floor(x·1e6)
+  // scaled integers (floor is exact on both engines; no round-half
+  // semantics), and per-label cosine sums the same way. Cosine is
+  // scale-invariant, so the un-normalized integer-sum centroid IS the
+  // mean-direction centroid — no division ever happens. Per-row cosines
+  // are left folds over identical doubles (Det rule 2); argmax ties
+  // break to the lowest label via the struct(cos, -label) max.
+  private def centroidPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val sums = v
+      .select($"label", posexplode(transform($"v", x => floor(x * lit(1e6)))))
+      .groupBy($"label", $"pos").agg(sum($"col").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val cents: Seq[(Int, Seq[Double])] = sums.groupBy(_._1).toSeq
+      .map { case (lbl, rows) =>
+        lbl -> rows.sortBy(_._2).map(_._3.toDouble).toSeq }
+      .sortBy(_._1)
+    // per-centroid cosine columns, label-ordered so element_at(scores,
+    // label + 1) reads the own-centroid score without a second pass
+    val scores = array(cents.map { case (lbl, c) =>
+      struct((dot($"v", typedlit(c)) / (l2norm($"v") * l2norm(typedlit(c))))
+        .as("cos"), lit(-lbl).as("neglbl"))
+    }: _*)
+    v.withColumn("sc", scores)
+      .select($"label",
+        (-array_max($"sc")("neglbl")).as("best_label"),
+        element_at($"sc", $"label" + 1)("cos").as("own_cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"best_label" === $"label", 1L).otherwise(0L)).as("n_own"),
+        sum(floor($"own_cos" * lit(1e6))).as("own_sc"))
+      .select($"label", $"n_vecs", $"n_own",
+        Num.roundAt($"n_own".cast(DoubleType) / $"n_vecs".cast(DoubleType), 6)
+          .as("purity"),
+        Num.roundAt($"own_sc".cast(DoubleType) / $"n_vecs".cast(DoubleType)
+          / lit(1e6), 6).as("mean_own_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_centroid_purity" -> (centroidPurity _),
     "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
     "q28_lsh_ann"     -> (lshAnn _),
@@ -391,6 +447,48 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q160_centroid_purity" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i,
+        |         sum(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS s
+        |  FROM v, range(1, 65) t(i) GROUP BY label, i),
+        |cents AS (
+        |  SELECT label AS clabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+        |  FROM sums GROUP BY label),
+        |cn AS (
+        |  SELECT clabel, cv,
+        |         sqrt(list_reduce(list_transform(cv, c -> c * c),
+        |           (a, x) -> a + x)) AS cnrm
+        |  FROM cents),
+        |aff AS (
+        |  SELECT v.vec_id, v.label, c.clabel,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> v.v[i] * c.cv[i]), (a, x) -> a + x)
+        |           / (sqrt(list_reduce(list_transform(v.v, x -> x * x),
+        |                (a, x) -> a + x)) * c.cnrm) AS cos
+        |  FROM v, cn c),
+        |best AS (
+        |  SELECT vec_id, label, clabel,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY cos DESC, clabel ASC) AS rn
+        |  FROM aff),
+        |own AS (
+        |  SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS sc
+        |  FROM aff WHERE clabel = label)
+        |SELECT b.label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN b.clabel = b.label THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_own,
+        |       round(CAST(sum(CASE WHEN b.clabel = b.label THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS purity,
+        |       round(CAST(sum(o.sc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         / 1000000.0, 6) AS mean_own_cos
+        |FROM best b JOIN own o ON o.vec_id = b.vec_id
+        |WHERE b.rn = 1
+        |GROUP BY b.label ORDER BY b.label""".stripMargin,
     "q146_ann_recall" ->
       s"""WITH $nSql,
         |cents AS (

@@ -530,7 +530,63 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // q159: Zipf-law fit over the corpus term-frequency spectrum — the
+  // corpus-health readout beside q24's raw census: natural text follows
+  // freq ∝ rank^s with s ≈ −1; a corpus whose fitted slope drifts far
+  // from −1 (template spam flattens it, boilerplate dedup failures
+  // steepen it) fails the health gate before training. One row out:
+  // vocabulary size, token count, and the OLS fit of ln(freq) on
+  // ln(rank) over the top-1000 terms (slope, intercept, r²).
+  // Scale shape: term counts are one map-side-combined groupBy
+  // (vocabulary-sized); the top-1000 plans as TakeOrderedAndProject
+  // (never a global rank window); the regression runs over ONE bounded
+  // 1000-element array. Determinism: ranks and frequencies are exact
+  // integers, each ln is computed per element, and every Σ is a left
+  // fold in rank order (Det rule 2) — both engines add identical
+  // doubles in identical order, and the closed-form OLS scalars are
+  // the same operand tree on both sides.
+  private def zipfLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val globals = tf.agg(count(lit(1)).as("vocab_size"),
+      sum($"freq").as("total_tokens"))
+    val top = tf.orderBy($"freq".desc, $"term".asc).limit(1000)
+    // rank order re-established inside the single collected array (the
+    // q127 sort_array(collect_list(struct)) pattern): struct comparison
+    // is field-ordered, so (-freq, term) sorts by freq desc, term asc.
+    val fit = top
+      .agg(sort_array(collect_list(
+        struct((-$"freq").as("nf"), $"term".as("term"), $"freq".as("freq"))))
+        .as("a"))
+      .select(size($"a").as("n_terms"),
+        transform(sequence(lit(1), size($"a")),
+          i => log(i.cast(DoubleType))).as("xs"),
+        transform($"a", e => log(e.getField("freq").cast(DoubleType))).as("ys"))
+      .select($"n_terms", $"n_terms".cast(DoubleType).as("n"),
+        aggregate($"xs", lit(0.0), (a, x) => a + x).as("sx"),
+        aggregate($"ys", lit(0.0), (a, x) => a + x).as("sy"),
+        aggregate(zip_with($"xs", $"ys", (x, y) => x * y), lit(0.0),
+          (a, x) => a + x).as("sxy"),
+        aggregate(transform($"xs", x => x * x), lit(0.0),
+          (a, x) => a + x).as("sxx"),
+        aggregate(transform($"ys", y => y * y), lit(0.0),
+          (a, x) => a + x).as("syy"))
+    fit.crossJoin(broadcast(globals)) // 1-row aggregate frame
+      .select($"n_terms", $"vocab_size", $"total_tokens",
+        Num.roundAt(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        Num.roundAt(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6).as("intercept"),
+        Num.roundAt(
+          (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
+          6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_zipf_law" -> (zipfLaw _),
     "q138_shingle_census" -> (shingleWindowsTop _),
     "q127_perplexity" -> (perplexity _),
     "q129_weighted_sample" -> (weightedSample _),
@@ -696,6 +752,44 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q159_zipf_law" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |         CAST(sum(freq) AS BIGINT) AS total_tokens FROM tf),
+        |top AS (
+        |  SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 1000),
+        |arr AS (
+        |  SELECT CAST(count(*) AS INTEGER) AS n_terms,
+        |         list(ln(CAST(freq AS DOUBLE)) ORDER BY freq DESC, term ASC)
+        |           AS ys
+        |  FROM top),
+        |p AS (
+        |  SELECT n_terms, ys,
+        |         list_transform(range(1, n_terms + 1),
+        |           i -> ln(CAST(i AS DOUBLE))) AS xs
+        |  FROM arr),
+        |ss AS (
+        |  SELECT n_terms, CAST(n_terms AS DOUBLE) AS n,
+        |         list_reduce(xs, (a, x) -> a + x) AS sx,
+        |         list_reduce(ys, (a, x) -> a + x) AS sy,
+        |         list_reduce(list_transform(range(1, n_terms + 1),
+        |           i -> xs[i] * ys[i]), (a, x) -> a + x) AS sxy,
+        |         list_reduce(list_transform(xs, x -> x * x),
+        |           (a, x) -> a + x) AS sxx,
+        |         list_reduce(list_transform(ys, y -> y * y),
+        |           (a, x) -> a + x) AS syy
+        |  FROM p)
+        |SELECT n_terms, g.vocab_size, g.total_tokens,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |         AS zipf_slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |             6) AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM ss, g""".stripMargin,
     "q138_shingle_census" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

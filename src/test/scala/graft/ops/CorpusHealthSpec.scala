@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Semantic invariants for the corpus-health censuses added in round 9:
+  * cross-source contamination (q158), Zipf fit (q159), label-centroid
+  * purity (q160) and event-time disorder (q161).
+  */
+class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q158: pair counts bounded by source totals; repost mass fully accounted") {
+    import spark.implicits._
+    val out = Dedup.queries("q158_cross_source_contamination")(spark, dir).cache()
+    assert(out.filter($"src_a" >= $"src_b").count() == 0)
+    assert(out.filter($"n_shared" > least($"n_a", $"n_b")).count() == 0)
+    assert(out.filter($"containment" <= 0.0 || $"containment" > 1.0).count() == 0)
+    // every doc_id % 3 == 0 doc is re-posted under a DIFFERENT source with
+    // an identical digest (texts are unique per doc), so each contributes
+    // exactly one shared digest to exactly one source pair
+    val expected = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0).count()
+    val total = out.agg(sum($"n_shared")).as[Long].head()
+    assert(total == expected, s"shared mass $total != reposted docs $expected")
+    out.unpersist()
+  }
+
+  test("q159: power-law fit is a decaying line with a sane goodness-of-fit") {
+    import spark.implicits._
+    val r = TextAnalysis.queries("q159_zipf_law")(spark, dir).head()
+    val nTerms = r.getAs[Int]("n_terms")
+    val vocab = r.getAs[Long]("vocab_size")
+    assert(nTerms == math.min(1000L, vocab))
+    assert(r.getAs[Long]("total_tokens") >= vocab)
+    assert(r.getAs[Double]("zipf_slope") < 0.0, "term frequency must decay with rank")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0)
+  }
+
+  test("q160: census covers every vector; purity and cohesion are bounded") {
+    import spark.implicits._
+    val out = Similarity.queries("q160_centroid_purity")(spark, dir).cache()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(out.agg(sum($"n_vecs")).as[Long].head() == nVecs)
+    assert(out.filter($"n_own" > $"n_vecs").count() == 0)
+    assert(out.filter($"purity" < 0.0 || $"purity" > 1.0).count() == 0)
+    assert(out.filter($"mean_own_cos" < -1.0 || $"mean_own_cos" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("q161: lateness census covers every event and orders its quantiles") {
+    import spark.implicits._
+    val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
+    val nEv = graft.Tables.events(spark, dir).count()
+    assert(out.agg(sum($"n_events")).as[Long].head() == nEv)
+    assert(out.filter($"n_late" > $"n_events").count() == 0)
+    assert(out.filter($"late_frac" < 0.0 || $"late_frac" > 1.0).count() == 0)
+    assert(out.filter($"p95_late_us" < 0.0 ||
+      $"p95_late_us" > $"max_late_us".cast("double")).count() == 0)
+    out.unpersist()
+  }
+}
