@@ -34,9 +34,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSessionTestWrapper {
   // top-20 collect (driver literal must be order-stable), q147's
   // recall/precision ratios fold two whole candidate pipelines into one
   // full-outer aggregate — both must hold under any partitioning.
+  // q159/q160 joined with round 9's corpus-health additions: q159 folds
+  // 1000 ln terms in rank order, q160 collects driver-literal centroids
+  // from cross-partition sums (exact int64 by design — this test is the
+  // guard that keeps them that way).
   for (q <- Seq("q141_delta_agg_maintenance", "q61_kmeans_step",
     "q93_pq_ann", "q127_perplexity", "q91_regression",
-    "q136_market_basket", "q147_dedup_recall")) {
+    "q136_market_basket", "q147_dedup_recall",
+    "q159_zipf_law", "q160_centroid_purity")) {
     test(s"$q collects byte-identically across partitioning changes") {
       val a = render(q, 3)
       val b = render(q, 7)
