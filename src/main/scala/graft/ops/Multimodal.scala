@@ -153,6 +153,147 @@ object Multimodal {
     media.mapPartitions(_.grouped(DecodeBatchSize).flatMap(codec.decode))
   }
 
+  // ------------------------------------------------------------------
+  // Audio modality: the same opaque-binary + batched-decode plumbing,
+  // with a REAL container parser (WAV is a pure byte format — no codec
+  // library needed, so unlike video this modality needs no stub at all).
+
+  /** Input row for the audio decode stage. */
+  final case class AudioRow(doc_id: Long, blob: Array[Byte])
+
+  /** Decoded audio metadata + the features a training-data filter reads:
+    * exact integer energy (sum of squared samples), peak amplitude and
+    * zero-crossing count over the interleaved PCM stream — silence /
+    * clipping / noise gates are thresholds over exactly these.
+    */
+  final case class AudioMeta(
+      doc_id: Long, n_bytes: Int, sample_rate: Int, n_channels: Int,
+      bits_per_sample: Int, n_frames: Int, duration_us: Long,
+      sum_sq: Long, peak_abs: Long, zero_crossings: Long)
+
+  /** Audio codec seam — same contract as [[MediaCodec]] (batched,
+    * order-preserving, loud on undecodable payloads).
+    */
+  trait AudioCodec extends Serializable {
+    def decode(batch: Seq[AudioRow]): Seq[AudioMeta]
+  }
+
+  /** REAL WAV/PCM decoder, pure JVM: walks the RIFF chunk list (id,
+    * size, payload, even-byte padding — unknown chunks are SKIPPED, as
+    * the spec proves with an injected LIST chunk), requires PCM
+    * (audioFormat 1) at 16 bits, and decodes little-endian int16
+    * samples. Features are exact int64 arithmetic over the decoded
+    * samples — no floats anywhere, so the census is bit-stable by
+    * construction. Truncated or non-RIFF payloads fail loudly (same
+    * rationale as [[ImageIoCodec]]).
+    */
+  object WavPcmCodec extends AudioCodec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(batch: Seq[AudioRow]): Seq[AudioMeta] = batch.map { r =>
+      val b = r.blob
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"doc ${r.doc_id}: not a RIFF/WAVE payload")
+      var off = 12
+      var fmtOff = -1; var dataOff = -1; var dataLen = 0
+      while (off + 8 <= b.length) {
+        val id = tag(b, off); val sz = le32(b, off + 4)
+        require(off + 8 + sz <= b.length,
+          s"doc ${r.doc_id}: truncated $id chunk")
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks pad to even byte boundaries
+      }
+      require(fmtOff >= 0 && dataOff >= 0,
+        s"doc ${r.doc_id}: missing fmt/data chunk")
+      val audioFormat = le16(b, fmtOff)
+      val channels = le16(b, fmtOff + 2)
+      val rate = le32(b, fmtOff + 4)
+      val bits = le16(b, fmtOff + 14)
+      require(audioFormat == 1 && bits == 16,
+        s"doc ${r.doc_id}: only 16-bit PCM supported (fmt=$audioFormat bits=$bits)")
+      val blockAlign = channels * 2
+      val nFrames = dataLen / blockAlign
+      val nSamples = nFrames * channels
+      var i = 0; var sumSq = 0L; var peak = 0L; var zc = 0L
+      var prevNeg = false
+      while (i < nSamples) {
+        val s = le16(b, dataOff + i * 2).toShort.toLong
+        sumSq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      AudioMeta(r.doc_id, b.length, rate, channels, 16, nFrames,
+        nFrames.toLong * 1000000L / rate, sumSq, peak, zc)
+    }
+  }
+
+  /** Batched audio decode stage — identical dataflow to [[decodeMedia]]. */
+  def decodeAudio(media: Dataset[AudioRow],
+                  codec: AudioCodec = WavPcmCodec): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatchSize).flatMap(codec.decode))
+  }
+
+  /** Deterministic WAV synthesis (canonical 44-byte header + interleaved
+    * LE int16 PCM): sample i of doc d is
+    * `(d·31 + i)·2654435761 mod 65536 − 32768` — integer arithmetic the
+    * SQL oracle replays in closed form, so q162's hash match is proof
+    * the DECODER (header walk, fmt parse, LE sample decode) round-trips
+    * the generator exactly. Frame count, channel count and sample rate
+    * all vary with doc_id so every fmt field is load-bearing.
+    */
+  private[ops] def synthWav(docId: Long): Array[Byte] = {
+    val nFrames = 200 + (docId % 100).toInt
+    val channels = if (docId % 2 == 0) 1 else 2
+    val rate = 8000 * (1 + (docId % 3).toInt)
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((docId * 31 + i) * 2654435761L % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  // q162: audio feature census — synthesize a WAV payload per document
+  // (binary column), decode it through the REAL WavPcmCodec in the
+  // batched mapPartitions stage, and emit the per-clip features a
+  // corpus filter gates on. The oracle recomputes every value from the
+  // synthesis formula in closed-form integer SQL WITHOUT parsing a
+  // byte — the hash match holds only if the decoder reconstructs format
+  // fields and samples exactly. Scale shape: generate + decode is one
+  // zero-shuffle partition-local pass (the repartition spreads the
+  // single-split id scan); all features are exact int64.
+  private def audioCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(d => AudioRow(d, synthWav(d)))
+    decodeAudio(media).toDF().orderBy("doc_id")
+  }
+
   // q44: documents.text encoded to a binary payload (stand-in for image
   // bytes), decoded through the batched mapPartitions stage. The oracle
   // reproduces the fake decode arithmetic over the same bytes (ASCII
@@ -169,7 +310,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q44_multimodal" -> (multimodal _)
+    "q44_multimodal" -> (multimodal _),
+    "q162_audio_census" -> (audioCensus _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -185,6 +327,35 @@ object Multimodal {
         |       n_frames,
         |       md5(substring(text, 1, 256)) AS frame0_digest,
         |       md5(substring(text, ((n_frames - 1) // 2) * 256 + 1, 256)) AS mid_frame_digest
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q162_audio_census" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(200 + doc_id % 100 AS BIGINT) AS nf,
+        |         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |           AS ch,
+        |         CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nf, ch, rate,
+        |         list_transform(range(0, nf * ch),
+        |           i -> (doc_id * 31 + i) * 2654435761 % 65536 - 32768)
+        |           AS pcm
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(44 + nf * ch * 2 AS INTEGER) AS n_bytes,
+        |       CAST(rate AS INTEGER) AS sample_rate,
+        |       CAST(ch AS INTEGER) AS n_channels,
+        |       16 AS bits_per_sample,
+        |       CAST(nf AS INTEGER) AS n_frames,
+        |       CAST(nf * 1000000 // rate AS BIGINT) AS duration_us,
+        |       CAST(list_reduce(list_transform(pcm, x -> x * x),
+        |         (a, x) -> a + x) AS BIGINT) AS sum_sq,
+        |       CAST(list_reduce(list_transform(pcm, x -> abs(x)),
+        |         (a, x) -> greatest(a, x)) AS BIGINT) AS peak_abs,
+        |       CAST(len(list_filter(range(2, len(pcm) + 1),
+        |         i -> (pcm[i] < 0) != (pcm[i - 1] < 0))) AS BIGINT)
+        |         AS zero_crossings
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

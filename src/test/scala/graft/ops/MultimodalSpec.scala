@@ -107,4 +107,67 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(e.getMessage.contains("no JVM image reader"))
   }
+
+  test("WavPcmCodec decodes a hand-built clip exactly, skipping unknown chunks") {
+    import Multimodal.{AudioRow, WavPcmCodec}
+    // 3 frames, stereo, 8 kHz; samples chosen so every feature is
+    // hand-checkable: interleaved [100,-100, 0,200, -300,50]
+    val samples = Seq[Short](100, -100, 0, 200, -300, 50)
+    val dataLen = samples.length * 2
+    // LIST chunk with ODD size inserted BEFORE fmt/data: the walker must
+    // skip it and honor the even-byte padding rule to stay aligned
+    val listPayload = Array[Byte](73, 78, 70, 79, 1) // "INFO" + 1 byte
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + listPayload.length + 1 + 24 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(bb.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload).put(0.toByte) // pad to even
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s))
+
+    val m = WavPcmCodec.decode(Seq(AudioRow(5L, bb.array()))).head
+    assert(m.sample_rate == 8000 && m.n_channels == 2 && m.n_frames == 3)
+    assert(m.duration_us == 3L * 1000000L / 8000L)
+    assert(m.sum_sq == samples.map(s => s.toLong * s).sum)
+    assert(m.peak_abs == 300L)
+    // sign flips in [100,-100,0,200,-300,50]: at -100, 0, -300, 50 = 4
+    assert(m.zero_crossings == 4L)
+  }
+
+  test("WavPcmCodec round-trips the q162 synthesis generator") {
+    import Multimodal.{AudioRow, WavPcmCodec}
+    for (d <- Seq(0L, 1L, 2L, 3L, 17L)) {
+      val m = WavPcmCodec.decode(Seq(AudioRow(d, Multimodal.synthWav(d)))).head
+      assert(m.n_frames == 200 + (d % 100).toInt)
+      assert(m.n_channels == (if (d % 2 == 0) 1 else 2))
+      assert(m.sample_rate == 8000 * (1 + (d % 3).toInt))
+      val n = m.n_frames * m.n_channels
+      val pcm = (0 until n).map(i =>
+        ((d * 31 + i) * 2654435761L % 65536L - 32768L))
+      assert(m.sum_sq == pcm.map(s => s * s).sum)
+      assert(m.peak_abs == pcm.map(math.abs).max)
+    }
+  }
+
+  test("WavPcmCodec fails loudly on truncated and non-PCM payloads") {
+    import Multimodal.{AudioRow, WavPcmCodec}
+    val good = Multimodal.synthWav(4L)
+    val truncated = good.take(good.length - 3)
+    assert(intercept[IllegalArgumentException] {
+      WavPcmCodec.decode(Seq(AudioRow(1L, truncated)))
+    }.getMessage.contains("truncated"))
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // fmt audioFormat := IEEE float
+    assert(intercept[IllegalArgumentException] {
+      WavPcmCodec.decode(Seq(AudioRow(2L, nonPcm)))
+    }.getMessage.contains("16-bit PCM"))
+    assert(intercept[IllegalArgumentException] {
+      WavPcmCodec.decode(Seq(AudioRow(3L, Array[Byte](1, 2, 3))))
+    }.getMessage.contains("RIFF"))
+  }
 }
