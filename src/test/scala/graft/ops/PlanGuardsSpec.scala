@@ -411,4 +411,50 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no decorrelated aggregate in the plan:\n$p")
     assert(p.contains("Join"), s"no join in the decorrelated plan:\n$p")
   }
+
+  test("q158: source totals attach as broadcast joins; pairs never join docs x docs") {
+    val (_, p) = plan("q158_cross_source_contamination")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-source totals must broadcast onto the pair census:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"pair generation leaked into a data-scale join:\n$p")
+  }
+
+  test("q159: the top-1000 plans as TakeOrderedAndProject, never a global rank window") {
+    val (_, p) = plan("q159_zipf_law")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the top-1000 as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"global window leaked into the fit:\n$p")
+  }
+
+  test("q160: assignment is map-side over centroid literals - no join, no window") {
+    val (_, p) = plan("q160_centroid_purity")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the per-vector assignment must not join or window:\n$p")
+    // one shuffle: the label census aggregate (plus the explicit input
+    // repartition); anything more means the argmax left the map side
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 2, s"extra exchanges in the assignment path ($nEx):\n$p")
+  }
+
+  test("q161: the high-water-mark window partitions by user - never a global sort") {
+    val (_, p) = plan("q161_event_lateness")
+    assert(p.contains("Window"), s"expected the per-user window:\n$p")
+    // sparkPlan predates EnsureRequirements, so pin the window's own
+    // partition spec rather than the exchange it will demand
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lateness window must partition by user_id:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global single-partition stage feeding the window:\n$p")
+  }
+
+  test("q162: the decode pass is zero-shuffle after the input spread") {
+    val (_, p) = plan("q162_audio_census")
+    // one round-robin repartition spreads the single-split id scan; the
+    // synth+decode mapPartitions stage must add no exchange of its own
+    val nEx = "Exchange".r.findAllIn(p).size
+    assert(nEx <= 2, s"decode stage grew extra shuffles ($nEx):\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"decode pass must be a pure partition-local map:\n$p")
+  }
 }
