@@ -187,14 +187,19 @@ object Multimodal {
     * construction. Truncated or non-RIFF payloads fail loudly (same
     * rationale as [[ImageIoCodec]]).
     */
-  object WavPcmCodec extends AudioCodec {
-    private def le32(b: Array[Byte], o: Int): Int =
+  /** Little-endian readers shared by the RIFF-family codecs (WAV, AVI). */
+  private object Riff {
+    def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def le16(b: Array[Byte], o: Int): Int =
+    def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def tag(b: Array[Byte], o: Int): String =
+    def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  object WavPcmCodec extends AudioCodec {
+    import Riff.{le16, le32, tag}
 
     def decode(batch: Seq[AudioRow]): Seq[AudioMeta] = batch.map { r =>
       val b = r.blob
@@ -275,6 +280,206 @@ object Multimodal {
     bb.array()
   }
 
+  // ------------------------------------------------------------------
+  // Video modality: a REAL container parser here too — AVI is RIFF with
+  // nested LISTs, and uncompressed 24-bit DIB frames are pure byte
+  // layout (bottom-up BGR rows padded to 4 bytes), so like WAV the
+  // modality needs no native library and no stub.
+
+  /** Input row for the video decode stage. */
+  final case class VideoRow(doc_id: Long, blob: Array[Byte])
+
+  /** Decoded video metadata + exact-integer frame features: per-channel
+    * pixel sums (brightness censuses), a y-weighted blue sum (proves the
+    * decoder reconstructs the bottom-up row orientation, not just the
+    * byte multiset) and total inter-frame blue delta (temporal motion
+    * energy — proves frame ORDER survives the movi walk).
+    */
+  final case class VideoMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
+      us_per_frame: Int, sum_b: Long, sum_g: Long, sum_r: Long,
+      wsum_y_b: Long, motion_b: Long)
+
+  /** Video codec seam — same batched contract as the other modalities. */
+  trait VideoCodec extends Serializable {
+    def decode(batch: Seq[VideoRow]): Seq[VideoMeta]
+  }
+
+  /** REAL AVI parser for uncompressed 24-bit DIB video, pure JVM: walks
+    * the RIFF tree (LIST chunks recurse — `hdrl` holds `avih` and the
+    * stream's `strh`/`strf`, `movi` holds the frames), validates the
+    * BITMAPINFOHEADER (24-bit, BI_RGB), and decodes each `00db`/`00dc`
+    * frame's bottom-up BGR rows with 4-byte row padding. All features
+    * are exact int64 sums over decoded channel values. Malformed
+    * containers (missing lists, truncated chunks, compressed or non-24-
+    * bit formats) fail loudly, same contract as the other codecs.
+    */
+  object AviDibCodec extends VideoCodec {
+    import Riff.{le16, le32, tag}
+
+    /** Collect (id, payloadOffset, size) of every chunk in [from, to),
+      * flattening LIST chunks with their 4-byte type prepended to the id
+      * as "LIST:type" and recursing into their payloads.
+      */
+    private def chunks(b: Array[Byte], from: Int, to: Int,
+                       docId: Long): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+      var off = from
+      while (off + 8 <= to) {
+        val id = tag(b, off); val sz = le32(b, off + 4)
+        require(off + 8 + sz <= to, s"doc $docId: truncated $id chunk")
+        if (id == "LIST") {
+          val listType = tag(b, off + 8)
+          out += (("LIST:" + listType, off + 12, sz - 4))
+          out ++= chunks(b, off + 12, off + 8 + sz, docId)
+        } else out += ((id, off + 8, sz))
+        off += 8 + sz + (sz & 1)
+      }
+      out.toSeq
+    }
+
+    def decode(batch: Seq[VideoRow]): Seq[VideoMeta] = batch.map { r =>
+      val b = r.blob
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ",
+        s"doc ${r.doc_id}: not a RIFF/AVI payload")
+      val cs = chunks(b, 12, b.length, r.doc_id)
+      val avih = cs.find(_._1 == "avih")
+      val strf = cs.find(_._1 == "strf")
+      val movi = cs.find(_._1 == "LIST:movi")
+      require(avih.isDefined && strf.isDefined && movi.isDefined,
+        s"doc ${r.doc_id}: missing avih/strf/movi")
+      val usPerFrame = le32(b, avih.get._2)
+      val fo = strf.get._2
+      val width = le32(b, fo + 4); val height = le32(b, fo + 8)
+      val bitCount = le16(b, fo + 14); val compression = le32(b, fo + 16)
+      require(bitCount == 24 && compression == 0,
+        s"doc ${r.doc_id}: only uncompressed 24-bit DIB supported " +
+          s"(bits=$bitCount compression=$compression)")
+      val rowBytes = (width * 3 + 3) / 4 * 4
+      val frameBytes = rowBytes * height
+      // frames: '##db'/'##dc' chunks inside the movi list, in order
+      val frames = cs.filter { case (id, o, sz) =>
+        id.length == 4 && (id.endsWith("db") || id.endsWith("dc")) &&
+          o >= movi.get._2 && o < movi.get._2 + movi.get._3
+      }
+      require(frames.nonEmpty, s"doc ${r.doc_id}: movi list holds no frames")
+      var sumB = 0L; var sumG = 0L; var sumR = 0L
+      var wsumYB = 0L; var motionB = 0L
+      var prev: Array[Int] = null
+      frames.foreach { case (_, o, sz) =>
+        require(sz == frameBytes,
+          s"doc ${r.doc_id}: frame chunk $sz bytes, expected $frameBytes")
+        val cur = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          val rowOff = o + (height - 1 - y) * rowBytes // bottom-up rows
+          var x = 0
+          while (x < width) {
+            val pB = b(rowOff + x * 3) & 0xff
+            val pG = b(rowOff + x * 3 + 1) & 0xff
+            val pR = b(rowOff + x * 3 + 2) & 0xff
+            sumB += pB; sumG += pG; sumR += pR
+            wsumYB += pB.toLong * (y + 1)
+            val idx = y * width + x
+            cur(idx) = pB
+            if (prev != null) motionB += math.abs(pB - prev(idx))
+            x += 1
+          }
+          y += 1
+        }
+        prev = cur
+      }
+      VideoMeta(r.doc_id, b.length, width, height, frames.length,
+        usPerFrame, sumB, sumG, sumR, wsumYB, motionB)
+    }
+  }
+
+  /** Batched video decode stage — identical dataflow to the others. */
+  def decodeVideo(media: Dataset[VideoRow],
+                  codec: VideoCodec = AviDibCodec): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatchSize).flatMap(codec.decode))
+  }
+
+  /** Deterministic AVI synthesis: a standards-shaped container (hdrl
+    * with avih + strl(strh, strf), movi with `00db` DIB frames) whose
+    * blue channel at (frame f, row y, col x) is
+    * `(d·7 + f·13 + y·31 + x) mod 256` (green/red offset by 85/170) —
+    * closed-form integers the SQL oracle replays without touching a
+    * byte. Width, height, frame count and frame rate all vary with
+    * doc_id so every parsed header field is load-bearing, and rows are
+    * written bottom-up with 4-byte padding exactly as BI_RGB mandates.
+    */
+  private[ops] def synthAvi(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 5).toInt
+    val h = 6 + (docId % 4).toInt
+    val nf = 3 + (docId % 4).toInt
+    val uspf = 40000 + (docId % 3).toInt * 10000
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val frameBytes = rowBytes * h
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val strlSize = 4 + 64 + 48
+    val hdrlSize = 4 + 64 + 8 + strlSize
+    val total = 12 + 8 + hdrlSize + 8 + moviSize
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(uspf).putInt(0).putInt(0).putInt(0).putInt(nf).putInt(0)
+      .putInt(1).putInt(0).putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(uspf).putInt(1000000) // dwScale/dwRate: fps = rate/scale
+      .putInt(0).putInt(nf).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nf) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var row = h - 1 // bottom-up storage order
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = ((docId * 7 + f * 13 + row * 31 + x) % 256).toInt
+          bb.put(v.toByte).put(((v + 85) % 256).toByte)
+            .put(((v + 170) % 256).toByte)
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  // q163: video feature census — synthesize an AVI payload per document,
+  // decode it through the REAL AviDibCodec, and emit per-clip format
+  // fields plus exact-integer frame features (channel sums, orientation-
+  // weighted sum, inter-frame motion energy). The oracle replays the
+  // pixel formula in closed-form integer SQL, so the hash match proves
+  // the container walk, the DIB row orientation AND the frame ordering
+  // all round-trip exactly. Same zero-shuffle batched decode shape as
+  // q162.
+  private def videoCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(d => VideoRow(d, synthAvi(d)))
+    decodeVideo(media).toDF().orderBy("doc_id")
+  }
+
   // q162: audio feature census — synthesize a WAV payload per document
   // (binary column), decode it through the REAL WavPcmCodec in the
   // batched mapPartitions stage, and emit the per-clip features a
@@ -311,7 +516,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal" -> (multimodal _),
-    "q162_audio_census" -> (audioCensus _)
+    "q162_audio_census" -> (audioCensus _),
+    "q163_video_census" -> (videoCensus _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -356,6 +562,40 @@ object Multimodal {
         |       CAST(len(list_filter(range(2, len(pcm) + 1),
         |         i -> (pcm[i] < 0) != (pcm[i - 1] < 0))) AS BIGINT)
         |         AS zero_crossings
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q163_video_census" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+        |         3 + doc_id % 4 AS nf,
+        |         CAST(40000 + (doc_id % 3) * 10000 AS INTEGER) AS uspf
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, h, nf, uspf,
+        |         ((w * 3 + 3) // 4) * 4 AS rb,
+        |         list_transform(range(0, nf * h * w), i ->
+        |           (doc_id * 7 + (i // (h * w)) * 13
+        |             + ((i % (h * w)) // w) * 31 + i % w) % 256) AS vb,
+        |         list_transform(range(0, nf * h * w),
+        |           i -> ((i % (h * w)) // w) + 1) AS yw,
+        |         list_transform(range(0, (nf - 1) * h * w), i ->
+        |           abs((doc_id * 7 + ((i // (h * w)) + 1) * 13
+        |                 + ((i % (h * w)) // w) * 31 + i % w) % 256
+        |             - (doc_id * 7 + (i // (h * w)) * 13
+        |                 + ((i % (h * w)) // w) * 31 + i % w) % 256)) AS mv
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(224 + nf * (8 + rb * h) AS INTEGER) AS n_bytes,
+        |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(nf AS INTEGER) AS n_frames, uspf AS us_per_frame,
+        |       CAST(list_reduce(vb, (a, x) -> a + x) AS BIGINT) AS sum_b,
+        |       CAST(list_reduce(list_transform(vb, v -> (v + 85) % 256),
+        |         (a, x) -> a + x) AS BIGINT) AS sum_g,
+        |       CAST(list_reduce(list_transform(vb, v -> (v + 170) % 256),
+        |         (a, x) -> a + x) AS BIGINT) AS sum_r,
+        |       CAST(list_reduce(list_transform(range(1, len(vb) + 1),
+        |         i -> vb[i] * yw[i]), (a, x) -> a + x) AS BIGINT) AS wsum_y_b,
+        |       CAST(list_reduce(mv, (a, x) -> a + x) AS BIGINT) AS motion_b
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

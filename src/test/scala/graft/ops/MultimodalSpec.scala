@@ -154,6 +154,70 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("AviDibCodec round-trips the q163 synthesis generator") {
+    import Multimodal.{AviDibCodec, VideoRow}
+    for (d <- Seq(0L, 1L, 5L, 11L)) {
+      val m = AviDibCodec.decode(Seq(VideoRow(d, Multimodal.synthAvi(d)))).head
+      val w = 8 + (d % 5).toInt; val h = 6 + (d % 4).toInt
+      val nf = 3 + (d % 4).toInt
+      assert(m.width == w && m.height == h && m.n_frames == nf)
+      assert(m.us_per_frame == 40000 + (d % 3).toInt * 10000)
+      def v(f: Int, y: Int, x: Int): Long = (d * 7 + f * 13 + y * 31 + x) % 256
+      val all = for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield (f, y, x)
+      assert(m.sum_b == all.map { case (f, y, x) => v(f, y, x) }.sum)
+      assert(m.wsum_y_b == all.map { case (f, y, x) => v(f, y, x) * (y + 1) }.sum)
+      assert(m.motion_b == all.filter(_._1 > 0).map { case (f, y, x) =>
+        math.abs(v(f, y, x) - v(f - 1, y, x)) }.sum)
+    }
+  }
+
+  test("AviDibCodec reads bottom-up rows: flipping row order changes wsum_y_b only") {
+    import Multimodal.{AviDibCodec, VideoRow}
+    val d = 2L
+    val good = Multimodal.synthAvi(d)
+    val m = AviDibCodec.decode(Seq(VideoRow(d, good))).head
+    // reverse the rows of every frame IN PLACE: same byte multiset, so
+    // channel sums are unchanged — but the y-weighted sum must move,
+    // proving the decoder honors DIB's bottom-up storage, not just bytes
+    val w = m.width; val h = m.height
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val frameBytes = rowBytes * h
+    val flipped = good.clone()
+    val dataStart = good.length - m.n_frames * (8 + frameBytes)
+    for (f <- 0 until m.n_frames; y <- 0 until h) {
+      val fo = dataStart + f * (8 + frameBytes) + 8
+      System.arraycopy(good, fo + y * rowBytes,
+        flipped, fo + (h - 1 - y) * rowBytes, rowBytes)
+    }
+    val mf = AviDibCodec.decode(Seq(VideoRow(d, flipped))).head
+    assert(mf.sum_b == m.sum_b && mf.sum_g == m.sum_g && mf.sum_r == m.sum_r)
+    assert(mf.wsum_y_b != m.wsum_y_b,
+      "row flip left wsum_y_b unchanged — decoder ignores row orientation")
+  }
+
+  test("AviDibCodec fails loudly on malformed containers") {
+    import Multimodal.{AviDibCodec, VideoRow}
+    val good = Multimodal.synthAvi(3L)
+    assert(intercept[IllegalArgumentException] {
+      AviDibCodec.decode(Seq(VideoRow(1L, good.take(30))))
+    }.getMessage.contains("truncated"))
+    val wrongBits = good.clone()
+    // strf BITMAPINFOHEADER biBitCount: flip 24 -> 32
+    val strfOff = {  // find 'strf' tag
+      val idx = (0 until good.length - 4).find(i =>
+        good(i) == 's' && good(i + 1) == 't' && good(i + 2) == 'r' && good(i + 3) == 'f').get
+      idx + 8 // past id + size
+    }
+    wrongBits(strfOff + 14) = 32
+    assert(intercept[IllegalArgumentException] {
+      AviDibCodec.decode(Seq(VideoRow(2L, wrongBits)))
+    }.getMessage.contains("24-bit"))
+    assert(intercept[IllegalArgumentException] {
+      AviDibCodec.decode(Seq(VideoRow(3L, Array[Byte](1, 2))))
+    }.getMessage.contains("RIFF"))
+  }
+
   test("WavPcmCodec fails loudly on truncated and non-PCM payloads") {
     import Multimodal.{AudioRow, WavPcmCodec}
     val good = Multimodal.synthWav(4L)

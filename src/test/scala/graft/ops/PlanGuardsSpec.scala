@@ -448,13 +448,15 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"global single-partition stage feeding the window:\n$p")
   }
 
-  test("q162: the decode pass is zero-shuffle after the input spread") {
-    val (_, p) = plan("q162_audio_census")
-    // one round-robin repartition spreads the single-split id scan; the
-    // synth+decode mapPartitions stage must add no exchange of its own
-    val nEx = "Exchange".r.findAllIn(p).size
-    assert(nEx <= 2, s"decode stage grew extra shuffles ($nEx):\n$p")
-    assert(!p.contains("Join") && !p.contains("Window"),
-      s"decode pass must be a pure partition-local map:\n$p")
+  for (q <- Seq("q162_audio_census", "q163_video_census")) {
+    test(s"$q: the decode pass is zero-shuffle after the input spread") {
+      val (_, p) = plan(q)
+      // one round-robin repartition spreads the single-split id scan; the
+      // synth+decode mapPartitions stage must add no exchange of its own
+      val nEx = "Exchange".r.findAllIn(p).size
+      assert(nEx <= 2, s"decode stage grew extra shuffles ($nEx):\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"decode pass must be a pure partition-local map:\n$p")
+    }
   }
 }
