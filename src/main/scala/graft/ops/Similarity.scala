@@ -318,7 +318,12 @@ object Similarity {
   // projections read an attribute instead of re-encoding per reference.
   // Every distance is a fixed-order left fold (Det rule 2), so codes,
   // LUTs and ADC sums are bit-identical to the oracle's formulation.
-  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+  /** Shared ADC core for q93/q164: (vec_id, probe_id, adc) for every
+    * candidate × probe, plus each probe's full vector literal (for
+    * q164's exact re-rank stage). See the q93 comment for the design.
+    */
+  private def adcScored(s: SparkSession, dir: String)
+      : (DataFrame, Array[(Long, Seq[Double])]) = {
     import s.implicits._
     val sub = 8; val dims = 8; val k = 16
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -365,11 +370,56 @@ object Similarity {
       }: _*)).as("pa"))
       .select($"vec_id", $"pa.probe_id", $"pa.adc")
       .filter($"vec_id" =!= $"probe_id")
+    (scored, probes.map { case (pid, pv) => (pid, pv.flatten.toSeq) })
+  }
+
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (scored, _) = adcScored(s, dir)
     val w = Window.partitionBy($"probe_id").orderBy($"adc".asc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
         Num.roundAt($"adc", 6).as("adc_d2"))
+      .orderBy("probe_id", "rank")
+  }
+
+  // q164: two-stage retrieval — PQ-ADC shortlist, EXACT re-rank. The
+  // production ANN pattern q93 stops short of: the compressed index
+  // (32× smaller, RAM-resident at 100 TB) cheaply shortlists top-20
+  // candidates per probe, then the exact vectors are fetched for ONLY
+  // those ~20 rows and re-scored with true squared-L2. The output
+  // carries both ranks, so the reorder the re-rank performs (adc_rank
+  // vs final rank) is visible — the observable value of the second
+  // stage. Scale shape: stage 1 is q93's one-pass scan of the code
+  // table; stage 2 joins a |probes|·20-row BROADCAST shortlist against
+  // the vector table — the exact vectors of everything else are never
+  // read. Every exact d² is the Det left fold (identical bits to the
+  // oracle's list_reduce), and both rank orders tie-break on vec_id.
+  private def rerankAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (scored, probes) = adcScored(s, dir)
+    val w = Window.partitionBy($"probe_id").orderBy($"adc".asc, $"vec_id".asc)
+    val shortlist = scored.withColumn("adc_rank", row_number().over(w))
+      .filter($"adc_rank" <= 20)
+    // exact vectors attach to the bounded shortlist only (broadcast the
+    // ~|probes|·20 rows, stream the vector table past it)
+    val withVec = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+    val d2 = probes.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (pid, pv)) =>
+        when($"probe_id" === pid,
+          aggregate(zip_with(typedlit(pv), $"v", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x)).otherwise(acc)
+    }
+    val wx = Window.partitionBy($"probe_id").orderBy($"d2".asc, $"vec_id".asc)
+    withVec.withColumn("d2", d2)
+      .withColumn("rank", row_number().over(wx))
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        Num.roundAt($"d2", 6).as("d2"),
+        Num.roundAt($"adc", 6).as("adc_d2"), $"adc_rank")
       .orderBy("probe_id", "rank")
   }
 
@@ -430,6 +480,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_centroid_purity" -> (centroidPurity _),
+    "q164_rerank_ann" -> (rerankAnn _),
     "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
     "q28_lsh_ann"     -> (lshAnn _),
@@ -550,6 +601,62 @@ object Similarity {
         |       round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
         |FROM ex LEFT JOIN hit ON ex.probe_id = hit.probe_id
         |ORDER BY ex.probe_id""".stripMargin,
+    "q164_rerank_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, j, v[8*j+1 : 8*j+8] AS s
+        |  FROM v, (SELECT unnest(range(8)) AS j)),
+        |cent AS (SELECT vec_id AS cid, j, s AS c FROM sv WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT s.vec_id, s.j, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.j
+        |             ORDER BY list_reduce(list_transform(range(1, 9),
+        |               d -> (s.s[d] - c.c[d]) * (s.s[d] - c.c[d])),
+        |               (x, y) -> x + y), c.cid) AS rn
+        |    FROM sv s JOIN cent c ON s.j = c.j)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT p.vec_id AS probe_id, p.j, c.cid,
+        |         list_reduce(list_transform(range(1, 9),
+        |           d -> (p.s[d] - c.c[d]) * (p.s[d] - c.c[d])),
+        |           (x, y) -> x + y) AS pd2
+        |  FROM sv p JOIN cent c ON p.j = c.j
+        |  WHERE p.vec_id BETWEEN 40 AND 44),
+        |adcj AS (
+        |  SELECT l.probe_id, e.vec_id, e.j, l.pd2
+        |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cid),
+        |adc AS (
+        |  SELECT probe_id, vec_id,
+        |         max(CASE WHEN j=0 THEN pd2 END) + max(CASE WHEN j=1 THEN pd2 END)
+        |       + max(CASE WHEN j=2 THEN pd2 END) + max(CASE WHEN j=3 THEN pd2 END)
+        |       + max(CASE WHEN j=4 THEN pd2 END) + max(CASE WHEN j=5 THEN pd2 END)
+        |       + max(CASE WHEN j=6 THEN pd2 END) + max(CASE WHEN j=7 THEN pd2 END) AS adc
+        |  FROM adcj WHERE vec_id <> probe_id GROUP BY 1, 2),
+        |short AS (
+        |  SELECT probe_id, vec_id, adc,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY adc, vec_id) AS INTEGER) AS adc_rank
+        |  FROM adc),
+        |ex AS (
+        |  SELECT c.probe_id, c.vec_id, c.adc, c.adc_rank,
+        |         list_reduce(list_transform(range(1, 65),
+        |           d -> (p.v[d] - q.v[d]) * (p.v[d] - q.v[d])),
+        |           (x, y) -> x + y) AS d2
+        |  FROM short c
+        |  JOIN v p ON p.vec_id = c.probe_id
+        |  JOIN v q ON q.vec_id = c.vec_id
+        |  WHERE c.adc_rank <= 20),
+        |r AS (
+        |  SELECT probe_id, vec_id, d2, adc, adc_rank,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY d2, vec_id) AS INTEGER) AS rank
+        |  FROM ex)
+        |SELECT probe_id, vec_id AS neighbor_id, rank,
+        |       round(d2, 6) AS d2, round(adc, 6) AS adc_d2, adc_rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q93_pq_ann" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

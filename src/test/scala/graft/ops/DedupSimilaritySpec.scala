@@ -253,4 +253,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(trained > naive,
       s"Lloyd-trained codebook must improve recall: trained=$trained naive=$naive")
   }
+
+  test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
+    import spark.implicits._
+    val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
+    // contract shape: 5 probes × 5 rows, final order by exact d2, every
+    // candidate drawn from the ADC top-20 shortlist
+    assert(rr.count() == 25)
+    assert(rr.filter($"adc_rank" > 20 || $"adc_rank" < 1).count() == 0)
+    rr.collect().groupBy(_.getAs[Long]("probe_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      assert(sorted.map(_.getAs[Double]("d2")).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      })
+    }
+    // exact ground truth: within-shortlist members of the global top-5
+    // are ALWAYS selected by the re-rank (at most 5 fit), so re-rank
+    // recall@5 >= ADC-only recall@5 — the guarantee the stage exists for
+    val b = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", Det.toDoubleArr($"embedding").as("v"))
+    val probes = b.filter($"vec_id" >= 40 && $"vec_id" < 45)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"d2".asc, $"vec_id".asc)
+    val exactTop5 = b.crossJoin(probes).filter($"vec_id" =!= $"probe_id")
+      .withColumn("d2",
+        aggregate(zip_with($"pv", $"v", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e))
+      .withColumn("r", row_number().over(w)).filter($"r" <= 5)
+      .select($"probe_id", $"vec_id")
+    val adcTop5 = Similarity.queries("q93_pq_ann")(spark, dir)
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"neighbor_id".as("vec_id"))
+    val rrTop5 = rr.select($"probe_id", $"neighbor_id".as("vec_id"))
+    val rrHits = exactTop5.join(rrTop5, Seq("probe_id", "vec_id")).count()
+    val adcHits = exactTop5.join(adcTop5, Seq("probe_id", "vec_id")).count()
+    assert(rrHits >= adcHits,
+      s"re-rank lost recall: rerank=$rrHits adc=$adcHits")
+    rr.unpersist()
+  }
 }
