@@ -49,7 +49,13 @@ object Explain {
     "q147_dedup_recall",  // expect: prefix-shingle + band equi-joins, no all-pairs anywhere
     "q148_multitouch",    // expect: user-keyed windows only, one timeline pass
     "q150_sequence_paths",// expect: user/session windows + TakeOrderedAndProject census
-    "q151_fk_orphans"     // expect: broadcast anti-joins for dictionary parents
+    "q151_fk_orphans",    // expect: broadcast anti-joins for dictionary parents
+    "q158_cross_source_contamination", // expect: digest groupBy + broadcast total attaches
+    "q159_zipf_law",      // expect: TakeOrderedAndProject top-1000, no global window
+    "q160_centroid_purity", // expect: map-side centroid argmax, one census exchange
+    "q161_event_lateness",// expect: user-partitioned window, exact percentile census
+    "q163_video_census",  // expect: zero-shuffle batched mapPartitions decode
+    "q164_rerank_ann"     // expect: broadcast shortlist join; exact d2 only on top-20 rows
   )
 
   def main(args: Array[String]): Unit = {
