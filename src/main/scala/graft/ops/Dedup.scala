@@ -178,6 +178,51 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q165: Hamming-ball SEARCH over SimHash fingerprints via multi-index
+  // hashing — the retrieval counterpart of q25's dedup: given probe
+  // fingerprints, return EVERY document within Hamming radius 5, with a
+  // completeness GUARANTEE rather than a recall estimate. Pigeonhole
+  // over the 6 disjoint 10-bit bands: ≤5 differing bits cannot touch
+  // all 6 bands, so every true result shares at least one exact band
+  // with its probe and the band equi-join loses nothing — the spec
+  // proves the result set identical to the brute-force all-pairs scan.
+  // Probes are planted 3-bit XOR mutants of every 25th document's
+  // fingerprint (flip positions derive from doc_id arithmetic, so the
+  // oracle replays them exactly). Scale shape: the 64-bit fingerprint
+  // index is ~1/100th the corpus bytes; candidates come from 6 band
+  // buckets per probe (Σ bucket occupancy, never |probes|·n); verify is
+  // one codegen'd bit_count per candidate. This is the binary-code ANN
+  // rung between q25 (dedup) and q28 (float LSH): real deployments
+  // store binary sketches precisely because searching them is this
+  // cheap at 100 TB.
+  private def hammingSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val sigs = Tables.documents(s, dir)
+      .withColumn("simhash", expr("simhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"simhash")
+      // materialize before the band explode references it 6x (see q21)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, $"doc_id")
+    val probes = sigs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 50000L).as("probe_id"),
+        expr("""simhash ^ aggregate(sequence(0, 2), 0L,
+              (acc, j) -> acc ^ shiftleft(1L, cast((doc_id * 7 + j * 13) % 60 as int)))""")
+          .as("psig"))
+    val pB = probes.select($"probe_id", $"psig",
+      posexplode(expr("transform(sequence(0, 5), b -> shiftright(psig, 10 * b) & 1023)"))
+        .as(Seq("bi", "bv")))
+    val cB = sigs.select($"doc_id", $"simhash",
+      posexplode(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
+        .as(Seq("bi", "bv")))
+    pB.join(cB, Seq("bi", "bv"))
+      .select($"probe_id", $"doc_id",
+        expr("bit_count(psig ^ simhash)").cast(IntegerType).as("hamming"))
+      .filter($"hamming" <= 5)
+      .distinct() // multi-band hits collapse after the cheap filter
+      .orderBy("probe_id", "doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q26: exact n-gram (token bigram) Jaccard VERIFY over MinHash-band
   // candidates — the LSH-candidates + exact-verify pattern. Candidate
   // generation reuses q21's banded shape (16 bands × 4 rows of a 64-perm
@@ -946,6 +991,7 @@ object Dedup {
     "q57_dup_clusters"   -> (dupClusters _),
     "q157_cluster_representative" -> (clusterRepresentative _),
     "q158_cross_source_contamination" -> (crossSourceContamination _),
+    "q165_hamming_search" -> (hammingSearch _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1009,6 +1055,38 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q165_hamming_search" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT))
+        |           AS hashes
+        |  FROM documents),
+        |sim AS (
+        |  SELECT doc_id, list_aggregate(list_transform(range(0, 60), k ->
+        |           CASE WHEN 2 * len(list_filter(hashes,
+        |                      x -> ((x >> k) & 1) = 1)) > len(hashes)
+        |                THEN (CAST(1 AS BIGINT) << k)
+        |                ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+        |  FROM h),
+        |probes AS (
+        |  SELECT doc_id + 50000 AS probe_id,
+        |         xor(simhash, xor(xor(
+        |           CAST(1 AS BIGINT) << CAST((doc_id * 7) % 60 AS INTEGER),
+        |           CAST(1 AS BIGINT) << CAST((doc_id * 7 + 13) % 60 AS INTEGER)),
+        |           CAST(1 AS BIGINT) << CAST((doc_id * 7 + 26) % 60 AS INTEGER)))
+        |           AS psig
+        |  FROM sim WHERE doc_id % 25 = 0),
+        |pb AS (
+        |  SELECT probe_id, psig, b, (psig >> (10 * b)) & 1023 AS bv
+        |  FROM probes, (SELECT unnest(range(0, 6)) AS b)),
+        |cb AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (10 * b)) & 1023 AS bv
+        |  FROM sim, (SELECT unnest(range(0, 6)) AS b))
+        |SELECT DISTINCT probe_id, doc_id,
+        |       CAST(bit_count(xor(psig, simhash)) AS INTEGER) AS hamming
+        |FROM pb JOIN cb ON pb.b = cb.b AND pb.bv = cb.bv
+        |WHERE bit_count(xor(psig, simhash)) <= 5
+        |ORDER BY probe_id, doc_id""".stripMargin,
     "q158_cross_source_contamination" ->
       """WITH posted AS (
         |  SELECT source, md5(text) AS digest FROM documents

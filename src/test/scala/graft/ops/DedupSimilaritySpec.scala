@@ -254,6 +254,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"Lloyd-trained codebook must improve recall: trained=$trained naive=$naive")
   }
 
+  test("q165: multi-index Hamming search is complete - identical to brute force") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Dedup.queries("q165_hamming_search")(spark, dir).cache()
+    // every probe is a <=3-bit mutant of its source doc's fingerprint, so
+    // the source itself must always be returned
+    val probes = out.select($"probe_id").distinct().count()
+    val selfHits = out.filter($"doc_id" === $"probe_id" - 50000).count()
+    assert(probes > 0 && selfHits == probes,
+      s"planted source missing: $selfHits of $probes probes found their doc")
+    assert(out.filter($"hamming" > 5).count() == 0)
+    // pigeonhole completeness: 6 disjoint bands, radius 5 -> the banded
+    // join must return EXACTLY the brute-force result set
+    val sigs = graft.Tables.documents(spark, dir)
+      .withColumn("simhash", expr("simhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"simhash")
+    val ps = sigs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 50000L).as("probe_id"),
+        expr("""simhash ^ aggregate(sequence(0, 2), 0L,
+              (acc, j) -> acc ^ shiftleft(1L, cast((doc_id * 7 + j * 13) % 60 as int)))""")
+          .as("psig"))
+    val brute = ps.crossJoin(sigs)
+      .select($"probe_id", $"doc_id",
+        expr("bit_count(psig ^ simhash)").cast("int").as("hamming"))
+      .filter($"hamming" <= 5)
+    val bruteSet = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bandedSet = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bandedSet == bruteSet,
+      s"banded != brute: missing=${(bruteSet -- bandedSet).take(3)} " +
+        s"extra=${(bandedSet -- bruteSet).take(3)}")
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
