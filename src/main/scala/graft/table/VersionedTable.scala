@@ -13,6 +13,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   */
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Thrown when a write batch (or, for ADD CONSTRAINT, the existing table)
+  * violates an active CHECK constraint. The write publishes nothing.
+  */
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
 /** A minimal versioned, transactional table over plain parquet — the
   * "Parquet/Delta" capability named in BASELINE.json, built in the style
   * of the PUBLIC Delta Lake transaction-log protocol (an append-only log
@@ -400,12 +405,14 @@ final class VersionedTable private (val root: Path) {
              adds: Seq[AddEntry], removes: Seq[String],
              statsColMeta: Option[String] = None,
              schemaJson: Option[String] = None,
-             txnId: Option[Long] = None): Long = {
+             txnId: Option[Long] = None,
+             constraintsJson: Option[String] = None): Long = {
     val version = readVersion + 1
     val sb = new StringBuilder
     val meta = statsColMeta.map(c => s""","statsCol":"$c"""").getOrElse("") +
       schemaJson.map(j => s""","schema":$j""").getOrElse("") +
-      txnId.map(t => s""","txn":$t""").getOrElse("")
+      txnId.map(t => s""","txn":$t""").getOrElse("") +
+      constraintsJson.map(c => s""","constraints":$c""").getOrElse("")
     sb.append(s"""{"commit":{"version":$version,"op":"${op}","readVersion":$readVersion$meta}}""")
     adds.foreach { a =>
       val st = a.stats.map { case (mn, mx) => s""","min":$mn,"max":$mx""" }.getOrElse("")
@@ -435,6 +442,11 @@ final class VersionedTable private (val root: Path) {
     */
   def append(df: DataFrame, maxRetries: Int = 5,
              txnId: Option[Long] = None): Long = {
+    // Validate BEFORE writeData so a violating batch publishes nothing,
+    // not even an orphan data file. Validation reads the entry-time
+    // constraint set; a constraint added concurrently with this append
+    // has the same write-write race Delta documents for its own path.
+    validateConstraints(df, latestVersion, "append")
     val add = writeData(df)
     var attempt = 0
     while (true) {
@@ -466,6 +478,7 @@ final class VersionedTable private (val root: Path) {
     */
   def overwrite(df: DataFrame, readVersion: Long,
                 txnId: Option[Long] = None): Long = {
+    validateConstraints(df, readVersion, "overwrite")
     val removed = activeFiles(readVersion)
     val add = writeData(df)
     // a full replace REDEFINES the schema (it may drop columns)
@@ -517,6 +530,9 @@ final class VersionedTable private (val root: Path) {
             txnId: Option[Long] = None): Long = {
     val merged = graft.streaming.CdcApply.mergeBatch(
       snapshot(spark, Some(readVersion)), changes)
+    // the merged RESULT is validated (deletes can't violate; updates and
+    // inserts land in it), same point in the flow as Delta's merge check
+    validateConstraints(merged, readVersion, "merge")
     val removed = activeFiles(readVersion)
     val add = writeData(merged)
     commit("merge", readVersion, Seq(add), removed,
@@ -545,6 +561,117 @@ final class VersionedTable private (val root: Path) {
       v -= 1
     }
     None
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT` surface):
+  // declarative row predicates logged IN the commit log — every
+  // constraint-changing commit records the FULL active set (the schemaOf
+  // pattern), so the set at any version is the newest such commit at or
+  // before it, O(log tail) to resolve and time-travel-consistent. Writes
+  // validate the incoming batch BEFORE any data file is written, so a
+  // violation publishes nothing — not even an orphan file. SQL CHECK
+  // semantics: a NULL predicate passes.
+
+  /** Active CHECK constraints at `version`, newest-logged set wins. */
+  def constraintsOf(version: Long): Seq[(String, String)] = {
+    var v = version
+    while (v >= 0) {
+      val f = logDir.resolve(versionFileName(v))
+      if (Files.exists(f)) {
+        var found: Option[Seq[(String, String)]] = None
+        Files.readAllLines(f).forEach { line =>
+          val node = Mapper.readTree(line)
+          if (node.has("commit") && node.get("commit").has("constraints")) {
+            val arr = node.get("commit").get("constraints")
+            val b = Seq.newBuilder[(String, String)]
+            arr.forEach(el =>
+              b += ((el.get("name").asText(), el.get("expr").asText())))
+            found = Some(b.result())
+          }
+        }
+        found.foreach(cs => return cs)
+      }
+      v -= 1
+    }
+    Nil
+  }
+
+  /** Active CHECK constraints of the latest version. */
+  def checkConstraints: Seq[(String, String)] = constraintsOf(latestVersion)
+
+  private def constraintsToJson(cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) =>
+      s"""{"name":${Mapper.writeValueAsString(n)},"expr":${Mapper.writeValueAsString(e)}}"""
+    }.mkString("[", ",", "]")
+
+  /** Throw [[ConstraintViolationException]] if `df` violates any of the
+    * active constraints at `version`. One combined pass over the batch
+    * when all pass (the common case); only a failure pays per-constraint
+    * re-evaluation to NAME the violated constraint in the error.
+    */
+  private def validateConstraints(df: DataFrame, version: Long,
+                                  op: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = constraintsOf(version)
+    if (cs.isEmpty) return
+    def violated(e: String) = not(coalesce(expr(e), lit(true)))
+    val anyBad = cs.map(c => violated(c._2)).reduce(_ || _)
+    if (df.where(anyBad).take(1).nonEmpty) {
+      val culprit = cs.find(c => df.where(violated(c._2)).take(1).nonEmpty)
+        .getOrElse(cs.head)
+      throw new ConstraintViolationException(
+        s"$op to $root violates CHECK constraint '${culprit._1}' " +
+          s"(${culprit._2})")
+    }
+  }
+
+  /** Add a named CHECK constraint. Like Delta's ADD CONSTRAINT, the
+    * EXISTING table must already satisfy it (validated against the read
+    * snapshot before the commit publishes); concurrent commits retry the
+    * read-validate-commit cycle.
+    */
+  def addCheckConstraint(spark: SparkSession, name: String, exprStr: String,
+                         maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    var attempt = 0
+    while (true) {
+      val rv = latestVersion
+      val existing = constraintsOf(rv)
+      require(!existing.exists(_._1 == name),
+        s"constraint '$name' already exists on $root")
+      if (rv >= 0 &&
+          snapshot(spark, Some(rv))
+            .where(not(coalesce(expr(exprStr), lit(true)))).take(1).nonEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK constraint '$name' ($exprStr): " +
+            s"existing rows of $root violate it")
+      try return commit("addConstraint", rv, Nil, Nil,
+        constraintsJson = Some(constraintsToJson(existing :+ (name, exprStr))))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1; if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a named CHECK constraint (no-op validation; the set shrinks). */
+  def dropCheckConstraint(name: String, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val rv = latestVersion
+      val existing = constraintsOf(rv)
+      require(existing.exists(_._1 == name),
+        s"constraint '$name' does not exist on $root")
+      try return commit("dropConstraint", rv, Nil, Nil,
+        constraintsJson = Some(constraintsToJson(existing.filterNot(_._1 == name))))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1; if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** CHANGE DATA FEED between two versions, keyed by `keyCol`: what a

@@ -624,4 +624,53 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // and every intermediate batch boundary is time-travelable
     assert(t.snapshot(spark, Some(1L)).count() == base.count()) // updates only
   }
+
+  test("CHECK constraints: enforced on append/merge, versioned, durable across reopen") {
+    import spark.implicits._
+    val t = freshTable()
+    val vAdd = t.addCheckConstraint(spark, "key_nonneg", "c_custkey >= 0")
+    assert(t.checkConstraints == Seq(("key_nonneg", "c_custkey >= 0")))
+
+    // a clean batch appends; a violating batch is rejected NAMING the
+    // constraint and publishes nothing (no version, no data file)
+    t.append(Seq((90001L, "ok", 1.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+    val vBefore = t.latestVersion
+    val filesBefore = t.activeFiles(vBefore).toSet
+    val e = intercept[ConstraintViolationException] {
+      t.append(Seq((-5L, "bad", 1.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+    }
+    assert(e.getMessage.contains("key_nonneg"))
+    assert(t.latestVersion == vBefore)
+    assert(t.activeFiles(t.latestVersion).toSet == filesBefore)
+
+    // NULL predicate passes (SQL CHECK semantics)
+    t.append(Seq((null.asInstanceOf[java.lang.Long], "nullkey", 1.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"))
+
+    // merge validates the merged RESULT: an update driving a row below
+    // the floor is rejected even though the key already exists
+    t.addCheckConstraint(spark, "bal_nonneg", "c_acctbal >= -100000")
+    val badUpd = Seq((90001L, "U", null.asInstanceOf[String], -999999.0))
+      .toDF("c_custkey", "op", "new_name", "new_bal")
+    intercept[ConstraintViolationException] {
+      t.merge(spark, badUpd, t.latestVersion)
+    }
+
+    // ADD CONSTRAINT validates EXISTING rows
+    intercept[ConstraintViolationException] {
+      t.addCheckConstraint(spark, "impossible", "c_custkey > 1000000000")
+    }
+    assert(!t.checkConstraints.exists(_._1 == "impossible"))
+
+    // durable: a fresh handle on the same root sees the set; the set is
+    // versioned, so time travel BEFORE vAdd shows none
+    val t2 = VersionedTable.open(t.root.toString)
+    assert(t2.checkConstraints.map(_._1).toSet == Set("key_nonneg", "bal_nonneg"))
+    assert(t2.constraintsOf(vAdd - 1).isEmpty)
+
+    // drop re-admits the batch
+    t2.dropCheckConstraint("key_nonneg")
+    t2.append(Seq((-5L, "now ok", 1.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+    assert(t2.snapshot(spark).filter($"c_custkey" === -5L).count() == 1)
+  }
 }
