@@ -348,9 +348,14 @@ object TextAnalysis {
   // order is identical on both engines (a per-doc SUM over term rows
   // would leave the order engine-chosen). Top-20 via orderBy+limit —
   // TakeOrderedAndProject, per-partition heaps, never a global sort.
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q83/q166 stage-1 core: the BM25 top-20 (doc_id, score) for
+    * the fixed query, collected as the bounded shortlist literal.
+    * Top-20 via TakeOrderedAndProject (distributed partial top-k) —
+    * rank derives from the collected order, no empty-partition
+    * WindowExec (the q117 fix, applied suite-wide).
+    */
+  private def bm25Top(s: SparkSession, dir: String): Array[(Long, Double)] = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val k1 = lit(1.2)
     val b = lit(0.75)
     // No corpus repartition here (unlike the signature queries): the
@@ -378,16 +383,64 @@ object TextAnalysis {
         sum(when($"term" === "merge", $"sc")).as("s3"))
       .withColumn("score",
         coalesce($"s1", lit(0.0)) + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
-    // top-20 via TakeOrderedAndProject (distributed partial top-k); rank
-    // derives from the collected order — no empty-partition WindowExec,
-    // which would log the single-partition warning and, pre-limit, move
-    // the whole frame to one task (the q117 fix, applied suite-wide)
-    val top = perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
+    perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
       .select($"doc_id", $"score").collect()
-    s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
-      (r.getLong(0), i + 1, r.getDouble(1))
+      .map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = bm25Top(s, dir)
+    s.createDataFrame(top.zipWithIndex.toSeq.map { case ((id, sc), i) =>
+      (id, i + 1, sc)
     }).toDF("doc_id", "rank", "score_raw")
       .select($"doc_id", $"rank", Num.roundAt($"score_raw", 6).as("bm25"))
+      .orderBy("rank")
+  }
+
+  // q166: two-stage text retrieval — BM25 shortlist, PROXIMITY re-rank.
+  // The lexical mirror of q164's ANN pattern (and the shape of every
+  // production search stack): a cheap corpus-wide first stage prunes to
+  // 20 candidates, then an expensive per-document second stage runs on
+  // ONLY those — here the minimal token window covering all three query
+  // terms (the classic proximity signal BM25's bag-of-words scoring
+  // cannot see). Final order: docs containing the full phrase-able term
+  // set first, tighter windows first, BM25 breaking ties. Scale shape:
+  // stage 1 is q83's aggregate (corpus-wide but tf-pruned map-side);
+  // stage 2 touches 20 documents — the position explode is filtered to
+  // the shortlist ids AT THE SCAN (pushed IN-filter), and the
+  // per-document occurrence cross is bounded by per-doc term counts,
+  // never corpus-sized. All proximity arithmetic is exact integers.
+  private def proximityRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = bm25Top(s, dir)
+    // stage 2: positions of the query terms in the 20 shortlist docs only
+    val ids = top.map(_._1).toSeq
+    val pos = Tables.documents(s, dir)
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+      .filter($"term".isin("join", "scan", "merge"))
+    val win = pos.filter($"term" === "join").select($"doc_id", $"pos".as("p1"))
+      .join(pos.filter($"term" === "scan").select($"doc_id", $"pos".as("p2")),
+        Seq("doc_id"))
+      .join(pos.filter($"term" === "merge").select($"doc_id", $"pos".as("p3")),
+        Seq("doc_id"))
+      .groupBy($"doc_id")
+      .agg(min(greatest($"p1", $"p2", $"p3") - least($"p1", $"p2", $"p3") + 1)
+        .as("min_window"))
+    val bmDf = s.createDataFrame(top.toSeq).toDF("doc_id", "score_raw")
+    val f = bmDf.join(win, Seq("doc_id"), "left")
+      .select($"doc_id", $"score_raw",
+        $"min_window".isNotNull.as("has_all"),
+        coalesce($"min_window", lit(1000000)).as("min_window"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3)))
+      .sortBy { case (id, sc, hasAll, w) => (!hasAll, w, -sc, id) }
+    s.createDataFrame(f.zipWithIndex.toSeq.map { case ((id, sc, ha, w), i) =>
+      (i + 1, id, ha, w, sc)
+    }).toDF("rank", "doc_id", "has_all", "min_window", "score_raw")
+      .select($"rank", $"doc_id", $"has_all", $"min_window",
+        Num.roundAt($"score_raw", 6).as("bm25"))
       .orderBy("rank")
   }
 
@@ -587,6 +640,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_zipf_law" -> (zipfLaw _),
+    "q166_proximity_rerank" -> (proximityRerank _),
     "q138_shingle_census" -> (shingleWindowsTop _),
     "q127_perplexity" -> (perplexity _),
     "q129_weighted_sample" -> (weightedSample _),
@@ -752,6 +806,64 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q166_proximity_rerank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |top AS (
+        |  SELECT doc_id, score FROM (
+        |    SELECT doc_id, score,
+        |           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |    FROM p) WHERE rk <= 20),
+        |posn AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id IN (SELECT doc_id FROM top))),
+        |pterm AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS term
+        |  FROM posn WHERE toks[i] IN ('join', 'scan', 'merge')),
+        |win AS (
+        |  SELECT a.doc_id,
+        |         CAST(min(greatest(a.pos, b.pos, c.pos)
+        |                  - least(a.pos, b.pos, c.pos) + 1) AS INTEGER)
+        |           AS min_window
+        |  FROM pterm a
+        |  JOIN pterm b ON b.doc_id = a.doc_id AND b.term = 'scan'
+        |  JOIN pterm c ON c.doc_id = a.doc_id AND c.term = 'merge'
+        |  WHERE a.term = 'join'
+        |  GROUP BY a.doc_id),
+        |f AS (
+        |  SELECT t.doc_id, t.score,
+        |         w.min_window IS NOT NULL AS has_all,
+        |         coalesce(w.min_window, 1000000) AS min_window
+        |  FROM top t LEFT JOIN win w USING (doc_id))
+        |SELECT CAST(row_number() OVER (ORDER BY has_all DESC, min_window ASC,
+        |              score DESC, doc_id ASC) AS INTEGER) AS rank,
+        |       doc_id, has_all, min_window, round(score, 6) AS bm25
+        |FROM f ORDER BY rank""".stripMargin,
     "q159_zipf_law" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),

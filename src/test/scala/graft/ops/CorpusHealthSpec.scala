@@ -51,6 +51,28 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q166: re-rank preserves the BM25 shortlist and orders by proximity first") {
+    import spark.implicits._
+    val rr = TextAnalysis.queries("q166_proximity_rerank")(spark, dir).cache()
+    val bm = TextAnalysis.queries("q83_bm25")(spark, dir)
+    // stage 2 reorders, never changes, the stage-1 candidate set
+    assert(rr.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      bm.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val rows = rr.orderBy("rank").collect()
+    // full-coverage docs first; windows ascending within them; a window
+    // covering 3 distinct terms spans at least 3 tokens
+    val (full, partial) = rows.partition(_.getBoolean(2))
+    assert(full.map(_.getInt(0)).toSeq ==
+      (1 to full.length), "has_all block must lead the ranking")
+    assert(full.forall(_.getInt(3) >= 3))
+    val wins = full.map(_.getInt(3)).toSeq
+    assert(wins == wins.sorted, "windows must ascend within the full block")
+    // within the partial block, BM25 order is preserved
+    val pScores = partial.map(_.getDouble(4)).toSeq
+    assert(pScores == pScores.sorted.reverse)
+    rr.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
