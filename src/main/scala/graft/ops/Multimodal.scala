@@ -281,6 +281,113 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Image modality, oracle-proven: q44 exercises the seam with the
+  // oracle-reproducible FakeCodec and MultimodalSpec drives ImageIoCodec
+  // on real PNG/BMP pixels — q167 closes the loop by putting the REAL
+  // JDK decoder behind an oracle: a deterministic 24-bit BMP per
+  // document, decoded by javax.imageio, reduced to closed-form integer
+  // features the SQL oracle replays without touching a byte. The hash
+  // match certifies the decoder's header parse, bottom-up row handling
+  // and BGR channel order — the image twin of q162 (audio) / q163
+  // (video).
+
+  /** Decoded image features: exact int64 channel sums + a y-weighted
+    * blue sum in IMAGE coordinates (y=0 is the TOP row), which a decoder
+    * that ignores BMP's bottom-up storage gets wrong.
+    */
+  final case class ImageFeat(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      sum_b: Long, sum_g: Long, sum_r: Long, wsum_y_b: Long)
+
+  /** Image-feature codec seam (same batched contract). */
+  trait ImageCodec extends Serializable {
+    def decode(batch: Seq[MediaRow]): Seq[ImageFeat]
+  }
+
+  /** Real decode through javax.imageio (same reader family as
+    * [[ImageIoCodec]]), reduced to integer features via `getRGB` in
+    * image coordinates. Undecodable payloads fail loudly.
+    */
+  object ImageFeatureCodec extends ImageCodec {
+    def decode(batch: Seq[MediaRow]): Seq[ImageFeat] = batch.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.blob))
+      require(img != null, s"doc ${r.doc_id}: no JVM image reader decodes this payload")
+      val w = img.getWidth; val h = img.getHeight
+      var sumB = 0L; var sumG = 0L; var sumR = 0L; var wsumYB = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val pB = p & 0xff; val pG = (p >> 8) & 0xff; val pR = (p >> 16) & 0xff
+          sumB += pB; sumG += pG; sumR += pR
+          wsumYB += pB.toLong * (y + 1)
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeat(r.doc_id, r.blob.length, w, h, sumB, sumG, sumR, wsumYB)
+    }
+  }
+
+  /** Batched image-feature decode stage. */
+  def decodeImages(media: Dataset[MediaRow],
+                   codec: ImageCodec = ImageFeatureCodec): Dataset[ImageFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatchSize).flatMap(codec.decode))
+  }
+
+  /** Deterministic 24-bit BMP synthesis (14-byte file header + 40-byte
+    * BITMAPINFOHEADER + bottom-up padded BGR rows). The blue value at
+    * IMAGE coordinates (x, y) — y=0 the top row — is
+    * `(d·11 + y·37 + x) mod 256` (green/red offset 85/170); the
+    * generator stores image row y at buffer row (h−1−y) as BI_RGB
+    * mandates, so a decoder that skips the flip fails the y-weighted
+    * oracle column.
+    */
+  private[ops] def synthBmp(docId: Long): Array[Byte] = {
+    val w = 9 + (docId % 6).toInt
+    val h = 5 + (docId % 5).toInt
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val total = 14 + 40 + dataLen
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(total)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // bottom-up: buffer starts with the LAST image row
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 11 + row * 37 + x) % 256).toInt
+        bb.put(v.toByte).put(((v + 85) % 256).toByte)
+          .put(((v + 170) % 256).toByte)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    bb.array()
+  }
+
+  // q167: image feature census through the REAL JDK image decoder — see
+  // the section comment above. Zero-shuffle batched decode, exact int64
+  // features, closed-form oracle.
+  private def imageCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(d => MediaRow(d, synthBmp(d)))
+    decodeImages(media).toDF().orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // Video modality: a REAL container parser here too — AVI is RIFF with
   // nested LISTs, and uncompressed 24-bit DIB frames are pure byte
   // layout (bottom-up BGR rows padded to 4 bytes), so like WAV the
@@ -517,7 +624,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal" -> (multimodal _),
     "q162_audio_census" -> (audioCensus _),
-    "q163_video_census" -> (videoCensus _)
+    "q163_video_census" -> (videoCensus _),
+    "q167_image_census" -> (imageCensus _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -596,6 +704,29 @@ object Multimodal {
         |       CAST(list_reduce(list_transform(range(1, len(vb) + 1),
         |         i -> vb[i] * yw[i]), (a, x) -> a + x) AS BIGINT) AS wsum_y_b,
         |       CAST(list_reduce(mv, (a, x) -> a + x) AS BIGINT) AS motion_b
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q167_image_census" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         9 + doc_id % 6 AS w, 5 + doc_id % 5 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |         ((w * 3 + 3) // 4) * 4 AS rb,
+        |         list_transform(range(0, h * w), i ->
+        |           (doc_id * 11 + (i // w) * 37 + i % w) % 256) AS vb,
+        |         list_transform(range(0, h * w), i -> (i // w) + 1) AS yw
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(54 + rb * h AS INTEGER) AS n_bytes,
+        |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(list_reduce(vb, (a, x) -> a + x) AS BIGINT) AS sum_b,
+        |       CAST(list_reduce(list_transform(vb, v -> (v + 85) % 256),
+        |         (a, x) -> a + x) AS BIGINT) AS sum_g,
+        |       CAST(list_reduce(list_transform(vb, v -> (v + 170) % 256),
+        |         (a, x) -> a + x) AS BIGINT) AS sum_r,
+        |       CAST(list_reduce(list_transform(range(1, len(vb) + 1),
+        |         i -> vb[i] * yw[i]), (a, x) -> a + x) AS BIGINT) AS wsum_y_b
         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -154,6 +154,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ImageFeatureCodec: javax.imageio round-trips the q167 BMP generator") {
+    import Multimodal.{ImageFeatureCodec, MediaRow}
+    for (d <- Seq(0L, 1L, 7L, 29L)) {
+      val m = ImageFeatureCodec.decode(Seq(MediaRow(d, Multimodal.synthBmp(d)))).head
+      val w = 9 + (d % 6).toInt; val h = 5 + (d % 5).toInt
+      assert(m.width == w && m.height == h)
+      def v(y: Int, x: Int): Long = (d * 11 + y * 37 + x) % 256
+      val all = for (y <- 0 until h; x <- 0 until w) yield (y, x)
+      assert(m.sum_b == all.map { case (y, x) => v(y, x) }.sum)
+      assert(m.sum_g == all.map { case (y, x) => (v(y, x) + 85) % 256 }.sum)
+      // the y-weight uses IMAGE rows (0 = top): a decoder that skipped
+      // BMP's bottom-up flip would pass sum_b and fail this
+      assert(m.wsum_y_b == all.map { case (y, x) => v(y, x) * (y + 1) }.sum)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageFeatureCodec.decode(
+        Seq(MediaRow(1L, Array[Byte](9, 9, 9))))
+    }
+  }
+
   test("AviDibCodec round-trips the q163 synthesis generator") {
     import Multimodal.{AviDibCodec, VideoRow}
     for (d <- Seq(0L, 1L, 5L, 11L)) {

@@ -448,7 +448,7 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"global single-partition stage feeding the window:\n$p")
   }
 
-  for (q <- Seq("q162_audio_census", "q163_video_census")) {
+  for (q <- Seq("q162_audio_census", "q163_video_census", "q167_image_census")) {
     test(s"$q: the decode pass is zero-shuffle after the input spread") {
       val (_, p) = plan(q)
       // one round-robin repartition spreads the single-split id scan; the
