@@ -638,7 +638,57 @@ object TextAnalysis {
           6).as("r2"))
   }
 
+  // q168: dedup-aware mixture reweighting — q121's allocation computed
+  // over EFFECTIVE (post-dedup) token mass instead of raw counts, the
+  // composition a real mixture planner needs: a source whose mass is
+  // mostly re-posts of another must not draw budget for tokens the
+  // dedup stage will delete. Cross-posting synthesized as in q158
+  // (doc_id % 3 == 0 re-posted under the next source); retention is
+  // keep-lowest-source per content digest, so a re-post under an
+  // earlier-sorting source STEALS the attribution — exactly what
+  // happens when the dedup keep-rule and the mixture planner disagree,
+  // surfaced per source as dup_frac. Scale shape: two digest/source
+  // groupBys (16-byte keys + int64 masses) and arithmetic over the
+  // |sources|-row frame; allocation is exact int64 (div/least) like
+  // q121, so the oracle replays it bit-for-bit.
+  private def dedupAwareMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source", md5($"text").as("digest"),
+        size(split($"text", " ")).cast(LongType).as("tk"))
+    val reposted = Tables.documents(s, dir)
+      .filter($"doc_id" % 3 === 0)
+      .select(concat(lit("src"),
+        ((substring($"source", 4, 10).cast(LongType) + 1L) % 20L).cast("string"))
+        .as("source"), md5($"text").as("digest"),
+        size(split($"text", " ")).cast(LongType).as("tk"))
+    val posted = d.unionAll(reposted)
+    val raw = posted.groupBy($"source")
+      .agg(count(lit(1)).as("n_posted"), sum($"tk").as("raw_toks"))
+    val eff = posted.groupBy($"digest")
+      .agg(min($"source").as("source"), max($"tk").as("tk"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"tk").as("eff_toks"))
+    val t = raw.join(eff, Seq("source"), "left")
+      .select($"source", $"n_posted", $"raw_toks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"eff_toks", lit(0L)).as("eff_toks"))
+      .withColumn("w",
+        when(substring($"source", 4, 10).cast(LongType) % 2 === 1, 9L)
+          .otherwise(1L))
+    val g = t.agg(sum($"eff_toks").as("total"), sum($"w").as("sw"))
+    t.crossJoin(broadcast(g)) // 1-row aggregate frame
+      .select($"source", $"n_posted", $"raw_toks", $"n_kept", $"eff_toks",
+        Num.roundAt(($"raw_toks" - $"eff_toks").cast(DoubleType) /
+          $"raw_toks".cast(DoubleType), 6).as("dup_frac"),
+        least($"eff_toks", expr("total * 4 div 5 * w div sw"))
+          .as("alloc_tokens"),
+        ($"eff_toks" < expr("total * 4 div 5 * w div sw")).as("deficit"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_dedup_mixture" -> (dedupAwareMixture _),
     "q159_zipf_law" -> (zipfLaw _),
     "q166_proximity_rerank" -> (proximityRerank _),
     "q138_shingle_census" -> (shingleWindowsTop _),
@@ -806,6 +856,44 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q168_dedup_mixture" ->
+      """WITH posted AS (
+        |  SELECT source, md5(text) AS digest,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(substring(source, 4) AS BIGINT) + 1) % 20
+        |           AS VARCHAR) AS source,
+        |         md5(text) AS digest,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |raw AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_posted,
+        |         CAST(sum(tk) AS BIGINT) AS raw_toks
+        |  FROM posted GROUP BY source),
+        |keep AS (
+        |  SELECT digest, min(source) AS source, max(tk) AS tk
+        |  FROM posted GROUP BY digest),
+        |eff AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(tk) AS BIGINT) AS eff_toks
+        |  FROM keep GROUP BY source),
+        |t AS (
+        |  SELECT r.source, r.n_posted, r.raw_toks,
+        |         coalesce(e.n_kept, 0) AS n_kept,
+        |         CAST(coalesce(e.eff_toks, 0) AS BIGINT) AS eff_toks,
+        |         CASE WHEN CAST(substring(r.source, 4) AS BIGINT) % 2 = 1
+        |              THEN 9 ELSE 1 END AS w
+        |  FROM raw r LEFT JOIN eff e ON e.source = r.source),
+        |g AS (SELECT sum(eff_toks) AS total, sum(w) AS sw FROM t)
+        |SELECT source, n_posted, raw_toks, CAST(n_kept AS BIGINT) AS n_kept,
+        |       eff_toks,
+        |       round(CAST(raw_toks - eff_toks AS DOUBLE)
+        |             / CAST(raw_toks AS DOUBLE), 6) AS dup_frac,
+        |       CAST(least(eff_toks, total * 4 // 5 * w // sw) AS BIGINT)
+        |         AS alloc_tokens,
+        |       eff_toks < total * 4 // 5 * w // sw AS deficit
+        |FROM t, g ORDER BY source""".stripMargin,
     "q166_proximity_rerank" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -73,6 +73,23 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     rr.unpersist()
   }
 
+  test("q168: effective mass conserves the digest space; allocations respect inventory") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q168_dedup_mixture")(spark, dir).cache()
+    // keep-lowest-source retention: every distinct digest is attributed
+    // to exactly one source, so Σ n_kept == distinct texts, and each
+    // source never keeps more than it posted... except where re-posts
+    // STEAL attribution — which is bounded by what was posted to it
+    val nDistinct = graft.Tables.documents(spark, dir)
+      .select(md5($"text")).distinct().count()
+    assert(out.agg(sum($"n_kept")).as[Long].head() == nDistinct)
+    assert(out.filter($"n_kept" > $"n_posted").count() == 0)
+    assert(out.filter($"eff_toks" > $"raw_toks").count() == 0)
+    assert(out.filter($"alloc_tokens" > $"eff_toks").count() == 0)
+    assert(out.filter($"dup_frac" < 0.0 || $"dup_frac" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
