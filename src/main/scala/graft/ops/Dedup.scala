@@ -178,6 +178,42 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q169: train/val/test split LEAKAGE census — the contamination trap
+  // q120's doc-level hash split walks into on a corpus with near-dups:
+  // two near-duplicate documents hash independently, so duplicate pairs
+  // STRADDLE the split boundary and the test set contains paraphrases
+  // of training documents. This query measures exactly that: every
+  // near-dup pair (q57's edge rule: banded MinHash candidates, est ≥
+  // 0.5) classified by the splits its endpoints land in — the
+  // cross-split cells are the leak. The FIX (assign whole duplicate
+  // CLUSTERS atomically by hashing the cluster label) is proven
+  // leak-free in the spec via dupClusters; the oracle checks the
+  // census. Scale shape: the edge set is pair-graph-sized, the split
+  // is a pure projection (q120's minstd arithmetic — exact int64), and
+  // the census is ≤ 6 rows.
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = bandPairs(mutatedDocs(s, dir), np)
+      .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
+    val M = 2147483647L
+    def splitOf(c: Column): Column = {
+      val h = c % M * 16807L % M * 48271L % M
+      when(h % 100 < 80, lit("train"))
+        .when(h % 100 < 90, lit("val"))
+        .otherwise(lit("test"))
+    }
+    edges
+      .select(splitOf($"doc_a").as("sa"), splitOf($"doc_b").as("sb"))
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", $"split_a" =!= $"split_b")
+      .orderBy("split_a", "split_b")
+  }
+
+  // ---------------------------------------------------------------------
   // q165: Hamming-ball SEARCH over SimHash fingerprints via multi-index
   // hashing — the retrieval counterpart of q25's dedup: given probe
   // fingerprints, return EVERY document within Hamming radius 5, with a
@@ -992,6 +1028,7 @@ object Dedup {
     "q157_cluster_representative" -> (clusterRepresentative _),
     "q158_cross_source_contamination" -> (crossSourceContamination _),
     "q165_hamming_search" -> (hammingSearch _),
+    "q169_split_leakage" -> (splitLeakage _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1055,6 +1092,27 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q169_split_leakage" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |e AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |sp AS (
+        |  SELECT
+        |    CASE WHEN (doc_a % 2147483647 * 16807 % 2147483647
+        |               * 48271 % 2147483647) % 100 < 80 THEN 'train'
+        |         WHEN (doc_a % 2147483647 * 16807 % 2147483647
+        |               * 48271 % 2147483647) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS sa,
+        |    CASE WHEN (doc_b % 2147483647 * 16807 % 2147483647
+        |               * 48271 % 2147483647) % 100 < 80 THEN 'train'
+        |         WHEN (doc_b % 2147483647 * 16807 % 2147483647
+        |               * 48271 % 2147483647) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS sb
+        |  FROM e)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       least(sa, sb) != greatest(sa, sb) AS cross_split
+        |FROM sp GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
     "q165_hamming_search" ->
       """WITH h AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '),

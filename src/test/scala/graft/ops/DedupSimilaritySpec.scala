@@ -289,6 +289,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q169: doc-level split leaks near-dup pairs; cluster-atomic split leaks none") {
+    import spark.implicits._
+    val census = Dedup.queries("q169_split_leakage")(spark, dir).cache()
+    // the synthesized corpus HAS cross-split near-dup pairs — the trap
+    // is real, not vacuous
+    assert(census.filter($"cross_split").agg(sum($"n_pairs")).as[Long].head() > 0,
+      "no leakage measured — census cannot demonstrate the trap")
+    // THE FIX: hash the duplicate CLUSTER label instead of the doc —
+    // both endpoints of every near-dup pair share a cluster, so their
+    // split is identical by construction; verify against the same pairs
+    val labels = Dedup.queries("q57_dup_clusters")(spark, dir)
+      .select($"doc_id", $"cluster")
+    val M = 2147483647L
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h = c % M * 16807L % M * 48271L % M
+      when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    }
+    val clusterSplit = labels.select($"doc_id", splitOf($"cluster").as("split"))
+    // non-vacuous via the pair->cluster property: every q21 near-dup
+    // pair's endpoints must resolve to the SAME cluster-derived split
+    val pairs = Dedup.queries("q21_dedup_minhash")(spark, dir)
+      .select($"doc_a", $"doc_b")
+    val crossAfter = pairs
+      .join(clusterSplit.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(clusterSplit.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b").count()
+    assert(crossAfter == 0, s"cluster-atomic split still leaks $crossAfter pairs")
+    census.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
