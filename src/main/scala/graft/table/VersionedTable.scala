@@ -749,6 +749,42 @@ final class VersionedTable private (val root: Path) {
     * ops/Layout.compact, which documents why repartition (a shuffle)
     * beats coalesce for uniform output sizes.
     */
+  /** DELETE WHERE through the log — the Delta delete algorithm with
+    * file-level pruning: ONE distributed pass finds the files that
+    * actually contain matching rows (`input_file_name` over the
+    * predicate's survivors), only THOSE files are rewritten without
+    * their matches, and untouched files keep their existing add entries
+    * — zero I/O for data the predicate never touches, which at 100 TB
+    * (with clustering, q-optimize) is almost all of it. Time travel
+    * still reads the deleted rows at pre-delete versions (immutable
+    * files); PHYSICAL removal — the compliance half of a
+    * right-to-be-forgotten pipeline — is `vacuum` past the delete's
+    * horizon, spec-proven to remove the bytes from disk. Rewriting
+    * conflict class (like compact/overwrite): a lost race propagates.
+    * Returns the committed version, or -1 if nothing matched (no empty
+    * commit published).
+    */
+  def deleteWhere(spark: SparkSession, predicate: String,
+                  readVersion: Long): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    val snap = snapshot(spark, Some(readVersion))
+    val touchedUris = snap.where(expr(predicate))
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet // bounded by |active files|
+    if (touchedUris.isEmpty) return -1L
+    val touched = activeFiles(readVersion).filter { rel =>
+      touchedUris.exists(u => u.contains(rel))
+    }
+    val reader = schemaOf(readVersion).fold(spark.read)(s => spark.read.schema(s))
+    val kept = reader
+      .parquet(touched.map(f => root.resolve(f).toString): _*)
+      // DELETE WHERE p removes rows where p is TRUE; NULL keeps the row
+      .where(not(coalesce(expr(predicate), lit(false))))
+    val add = writeData(kept)
+    commit("delete", readVersion, Seq(add), touched,
+      schemaJson = Some(snap.schema.json))
+  }
+
   def compact(spark: SparkSession, targetBytes: Long, readVersion: Long): Long = {
     val removed = activeFiles(readVersion)
     val df = snapshot(spark, Some(readVersion))

@@ -625,6 +625,50 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.snapshot(spark, Some(1L)).count() == base.count()) // updates only
   }
 
+  test("DELETE WHERE rewrites only touched files; vacuum makes removal physical") {
+    import spark.implicits._
+    val t = freshTable() // v0: one file of customer rows
+    // v1: a second file whose key range the predicate never touches
+    t.append(Seq((990001L, "far", 1.0), (990002L, "far", 2.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"))
+    val rv = t.latestVersion
+    val before = t.activeFiles(rv)
+    val untouchedBefore = before.toSet
+
+    val nMatch = t.snapshot(spark).filter($"c_custkey" % 10 === 3).count()
+    assert(nMatch > 0)
+    val v = t.deleteWhere(spark, "c_custkey % 10 = 3", rv)
+    assert(v == rv + 1)
+
+    // rows gone at the new version, intact under time travel
+    assert(t.snapshot(spark).filter($"c_custkey" % 10 === 3).count() == 0)
+    assert(t.snapshot(spark).count() == base.count() + 2 - nMatch)
+    assert(t.snapshot(spark, Some(rv))
+      .filter($"c_custkey" % 10 === 3).count() == nMatch)
+
+    // file-level pruning: the appended far-range file contains no
+    // matches, so its entry must survive the delete UNTOUCHED
+    val after = t.activeFiles(t.latestVersion).toSet
+    val survivors = after.intersect(untouchedBefore)
+    assert(survivors.nonEmpty,
+      s"delete rewrote every file — pruning lost: before=$before after=$after")
+    assert(t.snapshot(spark).filter($"c_custkey" >= 990000L).count() == 2)
+
+    // a predicate matching nothing publishes NO commit
+    assert(t.deleteWhere(spark, "c_custkey = -424242", t.latestVersion) == -1L)
+
+    // physical removal: vacuum past the delete's horizon deletes the
+    // pre-delete file bytes from disk — the right-to-be-forgotten half
+    val vacuumed = t.vacuum(horizon = t.latestVersion, minAgeMs = 0L)
+    val rewritten = before.toSet.diff(after)
+    assert(rewritten.subsetOf(vacuumed.toSet),
+      s"pre-delete files still on disk: ${rewritten.diff(vacuumed.toSet)}")
+    rewritten.foreach { rel =>
+      assert(!Files.exists(t.root.resolve(rel)), s"$rel bytes survived vacuum")
+    }
+    assert(t.snapshot(spark).filter($"c_custkey" % 10 === 3).count() == 0)
+  }
+
   test("CHECK constraints: enforced on append/merge, versioned, durable across reopen") {
     import spark.implicits._
     val t = freshTable()
