@@ -687,7 +687,37 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // q170: tokenizer-fertility census per language — the multilingual
+  // tokenizer-quality readout: fertility (subword tokens per whitespace
+  // word) and chars-per-word by language tell you which languages a
+  // Latin-biased subword scheme (q42's [a-z]{1,4} stand-in) fragments
+  // or drops — the per-language compute-cost and representation-equity
+  // numbers a multilingual training run budgets from. Scale shape: one
+  // scan, map-side per-doc counting (codegen'd regexp/split), partial-
+  // aggregated to a |langs|-row census. Counts are exact int64; the
+  // two ratios are single divisions of exact operands.
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang",
+        size(split($"text", " ")).cast(LongType).as("ws"),
+        size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0)))
+          .cast(LongType).as("sub"),
+        length($"text").cast(LongType).as("chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws").as("ws_tokens"), sum($"sub").as("subword_tokens"),
+        sum($"chars").as("n_chars"))
+      .select($"lang", $"n_docs", $"ws_tokens", $"subword_tokens", $"n_chars",
+        Num.roundAt($"subword_tokens".cast(DoubleType) /
+          $"ws_tokens".cast(DoubleType), 6).as("fertility"),
+        Num.roundAt($"n_chars".cast(DoubleType) /
+          $"ws_tokens".cast(DoubleType), 6).as("chars_per_word"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_tokenizer_fertility" -> (tokenizerFertility _),
     "q168_dedup_mixture" -> (dedupAwareMixture _),
     "q159_zipf_law" -> (zipfLaw _),
     "q166_proximity_rerank" -> (proximityRerank _),
@@ -856,6 +886,23 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q170_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+        |           AS sub,
+        |         CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(sub) AS BIGINT) AS subword_tokens,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(sub) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+        |         AS fertility,
+        |       round(CAST(sum(chars) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+        |         AS chars_per_word
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q168_dedup_mixture" ->
       """WITH posted AS (
         |  SELECT source, md5(text) AS digest,

@@ -90,6 +90,25 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q170: fertility census covers every doc with consistent per-language ratios") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q170_tokenizer_fertility")(spark, dir).cache()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(out.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    // subword count can never exceed char count; a word costs >= 1 char
+    assert(out.filter($"subword_tokens" > $"n_chars").count() == 0)
+    assert(out.filter($"fertility" < 0.0).count() == 0)
+    assert(out.filter($"chars_per_word" < 1.0).count() == 0)
+    // ratio consistency against independently recomputed masses (the
+    // synthetic corpus shares one Latin vocabulary across lang labels,
+    // so no cross-language ORDERING is asserted — on real multilingual
+    // text this census is exactly where zh/Latin fertility gaps show)
+    val en = out.filter($"lang" === "en").head()
+    assert(math.abs(en.getAs[Double]("fertility") -
+      en.getAs[Long]("subword_tokens").toDouble / en.getAs[Long]("ws_tokens")) < 1e-6)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
