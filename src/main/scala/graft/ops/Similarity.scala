@@ -478,7 +478,57 @@ object Similarity {
       .orderBy("label")
   }
 
+  // q171: INCREMENTAL semantic dedup — the vector twin of q78's
+  // arrival-batch text dedup: a new embedding batch is deduplicated
+  // against the EXISTING corpus by probing the IVF cell index, so
+  // history × history never forms and per-arrival cost is the occupancy
+  // of nprobe cells, not corpus size. Arrivals are synthesized from the
+  // table (exact copies of every 10th vector — must be flagged — and
+  // negated vectors — must come back clean; negation is exact in fp).
+  // The corpus is assigned to cells ONCE (kilobyte codebook as plan
+  // literals, one codegen'd map pass — the q49 shape); arrivals probe
+  // their 2 best cells; candidates join on the cell key. Every cosine
+  // is the Det left fold, ties break on -cand_id, so best-match and the
+  // dup flag are bit-deterministic.
+  private def incrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = base(s, dir)
+    val cents = naiveCodebook(s, dir)
+    val scoredCells = array(cents.map { case (cid, cv, cn) =>
+      struct(
+        (call_function("fold_dot", $"v", typedlit(cv)) / ($"nrm" * lit(cn))).as("ccos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    val corpus = all.withColumn("cells", reverse(array_sort(scoredCells)))
+      .select($"vec_id".as("cand_id"), (-$"cells"(0)("negcid")).as("cell"),
+        $"v".as("cv2"), $"nrm".as("cn2"))
+    val raw = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v0"))
+    val arrivals = raw.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("arrival_id"), $"v0".as("v"))
+      .unionAll(raw.filter($"vec_id" % 10 === 5)
+        .select(($"vec_id" + 200000L).as("arrival_id"),
+          transform($"v0", x => -x).as("v")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+      .withColumn("cells", reverse(array_sort(scoredCells)))
+      .select($"arrival_id", explode(slice($"cells", 1, 2)).as("pc"),
+        $"v".as("pv"), $"nrm".as("pn"))
+      .select($"arrival_id", (-$"pc"("negcid")).as("cell"), $"pv", $"pn")
+    arrivals.join(corpus, Seq("cell"))
+      .withColumn("cos", expr("fold_dot(pv, cv2)") / ($"pn" * $"cn2"))
+      .groupBy($"arrival_id")
+      .agg(count(lit(1)).as("n_cand"),
+        max(struct($"cos", (-$"cand_id").as("negid"))).as("best"))
+      .select($"arrival_id", $"n_cand",
+        (-$"best.negid").as("best_match"),
+        Num.roundAt($"best.cos", 6).as("best_cos"),
+        ($"best.cos" >= 0.98).as("is_dup"))
+      .orderBy("arrival_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_incremental_semdedup" -> (incrementalSemDedup _),
     "q160_centroid_purity" -> (centroidPurity _),
     "q164_rerank_ann" -> (rerankAnn _),
     "q93_pq_ann"      -> (pqAnn _),
@@ -498,6 +548,58 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q171_incremental_semdedup" ->
+      s"""WITH $nSql,
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |aff AS (
+        |  SELECT n.vec_id, cents.cid,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> n.v[i] * cents.cv[i]), (a, x) -> a + x)
+        |           / (n.nrm * cents.cn) AS ccos
+        |  FROM n, cents),
+        |assign AS (
+        |  SELECT vec_id AS cand_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY ccos DESC, cid ASC) AS rn
+        |    FROM aff) WHERE rn = 1),
+        |arr AS (
+        |  SELECT vec_id + 100000 AS arrival_id, v, nrm
+        |  FROM n WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS arrival_id,
+        |         list_transform(v, x -> -x) AS v, nrm
+        |  FROM n WHERE vec_id % 10 = 5),
+        |aaff AS (
+        |  SELECT a.arrival_id, c.cid, a.v, a.nrm,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> a.v[i] * c.cv[i]), (a2, x) -> a2 + x)
+        |           / (a.nrm * c.cn) AS ccos
+        |  FROM arr a, cents c),
+        |acell AS (
+        |  SELECT arrival_id, cid AS cell, v, nrm FROM (
+        |    SELECT arrival_id, cid, v, nrm,
+        |           row_number() OVER (PARTITION BY arrival_id
+        |             ORDER BY ccos DESC, cid ASC) AS rn
+        |    FROM aaff) WHERE rn <= 2),
+        |sc AS (
+        |  SELECT ac.arrival_id, s.cand_id,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> ac.v[i] * n2.v[i]), (a, x) -> a + x)
+        |           / (ac.nrm * n2.nrm) AS cos
+        |  FROM acell ac
+        |  JOIN assign s ON s.cell = ac.cell
+        |  JOIN n n2 ON n2.vec_id = s.cand_id),
+        |b AS (
+        |  SELECT arrival_id, cand_id, cos,
+        |         CAST(count(*) OVER (PARTITION BY arrival_id) AS BIGINT)
+        |           AS n_cand,
+        |         row_number() OVER (PARTITION BY arrival_id
+        |           ORDER BY cos DESC, cand_id ASC) AS rn
+        |  FROM sc)
+        |SELECT arrival_id, n_cand, cand_id AS best_match,
+        |       round(cos, 6) AS best_cos, cos >= 0.98 AS is_dup
+        |FROM b WHERE rn = 1 ORDER BY arrival_id""".stripMargin,
     "q160_centroid_purity" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -319,6 +319,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     census.unpersist()
   }
 
+  test("q171: planted copies are flagged against their source; negated arrivals stay clean") {
+    import spark.implicits._
+    val out = Similarity.queries("q171_incremental_semdedup")(spark, dir).cache()
+    val copies = out.filter($"arrival_id" < 200000L)
+    // an exact copy lands in its source's cell (identical vector ->
+    // identical argmax), so the source is always among the candidates
+    // and best_cos is exactly 1.0
+    assert(copies.count() > 0)
+    assert(copies.filter(!$"is_dup").count() == 0)
+    assert(copies.filter($"best_match" =!= $"arrival_id" - 100000L).count() == 0)
+    assert(copies.filter($"best_cos" =!= 1.0).count() == 0)
+    // negated vectors anti-correlate with their source; none may flag
+    val fresh = out.filter($"arrival_id" >= 200000L)
+    assert(fresh.count() > 0)
+    assert(fresh.filter($"is_dup").count() == 0)
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
