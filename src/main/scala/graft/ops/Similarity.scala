@@ -527,7 +527,63 @@ object Similarity {
       .orderBy("arrival_id")
   }
 
+  // q172: MULTI-PROBE LSH recall evaluation — the standard fix when LSH
+  // recall at a fixed table count is short (multi-probe LSH, VLDB'07):
+  // besides a probe's exact bucket, also search the buckets one sign-bit
+  // away (6 flips per 6-bit table), buying candidates with COMPUTE
+  // instead of more tables/memory. The readout compares single-probe vs
+  // multi-probe per probe vector against the exact brute-force top-10 —
+  // candidate volume vs recall, the curve a deployment picks its
+  // operating point from (the q146/q147 eval-family pattern). Scale
+  // shape: both candidate generators are bucket equi-joins (multi-probe
+  // widens the probe side 7×, a constant); ground truth is |probes|·n
+  // (evaluation-only, sampled probes at scale); every cosine is the Det
+  // left fold and every count is exact.
+  private def multiProbeLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val withB = base(s, dir).withColumn("buckets", expr("lsh_buckets(v)"))
+    val ce = withB.select($"vec_id".as("cand_id"),
+      posexplode_outer($"buckets").as(Seq("t", "bk")))
+    val pb = withB.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"),
+        posexplode_outer($"buckets").as(Seq("t", "bk0")))
+    def pairsFrom(probeKeys: DataFrame) = probeKeys
+      .join(ce, Seq("t", "bk"))
+      .filter($"probe_id" =!= $"cand_id")
+      .select($"probe_id", $"cand_id").distinct()
+    val single = pairsFrom(pb.select($"probe_id", $"t", $"bk0".as("bk")))
+    val multi = pairsFrom(pb
+      .select($"probe_id", $"t", explode(expr(
+        "concat(array(bk0), transform(sequence(0, 5)," +
+          " f -> bk0 ^ shiftleft(1L, f)))")).as("bk")))
+    val probes = withB.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"))
+    val wExact = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
+    val exact = base(s, dir).join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"vec_id".as("cand_id"))
+    def census(pairs: DataFrame, tag: String) = pairs
+      .join(exact.withColumn("hit", lit(1L)), Seq("probe_id", "cand_id"), "left")
+      .groupBy($"probe_id")
+      .agg(count(lit(1)).as(s"n_cand_$tag"), sum($"hit").as(s"n_hit_$tag"))
+    exact.groupBy($"probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(census(single, "single"), Seq("probe_id"))
+      .join(census(multi, "multi"), Seq("probe_id"))
+      .select($"probe_id", $"n_exact",
+        $"n_cand_single", coalesce($"n_hit_single", lit(0L)).as("n_hit_single"),
+        Num.roundAt(coalesce($"n_hit_single", lit(0L)).cast(DoubleType) /
+          $"n_exact".cast(DoubleType), 6).as("recall_single"),
+        $"n_cand_multi", coalesce($"n_hit_multi", lit(0L)).as("n_hit_multi"),
+        Num.roundAt(coalesce($"n_hit_multi", lit(0L)).cast(DoubleType) /
+          $"n_exact".cast(DoubleType), 6).as("recall_multi"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_multiprobe_lsh" -> (multiProbeLsh _),
     "q171_incremental_semdedup" -> (incrementalSemDedup _),
     "q160_centroid_purity" -> (centroidPurity _),
     "q164_rerank_ann" -> (rerankAnn _),
@@ -548,6 +604,66 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q172_multiprobe_lsh" ->
+      s"""WITH $nSql,
+        |b AS (
+        |  SELECT vec_id, t,
+        |         list_aggregate(list_transform(range(0, 6), k ->
+        |           CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+        |                  (CAST((((t*6+k)*64+d) * 2654435761) % 4294967296 AS DOUBLE)
+        |                     / 2147483648.0 - 1.0) * v[d]),
+        |                  (x, y) -> x + y) >= 0.0
+        |                THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END),
+        |           'sum') AS bk
+        |  FROM n, (SELECT unnest(range(0, 4)) AS t)),
+        |ps AS (SELECT vec_id AS probe_id, t, bk FROM b WHERE vec_id < 20),
+        |pm AS (
+        |  SELECT probe_id, t, unnest(list_concat([bk],
+        |    list_transform(range(0, 6),
+        |      f -> xor(bk, CAST(1 AS BIGINT) << f)))) AS bk
+        |  FROM ps),
+        |cs AS (SELECT vec_id AS cand_id, t, bk FROM b),
+        |cand_s AS (
+        |  SELECT DISTINCT probe_id, cand_id FROM ps JOIN cs USING (t, bk)
+        |  WHERE probe_id != cand_id),
+        |cand_m AS (
+        |  SELECT DISTINCT probe_id, cand_id FROM pm JOIN cs USING (t, bk)
+        |  WHERE probe_id != cand_id),
+        |ex AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |             list_reduce(list_transform(range(1, 65),
+        |               i -> p.v[i] * c.v[i]), (x, y) -> x + y)
+        |               / (p.nrm * c.nrm) DESC,
+        |             c.vec_id ASC) AS rank
+        |    FROM n p JOIN n c ON p.vec_id < 20 AND c.vec_id != p.vec_id)
+        |  WHERE rank <= 10),
+        |cen1 AS (
+        |  SELECT c.probe_id, CAST(count(*) AS BIGINT) AS n_cand_single,
+        |         CAST(sum(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_hit_single
+        |  FROM cand_s c LEFT JOIN ex e
+        |    ON e.probe_id = c.probe_id AND e.cand_id = c.cand_id
+        |  GROUP BY 1),
+        |cen2 AS (
+        |  SELECT c.probe_id, CAST(count(*) AS BIGINT) AS n_cand_multi,
+        |         CAST(sum(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_hit_multi
+        |  FROM cand_m c LEFT JOIN ex e
+        |    ON e.probe_id = c.probe_id AND e.cand_id = c.cand_id
+        |  GROUP BY 1),
+        |exn AS (
+        |  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM ex GROUP BY 1)
+        |SELECT exn.probe_id, n_exact, n_cand_single, n_hit_single,
+        |       round(CAST(n_hit_single AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+        |         AS recall_single,
+        |       n_cand_multi, n_hit_multi,
+        |       round(CAST(n_hit_multi AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+        |         AS recall_multi
+        |FROM exn JOIN cen1 USING (probe_id) JOIN cen2 USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
     "q171_incremental_semdedup" ->
       s"""WITH $nSql,
         |cents AS (

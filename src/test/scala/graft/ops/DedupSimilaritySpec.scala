@@ -337,6 +337,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q172: multi-probe dominates single-probe per probe and lifts total recall") {
+    import spark.implicits._
+    val out = Similarity.queries("q172_multiprobe_lsh")(spark, dir).cache()
+    assert(out.count() == 20)
+    // the single-probe bucket key set is a subset of the multi-probe
+    // set, so candidates and hits can only grow — per probe, guaranteed
+    assert(out.filter($"n_cand_multi" < $"n_cand_single").count() == 0)
+    assert(out.filter($"n_hit_multi" < $"n_hit_single").count() == 0)
+    assert(out.filter($"recall_multi" < $"recall_single").count() == 0)
+    // and on this corpus the lift is real, not vacuous
+    val (hs, hm) = (out.agg(sum($"n_hit_single")).as[Long].head(),
+      out.agg(sum($"n_hit_multi")).as[Long].head())
+    assert(hm > hs, s"multi-probe found no additional true neighbors: $hs vs $hm")
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
