@@ -582,7 +582,46 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  // q173: int8 quantization-error census — the OTHER compression family
+  // beside q93's PQ: symmetric per-vector max-abs int8 quantization (the
+  // scheme every vector DB ships as "scalar quantization", 4× smaller
+  // than f32), scored for what it costs: per-label mean cosine between
+  // each vector and its dequantized self (direction distortion — the
+  // quantity ANN ranking actually depends on) and the worst per-element
+  // absolute error. The decision readout for "can embeddings ship as
+  // int8". Determinism: quantization is floor of IEEE-deterministic
+  // divisions, codes are exact ints, per-row cosines are Det left
+  // folds, and the per-label means use q160's floor-scaled int64 sums —
+  // the only cross-partition reductions are exact integer adds and an
+  // exact max. One map pass + a |labels|-row census.
+  private def quantizationError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("mx",
+        aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("mx", when($"mx" === 0.0, 1.0).otherwise($"mx"))
+      .withColumn("dq", transform($"v",
+        x => floor(x / $"mx" * 127.0) * $"mx" / 127.0))
+      .withColumn("cosq",
+        dot($"v", $"dq") / (l2norm($"v") * l2norm($"dq")))
+      .withColumn("maxerr",
+        aggregate(zip_with($"v", $"dq", (a, b) => abs(a - b)), lit(0.0),
+          (a, x) => greatest(a, x)))
+    v.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor($"cosq" * lit(1e9))).as("sc"),
+        max($"maxerr").as("worst_err"))
+      .select($"label", $"n_vecs",
+        Num.roundAt($"sc".cast(DoubleType) / $"n_vecs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_cos_after_quant"),
+        Num.roundAt($"worst_err", 6).as("worst_abs_err"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_quantization_error" -> (quantizationError _),
     "q172_multiprobe_lsh" -> (multiProbeLsh _),
     "q171_incremental_semdedup" -> (incrementalSemDedup _),
     "q160_centroid_purity" -> (centroidPurity _),
@@ -604,6 +643,41 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q173_quantization_error" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, v,
+        |         CASE WHEN list_reduce(list_transform(v, x -> abs(x)),
+        |                (a, x) -> greatest(a, x)) = 0.0 THEN 1.0
+        |              ELSE list_reduce(list_transform(v, x -> abs(x)),
+        |                (a, x) -> greatest(a, x)) END AS mx
+        |  FROM v),
+        |d AS (
+        |  SELECT vec_id, label, v, mx,
+        |         list_transform(v, x -> floor(x / mx * 127.0) * mx / 127.0)
+        |           AS dq
+        |  FROM m),
+        |sc AS (
+        |  SELECT label,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> v[i] * dq[i]), (a, x) -> a + x)
+        |           / (sqrt(list_reduce(list_transform(v, x -> x * x),
+        |                (a, x) -> a + x))
+        |              * sqrt(list_reduce(list_transform(dq, x -> x * x),
+        |                (a, x) -> a + x))) AS cosq,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> abs(v[i] - dq[i])), (a, x) -> greatest(a, x))
+        |           AS maxerr
+        |  FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(CAST(sum(CAST(floor(cosq * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_cos_after_quant,
+        |       round(max(maxerr), 6) AS worst_abs_err
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     "q172_multiprobe_lsh" ->
       s"""WITH $nSql,
         |b AS (

@@ -353,6 +353,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q173: int8 quantization distorts direction only marginally, never inverts it") {
+    import spark.implicits._
+    val out = Similarity.queries("q173_quantization_error")(spark, dir).cache()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(out.agg(sum($"n_vecs")).as[Long].head() == nVecs)
+    // max-abs int8 keeps every element within one quantization step of
+    // itself, so the dequantized vector stays tightly aligned: cosine
+    // well above 0.99 and bounded by 1, worst per-element error < the
+    // step of a unit-scale vector
+    assert(out.filter($"mean_cos_after_quant" <= 0.99 ||
+      $"mean_cos_after_quant" > 1.0).count() == 0)
+    assert(out.filter($"worst_abs_err" < 0.0).count() == 0)
+    val worst = out.agg(max($"worst_abs_err")).as[Double].head()
+    assert(worst < 1.0 / 64, s"per-element quant error too large: $worst")
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
