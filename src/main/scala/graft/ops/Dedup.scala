@@ -214,6 +214,59 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q174: content-defined chunking + duplicate-passage census — the
+  // dedup primitive q118's FIXED windows cannot give: boundaries are
+  // placed where a 4-token window's hash ≡ 0 (mod 16), a property of
+  // the CONTENT, so when a mutant drops its first token every boundary
+  // after the edit lands on the same words and the chunks re-align —
+  // shift-invariant passage dedup (the storage-dedup CDC idea applied
+  // to text; fixed windows see every window shifted and match nothing
+  // at the chunk level). The census reports the top-20 most-shared
+  // chunks by digest. Scale shape: boundary placement is a stateless
+  // per-position predicate (no sequential scan state — each position
+  // hashes its own 4-token window), chunks derive per doc from the
+  // boundary list, and the census is a digest groupBy; the only text
+  // that shuffles is chunk digests + bounded chunk metadata. The spec
+  // pins the shift-invariance property itself: a prefix-dropped mutant
+  // shares almost all its chunks with its source.
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = mutatedDocs(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // stateless boundary predicate at position i (1-based, i >= 4):
+    // h7(4-token window ending at i) % 16 == 0; the end is always a
+    // boundary so every token lands in exactly one chunk
+    val withB = tok.withColumn("bs",
+      concat(
+        filter(sequence(lit(4), greatest(size($"toks"), lit(4))),
+          i => i <= size($"toks") &&
+            conv(substring(md5(concat_ws(" ",
+              slice($"toks", i - 3, lit(4)))), 1, 7), 16, 10)
+              .cast(LongType) % 16 === 0),
+        array(size($"toks"))))
+      .withColumn("bs", array_distinct($"bs"))
+    val chunks = withB
+      .select($"doc_id", $"toks", $"bs",
+        posexplode($"bs").as(Seq("j", "b")))
+      // previous boundary: bs[j] in 1-based element_at terms (posexplode
+      // j is 0-based, so j names the PRECEDING element; j=0 -> start 1)
+      .withColumn("start",
+        coalesce(when($"j" > 0, element_at($"bs", $"j")), lit(0)) + 1)
+      .filter($"b" >= $"start")
+      .select($"doc_id",
+        md5(concat_ws(" ", slice($"toks", $"start", $"b" - $"start" + 1)))
+          .as("digest"),
+        ($"b" - $"start" + 1).as("chunk_len"))
+    chunks.groupBy($"digest")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct($"doc_id").as("n_docs"),
+        max($"chunk_len").as("chunk_len"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"n_occurrences".desc, $"digest".asc)
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
   // q165: Hamming-ball SEARCH over SimHash fingerprints via multi-index
   // hashing — the retrieval counterpart of q25's dedup: given probe
   // fingerprints, return EVERY document within Hamming radius 5, with a
@@ -1029,6 +1082,7 @@ object Dedup {
     "q158_cross_source_contamination" -> (crossSourceContamination _),
     "q165_hamming_search" -> (hammingSearch _),
     "q169_split_leakage" -> (splitLeakage _),
+    "q174_cdc_chunks" -> (cdcChunks _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1092,6 +1146,42 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q174_cdc_chunks" ->
+      s"""WITH $corpusSql,
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |cand AS (
+        |  SELECT doc_id, toks, unnest(range(4, len(toks) + 1)) AS i
+        |  FROM tok WHERE len(toks) >= 4),
+        |nat AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS b FROM cand
+        |  WHERE CAST(concat('0x', substring(md5(
+        |          array_to_string(toks[i-3:i], ' ')), 1, 7)) AS BIGINT)
+        |        % 16 = 0),
+        |allb AS (
+        |  SELECT DISTINCT doc_id, b FROM (
+        |    SELECT doc_id, b FROM nat
+        |    UNION ALL
+        |    SELECT doc_id, CAST(len(toks) AS INTEGER) FROM tok)),
+        |ord AS (
+        |  SELECT doc_id, list(b ORDER BY b) AS bs FROM allb GROUP BY doc_id),
+        |seg AS (
+        |  SELECT o.doc_id, t.toks, o.bs, CAST(u.j AS INTEGER) AS j
+        |  FROM ord o JOIN tok t USING (doc_id),
+        |       unnest(range(1, len(o.bs) + 1)) AS u(j)),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(
+        |           toks[(CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) + 1 : bs[j]],
+        |           ' ')) AS digest,
+        |         bs[j] - (CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END)
+        |           AS chunk_len
+        |  FROM seg
+        |  WHERE bs[j] >= (CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) + 1)
+        |SELECT digest, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(max(chunk_len) AS INTEGER) AS chunk_len
+        |FROM ch GROUP BY digest HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, digest ASC LIMIT 20""".stripMargin,
     "q169_split_leakage" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -370,6 +370,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q174: content-defined chunks re-align after a prefix edit (shift invariance)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // recompute the per-doc chunk digest sets with the query's boundary
+    // rule, then measure how many mutant pairs (d, d+10000: first token
+    // dropped) share chunks — fixed windows would share none at the
+    // chunk level because every window shifts by one token
+    val d = graft.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+    val corpus = d.unionAll(
+      d.filter($"doc_id" % 5 === 0).select(
+        ($"doc_id" + 10000).as("doc_id"), $"lang",
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val chunks = corpus
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", expr(
+        """array_distinct(concat(
+          |  filter(sequence(4, greatest(size(toks), 4)), i ->
+          |    i <= size(toks) AND
+          |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i - 3, 4))), 1, 7), 16, 10) as bigint) % 16 = 0),
+          |  array(size(toks))))""".stripMargin).as("bs"))
+      .select($"doc_id", $"toks", $"bs", posexplode($"bs").as(Seq("j", "b")))
+      .withColumn("start",
+        coalesce(when($"j" > 0, element_at($"bs", $"j")), lit(0)) + 1)
+      .filter($"b" >= $"start")
+      .select($"doc_id",
+        md5(concat_ws(" ", slice($"toks", $"start", $"b" - $"start" + 1)))
+          .as("digest"))
+    val mutantIds = corpus.filter($"doc_id" >= 10000).select($"doc_id")
+    val shared = chunks.filter($"doc_id" >= 10000)
+      .select(($"doc_id" - 10000).as("src_id"), $"digest")
+      .join(chunks.toDF("src_id", "digest"), Seq("src_id", "digest"))
+      .select($"src_id").distinct().count()
+    val nMutants = mutantIds.count()
+    assert(nMutants > 0)
+    assert(shared.toDouble / nMutants > 0.5,
+      s"only $shared of $nMutants mutants share any chunk with their source")
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
