@@ -716,7 +716,73 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // q175: search-result deduplication — the retrieval × dedup
+  // composition every search stack ships (SERP dedup): retrieve over a
+  // corpus that CONTAINS duplicates (every doc_id % 3 == 0 re-posted
+  // under a new id — q20's duplication, distinct ids), then collapse
+  // results with identical content digests to their best-ranked
+  // representative and compact the ranking. Exact duplicates carry
+  // identical BM25 scores by construction, so uncollapsed they would
+  // occupy adjacent result slots — the waste this stage removes.
+  // Scale shape: q83's corpus-wide stage (aggregate-pruned), the
+  // collapse runs on the 20-row retrieved window only; every score is
+  // the fixed-order BM25 sum and the collapse key is a digest.
+  private def dedupSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k1 = lit(1.2); val b = lit(0.75)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val corpus = d.unionAll(d.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+    val toks = corpus
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
+      .filter($"term".isin("join", "scan", "merge"))
+    val tf = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scalars = corpus.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(size(split($"text", " "))).as("avgdl"))
+    val perDoc = tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("sc", $"idf" * (($"tf" * (k1 + 1.0)) /
+        ($"tf" + k1 * (lit(1.0) - b + (b * $"dl") / $"avgdl"))))
+      .groupBy($"doc_id")
+      .agg(sum(when($"term" === "join", $"sc")).as("s1"),
+        sum(when($"term" === "scan", $"sc")).as("s2"),
+        sum(when($"term" === "merge", $"sc")).as("s3"))
+      .withColumn("score",
+        coalesce($"s1", lit(0.0)) + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
+    val top = perDoc.orderBy($"score".desc, $"doc_id".asc).limit(20)
+      .select($"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // collapse the 20-row retrieved window by content digest (join the
+    // bounded window back for its digests; keep the best-ranked member)
+    val ids = top.map(_._1).toSeq
+    val ranked = s.createDataFrame(
+      top.zipWithIndex.toSeq.map { case ((id, sc), i) => (id, i + 1, sc) })
+      .toDF("doc_id", "rank0", "score")
+    val digests = corpus.filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", md5($"text").as("digest"))
+    val collapsed = ranked.join(digests, Seq("doc_id"))
+      .groupBy($"digest")
+      .agg(min($"rank0").as("rank0"), count(lit(1)).as("n_collapsed"))
+    val kept = collapsed.join(
+      ranked.select($"doc_id", $"rank0"), Seq("rank0"))
+      .select($"rank0", $"doc_id", $"n_collapsed", $"digest")
+      .collect().sortBy(_.getInt(0))
+    s.createDataFrame(kept.zipWithIndex.toSeq.map { case (r, i) =>
+      (i + 1, r.getLong(1), r.getLong(2), r.getInt(0))
+    }).toDF("rank", "doc_id", "n_collapsed", "pre_rank")
+      .join(ranked.select($"doc_id", $"score"), Seq("doc_id"))
+      .select($"rank", $"doc_id", $"pre_rank", $"n_collapsed",
+        Num.roundAt($"score", 6).as("bm25"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_dedup_search" -> (dedupSearch _),
     "q170_tokenizer_fertility" -> (tokenizerFertility _),
     "q168_dedup_mixture" -> (dedupAwareMixture _),
     "q159_zipf_law" -> (zipfLaw _),
@@ -886,6 +952,56 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q175_dedup_search" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM dup),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM dup),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC,
+        |           doc_id) AS INTEGER) AS rank0
+        |  FROM p),
+        |t20 AS (SELECT doc_id, score, rank0 FROM r WHERE rank0 <= 20),
+        |dg AS (
+        |  SELECT t20.doc_id, t20.score, t20.rank0, md5(d.text) AS digest
+        |  FROM t20 JOIN dup d ON d.doc_id = t20.doc_id),
+        |c AS (
+        |  SELECT digest, min(rank0) AS pre_rank,
+        |         CAST(count(*) AS BIGINT) AS n_collapsed
+        |  FROM dg GROUP BY digest),
+        |f AS (
+        |  SELECT c.pre_rank, g.doc_id, c.n_collapsed, g.score
+        |  FROM c JOIN dg g ON g.rank0 = c.pre_rank)
+        |SELECT CAST(row_number() OVER (ORDER BY pre_rank) AS INTEGER) AS rank,
+        |       doc_id, pre_rank, n_collapsed, round(score, 6) AS bm25
+        |FROM f ORDER BY rank""".stripMargin,
     "q170_tokenizer_fertility" ->
       """WITH d AS (
         |  SELECT lang,

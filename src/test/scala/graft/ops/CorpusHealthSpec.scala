@@ -109,6 +109,25 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q175: collapse conserves the retrieved window and removes real duplicates") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q175_dedup_search")(spark, dir).cache()
+    val n = out.count()
+    // every one of the 20 retrieved slots is accounted for by exactly
+    // one surviving representative
+    assert(out.agg(sum($"n_collapsed")).as[Long].head() == 20L)
+    assert(n < 20, "no duplicates collapsed — the dup corpus must collide in-window")
+    // compacted ranking: contiguous from 1, preserving pre-collapse order
+    val rows = out.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to n.toInt))
+    val pre = rows.map(_.getAs[Int]("pre_rank")).toSeq
+    assert(pre == pre.sorted)
+    // survivors keep the BEST slot of their group: a collapsed group's
+    // representative always ranks above where its duplicate sat
+    assert(out.filter($"n_collapsed" > 2).count() == 0) // q20-style: at most 1 copy
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
