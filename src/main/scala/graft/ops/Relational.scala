@@ -2465,7 +2465,46 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q176: recency-decayed customer value — the feature-store primitive
+  // behind churn/CLV models: each order's contribution halves every 7
+  // days of age. Designed for bit-determinism WITHOUT pow(): the decay
+  // is 1 / 2^w over integer week buckets (exact binary fractions on
+  // both engines; a 60-week horizon caps the shift and contributes
+  // exactly 0 beyond — where the weight would be < 1e-18 anyway).
+  // Scale shape: one partial-aggregated (customer, week) DECIMAL
+  // roll-up — weights are CONSTANT within a bucket, so the corpus
+  // reduces before any fp arithmetic happens; the per-customer score is
+  // a week-ordered left fold over ≤ 60 exact operands (Det rule 2), and
+  // the top-20 plans as TakeOrderedAndProject.
+  private def decayedSpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val maxDate = o.agg(max($"o_orderdate").as("d_max"))
+    val wk = o.crossJoin(broadcast(maxDate)) // 1-row aggregate frame
+      .withColumn("week",
+        (datediff($"d_max", $"o_orderdate").cast(LongType) / 7L).cast("int"))
+      .filter($"week" < 60)
+      .groupBy($"o_custkey", $"week")
+      .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("spend"),
+        count(lit(1)).as("n"))
+    val scored = wk.groupBy($"o_custkey")
+      .agg(sum($"n").as("n_orders"),
+        sort_array(collect_list(struct($"week", $"spend"))).as("ws"))
+      .withColumn("score", expr(
+        "aggregate(ws, 0.0D, (acc, x) -> acc + cast(x.spend as double)" +
+          " / cast(shiftleft(1L, x.week) as double))"))
+    val top = scored.orderBy($"score".desc, $"o_custkey".asc).limit(20)
+      .select($"o_custkey", $"n_orders", $"score").collect()
+    s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getLong(1), r.getDouble(2))
+    }).toDF("rank", "custkey", "n_orders", "score_raw")
+      .select($"rank", $"custkey", $"n_orders",
+        Num.roundAt($"score_raw", 6).as("decayed_spend"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_decayed_spend" -> (decayedSpend _),
     "q161_event_lateness" -> (eventLateness _),
     "q156_sketch_winsorize" -> (sketchWinsorize _),
     "q155_lorenz_deciles" -> (lorenzDeciles _),
@@ -2547,6 +2586,34 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_decayed_spend" ->
+      """WITH g AS (SELECT max(o_orderdate) AS d_max FROM orders),
+        |wk AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('day', o_orderdate, d_max) // 7 AS INTEGER)
+        |           AS week,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12, 2))) AS DOUBLE)
+        |           AS spend,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders, g
+        |  WHERE datediff('day', o_orderdate, d_max) // 7 < 60
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_orders,
+        |         list_reduce(
+        |           list_prepend(0.0::DOUBLE,
+        |             list(spend / CAST(CAST(1 AS BIGINT) << week AS DOUBLE)
+        |                  ORDER BY week)),
+        |           (acc, x) -> acc + x) AS score
+        |  FROM wk GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey, n_orders, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, o_custkey)
+        |           AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT rank, o_custkey AS custkey, n_orders,
+        |       round(score, 6) AS decayed_spend
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q161_event_lateness" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t

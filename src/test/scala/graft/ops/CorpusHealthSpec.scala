@@ -128,6 +128,25 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q176: decay is bounded by undecayed spend and monotone in the ranking") {
+    import spark.implicits._
+    val out = Relational.queries("q176_decayed_spend")(spark, dir).cache()
+    assert(out.count() == 20)
+    val rows = out.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val scores = rows.map(_.getAs[Double]("decayed_spend")).toSeq
+    assert(scores == scores.sorted.reverse, "ranking must be score-descending")
+    assert(scores.forall(_ > 0.0))
+    // decayed value can never exceed the raw 60-week spend of the same
+    // customer (every weight <= 1)
+    val raw = graft.Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(sum($"o_totalprice").as("raw_spend"))
+    assert(out.join(raw, Seq("custkey"))
+      .filter($"decayed_spend" > $"raw_spend").count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
