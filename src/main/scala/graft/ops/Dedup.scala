@@ -214,6 +214,58 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q177: MinHash estimator CALIBRATION — before a pipeline trusts an
+  // "est ≥ 0.5" dedup threshold (q21/q56/q57 all do), it should know how
+  // the 64-permutation estimate tracks EXACT Jaccard on its own corpus:
+  // per estimated-similarity decile, the mean estimate, the mean exact
+  // Jaccard over the SAME 3-token shingle sets the signatures hash (not
+  // q26's bigrams), and the mean absolute error. The q146/q147
+  // eval-family pattern applied to the estimator itself. Scale shape:
+  // candidates from the banded join (never all-pairs); exact sets ride
+  // the band explode as payload so verification is one sorted-merge per
+  // pair; the calibration census is 10 rows; means use floor-scaled
+  // int64 sums (exact cross-partition reductions).
+  private def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val withNg = bandExploded(
+      mutatedDocs(s, dir)
+        .withColumn("ng", expr("shingle_hashes(split(text, ' '), 3)")),
+      np, payload = Seq("ng"))
+    val pairs = withNg.as("a")
+      .join(withNg.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .withColumn("est",
+        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v))
+          / lit(64.0))
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
+      .withColumn("jx",
+        $"inter" / (size($"a.ng") + size($"b.ng") - $"inter"))
+      // est and jx are pure functions of the two docs — identical on
+      // every band hit, so max() only dedups multi-band pairs
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(max($"est").as("est"), max($"jx").as("jx"))
+    pairs
+      .withColumn("bucket",
+        least(floor($"est" * 10.0).cast(IntegerType), lit(9)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor($"est" * lit(1e9))).as("se"),
+        sum(floor($"jx" * lit(1e9))).as("sx"),
+        sum(floor(abs($"est" - $"jx") * lit(1e9))).as("serr"))
+      .select($"bucket", $"n_pairs",
+        Num.roundAt($"se".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_est"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_exact"),
+        Num.roundAt($"serr".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q174: content-defined chunking + duplicate-passage census — the
   // dedup primitive q118's FIXED windows cannot give: boundaries are
   // placed where a 4-token window's hash ≡ 0 (mod 16), a property of
@@ -1083,6 +1135,7 @@ object Dedup {
     "q165_hamming_search" -> (hammingSearch _),
     "q169_split_leakage" -> (splitLeakage _),
     "q174_cdc_chunks" -> (cdcChunks _),
+    "q177_minhash_calibration" -> (minhashCalibration _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1146,6 +1199,33 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q177_minhash_calibration" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |x AS (
+        |  SELECT e.doc_a, e.doc_b, e.ej,
+        |         len(list_intersect(ha.hashes, hb.hashes)) /
+        |           (len(ha.hashes) + len(hb.hashes)
+        |            - len(list_intersect(ha.hashes, hb.hashes))) AS jx
+        |  FROM est e
+        |  JOIN h ha ON ha.doc_id = e.doc_a
+        |  JOIN h hb ON hb.doc_id = e.doc_b),
+        |bkt AS (
+        |  SELECT CAST(least(CAST(floor(ej * 10.0) AS INTEGER), 9)
+        |           AS INTEGER) AS bucket,
+        |         ej, jx
+        |  FROM x)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(CAST(sum(CAST(floor(ej * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_est,
+        |       round(CAST(sum(CAST(floor(jx * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_exact,
+        |       round(CAST(sum(CAST(floor(abs(ej - jx) * 1000000000.0)
+        |           AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           / 1000000000.0, 6) AS mean_abs_err
+        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q174_cdc_chunks" ->
       s"""WITH $corpusSql,
         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),

@@ -408,6 +408,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"only $shared of $nMutants mutants share any chunk with their source")
   }
 
+  test("q177: calibration buckets are self-consistent and expose the candidate bias") {
+    import spark.implicits._
+    val out = Dedup.queries("q177_minhash_calibration")(spark, dir).cache()
+    assert(out.count() > 0)
+    // definitional: a bucket's mean estimate lies inside the bucket
+    assert(out.filter($"mean_est" < $"bucket" / 10.0 ||
+      $"mean_est" > ($"bucket" + 1) / 10.0).count() == 0)
+    assert(out.filter($"mean_abs_err" < 0.0).count() == 0)
+    // the top bucket holds the planted near-dups: est tracks exact there
+    val top = out.orderBy($"bucket".desc).head()
+    assert(top.getAs[Int]("bucket") == 9)
+    assert(top.getAs[Double]("mean_abs_err") < 0.3,
+      s"top-bucket calibration off: $top")
+    // and the readout is not vacuous: mid buckets (band-collision
+    // candidates) OVER-estimate — the bias that justifies exact
+    // verification of LSH candidates
+    val biased = out.filter($"bucket" < 9 &&
+      $"mean_est" - $"mean_exact" > 0.1).count()
+    assert(biased > 0, "no candidate-conditioned bias measured")
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
