@@ -448,6 +448,24 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"global single-partition stage feeding the window:\n$p")
   }
 
+  test("q176: the returned ranking is a bounded local frame - no window, no shuffle") {
+    // the top-20 runs as TakeOrderedAndProject inside construction (the
+    // eager q83/q136 contract pattern); the RETURNED plan must be the
+    // rebuilt 20-row literal frame, with no global window or exchange
+    val (_, p) = plan("q176_decayed_spend")
+    assert(p.contains("LocalTableScan"), s"expected the rebuilt bounded frame:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange"),
+      s"global window/shuffle leaked into the returned ranking:\n$p")
+  }
+
+  test("q177: calibration candidates come from the band equi-join, never all-pairs") {
+    val (_, p) = plan("q177_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration pair generation is not banded:\n$p")
+    assert(p.contains("band_hash") || p.contains("band_idx"),
+      s"no band key in the candidate join:\n$p")
+  }
+
   for (q <- Seq("q162_audio_census", "q163_video_census", "q167_image_census")) {
     test(s"$q: the decode pass is zero-shuffle after the input spread") {
       val (_, p) = plan(q)
