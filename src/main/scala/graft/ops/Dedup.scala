@@ -214,6 +214,61 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q178: LSH band-geometry S-CURVE — the tuning harness behind the
+  // (bands × rows) choice every MinHash deployment hard-codes: the SAME
+  // 64-permutation signatures banded three ways (16×4 / 8×8 / 32×2),
+  // each geometry scored by candidate volume and recall of the planted
+  // near-dup pairs. More, narrower bands move the S-curve left (higher
+  // recall, more candidates); fewer, wider bands move it right — this
+  // query MEASURES the trade on the corpus itself instead of assuming
+  // it, completing the estimator-quality story q177 starts. Scale
+  // shape: three banded equi-joins over the one signature frame (the
+  // signature pass is shared and materialized once); candidate counts
+  // are Σ bucket², never n²; the readout is 3 rows.
+  private def lshSCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigs = mutatedDocs(s, dir)
+      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"sig")
+      .repartition(np, $"doc_id") // materialize: 3 geometries reuse it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val planted = Tables.documents(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id".as("doc_a"), ($"doc_id" + 10000L).as("doc_b"))
+    val results = Seq((16, 4), (8, 8), (32, 2)).map { case (nb, r) =>
+      val banded = sigs.select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, ${nb - 1}), b -> " +
+          s"md5(array_join(slice(sig, b * $r + 1, $r), ',')))"))
+        .as(Seq("b", "bh")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          $"a.b" === $"b.b" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      cand.withColumn("hit", lit(1L))
+        .join(planted.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count($"hit").as("n_candidates"),
+          sum($"t" * $"hit").as("n_hit"), sum($"t").as("n_planted"))
+        .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+          $"n_candidates", coalesce($"n_hit", lit(0L)).as("n_hit"),
+          $"n_planted",
+          Num.roundAt(coalesce($"n_hit", lit(0L)).cast(DoubleType) /
+            $"n_planted".cast(DoubleType), 6).as("recall"))
+    }
+    val out = results.reduce(_ unionAll _).orderBy("bands").collect()
+    sigs.unpersist(false)
+    s.createDataFrame(out.toSeq.map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toDF("bands", "rows_per_band", "n_candidates", "n_hit",
+        "n_planted", "recall")
+      .orderBy("bands")
+  }
+
+  // ---------------------------------------------------------------------
   // q177: MinHash estimator CALIBRATION — before a pipeline trusts an
   // "est ≥ 0.5" dedup threshold (q21/q56/q57 all do), it should know how
   // the 64-permutation estimate tracks EXACT Jaccard on its own corpus:
@@ -1136,6 +1191,7 @@ object Dedup {
     "q169_split_leakage" -> (splitLeakage _),
     "q174_cdc_chunks" -> (cdcChunks _),
     "q177_minhash_calibration" -> (minhashCalibration _),
+    "q178_lsh_scurve" -> (lshSCurve _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
     "q66_decontamination" -> (decontamination _),
@@ -1199,6 +1255,40 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q178_lsh_scurve" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |planted AS (
+        |  SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |geo AS (
+        |  SELECT * FROM (VALUES (16, 4), (8, 8), (32, 2)) AS t(nb, r)),
+        |gb AS (
+        |  SELECT g.nb, g.r, s.doc_id, b,
+        |         md5(array_to_string(s.sig[b*g.r+1 : b*g.r+g.r], ',')) AS bh
+        |  FROM sig s, geo g, unnest(range(0, g.nb)) t(b)),
+        |cand2 AS (
+        |  SELECT DISTINCT a.nb, a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM gb a JOIN gb b
+        |    ON a.nb = b.nb AND a.r = b.r AND a.b = b.b AND a.bh = b.bh
+        |   AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT g.nb, g.r,
+        |         (SELECT count(*) FROM cand2 c
+        |          WHERE c.nb = g.nb AND c.r = g.r) AS n_candidates,
+        |         (SELECT count(*) FROM cand2 c JOIN planted p
+        |            ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+        |          WHERE c.nb = g.nb AND c.r = g.r) AS n_hit,
+        |         (SELECT count(*) FROM planted) AS n_planted
+        |  FROM geo g)
+        |SELECT CAST(nb AS INTEGER) AS bands, CAST(r AS INTEGER)
+        |         AS rows_per_band,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates,
+        |       CAST(n_hit AS BIGINT) AS n_hit,
+        |       CAST(n_planted AS BIGINT) AS n_planted,
+        |       round(CAST(n_hit AS DOUBLE) / CAST(n_planted AS DOUBLE), 6)
+        |         AS recall
+        |FROM m ORDER BY bands""".stripMargin,
     "q177_minhash_calibration" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -430,6 +430,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q178: band geometries are nested - candidates and recall rise with band count") {
+    import spark.implicits._
+    val out = Dedup.queries("q178_lsh_scurve")(spark, dir).cache()
+    val rows = out.orderBy("bands").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((8, 8), (16, 4), (32, 2)))
+    assert(rows.map(_.getLong(4)).distinct.length == 1, "planted count must agree")
+    // theorem: a wider band matching implies both its halves match, so
+    // candidate sets NEST as bands double - volumes and hits can only grow
+    val cands = rows.map(_.getLong(2)).toSeq
+    val hits = rows.map(_.getLong(3)).toSeq
+    assert(cands == cands.sorted, s"candidate volumes not monotone: $cands")
+    assert(hits == hits.sorted, s"hits not monotone: $hits")
+    assert(out.filter($"recall" < 0.0 || $"recall" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
