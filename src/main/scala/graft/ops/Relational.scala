@@ -2503,7 +2503,38 @@ object Relational {
       .orderBy("rank")
   }
 
+  // q179: inter-arrival time profile per event class — the traffic-
+  // modeling census (arrival-rate fitting, capacity planning, anomaly
+  // baselines): per-user consecutive event gaps in exact micros,
+  // aggregated per the later event's type with exact counts/sums and
+  // exact p50/p95. Scale shape: ONE user-partitioned lag window (never
+  // a global sort) and a |event_types|-row census; gaps are exact int64
+  // micros, the mean is a ratio of exact operands, and the percentile
+  // interpolation runs on identical doubles (q52 precedent; at 100 TB
+  // swap exact percentile for approx_percentile — q103's trade).
+  private def interArrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        Num.epochUs($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_us").as("sum_gap_us"),
+        expr("percentile(cast(gap_us AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(cast(gap_us AS DOUBLE), 0.95)").as("p95"))
+      .select($"event_type", $"n_gaps",
+        Num.roundAt($"sum_gap_us".cast(DoubleType) /
+          $"n_gaps".cast(DoubleType), 4).as("mean_gap_us"),
+        Num.roundAt($"p50", 4).as("p50_gap_us"),
+        Num.roundAt($"p95", 4).as("p95_gap_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_interarrival" -> (interArrival _),
     "q176_decayed_spend" -> (decayedSpend _),
     "q161_event_lateness" -> (eventLateness _),
     "q156_sketch_winsorize" -> (sketchWinsorize _),
@@ -2586,6 +2617,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q179_interarrival" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS gap_us
+        |  FROM t)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |             4) AS mean_gap_us,
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 4)
+        |         AS p50_gap_us,
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95), 4)
+        |         AS p95_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q176_decayed_spend" ->
       """WITH g AS (SELECT max(o_orderdate) AS d_max FROM orders),
         |wk AS (

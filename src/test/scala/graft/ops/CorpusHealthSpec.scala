@@ -147,6 +147,19 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q179: gap census accounts for every non-first event; quantiles ordered") {
+    import spark.implicits._
+    val out = Relational.queries("q179_interarrival")(spark, dir).cache()
+    // every event except each user's first yields exactly one gap
+    val nEvents = graft.Tables.events(spark, dir).count()
+    val nUsers = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(out.agg(sum($"n_gaps")).as[Long].head() == nEvents - nUsers)
+    assert(out.filter($"p50_gap_us" > $"p95_gap_us").count() == 0)
+    assert(out.filter($"mean_gap_us" < 0.0 || $"p50_gap_us" < 0.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
