@@ -38,10 +38,15 @@ class DeterminismSpec extends AnyFunSuite with SparkSessionTestWrapper {
   // 1000 ln terms in rank order, q160 collects driver-literal centroids
   // from cross-partition sums (exact int64 by design — this test is the
   // guard that keeps them that way).
+  // q176/q177 joined with the session's last wave: q176 rebuilds its
+  // frame from an eager top-20 over per-customer fp folds, q177's
+  // calibration means cross partitions as floor-scaled int sums — both
+  // must hold under any partitioning.
   for (q <- Seq("q141_delta_agg_maintenance", "q61_kmeans_step",
     "q93_pq_ann", "q127_perplexity", "q91_regression",
     "q136_market_basket", "q147_dedup_recall",
-    "q159_zipf_law", "q160_centroid_purity")) {
+    "q159_zipf_law", "q160_centroid_purity",
+    "q176_decayed_spend", "q177_minhash_calibration")) {
     test(s"$q collects byte-identically across partitioning changes") {
       val a = render(q, 3)
       val b = render(q, 7)
