@@ -781,7 +781,45 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // q180: per-source quality-gate retention census — the budget readout
+  // a filtering pipeline publishes before training (the C4/Gopher-style
+  // report: which sources survive which gates, and at what rate):
+  // three named gates per doc (minimum length, sane mean word length,
+  // stopword presence), per-source failure counts PER GATE plus the
+  // all-gates pass rate. A source with a collapsed pass rate is either
+  // junk or needs its own gate tuning — caught here, not after tokens
+  // are bought. Scale shape: one scan, map-side per-doc gate booleans
+  // (codegen'd length/filter arithmetic), partial-aggregated to a
+  // |sources|-row census; all counts exact.
+  private def qualityGateCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = langWords.toMap.apply("en")
+    val f = docs(s, dir)
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("n", size($"tokens"))
+      .withColumn("avg_len",
+        aggregate(transform($"tokens", t => length(t)), lit(0),
+          (a, x) => a + x) / $"n")
+      .withColumn("stop_ratio", markerCount($"tokens", en) / $"n")
+      .withColumn("g_len", $"n" >= 30)
+      .withColumn("g_avg", $"avg_len" >= 3.0 && $"avg_len" <= 10.0)
+      .withColumn("g_stop", $"stop_ratio" >= 0.05)
+    f.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!$"g_len", 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!$"g_avg", 1L).otherwise(0L)).as("n_fail_avglen"),
+        sum(when(!$"g_stop", 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when($"g_len" && $"g_avg" && $"g_stop", 1L).otherwise(0L))
+          .as("n_pass"))
+      .select($"source", $"n_docs", $"n_fail_len", $"n_fail_avglen",
+        $"n_fail_stop", $"n_pass",
+        Num.roundAt($"n_pass".cast(DoubleType) / $"n_docs".cast(DoubleType),
+          6).as("pass_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_quality_gates" -> (qualityGateCensus _),
     "q175_dedup_search" -> (dedupSearch _),
     "q170_tokenizer_fertility" -> (tokenizerFertility _),
     "q168_dedup_mixture" -> (dedupAwareMixture _),
@@ -952,6 +990,36 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q180_quality_gates" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, len(tokens) AS n,
+        |    list_aggregate(list_transform(tokens, x -> length(x)), 'sum')
+        |      / len(tokens) AS avg_len,
+        |    len(list_filter(tokens,
+        |      x -> list_contains(['the','a','data','fast','slow'], x)))
+        |      / len(tokens) AS stop_ratio
+        |  FROM t),
+        |g AS (
+        |  SELECT source, n >= 30 AS g_len,
+        |         avg_len >= 3.0::DOUBLE AND avg_len <= 10.0::DOUBLE AS g_avg,
+        |         stop_ratio >= 0.05::DOUBLE AS g_stop
+        |  FROM s)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fail_len,
+        |       CAST(sum(CASE WHEN NOT g_avg THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fail_avglen,
+        |       CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fail_stop,
+        |       CAST(sum(CASE WHEN g_len AND g_avg AND g_stop THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_pass,
+        |       round(CAST(sum(CASE WHEN g_len AND g_avg AND g_stop
+        |             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |             6) AS pass_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q175_dedup_search" ->
       """WITH dup AS (
         |  SELECT doc_id, text FROM documents

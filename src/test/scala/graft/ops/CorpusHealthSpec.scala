@@ -160,6 +160,20 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q180: gate census covers every doc; failures bound the pass count") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q180_quality_gates")(spark, dir).cache()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(out.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    // pass + worst-case distinct failures bound n_docs; each failure
+    // count alone bounds the complement of the pass set
+    assert(out.filter($"n_pass" + $"n_fail_len" > $"n_docs").count() == 0)
+    assert(out.filter($"n_pass" + $"n_fail_avglen" > $"n_docs").count() == 0)
+    assert(out.filter($"n_pass" + $"n_fail_stop" > $"n_docs").count() == 0)
+    assert(out.filter($"pass_rate" < 0.0 || $"pass_rate" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
