@@ -36,6 +36,7 @@ object GraftExtensions {
     "zip_eq_count"   -> (e => ZipEqCount(e(0), e(1))),
     "pq_encode"      -> (e => PqEncode(e(0), e(1), e(2), e(3))),
     "jaro_winkler"   -> (e => JaroWinkler(e(0), e(1))),
+    "cdc_boundaries" -> (e => CdcBoundaries(e(0), e(1), e(2))),
     // table-generating (Generator) surface — fans one row out to many
     "shingle_windows" -> (e =>
       if (e.size >= 2) ShingleWindows(e(0), e(1)) else ShingleWindows(e.head))

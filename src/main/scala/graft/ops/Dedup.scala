@@ -338,20 +338,16 @@ object Dedup {
   // shares almost all its chunks with its source.
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val tok = mutatedDocs(s, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
     // stateless boundary predicate at position i (1-based, i >= 4):
     // h7(4-token window ending at i) % 16 == 0; the end is always a
-    // boundary so every token lands in exactly one chunk
-    val withB = tok.withColumn("bs",
-      concat(
-        filter(sequence(lit(4), greatest(size($"toks"), lit(4))),
-          i => i <= size($"toks") &&
-            conv(substring(md5(concat_ws(" ",
-              slice($"toks", i - 3, lit(4)))), 1, 7), 16, 10)
-              .cast(LongType) % 16 === 0),
-        array(size($"toks"))))
-      .withColumn("bs", array_distinct($"bs"))
+    // boundary so every token lands in exactly one chunk. Native
+    // codegen'd expression (functions/CdcBoundaries.scala) — the
+    // declarative filter-HOF form of the same predicate ran interpreted
+    // with a fresh concat per position and was the suite's slowest query
+    val withB = tok.withColumn("bs", expr("cdc_boundaries(toks, 4, 16)"))
     val chunks = withB
       .select($"doc_id", $"toks", $"bs",
         posexplode($"bs").as(Seq("j", "b")))

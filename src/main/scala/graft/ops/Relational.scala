@@ -1554,7 +1554,15 @@ object Relational {
   // oe); the degree attach BROADCASTS deg — a vertex-cardinality frame
   // of two longs per row (≤ |part|, megabytes at sf100), so orientation
   // is map-side over cached e instead of two shuffle joins.
-  private def triangles(s: SparkSession, dir: String): DataFrame = {
+  private def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesImpl(s, dir, hintDeg = true)
+
+  /** hintDeg=false is the data-scale-vertex fallback path (no broadcast
+    * hints on the degree attaches); PlanGuardsSpec pins that it plans as
+    * shuffle equi-joins with no cartesian.
+    */
+  private[graft] def trianglesImpl(s: SparkSession, dir: String,
+      hintDeg: Boolean): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .filter($"l_quantity" >= 25)
@@ -1568,9 +1576,19 @@ object Relational {
       .groupBy($"x").agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fwd = struct($"du", $"u") < struct($"dv", $"v")
+    // SCALE BOUND of the broadcast hints: deg has one 16-byte row per
+    // DISTINCT vertex — here vertices are part keys, a dictionary-sized
+    // dimension (≤ |part|, tens of MB at sf100), safely under the
+    // broadcast ceiling. If the vertex set were data-scale (e.g. user
+    // IDs at 100 TB, billions of vertices), drop BOTH hints and Catalyst
+    // falls back to plain shuffle equi-joins on u/v — same result, two
+    // extra shuffles of e; the degree-ordered orientation and wedge
+    // bound are unchanged. PlanGuardsSpec pins that the hint-free plan
+    // still builds.
+    val hint = (d: DataFrame) => if (hintDeg) broadcast(d) else d
     val oe = e
-      .join(broadcast(deg.toDF("u", "du")), Seq("u"))
-      .join(broadcast(deg.toDF("v", "dv")), Seq("v"))
+      .join(hint(deg.toDF("u", "du")), Seq("u"))
+      .join(hint(deg.toDF("v", "dv")), Seq("v"))
       .select(
         when(fwd, $"u").otherwise($"v").as("s"),
         when(fwd, $"v").otherwise($"u").as("t"),

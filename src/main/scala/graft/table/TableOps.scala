@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -152,10 +152,13 @@ object TableOps {
   // (insert → +after, delete → −before, update → after − before), then
   // must equal the direct aggregate of the final state — which is
   // exactly what the oracle computes by the change algebra in SQL. The
-  // state is exact DECIMAL, so the delta algebra is associative and the
-  // incremental result is bit-equal to the recompute (double sums would
-  // diverge in the last bits by addition order — the q91/q100
-  // contract). Groups whose count reaches zero are retracted, the MV
+  // state is exact integer CENTS — floor(bal * 100) per row BEFORE any
+  // aggregation, the q160/q176 scaled-int contract — so the delta
+  // algebra is associative int64 arithmetic and the incremental result
+  // is bit-equal to the recompute. (Rounds 8–9 hashed a DECIMAL built
+  // from double casts here and it was the suite's only unstable row;
+  // no decimal encoding or rounding-mode choice may reach the hash.)
+  // Groups whose count reaches zero are retracted, the MV
   // invariant a maintenance path must keep that a recompute gets for
   // free. Scale shape: update cost is one shuffle over |feed| + |groups|
   // — churn-sized, never table-sized; the demo feed derives from a
@@ -165,27 +168,27 @@ object TableOps {
     import s.implicits._
     val root = ensureDemoTable(s, dir)
     val t = VersionedTable.open(root)
-    val dec = DecimalType(18, 2)
+    // floor(x * 100) is the same IEEE-double op on both engines and the
+    // cast to int64 after floor is exact — applied PER ROW, before any
+    // sum, so only associative integer addition ever crosses partitions
+    val cents = (c: Column) => floor(c * 100).cast(LongType)
     val a0 = t.snapshot(s, Some(0L))
       .groupBy(($"c_custkey" % 50).as("bucket"))
-      .agg(count(lit(1)).as("cnt"), sum($"c_acctbal".cast(dec)).as("bal"))
+      .agg(count(lit(1)).as("cnt"), sum(cents($"c_acctbal")).as("bal"))
     val deltas = t.changesWithImages(s, "c_custkey", fromVersion = 0L, toVersion = 2L)
       .select(($"c_custkey" % 50).as("bucket"),
         when($"_change_type" === "insert", 1L)
           .when($"_change_type" === "delete", -1L)
           .otherwise(0L).as("cnt"),
-        (coalesce($"_after.c_acctbal".cast(dec), lit(0).cast(dec))
-          - coalesce($"_before.c_acctbal".cast(dec), lit(0).cast(dec))).as("bal"))
-    // explicit canonical projection: every output type pinned (the
-    // union widens bal to an intermediate precision; nothing downstream
-    // may depend on what that intermediate happens to be)
+        (coalesce(cents($"_after.c_acctbal"), lit(0L))
+          - coalesce(cents($"_before.c_acctbal"), lit(0L))).as("bal"))
     a0.unionByName(deltas)
       .groupBy($"bucket")
       .agg(sum($"cnt").as("n_rows"), sum($"bal").as("bal"))
       .filter($"n_rows" > 0)
       .select($"bucket".cast(LongType).as("bucket"),
         $"n_rows".cast(LongType).as("n_rows"),
-        $"bal".cast(dec).as("sum_bal"))
+        $"bal".cast(LongType).as("sum_bal_cents"))
       .orderBy("bucket")
   }
 
@@ -342,7 +345,8 @@ object TableOps {
         |  FROM customer WHERE c_custkey % 13 = 0)
         |SELECT c_custkey % 50 AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_bal_cents
         |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

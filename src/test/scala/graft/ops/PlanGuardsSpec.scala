@@ -290,6 +290,31 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no (v1,v2)-keyed closing join in:\n$keySets")
   }
 
+  test("q119: without the broadcast-deg hint (data-scale vertex fallback) the plan is shuffle equi-joins") {
+    // the hints assume a dictionary-sized vertex set; the documented
+    // fallback for data-scale vertices is to drop them and let Catalyst
+    // shuffle the degree attaches — prove that plan builds and stays equi
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // cache matching strips join hints: without this, the hinted test's
+    // persisted frames serve their (broadcast) physical plans here
+    spark.catalog.clearCache()
+    try {
+      val df = Relational.trianglesImpl(spark, dir, hintDeg = false)
+      val p = df.queryExecution.sparkPlan.toString
+      // exactly one CartesianProduct is allowed: the 1-row stat-frame
+      // crossJoin at the top (BroadcastNestedLoopJoin when broadcast is
+      // enabled) — no DATA join may degenerate to all-pairs
+      val nCartesian = "CartesianProduct".r.findAllIn(p).size
+      assert(nCartesian <= 1,
+        s"a data join in the hint-free fallback degenerated to all-pairs:\n$p")
+      val nShuffleJoin = ("SortMergeJoin".r.findAllIn(p).size
+        + "ShuffledHashJoin".r.findAllIn(p).size)
+      assert(nShuffleJoin >= 4, // 2 deg attaches + wedge + closing join
+        s"expected the degree attaches to fall back to shuffle equi-joins, got $nShuffleJoin in:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q128: prefix-filter candidates come from an equi-join on the prefix shingle") {
     val (df, p) = plan("q128_simjoin_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
