@@ -32,3 +32,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Determinism CI: run the full Verify suite twice in FRESH forked JVMs
+// and diff every query's logical output. Catches driver-run instability
+// (nondeterministic reduction orders, unstable sorts) before the
+// round's oracle compare does. `sbt verifyStable`; SPARK_GRAFT_SF_DIR
+// picks the scale (default sf0.01 — the driver's own gate scale).
+lazy val verifyStable = taskKey[Unit](
+  "Run graft.Verify twice in fresh JVMs and diff logical outputs")
+val verifyStableSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+verifyStable := Def.sequential(
+  (Compile / runMain).toTask(s" graft.Verify $verifyStableSf /tmp/graft_stab_a"),
+  (Compile / runMain).toTask(s" graft.Verify $verifyStableSf /tmp/graft_stab_b"),
+  Def.task {
+    import scala.sys.process._
+    val rc = Seq("python3", "scripts/diff_outputs.py",
+      "/tmp/graft_stab_a", "/tmp/graft_stab_b").!
+    if (rc != 0) sys.error("verifyStable: outputs differ between runs")
+  }
+).value

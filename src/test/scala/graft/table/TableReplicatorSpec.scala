@@ -65,4 +65,43 @@ class TableReplicatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(tgt.lastTxnId.contains(3L))
     } finally q2.stop()
   }
+
+  test("mid-batch crash: replay from a stale checkpoint is deduped by the txn cursor") {
+    import spark.implicits._
+    val srcRoot = graft.ops.Core.tmp("repl2_src")
+    val tgtRoot = graft.ops.Core.tmp("repl2_tgt")
+    val ckpt = graft.ops.Core.tmp("repl2_ckpt")
+    val ckptStale = graft.ops.Core.tmp("repl2_ckpt_stale")
+    val src = VersionedTable.create(srcRoot, base) // v0
+
+    val q = TableReplicator.start(spark, srcRoot, tgtRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // freeze the checkpoint BEFORE the next commit lands: restarting
+    // from this copy later is exactly the crash window between the
+    // target's commit and the engine's checkpoint write — the v1 batch
+    // will be replayed against a target that already applied it
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(ckptStale))
+
+    src.append(base.limit(5).select($"c_custkey" + 800000 as "c_custkey",
+      $"c_name", $"c_acctbal")) // v1
+    val q2 = TableReplicator.start(spark, srcRoot, tgtRoot, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val applied = VersionedTable.open(tgtRoot)
+    val nVersions = applied.latestVersion
+    val nRows = applied.snapshot(spark).count()
+    assert(applied.lastTxnId.contains(1L))
+
+    // "restart after the crash": stale checkpoint replays v1's batch
+    val q3 = TableReplicator.start(spark, srcRoot, tgtRoot, ckptStale)
+    try q3.processAllAvailable() finally q3.stop()
+    val tgt = VersionedTable.open(tgtRoot)
+    // no duplicate append: no new target commit, same rows, cursor fixed
+    assert(tgt.latestVersion == nVersions,
+      s"replayed batch re-committed: ${tgt.latestVersion} != $nVersions")
+    assert(tgt.snapshot(spark).count() == nRows)
+    assert(tgt.lastTxnId.contains(1L))
+    assertSame(tgt.snapshot(spark), src.snapshot(spark))
+  }
 }
