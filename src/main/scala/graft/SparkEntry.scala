@@ -24,6 +24,7 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.Similarity.queries, ops.Similarity.oracle),
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+      (ops.Sketching.queries, ops.Sketching.oracle),
       (ops.Relational.queries, ops.Relational.oracle),
       (ops.Multimodal.queries, ops.Multimodal.oracle),
       (ops.Layout.queries, ops.Layout.oracle),

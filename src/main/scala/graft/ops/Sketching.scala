@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Mergeable cardinality sketches built FROM SCRATCH over deterministic
+  * md5-derived hashes — the distinct-counting rung between q36
+  * (`approx_count_distinct`, Spark's opaque HLL++) and q125 (exact
+  * bitmap distinct): here the sketch CONSTRUCTION itself is the
+  * operator, every register/minimum is inspectable, and the estimate is
+  * oracle-checked bit-exact against DuckDB (no engine-private hashing —
+  * Det rule 1).
+  *
+  * The counted universe is the TRIGRAM-SHINGLE space (the corpus's
+  * distinct 3-token windows, ~27k at sf0.1 — the same per-source
+  * content-diversity measure the dedup ladder keys on), via the native
+  * `shingle_hashes` expression; the raw token vocabulary is a fixed
+  * 31-word synthetic dictionary, far too small to exercise a sketch.
+  *
+  * Why this matters at 100 TB: per-partition sketches merge
+  * ASSOCIATIVELY (bottom-k union for KMV, register-wise max for HLL),
+  * so a 1000-executor job aggregates distinct-shingle cardinality with
+  * KILOBYTES of state per (source, partition) instead of shuffling the
+  * shingle space — and per-source sketches roll up to the corpus union
+  * without touching the data again. Both queries also carry the exact
+  * count beside the estimate: the eval-harness pattern (q146/q173) that
+  * turns an approximation into a testable contract.
+  */
+object Sketching {
+
+  /** Shingle-hash space of ShingleHashes: values in [0, 2^31-1). */
+  private val M = Det.MinHashP
+
+  /** KMV sketch size: bottom-32 minima. */
+  private val K = 32
+
+  /** Per-doc distinct trigram-shingle hashes, exploded to (source, h).
+    * One row per (doc, distinct-shingle) — the sketch feeds aggregate
+    * this map-side; nothing here shuffles text.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        explode(expr("shingle_hashes(split(text, ' '), 3)")).as("h"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q181: K-minimum-values distinct sketch per source + merged union —
+  // the KMV estimator (Bar-Yossef et al.): keep the K smallest DISTINCT
+  // hash values; est = (K-1) * M / kth_min. The union sketch is the
+  // bottom-K of the DEDUPED union of the per-source sketches — every
+  // global minimum is some source's minimum, so merging the
+  // |sources| * K values is EXACT, never a re-scan (bounded at any
+  // corpus size; the dedup matters because sources share shingles).
+  // Groups with fewer than K distinct values store them all and report
+  // the exact count (standard KMV small-set behavior). Scale shape: one
+  // distinct over (source, shingle-hash) — the same shuffle an exact
+  // per-source distinct pays — then bounded K-row state per group; the
+  // production swap is a bounded-heap TypedImperativeAggregate that
+  // skips the distinct entirely (the declarative form here keeps the
+  // full DuckDB oracle). Determinism: hashes are exact ints; the single
+  // est division runs on identical doubles both engines.
+  private def kmvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dh = shingles(s, dir).distinct()
+    val wRank = Window.partitionBy($"source").orderBy($"h")
+    val perSrc = dh.withColumn("rn", row_number().over(wRank))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_exact"),
+        // collect_list drops the nulls of the unmatched when(): the
+        // aggregation state is K values, never the shingle space
+        sort_array(collect_list(when($"rn" <= K, $"h"))).as("sketch"))
+    val unionSk = perSrc
+      .select(explode($"sketch").as("h")).distinct() // KMV merge dedups
+      .orderBy($"h").limit(K) // |sources|*K rows -> bottom-K, bounded
+      .agg(sort_array(collect_list($"h")).as("sketch"))
+      .select(lit("__union__").as("source"), $"sketch")
+    val unionExact = dh.select($"h").distinct()
+      .agg(count(lit(1)).as("n_exact"))
+      .select(lit("__union__").as("source"), $"n_exact")
+    val all = perSrc.select($"source", $"n_exact", $"sketch")
+      .unionByName(unionSk.join(unionExact, "source")
+        .select($"source", $"n_exact", $"sketch"))
+    all
+      .withColumn("kth",
+        when(size($"sketch") >= K, element_at($"sketch", K)))
+      .withColumn("kmv_est",
+        when($"kth".isNotNull,
+          Num.roundAt(lit((K - 1).toDouble * M) / $"kth".cast(DoubleType), 4))
+          .otherwise($"n_exact".cast(DoubleType)))
+      .select($"source", $"n_exact", $"kth",
+        $"kmv_est",
+        // from the already-rounded estimate, so the rounding boundary
+        // can never disagree between engines
+        Num.roundAt(abs($"kmv_est" - $"n_exact") / $"n_exact", 4).as("rel_err"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q182: HyperLogLog registers from scratch — m = 64 registers, 6-bit
+  // bucket from the hash's top bits (of 31), rho = leading-zero rank of
+  // the remaining 25 bits; per-source register census, union census by
+  // register-wise MAX (the HLL merge), raw estimate
+  // alpha_64 * m^2 / sum(2^-register) with the standard linear-counting
+  // small-range correction. Scale shape: registers partial-aggregate
+  // map-side (max is associative — no distinct, no shingle-space
+  // shuffle; the census is at most |sources|*64 rows). Determinism:
+  // every 2^-register term is an exact dyadic double (register <= 26),
+  // so the 64-term sum is EXACT in f64 regardless of order — the one
+  // case where a cross-partition float sum is safe — and ln/division on
+  // identical doubles match across engines (q58/q127 precedent).
+  private def hllRegisters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 64
+    val alphaM2 = 0.709 * m * m
+    val th = shingles(s, dir)
+    val reg = th.select($"source",
+      shiftright($"h", 25).as("r"),
+      ($"h" % (1 << 25)).as("w"))
+      // SQL-form shiftright: the Scala DSL only shifts by Int literals,
+      // but the Catalyst expression takes a column bit-count
+      .withColumn("rho", expr(
+        "coalesce(array_min(filter(sequence(1, 25)," +
+          " j -> shiftright(w, 25 - j) % 2 = 1)), 26)"))
+    val census = reg.groupBy($"source", $"r").agg(max($"rho").as("mr"))
+    val withUnion = census.unionByName(
+      census.groupBy($"r").agg(max($"mr").as("mr"))
+        .select(lit("__union__").as("source"), $"r", $"mr"))
+    val est = withUnion.groupBy($"source")
+      .agg(sum(expr("1.0 / shiftleft(1L, mr)")).as("sum_present"),
+        count(lit(1)).as("n_reg"))
+      .withColumn("n_zero", lit(m) - $"n_reg")
+      .withColumn("raw",
+        lit(alphaM2) / ($"sum_present" + $"n_zero".cast(DoubleType)))
+      .withColumn("hll_est",
+        when($"raw" <= 2.5 * m && $"n_zero" > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / $"n_zero".cast(DoubleType)))
+          .otherwise($"raw"))
+    val exact = th.distinct().groupBy($"source")
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(th.select($"h").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("__union__").as("source"), $"n_exact"))
+    est.join(exact, "source")
+      .select($"source", $"n_exact", $"n_zero",
+        Num.roundAt($"hll_est", 4).as("hll_est"))
+      .withColumn("rel_err",
+        Num.roundAt(abs($"hll_est" - $"n_exact") / $"n_exact", 4))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_kmv_sketch" -> (kmvSketch _),
+    "q182_hll_registers" -> (hllRegisters _)
+  )
+
+  /** Shared shingle-hash CTEs: `th` = (source, per-doc-distinct trigram
+    * hash), `dh` = distinct (source, hash). The trigram fold mirrors
+    * Dedup.bandCtes / the native ShingleHashes expression literally.
+    */
+  private val dhSql =
+    """tok AS (
+      |  SELECT source, text,
+      |         list_transform(string_split(text, ' '),
+      |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS tth
+      |  FROM documents),
+      |th AS (
+      |  SELECT source, u.h FROM tok, unnest(list_distinct(
+      |    CASE WHEN len(tth) >= 3
+      |         THEN list_transform(range(1, len(tth) - 1), i ->
+      |                ((tth[i] * 31 + tth[i+1]) % 2147483647 * 31
+      |                  + tth[i+2]) % 2147483647)
+      |         ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+      |    END)) AS u(h)),
+      |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q181_kmv_sketch" ->
+      s"""WITH $dhSql,
+        |ranked AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM dh),
+        |per AS (
+        |  SELECT source, count(*) AS n_exact,
+        |         list(h ORDER BY h) FILTER (WHERE rn <= $K) AS sketch
+        |  FROM ranked GROUP BY source),
+        |uni AS (
+        |  SELECT '__union__' AS source,
+        |         (SELECT count(DISTINCT h) FROM dh) AS n_exact,
+        |         (SELECT list(h ORDER BY h)
+        |          FROM (SELECT DISTINCT u.h FROM per, unnest(per.sketch) AS u(h)
+        |                ORDER BY u.h LIMIT $K)) AS sketch),
+        |allrows AS (SELECT * FROM per UNION ALL SELECT * FROM uni),
+        |est AS (
+        |  SELECT source, n_exact,
+        |         CASE WHEN len(sketch) >= $K THEN sketch[$K] END AS kth,
+        |         CASE WHEN len(sketch) >= $K
+        |              THEN floor(CAST(${K - 1}.0 * ${M} AS DOUBLE) / sketch[$K]
+        |                     * 10000 + 0.5) / 10000
+        |              ELSE CAST(n_exact AS DOUBLE) END AS kmv_est
+        |  FROM allrows)
+        |SELECT source, n_exact, kth, kmv_est,
+        |       floor(abs(kmv_est - n_exact) / n_exact * 10000 + 0.5) / 10000
+        |         AS rel_err
+        |FROM est ORDER BY source""".stripMargin,
+    "q182_hll_registers" ->
+      s"""WITH $dhSql,
+        |reg AS (
+        |  SELECT source, h // 33554432 AS r, h % 33554432 AS w FROM th),
+        |rho AS (
+        |  SELECT source, r,
+        |         coalesce(list_min(list_filter(range(1, 26),
+        |           j -> (w // (1 << (25 - j))) % 2 = 1)), 26) AS rho
+        |  FROM reg),
+        |census AS (SELECT source, r, max(rho) AS mr FROM rho GROUP BY 1, 2),
+        |wu AS (
+        |  SELECT * FROM census
+        |  UNION ALL
+        |  SELECT '__union__', r, max(mr) FROM census GROUP BY 2),
+        |est0 AS (
+        |  SELECT source,
+        |         sum(1.0 / (CAST(1 AS BIGINT) << mr)) AS sum_present,
+        |         count(*) AS n_reg
+        |  FROM wu GROUP BY 1),
+        |est1 AS (
+        |  SELECT source, 64 - n_reg AS n_zero,
+        |         0.709 * 64 * 64 / (sum_present + (64 - n_reg)) AS raw
+        |  FROM est0),
+        |est AS (
+        |  SELECT source, n_zero,
+        |         CASE WHEN raw <= 160.0 AND n_zero > 0
+        |              THEN 64.0 * ln(64.0 / n_zero)
+        |              ELSE raw END AS hll_est
+        |  FROM est1),
+        |exact AS (
+        |  SELECT source, count(*) AS n_exact FROM dh GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__union__', count(DISTINCT h) FROM dh)
+        |SELECT e.source, x.n_exact, e.n_zero,
+        |       floor(e.hll_est * 10000 + 0.5) / 10000 AS hll_est,
+        |       floor(abs(floor(e.hll_est * 10000 + 0.5) / 10000 - x.n_exact)
+        |               / x.n_exact * 10000 + 0.5) / 10000 AS rel_err
+        |FROM est e JOIN exact x USING (source)
+        |ORDER BY e.source""".stripMargin
+  )
+}
