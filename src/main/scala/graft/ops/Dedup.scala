@@ -336,6 +336,59 @@ object Dedup {
   // that shuffles is chunk digests + bounded chunk metadata. The spec
   // pins the shift-invariance property itself: a prefix-dropped mutant
   // shares almost all its chunks with its source.
+  // ---------------------------------------------------------------------
+  // q183: corpus novelty curve — the marginal value of new data, the
+  // dedup-saturation report that decides whether the NEXT crawl batch is
+  // worth ingesting: arrivals (original docs plus two simulated re-crawl
+  // waves of exact duplicates plus a late wave of genuinely new
+  // variants) are bucketed into arrival deciles, and each decile reports
+  // its novel-document rate (first occurrence of the content digest)
+  // plus the cumulative rate — the curve flattens exactly when a corpus
+  // saturates. Scale shape: first-occurrence is a digest groupBy min +
+  // one equi-join back (churn-sized values, never text); decile
+  // assignment is MAP-SIDE against nine broadcast percentile cuts (the
+  // q155 pattern — a global rank window would single-partition the
+  // corpus); census is 10 rows, cumulative window runs on the 10-row
+  // frame. Determinism: exact int counts; percentile interpolation on
+  // identical int64 arrivals (q52/q155 precedent); rates are single
+  // divisions of exact ints.
+  private def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    // offsets far above any testdata doc_id so arrival ids never collide
+    val arrivals = d.select($"doc_id".as("arrival"), $"text")
+      .unionByName(d.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 10000000L).as("arrival"), $"text"))
+      .unionByName(d.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 20000000L).as("arrival"), $"text"))
+      .unionByName(d.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 30000000L).as("arrival"),
+          concat($"text", lit(" fresh v2")).as("text")))
+    val keyed = arrivals.select($"arrival", md5($"text").as("dg"))
+    val firsts = keyed.groupBy($"dg").agg(min($"arrival").as("fa"))
+    val flagged = keyed.join(firsts, "dg")
+      .select($"arrival",
+        ($"arrival" === $"fa").cast(IntegerType).as("novel"))
+    val cuts = flagged.agg(expr(
+      "percentile(arrival, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+    val binned = flagged.crossJoin(broadcast(cuts))
+      .withColumn("bin", (lit(1) +
+        (1 to 9).map(i => when($"arrival" > element_at($"qs", i), 1).otherwise(0))
+          .reduce(_ + _)).cast(IntegerType))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"novel").cast(LongType).as("n_novel"))
+    val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_novel", sum($"n_novel").over(w))
+      .select($"bin", $"n_docs", $"n_novel",
+        Num.roundAt($"n_novel".cast(DoubleType) / $"n_docs", 6).as("novelty_rate"),
+        Num.roundAt($"cum_novel".cast(DoubleType) / $"cum_docs", 6)
+          .as("cum_novelty_rate"))
+      .orderBy($"bin")
+  }
+
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -1186,6 +1239,7 @@ object Dedup {
     "q165_hamming_search" -> (hammingSearch _),
     "q169_split_leakage" -> (splitLeakage _),
     "q174_cdc_chunks" -> (cdcChunks _),
+    "q183_novelty_curve" -> (noveltyCurve _),
     "q177_minhash_calibration" -> (minhashCalibration _),
     "q178_lsh_scurve" -> (lshSCurve _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
@@ -1312,6 +1366,54 @@ object Dedup {
         |           AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |           / 1000000000.0, 6) AS mean_abs_err
         |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q183_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |arr AS (
+        |  SELECT doc_id AS arrival, text FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, text || ' fresh v2' FROM d
+        |  WHERE doc_id % 11 = 0),
+        |k AS (SELECT arrival, md5(text) AS dg FROM arr),
+        |f AS (SELECT dg, min(arrival) AS fa FROM k GROUP BY 1),
+        |fl AS (
+        |  SELECT k.arrival,
+        |         CASE WHEN k.arrival = f.fa THEN 1 ELSE 0 END AS novel
+        |  FROM k JOIN f USING (dg)),
+        |c AS (
+        |  SELECT quantile_cont(arrival,
+        |           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM fl),
+        |b AS (
+        |  SELECT 1 + (CASE WHEN arrival > qs[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[4] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[5] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[6] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[7] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[8] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN arrival > qs[9] THEN 1 ELSE 0 END) AS bin,
+        |         novel
+        |  FROM fl, c),
+        |g AS (
+        |  SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
+        |         CAST(sum(novel) AS BIGINT) AS n_novel
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n_docs, n_novel,
+        |         sum(n_docs) OVER (ORDER BY bin) AS cd,
+        |         sum(n_novel) OVER (ORDER BY bin) AS cn
+        |  FROM g)
+        |SELECT bin, n_docs, n_novel,
+        |       floor(CAST(n_novel AS DOUBLE) / n_docs * 1000000 + 0.5)
+        |         / 1000000 AS novelty_rate,
+        |       floor(CAST(cn AS DOUBLE) / cd * 1000000 + 0.5) / 1000000
+        |         AS cum_novelty_rate
+        |FROM cum ORDER BY bin""".stripMargin,
     "q174_cdc_chunks" ->
       s"""WITH $corpusSql,
         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),

@@ -818,7 +818,50 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q184: PMI collocations — pointwise mutual information over adjacent
+  // token pairs, the classic collocation extractor (Church & Hanks): for
+  // bigram (x,y), pmi = ln(c_xy * N / (c_x * c_y)) where c_x / c_y are
+  // the bigram's positional marginals and N the total bigram count.
+  // High-PMI pairs are the multi-word units a tokenizer or phrase-miner
+  // should learn as one symbol (the statistic behind q114's BPE merges —
+  // BPE greedily merges the most FREQUENT pair; PMI ranks the most
+  // ASSOCIATED, surfacing rare-but-rigid phrases frequency misses).
+  // Scale shape: ONE corpus scan explodes bigrams; every marginal and N
+  // derive from the (x,y) count frame itself (vocabulary²-bounded, never
+  // a corpus re-scan); min-support 5 cuts the frame before the global
+  // top-20 TakeOrderedAndProject. Determinism: counts are exact ints;
+  // the pmi ln runs on the same exact-int ratio both engines (q58/q127
+  // precedent); ordering ties break on (x, y).
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.documents(s, dir)
+      .select(split($"text", " ").as("ts"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(element_at(ts, i) AS x, element_at(ts, i + 1) AS y))"))
+        .as("b"))
+      .select($"b.x", $"b.y")
+    val cxy = big.groupBy($"x", $"y").agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cx = cxy.groupBy($"x").agg(sum($"c_xy").as("c_x"))
+    val cy = cxy.groupBy($"y").agg(sum($"c_xy").as("c_y"))
+    val n = cxy.agg(sum($"c_xy").as("n_bigrams"))
+    val scored = cxy.filter($"c_xy" >= 5)
+      .join(broadcast(cx), "x")
+      .join(broadcast(cy), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_raw",
+        log(($"c_xy" * $"n_bigrams").cast(DoubleType) /
+          ($"c_x" * $"c_y").cast(DoubleType)))
+    scored.orderBy($"pmi_raw".desc, $"x".asc, $"y".asc).limit(20)
+      .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
+        Num.roundAt($"pmi_raw", 6).as("pmi"))
+      .orderBy($"pmi".desc, $"x".asc, $"y".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_pmi_collocations" -> (pmiCollocations _),
     "q180_quality_gates" -> (qualityGateCensus _),
     "q175_dedup_search" -> (dedupSearch _),
     "q170_tokenizer_fertility" -> (tokenizerFertility _),
@@ -990,6 +1033,30 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q184_pmi_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |big AS (
+        |  SELECT ts[i] AS x, ts[i+1] AS y
+        |  FROM tok, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |cxy AS (SELECT x, y, count(*) AS c_xy FROM big GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM cxy),
+        |scored AS (
+        |  SELECT cxy.x, cxy.y, c_xy, c_x, c_y,
+        |         ln(CAST(c_xy * nb AS DOUBLE) / CAST(c_x * c_y AS DOUBLE))
+        |           AS pmi_raw
+        |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
+        |  WHERE c_xy >= 5)
+        |SELECT x, y, c_xy, c_x, c_y,
+        |       CASE WHEN pmi_raw > 0
+        |              THEN floor(pmi_raw * 1000000 + 0.5) / 1000000
+        |            WHEN pmi_raw < 0
+        |              THEN -(floor(0.0 - pmi_raw * 1000000 + 0.5) / 1000000)
+        |            ELSE pmi_raw END AS pmi
+        |FROM scored
+        |ORDER BY pmi_raw DESC, x ASC, y ASC LIMIT 20""".stripMargin,
     "q180_quality_gates" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS tokens

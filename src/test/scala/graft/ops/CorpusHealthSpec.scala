@@ -174,6 +174,39 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q183: novelty totals equal distinct content; the curve shows saturation") {
+    import spark.implicits._
+    val out = Dedup.queries("q183_novelty_curve")(spark, dir).cache()
+    assert(out.count() == 10)
+    assert(out.filter($"novelty_rate" < 0.0 || $"novelty_rate" > 1.0).count() == 0)
+    assert(out.filter($"n_novel" > $"n_docs").count() == 0)
+    // every distinct digest has exactly one first occurrence
+    val d = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val distinctContent = d.select(md5($"text").as("dg"))
+      .unionByName(d.filter($"doc_id" % 11 === 0)
+        .select(md5(concat($"text", lit(" fresh v2"))).as("dg")))
+      .distinct().count()
+    assert(out.agg(sum($"n_novel")).as[Long].head() == distinctContent)
+    // saturation: the earliest decile (first crawl, mostly unseen) is
+    // more novel than the last (re-crawl waves)
+    val rows = out.orderBy($"bin").collect()
+    assert(rows.head.getAs[Double]("novelty_rate")
+      > rows.last.getAs[Double]("novelty_rate"))
+    out.unpersist()
+  }
+
+  test("q184: PMI marginals are consistent and the ranking is by pmi") {
+    import spark.implicits._
+    val res = TextAnalysis.queries("q184_pmi_collocations")(spark, dir).cache()
+    assert(res.count() <= 20 && res.count() > 0)
+    assert(res.filter($"c_xy" < 5).count() == 0)
+    assert(res.filter($"c_xy" > $"c_x" || $"c_xy" > $"c_y").count() == 0)
+    val pmis = res.orderBy($"pmi".desc, $"x", $"y")
+      .select($"pmi").collect().map(_.getDouble(0))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    res.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
