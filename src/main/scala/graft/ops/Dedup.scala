@@ -1153,6 +1153,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q185: EXACT set-CONTAINMENT join at t = 0.9 — the asymmetric sibling
+  // of q128's Jaccard self-join, and the dedup case Jaccard structurally
+  // misses: a short document quoted inside a much longer one has
+  // C(a→b) = |Sa ∩ Sb| / |Sa| ≈ 1 while J(a,b) ≈ |Sa|/|Sb| ≈ 0. The
+  // doc-in-doc detector (quote extraction, page-in-dump containment)
+  // every corpus-dedup stack runs beside near-dup clustering. Candidate
+  // rule (pigeonhole): if |Sa ∩ Sb| >= ceil(t·|Sa|), a can miss at most
+  // |Sa| − ceil(t·|Sa|) elements, so its first
+  // |Sa| − ceil(t·|Sa|) + 1 shingles under the global (df asc, sh asc)
+  // order must hit Sb — an equi-join of the PROBE PREFIX against the
+  // container's FULL inverted index (asymmetric, unlike q128 where both
+  // sides prefix). Zero false negatives by construction; the spec proves
+  // the result identical to the brute-force all-pairs scan. Scale shape:
+  // t = 0.9 makes probe prefixes ~|Sa|/10 long, posting lists stay
+  // bounded by the w=4 shingle space (q128's df argument), and verify is
+  // the zero-allocation sorted_overlap merge on candidates only. The
+  // threshold test is exact ints: C >= 0.9 ⟺ 10·inter >= 9·|Sa|.
+  private def containmentJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // one shingle pass, three consumers (index explode, prefix build,
+    // verify join-backs) — q128's persist rationale
+    val ng = mutatedDocs(s, dir)
+      .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = ng.select($"doc_id", explode($"ng").as("sh"))
+    val df = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val pref = e.join(df, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"),
+        count(lit(1)).as("n"))
+      .select($"doc_id",
+        expr("transform(slice(ord, 1, cast(n - ((9*n + 9) div 10) + 1 as int))," +
+          " x -> x.sh)").as("prefix"))
+      .select($"doc_id", explode($"prefix").as("sh"))
+    val cand = pref.as("a")
+      .join(e.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(ng.select($"doc_id".as("doc_a"), $"ng".as("ng_a")), Seq("doc_a"))
+      .join(ng.select($"doc_id".as("doc_b"), $"ng".as("ng_b")), Seq("doc_b"))
+      .withColumn("inter", expr("sorted_overlap(ng_a, ng_b)"))
+      .withColumn("n_a", size($"ng_a").cast(LongType))
+      .filter(lit(10L) * $"inter" >= lit(9L) * $"n_a")
+      .select($"doc_a", $"doc_b", $"inter", $"n_a",
+        Num.roundAt($"inter" / $"n_a", 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** EXACT trigram-Jaccard pairs at tau = 0.5 over a (doc_id, text)
     * frame via the q128 prefix-filter rule on the SAME trigram sets
     * q21's MinHash signatures estimate (shingle_hashes w=3 == the native
@@ -1240,6 +1291,7 @@ object Dedup {
     "q169_split_leakage" -> (splitLeakage _),
     "q174_cdc_chunks" -> (cdcChunks _),
     "q183_novelty_curve" -> (noveltyCurve _),
+    "q185_containment_join" -> (containmentJoin _),
     "q177_minhash_calibration" -> (minhashCalibration _),
     "q178_lsh_scurve" -> (lshSCurve _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
@@ -1537,6 +1589,44 @@ object Dedup {
     // = 3.0000000000000004 in doubles), integer threshold test. A spec
     // additionally proves the prefix filter lossless against the
     // brute-force all-pairs join at sf0.001.
+    "q185_containment_join" ->
+      s"""WITH $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM corpus),
+        |ng AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(th) >= 4
+        |           THEN list_transform(range(1, len(th) - 2),
+        |                  i -> list_reduce(th[i : i + 3],
+        |                         (a, x) -> (a * 31 + x) % 2147483647))
+        |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |         END) AS ng
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(ng) AS sh FROM ng),
+        |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |lst AS (
+        |  SELECT doc_id, list(e.sh ORDER BY df.df, e.sh) AS srt
+        |  FROM e JOIN df USING (sh) GROUP BY doc_id),
+        |pre AS (
+        |  SELECT doc_id,
+        |         unnest(srt[1 : len(srt) - ((9 * len(srt) + 9) // 10) + 1]) AS sh
+        |  FROM lst),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN e b ON a.sh = b.sh AND a.doc_id != b.doc_id),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT) AS inter,
+        |         CAST(len(na.ng) AS BIGINT) AS n_a
+        |  FROM cand
+        |  JOIN ng na ON na.doc_id = doc_a
+        |  JOIN ng nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, inter, n_a,
+        |       round(CAST(inter AS DOUBLE) / n_a, 4) AS containment
+        |FROM ver WHERE 10 * inter >= 9 * n_a
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q128_simjoin_prefix" ->
       s"""WITH $corpusSql,
         |tok AS (

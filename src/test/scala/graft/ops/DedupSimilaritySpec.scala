@@ -177,6 +177,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.nonEmpty, "degenerate test: no similar pairs at sf0.001")
   }
 
+  test("q185: containment prefix filter is lossless — identical to brute-force all-pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Dedup.queries("q185_containment_join")(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val d = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = d.unionAll(
+      d.filter($"doc_id" % 5 === 0).select(($"doc_id" + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val ng = corpus.select($"doc_id",
+      expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+    // DIRECTED brute force: every ordered pair a != b with C(a->b) >= 0.9
+    val brute = ng.as("a").crossJoin(ng.as("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
+      .filter(lit(10L) * $"inter" >= lit(9L) * size($"a.ng").cast("long"))
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(out == brute,
+      s"containment join diverged: missing ${brute -- out}, extra ${out -- brute}")
+    assert(out.nonEmpty, "degenerate test: no contained docs at sf0.001")
+    // asymmetry is real on this corpus: some directed pair's reverse is
+    // absent (the short-in-long case Jaccard cannot express)
+    assert(out.exists { case (a, b) => !out.contains((b, a)) } || out.isEmpty)
+  }
+
   test("shingle_hashes width: w=2 default unchanged; wider widths shrink df saturation") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
