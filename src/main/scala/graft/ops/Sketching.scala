@@ -155,9 +155,55 @@ object Sketching {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q186: consistent-hash shard routing census — the key-placement
+  // infrastructure under every distributed dedup index / ANN shard /
+  // state store at 100 TB: customer keys route to 8 shards via a hash
+  // ring (16 virtual nodes per shard, vnode position = h7(md5) on the
+  // 2^28 ring, key goes to its clockwise successor vnode), then shard 9
+  // joins the ring and the census measures the REBALANCE: per-shard key
+  // counts before/after and how many keys each shard GAINED. The defining
+  // consistent-hashing property — only the NEW shard gains keys, and only
+  // ~1/9 of them move (vs rehash-everything for mod-N routing) — is
+  // pinned in the spec. Scale shape: the ring is a 144-row broadcast
+  // (bounded by shards × vnodes at any data size); assignment is one
+  // broadcast cross-join + per-key argmin with map-side partial
+  // aggregation; the census is 9 rows. Determinism: ring distances are
+  // exact ints and INJECTIVE per key (distinct vnode positions, spec-
+  // checked), so the argmin is unambiguous on both engines.
+  private def shardRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ringM = 1L << 28
+    def ring(nShards: Int): DataFrame =
+      s.range(0, nShards * 16L).select(
+        expr("cast(id div 16 as int)").as("shard"),
+        expr("cast(conv(substring(md5(concat(cast(id div 16 as string), ':'," +
+          " cast(id % 16 as string))), 1, 7), 16, 10) as bigint)").as("vpos"))
+    val keys = Tables.customer(s, dir)
+      .select($"c_custkey".as("k"), Det.h7($"c_custkey".cast(StringType)).as("p"))
+    def assign(r: DataFrame, col: String): DataFrame =
+      keys.crossJoin(broadcast(r))
+        .select($"k", $"shard", pmod($"vpos" - $"p", lit(ringM)).as("d"))
+        .groupBy($"k")
+        .agg(min(struct($"d", $"shard")).as("m"))
+        .select($"k", $"m.shard".as(col))
+    val asn = assign(ring(8), "s8").join(assign(ring(9), "s9"), "k")
+    val nb = asn.groupBy($"s8".as("shard")).agg(count(lit(1)).as("n_before"))
+    val na = asn.groupBy($"s9".as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when($"s8" =!= $"s9", 1L).otherwise(0L)).as("gained"))
+    na.join(nb, Seq("shard"), "full_outer")
+      .select($"shard",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"gained", lit(0L)).as("gained"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_kmv_sketch" -> (kmvSketch _),
-    "q182_hll_registers" -> (hllRegisters _)
+    "q182_hll_registers" -> (hllRegisters _),
+    "q186_shard_routing" -> (shardRouting _)
   )
 
   /** Shared shingle-hash CTEs: `th` = (source, per-doc-distinct trigram
@@ -181,6 +227,41 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q186_shard_routing" ->
+      """WITH ring AS (
+        |  SELECT CAST(j // 16 AS INTEGER) AS shard,
+        |         CAST(concat('0x', substring(md5(
+        |           CAST(j // 16 AS VARCHAR) || ':' || CAST(j % 16 AS VARCHAR)
+        |         ), 1, 7)) AS BIGINT) AS vpos
+        |  FROM (SELECT unnest(range(0, 144)) AS j)),
+        |keys AS (
+        |  SELECT c_custkey AS k,
+        |         CAST(concat('0x', substring(md5(
+        |           CAST(c_custkey AS VARCHAR)), 1, 7)) AS BIGINT) AS p
+        |  FROM customer),
+        |d8 AS (
+        |  SELECT k, arg_min(shard,
+        |           CASE WHEN vpos >= p THEN vpos - p
+        |                ELSE vpos - p + 268435456 END) AS s8
+        |  FROM keys, ring WHERE shard < 8 GROUP BY k),
+        |d9 AS (
+        |  SELECT k, arg_min(shard,
+        |           CASE WHEN vpos >= p THEN vpos - p
+        |                ELSE vpos - p + 268435456 END) AS s9
+        |  FROM keys, ring GROUP BY k),
+        |asn AS (SELECT k, s8, s9 FROM d8 JOIN d9 USING (k)),
+        |nb AS (SELECT s8 AS shard, count(*) AS n_before FROM asn GROUP BY 1),
+        |na AS (
+        |  SELECT s9 AS shard, count(*) AS n_after,
+        |         CAST(sum(CASE WHEN s8 != s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS gained
+        |  FROM asn GROUP BY 1)
+        |SELECT coalesce(na.shard, nb.shard) AS shard,
+        |       coalesce(n_before, 0) AS n_before,
+        |       coalesce(n_after, 0) AS n_after,
+        |       coalesce(gained, 0) AS gained
+        |FROM na FULL OUTER JOIN nb ON na.shard = nb.shard
+        |ORDER BY shard""".stripMargin,
     "q181_kmv_sketch" ->
       s"""WITH $dhSql,
         |ranked AS (

@@ -45,6 +45,31 @@ class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q186: adding a shard moves only ~1/9 of keys, all INTO the new shard") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q186_shard_routing")(spark, dir).collect()
+    assert(out.length == 9)
+    val byShard = out.map(r => r.getAs[Int]("shard") -> r).toMap
+    // the defining consistent-hashing property: existing shards never gain
+    (0 to 7).foreach { sh =>
+      assert(byShard(sh).getAs[Long]("gained") == 0L, s"shard $sh gained keys")
+      assert(byShard(sh).getAs[Long]("n_after") <= byShard(sh).getAs[Long]("n_before"))
+    }
+    assert(byShard(8).getAs[Long]("n_before") == 0L)
+    assert(byShard(8).getAs[Long]("gained") == byShard(8).getAs[Long]("n_after"))
+    val total = out.map(_.getAs[Long]("n_before")).sum
+    assert(out.map(_.getAs[Long]("n_after")).sum == total, "keys lost in rebalance")
+    // moved fraction near the 1/9 theory (vnode-placement variance allowed)
+    val frac = byShard(8).getAs[Long]("gained").toDouble / total
+    assert(frac > 0.04 && frac < 0.25, s"moved fraction $frac far from 1/9")
+    // injective argmin precondition: all 144 vnode ring positions distinct
+    val vpos = spark.range(0, 144).selectExpr(
+      "cast(conv(substring(md5(concat(cast(id div 16 as string), ':'," +
+        " cast(id % 16 as string))), 1, 7), 16, 10) as bigint) as v")
+      .distinct().count()
+    assert(vpos == 144, s"vnode position collision: $vpos distinct of 144")
+  }
+
   test("q182 HLL: union registers are the register-wise max; estimate within HLL error") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("q182_hll_registers")(spark, dir).collect()
