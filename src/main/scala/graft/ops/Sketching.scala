@@ -200,10 +200,95 @@ object Sketching {
       .orderBy($"shard")
   }
 
+  // ---------------------------------------------------------------------
+  // q187: Bloom-filter build + false-positive-rate census — the
+  // membership sketch beside the cardinality sketches, built from
+  // scratch and VALIDATED: even-keyed customers populate an m = 16384
+  // bit / k = 4 hash filter (bit positions = h7(md5(j ':' key)) mod m —
+  // deterministic hash family, Det rule 3), odd-keyed customers are
+  // guaranteed non-members probed through it, and the census reports
+  // measured FPR beside the (1 − e^(−kn/m))^k theory line. This is the
+  // oracle-checked twin of the spec-only join-pruning bloom guard: the
+  // same filter a 100 TB pipeline ships to skip shuffling rows that
+  // cannot join. Scale shape: the filter is a ≤ m-row distinct set-bit
+  // frame (mergeable by union/bit-OR, broadcastable at any corpus size);
+  // the probe check is one broadcast equi-join on bit position; censuses
+  // are single rows. Determinism: counts exact ints; the one exp/power
+  // runs on identical doubles (explicit x·x·x·x, no pow).
+  private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 16384
+    val kH = 4
+    val cust = Tables.customer(s, dir).select($"c_custkey")
+    val members = cust.filter($"c_custkey" % 2 === 0)
+    def positions(df: DataFrame): DataFrame = df
+      .select($"c_custkey", explode(sequence(lit(0), lit(kH - 1))).as("j"))
+      .select($"c_custkey", $"j",
+        (Det.h7(concat($"j".cast(StringType), lit(":"),
+          $"c_custkey".cast(StringType))) % m).as("pos"))
+    val bits = positions(members).select($"pos").distinct()
+    val probes = cust.filter($"c_custkey" % 2 === 1)
+    val hits = positions(probes)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy($"c_custkey").agg(count(lit(1)).as("n_hit"))
+      .filter($"n_hit" === kH)
+      .agg(count(lit(1)).as("n_false_pos"))
+    val nM = members.agg(count(lit(1)).as("n_members"))
+    val nP = probes.agg(count(lit(1)).as("n_probes"))
+    val nB = bits.agg(count(lit(1)).as("n_bits_set"))
+    val x = lit(1.0) - exp(lit(-1.0 * kH) * $"n_members" / m)
+    nM.crossJoin(nP).crossJoin(nB).crossJoin(hits)
+      .withColumn("fpr_theory", Num.roundAt(x * x * x * x, 6))
+      .select($"n_members", $"n_bits_set", $"n_probes", $"n_false_pos",
+        Num.roundAt($"n_false_pos".cast(DoubleType) / $"n_probes", 6)
+          .as("fpr_measured"),
+        $"fpr_theory")
+  }
+
+  // ---------------------------------------------------------------------
+  // q188: shuffle-skew preflight census — the decision input for q51's
+  // salted join, measured BEFORE a 100 TB shuffle is paid: for each
+  // candidate join key of lineitem, the key-frequency profile (distinct
+  // keys, heaviest key's row share) and the reducer-occupancy profile
+  // under 32 hash partitions (max/mean rows per reducer), yielding the
+  // salt factor that would level the heaviest reducer. A skew ratio near
+  // 1 says shuffle as-is; a high ratio says salt by ceil(ratio) or
+  // pre-aggregate. Scale shape: one groupBy per key (map-side combined,
+  // key-cardinality-sized), the reducer census folds the key counts —
+  // never a second pass over rows; 3-row output. The partitioner here is
+  // the deterministic md5 stand-in for the engine's murmur (Det rule 1 —
+  // the CENSUS shape, not the hash brand, is the operator).
+  private def skewPreflight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 32
+    val li = Tables.lineitem(s, dir)
+    val censuses = Seq("l_orderkey", "l_partkey", "l_suppkey").map { key =>
+      val kc = li.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val parts = kc
+        .select((Det.h7($"k".cast(StringType)) % p).as("part"), $"c")
+        .groupBy($"part").agg(sum($"c").as("rows"))
+      val kStats = kc.agg(count(lit(1)).as("n_distinct"), sum($"c").as("n_rows"),
+        max($"c").as("top1_rows"))
+      val pStats = parts.agg(max($"rows").as("max_part_rows"))
+      kStats.crossJoin(pStats)
+        .select(lit(key).as("join_key"), $"n_rows", $"n_distinct", $"top1_rows",
+          Num.roundAt($"top1_rows".cast(DoubleType) / $"n_rows", 6)
+            .as("top1_share"),
+          $"max_part_rows",
+          Num.roundAt($"max_part_rows".cast(DoubleType) * p / $"n_rows", 4)
+            .as("skew_ratio"),
+          ceil($"max_part_rows".cast(DoubleType) * p / $"n_rows")
+            .cast(LongType).as("salt_factor"))
+    }
+    censuses.reduce(_ unionByName _).orderBy($"join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_kmv_sketch" -> (kmvSketch _),
     "q182_hll_registers" -> (hllRegisters _),
-    "q186_shard_routing" -> (shardRouting _)
+    "q186_shard_routing" -> (shardRouting _),
+    "q187_bloom_fpr" -> (bloomFpr _),
+    "q188_skew_preflight" -> (skewPreflight _)
   )
 
   /** Shared shingle-hash CTEs: `th` = (source, per-doc-distinct trigram
@@ -227,6 +312,68 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q187_bloom_fpr" ->
+      """WITH mem AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        |pr AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 1),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |mpos AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substring(md5(
+        |      CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)
+        |    ), 1, 7)) AS BIGINT) % 16384 AS pos
+        |  FROM mem, js),
+        |ppos AS (
+        |  SELECT c_custkey,
+        |    CAST(concat('0x', substring(md5(
+        |      CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)
+        |    ), 1, 7)) AS BIGINT) % 16384 AS pos
+        |  FROM pr, js),
+        |fp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+        |    SELECT c_custkey FROM ppos JOIN mpos USING (pos)
+        |    GROUP BY c_custkey HAVING count(*) = 4)),
+        |nm AS (SELECT count(*) AS n_members FROM mem),
+        |np AS (SELECT count(*) AS n_probes FROM pr),
+        |nb AS (SELECT count(*) AS n_bits_set FROM mpos),
+        |th AS (
+        |  SELECT 1.0 - exp(-4.0 * n_members / 16384) AS x, n_members FROM nm)
+        |SELECT th.n_members, n_bits_set, n_probes, n_false_pos,
+        |       floor(CAST(n_false_pos AS DOUBLE) / n_probes * 1000000 + 0.5)
+        |         / 1000000 AS fpr_measured,
+        |       floor(x * x * x * x * 1000000 + 0.5) / 1000000 AS fpr_theory
+        |FROM th, np, nb, fp""".stripMargin,
+    "q188_skew_preflight" ->
+      """WITH src AS (
+        |  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |kc AS (SELECT join_key, k, count(*) AS c FROM src GROUP BY 1, 2),
+        |parts AS (
+        |  SELECT join_key,
+        |         CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)), 1, 7))
+        |           AS BIGINT) % 32 AS part,
+        |         CAST(sum(c) AS BIGINT) AS rows
+        |  FROM kc GROUP BY 1, 2),
+        |ks AS (
+        |  SELECT join_key, count(*) AS n_distinct,
+        |         CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(max(c) AS BIGINT) AS top1_rows
+        |  FROM kc GROUP BY 1),
+        |ps AS (
+        |  SELECT join_key, CAST(max(rows) AS BIGINT) AS max_part_rows
+        |  FROM parts GROUP BY 1)
+        |SELECT ks.join_key, n_rows, n_distinct, top1_rows,
+        |       floor(CAST(top1_rows AS DOUBLE) / n_rows * 1000000 + 0.5)
+        |         / 1000000 AS top1_share,
+        |       max_part_rows,
+        |       floor(CAST(max_part_rows AS DOUBLE) * 32 / n_rows * 10000 + 0.5)
+        |         / 10000 AS skew_ratio,
+        |       CAST(ceil(CAST(max_part_rows AS DOUBLE) * 32 / n_rows) AS BIGINT)
+        |         AS salt_factor
+        |FROM ks JOIN ps USING (join_key)
+        |ORDER BY ks.join_key""".stripMargin,
     "q186_shard_routing" ->
       """WITH ring AS (
         |  SELECT CAST(j // 16 AS INTEGER) AS shard,

@@ -70,6 +70,44 @@ class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(vpos == 144, s"vnode position collision: $vpos distinct of 144")
   }
 
+  test("q187 bloom: zero false negatives; measured FPR tracks theory") {
+    import spark.implicits._
+    val row = graft.SparkEntry.queries("q187_bloom_fpr")(spark, dir).collect().head
+    assert(math.abs(row.getAs[Double]("fpr_measured")
+      - row.getAs[Double]("fpr_theory")) < 0.08,
+      s"measured ${row.getAs[Double]("fpr_measured")} vs theory ${row.getAs[Double]("fpr_theory")}")
+    assert(row.getAs[Long]("n_bits_set") <= 16384L)
+    // no false negatives: every MEMBER probed through the filter passes
+    // all 4 hash checks (rebuild with the query's exact hash family)
+    val mem = graft.Tables.customer(spark, dir)
+      .filter($"c_custkey" % 2 === 0).select($"c_custkey")
+    val pos = mem
+      .select($"c_custkey", explode(sequence(lit(0), lit(3))).as("j"))
+      .select($"c_custkey",
+        (Det.h7(concat($"j".cast("string"), lit(":"),
+          $"c_custkey".cast("string"))) % 16384).as("pos"))
+    val bits = pos.select($"pos").distinct()
+    val misses = pos.join(bits, Seq("pos"), "left_anti").count()
+    assert(misses == 0L, s"$misses member positions missing from the filter")
+  }
+
+  test("q188: skew census is conserved and monotone in key cardinality") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q188_skew_preflight")(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_rows")).distinct.length == 1,
+      "row totals differ across key censuses of the same table")
+    out.foreach { r =>
+      assert(r.getAs[Double]("skew_ratio") >= 1.0) // max >= mean always
+      assert(r.getAs[Long]("salt_factor") >= 1L)
+      assert(r.getAs[Long]("top1_rows") <= r.getAs[Long]("max_part_rows"))
+    }
+    val byKey = out.map(r => r.getAs[String]("join_key") -> r).toMap
+    // fewer distinct keys -> lumpier reducers
+    assert(byKey("l_suppkey").getAs[Double]("skew_ratio")
+      >= byKey("l_orderkey").getAs[Double]("skew_ratio"))
+  }
+
   test("q182 HLL: union registers are the register-wise max; estimate within HLL error") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("q182_hll_registers")(spark, dir).collect()
