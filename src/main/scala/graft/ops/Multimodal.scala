@@ -606,6 +606,76 @@ object Multimodal {
     decodeAudio(media).toDF().orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // q189: perceptual-hash image dedup through the REAL decoder — the
+  // multimodal rung of the dedup ladder (q20 exact text / q21 MinHash /
+  // q27 embedding): every document carries an image (doc_id mod 257
+  // selects the asset, so ~|corpus|/257 distinct images are shared by
+  // many docs — the re-hosted-thumbnail case), the JDK decoder
+  // (javax.imageio, same reader family q167 certifies) yields pixels,
+  // and a 64-bit dHash (difference hash: bit = grayscale(x+1,y) >
+  // grayscale(x,y) over an 8x8 grid, rows wrapped mod height) keys the
+  // duplicate-cluster census. dHash is the standard cheap perceptual
+  // key: identical assets collide exactly, and at 100 TB the hash is
+  // computed once per asset next to the bytes (zero-shuffle decode, the
+  // 64-bit keys are what shuffles — ~1/10^6 of the media bytes). The
+  // oracle replays the closed-form synthetic pixels (synthBmp's
+  // generator arithmetic) so the hash match certifies the REAL decode →
+  // grayscale → dHash pipeline bit-for-bit.
+  final case class ImageHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** dHash through javax.imageio in IMAGE coordinates: 8 rows (wrapped
+    * mod height), bits compare gray-sum (r+g+b, no division) at x+1 vs
+    * x for x in 0..7 — images are >= 9 wide so no x wrap. The 64 bits
+    * ship as two 32-bit halves (rows 0-3 low, rows 4-7 high): DuckDB's
+    * checked BIGINT shift rejects `1 << 63`, and two exact-int halves
+    * keep the oracle in plain arithmetic.
+    */
+  object DHashCodec extends Serializable {
+    def decode(batch: Seq[MediaRow]): Seq[ImageHash] = batch.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.blob))
+      require(img != null, s"doc ${r.doc_id}: no JVM image reader decodes this payload")
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= 9, s"doc ${r.doc_id}: dHash grid needs width >= 9, got $w")
+      def gs(x: Int, y: Int): Int = {
+        val p = img.getRGB(x, y)
+        (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+      }
+      var lo = 0L; var hi = 0L
+      var y = 0
+      while (y < 8) {
+        val ym = y % h
+        var x = 0
+        while (x < 8) {
+          if (gs(x + 1, ym) > gs(x, ym)) {
+            if (y < 4) lo |= 1L << (y * 8 + x)
+            else hi |= 1L << ((y - 4) * 8 + x)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ImageHash(r.doc_id, hi, lo)
+    }
+  }
+
+  private def imageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(d => MediaRow(d, synthBmp(d % 257)))
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(DHashCodec.decode))
+    hashed.toDF()
+      .groupBy($"dhash_hi", $"dhash_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"dhash_hi", $"dhash_lo")
+  }
+
   // q44: documents.text encoded to a binary payload (stand-in for image
   // bytes), decoded through the batched mapPartitions stage. The oracle
   // reproduces the fake decode arithmetic over the same bytes (ASCII
@@ -625,10 +695,46 @@ object Multimodal {
     "q44_multimodal" -> (multimodal _),
     "q162_audio_census" -> (audioCensus _),
     "q163_video_census" -> (videoCensus _),
-    "q167_image_census" -> (imageCensus _)
+    "q167_image_census" -> (imageCensus _),
+    "q189_image_dhash" -> (imageDhashDedup _)
   )
 
   val oracle: Map[String, String] = Map(
+    // replays synthBmp's generator arithmetic (v = (img*11 + y*37 + x)
+    // mod 256, channel offsets 85/170, height 5 + img mod 5) — the Spark
+    // side decodes REAL BMP bytes through javax.imageio, so the hash
+    // match certifies decode -> grayscale -> dHash end to end
+    "q189_image_dhash" ->
+      """WITH imgs AS (SELECT DISTINCT doc_id % 257 AS img FROM documents),
+        |e AS (
+        |  SELECT img, x, y, y % (5 + img % 5) AS ym
+        |  FROM imgs, (SELECT unnest(range(0, 8)) AS y),
+        |       (SELECT unnest(range(0, 8)) AS x)),
+        |gg AS (
+        |  SELECT img, x, y,
+        |         (img * 11 + ym * 37 + x) % 256 AS a0,
+        |         (img * 11 + ym * 37 + x + 1) % 256 AS a1
+        |  FROM e),
+        |bits AS (
+        |  SELECT img, y,
+        |         CASE WHEN (a1 + (a1 + 85) % 256 + (a1 + 170) % 256)
+        |                 > (a0 + (a0 + 85) % 256 + (a0 + 170) % 256)
+        |              THEN CAST(1 AS BIGINT) << CAST((y % 4) * 8 + x AS INTEGER)
+        |              ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM gg),
+        |hash AS (
+        |  SELECT img,
+        |         CAST(sum(CASE WHEN y >= 4 THEN bit ELSE 0 END) AS BIGINT)
+        |           AS dhash_hi,
+        |         CAST(sum(CASE WHEN y < 4 THEN bit ELSE 0 END) AS BIGINT)
+        |           AS dhash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT dhash_hi, dhash_lo, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, doc_id % 257 AS img FROM documents) d
+        |JOIN hash USING (img)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY dhash_hi, dhash_lo""".stripMargin,
     "q44_multimodal" ->
       """WITH m AS (
         |  SELECT doc_id, text, length(text) AS n,

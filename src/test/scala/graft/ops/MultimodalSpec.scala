@@ -254,4 +254,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       WavPcmCodec.decode(Seq(AudioRow(3L, Array[Byte](1, 2, 3))))
     }.getMessage.contains("RIFF"))
   }
+
+  test("q189: identical image assets always collide; dHash is stable under re-decode") {
+    import spark.implicits._
+    // two docs sharing an asset id must produce the SAME dHash through
+    // the real decoder (the property the dedup census keys on)
+    val pairs = Seq(3L, 3L + 257L, 100L, 100L + 257L)
+      .map(d => Multimodal.MediaRow(d, Multimodal.synthBmp(d % 257)))
+    val hs = Multimodal.DHashCodec.decode(pairs)
+    assert(hs(0).dhash_hi == hs(1).dhash_hi && hs(0).dhash_lo == hs(1).dhash_lo)
+    assert(hs(2).dhash_hi == hs(3).dhash_hi && hs(2).dhash_lo == hs(3).dhash_lo)
+    // decode is deterministic: a second decode of the same bytes matches
+    val again = Multimodal.DHashCodec.decode(pairs)
+    assert(hs.map(h => (h.dhash_hi, h.dhash_lo))
+      == again.map(h => (h.dhash_hi, h.dhash_lo)))
+    // every doc whose ASSET is multiply-referenced must land in a
+    // cluster (identical bytes -> identical dHash; perceptual collisions
+    // between different assets can only ADD members, never remove)
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum, lit => flit}
+    val out = graft.SparkEntry.queries("q189_image_dhash")(spark, "/root/testdata/sf0.001")
+    val clustered = out.agg(fsum($"n_docs")).first().getLong(0)
+    val sharedAssetDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .groupBy(($"doc_id" % 257).as("img")).agg(fcount(flit(1)).as("c"))
+      .filter($"c" >= 2).agg(fsum($"c")).first().getLong(0)
+    assert(clustered >= sharedAssetDocs,
+      s"$clustered docs clustered < $sharedAssetDocs shared-asset docs")
+  }
 }
