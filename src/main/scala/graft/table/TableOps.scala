@@ -192,6 +192,49 @@ object TableOps {
       .orderBy("bucket")
   }
 
+  // q190: INCREMENTAL JOIN-AGGREGATE MAINTENANCE — the join-delta rule
+  // beside q141's pure-aggregate deltas: the MV is per-bucket order
+  // count + order cents over (live customers ⋈ orders), and the CDF
+  // rolls it forward as dMV = (signed customer deltas) ⋈ orders — the
+  // one-sided join algebra (dA ⋈ B) every fact-stream × dimension MV
+  // uses. Two properties the recompute gets free and the maintenance
+  // path must prove: (1) non-key UPDATES contribute ZERO join delta (the
+  // +100 bal wave never touches orders, so those keys are filtered
+  // before the probe — churn that costs nothing), and (2) inserts with
+  // no matching orders contribute nothing (inner-join delta). Update
+  // cost: |changed keys| equi-probe into orders — churn-sized, never
+  // (customers ⋈ orders)-sized. Exact int64 cents per the q141/q160
+  // contract; sums are associative integer adds.
+  private def deltaJoinMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureDemoTable(s, dir)
+    val t = VersionedTable.open(root)
+    val cents = (c: Column) => floor(c * 100).cast(LongType)
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey", cents($"o_totalprice").as("oc"))
+    val mv0 = t.snapshot(s, Some(0L)).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .groupBy(($"c_custkey" % 50).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"oc").as("cents"))
+    val signed = t.changesWithImages(s, "c_custkey", fromVersion = 0L, toVersion = 2L)
+      .select($"c_custkey",
+        when($"_change_type" === "insert", 1L)
+          .when($"_change_type" === "delete", -1L)
+          .otherwise(0L).as("sgn"))
+      .filter($"sgn" =!= 0L) // updates: join payload unchanged, zero delta
+    val deltas = signed.join(ord, $"c_custkey" === $"o_custkey")
+      .groupBy(($"c_custkey" % 50).as("bucket"))
+      .agg(sum($"sgn").as("n"), sum($"sgn" * $"oc").as("cents"))
+    mv0.unionByName(deltas)
+      .groupBy($"bucket")
+      .agg(sum($"n").as("n_orders"), sum($"cents").as("cents"))
+      .filter($"n_orders" > 0)
+      .select($"bucket".cast(LongType).as("bucket"),
+        $"n_orders".cast(LongType).as("n_orders"),
+        $"cents".cast(LongType).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   private val restoreOnce = scala.collection.concurrent.TrieMap[String, String]()
 
   /** One-time restore demo table: the demo history (v0 create, v1
@@ -248,7 +291,8 @@ object TableOps {
     "q105_table_merge" -> (tableMerge _),
     "q108_schema_evolution" -> (schemaEvolution _),
     "q109_change_feed" -> (changeFeed _),
-    "q141_delta_agg_maintenance" -> (deltaAggMaintenance _)
+    "q141_delta_agg_maintenance" -> (deltaAggMaintenance _),
+    "q190_delta_join_maintenance" -> (deltaJoinMaintenance _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -347,6 +391,26 @@ object TableOps {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_bal_cents
-        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the maintained join-MV must equal (live customers ⋈ orders)
+    // aggregated over the final (v2) membership — inserts (+1e9 keys)
+    // have no orders and updates never change membership, so only the
+    // delete wave moves order mass
+    "q190_delta_join_maintenance" ->
+      """WITH del AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0),
+        |live AS (
+        |  SELECT c.c_custkey FROM customer c
+        |  LEFT JOIN del d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000 FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey % 50 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM live JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""".stripMargin
   )
 }

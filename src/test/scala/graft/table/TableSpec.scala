@@ -409,6 +409,44 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     feed.unpersist()
   }
 
+  test("q190 algebra: join-MV(v0) + (signed deltas ⋈ static side) == recompute; updates delta-free") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = base.filter(!($"c_custkey" % 9 === 0 && $"c_custkey" % 4 =!= 0))
+      .select($"c_custkey", $"c_name",
+        when($"c_custkey" % 4 === 0, $"c_acctbal" + 7.5)
+          .otherwise($"c_acctbal").as("c_acctbal"))
+      .unionAll(Seq((900001L, "n1", 10.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+    t.overwrite(v1, readVersion = 0L)
+    // static join side: 3 "orders" per existing key (inserted 900001 has
+    // none — its delta must vanish through the inner join)
+    val side = base.select($"c_custkey".as("k"))
+      .select($"k", explode(sequence(lit(1), lit(3))).as("i"))
+      .select($"k", ($"k" * 10 + $"i").as("amt"))
+    val mv0 = t.snapshot(spark, Some(0L)).select($"c_custkey".as("k"))
+      .join(side, "k")
+      .groupBy(($"k" % 7).as("b"))
+      .agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+    val feed = t.changesWithImages(spark, "c_custkey", 0L, 1L)
+    val signed = feed.select($"c_custkey".as("k"),
+      when($"_change_type" === "insert", 1L)
+        .when($"_change_type" === "delete", -1L).otherwise(0L).as("sgn"))
+      .filter($"sgn" =!= 0L) // non-key updates: zero join delta by rule
+    val rolled = mv0.unionByName(
+        signed.join(side, "k").groupBy(($"k" % 7).as("b"))
+          .agg(sum($"sgn").as("n"), sum($"sgn" * $"amt").as("s")))
+      .groupBy($"b").agg(sum($"n").as("n"), sum($"s").as("s"))
+      .filter($"n" > 0)
+    val direct = t.snapshot(spark, Some(1L)).select($"c_custkey".as("k"))
+      .join(side, "k")
+      .groupBy(($"k" % 7).as("b"))
+      .agg(count(lit(1)).as("n"), sum($"amt").as("s"))
+    assert(rolled.exceptAll(direct).isEmpty && direct.exceptAll(rolled).isEmpty,
+      "join-delta roll-forward diverged from the direct recompute")
+    // the update wave really was excluded, and really was non-empty
+    assert(feed.filter($"_change_type" === "update").count() > 0)
+  }
+
   test("changesWithImages fails loudly on a duplicated key instead of fanning out") {
     import spark.implicits._
     val t = freshTable()
