@@ -321,6 +321,63 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q191: CONTAINMENT-estimator calibration — q177's eval harness
+  // pointed at the asymmetric metric q185 computes exactly: MinHash
+  // estimates Jaccard, but a dedup stack that wants containment derives
+  // it from the estimated J plus the two EXACT set sizes (which ride the
+  // index for free):  inter ≈ J(na+nb)/(1+J), so
+  // Ĉ = min(1, est·(na+nb) / ((1+est)·min(na,nb))). Per estimated-
+  // containment decile: pair count, mean estimate, mean exact
+  // C = inter/min(na,nb), and MAE — the measured answer to "can banded
+  // MinHash drive the q185 decision without the exact verify". Scale
+  // shape identical to q177 (candidates from bands, exact sets ride the
+  // explode, 10-row census); determinism: est is exact dyadic k/64,
+  // sizes exact ints, one division on identical doubles, floor-scaled
+  // int sums for the means.
+  private def containmentCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val withNg = bandExploded(
+      mutatedDocs(s, dir)
+        .withColumn("ng", expr("shingle_hashes(split(text, ' '), 3)")),
+      np, payload = Seq("ng"))
+    val pairs = withNg.as("a")
+      .join(withNg.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .withColumn("est",
+        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), v => v))
+          / lit(64.0))
+      .withColumn("na", size($"a.ng").cast(LongType))
+      .withColumn("nb", size($"b.ng").cast(LongType))
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(max($"est").as("est"), max($"na").as("na"),
+        max($"nb").as("nb"), max($"inter").as("inter"))
+      .withColumn("cest",
+        least($"est" * ($"na" + $"nb")
+          / ((lit(1.0) + $"est") * least($"na", $"nb")), lit(1.0)))
+      .withColumn("cx", $"inter" / least($"na", $"nb"))
+    pairs
+      .withColumn("bucket",
+        least(floor($"cest" * 10.0).cast(IntegerType), lit(9)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor($"cest" * lit(1e9))).as("se"),
+        sum(floor($"cx" * lit(1e9))).as("sx"),
+        sum(floor(abs($"cest" - $"cx") * lit(1e9))).as("serr"))
+      .select($"bucket", $"n_pairs",
+        Num.roundAt($"se".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_est"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_exact"),
+        Num.roundAt($"serr".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q174: content-defined chunking + duplicate-passage census — the
   // dedup primitive q118's FIXED windows cannot give: boundaries are
   // placed where a 4-token window's hash ≡ 0 (mod 16), a property of
@@ -1293,6 +1350,7 @@ object Dedup {
     "q183_novelty_curve" -> (noveltyCurve _),
     "q185_containment_join" -> (containmentJoin _),
     "q177_minhash_calibration" -> (minhashCalibration _),
+    "q191_containment_calibration" -> (containmentCalibration _),
     "q178_lsh_scurve" -> (lshSCurve _),
     "q64_fuzzy_join"     -> (fuzzyJoin _),
     "q140_jaro_linkage"  -> (jaroLinkage _),
@@ -1391,6 +1449,37 @@ object Dedup {
         |       round(CAST(n_hit AS DOUBLE) / CAST(n_planted AS DOUBLE), 6)
         |         AS recall
         |FROM m ORDER BY bands""".stripMargin,
+    "q191_containment_calibration" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |x AS (
+        |  SELECT e.doc_a, e.doc_b, e.ej,
+        |         len(ha.hashes) AS na, len(hb.hashes) AS nb,
+        |         len(list_intersect(ha.hashes, hb.hashes)) AS inter
+        |  FROM est e
+        |  JOIN h ha ON ha.doc_id = e.doc_a
+        |  JOIN h hb ON hb.doc_id = e.doc_b),
+        |c AS (
+        |  SELECT least(ej * (na + nb) / ((1.0 + ej) * least(na, nb)), 1.0)
+        |           AS cest,
+        |         inter / least(na, nb) AS cx
+        |  FROM x),
+        |bkt AS (
+        |  SELECT CAST(least(CAST(floor(cest * 10.0) AS INTEGER), 9)
+        |           AS INTEGER) AS bucket,
+        |         cest, cx
+        |  FROM c)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(CAST(sum(CAST(floor(cest * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_est,
+        |       round(CAST(sum(CAST(floor(cx * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_exact,
+        |       round(CAST(sum(CAST(floor(abs(cest - cx) * 1000000000.0)
+        |           AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           / 1000000000.0, 6) AS mean_abs_err
+        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q177_minhash_calibration" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -207,6 +207,22 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     res.unpersist()
   }
 
+  test("q191: containment calibration stays in [0,1] and the top decile dominates") {
+    import spark.implicits._
+    val out = Dedup.queries("q191_containment_calibration")(spark, dir).cache()
+    assert(out.filter($"mean_est" < 0.0 || $"mean_est" > 1.0).count() == 0)
+    assert(out.filter($"mean_exact" < 0.0 || $"mean_exact" > 1.0).count() == 0)
+    assert(out.filter($"mean_abs_err" < 0.0).count() == 0)
+    val rows = out.orderBy($"bucket").collect()
+    assert(rows.nonEmpty)
+    // planted near-dups concentrate real containment in the top decile
+    val top = rows.last
+    assert(top.getAs[Int]("bucket") == 9)
+    assert(top.getAs[Double]("mean_exact") >
+      rows.head.getAs[Double]("mean_exact"))
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
