@@ -860,7 +860,72 @@ object TextAnalysis {
       .orderBy($"pmi".desc, $"x".asc, $"y".asc)
   }
 
+  // ---------------------------------------------------------------------
+  // q192: HELD-OUT perplexity by source — q127's LM quality filter with
+  // train/score hygiene: the bigram statistics come ONLY from the q120
+  // hash-split train shard (~80%), and the held-out shard is scored
+  // against them — the measurement q127 cannot give, because a model
+  // scored on its own training data never sees an unseen bigram. Two
+  // per-source signals on genuinely unseen text: mean NLL (distribution
+  // shift — a source whose held-out docs surprise the train statistics
+  // is drifting) and the unseen-bigram rate (the OOV mass add-one
+  // smoothing absorbs; joins are LEFT joins with coalesce(0), the path
+  // q127's inner joins never exercise). Scale shape: count tables are
+  // bigram-vocabulary-sized and derive from one explode; scoring is two
+  // (shuffle-able) equi-joins + a per-doc ordered fold; census is
+  // |sources| rows. Determinism: Det rules — position-ordered left
+  // folds, exact-int ln ratios, floor-scaled int64 means.
+  private def heldoutPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("t"))
+      .withColumn("is_train",
+        $"doc_id" % p * 16807L % p * 48271L % p % 100 < 80)
+    val big = tok.filter(size($"t") >= 2)
+      .select($"doc_id", $"source", $"is_train", posexplode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .as(Seq("pos", "b")))
+      .select($"doc_id", $"source", $"is_train", $"pos",
+        $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = big.filter($"is_train").groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val v = tok.filter($"is_train").select(explode($"t").as("w"))
+      .agg(count_distinct($"w").as("v"))
+    val perDoc = big.filter(!$"is_train")
+      // LEFT joins: held-out bigrams may be absent from train — the
+      // smoothing floor (0+1)/(0+V) is exactly what add-one is for
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("c12n", coalesce($"c12", lit(0L)))
+      .withColumn("c1n", coalesce($"c1", lit(0L)))
+      .withColumn("lp",
+        log(($"c12n" + 1).cast(DoubleType) / ($"c1n" + $"v").cast(DoubleType)))
+      .withColumn("unseen", when($"c12n" === 0L, 1L).otherwise(0L))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("nb"), sum($"unseen").as("nu"),
+        sort_array(collect_list(struct($"pos", $"lp"))).as("lps"))
+      .withColumn("nll",
+        -aggregate($"lps", lit(0.0), (acc, x) => acc + x.getField("lp")) /
+          $"nb".cast(DoubleType))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("n_bigrams"), sum($"nu").as("n_unseen"),
+        sum(floor($"nll" * lit(1e9))).as("snll"))
+      .select($"source", $"n_docs", $"n_bigrams", $"n_unseen",
+        Num.roundAt($"n_unseen".cast(DoubleType) / $"n_bigrams", 6)
+          .as("unseen_rate"),
+        Num.roundAt($"snll".cast(DoubleType) / $"n_docs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_nll"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_heldout_perplexity" -> (heldoutPerplexity _),
     "q184_pmi_collocations" -> (pmiCollocations _),
     "q180_quality_gates" -> (qualityGateCensus _),
     "q175_dedup_search" -> (dedupSearch _),
@@ -1033,6 +1098,48 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q192_heldout_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t,
+        |         doc_id % 2147483647 * 16807 % 2147483647
+        |           * 48271 % 2147483647 % 100 < 80 AS is_train
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, source, is_train,
+        |         (b).pos AS pos, (b).w1 AS w1, (b).w2 AS w2
+        |  FROM (SELECT doc_id, source, is_train,
+        |          unnest(list_transform(range(1, len(t)),
+        |            i -> struct_pack(pos := i, w1 := t[i], w2 := t[i+1]))) AS b
+        |        FROM tok WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM big WHERE is_train GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS w FROM tok WHERE is_train)),
+        |lp AS (
+        |  SELECT b.doc_id, b.source, b.pos,
+        |         ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+        |            / CAST(coalesce(c1, 0) + v AS DOUBLE)) AS lp,
+        |         CASE WHEN coalesce(c12, 0) = 0 THEN 1 ELSE 0 END AS unseen
+        |  FROM big b
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1), v
+        |  WHERE NOT b.is_train),
+        |d AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(sum(unseen) AS BIGINT) AS nu,
+        |         -list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+        |                      (acc, x) -> acc + x) AS s
+        |  FROM lp GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(nu) AS BIGINT) AS n_unseen,
+        |       floor(CAST(sum(nu) AS DOUBLE) / sum(nb) * 1000000 + 0.5)
+        |         / 1000000 AS unseen_rate,
+        |       floor(CAST(sum(CAST(floor(s / nb * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / count(*) / 1000000000.0 * 1000000 + 0.5)
+        |         / 1000000 AS mean_nll
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
     "q184_pmi_collocations" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
         |big AS (

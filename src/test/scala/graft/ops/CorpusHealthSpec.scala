@@ -223,6 +223,21 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q192: held-out scoring is hygienic — rates bounded, NLL above the train floor") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q192_heldout_perplexity")(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"unseen_rate" < 0.0 || $"unseen_rate" > 1.0).count() == 0)
+    assert(out.filter($"n_unseen" > $"n_bigrams").count() == 0)
+    // NLL of a smoothed LM is strictly positive (every probability < 1)
+    assert(out.filter($"mean_nll" <= 0.0).count() == 0)
+    // hygiene signal: on a fixed-vocab synthetic corpus the held-out
+    // shard still contains unseen BIGRAMS — the path q127 never takes
+    assert(out.agg(sum($"n_unseen")).as[Long].head() > 0L,
+      "no unseen bigrams — the held-out shard is not actually held out")
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
