@@ -235,6 +235,46 @@ object TableOps {
       .orderBy("bucket")
   }
 
+  // q193: Merkle anti-entropy diff — the verification step behind
+  // TableReplicator: two replicas are compared by BUCKET DIGESTS
+  // (md5 over the bucket's custkey-ordered row digests, rows hashed on
+  // exact int64 cents so no float formatting ever reaches a hash), and
+  // only buckets whose digests disagree surface — with both side's row
+  // counts, separating corruption (same count, different digest) from
+  // loss (count drift). The replica here diverges deterministically:
+  // keys ≡ 5 (mod 97) carry a +1-cent corruption, keys ≡ 7 (mod 101)
+  // are missing. At 100 TB the exchange is |buckets| digests —
+  // kilobytes — instead of shipping either table; only flagged buckets
+  // re-sync (the replicator's repair unit). Scale shape: one groupBy
+  // per replica (row digests partial-aggregate into per-bucket ordered
+  // lists bounded by bucket size — pick |buckets| so buckets stay
+  // memory-sized), one |buckets|-row full-outer join.
+  private def merkleDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = (c: Column) => floor(c * 100).cast(LongType)
+    val a = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", cents($"c_acctbal").as("bc"))
+    val b = a.filter(!($"c_custkey" % 101 === 7)) // lost rows
+      .select($"c_custkey", $"c_name",
+        when($"c_custkey" % 97 === 5, $"bc" + 1L).otherwise($"bc").as("bc"))
+    def digests(df: DataFrame): DataFrame = df
+      .select(($"c_custkey" % 64).as("bucket"), $"c_custkey",
+        md5(concat_ws(":", $"c_custkey", $"c_name", $"bc")).as("rd"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",",
+          expr("transform(sort_array(collect_list(struct(c_custkey, rd)))," +
+            " x -> x.rd)"))).as("dig"))
+    digests(a).toDF("bucket", "n_a", "dig_a")
+      .join(digests(b).toDF("bucket", "n_b", "dig_b"), Seq("bucket"), "full_outer")
+      .filter($"dig_a" =!= $"dig_b" || $"dig_a".isNull || $"dig_b".isNull)
+      .select($"bucket",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"))
+      .withColumn("same_count", $"n_a" === $"n_b")
+      .orderBy($"bucket")
+  }
+
   private val restoreOnce = scala.collection.concurrent.TrieMap[String, String]()
 
   /** One-time restore demo table: the demo history (v0 create, v1
@@ -292,7 +332,8 @@ object TableOps {
     "q108_schema_evolution" -> (schemaEvolution _),
     "q109_change_feed" -> (changeFeed _),
     "q141_delta_agg_maintenance" -> (deltaAggMaintenance _),
-    "q190_delta_join_maintenance" -> (deltaJoinMaintenance _)
+    "q190_delta_join_maintenance" -> (deltaJoinMaintenance _),
+    "q193_merkle_diff" -> (merkleDiff _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,6 +452,31 @@ object TableOps {
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM live JOIN orders ON o_custkey = c_custkey
-        |GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""".stripMargin
+        |GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""".stripMargin,
+    "q193_merkle_diff" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bc
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 97 = 5 THEN bc + 1 ELSE bc END AS bc
+        |  FROM a WHERE c_custkey % 101 != 7),
+        |da AS (
+        |  SELECT c_custkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |         md5(string_agg(md5(c_custkey || ':' || c_name || ':' || bc),
+        |                        ',' ORDER BY c_custkey)) AS dig
+        |  FROM a GROUP BY 1),
+        |db AS (
+        |  SELECT c_custkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |         md5(string_agg(md5(c_custkey || ':' || c_name || ':' || bc),
+        |                        ',' ORDER BY c_custkey)) AS dig
+        |  FROM b GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+        |       coalesce(da.n, 0) AS n_a, coalesce(db.n, 0) AS n_b,
+        |       coalesce(da.n, 0) = coalesce(db.n, 0) AS same_count
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |WHERE da.dig != db.dig OR da.dig IS NULL OR db.dig IS NULL
+        |ORDER BY bucket""".stripMargin
   )
 }

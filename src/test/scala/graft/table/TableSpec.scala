@@ -447,6 +447,24 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(feed.filter($"_change_type" === "update").count() > 0)
   }
 
+  test("q193: flagged buckets are exactly the buckets holding a corrupted or lost key") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = TableOps.queries("q193_merkle_diff")(spark, dir)
+      .select($"bucket").as[Long].collect().toSet
+    val expected = graft.Tables.customer(spark, dir)
+      .filter($"c_custkey" % 97 === 5 || $"c_custkey" % 101 === 7)
+      .select(($"c_custkey" % 64).as("b")).as[Long].collect().toSet
+    assert(out == expected,
+      s"false positives: ${out -- expected}; misses: ${expected -- out}")
+    assert(out.nonEmpty)
+    // count drift distinguishes loss from corruption: some flagged
+    // bucket must have equal counts (pure corruption) on this pattern
+    val rows = TableOps.queries("q193_merkle_diff")(spark, dir).collect()
+    assert(rows.exists(_.getAs[Boolean]("same_count")))
+    assert(rows.exists(!_.getAs[Boolean]("same_count")))
+  }
+
   test("changesWithImages fails loudly on a duplicated key instead of fanning out") {
     import spark.implicits._
     val t = freshTable()
