@@ -181,17 +181,29 @@ object Sketching {
           " cast(id % 16 as string))), 1, 7), 16, 10) as bigint)").as("vpos"))
     val keys = Tables.customer(s, dir)
       .select($"c_custkey".as("k"), Det.h7($"c_custkey".cast(StringType)).as("p"))
-    def assign(r: DataFrame, col: String): DataFrame =
-      keys.crossJoin(broadcast(r))
-        .select($"k", $"shard", pmod($"vpos" - $"p", lit(ringM)).as("d"))
-        .groupBy($"k")
-        .agg(min(struct($"d", $"shard")).as("m"))
-        .select($"k", $"m.shard".as(col))
-    val asn = assign(ring(8), "s8").join(assign(ring(9), "s9"), "k")
-    val nb = asn.groupBy($"s8".as("shard")).agg(count(lit(1)).as("n_before"))
-    val na = asn.groupBy($"s9".as("shard"))
-      .agg(count(lit(1)).as("n_after"),
-        sum(when($"s8" =!= $"s9", 1L).otherwise(0L)).as("gained"))
+      // materialize p BEFORE the 144-way fan-out: project collapsing
+      // would otherwise re-inline the md5 into the joined projection and
+      // hash every key 144 times (the q21 materialize-before-banding rule)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // ONE pass assigns both rings: the 8-shard ring is exactly the
+    // 9-shard ring's vnodes with shard < 8, so a single broadcast
+    // cross-join + one grouped double-argmin replaces two assignment
+    // pipelines and their join. The (s8, s9) transition census (≤ 81
+    // rows) is persisted so the before/after/gained branches fold the
+    // tiny frame instead of re-executing the key-frame pipeline each.
+    val pairCensus = keys.crossJoin(broadcast(ring(9)))
+      .select($"k", $"shard", pmod($"vpos" - $"p", lit(ringM)).as("d"))
+      .groupBy($"k")
+      .agg(min(when($"shard" < 8, struct($"d", $"shard"))).as("m8"),
+        min(struct($"d", $"shard")).as("m9"))
+      .select($"m8.shard".as("s8"), $"m9.shard".as("s9"))
+      .groupBy($"s8", $"s9").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = pairCensus.groupBy($"s8".as("shard"))
+      .agg(sum($"n").as("n_before"))
+    val na = pairCensus.groupBy($"s9".as("shard"))
+      .agg(sum($"n").as("n_after"),
+        sum(when($"s8" =!= $"s9", $"n").otherwise(0L)).as("gained"))
     na.join(nb, Seq("shard"), "full_outer")
       .select($"shard",
         coalesce($"n_before", lit(0L)).as("n_before"),
