@@ -42,11 +42,20 @@ class DeterminismSpec extends AnyFunSuite with SparkSessionTestWrapper {
   // frame from an eager top-20 over per-customer fp folds, q177's
   // calibration means cross partitions as floor-scaled int sums — both
   // must hold under any partitioning.
+  // Round-10 joiners, one per new reduction shape: q182's HLL estimate
+  // divides an (exact-dyadic) float sum, q183 buckets by interpolated
+  // percentile cuts, q191's calibration means are floor-scaled int
+  // sums over band candidates, q192 folds held-out log-sums per doc
+  // then floor-scales per source, q190 rolls a join-MV by signed int
+  // deltas.
   for (q <- Seq("q141_delta_agg_maintenance", "q61_kmeans_step",
     "q93_pq_ann", "q127_perplexity", "q91_regression",
     "q136_market_basket", "q147_dedup_recall",
     "q159_zipf_law", "q160_centroid_purity",
-    "q176_decayed_spend", "q177_minhash_calibration")) {
+    "q176_decayed_spend", "q177_minhash_calibration",
+    "q182_hll_registers", "q183_novelty_curve",
+    "q190_delta_join_maintenance", "q191_containment_calibration",
+    "q192_heldout_perplexity")) {
     test(s"$q collects byte-identically across partitioning changes") {
       val a = render(q, 3)
       val b = render(q, 7)
