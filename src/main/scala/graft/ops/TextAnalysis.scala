@@ -924,7 +924,63 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q194: ranking-agreement census — Kendall tau + Spearman footrule
+  // between BM25 (q83) and plain TF-IDF over the same query and the same
+  // top-20 shortlist: the retrieval-eval statistic that answers "does
+  // the cheaper scorer order results the same way" BEFORE swapping
+  // scorers in a pipeline (the lexical mirror of q146's ANN recall
+  // harness). Both statistics are EXACT integers over the 20-item
+  // shortlist (190 pair comparisons, rank-displacement sum) — no
+  // sampling, no float reductions; only the final tau division is fp.
+  // Scale shape: corpus-side work is the two scorers' term-filtered
+  // aggregates (posting-list sized); everything after the shortlist is
+  // a 20-row frame (the documented bounded contract-frame pattern), so
+  // the pair join is 190 rows regardless of corpus size.
+  private def rankAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25Top(s, dir) // bounded 20-row driver contract frame
+    val bmRank = s.createDataFrame(
+      top.zipWithIndex.toSeq.map { case ((id, _), i) => (id, i + 1) })
+      .toDF("doc_id", "rank_bm")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin("join", "scan", "merge"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val tfidf = tf.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("sc", $"tf" * log($"n_docs" / $"df"))
+      // fixed-operand-order 3-term sum (the q83 determinism trick)
+      .groupBy($"doc_id")
+      .agg(sum(when($"term" === "join", $"sc")).as("s1"),
+        sum(when($"term" === "scan", $"sc")).as("s2"),
+        sum(when($"term" === "merge", $"sc")).as("s3"))
+      .withColumn("score", coalesce($"s1", lit(0.0))
+        + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
+    val w = Window.orderBy($"score".desc, $"doc_id".asc) // 20-row frame
+    val ranked = bmRank.join(tfidf.select($"doc_id", $"score"), Seq("doc_id"))
+      .withColumn("rank_tf", row_number().over(w))
+    val pairs = ranked.as("a").join(ranked.as("b"),
+        $"a.rank_bm" < $"b.rank_bm")
+      .select(when($"a.rank_tf" < $"b.rank_tf", 1L).otherwise(0L).as("conc"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"conc").as("concordant"))
+    val foot = ranked
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs($"rank_bm" - $"rank_tf")).cast(LongType).as("footrule"))
+    foot.crossJoin(pairs)
+      .select($"n_docs", $"n_pairs", $"concordant",
+        ($"n_pairs" - $"concordant").as("discordant"),
+        Num.roundAt(($"concordant" * 2L - $"n_pairs").cast(DoubleType)
+          / $"n_pairs".cast(DoubleType), 6).as("kendall_tau"),
+        $"footrule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_rank_agreement" -> (rankAgreement _),
     "q192_heldout_perplexity" -> (heldoutPerplexity _),
     "q184_pmi_collocations" -> (pmiCollocations _),
     "q180_quality_gates" -> (qualityGateCensus _),
@@ -1098,6 +1154,65 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // reuses q83's BM25 chain verbatim for the shortlist, then ranks the
+    // same 20 docs by plain TF-IDF and counts pair inversions exactly
+    "q194_rank_agreement" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |        AS rank_bm
+        |      FROM p),
+        |tsc AS (
+        |  SELECT t.doc_id, t.term, t.tf * ln(n_docs / df) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |tp AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM tsc GROUP BY 1),
+        |rk AS (
+        |  SELECT r.doc_id, r.rank_bm,
+        |         row_number() OVER (ORDER BY tp.score DESC, r.doc_id)
+        |           AS rank_tf
+        |  FROM r JOIN tp USING (doc_id) WHERE r.rank_bm <= 20),
+        |pr AS (
+        |  SELECT CASE WHEN a.rank_tf < b.rank_tf THEN 1 ELSE 0 END AS conc
+        |  FROM rk a JOIN rk b ON a.rank_bm < b.rank_bm)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM rk) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(conc) AS BIGINT) AS concordant,
+        |       CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+        |       round(CAST(2 * sum(conc) - count(*) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS kendall_tau,
+        |       (SELECT CAST(sum(abs(rank_bm - rank_tf)) AS BIGINT) FROM rk)
+        |         AS footrule
+        |FROM pr""".stripMargin,
     "q192_heldout_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS t,

@@ -238,6 +238,19 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q194: Kendall pair accounting is exact and tau bounded") {
+    val row = TextAnalysis.queries("q194_rank_agreement")(spark, dir)
+      .collect().head
+    val n = row.getAs[Long]("n_docs")
+    val np = row.getAs[Long]("n_pairs")
+    assert(np == n * (n - 1) / 2, s"pair count $np != n(n-1)/2 for n=$n")
+    assert(row.getAs[Long]("concordant") + row.getAs[Long]("discordant") == np)
+    val tau = row.getAs[Double]("kendall_tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // footrule bound: sum of displacements over n items < n^2
+    assert(row.getAs[Long]("footrule") >= 0 && row.getAs[Long]("footrule") < n * n)
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
