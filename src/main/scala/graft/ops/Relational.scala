@@ -2551,7 +2551,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q195: k-anonymity census — the privacy-prep audit a training-data
+  // release runs before shipping event logs: quasi-identifier classes
+  // (event_type × hour-of-day × value band) are sized, and the census
+  // reports how many records sit in classes of size 1 / 2-4 / 5-9 / 10+
+  // — everything under k=5 is what a k-anonymizer would suppress or
+  // generalize, and singleton classes are outright re-identification
+  // risks. Scale shape: ONE groupBy over the QI tuple (class-space
+  // bounded by |types|·24·|bands|, partial-aggregated map-side), then a
+  // 4-row band census; the total comes from a separate count, not a
+  // re-execution of the class pipeline. All-integer until the final
+  // percentage division.
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.events(s, dir)
+      .select($"event_type", hour($"ts").as("hr"),
+        floor($"value" / 50).cast(LongType).as("vband"))
+      .groupBy($"event_type", $"hr", $"vband")
+      .agg(count(lit(1)).as("sz"))
+    val banded = classes.withColumn("band",
+      when($"sz" === 1, "1").when($"sz" <= 4, "2-4")
+        .when($"sz" <= 9, "5-9").otherwise("10+"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_records"))
+    val tot = Tables.events(s, dir).agg(count(lit(1)).as("total"))
+    banded.crossJoin(broadcast(tot))
+      .select($"band", $"n_classes", $"n_records",
+        Num.roundAt($"n_records".cast(DoubleType) / $"total", 6)
+          .as("pct_records"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_k_anonymity" -> (kAnonymity _),
     "q179_interarrival" -> (interArrival _),
     "q176_decayed_spend" -> (decayedSpend _),
     "q161_event_lateness" -> (eventLateness _),
@@ -2635,6 +2667,26 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q195_k_anonymity" ->
+      """WITH e AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |         CAST(floor(value / 50) AS BIGINT) AS vband
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, hr, vband, count(*) AS sz FROM e GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+        |              WHEN sz <= 9 THEN '5-9' ELSE '10+' END AS band, sz
+        |  FROM c),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(sz) AS BIGINT) AS n_records
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        |SELECT band, n_classes, n_records,
+        |       floor(CAST(n_records AS DOUBLE) / total * 1000000 + 0.5)
+        |         / 1000000 AS pct_records
+        |FROM g, t ORDER BY band""".stripMargin,
     "q179_interarrival" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

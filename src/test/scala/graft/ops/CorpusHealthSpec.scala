@@ -251,6 +251,19 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Long]("footrule") >= 0 && row.getAs[Long]("footrule") < n * n)
   }
 
+  test("q195: k-anonymity bands partition every event exactly once") {
+    import spark.implicits._
+    val out = Relational.queries("q195_k_anonymity")(spark, dir).cache()
+    val nEv = graft.Tables.events(spark, dir).count()
+    assert(out.agg(sum($"n_records")).as[Long].head() == nEv,
+      "band records don't sum to the event count")
+    // class-size algebra: every class in band '1' holds exactly 1 record
+    val b1 = out.filter($"band" === "1").collect()
+    b1.foreach(r => assert(r.getAs[Long]("n_classes") == r.getAs[Long]("n_records")))
+    assert(out.filter($"pct_records" < 0.0 || $"pct_records" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
