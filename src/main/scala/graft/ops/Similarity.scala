@@ -620,7 +620,52 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------------
+  // q196: per-dimension embedding drift — q145's PSI drift detector
+  // lifted to vector space, the embedding-hygiene audit run when a
+  // corpus (or encoder) changes: for every one of the 64 dimensions,
+  // the value distribution of label group A (labels 0-4) is compared to
+  // group B (5-9) over 12 fixed bins (floor(x·10) clamped to [-6, 5]),
+  // PSI = Σ (pa − pb)·ln(pa/pb) with add-half smoothing. Dimensions
+  // with high PSI are where the two populations actually separate — or,
+  // between two corpus snapshots, where drift concentrates. Scale
+  // shape: bin counts partial-aggregate map-side into a ≤ 64×12 census;
+  // the full dim×bin grid is enumerated explicitly so empty bins
+  // contribute their exact smoothed mass on both engines; per-dim PSI
+  // folds ≤ 12 terms in bin order (Det rule 2 — a plain sum over the
+  // tiny frame would still race partitions). Output: all 64 dims.
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = 12
+    val binned = Tables.embeddings(s, dir)
+      .select(($"label" < 5).as("grp"),
+        posexplode(Det.toDoubleArr($"embedding")).as(Seq("dim", "x")))
+      .select($"grp", $"dim",
+        greatest(lit(-6L), least(lit(5L), floor($"x" * 10))).as("bin"))
+    val counts = binned.groupBy($"dim", $"bin")
+      .agg(sum(when($"grp", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"grp", 1L).otherwise(0L)).as("cb"))
+    val tot = Tables.embeddings(s, dir)
+      .agg(sum(when($"label" < 5, 1L).otherwise(0L)).as("na"),
+        sum(when($"label" >= 5, 1L).otherwise(0L)).as("nb"))
+    val grid = s.range(0, 64).select($"id".cast(IntegerType).as("dim"))
+      .crossJoin(s.range(-6, 6).select($"id".as("bin")))
+    val pa = ($"ca" + 0.5) / ($"na" + nb / 2.0)
+    val pb = ($"cb" + 0.5) / ($"nb" + nb / 2.0)
+    grid.join(counts, Seq("dim", "bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", (pa - pb) * log(pa / pb))
+      .groupBy($"dim")
+      .agg(sort_array(collect_list(struct($"bin", $"term"))).as("ts"))
+      .withColumn("psi",
+        aggregate($"ts", lit(0.0), (acc, x) => acc + x.getField("term")))
+      .select($"dim", Num.roundAt($"psi", 6).as("psi"))
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_embedding_drift" -> (embeddingDrift _),
     "q173_quantization_error" -> (quantizationError _),
     "q172_multiprobe_lsh" -> (multiProbeLsh _),
     "q171_incremental_semdedup" -> (incrementalSemDedup _),
@@ -643,6 +688,41 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q196_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT (label < 5) AS grp, CAST(i - 1 AS INTEGER) AS dim,
+        |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, 65)) t(i)),
+        |b AS (
+        |  SELECT grp, dim,
+        |         greatest(-6, least(5, CAST(floor(x * 10) AS BIGINT))) AS bin
+        |  FROM e),
+        |c AS (
+        |  SELECT dim, bin,
+        |         CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM embeddings),
+        |grid AS (
+        |  SELECT CAST(d AS INTEGER) AS dim, CAST(bn AS BIGINT) AS bin
+        |  FROM unnest(range(0, 64)) g(d), unnest(range(-6, 6)) h(bn)),
+        |f AS (
+        |  SELECT g.dim, g.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM grid g LEFT JOIN c ON c.dim = g.dim AND c.bin = g.bin),
+        |t2 AS (
+        |  SELECT dim, bin,
+        |         ((ca + 0.5) / (na + 6.0) - (cb + 0.5) / (nb + 6.0))
+        |           * ln(((ca + 0.5) / (na + 6.0)) / ((cb + 0.5) / (nb + 6.0)))
+        |           AS term
+        |  FROM f, tot),
+        |d AS (SELECT dim, list(term ORDER BY bin) AS ts FROM t2 GROUP BY 1)
+        |SELECT dim,
+        |       round(list_reduce(list_prepend(0.0::DOUBLE, ts),
+        |                         (a, x) -> a + x), 6) AS psi
+        |FROM d ORDER BY dim""".stripMargin,
     "q173_quantization_error" ->
       """WITH v AS (
         |  SELECT vec_id, label,

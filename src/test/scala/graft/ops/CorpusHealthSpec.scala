@@ -264,6 +264,15 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q196: PSI is non-negative per dimension and zero for identical groups") {
+    import spark.implicits._
+    val out = Similarity.queries("q196_embedding_drift")(spark, dir).cache()
+    assert(out.count() == 64)
+    // each PSI term (pa-pb)ln(pa/pb) is >= 0, so the sum is
+    assert(out.filter($"psi" < 0.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q161: lateness census covers every event and orders its quantiles") {
     import spark.implicits._
     val out = Relational.queries("q161_event_lateness")(spark, dir).cache()
