@@ -315,6 +315,19 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q185: containment candidates come from an equi-join of probe prefix vs full index") {
+    val (df, p) = plan("q185_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the containment candidate join degenerated to all-pairs:\n$p")
+    val keySets = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.mkString(",")
+    }
+    assert(keySets.exists(_.contains("sh")),
+      s"no shingle-keyed candidate join in:\n$keySets")
+  }
+
   test("q128: prefix-filter candidates come from an equi-join on the prefix shingle") {
     val (df, p) = plan("q128_simjoin_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
