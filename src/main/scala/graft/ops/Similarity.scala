@@ -664,7 +664,58 @@ object Similarity {
       .orderBy($"dim")
   }
 
+  // ---------------------------------------------------------------------
+  // q197: hard-negative mining census — the contrastive-training data
+  // prep step beside q146's recall harness: for every probe vector, the
+  // most-similar vector of a DIFFERENT label is its "hardest negative"
+  // (the pair a contrastive loss learns most from) and the most-similar
+  // SAME-label vector is its nearest positive. The per-label census
+  // reads out mean hardest-negative cosine, mean nearest-positive
+  // cosine, their margin, and the count of margin VIOLATIONS (negative
+  // beats positive — the probes worth mining into the next batch; also
+  // the labels whose embedding neighborhoods are confused). Scale
+  // shape: the probe set is the bounded broadcast side (mining runs in
+  // probe batches); the corpus streams exactly once and reduces
+  // map-side to one row per (probe, label-side) via conditional max —
+  // at 100 TB the full-scan scorer swaps for q172's LSH-bucketed
+  // candidate join with identical downstream algebra. Determinism: max
+  // over per-row Det fold cosines is order-independent; means are
+  // floor-scaled int64 sums (q173 pattern).
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+    val probes = all.filter($"vec_id" < 30)
+      .select($"vec_id".as("probe_id"), $"label".as("plabel"),
+        $"v".as("pv"), $"nrm".as("pn"))
+    val per = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .groupBy($"probe_id", $"plabel")
+      .agg(max(when($"label" =!= $"plabel", $"cos")).as("hn_cos"),
+        max(when($"label" === $"plabel", $"cos")).as("pp_cos"))
+    per.groupBy($"plabel".as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(floor($"hn_cos" * lit(1e9))).as("shn"),
+        sum(floor($"pp_cos" * lit(1e9))).as("spp"),
+        sum(floor(($"pp_cos" - $"hn_cos") * lit(1e9))).as("smg"),
+        sum(when($"hn_cos" >= $"pp_cos", 1L).otherwise(0L))
+          .as("n_violations"))
+      .select($"label", $"n_probes",
+        Num.roundAt($"shn".cast(DoubleType) / $"n_probes".cast(DoubleType)
+          / lit(1e9), 6).as("mean_hard_neg_cos"),
+        Num.roundAt($"spp".cast(DoubleType) / $"n_probes".cast(DoubleType)
+          / lit(1e9), 6).as("mean_nearest_pos_cos"),
+        Num.roundAt($"smg".cast(DoubleType) / $"n_probes".cast(DoubleType)
+          / lit(1e9), 6).as("mean_margin"),
+        $"n_violations")
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_hard_negatives" -> (hardNegatives _),
     "q196_embedding_drift" -> (embeddingDrift _),
     "q173_quantization_error" -> (quantizationError _),
     "q172_multiprobe_lsh" -> (multiProbeLsh _),
@@ -688,6 +739,43 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q197_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_reduce(list_transform(range(1, 65),
+        |                i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |                     * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |              (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id AS probe_id, label AS plabel, v AS pv, nrm AS pn
+        |  FROM e WHERE vec_id < 30),
+        |pr AS (
+        |  SELECT p.probe_id, p.plabel, c.label,
+        |         list_reduce(list_transform(range(1, 65),
+        |             i -> p.pv[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)]),
+        |           (x, y) -> x + y) / (p.pn * c.nrm) AS cos
+        |  FROM p JOIN e c ON c.vec_id <> p.probe_id),
+        |per AS (
+        |  SELECT probe_id, plabel,
+        |         max(CASE WHEN label <> plabel THEN cos END) AS hn_cos,
+        |         max(CASE WHEN label = plabel THEN cos END) AS pp_cos
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        |       round(CAST(sum(CAST(floor(hn_cos * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_hard_neg_cos,
+        |       round(CAST(sum(CAST(floor(pp_cos * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_nearest_pos_cos,
+        |       round(CAST(sum(CAST(floor((pp_cos - hn_cos) * 1000000000.0)
+        |             AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6)
+        |         AS mean_margin,
+        |       CAST(sum(CASE WHEN hn_cos >= pp_cos THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_violations
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_embedding_drift" ->
       """WITH e AS (
         |  SELECT (label < 5) AS grp, CAST(i - 1 AS INTEGER) AS dim,

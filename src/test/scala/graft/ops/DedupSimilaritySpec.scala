@@ -472,6 +472,45 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q197: hard-negative census agrees with a brute-force window recompute") {
+    import spark.implicits._
+    val out = Similarity.queries("q197_hard_negatives")(spark, dir).cache()
+    // one census row per probe label; probe ids < 30 cover their labels
+    val probeLabels = graft.Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 30).select($"label").distinct().count()
+    assert(out.count() == probeLabels)
+    assert(out.agg(sum($"n_probes")).first().getLong(0) == 30)
+    // cosines are bounded and violations never exceed the probe count
+    assert(out.filter($"mean_hard_neg_cos" > 1.0 ||
+      $"mean_nearest_pos_cos" > 1.0).count() == 0)
+    assert(out.filter($"n_violations" > $"n_probes" ||
+      $"n_violations" < 0).count() == 0)
+    // independent recompute of the violation count: rank ALL neighbors
+    // per probe by cosine; a violation is a probe whose global top-1
+    // neighbor (excluding itself) carries a different label
+    val b = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", Det.toDoubleArr($"embedding").as("v"))
+      .withColumn("nrm", Det.l2norm($"v"))
+    val probes = b.filter($"vec_id" < 30)
+      .select($"vec_id".as("probe_id"), $"label".as("plabel"),
+        $"v".as("pv"), $"nrm".as("pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
+    val viol = b.crossJoin(probes).filter($"vec_id" =!= $"probe_id")
+      .withColumn("cos", Det.dot($"pv", $"v") / ($"pn" * $"nrm"))
+      .withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .filter($"label" =!= $"plabel")
+      .groupBy($"plabel".as("label")).agg(count(lit(1)).as("nv"))
+    val joined = out.join(viol, Seq("label"), "left")
+      .select($"label", $"n_violations",
+        coalesce($"nv", lit(0L)).as("nv")).collect()
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"label ${r.get(0)}: census=${r.getLong(1)} recompute=${r.getLong(2)}")
+    }
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
