@@ -714,7 +714,51 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------------
+  // q198: per-dimension class-separability (Fisher ratio) — the
+  // embedding-quality eval that precedes ANY labeled use of a vector
+  // space (retrieval finetuning, classifier probes, q160's centroid
+  // audit): for every dimension, the total sum-of-squares decomposes
+  // exactly into between-class + within-class; the Fisher ratio
+  // SSB/SSW ranks the dimensions that actually separate the labels
+  // (feature selection for a linear probe; near-zero everywhere ⇒ the
+  // encoder ignores the label). Scale shape: values quantize per-row to
+  // exact 1e-4-unit int64s, so every cross-partition reduction is an
+  // exact integer sum (count/s1/s2) that partial-aggregates map-side;
+  // the only fp arithmetic runs over the 64×|labels| census — the
+  // per-class terms fold in label order (Det rule 2). One scan,
+  // |dims|-row output, no joins.
+  private def classSeparability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select($"label",
+        posexplode(Det.toDoubleArr($"embedding")).as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x" * lit(10000.0)).cast(LongType).as("q"))
+    val cls = q.groupBy($"dim", $"label")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+        sum($"q" * $"q").as("s2"))
+      .withColumn("term", $"s2".cast(DoubleType) -
+        $"s1".cast(DoubleType) * $"s1".cast(DoubleType) /
+          $"n".cast(DoubleType))
+    cls.groupBy($"dim")
+      .agg(count(lit(1)).as("n_classes"),
+        sum($"n").as("nn"), sum($"s1").as("t1"), sum($"s2").as("t2"),
+        sort_array(collect_list(struct($"label", $"term"))).as("ts"))
+      .withColumn("ssw",
+        aggregate($"ts", lit(0.0), (a, x) => a + x.getField("term")))
+      .withColumn("sst", $"t2".cast(DoubleType) -
+        $"t1".cast(DoubleType) * $"t1".cast(DoubleType) /
+          $"nn".cast(DoubleType))
+      .select($"dim", $"n_classes",
+        Num.roundAt(($"sst" - $"ssw") / lit(1e8), 6).as("ss_between"),
+        Num.roundAt($"ssw" / lit(1e8), 6).as("ss_within"),
+        Num.roundAt(($"sst" - $"ssw") / $"ssw", 6).as("fisher_ratio"))
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_class_separability" -> (classSeparability _),
     "q197_hard_negatives" -> (hardNegatives _),
     "q196_embedding_drift" -> (embeddingDrift _),
     "q173_quantization_error" -> (quantizationError _),
@@ -739,6 +783,40 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q198_class_separability" ->
+      """WITH e AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |             * 10000.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, 65)) t(i)),
+        |cls AS (
+        |  SELECT dim, label, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1, 2),
+        |ct AS (
+        |  SELECT dim, label, n, s1, s2,
+        |         CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |           / CAST(n AS DOUBLE) AS term
+        |  FROM cls),
+        |d AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT) AS t1,
+        |         CAST(sum(s2) AS BIGINT) AS t2,
+        |         list(term ORDER BY label) AS ts
+        |  FROM ct GROUP BY 1),
+        |f AS (
+        |  SELECT dim, n_classes,
+        |         list_reduce(list_prepend(0.0::DOUBLE, ts),
+        |           (a, x) -> a + x) AS ssw,
+        |         CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |           / CAST(nn AS DOUBLE) AS sst
+        |  FROM d)
+        |SELECT dim, n_classes,
+        |       round((sst - ssw) / 100000000.0, 6) AS ss_between,
+        |       round(ssw / 100000000.0, 6) AS ss_within,
+        |       round((sst - ssw) / ssw, 6) AS fisher_ratio
+        |FROM f ORDER BY dim""".stripMargin,
     "q197_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, label,

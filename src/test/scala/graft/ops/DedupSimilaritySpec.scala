@@ -511,6 +511,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q198: ANOVA identity - between + within recovers the total sum of squares") {
+    import spark.implicits._
+    val out = Similarity.queries("q198_class_separability")(spark, dir).cache()
+    assert(out.count() == 64)
+    assert(out.filter($"n_classes" =!= 10L).count() == 0)
+    // SSW > 0 on real data, and SSB >= 0 follows from the decomposition
+    assert(out.filter($"ss_within" <= 0.0).count() == 0)
+    assert(out.filter($"ss_between" < 0.0).count() == 0)
+    // independent total-SS recompute per dim on the same quantized values
+    val tot = graft.Tables.embeddings(spark, dir)
+      .select(posexplode(Det.toDoubleArr($"embedding")).as(Seq("dim", "x")))
+      .select($"dim", floor($"x" * 10000.0).cast("long").as("q"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"), sum($"q" * $"q").as("s2"))
+      .select($"dim", (($"s2".cast("double") -
+        $"s1".cast("double") * $"s1".cast("double") / $"n".cast("double"))
+        / 1e8).as("sst"))
+    val joined = out.join(tot, Seq("dim")).collect()
+    joined.foreach { r =>
+      val sum2 = r.getAs[Double]("ss_between") + r.getAs[Double]("ss_within")
+      val sst = r.getAs[Double]("sst")
+      assert(math.abs(sum2 - sst) < 1e-4,
+        s"dim ${r.get(0)}: ssb+ssw=$sum2 vs sst=$sst")
+    }
+    out.unpersist()
+  }
+
   test("q164: exact re-rank of the ADC shortlist never loses recall vs ADC-only") {
     import spark.implicits._
     val rr = Similarity.queries("q164_rerank_ann")(spark, dir).cache()
