@@ -1331,7 +1331,93 @@ object Dedup {
         Num.roundAt($"n_hit".cast(DoubleType) / $"n_lsh", 6).as("precision"))
   }
 
+  // ---------------------------------------------------------------------
+  // q199: sorted-neighborhood blocking eval — the THIRD classic blocking
+  // family beside q64's feature blocks and q21's LSH bands (Hernández &
+  // Stolfo's merge/purge): sort dirty records and the clean catalog into
+  // ONE order and compare each record only to its next w neighbors.
+  // Candidate volume is exactly n·w (linear, tunable) instead of
+  // Σ block² — the blocking of choice when no discrete key survives the
+  // error class. This harness sweeps w ∈ {2, 5, 10} over q64's typo
+  // mutants (3rd char dropped, truth known by construction) and reads
+  // out the ONLY two numbers a blocking choice needs: pair completeness
+  // (truth pairs surviving) vs reduction ratio (pairs never generated).
+  // SNM lives or dies on the SORT KEY: sorting by the raw name would
+  // scatter each mutant ~hundreds of positions from its source (every
+  // record sharing the first 2 chars sorts between them), so the key
+  // ROTATES the unreliable field to the end — tokens 2..n first, the
+  // typo-bearing first token last (Hernández-Stolfo's key-design rule:
+  // lead with the attributes the error class cannot touch). Truth
+  // pairs then differ only in the final key component and sort
+  // adjacent up to token-collision ties, which the w sweep measures.
+  // Scale shape: the sort is Spark's range-partitioned exchange; the
+  // neighbor window runs PARTITIONED by a 2-char sort-key prefix — the
+  // distributed-SNM formulation (window never crosses executors;
+  // cross-boundary loss is part of what the census measures, and the
+  // key prefix survives the typo so truth pairs never straddle a
+  // boundary). One window pass emits all 10 lead offsets; the three
+  // sweep rows share it. All counts exact integers.
+  private def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+    val u = parts.select($"p_partkey".as("rid"), $"p_name".as("name"),
+        lit("p").as("kind"))
+      .unionAll(parts.filter($"p_partkey" % 20 === 0)
+        .select(($"p_partkey" + 100000).as("rid"),
+          expr("concat(substring(p_name, 1, 2), substring(p_name, 4))")
+            .as("name"), lit("q").as("kind")))
+      .withColumn("t", split($"name", " "))
+      .withColumn("key", concat_ws(" ",
+        concat(slice($"t", 2, 100), array(element_at($"t", 1)))))
+      .withColumn("blk", substring($"key", 1, 2))
+    val wspec = Window.partitionBy($"blk").orderBy($"key", $"rid")
+    val withLeads = u.select($"rid" +: $"kind" +: (1 to 10).flatMap(k =>
+      Seq(lead($"rid", k).over(wspec).as(s"nid_$k"),
+        lead($"kind", k).over(wspec).as(s"nkind_$k"))): _*)
+    val nbr = withLeads.select($"rid", $"kind",
+        explode(array((1 to 10).map(k => struct(lit(k).as("k"),
+          col(s"nid_$k").as("nid"), col(s"nkind_$k").as("nkind"))): _*))
+          .as("nb"))
+      .select($"rid", $"kind", $"nb.k".as("k"), $"nb.nid".as("nid"),
+        $"nb.nkind".as("nkind"))
+      .filter($"nid".isNotNull && $"kind" =!= $"nkind")
+    val pairs = nbr.filter($"kind" === "q")
+        .select($"rid".as("probe_id"), $"nid".as("pk"), $"k")
+      .unionAll(nbr.filter($"kind" === "p")
+        .select($"nid".as("probe_id"), $"rid".as("pk"), $"k"))
+    // Truth is the NAME ENTITY, not the source row: the tiny name
+    // dictionary duplicates each name ~dozens of times, so ANY
+    // candidate carrying the probe's uncorrupted name is a correct
+    // match (q140's master-catalog view of entity identity).
+    val scored = pairs
+      .join(parts.select($"p_partkey".as("pk"), $"p_name".as("cand_name")),
+        Seq("pk"))
+      .join(parts.select(($"p_partkey" + 100000).as("probe_id"),
+        $"p_name".as("orig_name")), Seq("probe_id"))
+      .withColumn("is_true", $"cand_name" === $"orig_name")
+    val tot = parts.agg(
+      sum(when($"p_partkey" % 20 === 0, 1L).otherwise(0L)).as("n_q"),
+      count(lit(1)).as("n_p"))
+    scored.crossJoin(broadcast(Seq(2, 5, 10).toDF("w")))
+      .filter($"k" <= $"w")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_candidates"),
+        count_distinct(when($"is_true", $"probe_id"))
+          .as("n_probes_matched"))
+      .crossJoin(broadcast(tot))
+      .select($"w", $"n_candidates", $"n_probes_matched",
+        $"n_q".as("n_probes"),
+        Num.roundAt($"n_probes_matched".cast(DoubleType) /
+          $"n_q".cast(DoubleType), 6).as("completeness"),
+        Num.roundAt(lit(1.0) - $"n_candidates".cast(DoubleType) /
+          ($"n_q".cast(DoubleType) * $"n_p".cast(DoubleType)), 6)
+          .as("reduction_ratio"))
+      .orderBy($"w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_sorted_neighborhood" -> (sortedNeighborhood _),
     "q147_dedup_recall" -> (dedupRecall _),
     "q118_substring_dedup" -> (substringDedup _),
     "q128_simjoin_prefix" -> (simjoinPrefix _),
@@ -1415,6 +1501,52 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q199_sorted_neighborhood" ->
+      """WITH probes AS (
+        |  SELECT p_partkey + 100000 AS rid,
+        |         concat(substring(p_name, 1, 2), substring(p_name, 4)) AS name,
+        |         'q' AS kind
+        |  FROM part WHERE p_partkey % 20 = 0),
+        |u AS (
+        |  SELECT p_partkey AS rid, p_name AS name, 'p' AS kind FROM part
+        |  UNION ALL SELECT rid, name, kind FROM probes),
+        |k AS (
+        |  SELECT rid, name, kind,
+        |         array_to_string(list_concat(t[2:], [t[1]]), ' ') AS key
+        |  FROM (SELECT rid, name, kind, string_split(name, ' ') AS t FROM u)),
+        |r AS (
+        |  SELECT rid, kind, key, substring(key, 1, 2) AS blk,
+        |         row_number() OVER (PARTITION BY substring(key, 1, 2)
+        |           ORDER BY key, rid) AS rn
+        |  FROM k),
+        |pr AS (
+        |  SELECT CASE WHEN a.kind = 'q' THEN a.rid ELSE b.rid END AS probe_id,
+        |         CASE WHEN a.kind = 'q' THEN b.rid ELSE a.rid END AS pk,
+        |         b.rn - a.rn AS k
+        |  FROM r a JOIN r b ON a.blk = b.blk
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 10
+        |  WHERE a.kind <> b.kind),
+        |sc AS (
+        |  SELECT pr.probe_id, pr.pk, pr.k,
+        |         (p1.p_name = p2.p_name) AS is_true
+        |  FROM pr JOIN part p1 ON p1.p_partkey = pr.pk
+        |          JOIN part p2 ON p2.p_partkey = pr.probe_id - 100000),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_q,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_p),
+        |c AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_candidates,
+        |         CAST(count(DISTINCT CASE WHEN is_true THEN probe_id END)
+        |           AS BIGINT) AS n_probes_matched
+        |  FROM sc, (SELECT unnest([2, 5, 10]) AS w)
+        |  WHERE k <= w GROUP BY 1)
+        |SELECT w, n_candidates, n_probes_matched, n_q AS n_probes,
+        |       round(CAST(n_probes_matched AS DOUBLE) / CAST(n_q AS DOUBLE), 6)
+        |         AS completeness,
+        |       round(1.0 - CAST(n_candidates AS DOUBLE)
+        |           / (CAST(n_q AS DOUBLE) * CAST(n_p AS DOUBLE)), 6)
+        |         AS reduction_ratio
+        |FROM c, tot ORDER BY w""".stripMargin,
     "q178_lsh_scurve" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -472,6 +472,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q199: SNM candidates nest with w - completeness and volume are monotone") {
+    import spark.implicits._
+    val out = Dedup.queries("q199_sorted_neighborhood")(spark, dir).cache()
+    val rows = out.orderBy("w").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 5, 10))
+    // window-w candidates are a superset of window-(w-1) candidates, so
+    // both candidate volume and matched-probe count can only grow
+    val cand = rows.map(_.getLong(1)).toSeq
+    val found = rows.map(_.getLong(2)).toSeq
+    assert(cand == cand.sorted, s"candidate volume not monotone: $cand")
+    assert(found == found.sorted, s"completeness not monotone: $found")
+    // linear candidate bound: n·w candidates at most (each record emits
+    // at most w cross-kind neighbors)
+    val nAll = graft.Tables.part(spark, dir).count() +
+      graft.Tables.part(spark, dir).filter($"p_partkey" % 20 === 0).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= nAll * r.getInt(0),
+        s"w=${r.getInt(0)}: ${r.getLong(1)} candidates exceed linear bound")
+    }
+    assert(out.filter($"completeness" < 0.0 || $"completeness" > 1.0).count() == 0)
+    assert(out.filter($"reduction_ratio" < 0.9).count() == 0,
+      "SNM must prune at least 90% of the cross product")
+    out.unpersist()
+  }
+
   test("q197: hard-negative census agrees with a brute-force window recompute") {
     import spark.implicits._
     val out = Similarity.queries("q197_hard_negatives")(spark, dir).cache()
