@@ -2582,7 +2582,49 @@ object Relational {
       .orderBy($"band")
   }
 
+  // ---------------------------------------------------------------------
+  // q200: CUSUM changepoint detection over the daily revenue series —
+  // the offline mean-shift locator (Page's cumulative-sum statistic)
+  // behind every "when did the metric move" investigation: S_t =
+  // Σ_{i≤t}(x_i − x̄) peaks in magnitude exactly at the day the series'
+  // mean shifts, and the top-|S| days with their before/after means ARE
+  // the changepoint report. Everything stays in exact integer algebra:
+  // per-row cents (the q141 money rule), and the deviation is scaled by
+  // N — S_t = N·R_t − t·T over running-cents R_t — so no fp value
+  // exists until the final normalized readout divisions of exact int64s
+  // (deterministic IEEE). Scale shape: the raw scan reduces map-side to
+  // the calendar-sized daily frame (~2.4k rows); the ordered running
+  // sum and both rankings run on that dictionary-sized census, so the
+  // single-partition window is bounded by the calendar, never the data.
+  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast(DateType).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"cents").as("tc"))
+    val wo = Window.orderBy($"day")
+    val wr = Window.orderBy(abs($"s").desc, $"day".asc)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wo).cast(LongType))
+      .withColumn("r", sum($"cents").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", $"n" * $"r" - $"t" * $"tc")
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= 5)
+      .select($"rank", $"day",
+        Num.roundAt($"s".cast(DoubleType) /
+          ($"n".cast(DoubleType) * lit(100.0)), 6).as("cusum"),
+        Num.roundAt($"r".cast(DoubleType) /
+          ($"t".cast(DoubleType) * lit(100.0)), 6).as("mean_before"),
+        when($"n" === $"t", lit(null).cast(DoubleType))
+          .otherwise(Num.roundAt(($"tc" - $"r").cast(DoubleType) /
+            (($"n" - $"t").cast(DoubleType) * lit(100.0)), 6))
+          .as("mean_after"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_cusum_changepoint" -> (cusumChangepoint _),
     "q195_k_anonymity" -> (kAnonymity _),
     "q179_interarrival" -> (interArrival _),
     "q176_decayed_spend" -> (decayedSpend _),
@@ -2667,6 +2709,38 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q200_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS tc
+        |  FROM daily),
+        |cum AS (
+        |  SELECT day, cents, n, tc,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |         CAST(sum(cents) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS r
+        |  FROM daily, tot),
+        |sc AS (SELECT day, n, tc, t, r, n * r - t * tc AS s FROM cum),
+        |rk AS (
+        |  SELECT day, n, tc, t, r, s,
+        |         CAST(row_number() OVER (ORDER BY abs(s) DESC, day)
+        |           AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT rank, day,
+        |       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+        |         AS cusum,
+        |       round(CAST(r AS DOUBLE) / (CAST(t AS DOUBLE) * 100.0), 6)
+        |         AS mean_before,
+        |       CASE WHEN n = t THEN NULL
+        |            ELSE round(CAST(tc - r AS DOUBLE)
+        |              / (CAST(n - t AS DOUBLE) * 100.0), 6) END AS mean_after
+        |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q195_k_anonymity" ->
       """WITH e AS (
         |  SELECT event_type, hour(ts) AS hr,

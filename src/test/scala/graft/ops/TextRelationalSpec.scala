@@ -11,6 +11,38 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q200: CUSUM peak matches a direct recompute and balances the global mean") {
+    import spark.implicits._
+    val out = Relational.queries("q200_cusum_changepoint")(spark, dir).cache()
+    val rows = out.orderBy("rank").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // ranking is by |cusum| descending
+    val mags = rows.map(r => math.abs(r.getAs[Double]("cusum"))).toSeq
+    assert(mags == mags.sorted.reverse, s"|cusum| not descending: $mags")
+    // independent recompute at the peak day: prefix stats from raw orders
+    val peak = rows.head
+    val day = peak.getAs[java.sql.Date]("day")
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .cache()
+    val n = daily.count()
+    val tc = daily.agg(sum($"cents")).first().getLong(0)
+    val pre = daily.filter($"day" <= lit(day))
+      .agg(count(lit(1)), sum($"cents")).first()
+    val (t, r) = (pre.getLong(0), pre.getLong(1))
+    val expected = (n * r - t * tc).toDouble / (n * 100.0)
+    assert(math.abs(peak.getAs[Double]("cusum") - expected) < 1e-4,
+      s"cusum ${peak.getAs[Double]("cusum")} vs recompute $expected")
+    // the two segment means weight back to the global mean
+    val globalMean = tc.toDouble / (n * 100.0)
+    val recombined = (peak.getAs[Double]("mean_before") * t +
+      peak.getAs[Double]("mean_after") * (n - t)) / n
+    assert(math.abs(recombined - globalMean) < 1e-3,
+      s"segment means $recombined do not recover global mean $globalMean")
+    daily.unpersist(); out.unpersist()
+  }
+
   test("q40: predictions are valid languages with ratios in [0,1]") {
     import spark.implicits._
     val out = TextAnalysis.queries("q40_lang_id")(spark, dir).cache()
