@@ -295,7 +295,57 @@ object Sketching {
     censuses.reduce(_ unionByName _).orderBy($"join_key")
   }
 
+  // ---------------------------------------------------------------------
+  // q201: DDSketch-style log-bucket quantile sketch + calibration — the
+  // RELATIVE-error quantile family (DDSketch, VLDB'19) beside q73's
+  // equi-width histogram (absolute buckets) and q87's approx_percentile:
+  // bucket(x) = ceil(log_γ x) with γ = 1.02 guarantees every estimate
+  // within 2% of the true value, and the sketch is a tiny
+  // (bucket → count) map that merges by ADDING counts — the
+  // production shape for latency/price quantiles over 100 TB: each
+  // partition emits its bucket census map-side, merge is associative,
+  // and quantile readout walks the ~600-bucket cumulative sum. The
+  // harness reads out est vs exact (q52's bit-exact percentile) and
+  // the realized relative error for q ∈ {50, 90, 95, 99} — checking
+  // the 2% contract the γ choice promises. Determinism: bucket ids are
+  // ceil of ln ratios on identical doubles (ln/exp match cross-engine,
+  // q58/q127 precedent); ranks are exact integer ceil-division; the
+  // readout γ^b runs as exp(b·ln γ) (the no-pow rule).
+  private def ddsketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir)
+      .select($"o_totalprice".cast(DoubleType).as("x")).filter($"x" > 0)
+    val bc = vals
+      .groupBy(ceil(log($"x") / log(lit(1.02))).cast(LongType).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy($"b")
+    val cum = bc.withColumn("cum", sum($"c").over(
+      wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = bc.agg(sum($"c").as("n"), count(lit(1)).as("n_buckets"))
+    val chosen = Seq(50, 90, 95, 99).toDF("qpct")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", expr("(qpct * n + 99) div 100"))
+      .join(cum, $"cum" >= $"rk")
+      .groupBy($"qpct", $"n", $"n_buckets").agg(min($"b").as("bucket"))
+    val exact = vals
+      .agg(percentile($"x",
+        array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("ps"))
+      .select(posexplode($"ps").as(Seq("pos", "exact")))
+      .select(element_at(array(lit(50), lit(90), lit(95), lit(99)),
+        $"pos" + 1).as("qpct"), $"exact")
+    chosen.join(exact, Seq("qpct"))
+      .withColumn("est",
+        (lit(2.0) * exp($"bucket".cast(DoubleType) * log(lit(1.02))))
+          / lit(2.02))
+      .select($"qpct", $"n", $"n_buckets", $"bucket",
+        Num.roundAt($"est", 6).as("est"),
+        Num.roundAt($"exact", 6).as("exact"),
+        Num.roundAt(($"est" - $"exact") / $"exact", 6).as("rel_err"))
+      .orderBy($"qpct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_ddsketch_quantiles" -> (ddsketchQuantiles _),
     "q181_kmv_sketch" -> (kmvSketch _),
     "q182_hll_registers" -> (hllRegisters _),
     "q186_shard_routing" -> (shardRouting _),
@@ -324,6 +374,43 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q201_ddsketch_quantiles" ->
+      """WITH vals AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE o_totalprice > 0),
+        |bk AS (
+        |  SELECT CAST(ceil(ln(x) / ln(1.02)) AS BIGINT) AS b FROM vals),
+        |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+        |cum AS (
+        |  SELECT b, c, CAST(sum(c) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM bc),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_buckets FROM bc),
+        |qs AS (SELECT unnest([50, 90, 95, 99]) AS qpct),
+        |rk AS (SELECT qpct, n, n_buckets, (qpct * n + 99) // 100 AS rk
+        |       FROM qs, tot),
+        |ch AS (
+        |  SELECT r.qpct, r.n, r.n_buckets, min(c.b) AS bucket
+        |  FROM rk r JOIN cum c ON c.cum >= r.rk
+        |  GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT [50, 90, 95, 99][CAST(i AS INTEGER)] AS qpct,
+        |         q[CAST(i AS INTEGER)] AS exact
+        |  FROM (SELECT quantile_cont(x, [0.5, 0.9, 0.95, 0.99]) AS q
+        |        FROM vals), unnest(range(1, 5)) t(i)),
+        |est AS (
+        |  SELECT ch.qpct, ch.n, ch.n_buckets, ch.bucket,
+        |         (2.0 * exp(CAST(ch.bucket AS DOUBLE) * ln(1.02))) / 2.02
+        |           AS est,
+        |         ex.exact
+        |  FROM ch JOIN ex ON ex.qpct = ch.qpct)
+        |SELECT qpct, n, n_buckets, bucket,
+        |       round(est, 6) AS est, round(exact, 6) AS exact,
+        |       round((est - exact) / exact, 6) AS rel_err
+        |FROM est ORDER BY qpct""".stripMargin,
     "q187_bloom_fpr" ->
       """WITH mem AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
         |pr AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 1),

@@ -13,6 +13,28 @@ import graft.SparkSessionTestWrapper
 class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q201 DDSketch: every quantile estimate honors the 2% relative-error contract") {
+    import spark.implicits._
+    val out = Sketching.queries("q201_ddsketch_quantiles")(spark, dir).cache()
+    val rows = out.orderBy("qpct").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 95, 99))
+    // gamma = 1.02 guarantees |est - true_rank_stat| / true <= 2%; the
+    // exact column interpolates (quantile_cont) so allow a whisker over
+    rows.foreach { r =>
+      val err = math.abs(r.getAs[Double]("rel_err"))
+      assert(err <= 0.021, s"q${r.getInt(0)}: rel_err $err breaks the γ contract")
+    }
+    // estimates and buckets are monotone in the quantile
+    val ests = rows.map(_.getAs[Double]("est")).toSeq
+    assert(ests == ests.sorted, s"estimates not monotone: $ests")
+    val bks = rows.map(_.getAs[Long]("bucket")).toSeq
+    assert(bks == bks.sorted, s"buckets not monotone: $bks")
+    // sketch mass equals the source row count
+    val n = graft.Tables.orders(spark, dir).filter($"o_totalprice" > 0).count()
+    assert(rows.forall(_.getAs[Long]("n") == n))
+    out.unpersist()
+  }
+
   test("q181 KMV: union-of-sketches estimate == single-pass union sketch estimate") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("q181_kmv_sketch")(spark, dir)
