@@ -2623,7 +2623,41 @@ object Relational {
       .orderBy($"rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q202: largest-remainder budget allocation — the integer-exact
+  // apportionment step that turns q121/q168's fractional mixture
+  // weights into an ACTUAL sample budget: give each (source, lang)
+  // stratum ⌊K·n_i/N⌋ slots, then hand the Σ-rounding leftover (< #strata
+  // slots) to the largest remainders (Hamilton's method — the unique
+  // scheme that never strays more than 1 slot from exact
+  // proportionality). Rounding per-stratum independently would LOSE or
+  // INVENT slots; this census proves Σ alloc == K by construction, and
+  // its integer algebra is the cross-engine determinism story: no
+  // floating point exists anywhere in the query. Scale shape: strata
+  // census is |sources|×|langs| rows off one map-side-combined groupBy;
+  // the ranking window runs on that dictionary-sized frame.
+  private def largestRemainder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 100000L
+    val st = Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = st.agg(sum($"n_docs").as("nn"))
+    val b = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($K * n_docs) div nn"))
+      .withColumn("rem", expr(s"($K * n_docs) % nn"))
+    val lo = b.agg((lit(K) - sum($"base")).as("leftover"))
+    val wr = Window.orderBy($"rem".desc, $"source".asc, $"lang".asc)
+    b.withColumn("rnk", row_number().over(wr).cast(LongType))
+      .crossJoin(broadcast(lo))
+      .select($"source", $"lang", $"n_docs", $"base", $"rem", $"rnk",
+        when($"rnk" <= $"leftover", 1L).otherwise(0L).as("extra"),
+        ($"base" + when($"rnk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"source", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_largest_remainder" -> (largestRemainder _),
     "q200_cusum_changepoint" -> (cusumChangepoint _),
     "q195_k_anonymity" -> (kAnonymity _),
     "q179_interarrival" -> (interArrival _),
@@ -2709,6 +2743,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q202_largest_remainder" ->
+      """WITH st AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM st),
+        |b AS (
+        |  SELECT source, lang, n_docs,
+        |         (100000 * n_docs) // nn AS base,
+        |         (100000 * n_docs) % nn AS rem
+        |  FROM st, tot),
+        |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT source, lang, n_docs, base, rem,
+        |         CAST(row_number() OVER (ORDER BY rem DESC, source, lang)
+        |           AS BIGINT) AS rnk
+        |  FROM b)
+        |SELECT source, lang, n_docs, base, rem, rnk,
+        |       CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       base + CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+        |         AS BIGINT) AS alloc
+        |FROM r, l ORDER BY source, lang""".stripMargin,
     "q200_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -11,6 +11,30 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q202: largest-remainder allocation is exact-sum and quota-bounded") {
+    import spark.implicits._
+    val out = Relational.queries("q202_largest_remainder")(spark, dir).cache()
+    val K = 100000L
+    // the whole point: allocations sum EXACTLY to the budget
+    assert(out.agg(sum($"alloc")).first().getLong(0) == K)
+    // quota property: every stratum gets floor(quota) or floor(quota)+1
+    assert(out.filter($"alloc" < $"base" || $"alloc" > $"base" + 1).count() == 0)
+    val nn = out.agg(sum($"n_docs")).first().getLong(0)
+    out.collect().foreach { r =>
+      val quota = K.toDouble * r.getAs[Long]("n_docs") / nn
+      val alloc = r.getAs[Long]("alloc")
+      assert(alloc >= math.floor(quota) - 1e-9 && alloc <= math.ceil(quota) + 1e-9,
+        s"${r.get(0)}/${r.get(1)}: alloc $alloc strays from quota $quota")
+    }
+    // extras go to the LARGEST remainders: no stratum with extra=0 may
+    // out-remainder one with extra=1
+    val minWith = out.filter($"extra" === 1L).agg(min($"rem")).first()
+    val maxWithout = out.filter($"extra" === 0L).agg(max($"rem")).first()
+    if (!minWith.isNullAt(0) && !maxWithout.isNullAt(0))
+      assert(minWith.getLong(0) >= maxWithout.getLong(0))
+    out.unpersist()
+  }
+
   test("q200: CUSUM peak matches a direct recompute and balances the global mean") {
     import spark.implicits._
     val out = Relational.queries("q200_cusum_changepoint")(spark, dir).cache()
