@@ -2656,7 +2656,51 @@ object Relational {
       .orderBy($"source", $"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q203: l-diversity census — the audit k-anonymity (q195) cannot
+  // give: a class of 50 records is useless privacy if all 50 share the
+  // same sensitive value (homogeneity attack). Over the SAME QI classes
+  // as q195 (event_type × hour × value band) with user_id as the
+  // sensitive attribute, each class gets its distinct-l and its ENTROPY
+  // l-diversity exp(H) (Machanavajjhala et al.'s stronger form — high
+  // only when the sensitive distribution is genuinely spread, not
+  // merely long-tailed), and classes band by distinct-l exactly as
+  // q195's sizes band by k. Release gate: every class in the "1" band
+  // is a homogeneous leak regardless of its k. Scale shape: one
+  // groupBy to (QI, user) counts, one to classes (both map-side
+  // partial); the entropy folds run over per-class sensitive counts in
+  // user order (Det rule 2), and the census is 4 rows. The only
+  // cross-partition fp reductions are an exact min and a floor-scaled
+  // int64 mean.
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cu = Tables.events(s, dir)
+      .select($"event_type", hour($"ts").as("hr"),
+        floor($"value" / 50).cast(LongType).as("vband"), $"user_id")
+      .groupBy($"event_type", $"hr", $"vband", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    val cls = cu.groupBy($"event_type", $"hr", $"vband")
+      .agg(sum($"c").as("sz"), count(lit(1)).as("l"),
+        sort_array(collect_list(struct($"user_id", $"c"))).as("us"))
+      .withColumn("h", -aggregate($"us", lit(0.0), (acc, x) =>
+        acc + (x.getField("c").cast(DoubleType) / $"sz".cast(DoubleType)) *
+          log(x.getField("c").cast(DoubleType) / $"sz".cast(DoubleType))))
+      .withColumn("eff", exp($"h"))
+    cls.withColumn("band",
+        when($"l" === 1, "1").when($"l" <= 4, "2-4")
+          .when($"l" <= 9, "5-9").otherwise("10+"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_records"),
+        min($"eff").as("mn"), sum(floor($"eff" * lit(1e6))).as("se"))
+      .select($"band", $"n_classes", $"n_records",
+        Num.roundAt($"mn", 6).as("min_effective_l"),
+        Num.roundAt($"se".cast(DoubleType) / $"n_classes".cast(DoubleType)
+          / lit(1e6), 6).as("mean_effective_l"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_l_diversity" -> (lDiversity _),
     "q202_largest_remainder" -> (largestRemainder _),
     "q200_cusum_changepoint" -> (cusumChangepoint _),
     "q195_k_anonymity" -> (kAnonymity _),
@@ -2743,6 +2787,37 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q203_l_diversity" ->
+      """WITH cu AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |         CAST(floor(value / 50) AS BIGINT) AS vband, user_id,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |cls AS (
+        |  SELECT event_type, hr, vband, CAST(sum(c) AS BIGINT) AS sz,
+        |         CAST(count(*) AS BIGINT) AS l,
+        |         list(c ORDER BY user_id) AS cs
+        |  FROM cu GROUP BY 1, 2, 3),
+        |hh AS (
+        |  SELECT sz, l,
+        |         -list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(cs, c ->
+        |               (CAST(c AS DOUBLE) / CAST(sz AS DOUBLE))
+        |                 * ln(CAST(c AS DOUBLE) / CAST(sz AS DOUBLE)))),
+        |           (a, x) -> a + x) AS h
+        |  FROM cls),
+        |ef AS (
+        |  SELECT sz, l, exp(h) AS eff,
+        |         CASE WHEN l = 1 THEN '1' WHEN l <= 4 THEN '2-4'
+        |              WHEN l <= 9 THEN '5-9' ELSE '10+' END AS band
+        |  FROM hh)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(sz) AS BIGINT) AS n_records,
+        |       round(min(eff), 6) AS min_effective_l,
+        |       round(CAST(sum(CAST(floor(eff * 1000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+        |         AS mean_effective_l
+        |FROM ef GROUP BY 1 ORDER BY 1""".stripMargin,
     "q202_largest_remainder" ->
       """WITH st AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -11,6 +11,31 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q203: entropy l-diversity is bounded by distinct-l and covers all records") {
+    import spark.implicits._
+    val out = Relational.queries("q203_l_diversity")(spark, dir).cache()
+    // same class algebra as q195: record mass adds up to the event count
+    assert(out.agg(sum($"n_records")).first().getLong(0) ==
+      graft.Tables.events(spark, dir).count())
+    // entropy effective-l is >= 1 always, == 1 exactly for the "1" band
+    // (a homogeneous class has zero entropy), and <= the band's distinct
+    // upper bound (exp(H) <= l by Jensen)
+    assert(out.filter($"min_effective_l" < 1.0 - 1e-9).count() == 0)
+    val b1 = out.filter($"band" === "1").collect()
+    b1.foreach { r =>
+      assert(math.abs(r.getAs[Double]("min_effective_l") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_effective_l") - 1.0) < 1e-6)
+    }
+    val caps = Map("1" -> 1.0, "2-4" -> 4.0, "5-9" -> 9.0)
+    out.collect().foreach { r =>
+      caps.get(r.getString(0)).foreach { cap =>
+        assert(r.getAs[Double]("mean_effective_l") <= cap + 1e-6,
+          s"band ${r.getString(0)}: eff-l exceeds distinct-l cap")
+      }
+    }
+    out.unpersist()
+  }
+
   test("q202: largest-remainder allocation is exact-sum and quota-bounded") {
     import spark.implicits._
     val out = Relational.queries("q202_largest_remainder")(spark, dir).cache()
