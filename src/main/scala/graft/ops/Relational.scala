@@ -2699,7 +2699,52 @@ object Relational {
       .orderBy($"band")
   }
 
+  // ---------------------------------------------------------------------
+  // q204: join-cardinality preflight — the cost-based-optimizer
+  // estimate, run as a QUERY before committing a cluster to a self-join
+  // (the q188 skew preflight's sibling: q188 asks "will one reducer
+  // drown", this asks "how many rows will the join EMIT"). The
+  // l_partkey self-join's true output is Σ c_k² — the exact blowup any
+  // all-pairs candidate generator pays (the quantity every dedup
+  // operator here is designed to avoid). Three estimators, cheapest
+  // first: (a) uniform — N²/d, what a CBO with only (rowcount, NDV)
+  // stats can say; (b) top-100 heavy hitters exact + uniform tail —
+  // the histogram-sketch estimate CBOs actually store, kilobytes of
+  // state; (c) the exact census. The readout shows how far uniformity
+  // misleads under skew and how close the 100-key sketch lands. Scale
+  // shape: one map-side-combined groupBy to per-key counts; the top-k
+  // window and the three 1-row aggregates run on that key census; all
+  // integer algebra (exact int64 squares and floor divisions), the
+  // rel_err division the only fp op.
+  private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kc = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val stats = kc.agg(sum($"c").as("n"), count(lit(1)).as("d"),
+      sum($"c" * $"c").as("exact"))
+    val wt = Window.orderBy($"c".desc, $"l_partkey".asc)
+    val top = kc.withColumn("r", row_number().over(wt)).filter($"r" <= 100)
+      .agg(count(lit(1)).as("kt"), sum($"c").as("topn"),
+        sum($"c" * $"c").as("topsq"))
+    val est = stats.crossJoin(broadcast(top))
+      .withColumn("naive", expr("(n * n) div d"))
+      .withColumn("sketch", $"topsq" + expr(
+        "CASE WHEN d > kt THEN ((n - topn) * (n - topn)) div (d - kt) " +
+          "ELSE 0 END"))
+    est.select(lit("uniform").as("method"), $"naive".as("predicted"),
+        $"exact")
+      .unionAll(est.select(lit("top100_tail").as("method"),
+        $"sketch".as("predicted"), $"exact"))
+      .unionAll(est.select(lit("exact").as("method"),
+        $"exact".as("predicted"), $"exact"))
+      .select($"method", $"predicted", $"exact",
+        Num.roundAt(($"predicted" - $"exact").cast(DoubleType) /
+          $"exact".cast(DoubleType), 6).as("rel_err"))
+      .orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_join_cardinality" -> (joinCardinality _),
     "q203_l_diversity" -> (lDiversity _),
     "q202_largest_remainder" -> (largestRemainder _),
     "q200_cusum_changepoint" -> (cusumChangepoint _),
@@ -2787,6 +2832,38 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q204_join_cardinality" ->
+      """WITH kc AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+        |         CAST(sum(c * c) AS BIGINT) AS exact
+        |  FROM kc),
+        |tp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS kt, CAST(sum(c) AS BIGINT)
+        |           AS topn,
+        |         CAST(sum(c * c) AS BIGINT) AS topsq
+        |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, l_partkey)
+        |          AS r FROM kc)
+        |  WHERE r <= 100),
+        |est AS (
+        |  SELECT n, d, exact, kt, topn, topsq,
+        |         (n * n) // d AS naive,
+        |         topsq + CASE WHEN d > kt
+        |           THEN ((n - topn) * (n - topn)) // (d - kt)
+        |           ELSE 0 END AS sketch
+        |  FROM st, tp),
+        |u AS (
+        |  SELECT 'uniform' AS method, naive AS predicted, exact FROM est
+        |  UNION ALL
+        |  SELECT 'top100_tail', sketch, exact FROM est
+        |  UNION ALL
+        |  SELECT 'exact', exact, exact FROM est)
+        |SELECT method, predicted, exact,
+        |       round(CAST(predicted - exact AS DOUBLE)
+        |         / CAST(exact AS DOUBLE), 6) AS rel_err
+        |FROM u ORDER BY method""".stripMargin,
     "q203_l_diversity" ->
       """WITH cu AS (
         |  SELECT event_type, hour(ts) AS hr,

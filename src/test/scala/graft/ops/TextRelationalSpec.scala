@@ -11,6 +11,26 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q204: cardinality estimators bracket the true self-join size") {
+    import spark.implicits._
+    val out = Relational.queries("q204_join_cardinality")(spark, dir).cache()
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getAs[Double]("rel_err"))).toMap
+    assert(rows.keySet == Set("uniform", "top100_tail", "exact"))
+    // exact row is self-consistent, and the truth is the actual join count
+    val exact = rows("exact")._1
+    assert(rows("exact")._3 == 0.0)
+    val li = graft.Tables.lineitem(spark, dir).select($"l_partkey")
+    val actual = li.as("a").join(li.as("b"), "l_partkey").count()
+    assert(exact == actual, s"exact census $exact vs real join count $actual")
+    // uniformity is a LOWER bound on sum of squares (Cauchy-Schwarz):
+    // N^2/d <= sum c^2, so the naive estimate never overshoots
+    assert(rows("uniform")._1 <= exact)
+    // the 100-key sketch is at least as close as the stats-only estimate
+    assert(math.abs(rows("top100_tail")._3) <= math.abs(rows("uniform")._3) + 1e-9)
+    out.unpersist()
+  }
+
   test("q203: entropy l-diversity is bounded by distinct-l and covers all records") {
     import spark.implicits._
     val out = Relational.queries("q203_l_diversity")(spark, dir).cache()
