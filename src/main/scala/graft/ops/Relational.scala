@@ -2743,7 +2743,46 @@ object Relational {
       .orderBy($"method")
   }
 
+  // ---------------------------------------------------------------------
+  // q205: weight-of-evidence / information-value census — the classic
+  // supervised feature-screening statistic (credit-scoring's WOE/IV,
+  // the categorical-target sibling of q198's Fisher ratio): bin
+  // o_totalprice into population deciles (q89's equi-depth cuts,
+  // broadcast — never a global rank window), score each bin's
+  // log-odds shift WOE_b = ln((e_b/E)/(ne_b/NE)) against the binary
+  // target o_orderstatus = 'F', and let IV = Σ (e_b/E − ne_b/NE)·WOE_b
+  // say whether the feature separates the classes at all (IV < 0.02 ⇒
+  // drop it). Scale shape: nine percentile cuts broadcast map-side;
+  // ONE groupBy to a 10-row census; every count is an exact int64 and
+  // the fp arithmetic (shares, ln, products) runs on the 10-row frame
+  // with bit-identical operand order on both engines.
+  private def woeIv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_totalprice".cast(DoubleType).as("x"),
+        ($"o_orderstatus" === "F").as("ev"))
+    val cuts = o.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+    val g = o.crossJoin(broadcast(cuts))
+      .withColumn("bin", (lit(1) +
+        (1 to 9).map(i => when($"x" > element_at($"qs", i), 1).otherwise(0))
+          .reduce(_ + _)).cast(IntegerType))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"ev", 1L).otherwise(0L)).as("e"))
+      .withColumn("ne", $"n" - $"e")
+    val tot = g.agg(sum($"e").as("te"), sum($"ne").as("tne"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("es", $"e".cast(DoubleType) / $"te".cast(DoubleType))
+      .withColumn("nes", $"ne".cast(DoubleType) / $"tne".cast(DoubleType))
+      .select($"bin", $"n", $"e".as("n_event"), $"ne".as("n_nonevent"),
+        Num.roundAt(log($"es" / $"nes"), 6).as("woe"),
+        Num.roundAt(($"es" - $"nes") * log($"es" / $"nes"), 6).as("iv_term"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_woe_iv" -> (woeIv _),
     "q204_join_cardinality" -> (joinCardinality _),
     "q203_l_diversity" -> (lDiversity _),
     "q202_largest_remainder" -> (largestRemainder _),
@@ -2832,6 +2871,43 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q205_woe_iv" ->
+      """WITH o AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |         (o_orderstatus = 'F') AS ev
+        |  FROM orders),
+        |c AS (
+        |  SELECT quantile_cont(x,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM o),
+        |b AS (
+        |  SELECT 1 + (CASE WHEN x > qs[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[4] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[5] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[6] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[7] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[8] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN x > qs[9] THEN 1 ELSE 0 END) AS bin, ev
+        |  FROM o, c),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM b GROUP BY 1),
+        |g2 AS (SELECT bin, n, e, n - e AS ne FROM g),
+        |t AS (
+        |  SELECT CAST(sum(e) AS BIGINT) AS te, CAST(sum(ne) AS BIGINT) AS tne
+        |  FROM g2),
+        |w AS (
+        |  SELECT bin, n, e, ne,
+        |         CAST(e AS DOUBLE) / CAST(te AS DOUBLE) AS es,
+        |         CAST(ne AS DOUBLE) / CAST(tne AS DOUBLE) AS nes
+        |  FROM g2, t)
+        |SELECT bin, n, e AS n_event, ne AS n_nonevent,
+        |       round(ln(es / nes), 6) AS woe,
+        |       round((es - nes) * ln(es / nes), 6) AS iv_term
+        |FROM w ORDER BY bin""".stripMargin,
     "q204_join_cardinality" ->
       """WITH kc AS (
         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c

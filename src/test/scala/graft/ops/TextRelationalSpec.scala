@@ -11,6 +11,28 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q205: WOE bins are equi-depth, counts reconcile, IV is non-negative") {
+    import spark.implicits._
+    val out = Relational.queries("q205_woe_iv")(spark, dir).cache()
+    val rows = out.orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // bins partition the orders table, events + nonevents reconcile
+    val o = graft.Tables.orders(spark, dir)
+    assert(rows.map(_.getLong(1)).sum == o.count())
+    assert(rows.map(_.getAs[Long]("n_event")).sum ==
+      o.filter($"o_orderstatus" === "F").count())
+    rows.foreach(r => assert(r.getLong(1) ==
+      r.getAs[Long]("n_event") + r.getAs[Long]("n_nonevent")))
+    // equi-depth: no decile strays far from a tenth of the population
+    val n = o.count().toDouble
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 10) < n / 20,
+      s"bin ${r.getInt(0)} is not equi-depth: ${r.getLong(1)}"))
+    // every IV term is >= 0 ((es - nes) and ln(es/nes) share sign), so
+    // the feature's total IV is a well-formed non-negative screen
+    rows.foreach(r => assert(r.getAs[Double]("iv_term") >= -1e-9))
+    out.unpersist()
+  }
+
   test("q204: cardinality estimators bracket the true self-join size") {
     import spark.implicits._
     val out = Relational.queries("q204_join_cardinality")(spark, dir).cache()
