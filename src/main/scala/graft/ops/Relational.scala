@@ -2781,7 +2781,70 @@ object Relational {
       .orderBy($"bin")
   }
 
+  // ---------------------------------------------------------------------
+  // q206: PageRank to (near-)convergence — q97's single superstep run
+  // as a real 4-iteration power method over the BIDIRECTIONAL
+  // customer ↔ supplier funding graph (rank must circulate, so each
+  // distinct trade pair contributes both directions; supplier node ids
+  // offset by 10^9, far above any sf's key range). Everything q97
+  // proved exact stays exact across iterations: ranks are integer
+  // units (start 10^6), shares are true int64 `div` floor-divisions
+  // over static out-degrees, damping is 85/100 integer arithmetic —
+  // so FOUR chained shuffles later the ranks are still bit-identical
+  // under any partitioning, the property that makes iterative graph
+  // jobs restartable mid-flight. Output: top-20 nodes with their
+  // iteration-3 rank beside iteration-4 (the per-node convergence
+  // readout — deltas shrink as the walk mixes). Scale shape per
+  // superstep: one broadcast degree attach + one shuffle keyed on dst
+  // (the canonical Pregel exchange); the edge list and degree frame
+  // are computed once and persisted, never per iteration.
+  private def pagerankConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000000L).as("p"))
+      .distinct()
+    // The edge list is REPARTITIONED ON src once and persisted: the
+    // degree groupBy, the degree attach-back, and all four rank joins
+    // then share that hash distribution, so per superstep the only
+    // exchanges are the (node-sized) rank frame arriving on src and
+    // the gather keyed on dst — the minimal Pregel exchange. Every
+    // iteration frame is persisted too: r3 feeds BOTH r4 and the final
+    // convergence join, and without the cache each consumer would
+    // re-execute the whole iteration lineage (the measured two-branch
+    // re-execution pitfall).
+    val edges = pairs.select($"c".as("src"), $"p".as("dst"))
+      .unionAll(pairs.select($"p".as("src"), $"c".as("dst")))
+      .repartition($"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = deg.select($"src".as("node")).withColumn("rank", lit(1000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev = r
+    for (_ <- 1 to 4) {
+      prev = r
+      r = ewd.join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .withColumn("share", expr("rank div outdeg"))
+        .groupBy($"dst").agg(sum($"share").as("g"))
+        .select($"dst".as("node"),
+          (lit(150000L) + expr("(g * 85) div 100")).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    r.join(prev.withColumnRenamed("rank", "prev_rank"), Seq("node"))
+      .select(
+        when($"node" < 1000000000L, "cust").otherwise("supp").as("kind"),
+        when($"node" < 1000000000L, $"node")
+          .otherwise($"node" - 1000000000L).as("node_id"),
+        $"rank".as("rank_units"), $"prev_rank".as("prev_rank_units"))
+      .orderBy($"rank_units".desc, $"kind".asc, $"node_id".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_pagerank_converge" -> (pagerankConverge _),
     "q205_woe_iv" -> (woeIv _),
     "q204_join_cardinality" -> (joinCardinality _),
     "q203_l_diversity" -> (lDiversity _),
@@ -2871,6 +2934,55 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q206_pagerank_converge" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c,
+        |         l.l_suppkey + 1000000000 AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, p AS dst FROM pairs
+        |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM edges GROUP BY 1),
+        |r0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rk
+        |  FROM edges),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |         150000 + (CAST(sum(r.rk // d.outdeg) AS BIGINT) * 85) // 100
+        |           AS rk
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |                JOIN r0 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |         150000 + (CAST(sum(r.rk // d.outdeg) AS BIGINT) * 85) // 100
+        |           AS rk
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |                JOIN r1 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |         150000 + (CAST(sum(r.rk // d.outdeg) AS BIGINT) * 85) // 100
+        |           AS rk
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |                JOIN r2 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r4 AS (
+        |  SELECT e.dst AS node,
+        |         150000 + (CAST(sum(r.rk // d.outdeg) AS BIGINT) * 85) // 100
+        |           AS rk
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |                JOIN r3 r ON r.node = e.src
+        |  GROUP BY 1)
+        |SELECT CASE WHEN r4.node < 1000000000 THEN 'cust' ELSE 'supp' END
+        |         AS kind,
+        |       CASE WHEN r4.node < 1000000000 THEN r4.node
+        |            ELSE r4.node - 1000000000 END AS node_id,
+        |       r4.rk AS rank_units, r3.rk AS prev_rank_units
+        |FROM r4 JOIN r3 ON r3.node = r4.node
+        |ORDER BY rank_units DESC, kind, node_id LIMIT 20""".stripMargin,
     "q205_woe_iv" ->
       """WITH o AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS x,

