@@ -979,7 +979,63 @@ object TextAnalysis {
         $"footrule")
   }
 
+  // ---------------------------------------------------------------------
+  // q207: reciprocal-rank-fusion (RRF) — the fusion operator q194's
+  // agreement statistic argues for: when two scorers barely agree
+  // (measured tau 0.07 between BM25 and TF-IDF here), the standard
+  // production answer is not to pick one but to FUSE their rankings —
+  // RRF(d) = Σ_lists 1/(60 + rank_d), the k=60 form every hybrid
+  // (lexical + vector) search stack ships, robust because it consumes
+  // only RANKS, never incomparable score scales. Each scorer
+  // contributes its global top-20; the fused top-10 carries both source
+  // ranks so the readout shows which list each winner came from
+  // (consensus docs rise, single-list docs sink). Determinism: ranks
+  // are exact ints off total orders (score desc, doc_id); RRF is a
+  // fixed-order two-term sum of exact-int reciprocals. Scale shape:
+  // corpus work is the two posting-list-filtered scorers (never a
+  // corpus scan per query term); everything after the two top-20
+  // frames is ≤ 40 rows.
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bmRank = s.createDataFrame(
+      bm25Top(s, dir).zipWithIndex.toSeq.map { case ((id, _), i) =>
+        (id, i + 1)
+      }).toDF("doc_id", "rank_bm")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin("join", "scan", "merge"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val wtf = Window.orderBy($"score".desc, $"doc_id".asc)
+    val tfRank = tf.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("sc", $"tf" * log($"n_docs" / $"df"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"term" === "join", $"sc")).as("s1"),
+        sum(when($"term" === "scan", $"sc")).as("s2"),
+        sum(when($"term" === "merge", $"sc")).as("s3"))
+      .withColumn("score", coalesce($"s1", lit(0.0))
+        + coalesce($"s2", lit(0.0)) + coalesce($"s3", lit(0.0)))
+      .withColumn("rank_tf", row_number().over(wtf))
+      .filter($"rank_tf" <= 20)
+      .select($"doc_id", $"rank_tf")
+    val wf = Window.orderBy($"rrf".desc, $"doc_id".asc)
+    bmRank.join(tfRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + $"rank_bm"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rank_tf"), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter($"fused_rank" <= 10)
+      .select($"fused_rank", $"doc_id", $"rank_bm", $"rank_tf",
+        Num.roundAt($"rrf", 6).as("rrf_score"))
+      .orderBy($"fused_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_rrf_fusion" -> (rrfFusion _),
     "q194_rank_agreement" -> (rankAgreement _),
     "q192_heldout_perplexity" -> (heldoutPerplexity _),
     "q184_pmi_collocations" -> (pmiCollocations _),
@@ -1154,6 +1210,68 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q207_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |rb AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |           AS INTEGER) AS rank_bm
+        |  FROM p),
+        |tsc AS (
+        |  SELECT t.doc_id, t.term, t.tf * ln(n_docs / df) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |tp AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM tsc GROUP BY 1),
+        |rt AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |           AS INTEGER) AS rank_tf
+        |  FROM tp),
+        |u AS (
+        |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+        |         b.rank_bm, t.rank_tf
+        |  FROM (SELECT * FROM rb WHERE rank_bm <= 20) b
+        |  FULL OUTER JOIN (SELECT * FROM rt WHERE rank_tf <= 20) t
+        |    ON b.doc_id = t.doc_id),
+        |f AS (
+        |  SELECT doc_id, rank_bm, rank_tf,
+        |         coalesce(1.0::DOUBLE / (60 + rank_bm), 0.0::DOUBLE)
+        |       + coalesce(1.0::DOUBLE / (60 + rank_tf), 0.0::DOUBLE) AS rrf
+        |  FROM u),
+        |g AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+        |           AS INTEGER) AS fused_rank,
+        |         doc_id, rank_bm, rank_tf, round(rrf, 6) AS rrf_score
+        |  FROM f)
+        |SELECT * FROM g WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
     // reuses q83's BM25 chain verbatim for the shortlist, then ranks the
     // same 20 docs by plain TF-IDF and counts pair inversions exactly
     "q194_rank_agreement" ->

@@ -251,6 +251,35 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Long]("footrule") >= 0 && row.getAs[Long]("footrule") < n * n)
   }
 
+  test("q207: RRF fusion scores decompose into the two rank reciprocals") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q207_rrf_fusion")(spark, dir).cache()
+    val rows = out.orderBy("fused_rank").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    rows.foreach { r =>
+      // every fused doc came from at least one source list
+      assert(!r.isNullAt(2) || !r.isNullAt(3),
+        s"doc ${r.get(1)} in fusion but in neither top-20")
+      // the score IS the sum of present reciprocals
+      val expected =
+        (if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))) +
+          (if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3)))
+      assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-6)
+    }
+    // fused order is by score descending
+    val scores = rows.map(_.getAs[Double]("rrf_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // a doc ranked top-5 by BOTH scorers must out-score any doc seen by
+    // only one list (2/65 > 1/61) — the consensus-rises property
+    val both5 = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3) &&
+      r.getInt(2) <= 5 && r.getInt(3) <= 5)
+    val single = rows.filter(r => r.isNullAt(2) || r.isNullAt(3))
+    for (b <- both5; s0 <- single)
+      assert(b.getAs[Double]("rrf_score") > s0.getAs[Double]("rrf_score"))
+    out.unpersist()
+  }
+
   test("q195: k-anonymity bands partition every event exactly once") {
     import spark.implicits._
     val out = Relational.queries("q195_k_anonymity")(spark, dir).cache()
