@@ -2843,7 +2843,47 @@ object Relational {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------------
+  // q208: approximate query processing (AQP) calibration — the
+  // BlinkDB-style answer to "must a 100 TB sum scan everything":
+  // a deterministic 10% Bernoulli sample (membership = md5-hash of the
+  // row key, so the sample is reproducible, joinable, and needs no
+  // stored sample table), the Horvitz-Thompson estimate Σ_S x/p beside
+  // the EXACT per-group sum, and the plug-in standard error
+  // √((1−p)/p² · Σ_S x²/p) that turns the estimate into a confidence
+  // interval — the within-2σ flag is the contract a dashboard query
+  // actually consumes. Money stays exact integer cents end-to-end (the
+  // q141 rule); the estimate 10·s1 is itself an exact int64, so the
+  // only fp is the SE readout. Scale shape: ONE scan computes exact and
+  // sampled moments together map-side (the harness pattern); in
+  // production only the sample-side aggregates run — a 10× scan cut —
+  // and s2's int64 headroom caps at ~sf1 cents² mass (switch the
+  // variance term to dollar units past that).
+  private def aqpSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag".as("rf"),
+      floor($"l_extendedprice" * 100).cast(LongType).as("x"),
+      (Det.h7(concat($"l_orderkey".cast(StringType), lit(":"),
+        $"l_linenumber".cast(StringType))) % 10 === 0).as("smp"))
+    li.groupBy($"rf")
+      .agg(count(lit(1)).as("n_rows"), sum($"x").as("exact_cents"),
+        sum(when($"smp", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"smp", $"x").otherwise(0L)).as("s1"),
+        sum(when($"smp", $"x" * $"x").otherwise(0L)).as("s2"))
+      .select($"rf".as("returnflag"), $"n_rows", $"n_sampled",
+        $"exact_cents", (lit(10L) * $"s1").as("est_cents"),
+        Num.roundAt((lit(10L) * $"s1" - $"exact_cents").cast(DoubleType) /
+          $"exact_cents".cast(DoubleType), 6).as("rel_err"),
+        Num.roundAt(sqrt(lit(90.0) * $"s2".cast(DoubleType)), 4)
+          .as("se_cents"),
+        (abs((lit(10L) * $"s1" - $"exact_cents").cast(DoubleType)) <=
+          lit(2.0) * sqrt(lit(90.0) * $"s2".cast(DoubleType)))
+          .as("within_2se"))
+      .orderBy($"returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_aqp_sample" -> (aqpSample _),
     "q206_pagerank_converge" -> (pagerankConverge _),
     "q205_woe_iv" -> (woeIv _),
     "q204_join_cardinality" -> (joinCardinality _),
@@ -2934,6 +2974,32 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q208_aqp_sample" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS x,
+        |         (CAST(concat('0x', substring(md5(concat(
+        |             CAST(l_orderkey AS VARCHAR), ':',
+        |             CAST(l_linenumber AS VARCHAR))), 1, 7)) AS BIGINT)
+        |           % 10 = 0) AS smp
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(x) AS BIGINT) AS exact_cents,
+        |         CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_sampled,
+        |         CAST(sum(CASE WHEN smp THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN smp THEN x * x ELSE 0 END) AS BIGINT)
+        |           AS s2
+        |  FROM li GROUP BY 1)
+        |SELECT rf AS returnflag, n_rows, n_sampled, exact_cents,
+        |       10 * s1 AS est_cents,
+        |       round(CAST(10 * s1 - exact_cents AS DOUBLE)
+        |         / CAST(exact_cents AS DOUBLE), 6) AS rel_err,
+        |       round(sqrt(90.0 * CAST(s2 AS DOUBLE)), 4) AS se_cents,
+        |       (abs(CAST(10 * s1 - exact_cents AS DOUBLE))
+        |         <= 2.0 * sqrt(90.0 * CAST(s2 AS DOUBLE))) AS within_2se
+        |FROM g ORDER BY returnflag""".stripMargin,
     "q206_pagerank_converge" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o.o_custkey AS c,

@@ -11,6 +11,38 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q208: HT estimate reconstructs from the sample and the CI flag is honest") {
+    import spark.implicits._
+    val out = Relational.queries("q208_aqp_sample")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("A", "N", "R"))
+    // sample fraction is near 10% (hash-Bernoulli, deterministic)
+    rows.foreach { r =>
+      val frac = r.getAs[Long]("n_sampled").toDouble / r.getAs[Long]("n_rows")
+      assert(frac > 0.05 && frac < 0.15, s"${r.getString(0)}: sample frac $frac")
+    }
+    // independent recompute of one group's estimate from raw rows
+    val a = rows.find(_.getString(0) == "A").get
+    val li = graft.Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "A")
+      .select(floor($"l_extendedprice" * 100).cast("long").as("x"),
+        (Det.h7(concat($"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string"))) % 10 === 0).as("smp"))
+    val s1 = li.filter($"smp").agg(sum($"x")).first().getLong(0)
+    assert(a.getAs[Long]("est_cents") == 10L * s1)
+    assert(a.getAs[Long]("exact_cents") ==
+      li.agg(sum($"x")).first().getLong(0))
+    // the flag is exactly the |est-exact| <= 2*se predicate
+    rows.foreach { r =>
+      val diff = math.abs(r.getAs[Long]("est_cents") -
+        r.getAs[Long]("exact_cents")).toDouble
+      val within = diff <= 2.0 * r.getAs[Double]("se_cents") + 1e-3
+      assert(r.getAs[Boolean]("within_2se") == within ||
+        math.abs(diff - 2.0 * r.getAs[Double]("se_cents")) < 1.0)
+    }
+    out.unpersist()
+  }
+
   test("q206: PageRank ranks respect the teleport floor and are near-converged") {
     import spark.implicits._
     val out = Relational.queries("q206_pagerank_converge")(spark, dir).cache()
