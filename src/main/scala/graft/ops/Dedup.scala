@@ -1169,13 +1169,18 @@ object Dedup {
   // inter via the zero-allocation sorted_overlap merge. The data-scale
   // shuffles are the df aggregate, the per-doc sort-by-rarity
   // aggregate, and the prefix equi-join — all keyed, none all-pairs.
-  private def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+  /** q128/q209 shared AllPairs pipeline: prefix-filtered candidates
+    * verified to exact (inter, n1, n2) set-overlap counts, COMPLETE for
+    * every Jaccard threshold ≥ 0.3 (the prefix length is sized for
+    * t = 0.3, so no pair a stricter threshold keeps is ever lost).
+    */
+  private def verifiedPairs(s: SparkSession, corpus: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // ng feeds the document-frequency census, the prefix build and both
     // verify join-backs — persist the one shingle pass (doc-count rows
     // of int-array state) instead of re-running the generator per use
-    val ng = mutatedDocs(s, dir)
+    val ng = corpus
       .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = ng.select($"doc_id", explode($"ng").as("sh"))
@@ -1203,11 +1208,65 @@ object Dedup {
       .withColumn("inter", expr("sorted_overlap(ng_a, ng_b)"))
       .withColumn("n1", size($"ng_a").cast(LongType))
       .withColumn("n2", size($"ng_b").cast(LongType))
+      .select($"doc_a", $"doc_b", $"inter", $"n1", $"n2")
+  }
+
+  private def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    verifiedPairs(s, mutatedDocs(s, dir))
       .filter(lit(13L) * $"inter" >= lit(3L) * ($"n1" + $"n2"))
       .select($"doc_a", $"doc_b", $"inter",
         ($"n1" + $"n2" - $"inter").as("uni"),
         Num.roundAt($"inter" / ($"n1" + $"n2" - $"inter"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q209: dedup THRESHOLD sweep — the policy decision every dedup
+  // deployment actually argues about is not the algorithm but the
+  // CUTOFF, and this harness prices each candidate value in corpus
+  // terms: for t ∈ {0.3, 0.5, 0.7, 0.9}, the exact duplicate-pair count
+  // and the retention under the smaller-id-survivor policy (a doc is
+  // dropped when ANY smaller-id doc matches it at ≥ t — the one-pass
+  // rule; q57's connected components is the transitive variant). One
+  // verified-pair frame (q128's AllPairs machinery, complete for every
+  // t ≥ 0.3) serves all four thresholds; each test is an exact integer
+  // predicate (q+p)·inter ≥ p·(n1+n2) for t = p/q — no float threshold
+  // ever touches a pair, so the sweep is bit-deterministic. Scale
+  // shape: the sweep adds one broadcast of 4 threshold rows and one
+  // aggregate over the (already pair-graph-sized) verified frame.
+  private def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // mutatedDocs' duplicates are all near-exact (J ≈ 1), which would
+    // make every cutoff read identically — so the sweep corpus adds
+    // GRADED variants: 90% / 70% / 50% token prefixes of selected docs,
+    // whose 4-shingle Jaccard against their source lands ≈ 0.86 / 0.67
+    // / 0.46 — one population per threshold band, so each cutoff choice
+    // prices a different slice of the corpus.
+    def prefixCut(mod: Long, off: Long, k: Int): DataFrame =
+      mutatedDocs(s, dir).filter($"doc_id" % mod === 0)
+        .select(($"doc_id" + off).as("doc_id"),
+          expr(s"array_join(slice(split(text, ' '), 1, " +
+            s"cast(($k * size(split(text, ' ')) + 9) div 10 as int)), ' ')")
+            .as("text"))
+    val corpus = mutatedDocs(s, dir).select($"doc_id", $"text")
+      .unionAll(prefixCut(5L, 40000000L, 9))
+      .unionAll(prefixCut(7L, 50000000L, 7))
+      .unionAll(prefixCut(11L, 60000000L, 5))
+    val ver = verifiedPairs(s, corpus)
+    val th = Seq(("0.3", 3L, 10L), ("0.5", 1L, 2L), ("0.7", 7L, 10L),
+      ("0.9", 9L, 10L)).toDF("t", "p", "q")
+    val hit = ($"q" + $"p") * $"inter" >= $"p" * ($"n1" + $"n2")
+    val nd = corpus.agg(count(lit(1)).as("n_docs"))
+    ver.crossJoin(broadcast(th))
+      .groupBy($"t")
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("n_pairs"),
+        count_distinct(when(hit, $"doc_b")).as("n_dropped"))
+      .crossJoin(broadcast(nd))
+      .select($"t".as("threshold"), $"n_pairs", $"n_dropped", $"n_docs",
+        Num.roundAt(($"n_docs" - $"n_dropped").cast(DoubleType) /
+          $"n_docs".cast(DoubleType), 6).as("retention"))
+      .orderBy($"threshold")
   }
 
   // ---------------------------------------------------------------------
@@ -1417,6 +1476,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_threshold_sweep" -> (thresholdSweep _),
     "q199_sorted_neighborhood" -> (sortedNeighborhood _),
     "q147_dedup_recall" -> (dedupRecall _),
     "q118_substring_dedup" -> (substringDedup _),
@@ -1501,6 +1561,72 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q209_threshold_sweep" ->
+      s"""WITH $corpusSql,
+        |corpus2 AS (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id + 40000000,
+        |         array_to_string(string_split(text, ' ')
+        |           [1 : (9 * len(string_split(text, ' ')) + 9) // 10], ' ')
+        |  FROM corpus WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000000,
+        |         array_to_string(string_split(text, ' ')
+        |           [1 : (7 * len(string_split(text, ' ')) + 9) // 10], ' ')
+        |  FROM corpus WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 60000000,
+        |         array_to_string(string_split(text, ' ')
+        |           [1 : (5 * len(string_split(text, ' ')) + 9) // 10], ' ')
+        |  FROM corpus WHERE doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM corpus2),
+        |ng AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(th) >= 4
+        |           THEN list_transform(range(1, len(th) - 2),
+        |                  i -> list_reduce(th[i : i + 3],
+        |                         (a, x) -> (a * 31 + x) % 2147483647))
+        |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |         END) AS ng
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(ng) AS sh FROM ng),
+        |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |lst AS (
+        |  SELECT doc_id, list(e.sh ORDER BY df.df, e.sh) AS srt
+        |  FROM e JOIN df USING (sh) GROUP BY doc_id),
+        |pre AS (
+        |  SELECT doc_id,
+        |         unnest(srt[1 : len(srt) - ((3 * len(srt) + 9) // 10) + 1]) AS sh
+        |  FROM lst),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT) AS inter,
+        |         CAST(len(na.ng) AS BIGINT) AS n1,
+        |         CAST(len(nb.ng) AS BIGINT) AS n2
+        |  FROM cand
+        |  JOIN ng na ON na.doc_id = doc_a
+        |  JOIN ng nb ON nb.doc_id = doc_b),
+        |th2 AS (SELECT * FROM (VALUES ('0.3', 3, 10), ('0.5', 1, 2),
+        |          ('0.7', 7, 10), ('0.9', 9, 10)) v(t, p, q)),
+        |sw AS (
+        |  SELECT t,
+        |         CAST(sum(CASE WHEN (q + p) * inter >= p * (n1 + n2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |         CAST(count(DISTINCT CASE WHEN (q + p) * inter >= p * (n1 + n2)
+        |           THEN doc_b END) AS BIGINT) AS n_dropped
+        |  FROM ver, th2 GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus2)
+        |SELECT t AS threshold, n_pairs, n_dropped, n_docs,
+        |       round(CAST(n_docs - n_dropped AS DOUBLE)
+        |         / CAST(n_docs AS DOUBLE), 6) AS retention
+        |FROM sw, nd ORDER BY threshold""".stripMargin,
     "q199_sorted_neighborhood" ->
       """WITH probes AS (
         |  SELECT p_partkey + 100000 AS rid,

@@ -472,6 +472,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q209: threshold sweep is monotone and each band has its own population") {
+    import spark.implicits._
+    val out = Dedup.queries("q209_threshold_sweep")(spark, dir).cache()
+    val rows = out.orderBy("threshold").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("0.3", "0.5", "0.7", "0.9"))
+    // a stricter cutoff can only remove pairs and drop fewer docs
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).toSeq
+    assert(pairs == pairs.sorted.reverse, s"pairs not antitone: $pairs")
+    assert(dropped == dropped.sorted.reverse, s"dropped not antitone: $dropped")
+    // the graded 90/70/50% prefix populations separate the bands: every
+    // step of the sweep must actually lose pairs
+    pairs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a > b, s"sweep step lost no pairs: $pairs")
+    }
+    // retention accounting
+    rows.foreach { r =>
+      val expect = (r.getAs[Long]("n_docs") - r.getAs[Long]("n_dropped"))
+        .toDouble / r.getAs[Long]("n_docs")
+      assert(math.abs(r.getAs[Double]("retention") - expect) < 1e-6)
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_pairs"))
+    }
+    out.unpersist()
+  }
+
   test("q199: SNM candidates nest with w - completeness and volume are monotone") {
     import spark.implicits._
     val out = Dedup.queries("q199_sorted_neighborhood")(spark, dir).cache()
