@@ -219,7 +219,57 @@ object Layout {
     (inFiles.length, s.read.parquet(outPath).inputFiles.length)
   }
 
+  // ---------------------------------------------------------------------
+  // q210: encoding-choice census — the storage-layout audit behind
+  // every parquet/ORC writer knob (PLAIN vs DICTIONARY vs RLE): per
+  // column, the exact statistics each encoding's cost depends on — NDV
+  // (dictionary code width = ⌈log₂ NDV⌉ bits), run count in the file's
+  // write order (RLE pays per RUN, so sortedness is the whole game),
+  // and the modeled bits under each scheme (64-bit plain values; dict =
+  // n·codebits + NDV·64 dictionary pages; RLE = runs·(64+32) for
+  // value+length). At 100 TB the same census, run over a sample or
+  // per ingest batch, picks column encodings and SORT ORDER (compare
+  // q86's z-order: clustering that multiplies run lengths is free
+  // compression). Determinism: runs are counted within the (l_orderkey,
+  // l_linenumber) write order via a partitioned lag window (each order
+  // starts a run — never a global single-partition sort); code width
+  // is Σ_k [NDV > 2^k], exact integer predicates, never a float log₂.
+  private def encodingCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // l_linenumber is NOT unique within an order in this data, so the
+    // write order tiebreaks on the value itself — rows tying on
+    // (linenumber, v) are interchangeable for run counting, making the
+    // census deterministic on both engines without a synthetic row id
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"v")
+    val censuses = Seq("l_returnflag", "l_shipdate", "l_quantity",
+      "l_partkey").map { name =>
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", col(name).as("v"))
+      val runs = li.withColumn("prev", lag($"v", 1).over(w))
+        .withColumn("newrun",
+          when($"prev".isNull || $"v" =!= $"prev", 1L).otherwise(0L))
+      val agg = runs.agg(count(lit(1)).as("n"),
+        count_distinct($"v").as("ndv"), sum($"newrun").as("n_runs"))
+      val codebits = (0 to 23).map(k =>
+        when($"ndv" > (1L << k), 1L).otherwise(0L)).reduce(_ + _)
+      agg.select(lit(name).as("col_name"), $"n", $"ndv", $"n_runs",
+        codebits.as("dict_codebits"),
+        (lit(64L) * $"n").as("plain_bits"),
+        (codebits * $"n" + lit(64L) * $"ndv").as("dict_bits"),
+        ($"n_runs" * lit(96L)).as("rle_bits"))
+    }
+    censuses.reduce(_ unionAll _)
+      .withColumn("best",
+        when($"rle_bits" <= $"dict_bits" && $"rle_bits" <= $"plain_bits",
+          "rle")
+          .when($"dict_bits" <= $"plain_bits", "dictionary")
+          .otherwise("plain"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_encoding_census" -> (encodingCensus _),
     "q50_partition_prune" -> (partitionPrune _),
     "q82_orc_scan"        -> (orcScan _),
     "q86_zorder_key"      -> (zorderKey _),
@@ -231,7 +281,43 @@ object Layout {
       s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** q210 per-column census twin; code width via exact 2^k predicates. */
+  private val encCodebits: String = "CAST(" +
+    (0 to 23).map(k => s"(CASE WHEN ndv > ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  private def encColSql(c: String): String =
+    s"""SELECT '$c' AS col_name, n, ndv, n_runs,
+       |       $encCodebits AS dict_codebits,
+       |       64 * n AS plain_bits,
+       |       $encCodebits * n + 64 * ndv AS dict_bits,
+       |       n_runs * 96 AS rle_bits
+       |FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+       |         CAST(sum(newrun) AS BIGINT) AS n_runs
+       |  FROM (
+       |    SELECT v, CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END
+       |             AS newrun
+       |    FROM (
+       |      SELECT v, lag(v) OVER (PARTITION BY l_orderkey
+       |               ORDER BY l_linenumber, v) AS prev
+       |      FROM (SELECT l_orderkey, l_linenumber,
+       |              $c AS v FROM lineitem))))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q210_encoding_census" ->
+      s"""WITH u AS (
+        |${Seq("l_returnflag", "l_shipdate", "l_quantity", "l_partkey")
+          .map(encColSql).mkString("\n UNION ALL\n")}
+        |)
+        |SELECT col_name, n, ndv, n_runs, dict_codebits, plain_bits,
+        |       dict_bits, rle_bits,
+        |       CASE WHEN rle_bits <= dict_bits AND rle_bits <= plain_bits
+        |              THEN 'rle'
+        |            WHEN dict_bits <= plain_bits THEN 'dictionary'
+        |            ELSE 'plain' END AS best
+        |FROM u ORDER BY col_name""".stripMargin,
     "q50_partition_prune" ->
       """SELECT o_orderstatus,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -16,6 +16,37 @@ import graft.SparkSessionTestWrapper
 class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q210: encoding census stats are consistent and the model picks sanely") {
+    import spark.implicits._
+    val out = Layout.queries("q210_encoding_census")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = out.collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet == Set("l_returnflag", "l_shipdate", "l_quantity",
+      "l_partkey"))
+    val n = graft.Tables.lineitem(spark, "/root/testdata/sf0.001").count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      // run structure: at least one run per distinct value, at most n
+      assert(r.getAs[Long]("n_runs") >= r.getAs[Long]("ndv"))
+      assert(r.getAs[Long]("n_runs") <= n)
+      // code width really is ceil(log2(ndv))
+      val ndv = r.getAs[Long]("ndv")
+      val expectBits = if (ndv <= 1) 0L
+        else 64 - java.lang.Long.numberOfLeadingZeros(ndv - 1)
+      assert(r.getAs[Long]("dict_codebits") == expectBits,
+        s"${r.getString(0)}: codebits ${r.getAs[Long]("dict_codebits")} != $expectBits")
+      // the chosen encoding has the minimal modeled size
+      val sizes = Map("plain" -> r.getAs[Long]("plain_bits"),
+        "dictionary" -> r.getAs[Long]("dict_bits"),
+        "rle" -> r.getAs[Long]("rle_bits"))
+      assert(sizes(r.getAs[String]("best")) == sizes.values.min)
+    }
+    // low-cardinality flag column must prefer dictionary over plain
+    assert(rows("l_returnflag").getAs[Long]("dict_bits") <
+      rows("l_returnflag").getAs[Long]("plain_bits"))
+    out.unpersist()
+  }
+
   test("q50: partitioned layout is one directory per order month") {
     val path = Layout.ensurePartitionedOrders(spark, dir)
     val parts = new java.io.File(path).listFiles()
