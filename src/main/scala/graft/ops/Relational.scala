@@ -2882,7 +2882,58 @@ object Relational {
       .orderBy($"returnflag")
   }
 
+  // ---------------------------------------------------------------------
+  // q211: exact two-sample Kolmogorov–Smirnov tests — the
+  // distribution-equality check behind drift monitoring (q145/q196's
+  // PSI bins with a hypothesis test attached): for each priority-class
+  // pair, D = max_x |F̂₁(x) − F̂₂(x)| computed EXACTLY on the integer
+  // lattice — the ECDF gap at every support point is |c1·n2 − c2·n1|
+  // over n1·n2, so the supremum, its location, and every comparison
+  // are integer arithmetic; the only fp is the final readout and the
+  // √((n1+n2)/(n1·n2)) critical value (α = 0.05, c = 1.358). Scale
+  // shape: per pair ONE groupBy to the distinct-value census and one
+  // ordered prefix-sum over that dictionary (at 100 TB swap the exact
+  // support for q201's log-bucket ECDF — same algebra, bounded
+  // support); the three pair harnesses share nothing and union 3 rows.
+  private def ksTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def ks(pa: String, pb: String): DataFrame = {
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderpriority".isin(pa, pb))
+        .select($"o_totalprice".as("x"),
+          ($"o_orderpriority" === pa).as("ga"))
+      val g = o.groupBy($"x")
+        .agg(sum(when($"ga", 1L).otherwise(0L)).as("da"),
+          sum(when(!$"ga", 1L).otherwise(0L)).as("db"))
+      val wc = Window.orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.orderBy($"dabs".desc, $"x".asc)
+      val tot = o.agg(sum(when($"ga", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"ga", 1L).otherwise(0L)).as("n2"))
+      g.withColumn("c1", sum($"da").over(wc))
+        .withColumn("c2", sum($"db").over(wc))
+        .crossJoin(broadcast(tot))
+        .withColumn("dabs", abs($"c1" * $"n2" - $"c2" * $"n1"))
+        .withColumn("rn", row_number().over(wr))
+        .filter($"rn" === 1)
+        .select(lit(s"$pa|$pb").as("pair"), $"n1", $"n2",
+          Num.roundAt($"dabs".cast(DoubleType) /
+            ($"n1" * $"n2").cast(DoubleType), 6).as("d"),
+          Num.roundAt($"x", 2).as("ks_x"),
+          Num.roundAt(lit(1.358) * sqrt(($"n1" + $"n2").cast(DoubleType) /
+            ($"n1" * $"n2").cast(DoubleType)), 6).as("crit_05"),
+          ($"dabs".cast(DoubleType) / ($"n1" * $"n2").cast(DoubleType) >
+            lit(1.358) * sqrt(($"n1" + $"n2").cast(DoubleType) /
+              ($"n1" * $"n2").cast(DoubleType))).as("reject"))
+    }
+    ks("1-URGENT", "5-LOW")
+      .unionAll(ks("1-URGENT", "3-MEDIUM"))
+      .unionAll(ks("3-MEDIUM", "5-LOW"))
+      .orderBy($"pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_ks_test" -> (ksTest _),
     "q208_aqp_sample" -> (aqpSample _),
     "q206_pagerank_converge" -> (pagerankConverge _),
     "q205_woe_iv" -> (woeIv _),
@@ -2973,7 +3024,53 @@ object Relational {
     "q85_attribution"     -> (attribution _)
   )
 
+  /** q211 per-pair twin (exact integer ECDF gap, row_number argmax). */
+  private def ksPairSql(pa: String, pb: String): String =
+    s"""SELECT '$pa|$pb' AS pair, n1, n2,
+       |       round(CAST(dabs AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d,
+       |       floor(x * 100 + 0.5) / 100 AS ks_x,
+       |       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+       |         / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_05,
+       |       (CAST(dabs AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+       |         > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+       |           / CAST(n1 * n2 AS DOUBLE))) AS reject
+       |FROM (
+       |  SELECT x, dabs, n1, n2,
+       |         row_number() OVER (ORDER BY dabs DESC, x) AS rn
+       |  FROM (
+       |    SELECT x, abs(c1 * n2 - c2 * n1) AS dabs, n1, n2
+       |    FROM (
+       |      SELECT x,
+       |             CAST(sum(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+       |               PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+       |             CAST(sum(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+       |               PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+       |      FROM (
+       |        SELECT x,
+       |               CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS da,
+       |               CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS db
+       |        FROM (SELECT o_totalprice AS x,
+       |                (o_orderpriority = '$pa') AS ga
+       |              FROM orders
+       |              WHERE o_orderpriority IN ('$pa', '$pb'))
+       |        GROUP BY 1)),
+       |    (SELECT CAST(sum(CASE WHEN o_orderpriority = '$pa'
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |            CAST(sum(CASE WHEN o_orderpriority = '$pb'
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |     FROM orders WHERE o_orderpriority IN ('$pa', '$pb'))))
+       |WHERE rn = 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q211_ks_test" ->
+      s"""${ksPairSql("1-URGENT", "5-LOW")}
+        |UNION ALL
+        |${ksPairSql("1-URGENT", "3-MEDIUM")}
+        |UNION ALL
+        |${ksPairSql("3-MEDIUM", "5-LOW")}
+        |ORDER BY pair""".stripMargin,
     "q208_aqp_sample" ->
       """WITH li AS (
         |  SELECT l_returnflag AS rf,

@@ -11,6 +11,36 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q211: KS statistic matches a brute-force ECDF recompute") {
+    import spark.implicits._
+    val out = Relational.queries("q211_ks_test")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("d") >= 0.0 && r.getAs[Double]("d") <= 1.0)
+      // reject flag is exactly d > crit
+      assert(r.getAs[Boolean]("reject") ==
+        (r.getAs[Double]("d") > r.getAs[Double]("crit_05")) ||
+        math.abs(r.getAs[Double]("d") - r.getAs[Double]("crit_05")) < 1e-5)
+    }
+    // brute-force D for one pair via driver-side ECDFs
+    val o = graft.Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_totalprice", $"o_orderpriority").collect()
+    val a = o.filter(_.getString(1) == "1-URGENT").map(_.getDouble(0)).sorted
+    val b = o.filter(_.getString(1) == "5-LOW").map(_.getDouble(0)).sorted
+    val support = (a ++ b).distinct.sorted
+    val dMax = support.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)
+    }.max
+    val row = rows.find(_.getString(0) == "1-URGENT|5-LOW").get
+    assert(math.abs(row.getAs[Double]("d") - dMax) < 1e-5,
+      s"KS d ${row.getAs[Double]("d")} vs brute $dMax")
+    assert(row.getAs[Long]("n1") == a.length && row.getAs[Long]("n2") == b.length)
+    out.unpersist()
+  }
+
   test("q208: HT estimate reconstructs from the sample and the CI flag is honest") {
     import spark.implicits._
     val out = Relational.queries("q208_aqp_sample")(spark, dir).cache()
