@@ -446,7 +446,11 @@ object Dedup {
       .orderBy($"bin")
   }
 
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  /** q174/q212 shared chunk derivation: every token of every doc lands
+    * in exactly one content-defined chunk, identified by the md5 of its
+    * token text.
+    */
+  private def cdcChunkFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val tok = mutatedDocs(s, dir)
@@ -458,7 +462,7 @@ object Dedup {
     // declarative filter-HOF form of the same predicate ran interpreted
     // with a fresh concat per position and was the suite's slowest query
     val withB = tok.withColumn("bs", expr("cdc_boundaries(toks, 4, 16)"))
-    val chunks = withB
+    withB
       .select($"doc_id", $"toks", $"bs",
         posexplode($"bs").as(Seq("j", "b")))
       // previous boundary: bs[j] in 1-based element_at terms (posexplode
@@ -470,13 +474,46 @@ object Dedup {
         md5(concat_ws(" ", slice($"toks", $"start", $"b" - $"start" + 1)))
           .as("digest"),
         ($"b" - $"start" + 1).as("chunk_len"))
-    chunks.groupBy($"digest")
+  }
+
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cdcChunkFrame(s, dir).groupBy($"digest")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct($"doc_id").as("n_docs"),
         max($"chunk_len").as("chunk_len"))
       .filter($"n_docs" >= 2)
       .orderBy($"n_docs".desc, $"n_occurrences".desc, $"digest".asc)
       .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q212: chunk-dedup storage census — the readout q174's chunking
+  // exists to enable (backup/storage dedup à la LBFS/Venti, and the
+  // pretraining-corpus "how much of this crawl is re-crawl" number):
+  // identical content-defined chunks are stored ONCE, so per
+  // chunk-length band the census prices total token mass against
+  // stored (unique) mass — the dedup ratio IS the storage bill, and
+  // the band breakdown shows where the savings live (long repeated
+  // chunks pay for the whole scheme). One digest groupBy (identical
+  // digest ⇒ identical tokens ⇒ identical length, so max(len) is
+  // lossless), a 4-row band census, exact integer token accounting.
+  private def chunkDedupRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDigest = cdcChunkFrame(s, dir).groupBy($"digest")
+      .agg(count(lit(1)).as("n_occ"), max($"chunk_len").as("clen"))
+    byDigest.withColumn("band",
+        when($"clen" <= 4, "01-04").when($"clen" <= 8, "05-08")
+          .when($"clen" <= 16, "09-16").otherwise("17+"))
+      .groupBy($"band")
+      .agg(sum($"n_occ").as("n_chunks"), count(lit(1)).as("n_unique"),
+        sum($"n_occ" * $"clen").as("total_tokens"),
+        sum($"clen").as("stored_tokens"))
+      .select($"band", $"n_chunks", $"n_unique", $"total_tokens",
+        $"stored_tokens",
+        Num.roundAt($"stored_tokens".cast(DoubleType) /
+          $"total_tokens".cast(DoubleType), 6).as("dedup_ratio"))
+      .orderBy($"band")
   }
 
   // ---------------------------------------------------------------------
@@ -1476,6 +1513,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_chunk_dedup_ratio" -> (chunkDedupRatio _),
     "q209_threshold_sweep" -> (thresholdSweep _),
     "q199_sorted_neighborhood" -> (sortedNeighborhood _),
     "q147_dedup_recall" -> (dedupRecall _),
@@ -1813,6 +1851,54 @@ object Dedup {
         |       floor(CAST(cn AS DOUBLE) / cd * 1000000 + 0.5) / 1000000
         |         AS cum_novelty_rate
         |FROM cum ORDER BY bin""".stripMargin,
+    "q212_chunk_dedup_ratio" ->
+      s"""WITH $corpusSql,
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |cand AS (
+        |  SELECT doc_id, toks, unnest(range(4, len(toks) + 1)) AS i
+        |  FROM tok WHERE len(toks) >= 4),
+        |nat AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS b FROM cand
+        |  WHERE CAST(concat('0x', substring(md5(
+        |          array_to_string(toks[i-3:i], ' ')), 1, 7)) AS BIGINT)
+        |        % 16 = 0),
+        |allb AS (
+        |  SELECT DISTINCT doc_id, b FROM (
+        |    SELECT doc_id, b FROM nat
+        |    UNION ALL
+        |    SELECT doc_id, CAST(len(toks) AS INTEGER) FROM tok)),
+        |ord AS (
+        |  SELECT doc_id, list(b ORDER BY b) AS bs FROM allb GROUP BY doc_id),
+        |seg AS (
+        |  SELECT o.doc_id, t.toks, o.bs, CAST(u.j AS INTEGER) AS j
+        |  FROM ord o JOIN tok t USING (doc_id),
+        |       unnest(range(1, len(o.bs) + 1)) AS u(j)),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(
+        |           toks[(CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) + 1 : bs[j]],
+        |           ' ')) AS digest,
+        |         bs[j] - (CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END)
+        |           AS chunk_len
+        |  FROM seg
+        |  WHERE bs[j] >= (CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) + 1),
+        |bd AS (
+        |  SELECT digest, CAST(count(*) AS BIGINT) AS n_occ,
+        |         CAST(max(chunk_len) AS BIGINT) AS clen
+        |  FROM ch GROUP BY 1),
+        |bb AS (
+        |  SELECT CASE WHEN clen <= 4 THEN '01-04'
+        |              WHEN clen <= 8 THEN '05-08'
+        |              WHEN clen <= 16 THEN '09-16' ELSE '17+' END AS band,
+        |         n_occ, clen
+        |  FROM bd)
+        |SELECT band, CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) AS BIGINT) AS n_unique,
+        |       CAST(sum(n_occ * clen) AS BIGINT) AS total_tokens,
+        |       CAST(sum(clen) AS BIGINT) AS stored_tokens,
+        |       round(CAST(sum(clen) AS DOUBLE)
+        |         / CAST(sum(n_occ * clen) AS DOUBLE), 6) AS dedup_ratio
+        |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin,
     "q174_cdc_chunks" ->
       s"""WITH $corpusSql,
         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),

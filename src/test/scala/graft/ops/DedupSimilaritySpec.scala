@@ -472,6 +472,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q212: chunk token accounting is lossless and dedup never inflates") {
+    import spark.implicits._
+    val out = Dedup.queries("q212_chunk_dedup_ratio")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("stored_tokens") <= r.getAs[Long]("total_tokens"))
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    // every token of every doc lands in exactly one chunk: band token
+    // mass sums to the corpus token count
+    val total = rows.map(_.getAs[Long]("total_tokens")).sum
+    val docs = graft.Tables.documents(spark, dir)
+    val corpusTokens = docs.select(size(split($"text", " ")).as("n"))
+      .agg(sum($"n")).first().getLong(0) +
+      docs.filter($"doc_id" % 5 === 0)
+        .select((size(split($"text", " ")) - 1).as("n"))
+        .agg(sum($"n")).first().getLong(0)
+    assert(total == corpusTokens,
+      s"chunk mass $total != corpus tokens $corpusTokens")
+    out.unpersist()
+  }
+
   test("q209: threshold sweep is monotone and each band has its own population") {
     import spark.implicits._
     val out = Dedup.queries("q209_threshold_sweep")(spark, dir).cache()
