@@ -374,6 +374,41 @@ object Multimodal {
     bb.array()
   }
 
+  /** q213's textured variant of synthBmp: the linear-ramp pattern gives
+    * every image an almost-constant dHash (x-gradient sign is fixed), so
+    * a radius sweep over it saturates instantly; the quadratic + cross
+    * term makes gradient signs vary with (x, y, img) and the hash space
+    * spread. Same header/geometry as synthBmp, same oracle-replayable
+    * integer pixel arithmetic.
+    */
+  private[ops] def synthBmpTextured(docId: Long): Array[Byte] = {
+    val w = 9 + (docId % 6).toInt
+    val h = 5 + (docId % 5).toInt
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val total = 14 + 40 + dataLen
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(total)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 11 + row * 37 + x * x * 7 + x * row * 13) % 256).toInt
+        bb.put(v.toByte).put(((v + 85) % 256).toByte)
+          .put(((v + 170) % 256).toByte)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    bb.array()
+  }
+
   // q167: image feature census through the REAL JDK image decoder — see
   // the section comment above. Zero-shuffle batched decode, exact int64
   // features, closed-form oracle.
@@ -691,7 +726,50 @@ object Multimodal {
     decodeMedia(media).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q213: perceptual-hash RADIUS sweep — q209's threshold-policy harness
+  // for the image modality: q189 dedups at Hamming distance 0 (exact
+  // dHash match); real near-dup image dedup picks a RADIUS, and this
+  // census prices each candidate r ∈ {0, 2, 5, 10} in merged-image
+  // terms (pairs within r, images lost to the smaller-id-survivor
+  // rule, retention). The hashes come through the REAL decoder path
+  // (BMP bytes → javax.imageio → grayscale → dHash), so the sweep
+  // certifies the production pipeline end-to-end, not a hash stub.
+  // Scale shape: the pairwise stage runs over the distinct-IMAGE
+  // dictionary (257 here; the corpus side collapses by construction),
+  // never over documents — at data-scale image counts the banded
+  // Hamming search (q165's pigeonhole bands) generates the pairs and
+  // the same sweep census consumes them. Exact integer bit counts.
+  private def dhashRadiusSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(d => MediaRow(d, synthBmpTextured(d % 257)))
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(DHashCodec.decode))
+      .toDF()
+    val imgs = hashed.withColumn("img", $"doc_id" % 257)
+      .groupBy($"img")
+      .agg(min($"dhash_hi").as("hi"), min($"dhash_lo").as("lo"))
+    val pairs = imgs.as("a").join(imgs.as("b"), $"a.img" < $"b.img")
+      .select($"a.img".as("img_a"), $"b.img".as("img_b"),
+        (expr("bit_count(a.hi ^ b.hi)") + expr("bit_count(a.lo ^ b.lo)"))
+          .as("hd"))
+    val tot = imgs.agg(count(lit(1)).as("n_imgs"))
+    pairs.crossJoin(broadcast(Seq(0, 2, 5, 10).toDF("radius")))
+      .groupBy($"radius")
+      .agg(sum(when($"hd" <= $"radius", 1L).otherwise(0L)).as("n_pairs"),
+        count_distinct(when($"hd" <= $"radius", $"img_b")).as("n_merged"))
+      .crossJoin(broadcast(tot))
+      .select($"radius", $"n_pairs", $"n_merged", $"n_imgs",
+        graft.ops.Num.roundAt(($"n_imgs" - $"n_merged").cast("double") /
+          $"n_imgs".cast("double"), 6).as("retention"))
+      .orderBy($"radius")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_dhash_radius" -> (dhashRadiusSweep _),
     "q44_multimodal" -> (multimodal _),
     "q162_audio_census" -> (audioCensus _),
     "q163_video_census" -> (videoCensus _),
@@ -700,6 +778,50 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q213_dhash_radius" ->
+      """WITH imgs0 AS (SELECT DISTINCT doc_id % 257 AS img FROM documents),
+        |e AS (
+        |  SELECT img, x, y, y % (5 + img % 5) AS ym
+        |  FROM imgs0, (SELECT unnest(range(0, 8)) AS y),
+        |       (SELECT unnest(range(0, 8)) AS x)),
+        |gg AS (
+        |  SELECT img, x, y,
+        |         (img * 11 + ym * 37 + x * x * 7 + x * ym * 13) % 256 AS a0,
+        |         (img * 11 + ym * 37 + (x + 1) * (x + 1) * 7
+        |           + (x + 1) * ym * 13) % 256 AS a1
+        |  FROM e),
+        |bits AS (
+        |  SELECT img, y,
+        |         CASE WHEN (a1 + (a1 + 85) % 256 + (a1 + 170) % 256)
+        |                 > (a0 + (a0 + 85) % 256 + (a0 + 170) % 256)
+        |              THEN CAST(1 AS BIGINT) << CAST((y % 4) * 8 + x AS INTEGER)
+        |              ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM gg),
+        |hash AS (
+        |  SELECT img,
+        |         CAST(sum(CASE WHEN y >= 4 THEN bit ELSE 0 END) AS BIGINT)
+        |           AS hi,
+        |         CAST(sum(CASE WHEN y < 4 THEN bit ELSE 0 END) AS BIGINT)
+        |           AS lo
+        |  FROM bits GROUP BY 1),
+        |pr AS (
+        |  SELECT a.img AS img_a, b.img AS img_b,
+        |         CAST(bit_count(xor(a.hi, b.hi))
+        |           + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hd
+        |  FROM hash a JOIN hash b ON a.img < b.img),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_imgs FROM hash),
+        |sw AS (
+        |  SELECT radius,
+        |         CAST(sum(CASE WHEN hd <= radius THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_pairs,
+        |         CAST(count(DISTINCT CASE WHEN hd <= radius THEN img_b END)
+        |           AS BIGINT) AS n_merged
+        |  FROM pr, (SELECT unnest([0, 2, 5, 10]) AS radius)
+        |  GROUP BY 1)
+        |SELECT radius, n_pairs, n_merged, n_imgs,
+        |       round(CAST(n_imgs - n_merged AS DOUBLE)
+        |         / CAST(n_imgs AS DOUBLE), 6) AS retention
+        |FROM sw, tot ORDER BY radius""".stripMargin,
     // replays synthBmp's generator arithmetic (v = (img*11 + y*37 + x)
     // mod 256, channel offsets 85/170, height 5 + img mod 5) — the Spark
     // side decodes REAL BMP bytes through javax.imageio, so the hash

@@ -280,4 +280,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(clustered >= sharedAssetDocs,
       s"$clustered docs clustered < $sharedAssetDocs shared-asset docs")
   }
+
+  test("q213: radius sweep nests, r=0 pairs are exact hash collisions") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q213_dhash_radius")(
+      spark, "/root/testdata/sf0.001").cache()
+    val rows = out.orderBy("radius").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 2, 5, 10))
+    // a wider radius only adds pairs and merges more images
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    val merged = rows.map(_.getAs[Long]("n_merged")).toSeq
+    assert(pairs == pairs.sorted, s"pairs not monotone: $pairs")
+    assert(merged == merged.sorted, s"merged not monotone: $merged")
+    // the textured generator must actually discriminate: each radius
+    // step finds NEW pairs, and r=0 must not already merge everything
+    pairs.sliding(2).foreach { case Seq(a, b) => assert(b > a) }
+    assert(rows.head.getAs[Double]("retention") > 0.3,
+      "radius 0 collapsed the image space - generator lost its texture")
+    // r=0 count equals the exact-collision pair count from the codec
+    val hs = (0L until 257L)
+      .map(i => Multimodal.MediaRow(i, Multimodal.synthBmpTextured(i)))
+      .grouped(Multimodal.DecodeBatchSize)
+      .flatMap(Multimodal.DHashCodec.decode).toSeq
+    val exactPairs = hs.groupBy(h => (h.dhash_hi, h.dhash_lo)).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(rows.head.getAs[Long]("n_pairs") == exactPairs,
+      s"r=0 pairs ${rows.head.getAs[Long]("n_pairs")} != codec $exactPairs")
+    out.unpersist()
+  }
 }
