@@ -2932,7 +2932,65 @@ object Relational {
       .orderBy($"pair")
   }
 
+  // ---------------------------------------------------------------------
+  // q214: capacity-capped water-filling allocation — q202's Hamilton
+  // apportionment with the constraint real mixtures always have: a
+  // stratum can only supply what it HAS (cap = its high-quality docs,
+  // n_chars ≥ 200). Water-filling raises one proportionality level λ
+  // until Σ min(cap_i, λ·w_i) = K; strata below the waterline saturate
+  // at their cap, the rest split the remaining budget proportionally
+  // (with q202's largest-remainder finish, so Σ alloc == K exactly).
+  // The saturation test never touches a float: in cap/w ratio order,
+  // stratum i is capped iff cap_i·W_rem ≤ (K − C_prev)·w_i — exact
+  // int64 cross-multiplication (the capped set is a PREFIX of ratio
+  // order, the classic water-filling fact the spec re-proves). Scale
+  // shape: one groupBy to the strata census; every window runs on that
+  // dictionary-sized frame. K is 80% of total capacity, so both
+  // regimes (saturated and proportional) are exercised on every SF.
+  private def waterFilling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, dir)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("w"),
+        sum(when($"n_chars" >= 200, 1L).otherwise(0L)).as("cap"))
+    val tot = st.agg(sum($"cap").as("sumcap"), sum($"w").as("sumw"))
+    val wo = Window.orderBy(
+      $"cap".cast(DoubleType) / $"w".cast(DoubleType), $"source", $"lang")
+    val cum = st.crossJoin(broadcast(tot))
+      .withColumn("k", expr("(8 * sumcap) div 10"))
+      .withColumn("cumcap", sum($"cap").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumw", sum($"w").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cprev", $"cumcap" - $"cap")
+      .withColumn("wrem", $"sumw" - $"cumw" + $"w")
+      .withColumn("is_capped",
+        $"cap" * $"wrem" <= ($"k" - $"cprev") * $"w")
+    val pool = cum.agg(
+      sum(when($"is_capped", $"cap").otherwise(0L)).as("cstar"),
+      sum(when(!$"is_capped", $"w").otherwise(0L)).as("wstar"))
+    val wr = Window.orderBy($"rem".desc, $"source".asc, $"lang".asc)
+    val based = cum.crossJoin(broadcast(pool))
+      .withColumn("kk", $"k" - $"cstar")
+      .withColumn("base",
+        when($"is_capped", lit(0L))
+          .otherwise(expr("(kk * w) div wstar")))
+      .withColumn("rem",
+        when($"is_capped", lit(-1L)).otherwise(expr("(kk * w) % wstar")))
+    val leftover = based.agg(
+      (max($"kk") - sum($"base")).as("leftover"))
+    based.withColumn("rnk", row_number().over(wr).cast(LongType))
+      .crossJoin(broadcast(leftover))
+      .select($"source", $"lang", $"w", $"cap", $"is_capped",
+        when($"is_capped", $"cap")
+          .otherwise($"base" +
+            when(!$"is_capped" && $"rnk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"source", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_water_filling" -> (waterFilling _),
     "q211_ks_test" -> (ksTest _),
     "q208_aqp_sample" -> (aqpSample _),
     "q206_pagerank_converge" -> (pagerankConverge _),
@@ -3064,6 +3122,54 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q214_water_filling" ->
+      """WITH st AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS w,
+        |         CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(cap) AS BIGINT) AS sumcap,
+        |         CAST(sum(w) AS BIGINT) AS sumw FROM st),
+        |cum AS (
+        |  SELECT source, lang, w, cap, sumcap, sumw,
+        |         (8 * sumcap) // 10 AS k,
+        |         CAST(sum(cap) OVER ord AS BIGINT) AS cumcap,
+        |         CAST(sum(w) OVER ord AS BIGINT) AS cumw
+        |  FROM st, tot
+        |  WINDOW ord AS (
+        |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fl AS (
+        |  SELECT *,
+        |         (cap * (sumw - cumw + w) <= (k - (cumcap - cap)) * w)
+        |           AS is_capped
+        |  FROM cum),
+        |pool AS (
+        |  SELECT CAST(sum(CASE WHEN is_capped THEN cap ELSE 0 END)
+        |           AS BIGINT) AS cstar,
+        |         CAST(sum(CASE WHEN NOT is_capped THEN w ELSE 0 END)
+        |           AS BIGINT) AS wstar
+        |  FROM fl),
+        |based AS (
+        |  SELECT f.source, f.lang, f.w, f.cap, f.is_capped,
+        |         f.k - p.cstar AS kk,
+        |         CASE WHEN f.is_capped THEN 0
+        |              ELSE ((f.k - p.cstar) * f.w) // p.wstar END AS base,
+        |         CASE WHEN f.is_capped THEN -1
+        |              ELSE ((f.k - p.cstar) * f.w) % p.wstar END AS rem
+        |  FROM fl f, pool p),
+        |lo AS (
+        |  SELECT CAST(max(kk) - sum(base) AS BIGINT) AS leftover FROM based),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source, lang)
+        |           AS BIGINT) AS rnk
+        |  FROM based)
+        |SELECT source, lang, w, cap, is_capped,
+        |       CASE WHEN is_capped THEN cap
+        |            ELSE base + (CASE WHEN rnk <= leftover
+        |                         THEN 1 ELSE 0 END) END AS alloc
+        |FROM rk, lo ORDER BY source, lang""".stripMargin,
     "q211_ks_test" ->
       s"""${ksPairSql("1-URGENT", "5-LOW")}
         |UNION ALL

@@ -11,6 +11,37 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q214: water-filling exhausts the budget, honors caps, and the waterline is flat") {
+    import spark.implicits._
+    val out = Relational.queries("q214_water_filling")(spark, dir).cache()
+    val rows = out.collect()
+    // budget exactly spent: K = (8 * sum cap) div 10
+    val sumCap = rows.map(_.getAs[Long]("cap")).sum
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 8 * sumCap / 10)
+    // no stratum exceeds its capacity; capped strata sit exactly at it
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"))
+      if (r.getAs[Boolean]("is_capped"))
+        assert(r.getAs[Long]("alloc") == r.getAs[Long]("cap"))
+      assert(r.getAs[Long]("alloc") >= 0)
+    }
+    // water-filling structure: every capped stratum's cap/w ratio is
+    // <= every uncapped stratum's ALLOCATED ratio waterline (within the
+    // 1-slot largest-remainder wobble) — i.e. capped strata saturate
+    // because the waterline passed them
+    val capped = rows.filter(_.getAs[Boolean]("is_capped"))
+    val uncapped = rows.filter(!_.getAs[Boolean]("is_capped"))
+    if (capped.nonEmpty && uncapped.nonEmpty) {
+      val maxCappedRatio = capped.map(r =>
+        r.getAs[Long]("cap").toDouble / r.getAs[Long]("w")).max
+      val minUncappedAlloc = uncapped.map(r =>
+        (r.getAs[Long]("alloc") + 1).toDouble / r.getAs[Long]("w")).min
+      assert(maxCappedRatio <= minUncappedAlloc + 1e-9,
+        s"capped ratio $maxCappedRatio above waterline $minUncappedAlloc")
+    }
+    out.unpersist()
+  }
+
   test("q211: KS statistic matches a brute-force ECDF recompute") {
     import spark.implicits._
     val out = Relational.queries("q211_ks_test")(spark, dir).cache()
