@@ -757,7 +757,57 @@ object Similarity {
       .orderBy($"dim")
   }
 
+  // ---------------------------------------------------------------------
+  // q215: Matryoshka truncation census — the dimension-budget knob
+  // modern embedding models expose (MRL: the first d dims are trained
+  // to stand alone): rank with only the first 16 / 32 / 64 dimensions
+  // and measure recall@10 against the full-width ranking. The readout
+  // prices memory/compute (a 16-dim index is 4× smaller and 4× faster
+  // than 64) in recall terms — the decision input for "can the ANN
+  // tier run truncated and the re-rank tier full" (q164's two-stage
+  // pattern with a width budget instead of a quantizer). Determinism:
+  // per-width cosines are Det folds over prefix slices; ranks are
+  // total orders; recall counts are exact ints, means floor-scaled.
+  // Scale shape: per width one probe-broadcast scan (evaluation-only
+  // probe set, as q146); the census is 3 rows.
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    def topk(d: Int): DataFrame = {
+      val sliced = all
+        .select($"vec_id", expr(s"slice(v, 1, $d)").as("vd"))
+        .withColumn("nrm", sqrt(expr("fold_dot(vd, vd)")))
+      val probes = sliced.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"vd".as("pv"), $"nrm".as("pn"))
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      sliced.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .withColumn("cos", expr("fold_dot(pv, vd)") / ($"pn" * $"nrm"))
+        .withColumn("r", row_number().over(w))
+        .filter($"r" <= 10)
+        .select(lit(d).as("dim_budget"), $"probe_id", $"vec_id")
+    }
+    val truth = topk(64)
+      .select($"probe_id", $"vec_id", lit(1L).as("hit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Seq(16, 32, 64).map(topk).reduce(_ unionAll _)
+      .join(truth, Seq("probe_id", "vec_id"), "left")
+      .groupBy($"dim_budget", $"probe_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("nh"))
+      .groupBy($"dim_budget")
+      .agg(count(lit(1)).as("n_probes"), sum($"nh").as("n_hits"))
+      .select($"dim_budget", $"n_probes", $"n_hits",
+        Num.roundAt($"n_hits".cast(DoubleType) /
+          (lit(10.0) * $"n_probes".cast(DoubleType)), 6)
+          .as("mean_recall_at10"))
+      .orderBy($"dim_budget")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_matryoshka_recall" -> (matryoshkaRecall _),
     "q198_class_separability" -> (classSeparability _),
     "q197_hard_negatives" -> (hardNegatives _),
     "q196_embedding_drift" -> (embeddingDrift _),
@@ -782,7 +832,56 @@ object Similarity {
       |              (x, y) -> x + y)) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** q215 per-width ranked-top-10 CTE (probe-broadcast brute scan). */
+  private def mrlTopSql(d: Int): String =
+    s"""t$d AS (
+       |  SELECT $d AS dim_budget, probe_id, vec_id FROM (
+       |    SELECT p.probe_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |             (list_reduce(list_transform(range(1, ${d + 1}),
+       |                i -> p.pv[CAST(i AS INTEGER)] * c.vd[CAST(i AS INTEGER)]),
+       |               (x, y) -> x + y) / (p.pn * c.nrm)) DESC,
+       |             c.vec_id) AS r
+       |    FROM p$d p JOIN s$d c ON c.vec_id <> p.probe_id)
+       |  WHERE r <= 10)""".stripMargin
+
+  private def mrlSliceSql(d: Int): String =
+    s"""s$d AS (
+       |  SELECT vec_id, vd,
+       |         sqrt(list_reduce(list_transform(range(1, ${d + 1}),
+       |                i -> vd[CAST(i AS INTEGER)] * vd[CAST(i AS INTEGER)]),
+       |              (x, y) -> x + y)) AS nrm
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding[1 : $d],
+       |            x -> CAST(x AS DOUBLE)) AS vd
+       |        FROM embeddings)),
+       |p$d AS (
+       |  SELECT vec_id AS probe_id, vd AS pv, nrm AS pn
+       |  FROM s$d WHERE vec_id < 20)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q215_matryoshka_recall" ->
+      s"""WITH ${mrlSliceSql(16)},
+        |${mrlSliceSql(32)},
+        |${mrlSliceSql(64)},
+        |${mrlTopSql(16)},
+        |${mrlTopSql(32)},
+        |${mrlTopSql(64)},
+        |truth AS (SELECT probe_id, vec_id, CAST(1 AS BIGINT) AS hit
+        |          FROM t64),
+        |u AS (SELECT * FROM t16 UNION ALL SELECT * FROM t32
+        |      UNION ALL SELECT * FROM t64),
+        |perp AS (
+        |  SELECT u.dim_budget, u.probe_id,
+        |         CAST(sum(coalesce(t.hit, 0)) AS BIGINT) AS nh
+        |  FROM u LEFT JOIN truth t
+        |    ON t.probe_id = u.probe_id AND t.vec_id = u.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT dim_budget, CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(nh) AS BIGINT) AS n_hits,
+        |       round(CAST(sum(nh) AS DOUBLE)
+        |         / (10.0 * CAST(count(*) AS DOUBLE)), 6) AS mean_recall_at10
+        |FROM perp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q198_class_separability" ->
       """WITH e AS (
         |  SELECT label, CAST(i - 1 AS INTEGER) AS dim,

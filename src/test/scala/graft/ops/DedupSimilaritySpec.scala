@@ -586,6 +586,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q215: full-width recall is exactly 1 and recall grows with the budget") {
+    import spark.implicits._
+    val out = Similarity.queries("q215_matryoshka_recall")(spark, dir).cache()
+    val rows = out.orderBy("dim_budget").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 32, 64))
+    // the 64-dim ranking IS the ground truth, so its recall is exactly 1
+    val full = rows.last
+    assert(full.getAs[Double]("mean_recall_at10") == 1.0)
+    assert(full.getAs[Long]("n_hits") == 10 * full.getAs[Long]("n_probes"))
+    // monotone in width on this data (prefix information only grows)
+    val recalls = rows.map(_.getAs[Double]("mean_recall_at10")).toSeq
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(rows.forall(r => r.getAs[Long]("n_probes") == 20L))
+    assert(rows.forall(r => r.getAs[Double]("mean_recall_at10") >= 0.0 &&
+      r.getAs[Double]("mean_recall_at10") <= 1.0))
+    out.unpersist()
+  }
+
   test("q198: ANOVA identity - between + within recovers the total sum of squares") {
     import spark.implicits._
     val out = Similarity.queries("q198_class_separability")(spark, dir).cache()
