@@ -2731,13 +2731,15 @@ object Relational {
       .withColumn("sketch", $"topsq" + expr(
         "CASE WHEN d > kt THEN ((n - topn) * (n - topn)) div (d - kt) " +
           "ELSE 0 END"))
-    est.select(lit("uniform").as("method"), $"naive".as("predicted"),
-        $"exact")
-      .unionAll(est.select(lit("top100_tail").as("method"),
-        $"sketch".as("predicted"), $"exact"))
-      .unionAll(est.select(lit("exact").as("method"),
-        $"exact".as("predicted"), $"exact"))
-      .select($"method", $"predicted", $"exact",
+    // explode-unpivot, NOT a 3-branch union: a union would re-execute
+    // the whole key-census subtree once per estimator row
+    est.select(explode(array(
+        struct(lit("uniform").as("method"), $"naive".as("predicted")),
+        struct(lit("top100_tail").as("method"), $"sketch".as("predicted")),
+        struct(lit("exact").as("method"), $"exact".as("predicted"))))
+        .as("m"), $"exact")
+      .select($"m.method".as("method"), $"m.predicted".as("predicted"),
+        $"exact",
         Num.roundAt(($"predicted" - $"exact").cast(DoubleType) /
           $"exact".cast(DoubleType), 6).as("rel_err"))
       .orderBy($"method")

@@ -504,6 +504,45 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no band key in the candidate join:\n$p")
   }
 
+  test("q197: probes broadcast; the corpus scan is never the build side") {
+    val (_, p) = plan("q197_hard_negatives")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe attach is not a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the scorer:\n$p")
+  }
+
+  test("q204: the preflight runs off ONE key census - no join of lineitem to itself") {
+    val (_, p) = plan("q204_join_cardinality")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the estimator must never execute the join it predicts:\n$p")
+    // the stats and top-k branches each reduce the same key census; the
+    // explode-unpivot must NOT multiply the scans per estimator row
+    val nScans = "FileScan".r.findAllIn(p).size
+    assert(nScans <= 2, s"per-branch re-scans of lineitem ($nScans):\n$p")
+  }
+
+  test("q208: exact and sampled moments come from a single lineitem pass") {
+    val (df, p) = plan("q208_aqp_sample")
+    assert(scans(df).size == 1,
+      s"AQP harness scans lineitem ${scans(df).size} times:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the one-pass harness:\n$p")
+  }
+
+  test("q210: the run-count window partitions by order key, never globally") {
+    val (_, p) = plan("q210_encoding_census")
+    // every lag window in the plan must carry the l_orderkey partition
+    // spec; a global (unpartitioned) window would print without it
+    assert(p.contains("], [l_orderkey"),
+      s"run window lost its l_orderkey partitioning:\n$p")
+  }
+
+  test("q206: supersteps exchange on graph keys, never a cartesian") {
+    val (_, p) = plan("q206_pagerank_converge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank superstep lost its equi-join:\n$p")
+  }
+
   for (q <- Seq("q162_audio_census", "q163_video_census", "q167_image_census")) {
     test(s"$q: the decode pass is zero-shuffle after the input spread") {
       val (_, p) = plan(q)
