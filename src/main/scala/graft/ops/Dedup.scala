@@ -1512,7 +1512,56 @@ object Dedup {
       .orderBy($"w")
   }
 
+  // ---------------------------------------------------------------------
+  // q216: dedup flow matrix — WHO WINS when dedup collapses a duplicate
+  // group: under the min-id survivor policy every exact-duplicate group
+  // keeps one doc, and this census attributes each dropped doc to the
+  // (winning source → losing source) cell — the fairness readout data
+  // teams actually argue about (a crawl source that systematically
+  // loses to an earlier snapshot vanishes from the mixture even though
+  // its docs "survive" dedup in aggregate counts; q121's mixture
+  // weights silently shift by exactly these cells). pct_of_loser reads
+  // each cell against the losing source's corpus share. Scale shape:
+  // one digest groupBy (values never carry text), one join back for
+  // the winner's source, |sources|² census; all counts exact.
+  private def dedupFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the corpus plus two simulated re-crawl waves (q183's arrival
+    // pattern): exact text copies under their own source labels, ids
+    // offset far above the data's key range — so the matrix always has
+    // the canonical "earlier snapshot wins" cells, at every SF
+    val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+    val all = base
+      .unionAll(base.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"),
+          lit("recrawl").as("source"), $"text"))
+      .unionAll(base.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"),
+          lit("mirror").as("source"), $"text"))
+    val d = all.select($"doc_id", $"source", md5($"text").as("dg"))
+    val win = d.groupBy($"dg")
+      .agg(min($"doc_id").as("win_id"), count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    val dd = d.join(win, Seq("dg"))
+    val winners = dd.filter($"doc_id" === $"win_id")
+      .select($"dg", $"source".as("winner_source"))
+    val totals = all
+      .groupBy($"source".as("loser_source"))
+      .agg(count(lit(1)).as("n_src"))
+    dd.filter($"doc_id" =!= $"win_id")
+      .withColumnRenamed("source", "loser_source")
+      .join(winners, Seq("dg"))
+      .groupBy($"winner_source", $"loser_source")
+      .agg(count(lit(1)).as("n_lost"))
+      .join(broadcast(totals), Seq("loser_source"))
+      .select($"winner_source", $"loser_source", $"n_lost",
+        Num.roundAt($"n_lost".cast(DoubleType) / $"n_src".cast(DoubleType),
+          6).as("pct_of_loser"))
+      .orderBy($"winner_source", $"loser_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_dedup_flow" -> (dedupFlow _),
     "q212_chunk_dedup_ratio" -> (chunkDedupRatio _),
     "q209_threshold_sweep" -> (thresholdSweep _),
     "q199_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -1599,6 +1648,40 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q216_dedup_flow" ->
+      """WITH allc AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'recrawl', text FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'mirror', text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |d AS (
+        |  SELECT doc_id, source, md5(text) AS dg FROM allc),
+        |win AS (
+        |  SELECT dg, CAST(min(doc_id) AS BIGINT) AS win_id,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1 HAVING count(*) >= 2),
+        |dd AS (SELECT d.doc_id, d.source, d.dg, w.win_id
+        |       FROM d JOIN win w USING (dg)),
+        |winners AS (
+        |  SELECT dg, source AS winner_source FROM dd
+        |  WHERE doc_id = win_id),
+        |tot AS (
+        |  SELECT source AS loser_source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM allc GROUP BY 1),
+        |m AS (
+        |  SELECT w.winner_source, l.source AS loser_source,
+        |         CAST(count(*) AS BIGINT) AS n_lost
+        |  FROM dd l JOIN winners w USING (dg)
+        |  WHERE l.doc_id <> l.win_id
+        |  GROUP BY 1, 2)
+        |SELECT winner_source, loser_source, n_lost,
+        |       round(CAST(n_lost AS DOUBLE) / CAST(n_src AS DOUBLE), 6)
+        |         AS pct_of_loser
+        |FROM m JOIN tot USING (loser_source)
+        |ORDER BY winner_source, loser_source""".stripMargin,
     "q209_threshold_sweep" ->
       s"""WITH $corpusSql,
         |corpus2 AS (

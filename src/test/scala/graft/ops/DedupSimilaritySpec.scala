@@ -472,6 +472,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q216: re-crawl waves always lose to the original snapshot") {
+    import spark.implicits._
+    val out = Dedup.queries("q216_dedup_flow")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // min-id survivorship: the planted waves carry offset ids, so the
+    // original sources can never appear as losers to the waves
+    rows.foreach { r =>
+      assert(r.getAs[String]("winner_source") != "recrawl" &&
+        r.getAs[String]("winner_source") != "mirror",
+        s"wave won a group: $r")
+      assert(r.getAs[Long]("n_lost") > 0)
+      val p = r.getAs[Double]("pct_of_loser")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // every planted recrawl doc is an exact copy, so the recrawl wave's
+    // losses total exactly its size
+    val base = graft.Tables.documents(spark, dir)
+    val nRecrawl = base.filter($"doc_id" % 3 === 0).count()
+    val lostRecrawl = rows.filter(_.getAs[String]("loser_source") == "recrawl")
+      .map(_.getAs[Long]("n_lost")).sum
+    assert(lostRecrawl == nRecrawl,
+      s"recrawl losses $lostRecrawl != wave size $nRecrawl")
+    out.unpersist()
+  }
+
   test("q212: chunk token accounting is lossless and dedup never inflates") {
     import spark.implicits._
     val out = Dedup.queries("q212_chunk_dedup_ratio")(spark, dir).cache()
