@@ -2991,7 +2991,46 @@ object Relational {
       .orderBy($"source", $"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q217: seasonal-naive forecast BACKTEST (MASE census) — the eval
+  // harness q149's forecaster needs before anyone trusts it: hold out
+  // the last 28 days of daily revenue, "forecast" each with the
+  // seasonal-naive rule (same weekday last week, lag 7) against the
+  // plain-naive baseline (yesterday, lag 1), and read out per-weekday
+  // MAE and MASE = MAE_model/MAE_naive — under 1 means seasonality is
+  // real signal, over 1 means the model is worse than persistence
+  // (Hyndman's scale-free standard). Exact integer cents throughout
+  // (absolute errors of exact ints); the lags run over the
+  // calendar-sized daily frame, and the holdout cut is the frame's own
+  // max date minus 28 — no wall clock. Only the final ratios are fp.
+  private def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast(DateType).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("cents"))
+    val wo = Window.orderBy($"day")
+    val cut = daily.agg(date_sub(max($"day"), 28).as("cut"))
+    daily
+      .withColumn("snaive", lag($"cents", 7).over(wo))
+      .withColumn("naive", lag($"cents", 1).over(wo))
+      .crossJoin(broadcast(cut))
+      .filter($"day" > $"cut" && $"snaive".isNotNull && $"naive".isNotNull)
+      .groupBy(dayofweek($"day").as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"cents" - $"snaive")).as("ae_snaive"),
+        sum(abs($"cents" - $"naive")).as("ae_naive"))
+      .select($"weekday", $"n_days",
+        Num.roundAt($"ae_snaive".cast(DoubleType) /
+          ($"n_days".cast(DoubleType) * lit(100.0)), 4).as("mae_snaive"),
+        Num.roundAt($"ae_naive".cast(DoubleType) /
+          ($"n_days".cast(DoubleType) * lit(100.0)), 4).as("mae_naive"),
+        Num.roundAt($"ae_snaive".cast(DoubleType) /
+          $"ae_naive".cast(DoubleType), 6).as("mase"))
+      .orderBy($"weekday")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_forecast_backtest" -> (forecastBacktest _),
     "q214_water_filling" -> (waterFilling _),
     "q211_ks_test" -> (ksTest _),
     "q208_aqp_sample" -> (aqpSample _),
@@ -3124,6 +3163,36 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q217_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT day, cents,
+        |         lag(cents, 7) OVER (ORDER BY day) AS snaive,
+        |         lag(cents, 1) OVER (ORDER BY day) AS naive
+        |  FROM daily),
+        |cut AS (SELECT max(day) - INTERVAL 28 DAY AS cut FROM daily),
+        |h AS (
+        |  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS weekday,
+        |         cents, snaive, naive
+        |  FROM lagged, cut
+        |  WHERE day > cut AND snaive IS NOT NULL AND naive IS NOT NULL),
+        |g AS (
+        |  SELECT weekday, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(abs(cents - snaive)) AS BIGINT) AS ae_snaive,
+        |         CAST(sum(abs(cents - naive)) AS BIGINT) AS ae_naive
+        |  FROM h GROUP BY 1)
+        |SELECT weekday, n_days,
+        |       round(CAST(ae_snaive AS DOUBLE)
+        |         / (CAST(n_days AS DOUBLE) * 100.0), 4) AS mae_snaive,
+        |       round(CAST(ae_naive AS DOUBLE)
+        |         / (CAST(n_days AS DOUBLE) * 100.0), 4) AS mae_naive,
+        |       round(CAST(ae_snaive AS DOUBLE) / CAST(ae_naive AS DOUBLE), 6)
+        |         AS mase
+        |FROM g ORDER BY weekday""".stripMargin,
     "q214_water_filling" ->
       """WITH st AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS w,

@@ -11,6 +11,25 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q217: backtest covers 28 held-out days and MASE is the MAE ratio") {
+    import spark.implicits._
+    val out = Relational.queries("q217_forecast_backtest")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.map(_.getInt(0)).forall(w => w >= 1 && w <= 7))
+    // the holdout is the last 28 calendar days; at sf0.001 not every
+    // day trades, so the scored count is bounded by the window
+    val scored = rows.map(_.getAs[Long]("n_days")).sum
+    assert(scored >= 1 && scored <= 28, s"scored $scored days")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae_snaive") >= 0.0)
+      assert(r.getAs[Double]("mae_naive") > 0.0)
+      val ratio = r.getAs[Double]("mae_snaive") / r.getAs[Double]("mae_naive")
+      assert(math.abs(r.getAs[Double]("mase") - ratio) < 1e-3,
+        s"weekday ${r.getInt(0)}: mase ${r.getAs[Double]("mase")} vs $ratio")
+    }
+    out.unpersist()
+  }
+
   test("q214: water-filling exhausts the budget, honors caps, and the waterline is flat") {
     import spark.implicits._
     val out = Relational.queries("q214_water_filling")(spark, dir).cache()
