@@ -1560,7 +1560,73 @@ object Dedup {
       .orderBy($"winner_source", $"loser_source")
   }
 
+  // ---------------------------------------------------------------------
+  // q219: b-bit minwise hashing calibration — the signature-COMPRESSION
+  // rung of the sketch ladder (Li & König: keep only the lowest b bits
+  // of each minhash; storage drops 64/b-fold): the collision rate m of
+  // b-bit values overstates Jaccard by chance collisions, and the
+  // corrected estimator Ĵ_b = (m − 2⁻ᵇ)/(1 − 2⁻ᵇ) buys the memory back
+  // with variance. This harness (q177's candidate frame and exact-J
+  // verify) prices that trade: per b ∈ {1, 2, 4, 8} and the full-width
+  // baseline, the mean |Ĵ_b − J| — the number that decides how small
+  // the dedup index can ship. Determinism: m is an exact multiple of
+  // 1/64, 2⁻ᵇ is an exact dyadic, so every estimator value is an
+  // identical IEEE double on both engines; means are floor-scaled
+  // int64 sums. Scale shape: candidates are the banded equi-join
+  // (never all-pairs); the per-b sweep is an explode over the
+  // already-reduced pair frame.
+  private def bbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val withNg = bandExploded(
+      mutatedDocs(s, dir)
+        .withColumn("ng", expr("shingle_hashes(split(text, ' '), 3)")),
+      np, payload = Seq("ng"))
+    def mb(p: Long): Column =
+      size(filter(zip_with($"a.sig", $"b.sig",
+        (x, y) => if (p == 0L) x === y
+                  else (x % lit(p)) === (y % lit(p))), v => v)) / lit(64.0)
+    val pairs = withNg.as("a")
+      .join(withNg.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .withColumn("m1", mb(2L)).withColumn("m2", mb(4L))
+      .withColumn("m4", mb(16L)).withColumn("m8", mb(256L))
+      .withColumn("m64", mb(0L))
+      .withColumn("inter", expr("sorted_overlap(a.ng, b.ng)"))
+      .withColumn("jx",
+        $"inter" / (size($"a.ng") + size($"b.ng") - $"inter"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(max($"m1").as("m1"), max($"m2").as("m2"), max($"m4").as("m4"),
+        max($"m8").as("m8"), max($"m64").as("m64"), max($"jx").as("jx"))
+    pairs
+      .select(explode(array(
+        struct(lit(1).as("b"), $"m1".as("m"), lit(0.5).as("c")),
+        struct(lit(2).as("b"), $"m2".as("m"), lit(0.25).as("c")),
+        struct(lit(4).as("b"), $"m4".as("m"), lit(0.0625).as("c")),
+        struct(lit(8).as("b"), $"m8".as("m"), lit(0.00390625).as("c")),
+        struct(lit(64).as("b"), $"m64".as("m"), lit(0.0).as("c"))))
+        .as("t"), $"jx")
+      .select($"t.b".as("b"),
+        (($"t.m" - $"t.c") / (lit(1.0) - $"t.c")).as("est"), $"jx")
+      .groupBy($"b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor($"est" * lit(1e9))).as("se"),
+        sum(floor($"jx" * lit(1e9))).as("sx"),
+        sum(floor(abs($"est" - $"jx") * lit(1e9))).as("serr"))
+      .select($"b", $"n_pairs",
+        Num.roundAt($"se".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_est"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_exact"),
+        Num.roundAt($"serr".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_abs_err"))
+      .orderBy($"b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
     "q212_chunk_dedup_ratio" -> (chunkDedupRatio _),
     "q209_threshold_sweep" -> (thresholdSweep _),
@@ -1648,6 +1714,47 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q219_bbit_minhash" ->
+      s"""WITH $corpusSql,
+        |${bandCtes("corpus")},
+        |pm AS (
+        |  SELECT c.doc_a, c.doc_b, v.b, v.c,
+        |         CASE WHEN v.p = 0
+        |           THEN len(list_filter(range(1, 65),
+        |                  i -> sa.sig[i] = sb.sig[i])) / 64.0
+        |           ELSE len(list_filter(range(1, 65),
+        |                  i -> (sa.sig[i] % v.p) = (sb.sig[i] % v.p))) / 64.0
+        |         END AS m,
+        |         len(list_intersect(ha.hashes, hb.hashes)) /
+        |           (len(ha.hashes) + len(hb.hashes)
+        |            - len(list_intersect(ha.hashes, hb.hashes))) AS jx
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b
+        |  JOIN h ha ON ha.doc_id = c.doc_a
+        |  JOIN h hb ON hb.doc_id = c.doc_b,
+        |  (SELECT * FROM (VALUES (1, 2, 0.5), (2, 4, 0.25),
+        |     (4, 16, 0.0625), (8, 256, 0.00390625), (64, 0, 0.0))
+        |     t(b, p, c)) v),
+        |e2 AS (
+        |  SELECT b, (m - c) / (1.0 - c) AS est, jx FROM pm),
+        |g AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CAST(floor(est * 1000000000.0) AS BIGINT))
+        |           AS BIGINT) AS se,
+        |         CAST(sum(CAST(floor(jx * 1000000000.0) AS BIGINT))
+        |           AS BIGINT) AS sx,
+        |         CAST(sum(CAST(floor(abs(est - jx) * 1000000000.0)
+        |           AS BIGINT)) AS BIGINT) AS serr
+        |  FROM e2 GROUP BY 1)
+        |SELECT b, n_pairs,
+        |       round(CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |         / 1000000000.0, 6) AS mean_est,
+        |       round(CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |         / 1000000000.0, 6) AS mean_exact,
+        |       round(CAST(serr AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |         / 1000000000.0, 6) AS mean_abs_err
+        |FROM g ORDER BY b""".stripMargin,
     "q216_dedup_flow" ->
       """WITH allc AS (
         |  SELECT doc_id, source, text FROM documents

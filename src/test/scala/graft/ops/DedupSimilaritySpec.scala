@@ -472,6 +472,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q219: b-bit estimator error shrinks toward the full-width baseline") {
+    import spark.implicits._
+    val out = Dedup.queries("q219_bbit_minhash")(spark, dir).cache()
+    val rows = out.orderBy("b").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 64))
+    // one pair universe shared across widths
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1)
+    assert(rows.map(_.getAs[Double]("mean_exact")).distinct.length == 1)
+    // compression costs accuracy: the 1-bit estimator cannot beat the
+    // full-width baseline, and errors stay sane fractions
+    val errs = rows.map(_.getAs[Double]("mean_abs_err"))
+    assert(errs.head >= errs.last - 1e-9,
+      s"b=1 error ${errs.head} below full-width ${errs.last}")
+    assert(errs.forall(e => e >= 0.0 && e < 0.5))
+    // estimates stay in the corrected-estimator range
+    rows.foreach(r => assert(r.getAs[Double]("mean_est") >= -0.1 &&
+      r.getAs[Double]("mean_est") <= 1.0 + 1e-9))
+    out.unpersist()
+  }
+
   test("q216: re-crawl waves always lose to the original snapshot") {
     import spark.implicits._
     val out = Dedup.queries("q216_dedup_flow")(spark, dir).cache()
