@@ -3029,7 +3029,62 @@ object Relational {
       .orderBy($"weekday")
   }
 
+  // ---------------------------------------------------------------------
+  // q218: churn-label engineering — the supervised-label build every
+  // retention model starts from, and the step most often botched by
+  // leakage: users active in the OBSERVATION window (days −42 to −14
+  // from the stream's own max timestamp) get a churn label from the
+  // disjoint OUTCOME window (last 14 days) — features may only read
+  // observation-window activity, the label only outcome-window
+  // absence, and the windows never overlap (the temporal contract the
+  // spec pins). The census reads churn rate by observation-activity
+  // band — the monotone engagement→retention curve a sanity review
+  // checks before training. Scale shape: one scan, per-user counts
+  // map-side, 3-row census; window bounds derive from max(ts) (no
+  // wall clock — the q183 determinism pattern), all counts exact.
+  private def churnLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // entity = (user, event_type): "which engagement features is this
+    // user dropping" — the granularity where both labels are non-trivial
+    // at every SF (user-level activity here is too dense to ever lapse).
+    // Two labels per entity: hard churn (silent outcome window) and
+    // DECLINE (outcome rate under half the observation rate — the exact
+    // integer predicate 4·n_out < n_obs, since the windows are 14 vs 28
+    // days: n_out/14 < (n_obs/28)/2 ⟺ 4·n_out < n_obs).
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val mx = ev.agg(max($"ts").as("mx"))
+    val perEnt = ev.crossJoin(broadcast(mx))
+      .withColumn("in_obs",
+        $"ts" >= expr("mx - INTERVAL 42 DAYS") &&
+          $"ts" < expr("mx - INTERVAL 14 DAYS"))
+      .withColumn("in_out", $"ts" >= expr("mx - INTERVAL 14 DAYS"))
+      .groupBy($"user_id", $"event_type")
+      .agg(sum(when($"in_obs", 1L).otherwise(0L)).as("n_obs"),
+        sum(when($"in_out", 1L).otherwise(0L)).as("n_out"))
+      .filter($"n_obs" >= 1)
+    perEnt
+      .withColumn("band",
+        when($"n_obs" <= 2, "1-2").when($"n_obs" <= 9, "3-9")
+          .otherwise("10+"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(when($"n_out" === 0L, 1L).otherwise(0L)).as("n_churned"),
+        sum(when(lit(4L) * $"n_out" < $"n_obs", 1L).otherwise(0L))
+          .as("n_declined"),
+        sum($"n_obs").as("obs_events"))
+      .select($"band", $"n_entities", $"n_churned",
+        Num.roundAt($"n_churned".cast(DoubleType) /
+          $"n_entities".cast(DoubleType), 6).as("churn_rate"),
+        $"n_declined",
+        Num.roundAt($"n_declined".cast(DoubleType) /
+          $"n_entities".cast(DoubleType), 6).as("decline_rate"),
+        Num.roundAt($"obs_events".cast(DoubleType) /
+          $"n_entities".cast(DoubleType), 4).as("mean_obs_events"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_churn_labels" -> (churnLabels _),
     "q217_forecast_backtest" -> (forecastBacktest _),
     "q214_water_filling" -> (waterFilling _),
     "q211_ks_test" -> (ksTest _),
@@ -3163,6 +3218,44 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q218_churn_labels" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |t AS (
+        |  SELECT user_id, event_type,
+        |         (ts >= mx - INTERVAL 42 DAY AND ts < mx - INTERVAL 14 DAY)
+        |           AS in_obs,
+        |         (ts >= mx - INTERVAL 14 DAY) AS in_out
+        |  FROM events, mx),
+        |pu AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(CASE WHEN in_obs THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_obs,
+        |         CAST(sum(CASE WHEN in_out THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_out
+        |  FROM t GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN in_obs THEN 1 ELSE 0 END) >= 1),
+        |b AS (
+        |  SELECT CASE WHEN n_obs <= 2 THEN '1-2'
+        |              WHEN n_obs <= 9 THEN '3-9' ELSE '10+' END AS band,
+        |         n_obs, n_out
+        |  FROM pu),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_entities,
+        |         CAST(sum(CASE WHEN n_out = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_churned,
+        |         CAST(sum(CASE WHEN 4 * n_out < n_obs THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_declined,
+        |         CAST(sum(n_obs) AS BIGINT) AS obs_events
+        |  FROM b GROUP BY 1)
+        |SELECT band, n_entities, n_churned,
+        |       round(CAST(n_churned AS DOUBLE) / CAST(n_entities AS DOUBLE),
+        |         6) AS churn_rate,
+        |       n_declined,
+        |       round(CAST(n_declined AS DOUBLE) / CAST(n_entities AS DOUBLE),
+        |         6) AS decline_rate,
+        |       round(CAST(obs_events AS DOUBLE) / CAST(n_entities AS DOUBLE),
+        |         4) AS mean_obs_events
+        |FROM g ORDER BY band""".stripMargin,
     "q217_forecast_backtest" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

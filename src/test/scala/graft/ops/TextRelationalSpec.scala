@@ -11,6 +11,34 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q218: label windows are disjoint and churn implies decline") {
+    import spark.implicits._
+    val out = Relational.queries("q218_churn_labels")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // hard churn (zero outcome) satisfies 4*0 < n_obs, so it is a
+      // subset of decline in every band
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_declined"))
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_entities"))
+      assert(r.getAs[Double]("churn_rate") <= r.getAs[Double]("decline_rate") + 1e-9)
+      assert(r.getAs[Double]("mean_obs_events") >= 1.0)
+    }
+    // temporal contract: the windows partition the last 42 days — an
+    // entity counted here has observation activity by construction, and
+    // entity totals reconcile with a direct recompute
+    val ev = graft.Tables.events(spark, dir)
+    val mxTs = ev.agg(max($"ts")).first().getTimestamp(0)
+    val nEnt = ev.crossJoin(broadcast(ev.agg(max($"ts").as("mx"))))
+      .filter($"ts" >= expr("mx - INTERVAL 42 DAYS") &&
+        $"ts" < expr("mx - INTERVAL 14 DAYS"))
+      .select($"user_id", $"event_type").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_entities")).sum == nEnt,
+      s"entity total mismatch vs direct recompute ($nEnt)")
+    assert(mxTs != null)
+    out.unpersist()
+  }
+
   test("q217: backtest covers 28 held-out days and MASE is the MAE ratio") {
     import spark.implicits._
     val out = Relational.queries("q217_forecast_backtest")(spark, dir).cache()
