@@ -3083,7 +3083,61 @@ object Relational {
       .orderBy($"band")
   }
 
+  // ---------------------------------------------------------------------
+  // q220: session-gap threshold sweep — the sessionization POLICY knob
+  // (q94's transition matrix and the streaming session windows both
+  // hard-code one gap): for gap ∈ {15, 30, 60} minutes, a new session
+  // starts where a user's inter-event gap exceeds the threshold, and
+  // the census reads out session count, mean events per session and
+  // mean session duration — the curve that justifies a session
+  // definition before anything downstream consumes it (and, in
+  // Structured Streaming terms, prices the state-timeout choice). One
+  // user-partitioned lag window feeds ALL thresholds (the gap is
+  // computed once; each threshold just counts exceedances), exact
+  // int64 micros end to end. Sessions per threshold = exceedances + 1
+  // per user — no per-threshold re-windowing.
+  private def sessionGapSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"event_id", $"user_id", Num.epochUs($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+    val perUser = gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"ts_us").as("mx"), min($"ts_us").as("mn"),
+        sum(when($"gap_us" > 15L * 60000000L, 1L).otherwise(0L)).as("x15"),
+        sum(when($"gap_us" > 30L * 60000000L, 1L).otherwise(0L)).as("x30"),
+        sum(when($"gap_us" > 60L * 60000000L, 1L).otherwise(0L)).as("x60"),
+        sum(when($"gap_us" > 15L * 60000000L, $"gap_us").otherwise(0L))
+          .as("g15"),
+        sum(when($"gap_us" > 30L * 60000000L, $"gap_us").otherwise(0L))
+          .as("g30"),
+        sum(when($"gap_us" > 60L * 60000000L, $"gap_us").otherwise(0L))
+          .as("g60"))
+    // total in-session time per threshold = user span minus the gaps
+    // that BREAK sessions (each exceedance removes its whole gap)
+    perUser
+      .select($"n_events", explode(array(
+        struct(lit(15).as("gap_min"), ($"x15" + 1).as("ns"),
+          ($"mx" - $"mn" - $"g15").as("dur")),
+        struct(lit(30).as("gap_min"), ($"x30" + 1).as("ns"),
+          ($"mx" - $"mn" - $"g30").as("dur")),
+        struct(lit(60).as("gap_min"), ($"x60" + 1).as("ns"),
+          ($"mx" - $"mn" - $"g60").as("dur")))).as("t"))
+      .groupBy($"t.gap_min".as("gap_min"))
+      .agg(sum($"t.ns").as("n_sessions"), sum($"n_events").as("n_events"),
+        sum($"t.dur").as("total_dur_us"))
+      .select($"gap_min", $"n_sessions",
+        Num.roundAt($"n_events".cast(DoubleType) /
+          $"n_sessions".cast(DoubleType), 4).as("mean_events_per_session"),
+        Num.roundAt($"total_dur_us".cast(DoubleType) /
+          ($"n_sessions".cast(DoubleType) * lit(60000000.0)), 4)
+          .as("mean_session_minutes"))
+      .orderBy($"gap_min")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_session_gap_sweep" -> (sessionGapSweep _),
     "q218_churn_labels" -> (churnLabels _),
     "q217_forecast_backtest" -> (forecastBacktest _),
     "q214_water_filling" -> (waterFilling _),
@@ -3218,6 +3272,49 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q220_session_gap_sweep" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |           AS gap_us
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(max(ts_us) AS BIGINT) AS mx,
+        |         CAST(min(ts_us) AS BIGINT) AS mn,
+        |         CAST(sum(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x15,
+        |         CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x30,
+        |         CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x60,
+        |         CAST(sum(CASE WHEN gap_us > 900000000 THEN gap_us
+        |           ELSE 0 END) AS BIGINT) AS g15,
+        |         CAST(sum(CASE WHEN gap_us > 1800000000 THEN gap_us
+        |           ELSE 0 END) AS BIGINT) AS g30,
+        |         CAST(sum(CASE WHEN gap_us > 3600000000 THEN gap_us
+        |           ELSE 0 END) AS BIGINT) AS g60
+        |  FROM g GROUP BY 1),
+        |u AS (
+        |  SELECT n_events, 15 AS gap_min, x15 + 1 AS ns, mx - mn - g15 AS dur
+        |  FROM pu
+        |  UNION ALL
+        |  SELECT n_events, 30, x30 + 1, mx - mn - g30 FROM pu
+        |  UNION ALL
+        |  SELECT n_events, 60, x60 + 1, mx - mn - g60 FROM pu),
+        |c AS (
+        |  SELECT gap_min, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        |         CAST(sum(n_events) AS BIGINT) AS n_events,
+        |         CAST(sum(dur) AS BIGINT) AS total_dur_us
+        |  FROM u GROUP BY 1)
+        |SELECT gap_min, n_sessions,
+        |       round(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE),
+        |         4) AS mean_events_per_session,
+        |       round(CAST(total_dur_us AS DOUBLE)
+        |         / (CAST(n_sessions AS DOUBLE) * 60000000.0), 4)
+        |         AS mean_session_minutes
+        |FROM c ORDER BY gap_min""".stripMargin,
     "q218_churn_labels" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),
         |t AS (

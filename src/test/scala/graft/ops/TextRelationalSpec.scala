@@ -11,6 +11,34 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q220: session counts are antitone in the gap and events are conserved") {
+    import spark.implicits._
+    val out = Relational.queries("q220_session_gap_sweep")(spark, dir).cache()
+    val rows = out.orderBy("gap_min").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(15, 30, 60))
+    // a wider gap can only merge sessions
+    val ns = rows.map(_.getAs[Long]("n_sessions")).toSeq
+    assert(ns == ns.sorted.reverse, s"session counts not antitone: $ns")
+    // conservation: every threshold partitions the same event stream,
+    // so n_sessions * mean_events_per_session recovers the event count
+    val nEv = graft.Tables.events(spark, dir).count()
+    rows.foreach { r =>
+      val recovered = r.getAs[Long]("n_sessions") *
+        r.getAs[Double]("mean_events_per_session")
+      assert(math.abs(recovered - nEv) < nEv * 1e-3,
+        s"gap ${r.getInt(0)}: events $recovered != $nEv")
+      assert(r.getAs[Double]("mean_session_minutes") >= 0.0)
+    }
+    // session count is bounded by users (min) and events (max)
+    val nUsers = graft.Tables.events(spark, dir)
+      .select($"user_id").distinct().count()
+    assert(ns.forall(n => n >= nUsers && n <= nEv))
+    // mean session duration grows with the merging gap
+    val durs = rows.map(_.getAs[Double]("mean_session_minutes")).toSeq
+    assert(durs == durs.sorted, s"durations not monotone: $durs")
+    out.unpersist()
+  }
+
   test("q218: label windows are disjoint and churn implies decline") {
     import spark.implicits._
     val out = Relational.queries("q218_churn_labels")(spark, dir).cache()
