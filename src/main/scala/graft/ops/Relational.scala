@@ -3136,7 +3136,46 @@ object Relational {
       .orderBy($"gap_min")
   }
 
+  // ---------------------------------------------------------------------
+  // q221: seasonally-adjusted robust anomaly days — q88's median/MAD
+  // gate composed with a weekday seasonal profile over the revenue
+  // series: raw daily revenue would flag every Sunday (the seasonal
+  // swing dwarfs real anomalies), so each day is first residualized
+  // against ITS WEEKDAY's median, then the residuals pass the
+  // 1.4826·MAD robust z — the two-stage shape production monitoring
+  // actually runs (STL-residual alerting). Output: top-10 days by
+  // |robust z| with the observed/expected decomposition an on-call
+  // reader needs. Scale: the raw scan reduces map-side to the
+  // calendar-sized daily frame; the profile is a 7-row broadcast;
+  // medians are exact percentiles on identical inputs (q52 precedent)
+  // and money stays exact cents until the final readout.
+  private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast(DateType).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("cents"))
+      .withColumn("weekday", dayofweek($"day"))
+    val prof = daily.groupBy($"weekday")
+      .agg(expr("percentile(cast(cents as double), 0.5)").as("med_wd"))
+    val res = daily.join(broadcast(prof), Seq("weekday"))
+      .withColumn("r", $"cents".cast(DoubleType) - $"med_wd")
+    val mad = res.agg(expr("percentile(r, 0.5)").as("med_r"),
+      expr("percentile(abs(r), 0.5)").as("mad"))
+    val wr = Window.orderBy(abs($"z").desc, $"day".asc)
+    res.crossJoin(broadcast(mad))
+      .withColumn("z", ($"r" - $"med_r") / (lit(1.4826) * $"mad"))
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= 10)
+      .select($"rank", $"day", $"weekday",
+        Num.roundAt($"cents".cast(DoubleType) / lit(100.0), 2)
+          .as("revenue"),
+        Num.roundAt($"med_wd" / lit(100.0), 2).as("expected"),
+        Num.roundAt($"z", 4).as("robust_z"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_seasonal_anomaly" -> (seasonalAnomaly _),
     "q220_session_gap_sweep" -> (sessionGapSweep _),
     "q218_churn_labels" -> (churnLabels _),
     "q217_forecast_backtest" -> (forecastBacktest _),
@@ -3272,6 +3311,40 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q221_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |wd AS (
+        |  SELECT day, cents, CAST(dayofweek(day) + 1 AS INTEGER) AS weekday
+        |  FROM daily),
+        |prof AS (
+        |  SELECT weekday, quantile_cont(CAST(cents AS DOUBLE), 0.5)
+        |           AS med_wd
+        |  FROM wd GROUP BY 1),
+        |res AS (
+        |  SELECT w.day, w.cents, w.weekday, p.med_wd,
+        |         CAST(w.cents AS DOUBLE) - p.med_wd AS r
+        |  FROM wd w JOIN prof p USING (weekday)),
+        |mad AS (
+        |  SELECT quantile_cont(r, 0.5) AS med_r,
+        |         quantile_cont(abs(r), 0.5) AS mad
+        |  FROM res),
+        |z AS (
+        |  SELECT day, weekday, cents, med_wd,
+        |         (r - med_r) / (1.4826 * mad) AS z
+        |  FROM res, mad),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, day)
+        |           AS INTEGER) AS rank
+        |  FROM z)
+        |SELECT rank, day, weekday,
+        |       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |       round(med_wd / 100.0, 2) AS expected,
+        |       round(z, 4) AS robust_z
+        |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q220_session_gap_sweep" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,

@@ -11,6 +11,30 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q221: seasonal residualization uses the weekday's own median") {
+    import spark.implicits._
+    val out = Relational.queries("q221_seasonal_anomaly")(spark, dir).cache()
+    val rows = out.orderBy("rank").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // ranking is by |z| descending
+    val zs = rows.map(r => math.abs(r.getAs[Double]("robust_z"))).toSeq
+    assert(zs == zs.sorted.reverse, s"|z| not descending: $zs")
+    // expected really is the flagged day's weekday median
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .withColumn("weekday", dayofweek($"day")).cache()
+    rows.take(3).foreach { r =>
+      val med = daily.filter($"weekday" === r.getInt(2))
+        .agg(expr("percentile(cast(cents as double), 0.5)"))
+        .first().getDouble(0)
+      assert(math.abs(r.getAs[Double]("expected") - med / 100.0) < 0.01,
+        s"day ${r.get(1)}: expected ${r.getAs[Double]("expected")} vs ${med / 100.0}")
+    }
+    daily.unpersist(); out.unpersist()
+  }
+
   test("q220: session counts are antitone in the gap and events are conserved") {
     import spark.implicits._
     val out = Relational.queries("q220_session_gap_sweep")(spark, dir).cache()
