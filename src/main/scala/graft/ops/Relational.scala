@@ -3174,7 +3174,54 @@ object Relational {
       .orderBy($"rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q222: idempotency dedup-window census — sizing the state TTL for
+  // exactly-once semantics over an at-least-once transport (the number
+  // `dropDuplicates` + `withWatermark` needs BEFORE deployment, the
+  // batch twin of streaming/StreamingDemo's dedup): deliveries are the
+  // stream plus a deterministic redelivery wave (every 4th event
+  // re-arrives 1–30 hash-chosen minutes late), and per idempotency key
+  // the census reads the first-to-last arrival SPAN — a dedup window
+  // of W minutes catches exactly the keys with span ≤ W, so the sweep
+  // rows {5, 15, 30} read off coverage directly (30 min = 100% here by
+  // construction; the real-world run replaces the synthetic wave with
+  // observed redeliveries). All arithmetic exact int64 micros; the
+  // delay derives from md5 (Det rule 1), never a random. Scale shape:
+  // one union scan, one key groupBy (map-side), 3-row census.
+  private def idempotencyCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", Num.epochUs($"ts").as("arr_us"))
+    val deliveries = ev.unionAll(
+      ev.filter($"event_id" % 4 === 0)
+        .select($"event_id",
+          ($"arr_us" + (Det.h7($"event_id".cast(StringType)) % 30 + 1) *
+            lit(60000000L)).as("arr_us")))
+    val perKey = deliveries.groupBy($"event_id")
+      .agg(count(lit(1)).as("n_del"),
+        (max($"arr_us") - min($"arr_us")).as("span_us"))
+    val tot = perKey.agg(count(lit(1)).as("n_keys"),
+      sum($"n_del").as("n_deliveries"),
+      sum(when($"n_del" >= 2, 1L).otherwise(0L)).as("n_dup_keys"),
+      max($"span_us").as("max_span_us"))
+    perKey.filter($"n_del" >= 2)
+      .crossJoin(broadcast(Seq(5, 15, 30).toDF("window_min")))
+      .groupBy($"window_min")
+      .agg(sum(when($"span_us" <= $"window_min" * lit(60000000L), 1L)
+        .otherwise(0L)).as("n_covered"))
+      .crossJoin(broadcast(tot))
+      .select($"window_min", $"n_dup_keys", $"n_covered",
+        Num.roundAt($"n_covered".cast(DoubleType) /
+          $"n_dup_keys".cast(DoubleType), 6).as("coverage"),
+        Num.roundAt(($"n_deliveries" - $"n_keys").cast(DoubleType) /
+          $"n_deliveries".cast(DoubleType), 6).as("dup_rate"),
+        Num.roundAt($"max_span_us".cast(DoubleType) / lit(60000000.0), 4)
+          .as("max_span_min"))
+      .orderBy($"window_min")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_idempotency_census" -> (idempotencyCensus _),
     "q221_seasonal_anomaly" -> (seasonalAnomaly _),
     "q220_session_gap_sweep" -> (sessionGapSweep _),
     "q218_churn_labels" -> (churnLabels _),
@@ -3311,6 +3358,42 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q222_idempotency_census" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS arr_us FROM events),
+        |del AS (
+        |  SELECT event_id, arr_us FROM ev
+        |  UNION ALL
+        |  SELECT event_id,
+        |         arr_us + (CAST(concat('0x', substring(md5(
+        |             CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 30 + 1)
+        |           * 60000000
+        |  FROM ev WHERE event_id % 4 = 0),
+        |pk AS (
+        |  SELECT event_id, CAST(count(*) AS BIGINT) AS n_del,
+        |         CAST(max(arr_us) - min(arr_us) AS BIGINT) AS span_us
+        |  FROM del GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(n_del) AS BIGINT) AS n_deliveries,
+        |         CAST(sum(CASE WHEN n_del >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dup_keys,
+        |         CAST(max(span_us) AS BIGINT) AS max_span_us
+        |  FROM pk),
+        |c AS (
+        |  SELECT window_min,
+        |         CAST(sum(CASE WHEN span_us <= window_min * 60000000
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM pk, (SELECT unnest([5, 15, 30]) AS window_min)
+        |  WHERE n_del >= 2 GROUP BY 1)
+        |SELECT window_min, n_dup_keys, n_covered,
+        |       round(CAST(n_covered AS DOUBLE) / CAST(n_dup_keys AS DOUBLE),
+        |         6) AS coverage,
+        |       round(CAST(n_deliveries - n_keys AS DOUBLE)
+        |         / CAST(n_deliveries AS DOUBLE), 6) AS dup_rate,
+        |       round(CAST(max_span_us AS DOUBLE) / 60000000.0, 4)
+        |         AS max_span_min
+        |FROM c, tot ORDER BY window_min""".stripMargin,
     "q221_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

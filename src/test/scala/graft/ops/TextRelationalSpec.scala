@@ -11,6 +11,29 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q222: the 30-minute window catches every duplicate by construction") {
+    import spark.implicits._
+    val out = Relational.queries("q222_idempotency_census")(spark, dir).cache()
+    val rows = out.orderBy("window_min").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(5, 15, 30))
+    // coverage is monotone in the window and total at 30 min (delays
+    // are hash-chosen in 1..30 minutes)
+    val cov = rows.map(_.getAs[Double]("coverage")).toSeq
+    assert(cov == cov.sorted, s"coverage not monotone: $cov")
+    assert(cov.last == 1.0, s"30-min window must cover all: ${cov.last}")
+    assert(rows.last.getAs[Double]("max_span_min") <= 30.0 + 1e-9)
+    // the redelivery wave is every 4th event: dup accounting is exact
+    val nEv = graft.Tables.events(spark, dir).count()
+    val nRedel = graft.Tables.events(spark, dir)
+      .filter($"event_id" % 4 === 0).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_keys") == nRedel)
+      val expectedRate = nRedel.toDouble / (nEv + nRedel)
+      assert(math.abs(r.getAs[Double]("dup_rate") - expectedRate) < 1e-5)
+    }
+    out.unpersist()
+  }
+
   test("q221: seasonal residualization uses the weekday's own median") {
     import spark.implicits._
     val out = Relational.queries("q221_seasonal_anomaly")(spark, dir).cache()
