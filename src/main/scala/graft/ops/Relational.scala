@@ -3220,7 +3220,45 @@ object Relational {
       .orderBy($"window_min")
   }
 
+  // ---------------------------------------------------------------------
+  // q223: cross-table status-consistency audit — the referential
+  // data-quality check q151's FK-orphan audit doesn't cover: an order's
+  // status must AGREE with its line items' statuses (every line F ⇒
+  // order F; every line O ⇒ order O or P; mixed ⇒ P — the contract of
+  // this schema's state machine). One aggregation collapses each
+  // order's lines to a (n_f, n_o) profile, the join back to orders
+  // classifies every (order status × line profile) cell, and the
+  // census surfaces the violating cells with examples — the shape of
+  // every "two tables disagree" investigation. Exact counts; min() for
+  // the example key makes the readout deterministic.
+  private def statusConsistency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_linestatus" === "F", 1L).otherwise(0L)).as("n_f"))
+      .withColumn("line_profile",
+        when($"n_f" === $"n_lines", "all_F")
+          .when($"n_f" === 0L, "all_O").otherwise("mixed"))
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus")
+      .join(lines, $"o_orderkey" === $"l_orderkey")
+      .withColumn("consistent",
+        ($"line_profile" === "all_F" && $"o_orderstatus" === "F") ||
+          ($"line_profile" === "all_O" &&
+            ($"o_orderstatus" === "O" || $"o_orderstatus" === "P")) ||
+          ($"line_profile" === "mixed" && $"o_orderstatus" === "P"))
+      .groupBy($"o_orderstatus", $"line_profile")
+      .agg(count(lit(1)).as("n_orders"),
+        max(when(!$"consistent", lit(1L)).otherwise(0L)).as("viol"),
+        min($"o_orderkey").as("example_order"))
+      .select($"o_orderstatus", $"line_profile", $"n_orders",
+        ($"viol" === 1L).as("violation"), $"example_order")
+      .orderBy($"o_orderstatus", $"line_profile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_status_consistency" -> (statusConsistency _),
     "q222_idempotency_census" -> (idempotencyCensus _),
     "q221_seasonal_anomaly" -> (seasonalAnomaly _),
     "q220_session_gap_sweep" -> (sessionGapSweep _),
@@ -3358,6 +3396,32 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q223_status_consistency" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_f
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN n_f = n_lines THEN 'all_F'
+        |              WHEN n_f = 0 THEN 'all_O' ELSE 'mixed' END
+        |           AS line_profile
+        |  FROM l),
+        |j AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, p.line_profile,
+        |         ((p.line_profile = 'all_F' AND o.o_orderstatus = 'F')
+        |          OR (p.line_profile = 'all_O'
+        |              AND o.o_orderstatus IN ('O', 'P'))
+        |          OR (p.line_profile = 'mixed' AND o.o_orderstatus = 'P'))
+        |           AS consistent
+        |  FROM orders o JOIN p ON p.l_orderkey = o.o_orderkey)
+        |SELECT o_orderstatus, line_profile,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       (CAST(max(CASE WHEN NOT consistent THEN 1 ELSE 0 END)
+        |          AS BIGINT) = 1) AS violation,
+        |       CAST(min(o_orderkey) AS BIGINT) AS example_order
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q222_idempotency_census" ->
       """WITH ev AS (
         |  SELECT event_id, epoch_us(ts) AS arr_us FROM events),

@@ -11,6 +11,26 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q223: the consistency rule table is applied cell-exactly") {
+    import spark.implicits._
+    val out = Relational.queries("q223_status_consistency")(spark, dir).cache()
+    val rows = out.collect()
+    val ok = Set(("F", "all_F"), ("O", "all_O"), ("P", "all_O"), ("P", "mixed"))
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(r.getAs[Boolean]("violation") == !ok.contains(cell),
+        s"cell $cell misflagged")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+    // cells partition the orders that have line items
+    val nWithLines = graft.Tables.orders(spark, dir).select($"o_orderkey")
+      .join(graft.Tables.lineitem(spark, dir)
+        .select($"l_orderkey").distinct(),
+        $"o_orderkey" === $"l_orderkey").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nWithLines)
+    out.unpersist()
+  }
+
   test("q222: the 30-minute window catches every duplicate by construction") {
     import spark.implicits._
     val out = Relational.queries("q222_idempotency_census")(spark, dir).cache()
