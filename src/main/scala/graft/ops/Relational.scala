@@ -3257,7 +3257,50 @@ object Relational {
       .orderBy($"o_orderstatus", $"line_profile")
   }
 
+  // ---------------------------------------------------------------------
+  // q224: price-dispersion census — the procurement / catalog-hygiene
+  // readout: per part, the spread of the unit prices its suppliers
+  // actually charged (exact integer cents via floor(100·ext/qty) per
+  // line — division before flooring keeps the per-unit rate, and the
+  // floor makes the cross-engine value exact), banded by relative
+  // spread (max−min)/min (cutoffs 100×/300×/800× — this synthetic
+  // price generator draws per-line prices independently of quantity,
+  // so spreads are orders of magnitude; on real catalogs the same
+  // census runs with single-digit cutoffs). Wide-spread parts are
+  // arbitrage/negotiation targets or data errors; the q151/q223 audit family's numeric
+  // sibling. Scale shape: one map-side-combined groupBy per part, one
+  // 4-row band census; only the relative-spread ratio is fp.
+  private def priceDispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val unit = Tables.lineitem(s, dir)
+      .filter($"l_quantity" > 0)
+      .select($"l_partkey",
+        floor(lit(100.0) * $"l_extendedprice" / $"l_quantity")
+          .cast(LongType).as("unit_cents"))
+    val perPart = unit.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        min($"unit_cents").as("mn"), max($"unit_cents").as("mx"))
+      .filter($"n_lines" >= 2 && $"mn" > 0)
+      .withColumn("rel_spread",
+        ($"mx" - $"mn").cast(DoubleType) / $"mn".cast(DoubleType))
+    perPart
+      .withColumn("band",
+        when($"rel_spread" <= 100.0, "a_le100x")
+          .when($"rel_spread" <= 300.0, "b_le300x")
+          .when($"rel_spread" <= 800.0, "c_le800x").otherwise("d_gt800x"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_parts"), sum($"n_lines").as("n_lines"),
+        sum(floor($"rel_spread" * lit(1e6))).as("ss"),
+        max($"rel_spread").as("worst"))
+      .select($"band", $"n_parts", $"n_lines",
+        Num.roundAt($"ss".cast(DoubleType) / $"n_parts".cast(DoubleType)
+          / lit(1e6), 6).as("mean_rel_spread"),
+        Num.roundAt($"worst", 6).as("max_rel_spread"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_price_dispersion" -> (priceDispersion _),
     "q223_status_consistency" -> (statusConsistency _),
     "q222_idempotency_census" -> (idempotencyCensus _),
     "q221_seasonal_anomaly" -> (seasonalAnomaly _),
@@ -3396,6 +3439,41 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q224_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey,
+        |         CAST(floor(100.0 * l_extendedprice / l_quantity) AS BIGINT)
+        |           AS unit_cents
+        |  FROM lineitem WHERE l_quantity > 0),
+        |p AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(min(unit_cents) AS BIGINT) AS mn,
+        |         CAST(max(unit_cents) AS BIGINT) AS mx
+        |  FROM u GROUP BY 1
+        |  HAVING count(*) >= 2 AND min(unit_cents) > 0),
+        |r AS (
+        |  SELECT n_lines,
+        |         CAST(mx - mn AS DOUBLE) / CAST(mn AS DOUBLE) AS rel_spread
+        |  FROM p),
+        |b AS (
+        |  SELECT CASE WHEN rel_spread <= 100.0 THEN 'a_le100x'
+        |              WHEN rel_spread <= 300.0 THEN 'b_le300x'
+        |              WHEN rel_spread <= 800.0 THEN 'c_le800x'
+        |              ELSE 'd_gt800x' END AS band,
+        |         n_lines, rel_spread
+        |  FROM r),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |         CAST(sum(CAST(floor(rel_spread * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS ss,
+        |         max(rel_spread) AS worst
+        |  FROM b GROUP BY 1)
+        |SELECT band, n_parts, n_lines,
+        |       round(CAST(ss AS DOUBLE) / CAST(n_parts AS DOUBLE)
+        |         / 1000000.0, 6) AS mean_rel_spread,
+        |       round(worst, 6) AS max_rel_spread
+        |FROM g ORDER BY band""".stripMargin,
     "q223_status_consistency" ->
       """WITH l AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,

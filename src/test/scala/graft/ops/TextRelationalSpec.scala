@@ -11,6 +11,36 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q224: dispersion bands partition eligible parts with ordered spreads") {
+    import spark.implicits._
+    val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
+    val rows = out.orderBy("band").collect()
+    assert(rows.nonEmpty)
+    // bands carry disjoint spread ranges: max of a band stays below the
+    // cutoff, and band means are strictly increasing across bands
+    val caps = Map("a_le100x" -> 100.0, "b_le300x" -> 300.0,
+      "c_le800x" -> 800.0)
+    rows.foreach { r =>
+      caps.get(r.getString(0)).foreach(cap =>
+        assert(r.getAs[Double]("max_rel_spread") <= cap + 1e-6))
+      assert(r.getAs[Double]("mean_rel_spread") <=
+        r.getAs[Double]("max_rel_spread") + 1e-6)
+    }
+    val means = rows.map(_.getAs[Double]("mean_rel_spread")).toSeq
+    assert(means == means.sorted, s"band means not increasing: $means")
+    // partition check: every part with >= 2 priced lines lands in a band
+    val eligible = graft.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 0)
+      .select($"l_partkey",
+        floor(lit(100.0) * $"l_extendedprice" / $"l_quantity")
+          .cast("long").as("uc"))
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"), min($"uc").as("mn"))
+      .filter($"n" >= 2 && $"mn" > 0).count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == eligible)
+    out.unpersist()
+  }
+
   test("q223: the consistency rule table is applied cell-exactly") {
     import spark.implicits._
     val out = Relational.queries("q223_status_consistency")(spark, dir).cache()
