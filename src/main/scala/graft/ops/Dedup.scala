@@ -1280,16 +1280,24 @@ object Dedup {
     // whose 4-shingle Jaccard against their source lands ≈ 0.86 / 0.67
     // / 0.46 — one population per threshold band, so each cutoff choice
     // prices a different slice of the corpus.
+    // One mutatedDocs projection feeds all four corpus branches, and the
+    // assembled corpus is PERSISTED: it has two consumers (the shingle
+    // frame inside verifiedPairs and the 1-row n_docs census below), and
+    // without the cache each consumer re-executes the 4-branch union —
+    // at 100× scale that second pass is a full corpus re-read for one
+    // scalar (round-10 verdict item #2).
+    val base = mutatedDocs(s, dir).select($"doc_id", $"text")
     def prefixCut(mod: Long, off: Long, k: Int): DataFrame =
-      mutatedDocs(s, dir).filter($"doc_id" % mod === 0)
+      base.filter($"doc_id" % mod === 0)
         .select(($"doc_id" + off).as("doc_id"),
           expr(s"array_join(slice(split(text, ' '), 1, " +
             s"cast(($k * size(split(text, ' ')) + 9) div 10 as int)), ' ')")
             .as("text"))
-    val corpus = mutatedDocs(s, dir).select($"doc_id", $"text")
+    val corpus = base
       .unionAll(prefixCut(5L, 40000000L, 9))
       .unionAll(prefixCut(7L, 50000000L, 7))
       .unionAll(prefixCut(11L, 60000000L, 5))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ver = verifiedPairs(s, corpus)
     val th = Seq(("0.3", 3L, 10L), ("0.5", 1L, 2L), ("0.7", 7L, 10L),
       ("0.9", 9L, 10L)).toDF("t", "p", "q")

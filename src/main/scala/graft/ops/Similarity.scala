@@ -790,10 +790,13 @@ object Similarity {
         .filter($"r" <= 10)
         .select(lit(d).as("dim_budget"), $"probe_id", $"vec_id")
     }
-    val truth = topk(64)
-      .select($"probe_id", $"vec_id", lit(1L).as("hit"))
+    // topk(64) serves twice — as the truth set AND as the widest sweep
+    // entry. Execute it ONCE (persist) and derive both; the most
+    // expensive probe-broadcast scan + ranking window is never re-run.
+    val t64 = topk(64)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Seq(16, 32, 64).map(topk).reduce(_ unionAll _)
+    val truth = t64.select($"probe_id", $"vec_id", lit(1L).as("hit"))
+    Seq(16, 32).map(topk).reduce(_ unionAll _).unionAll(t64)
       .join(truth, Seq("probe_id", "vec_id"), "left")
       .groupBy($"dim_budget", $"probe_id")
       .agg(sum(coalesce($"hit", lit(0L))).as("nh"))

@@ -837,6 +837,10 @@ object TextAnalysis {
     import s.implicits._
     val big = Tables.documents(s, dir)
       .select(split($"text", " ").as("ts"))
+      // Single-token guard (mirrors q127/q192): without it a 1-token doc
+      // sends sequence(1, 0) DESCENDING to [1, 0] and element_at(ts, 0)
+      // throws, while the oracle's range(1, 1) is simply empty.
+      .filter(size($"ts") >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1)," +
           " i -> struct(element_at(ts, i) AS x, element_at(ts, i + 1) AS y))"))
