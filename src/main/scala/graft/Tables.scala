@@ -11,6 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters` carries the pushed predicates).
   */
 object Tables {
+  /** Memoized analyzed frames, keyed by (session, path). The testdata
+    * tables are immutable inputs, so re-reading them per query only
+    * re-pays driver-side file listing + parquet footer decoding —
+    * measurable fixed latency (~tens of ms per `spark.read.parquet`)
+    * across a 220-query suite of sub-second queries. A resident
+    * production session does exactly this once, by registering the
+    * table in the catalog; the memo is that registration. Keying on the
+    * session keeps test isolation (each spec's session lists its own
+    * files); the cached value is an immutable logical plan, so sharing
+    * it across queries is free of aliasing hazards. Column pruning /
+    * predicate pushdown are unaffected — they act on each query's plan
+    * at optimization time, not at read-definition time.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive: every oracle-compared query assumes UTC (timestamps cross
     // the compare as epoch integers). Session builders pin it; this guard
@@ -18,7 +34,8 @@ object Tables {
     // conf when it actually differs.
     if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    memo.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
