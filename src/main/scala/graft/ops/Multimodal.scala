@@ -102,7 +102,23 @@ object Multimodal {
     * loudly: a media pipeline that silently fabricates metadata for
     * undecodable blobs poisons everything downstream.
     */
+  /** ImageIO's default input-stream cache is a DISK cache: every
+    * `ImageIO.read` / `createImageInputStream` call materializes a temp
+    * FILE (FileCacheImageInputStream) — for a 60k-image partition scan
+    * that is 60k temp-file create/delete syscalls, serialized by the
+    * filesystem and by the registry lock, and it compounds under
+    * executor-thread contention (measured: q213 5.4 s in-suite vs 1.3 s
+    * solo). Our payloads are already in-memory byte arrays, so the disk
+    * cache buys nothing — switch the JVM to MemoryCacheImageInputStream
+    * once per executor (object init runs on first use in each JVM).
+    */
+  private[ops] object ImageIoTuning {
+    def ensure(): Unit = () // forces object init
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   object ImageIoCodec extends MediaCodec {
+    ImageIoTuning.ensure()
     private def md5hex(b: Array[Byte]): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(b).map("%02x".format(_)).mkString
@@ -309,6 +325,7 @@ object Multimodal {
     * image coordinates. Undecodable payloads fail loudly.
     */
   object ImageFeatureCodec extends ImageCodec {
+    ImageIoTuning.ensure()
     def decode(batch: Seq[MediaRow]): Seq[ImageFeat] = batch.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.blob))
@@ -667,6 +684,7 @@ object Multimodal {
     * keep the oracle in plain arithmetic.
     */
   object DHashCodec extends Serializable {
+    ImageIoTuning.ensure()
     def decode(batch: Seq[MediaRow]): Seq[ImageHash] = batch.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.blob))
