@@ -313,6 +313,55 @@ class TableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally pool.shutdown()
   }
 
+  test("two-writer race: same read version, barrier-aligned commits — exactly one winner") {
+    import spark.implicits._
+    // The raw optimistic-concurrency contract, below append's retry
+    // loop: two writers that each read version v and race the PHYSICAL
+    // publish (hard-link creation) of v+1. The concurrent-appenders test
+    // proves liveness through retries; this one proves the safety core —
+    // a genuinely simultaneous pair of commit() calls on the SAME target
+    // version yields exactly one winner and exactly one
+    // CommitConflictException, never two versions, never zero, and the
+    // loser's clean retry lands on the next version with both batches
+    // visible. A CyclicBarrier inside the threads puts both publishes
+    // in flight at once instead of sequencing them on the test thread.
+    val t = freshTable()
+    val rv = t.latestVersion
+    def stage(tag: String): VersionedTable.AddEntry = {
+      val rel = s"race-$tag"
+      val df = Seq((900000L + tag.hashCode.abs % 1000, s"racer-$tag", 1.0))
+        .toDF("c_custkey", "c_name", "c_acctbal")
+      df.coalesce(1).write.parquet(t.root.resolve(rel).toString)
+      VersionedTable.AddEntry(rel, 1L, None)
+    }
+    val adds = Seq(stage("a"), stage("b"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Long]]()
+    val threads = adds.zipWithIndex.map { case (add, i) =>
+      new Thread(() => {
+        barrier.await() // both commits in flight simultaneously
+        try results.put(i, Right(t.commit("append", rv, Seq(add), Nil)))
+        catch { case e: Throwable => results.put(i, Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val (losers, winners) =
+      (0 to 1).map(results.get).partition(_.isLeft)
+    assert(winners.size == 1, s"expected exactly one winner, got $results")
+    assert(winners.head == Right(rv + 1))
+    assert(losers.size == 1 &&
+      losers.head.left.exists(_.isInstanceOf[CommitConflictException]),
+      s"loser must fail with CommitConflictException, got $results")
+    // clean retry: the loser re-reads the fresh version and lands
+    val lost = (0 to 1).find(i => results.get(i).isLeft).get
+    val v2 = t.commit("append", t.latestVersion, Seq(adds(lost)), Nil)
+    assert(v2 == rv + 2)
+    val names = t.snapshot(spark).filter($"c_name".startsWith("racer-"))
+      .select($"c_name").as[String].collect().toSet
+    assert(names == Set("racer-a", "racer-b"))
+  }
+
   test("change feed classifies null transitions as updates (null-safe struct compare)") {
     import spark.implicits._
     val t = freshTable()
