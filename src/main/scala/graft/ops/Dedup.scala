@@ -99,10 +99,11 @@ object Dedup {
     * sets) can run directly on the band join's output.
     */
   private def bandExploded(docs: DataFrame, np: Int,
-                           payload: Seq[String] = Nil): DataFrame = {
+                           payload: Seq[String] = Nil,
+                           sep: String = " "): DataFrame = {
     val keep = (Seq("doc_id") ++ payload).map(col)
     docs
-      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .withColumn("sig", expr(s"minhash_sig(split(text, '$sep'))"))
       .select(keep :+ col("sig"): _*)
       .repartition(np, col("doc_id"))
       .withColumn("bands",
@@ -1461,7 +1462,13 @@ object Dedup {
   // key prefix survives the typo so truth pairs never straddle a
   // boundary). One window pass emits all 10 lead offsets; the three
   // sweep rows share it. All counts exact integers.
-  private def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q199/q225: the q199 probe corpus (every 20th part with
+    * its name's 3rd char dropped), sorted-neighborhood candidate pairs
+    * up to lead offset `maxK` under the rotated key. Returns
+    * (probe_id, pk, k) where k is the neighbor offset.
+    */
+  private def snmCandidates(s: SparkSession, dir: String,
+                            maxK: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
@@ -1476,20 +1483,26 @@ object Dedup {
         concat(slice($"t", 2, 100), array(element_at($"t", 1)))))
       .withColumn("blk", substring($"key", 1, 2))
     val wspec = Window.partitionBy($"blk").orderBy($"key", $"rid")
-    val withLeads = u.select($"rid" +: $"kind" +: (1 to 10).flatMap(k =>
+    val withLeads = u.select($"rid" +: $"kind" +: (1 to maxK).flatMap(k =>
       Seq(lead($"rid", k).over(wspec).as(s"nid_$k"),
         lead($"kind", k).over(wspec).as(s"nkind_$k"))): _*)
     val nbr = withLeads.select($"rid", $"kind",
-        explode(array((1 to 10).map(k => struct(lit(k).as("k"),
+        explode(array((1 to maxK).map(k => struct(lit(k).as("k"),
           col(s"nid_$k").as("nid"), col(s"nkind_$k").as("nkind"))): _*))
           .as("nb"))
       .select($"rid", $"kind", $"nb.k".as("k"), $"nb.nid".as("nid"),
         $"nb.nkind".as("nkind"))
       .filter($"nid".isNotNull && $"kind" =!= $"nkind")
-    val pairs = nbr.filter($"kind" === "q")
+    nbr.filter($"kind" === "q")
         .select($"rid".as("probe_id"), $"nid".as("pk"), $"k")
       .unionAll(nbr.filter($"kind" === "p")
         .select($"nid".as("probe_id"), $"rid".as("pk"), $"k"))
+  }
+
+  private def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+    val pairs = snmCandidates(s, dir, 10)
     // Truth is the NAME ENTITY, not the source row: the tiny name
     // dictionary duplicates each name ~dozens of times, so ANY
     // candidate carrying the probe's uncorrupted name is a correct
@@ -1518,6 +1531,107 @@ object Dedup {
           ($"n_q".cast(DoubleType) * $"n_p".cast(DoubleType)), 6)
           .as("reduction_ratio"))
       .orderBy($"w")
+  }
+
+  // ---------------------------------------------------------------------
+  // q225: blocking-family comparison — the cross-family pricing table
+  // the per-family sweeps (q199's w, q178's S-curve, q64's key design)
+  // can't produce alone: ONE truth set, ONE probe workload, and the
+  // THREE classic blocking families priced against each other in the
+  // only two currencies a blocking choice spends — pair completeness
+  // (truth pairs surviving the block) and reduction ratio (fraction of
+  // the n_q x n_p cross product never generated). Families, each at its
+  // production operating point:
+  //   feature_block — q64's discrete key (2nd token, 1st char, length
+  //     with the probe fanning out +/-2): keys DESIGNED around the
+  //     error class; near-perfect completeness when the assumption
+  //     holds, zero recourse when it doesn't.
+  //   snm_w5 — q199's sorted-neighborhood at w=5: no discrete key at
+  //     all, linear n*w candidates, completeness bounded by sort-key
+  //     adjacency.
+  //   minhash_lsh — q21's 16x4 MinHash bands over name tokens: the
+  //     similarity-threshold family; the probe's one corrupted token
+  //     kills 1 of ~3 shingles (J ~= 0.5 against its source), so band
+  //     collisions price the S-curve at mid-similarity — the honest
+  //     "what does LSH cost you on short strings" row.
+  // Scale shape: every family is a bucketed candidate generator (block
+  // key equi-join / windowed sort / band equi-join) — no family's
+  // candidate stage forms a cross product, and the census is one
+  // groupBy over the distinct-pair union. All counts exact integers;
+  // the two ratios are exact-int divisions rounded at 6dp.
+  private def blockingFamilies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+    val probes = parts.filter($"p_partkey" % 20 === 0)
+      .select(($"p_partkey" + 100000).as("probe_id"),
+        expr("concat(substring(p_name, 1, 2), substring(p_name, 4))")
+          .as("q_name"))
+
+    val snm = snmCandidates(s, dir, 5)
+      .select($"probe_id", $"pk").distinct()
+      .withColumn("family", lit("snm_w5"))
+
+    def features(c: Column): Seq[Column] = Seq(
+      element_at(split(c, " "), 2).as("bk_tok"),
+      substring(c, 1, 1).as("bk_ch"))
+    val pf = probes.select($"probe_id" +: $"q_name" +: features($"q_name"): _*)
+      .withColumn("bk_len",
+        explode(array((-2 to 2).map(d => length($"q_name") + d): _*)))
+    val bf = parts.select($"p_partkey" +: $"p_name" +: features($"p_name"): _*)
+      .withColumn("bk_len", length($"p_name"))
+    val feat = pf.join(bf, Seq("bk_tok", "bk_ch", "bk_len"))
+      .select($"probe_id", $"p_partkey".as("pk")).distinct()
+      .withColumn("family", lit("feature_block"))
+
+    // Probe ids sit 100000 above every catalog key at tested SFs, so
+    // kind survives the band join as the id range; the join is
+    // explicitly q-side x p-side (never corpus x corpus) — candidates
+    // are probe lookups, matching the other two families' workload.
+    // Shingle granularity is the CHARACTER (sep = ""), not the word:
+    // these names are 2 tokens, so word-level 3-shingles don't exist
+    // and the pipeline would degenerate to whole-string exact match.
+    // Char tokens make the shared pipeline's 3-element shingles exactly
+    // the classic character 3-grams — the standard LSH unit for short
+    // strings — under which the dropped char kills ~3 of ~8 grams
+    // (J ~= 0.5 against the source, the mid-S-curve operating point).
+    val corpus = parts
+      .select($"p_partkey".as("doc_id"), $"p_name".as("text"),
+        lit("p").as("kind"))
+      .unionAll(probes.select($"probe_id".as("doc_id"),
+        $"q_name".as("text"), lit("q").as("kind")))
+    val ex = bandExploded(corpus, np, payload = Seq("kind"), sep = "")
+    val mh = ex.filter($"kind" === "q").as("a")
+      .join(ex.filter($"kind" === "p").as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("probe_id"), col("b.doc_id").as("pk"))
+      .distinct()
+      .withColumn("family", lit("minhash_lsh"))
+
+    val scored = snm.unionAll(feat).unionAll(mh)
+      .join(parts.select($"p_partkey".as("pk"), $"p_name".as("cand_name")),
+        Seq("pk"))
+      .join(parts.select(($"p_partkey" + 100000).as("probe_id"),
+        $"p_name".as("orig_name")), Seq("probe_id"))
+      .withColumn("is_true", $"cand_name" === $"orig_name")
+    val tot = parts.agg(
+      sum(when($"p_partkey" % 20 === 0, 1L).otherwise(0L)).as("n_q"),
+      count(lit(1)).as("n_p"))
+    scored.groupBy($"family")
+      .agg(count(lit(1)).as("n_candidates"),
+        count_distinct(when($"is_true", $"probe_id"))
+          .as("n_probes_matched"))
+      .crossJoin(broadcast(tot))
+      .select($"family", $"n_candidates", $"n_probes_matched",
+        $"n_q".as("n_probes"),
+        Num.roundAt($"n_probes_matched".cast(DoubleType) /
+          $"n_q".cast(DoubleType), 6).as("completeness"),
+        Num.roundAt(lit(1.0) - $"n_candidates".cast(DoubleType) /
+          ($"n_q".cast(DoubleType) * $"n_p".cast(DoubleType)), 6)
+          .as("reduction_ratio"))
+      .orderBy($"family")
   }
 
   // ---------------------------------------------------------------------
@@ -1639,6 +1753,7 @@ object Dedup {
     "q212_chunk_dedup_ratio" -> (chunkDedupRatio _),
     "q209_threshold_sweep" -> (thresholdSweep _),
     "q199_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q225_blocking_compare" -> (blockingFamilies _),
     "q147_dedup_recall" -> (dedupRecall _),
     "q118_substring_dedup" -> (substringDedup _),
     "q128_simjoin_prefix" -> (simjoinPrefix _),
@@ -1686,9 +1801,9 @@ object Dedup {
     * oracles (unreferenced CTEs are pruned by DuckDB, so consumers that
     * stop at `cand` pay nothing for `est`).
     */
-  private def bandCtes(src: String): String =
+  private def bandCtes(src: String, sep: String = " "): String =
     s"""tok AS (
-      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |  SELECT doc_id, list_transform(string_split(text, '$sep'),
       |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th,
       |         text FROM $src),
       |h AS (
@@ -1909,6 +2024,74 @@ object Dedup {
         |           / (CAST(n_q AS DOUBLE) * CAST(n_p AS DOUBLE)), 6)
         |         AS reduction_ratio
         |FROM c, tot ORDER BY w""".stripMargin,
+
+    "q225_blocking_compare" ->
+      s"""WITH probes AS (
+        |  SELECT p_partkey + 100000 AS rid,
+        |         concat(substring(p_name, 1, 2), substring(p_name, 4)) AS name,
+        |         'q' AS kind
+        |  FROM part WHERE p_partkey % 20 = 0),
+        |u AS (
+        |  SELECT p_partkey AS rid, p_name AS name, 'p' AS kind FROM part
+        |  UNION ALL SELECT rid, name, kind FROM probes),
+        |k AS (
+        |  SELECT rid, name, kind,
+        |         array_to_string(list_concat(t[2:], [t[1]]), ' ') AS key
+        |  FROM (SELECT rid, name, kind, string_split(name, ' ') AS t FROM u)),
+        |r AS (
+        |  SELECT rid, kind, key, substring(key, 1, 2) AS blk,
+        |         row_number() OVER (PARTITION BY substring(key, 1, 2)
+        |           ORDER BY key, rid) AS rn
+        |  FROM k),
+        |snm AS (
+        |  SELECT DISTINCT
+        |         CASE WHEN a.kind = 'q' THEN a.rid ELSE b.rid END AS probe_id,
+        |         CASE WHEN a.kind = 'q' THEN b.rid ELSE a.rid END AS pk
+        |  FROM r a JOIN r b ON a.blk = b.blk
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |  WHERE a.kind <> b.kind),
+        |feat AS (
+        |  SELECT DISTINCT p.rid AS probe_id, b.p_partkey AS pk
+        |  FROM (SELECT rid, string_split(name, ' ')[2] AS bk_tok,
+        |               substring(name, 1, 1) AS bk_ch,
+        |               length(name) + d AS bk_len
+        |        FROM probes, (SELECT unnest([-2, -1, 0, 1, 2]) AS d)) p
+        |  JOIN (SELECT p_partkey, string_split(p_name, ' ')[2] AS bk_tok,
+        |               substring(p_name, 1, 1) AS bk_ch,
+        |               length(p_name) AS bk_len
+        |        FROM part) b
+        |    USING (bk_tok, bk_ch, bk_len)),
+        |${bandCtes("(SELECT rid AS doc_id, name AS text FROM u)", sep = "")},
+        |mh AS (
+        |  -- p_partkey starts at 0, so probe ids (key + 100000) occupy
+        |  -- [100000, ...) and catalog ids [0, 100000): strict/inclusive
+        |  -- boundaries matter for probe 100000 (source key 0)
+        |  SELECT doc_b AS probe_id, doc_a AS pk FROM cand
+        |  WHERE doc_a < 100000 AND doc_b >= 100000),
+        |fams AS (
+        |  SELECT 'snm_w5' AS family, probe_id, pk FROM snm
+        |  UNION ALL SELECT 'feature_block', probe_id, pk FROM feat
+        |  UNION ALL SELECT 'minhash_lsh', probe_id, pk FROM mh),
+        |sc AS (
+        |  SELECT f.family, f.probe_id,
+        |         (p1.p_name = p2.p_name) AS is_true
+        |  FROM fams f JOIN part p1 ON p1.p_partkey = f.pk
+        |              JOIN part p2 ON p2.p_partkey = f.probe_id - 100000),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_q,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_p),
+        |c AS (
+        |  SELECT family, CAST(count(*) AS BIGINT) AS n_candidates,
+        |         CAST(count(DISTINCT CASE WHEN is_true THEN probe_id END)
+        |           AS BIGINT) AS n_probes_matched
+        |  FROM sc GROUP BY 1)
+        |SELECT family, n_candidates, n_probes_matched, n_q AS n_probes,
+        |       round(CAST(n_probes_matched AS DOUBLE) / CAST(n_q AS DOUBLE), 6)
+        |         AS completeness,
+        |       round(1.0 - CAST(n_candidates AS DOUBLE)
+        |           / (CAST(n_q AS DOUBLE) * CAST(n_p AS DOUBLE)), 6)
+        |         AS reduction_ratio
+        |FROM c, tot ORDER BY family""".stripMargin,
     "q178_lsh_scurve" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -568,6 +568,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q225: blocking families share one truth set; SNM row reconciles with q199 w=5") {
+    import spark.implicits._
+    val out = Dedup.queries("q225_blocking_compare")(spark, dir).cache()
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("feature_block", "minhash_lsh", "snm_w5"))
+    val nQ = graft.Tables.part(spark, dir).filter($"p_partkey" % 20 === 0).count()
+    val nP = graft.Tables.part(spark, dir).count()
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == nQ, "n_probes must be the probe population")
+      assert(r.getLong(2) <= r.getLong(3), "matched probes cannot exceed probes")
+      assert(r.getLong(1) <= nQ * nP, "candidates cannot exceed the cross product")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // the discrete key was DESIGNED around this error class (token 2,
+    // first char, length +/-1 all survive the dropped 3rd char), so its
+    // completeness must dominate both assumption-free families
+    assert(rows("feature_block").getDouble(4) >= rows("snm_w5").getDouble(4))
+    assert(rows("feature_block").getDouble(4) >= rows("minhash_lsh").getDouble(4))
+    // cross-query reconciliation: q225's snm_w5 row is q199's w=5 row
+    // after pair-dedup — distinct candidates can only shrink the count,
+    // and the matched-probe census is dedup-invariant
+    val q199w5 = Dedup.queries("q199_sorted_neighborhood")(spark, dir)
+      .filter($"w" === 5).collect().head
+    assert(rows("snm_w5").getLong(1) <= q199w5.getLong(1),
+      "distinct SNM pairs cannot exceed q199's raw w=5 volume")
+    assert(rows("snm_w5").getLong(2) == q199w5.getLong(2),
+      "pair-dedup must not change which probes are matched")
+    out.unpersist()
+  }
+
   test("q199: SNM candidates nest with w - completeness and volume are monotone") {
     import spark.implicits._
     val out = Dedup.queries("q199_sorted_neighborhood")(spark, dir).cache()
