@@ -1038,7 +1038,89 @@ object TextAnalysis {
       .orderBy($"fused_rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q226: DSIR-style importance-weighted data selection (Xie et al.
+  // 2023, "Data Selection for Language Models via Importance
+  // Resampling") — the modern answer to "which slice of a 100 TB crawl
+  // looks like my target distribution": featurize every doc into HASHED
+  // N-GRAM BUCKET counts (unigrams + bigrams → 1024 buckets, the
+  // dimension-free trick that makes the estimator one broadcastable
+  // table instead of a vocabulary), fit two smoothed bag-of-ngrams
+  // models — the TARGET class (lang = 'en', the wanted distribution)
+  // and the RAW pool (everything) — and score each doc by its summed
+  // log-likelihood ratio Σ_tokens [ln p̂_t(b) − ln p̂_r(b)]. The census
+  // reads selection per LANGUAGE at the top-20% cutoff: English rises,
+  // the rest fall in proportion to shared-bucket collision mass — the
+  // interpretable cross-lingual readout of what the sampler would buy.
+  // Determinism: bucket deltas are floor-scaled to int micro-units ONCE
+  // per bucket (ln matches across engines — q127/q159/q182 precedent;
+  // int64 per-doc sums are order-free), and the cutoff is the exact
+  // percentile both engines interpolate identically (q52 precedent).
+  // Gumbel-noise resampling is replaced by the deterministic top-quantile
+  // cut — same selection set the expected-weight resampler concentrates
+  // on, and the only version an oracle can replay.
+  // Scale shape: ONE token-stream shuffle (doc_id, bucket) with map-side
+  // combine; bucket stats aggregate FROM that frame (never a second
+  // corpus scan) into a 1024-row broadcast; census is |lang| rows. The
+  // token stream never persists; the only wide exchange carries
+  // (doc_id, bucket, count) — tokens collapse before they shuffle.
+  private def dsirSelection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1024
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+      .withColumn("ts", split($"text", " "))
+    // unigrams ++ bigrams (bigrams joined with the separator they were
+    // split on, so the hash covers the original substring); the size
+    // guard keeps Spark's descending sequence(1, 0) trap out (q184)
+    val grams = docs.select($"doc_id", $"lang", explode(concat($"ts",
+        when(size($"ts") >= 2, expr(
+          "transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .otherwise(expr("slice(ts, 1, 0)")))).as("g"))
+      .withColumn("b",
+        expr(s"cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint) % $B")
+          .cast(LongType))
+    // one shuffle: per-(doc, bucket) counts; everything derives from it.
+    // PERSISTED — two consumers (the 1024-row bucket stats and the
+    // per-doc score join), and without the cache each would re-run the
+    // token explode + combine from the corpus scan. This frame is the
+    // collapsed (doc, bucket) census (≤ 1024 rows per doc, no text), so
+    // it is orders of magnitude smaller than the token stream it sums.
+    val dbc = grams.groupBy($"doc_id", $"lang", $"b")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dbc.groupBy($"b")
+      .agg(sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+        sum($"c").as("cr"))
+    val tots = stats.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+    // add-one smoothing over B buckets; delta frozen to int micro-units
+    // at the BUCKET (1024 rows), so per-doc scores are exact int sums
+    val delta = stats.crossJoin(broadcast(tots))
+      .select($"b",
+        floor((log(($"ct" + lit(1)).cast(DoubleType) /
+            ($"tt" + lit(B)).cast(DoubleType)) -
+          log(($"cr" + lit(1)).cast(DoubleType) /
+            ($"tr" + lit(B)).cast(DoubleType))) * lit(1000000.0))
+          .cast(LongType).as("dm"))
+    val scores = dbc.join(broadcast(delta), Seq("b"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c" * $"dm").as("score_micro"))
+    val cut = scores.agg(
+      percentile($"score_micro", lit(0.8)).as("thr"))
+    scores.crossJoin(broadcast(cut))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score_micro" >= $"thr", 1L).otherwise(0L)).as("n_sel"),
+        sum($"score_micro").as("sum_score_micro"))
+      .select($"lang", $"n_docs", $"n_sel",
+        Num.roundAt($"n_sel".cast(DoubleType) / $"n_docs".cast(DoubleType), 6)
+          .as("sel_rate"),
+        $"sum_score_micro")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_dsir_selection" -> (dsirSelection _),
     "q207_rrf_fusion" -> (rrfFusion _),
     "q194_rank_agreement" -> (rankAgreement _),
     "q192_heldout_perplexity" -> (heldoutPerplexity _),
@@ -1214,6 +1296,49 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q226_dsir_selection" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(ts,
+        |           CASE WHEN len(ts) >= 2
+        |                THEN list_transform(range(1, len(ts)), i ->
+        |                       concat(ts[i], ' ', ts[i+1]))
+        |                ELSE [] END)) AS g
+        |  FROM d),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substring(md5(g), 1, 7)) AS BIGINT)
+        |           % 1024 AS b
+        |  FROM g),
+        |dbc AS (
+        |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM bk GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT b, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+        |         sum(c) AS cr
+        |  FROM dbc GROUP BY 1),
+        |tots AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+        |delta AS (
+        |  SELECT b,
+        |         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+        |                - ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024)))
+        |              * 1000000.0) AS BIGINT) AS dm
+        |  FROM stats, tots),
+        |scores AS (
+        |  SELECT doc_id, lang, sum(c * dm) AS score_micro
+        |  FROM dbc JOIN delta USING (b) GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT quantile_cont(CAST(score_micro AS DOUBLE), 0.8) AS thr
+        |  FROM scores)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN score_micro >= thr THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_sel,
+        |       round(CAST(sum(CASE WHEN score_micro >= thr THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / count(*), 6) AS sel_rate,
+        |       CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+        |FROM scores, cut GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q207_rrf_fusion" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -174,6 +174,31 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q226: DSIR selection covers every doc, cuts at the top quantile, prefers the target lang") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q226_dsir_selection")(spark, dir).cache()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(out.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    assert(out.filter($"n_sel" > $"n_docs").count() == 0)
+    assert(out.filter($"sel_rate" < 0.0 || $"sel_rate" > 1.0).count() == 0)
+    // the 0.8-quantile cut admits ~20% of the pool: >= by definition of
+    // the percentile (at least 20% of scores sit at or above it), with a
+    // small tie-inflation allowance on top
+    val nSel = out.agg(sum($"n_sel")).as[Long].head()
+    assert(nSel >= (0.2 * nDocs).floor.toLong - 1,
+      s"quantile cut admitted too few: $nSel of $nDocs")
+    assert(nSel <= (0.25 * nDocs).ceil.toLong,
+      s"quantile cut admitted too many: $nSel of $nDocs")
+    // the whole point: the importance weights concentrate selection on
+    // the target distribution's language
+    val rates = out.select($"lang", $"sel_rate").as[(String, Double)]
+      .collect().toMap
+    val others = rates.removed("en").values
+    assert(others.forall(rates("en") > _),
+      s"target lang must dominate selection: $rates")
+    out.unpersist()
+  }
+
   test("q183: novelty totals equal distinct content; the curve shows saturation") {
     import spark.implicits._
     val out = Dedup.queries("q183_novelty_curve")(spark, dir).cache()
