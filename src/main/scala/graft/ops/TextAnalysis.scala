@@ -819,6 +819,90 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // q227: quality-gate calibration census — the validation a data team
+  // runs BEFORE trusting q180's gates to spend the token budget: do the
+  // gates actually separate the corpus on the outcomes filtering is
+  // supposed to improve? Docs are bucketed by GATES PASSED (0..3, the
+  // same three predicates as q180, bit-for-bit) and each bucket reads
+  // out its exact-duplicate membership rate (q20's digest semantics)
+  // and its mean unigram negative log-likelihood per token (the
+  // corpus-fit signal behind q127's perplexity). A gate tier whose dup
+  // rate or NLL is indistinguishable from the tier below it is a gate
+  // that buys nothing — this census is where that shows up.
+  // Determinism: ln(c/N) is frozen to int micro-units per VOCABULARY
+  // TERM (dictionary-sized), so every per-doc and per-bucket sum is an
+  // exact order-free int64; the two ratios divide exact ints and round
+  // at 6dp. Scale shape: one corpus scan fans into (a) map-side gate
+  // booleans + digest, (b) a collapsed (doc, term) count frame
+  // (persisted — the unigram dictionary AND the per-doc NLL both
+  // derive from it); the dictionary broadcasts (df-capped vocab at
+  // 100 TB, shuffle-join fallback documented at the call site); the
+  // census is 4 rows.
+  private def gateCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = langWords.toMap.apply("en")
+    // The raw table carries no exact duplicates, so the dup outcome is
+    // exercised by a simulated re-crawl wave concentrated on SHORT docs
+    // (crawl duplication skews toward boilerplate/stub pages in
+    // practice) — ids offset far above the key range, texts verbatim.
+    // The correlation with the length gate is the point: the census
+    // must SHOW a gradient when one exists, not only when dups are
+    // uniform.
+    val base = docs(s, dir).select($"doc_id", $"text")
+    val corpus = base.unionAll(
+      base.filter(size(split($"text", " ")) < 30)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+    val d = corpus
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("n", size($"tokens"))
+      .withColumn("avg_len",
+        aggregate(transform($"tokens", t => length(t)), lit(0),
+          (a, x) => a + x) / $"n")
+      .withColumn("stop_ratio", markerCount($"tokens", en) / $"n")
+      .withColumn("n_gates",
+        ($"n" >= 30).cast("int") +
+          ($"avg_len" >= 3.0 && $"avg_len" <= 10.0).cast("int") +
+          ($"stop_ratio" >= 0.05).cast("int"))
+      .withColumn("dg", md5($"text"))
+    // exact-dup membership: digest groupBy + digest-keyed join back
+    val dupDg = d.groupBy($"dg").agg(count(lit(1)).as("nc"))
+      .filter($"nc" >= 2).select($"dg", lit(1L).as("is_dup"))
+    val gated = d.select($"doc_id", $"n_gates", $"dg")
+      .join(dupDg, Seq("dg"), "left")
+      .select($"doc_id", $"n_gates", coalesce($"is_dup", lit(0L)).as("is_dup"))
+    // collapsed (doc, term) counts: ONE token shuffle feeds both the
+    // dictionary and the per-doc NLL — persisted for its two consumers
+    val dtf = d.select($"doc_id", explode($"tokens").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = dtf.groupBy($"term").agg(sum($"c").as("ct"))
+    val tot = dict.agg(sum($"ct").as("nn"))
+    // ln p(term) frozen to int micro-units at the dictionary row
+    val lnp = dict.crossJoin(broadcast(tot))
+      .select($"term",
+        floor(log($"ct".cast(DoubleType) / $"nn".cast(DoubleType))
+          * lit(1000000.0)).cast(LongType).as("lnp_micro"))
+    val nll = dtf.join(broadcast(lnp), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"c" * $"lnp_micro").as("sum_lnp_micro"),
+        sum($"c").as("n_tok"))
+    gated.join(nll, Seq("doc_id"))
+      .groupBy($"n_gates")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_dup").as("n_dup_docs"),
+        sum($"n_tok").as("sum_tokens"),
+        sum($"sum_lnp_micro").as("s_lnp"))
+      .select($"n_gates", $"n_docs", $"n_dup_docs",
+        Num.roundAt($"n_dup_docs".cast(DoubleType) /
+          $"n_docs".cast(DoubleType), 6).as("dup_rate"),
+        $"sum_tokens",
+        Num.roundAt(-$"s_lnp".cast(DoubleType) /
+          ($"sum_tokens".cast(DoubleType) * lit(1000000.0)), 6)
+          .as("mean_nll_per_token"))
+      .orderBy($"n_gates")
+  }
+
+  // ---------------------------------------------------------------------
   // q184: PMI collocations — pointwise mutual information over adjacent
   // token pairs, the classic collocation extractor (Church & Hanks): for
   // bigram (x,y), pmi = ln(c_xy * N / (c_x * c_y)) where c_x / c_y are
@@ -1120,6 +1204,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_gate_calibration" -> (gateCalibration _),
     "q226_dsir_selection" -> (dsirSelection _),
     "q207_rrf_fusion" -> (rrfFusion _),
     "q194_rank_agreement" -> (rankAgreement _),
@@ -1296,6 +1381,58 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q227_gate_calibration" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) < 30),
+        |t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tokens
+        |  FROM corpus),
+        |gd AS (
+        |  SELECT doc_id, md5(text) AS dg,
+        |    (CASE WHEN len(tokens) >= 30 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_aggregate(list_transform(tokens,
+        |            x -> length(x)), 'sum') / len(tokens) >= 3.0::DOUBLE
+        |          AND list_aggregate(list_transform(tokens,
+        |            x -> length(x)), 'sum') / len(tokens) <= 10.0::DOUBLE
+        |          THEN 1 ELSE 0 END) +
+        |    (CASE WHEN len(list_filter(tokens,
+        |            x -> list_contains(['the','a','data','fast','slow'], x)))
+        |            / len(tokens) >= 0.05::DOUBLE THEN 1 ELSE 0 END)
+        |      AS n_gates
+        |  FROM t),
+        |dup AS (
+        |  SELECT dg, CAST(1 AS BIGINT) AS is_dup
+        |  FROM gd GROUP BY dg HAVING count(*) >= 2),
+        |gated AS (
+        |  SELECT gd.doc_id, gd.n_gates, coalesce(dup.is_dup, 0) AS is_dup
+        |  FROM gd LEFT JOIN dup USING (dg)),
+        |dtf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+        |  GROUP BY 1, 2),
+        |dict AS (SELECT term, sum(c) AS ct FROM dtf GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nn FROM dict),
+        |lnp AS (
+        |  SELECT term, CAST(floor(ln(CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS lnp_micro
+        |  FROM dict, tot),
+        |nll AS (
+        |  SELECT doc_id, sum(c * lnp_micro) AS sum_lnp_micro,
+        |         sum(c) AS n_tok
+        |  FROM dtf JOIN lnp USING (term) GROUP BY 1)
+        |SELECT n_gates, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |       round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |       round(-CAST(sum(sum_lnp_micro) AS DOUBLE)
+        |         / (CAST(sum(n_tok) AS DOUBLE) * 1000000.0), 6)
+        |         AS mean_nll_per_token
+        |FROM gated JOIN nll USING (doc_id)
+        |GROUP BY n_gates ORDER BY n_gates""".stripMargin,
+
     "q226_dsir_selection" ->
       """WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),

@@ -174,6 +174,36 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q227: gate calibration covers the injected corpus and shows the dup gradient") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q227_gate_calibration")(spark, dir).cache()
+    val base = graft.Tables.documents(spark, dir)
+    val nCorpus = base.count() +
+      base.filter(size(split($"text", " ")) < 30).count()
+    assert(out.agg(sum($"n_docs")).as[Long].head() == nCorpus)
+    assert(out.filter($"n_dup_docs" > $"n_docs").count() == 0)
+    assert(out.filter($"dup_rate" < 0.0 || $"dup_rate" > 1.0).count() == 0)
+    assert(out.filter($"mean_nll_per_token" <= 0.0).count() == 0,
+      "unigram NLL per token is strictly positive")
+    // the injected re-crawl wave targets short docs (a g_len failure),
+    // so the all-gates tier must carry a strictly lower dup rate than
+    // the lowest tier present — the gradient the calibration exists
+    // to surface
+    val rows = out.orderBy($"n_gates").collect()
+    assert(rows.length >= 2)
+    assert(rows.last.getAs[Double]("dup_rate")
+      < rows.head.getAs[Double]("dup_rate"),
+      "all-gates tier must out-clean the lowest tier")
+    // per-doc token conservation: bucket token sums add up to the
+    // corpus token count
+    val nTok = base.select(size(split($"text", " ")).cast("long").as("n"))
+      .unionAll(base.filter(size(split($"text", " ")) < 30)
+        .select(size(split($"text", " ")).cast("long").as("n")))
+      .agg(sum($"n")).as[Long].head()
+    assert(out.agg(sum($"sum_tokens")).as[Long].head() == nTok)
+    out.unpersist()
+  }
+
   test("q226: DSIR selection covers every doc, cuts at the top quantile, prefers the target lang") {
     import spark.implicits._
     val out = TextAnalysis.queries("q226_dsir_selection")(spark, dir).cache()
