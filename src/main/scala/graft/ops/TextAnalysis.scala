@@ -903,6 +903,67 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // q228: stratified eval-split construction — carving the held-out set
+  // a training run is scored against, reproducibly: a 5% split (E =
+  // N div 20, exact) allocated across (lang, source) strata by
+  // HAMILTON'S LARGEST-REMAINDER apportionment (base = floor(E·n_s/N),
+  // the E − Σbase leftover seats go to the largest exact integer
+  // remainders, ties broken on the stratum key — the apportionment rule
+  // that cannot leave a seat unassigned or assign one twice), then
+  // filled INSIDE each stratum by md5-rank (the seeded permutation:
+  // same corpus, same split, any cluster, any partitioning). The census
+  // publishes pool vs eval shares per stratum plus the SUM OF SELECTED
+  // DOC IDS — the fingerprint that proves two engines picked the same
+  // documents, not merely the same counts.
+  // Scale shape: the per-doc work is one hash + one window rank
+  // PARTITIONED by stratum (never a global sort); the apportionment
+  // runs on the |strata|-row count frame (a dictionary — its window is
+  // 100 rows here; at data scale E·n_s products move to 128-bit or a
+  // divide-first decomposition, noted here at the call site). All
+  // allocation arithmetic is exact integers.
+  private def evalSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"lang", $"source", $"doc_id")
+      .withColumn("h", md5(concat(lit("split:"), $"doc_id".cast(StringType))))
+    val strata = d.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_pool"))
+    val tot = strata.agg(sum($"n_pool").as("nn"))
+    val quota = strata.crossJoin(broadcast(tot))
+      .withColumn("e", expr("nn div 20"))
+      .withColumn("base", expr("(e * n_pool) div nn"))
+      .withColumn("rem", expr("(e * n_pool) % nn"))
+    // leftover seats: E - Σbase, handed to the largest remainders; the
+    // window runs over the stratum dictionary (|langs|·|sources| rows)
+    val wrem = Window.orderBy($"rem".desc, $"lang".asc, $"source".asc)
+    val wleft = Window.partitionBy(lit(1))
+    val alloc = quota
+      .withColumn("left", $"e" - sum($"base").over(wleft))
+      .withColumn("rr", row_number().over(wrem))
+      .withColumn("n_alloc",
+        $"base" + when($"rr" <= $"left", 1L).otherwise(0L))
+      .select($"lang", $"source", $"n_pool", $"n_alloc", $"e", $"nn")
+    val wsel = Window.partitionBy($"lang", $"source")
+      .orderBy($"h".asc, $"doc_id".asc)
+    val sel = d.withColumn("rn", row_number().over(wsel))
+      .join(broadcast(alloc.select($"lang", $"source", $"n_alloc")),
+        Seq("lang", "source"))
+      .filter($"rn" <= $"n_alloc")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_sel"), sum($"doc_id").as("sum_sel_ids"))
+    alloc.join(sel, Seq("lang", "source"), "left")
+      .select($"lang", $"source", $"n_pool", $"n_alloc",
+        coalesce($"n_sel", lit(0L)).as("n_sel"),
+        coalesce($"sum_sel_ids", lit(0L)).as("sum_sel_ids"),
+        Num.roundAt($"n_pool".cast(DoubleType) / $"nn".cast(DoubleType), 6)
+          .as("share_pool"),
+        Num.roundAt($"n_alloc".cast(DoubleType) / $"e".cast(DoubleType), 6)
+          .as("share_eval"))
+      .orderBy($"lang", $"source")
+  }
+
+  // ---------------------------------------------------------------------
   // q184: PMI collocations — pointwise mutual information over adjacent
   // token pairs, the classic collocation extractor (Church & Hanks): for
   // bigram (x,y), pmi = ln(c_xy * N / (c_x * c_y)) where c_x / c_y are
@@ -1204,6 +1265,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_eval_split" -> (evalSplit _),
     "q227_gate_calibration" -> (gateCalibration _),
     "q226_dsir_selection" -> (dsirSelection _),
     "q207_rrf_fusion" -> (rrfFusion _),
@@ -1381,6 +1443,46 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q228_eval_split" ->
+      """WITH d AS (
+        |  SELECT lang, source, doc_id,
+        |         md5(concat('split:', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |strata AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_pool
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_pool) AS BIGINT) AS nn FROM strata),
+        |quota AS (
+        |  SELECT lang, source, n_pool, nn, nn // 20 AS e,
+        |         ((nn // 20) * n_pool) // nn AS base,
+        |         ((nn // 20) * n_pool) % nn AS rem
+        |  FROM strata, tot),
+        |alloc AS (
+        |  SELECT lang, source, n_pool, e, nn,
+        |         base + CASE WHEN row_number() OVER
+        |             (ORDER BY rem DESC, lang ASC, source ASC)
+        |           <= e - (SELECT sum(base) FROM quota)
+        |           THEN 1 ELSE 0 END AS n_alloc
+        |  FROM quota),
+        |sel AS (
+        |  SELECT r.lang, r.source, CAST(count(*) AS BIGINT) AS n_sel,
+        |         CAST(sum(r.doc_id) AS BIGINT) AS sum_sel_ids
+        |  FROM (SELECT lang, source, doc_id,
+        |          row_number() OVER (PARTITION BY lang, source
+        |            ORDER BY h ASC, doc_id ASC) AS rn
+        |        FROM d) r
+        |  JOIN alloc a ON a.lang = r.lang AND a.source = r.source
+        |  WHERE r.rn <= a.n_alloc GROUP BY 1, 2)
+        |SELECT a.lang, a.source, a.n_pool, CAST(a.n_alloc AS BIGINT)
+        |         AS n_alloc,
+        |       coalesce(s.n_sel, 0) AS n_sel,
+        |       coalesce(s.sum_sel_ids, 0) AS sum_sel_ids,
+        |       round(CAST(a.n_pool AS DOUBLE) / a.nn, 6) AS share_pool,
+        |       round(CAST(a.n_alloc AS DOUBLE) / a.e, 6) AS share_eval
+        |FROM alloc a LEFT JOIN sel s
+        |  ON s.lang = a.lang AND s.source = a.source
+        |ORDER BY a.lang, a.source""".stripMargin,
+
     "q227_gate_calibration" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -174,6 +174,30 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q228: Hamilton apportionment conserves seats; split is quota-faithful and reproducible") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q228_eval_split")(spark, dir).cache()
+    val n = graft.Tables.documents(spark, dir).count()
+    val e = n / 20
+    // no seat lost, none duplicated
+    assert(out.agg(sum($"n_alloc")).as[Long].head() == e)
+    // every stratum filled exactly to its allocation, never past its pool
+    assert(out.filter($"n_sel" =!= $"n_alloc").count() == 0)
+    assert(out.filter($"n_alloc" > $"n_pool").count() == 0)
+    // quota-faithful: each allocation is floor(E*n_s/N) or one above
+    val bad = out.filter(
+      $"n_alloc" < expr(s"($e * n_pool) div $n") ||
+        $"n_alloc" > expr(s"($e * n_pool) div $n") + 1).count()
+    assert(bad == 0, "an allocation strayed from its Hamilton quota")
+    // the fingerprint is reproducible run to run (same permutation)
+    val again = TextAnalysis.queries("q228_eval_split")(spark, dir)
+      .select($"lang", $"source", $"sum_sel_ids")
+    val diff = out.select($"lang", $"source", $"sum_sel_ids")
+      .exceptAll(again).count()
+    assert(diff == 0, "re-running the split selected different documents")
+    out.unpersist()
+  }
+
   test("q227: gate calibration covers the injected corpus and shows the dup gradient") {
     import spark.implicits._
     val out = TextAnalysis.queries("q227_gate_calibration")(spark, dir).cache()
