@@ -27,6 +27,7 @@ object GraftExtensions {
   /** (name, builder) for every native expression the library ships. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig"    -> (e => MinHashSig(e.head)),
+    "h7"             -> (e => H7(e.head)),
     "simhash_sig"    -> (e => SimHashSig(e.head)),
     "lsh_buckets"    -> (e => LshBuckets(e.head)),
     "shingle_hashes" -> (e =>

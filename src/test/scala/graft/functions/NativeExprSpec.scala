@@ -41,6 +41,23 @@ class NativeExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(composed.filter(not($"sig_composed" <=> $"sig_native")).count() == 0)
   }
 
+  test("h7 == composed md5-prefix formula, including empty string and null") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = tokensDf
+      .select($"id", concat_ws(" ", $"tokens").as("s"))
+      .unionByName(Seq((9001L, "")).toDF("id", "s"))
+      .withColumn("native", expr("h7(s)"))
+      .withColumn("composed",
+        expr("cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)"))
+    assert(df.filter($"native" =!= $"composed").count() == 0)
+    // 28-bit range
+    assert(df.filter($"native" < 0L || $"native" >= (1L << 28)).count() == 0)
+    // null in, null out (UnaryExpression null semantics)
+    assert(spark.sql("SELECT h7(CAST(NULL AS STRING)) AS h")
+      .filter($"h".isNull).count() == 1)
+  }
+
   test("shingle_hashes == composed distinct bigram hash formula") {
     import spark.implicits._
     GraftFunctions.register(spark)
