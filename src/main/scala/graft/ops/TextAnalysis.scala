@@ -852,7 +852,13 @@ object TextAnalysis {
     val corpus = base.unionAll(
       base.filter(size(split($"text", " ")) < 30)
         .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
-    val d = corpus
+    // ONE gate pass over the corpus, collapsed to the slim doc-level
+    // frame (id, gates, digest) and PERSISTED: it has two consumers
+    // (the digest census and the join back) and the gate arithmetic is
+    // the HOF-heavy part of the scan — re-deriving it per consumer
+    // would triple the corpus passes. Kilobytes per doc drop to ~50
+    // bytes here, so the cache is corpus-count-sized, not corpus-sized.
+    val slim = corpus
       .withColumn("tokens", split($"text", " "))
       .withColumn("n", size($"tokens"))
       .withColumn("avg_len",
@@ -863,16 +869,19 @@ object TextAnalysis {
         ($"n" >= 30).cast("int") +
           ($"avg_len" >= 3.0 && $"avg_len" <= 10.0).cast("int") +
           ($"stop_ratio" >= 0.05).cast("int"))
-      .withColumn("dg", md5($"text"))
+      .select($"doc_id", $"n_gates", md5($"text").as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-dup membership: digest groupBy + digest-keyed join back
-    val dupDg = d.groupBy($"dg").agg(count(lit(1)).as("nc"))
+    val dupDg = slim.groupBy($"dg").agg(count(lit(1)).as("nc"))
       .filter($"nc" >= 2).select($"dg", lit(1L).as("is_dup"))
-    val gated = d.select($"doc_id", $"n_gates", $"dg")
+    val gated = slim
       .join(dupDg, Seq("dg"), "left")
       .select($"doc_id", $"n_gates", coalesce($"is_dup", lit(0L)).as("is_dup"))
     // collapsed (doc, term) counts: ONE token shuffle feeds both the
-    // dictionary and the per-doc NLL — persisted for its two consumers
-    val dtf = d.select($"doc_id", explode($"tokens").as("term"))
+    // dictionary and the per-doc NLL — persisted for its two consumers.
+    // Built from the raw corpus (split only), not the gate frame: the
+    // explode needs no gate columns.
+    val dtf = corpus.select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = dtf.groupBy($"term").agg(sum($"c").as("ct"))
