@@ -610,7 +610,7 @@ final class VersionedTable private (val root: Path) {
     * when all pass (the common case); only a failure pays per-constraint
     * re-evaluation to NAME the violated constraint in the error.
     */
-  private def validateConstraints(df: DataFrame, version: Long,
+  private[graft] def validateConstraints(df: DataFrame, version: Long,
                                   op: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val cs = constraintsOf(version)
