@@ -1236,6 +1236,13 @@ object Dedup {
         expr("transform(slice(ord, 1, cast(n - ((3*n + 9) div 10) + 1 as int))," +
           " x -> x.sh)").as("prefix"))
       .select($"doc_id", explode($"prefix").as("sh"))
+      // Persisted because the candidate SELF-JOIN consumes it twice
+      // (sides a and b) and exchange reuse across AQE stage boundaries
+      // is best-effort, not guaranteed: without the cache the whole
+      // df-join + rarest-first sort chain can run twice. The frame is
+      // two slim ints per prefix shingle — corpus-token-bounded, far
+      // below the shingle frame already cached above.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pref.as("a")
       .join(pref.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

@@ -1278,7 +1278,101 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q229: Gopher-style repetition filters (Rae et al. 2021, MassiveText
+  // quality rules C.2) — q70 publishes ONE per-doc repeated-bigram
+  // score; this is the POLICY harness for the full rule family (the
+  // q209/q213 pattern): the two intra-document repetition signals a
+  // pretraining pipeline screens before any inter-document dedup —
+  // (a) the occurrence share of the MODAL 2-gram (boilerplate/spam
+  // keyword stuffing) and (b) the duplicated-5-gram occurrence fraction
+  // (a document repeating itself). The raw corpus is word-salad with a
+  // ~40-term vocabulary, so both signals are naturally near zero; two
+  // deterministic planted waves make the rules' operating point
+  // measurable (the q227/q158 pattern): doc_id%7 docs get ' buy now'
+  // keyword-stuffing proportional to their length (share ~1/6 regardless
+  // of doc size — the reason the rule must be RELATIVE, not an absolute
+  // count), and doc_id%9 (not also %7) docs are self-concatenated
+  // (dup-5-gram frac → ~0.5 for long docs, decaying below threshold for
+  // tiny ones — the census SHOWS the short-doc evasion instead of hiding
+  // it). Census per source: flags fired, planted wave caught,
+  // precision/recall of flag-any vs planted-any.
+  // Determinism: both fractions are frozen per doc as pure-integer
+  // micro-units (maxc*1e6 div total — no float ever compares against
+  // the threshold), means are exact int64 sums scaled once at the end.
+  // Scale shape: ONE corpus scan builds both gram families in a single
+  // projection; (doc, gram) pairs shuffle once with map-side combine
+  // (reduce side sees per-doc distinct grams, ~doc length, never
+  // corpus x vocabulary); the census is |sources| rows. At 100 TB the
+  // modal-gram census stays doc-local — nothing global is built.
+  private def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = docs(s, dir)
+      .select($"doc_id", $"source", $"text",
+        size(split($"text", " ")).as("n0"))
+      .withColumn("wave_a", $"doc_id" % 7 === 0 && $"n0" >= 8)
+      .withColumn("wave_b", $"doc_id" % 9 === 0 && $"doc_id" % 7 =!= 0)
+      .withColumn("txt",
+        when($"wave_a", concat($"text", expr("repeat(' buy now', n0 div 4)")))
+          .when($"wave_b", concat($"text", lit(" "), $"text"))
+          .otherwise($"text"))
+      .withColumn("planted", $"wave_a" || $"wave_b")
+      .withColumn("ts", split($"txt", " "))
+      .withColumn("n", size($"ts"))
+      .withColumn("g2",
+        when($"n" >= 2, expr(
+          "transform(sequence(1, n - 1), i -> concat_ws(' ', slice(ts, i, 2)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("g5",
+        when($"n" >= 5, expr(
+          "transform(sequence(1, n - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select($"doc_id", $"source", $"planted", $"g2", $"g5")
+    val grams = corpus.select($"doc_id", explode(concat(
+        transform($"g2", g => struct(lit(2).as("k"), g.as("g"))),
+        transform($"g5", g => struct(lit(5).as("k"), g.as("g"))))).as("kg"))
+      .select($"doc_id", $"kg.k".as("k"), $"kg.g".as("g"))
+    val per = grams.groupBy($"doc_id", $"k", $"g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max(when($"k" === 2, $"c")).as("max2"),
+        sum(when($"k" === 2, $"c")).as("tot2"),
+        sum(when($"k" === 5, $"c")).as("tot5"),
+        count(when($"k" === 5, lit(1))).as("nd5"))
+    corpus.select($"doc_id", $"source", $"planted")
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("top2_micro",
+        coalesce(expr("max2 * 1000000 div tot2"), lit(0L)))
+      .withColumn("dup5_micro",
+        coalesce(expr("(tot5 - nd5) * 1000000 div tot5"), lit(0L)))
+      .withColumn("f2", $"top2_micro" >= 100000L)
+      .withColumn("f5", $"dup5_micro" >= 300000L)
+      .withColumn("fa", $"f2" || $"f5")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"planted", 1L).otherwise(0L)).as("n_planted"),
+        sum(when($"f2", 1L).otherwise(0L)).as("n_flag_top2"),
+        sum(when($"f5", 1L).otherwise(0L)).as("n_flag_dup5"),
+        sum(when($"fa", 1L).otherwise(0L)).as("n_flagged"),
+        sum(when($"fa" && $"planted", 1L).otherwise(0L)).as("n_caught"),
+        sum($"dup5_micro").as("sum_dup5_micro"))
+      .select($"source", $"n_docs", $"n_planted", $"n_flag_top2",
+        $"n_flag_dup5", $"n_flagged", $"n_caught",
+        when($"n_flagged" > 0, Num.roundAt(
+          $"n_caught".cast(DoubleType) / $"n_flagged".cast(DoubleType), 6))
+          .as("flag_precision"),
+        when($"n_planted" > 0, Num.roundAt(
+          $"n_caught".cast(DoubleType) / $"n_planted".cast(DoubleType), 6))
+          .as("flag_recall"),
+        $"sum_dup5_micro",
+        Num.roundAt($"sum_dup5_micro".cast(DoubleType) /
+          ($"n_docs".cast(DoubleType) * lit(1000000.0)), 6)
+          .as("mean_dup5_frac"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_gopher_repetition" -> (gopherRepetition _),
     "q228_eval_split" -> (evalSplit _),
     "q227_gate_calibration" -> (gateCalibration _),
     "q226_dsir_selection" -> (dsirSelection _),
@@ -1457,6 +1551,84 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q229_gopher_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |         len(string_split(text, ' ')) AS n0
+        |  FROM documents),
+        |waved AS (
+        |  SELECT doc_id, source,
+        |         (doc_id % 7 = 0 AND n0 >= 8) AS wave_a,
+        |         (doc_id % 9 = 0 AND doc_id % 7 <> 0) AS wave_b,
+        |         CASE WHEN doc_id % 7 = 0 AND n0 >= 8
+        |                THEN text || repeat(' buy now', n0 // 4)
+        |              WHEN doc_id % 9 = 0 AND doc_id % 7 <> 0
+        |                THEN text || ' ' || text
+        |              ELSE text END AS txt
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, source, (wave_a OR wave_b) AS planted,
+        |         string_split(txt, ' ') AS ts, len(string_split(txt, ' ')) AS n
+        |  FROM waved),
+        |g AS (
+        |  SELECT doc_id, 2 AS k,
+        |         unnest(list_transform(range(1, n), i ->
+        |           ts[i] || ' ' || ts[i + 1])) AS gr
+        |  FROM tok WHERE n >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 5 AS k,
+        |         unnest(list_transform(range(1, n - 3), i ->
+        |           array_to_string(ts[i:i + 4], ' '))) AS gr
+        |  FROM tok WHERE n >= 5),
+        |pc AS (
+        |  SELECT doc_id, k, gr, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN k = 2 THEN c END) AS max2,
+        |         sum(CASE WHEN k = 2 THEN c END) AS tot2,
+        |         sum(CASE WHEN k = 5 THEN c END) AS tot5,
+        |         count(CASE WHEN k = 5 THEN 1 END) AS nd5
+        |  FROM pc GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.source, t.planted,
+        |         coalesce(p.max2 * 1000000 // p.tot2, 0) AS top2_micro,
+        |         coalesce((p.tot5 - p.nd5) * 1000000 // p.tot5, 0)
+        |           AS dup5_micro
+        |  FROM tok t LEFT JOIN per p USING (doc_id)),
+        |flagged AS (
+        |  SELECT source, planted,
+        |         top2_micro >= 100000 AS f2,
+        |         dup5_micro >= 300000 AS f5,
+        |         (top2_micro >= 100000 OR dup5_micro >= 300000) AS fa,
+        |         dup5_micro
+        |  FROM scored)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_planted,
+        |       CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flag_top2,
+        |       CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flag_dup5,
+        |       CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flagged,
+        |       CAST(sum(CASE WHEN fa AND planted THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_caught,
+        |       CASE WHEN sum(CASE WHEN fa THEN 1 ELSE 0 END) > 0 THEN
+        |         round(CAST(sum(CASE WHEN fa AND planted THEN 1 ELSE 0 END)
+        |             AS DOUBLE)
+        |           / sum(CASE WHEN fa THEN 1 ELSE 0 END), 6) END
+        |         AS flag_precision,
+        |       CASE WHEN sum(CASE WHEN planted THEN 1 ELSE 0 END) > 0 THEN
+        |         round(CAST(sum(CASE WHEN fa AND planted THEN 1 ELSE 0 END)
+        |             AS DOUBLE)
+        |           / sum(CASE WHEN planted THEN 1 ELSE 0 END), 6) END
+        |         AS flag_recall,
+        |       CAST(sum(dup5_micro) AS BIGINT) AS sum_dup5_micro,
+        |       round(CAST(sum(dup5_micro) AS DOUBLE)
+        |         / (count(*) * 1000000.0), 6) AS mean_dup5_frac
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
+
     "q228_eval_split" ->
       """WITH d AS (
         |  SELECT lang, source, doc_id,

@@ -392,4 +392,29 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       $"p95_late_us" > $"max_late_us".cast("double")).count() == 0)
     out.unpersist()
   }
+
+  test("q229: repetition rules catch both planted waves; counts conserve") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q229_gopher_repetition")(spark, dir).cache()
+    // contingency algebra: caught <= flagged, caught <= planted,
+    // flagged <= docs; rule flags decompose the any-flag count
+    assert(out.filter($"n_caught" > least($"n_flagged", $"n_planted"))
+      .count() == 0)
+    assert(out.filter($"n_flagged" > $"n_docs").count() == 0)
+    assert(out.filter($"n_flagged" >
+      $"n_flag_top2" + $"n_flag_dup5").count() == 0)
+    // planted mass matches the wave definition computed off the raw table
+    val d = graft.Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n0"))
+    val expPlanted = d.filter(($"doc_id" % 7 === 0 && $"n0" >= 8) ||
+      ($"doc_id" % 9 === 0 && $"doc_id" % 7 =!= 0)).count()
+    assert(out.agg(sum($"n_planted")).as[Long].head() == expPlanted)
+    // the waves are built to be caught: stuffing scales with doc length
+    // and self-concatenation halves the distinct-5-gram mass, so the
+    // rules recover nearly all planted docs (tiny docs may evade)
+    val caught = out.agg(sum($"n_caught")).as[Long].head()
+    assert(caught >= (expPlanted * 9) / 10,
+      s"rules caught $caught of $expPlanted planted docs")
+    out.unpersist()
+  }
 }
