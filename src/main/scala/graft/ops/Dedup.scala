@@ -1754,7 +1754,60 @@ object Dedup {
       .orderBy($"b")
   }
 
+  // ---------------------------------------------------------------------
+  // q231: leakage-free GROUP k-fold construction — the fix for the defect
+  // q169 measures: a doc-level hash split scatters exact-duplicate copies
+  // across folds, so held-out evaluation scores memorization. Group-aware
+  // assignment hashes the duplicate-cluster KEY (the content digest, q20's
+  // exact-dup semantics) instead of the doc id, so every copy of a text
+  // lands in the same fold BY CONSTRUCTION. The census prices both
+  // policies side by side on a corpus with a planted re-crawl wave
+  // (doc_id % 4 re-posted verbatim): per fold, docs/clusters under the
+  // group split beside the naive split's leaked-doc count (docs whose
+  // digest appears in some OTHER naive fold) — and the group split's own
+  // leak column, computed the same way, which the spec pins to zero.
+  // Determinism: folds are md5-derived h7 mod 5 on digest resp. doc_id —
+  // pure integer, reproducible under retries and resizing (q120 rule).
+  // Scale shape: one corpus scan -> (doc, digest) frame; cluster stats
+  // are a digest-keyed aggregate (shuffle carries 16-byte digests +
+  // counters); the join back is digest-keyed; census is 5 rows. No
+  // connected components needed — exact-dup clusters ARE digest classes
+  // (near-dup grouping would swap in q57's CC labels as the group key,
+  // same shape).
+  private def groupKfold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val corpus = d.unionAll(
+      d.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"text"))
+    val docsF = corpus.select($"doc_id", md5($"text").as("dg"))
+      .withColumn("f_naive",
+        Det.h7(concat(lit("fold:"), $"doc_id".cast(StringType))) % 5)
+      .withColumn("f_group", Det.h7(concat(lit("fold:"), $"dg")) % 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cluster-level census: how many distinct folds does each digest
+    // class touch under each policy? (>1 under naive = leakage)
+    val cl = docsF.groupBy($"dg")
+      .agg(count_distinct($"f_naive").as("nf_naive"),
+        count_distinct($"f_group").as("nf_group"))
+    val joined = docsF.join(cl, Seq("dg"))
+    val g = joined.groupBy($"f_group".as("fold"))
+      .agg(count(lit(1)).as("n_docs_group"),
+        count_distinct($"dg").as("n_clusters_group"),
+        sum(when($"nf_group" > 1, 1L).otherwise(0L)).as("n_leaked_group"))
+    val n = joined.groupBy($"f_naive".as("fold"))
+      .agg(count(lit(1)).as("n_docs_naive"),
+        sum(when($"nf_naive" > 1, 1L).otherwise(0L)).as("n_leaked_naive"))
+    g.join(n, Seq("fold"))
+      .select($"fold", $"n_docs_group", $"n_clusters_group",
+        $"n_leaked_group", $"n_docs_naive", $"n_leaked_naive",
+        Num.roundAt($"n_leaked_naive".cast(DoubleType) /
+          $"n_docs_naive".cast(DoubleType), 6).as("naive_leak_rate"))
+      .orderBy($"fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_group_kfold" -> (groupKfold _),
     "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
     "q212_chunk_dedup_ratio" -> (chunkDedupRatio _),
@@ -1844,6 +1897,43 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q231_group_kfold" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |d AS (
+        |  SELECT doc_id, md5(text) AS dg,
+        |         CAST(concat('0x', substring(md5(
+        |           concat('fold:', CAST(doc_id AS VARCHAR))), 1, 7))
+        |           AS BIGINT) % 5 AS f_naive,
+        |         CAST(concat('0x', substring(md5(
+        |           concat('fold:', md5(text))), 1, 7))
+        |           AS BIGINT) % 5 AS f_group
+        |  FROM corpus),
+        |cl AS (
+        |  SELECT dg, CAST(count(DISTINCT f_naive) AS BIGINT) AS nf_naive,
+        |         CAST(count(DISTINCT f_group) AS BIGINT) AS nf_group
+        |  FROM d GROUP BY 1),
+        |j AS (SELECT d.*, cl.nf_naive, cl.nf_group FROM d JOIN cl USING (dg)),
+        |g AS (
+        |  SELECT f_group AS fold, CAST(count(*) AS BIGINT) AS n_docs_group,
+        |         CAST(count(DISTINCT dg) AS BIGINT) AS n_clusters_group,
+        |         CAST(sum(CASE WHEN nf_group > 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_leaked_group
+        |  FROM j GROUP BY 1),
+        |n AS (
+        |  SELECT f_naive AS fold, CAST(count(*) AS BIGINT) AS n_docs_naive,
+        |         CAST(sum(CASE WHEN nf_naive > 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_leaked_naive
+        |  FROM j GROUP BY 1)
+        |SELECT g.fold, g.n_docs_group, g.n_clusters_group, g.n_leaked_group,
+        |       n.n_docs_naive, n.n_leaked_naive,
+        |       round(CAST(n.n_leaked_naive AS DOUBLE) / n.n_docs_naive, 6)
+        |         AS naive_leak_rate
+        |FROM g JOIN n USING (fold) ORDER BY fold""".stripMargin,
+
     "q219_bbit_minhash" ->
       s"""WITH $corpusSql,
         |${bandCtes("corpus")},

@@ -3328,7 +3328,66 @@ object Relational {
       .orderBy($"band")
   }
 
+  // ---------------------------------------------------------------------
+  // q232: systematic PPS sampling (probability proportional to size,
+  // Madow's method) — the EXACT-inclusion-probability sibling of q129's
+  // A-ES: order the frame by a deterministic md5 permutation, lay K
+  // equally-spaced draws over the cumulative weight line, and a row with
+  // weight w receives hits = floor(cum*K/W) - floor((cum-w)*K/W) — in
+  // expectation exactly K*w/W, the property the census verifies by
+  // reading draw share against weight share per order priority (the
+  // audit-sampling / weighted-corpus-subsampling primitive: "give me
+  // 1000 probes, big orders proportionally likelier, reproducibly").
+  // Determinism: every quantity is int64 (weights in exact cents, hit
+  // arithmetic pure integer division); the permutation is md5 of the
+  // key, so the sample survives retries and repartitioning (q120 rule).
+  // Scale shape: the cumulative sum is a DISTRIBUTED two-stage prefix
+  // sum, not a single-partition window — stage 1 computes within-bucket
+  // prefix sums partitioned by the first hex char of the md5 key (16
+  // ordered ranges of the permutation), stage 2 adds per-bucket offsets
+  // from a 16-row broadcast running total. No operator ever sees more
+  // than 1/16th of the data in one sort, and bucket width is a knob
+  // (256 buckets at 100 TB); the DuckDB twin uses the plain global
+  // window, proving the decomposition exact.
+  private def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 1000L
+    val w = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        floor($"o_totalprice" * 100).cast(LongType).as("w"),
+        md5(concat(lit("pps:"), $"o_orderkey".cast(StringType))).as("h"))
+      .withColumn("b", substring($"h", 1, 1))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"b").orderBy($"h".asc, $"o_orderkey".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = w.withColumn("cum_in_b", sum($"w").over(win))
+    // 16-row bucket totals -> exclusive running offsets, broadcast back
+    val offs = local.groupBy($"b").agg(max($"cum_in_b").as("btot"))
+      .withColumn("off", coalesce(sum($"btot").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"b".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+    val tot = offs.agg(sum($"btot").as("wt"))
+    val hits = local.join(broadcast(offs.select($"b", $"off")), Seq("b"))
+      .crossJoin(broadcast(tot)) // 1-row total frame
+      .withColumn("cum", $"cum_in_b" + $"off")
+      .withColumn("nh",
+        expr(s"(cum * $K) div wt - ((cum - w) * $K) div wt"))
+    hits.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum($"w").as("weight_cents"),
+        sum(when($"nh" >= 1, 1L).otherwise(0L)).as("n_selected"),
+        sum($"nh").as("n_draws"), max($"nh").as("max_hits"),
+        max($"wt").as("wt"))
+      .select($"o_orderpriority", $"n_orders", $"weight_cents",
+        $"n_selected", $"n_draws", $"max_hits",
+        expr("weight_cents * 1000000 div wt").as("weight_share_micro"),
+        expr(s"n_draws * 1000000 div $K").as("draw_share_micro"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_pps_sample" -> (ppsSample _),
     "q224_price_dispersion" -> (priceDispersion _),
     "q223_status_consistency" -> (statusConsistency _),
     "q222_idempotency_census" -> (idempotencyCensus _),
@@ -3468,6 +3527,33 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q232_pps_sample" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS w,
+        |         md5(concat('pps:', CAST(o_orderkey AS VARCHAR))) AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority, w,
+        |         sum(w) OVER (ORDER BY h, o_orderkey
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(w) OVER () AS wt
+        |  FROM w),
+        |hits AS (
+        |  SELECT o_orderpriority, w, wt,
+        |         (cum * 1000) // wt - ((cum - w) * 1000) // wt AS nh
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(w) AS BIGINT) AS weight_cents,
+        |       CAST(sum(CASE WHEN nh >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_selected,
+        |       CAST(sum(nh) AS BIGINT) AS n_draws,
+        |       CAST(max(nh) AS BIGINT) AS max_hits,
+        |       CAST(sum(w) AS BIGINT) * 1000000 // CAST(max(wt) AS BIGINT)
+        |         AS weight_share_micro,
+        |       CAST(sum(nh) AS BIGINT) * 1000000 // 1000 AS draw_share_micro
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q224_price_dispersion" ->
       """WITH u AS (
         |  SELECT l_partkey,

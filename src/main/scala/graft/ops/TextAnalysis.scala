@@ -1371,7 +1371,65 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q230: temperature-scaled language sampling sweep (the multilingual
+  // mixture knob of mBERT/XLM-R: sample language l with probability
+  // proportional to p_l^alpha, alpha < 1 upweighting low-resource
+  // languages) — the DERIVED-weights sibling of q121 (which takes target
+  // weights as GIVEN) and q202/q214 (which apportion a fixed mixture).
+  // For alpha in {0.25, 0.5, 0.75, 1.0} the sweep prices one knob value
+  // per row: token budget allocated per language by Hamilton largest
+  // remainder over the tempered weights, plus the boost factor
+  // alloc/corpus-mass that shows exactly how hard each alpha leans into
+  // the tail. alpha = 1.0 is the self-check row: tempered weight ==
+  // corpus share, boost ~= budget fraction for every language.
+  // Determinism: the ONLY float is the tempered weight exp(alpha ln p),
+  // frozen to int micro-units per (language, alpha) — a 4x|langs| row
+  // dictionary (the q226/q227 freeze pattern); every allocation after
+  // that is exact int64 largest-remainder arithmetic (q228 precedent),
+  // so Sigma alloc == budget exactly per alpha.
+  // Scale shape: ONE corpus scan reduces to the |langs|-row token-mass
+  // frame; the sweep is arithmetic over |langs| x 4 rows joined via
+  // 1-row aggregates — at 100 TB the scan is the entire cost.
+  private def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mass = docs(s, dir)
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast(LongType)).as("toks"))
+    val tot = mass.agg(sum($"toks").as("tt"))
+    val alphas = Seq(25L, 50L, 75L, 100L).toDF("alpha_pct")
+    val w = mass.crossJoin(broadcast(tot)) // 1-row aggregate frame
+      .crossJoin(broadcast(alphas))
+      .withColumn("w_micro",
+        floor(exp(($"alpha_pct".cast(DoubleType) / lit(100.0)) *
+          log($"toks".cast(DoubleType) / $"tt".cast(DoubleType))) *
+          lit(1000000.0)).cast(LongType))
+    val sums = w.groupBy($"alpha_pct")
+      .agg(sum($"w_micro").as("sw"), max($"tt").as("tt"))
+      .withColumn("budget", expr("tt div 2"))
+    val quota = w.drop("tt").join(broadcast(sums), Seq("alpha_pct"))
+      .withColumn("base", expr("budget * w_micro div sw"))
+      .withColumn("rem", expr("budget * w_micro % sw"))
+    val leftover = quota.groupBy($"alpha_pct")
+      .agg((max($"budget") - sum($"base")).as("extra"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"alpha_pct").orderBy($"rem".desc, $"lang".asc)
+    quota.join(broadcast(leftover), Seq("alpha_pct"))
+      .withColumn("alloc",
+        $"base" + when(row_number().over(rk) <= $"extra", 1L).otherwise(0L))
+      .select(
+        Num.roundAt($"alpha_pct".cast(DoubleType) / lit(100.0), 2)
+          .as("alpha"),
+        $"lang", $"toks".as("corpus_tokens"),
+        expr("toks * 1000000 div tt").as("share_micro"),
+        $"w_micro", $"alloc".as("alloc_tokens"),
+        Num.roundAt($"alloc".cast(DoubleType) / $"toks".cast(DoubleType), 6)
+          .as("boost"))
+      .orderBy($"alpha", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_temperature_mixture" -> (temperatureMixture _),
     "q229_gopher_repetition" -> (gopherRepetition _),
     "q228_eval_split" -> (evalSplit _),
     "q227_gate_calibration" -> (gateCalibration _),
@@ -1551,6 +1609,45 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q230_temperature_mixture" ->
+      """WITH mass AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM mass),
+        |alphas AS (SELECT unnest([25, 50, 75, 100]) AS alpha_pct),
+        |w AS (
+        |  SELECT lang, toks, tt, alpha_pct,
+        |         CAST(floor(exp((alpha_pct / 100.0)
+        |             * ln(CAST(toks AS DOUBLE) / tt)) * 1000000.0)
+        |           AS BIGINT) AS w_micro
+        |  FROM mass, tot, alphas),
+        |sums AS (
+        |  SELECT alpha_pct, CAST(sum(w_micro) AS BIGINT) AS sw,
+        |         max(tt) AS tt, max(tt) // 2 AS budget
+        |  FROM w GROUP BY 1),
+        |quota AS (
+        |  SELECT w.lang, w.toks, w.tt, w.alpha_pct, w.w_micro,
+        |         s.budget, s.sw,
+        |         s.budget * w.w_micro // s.sw AS base,
+        |         s.budget * w.w_micro % s.sw AS rem
+        |  FROM w JOIN sums s USING (alpha_pct)),
+        |leftover AS (
+        |  SELECT alpha_pct, max(budget) - sum(base) AS extra
+        |  FROM quota GROUP BY 1)
+        |SELECT round(q.alpha_pct / 100.0, 2) AS alpha, q.lang,
+        |       q.toks AS corpus_tokens,
+        |       q.toks * 1000000 // q.tt AS share_micro, q.w_micro,
+        |       CAST(q.base + CASE WHEN row_number() OVER
+        |           (PARTITION BY q.alpha_pct ORDER BY q.rem DESC, q.lang ASC)
+        |           <= l.extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+        |       round(CAST(q.base + CASE WHEN row_number() OVER
+        |           (PARTITION BY q.alpha_pct ORDER BY q.rem DESC, q.lang ASC)
+        |           <= l.extra THEN 1 ELSE 0 END AS DOUBLE) / q.toks, 6)
+        |         AS boost
+        |FROM quota q JOIN leftover l USING (alpha_pct)
+        |ORDER BY alpha, lang""".stripMargin,
+
     "q229_gopher_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, source, text,

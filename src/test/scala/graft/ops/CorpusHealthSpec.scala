@@ -417,4 +417,63 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"rules caught $caught of $expPlanted planted docs")
     out.unpersist()
   }
+
+  test("q230: every alpha spends the budget exactly; low alpha boosts the tail") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q230_temperature_mixture")(spark, dir).cache()
+    assert(out.count() == 20) // 5 langs x 4 alphas
+    // Hamilton apportionment conserves the budget bit-for-bit per alpha
+    val tt = out.filter($"alpha" === 1.0).agg(sum($"corpus_tokens"))
+      .as[Long].head()
+    val spent = out.groupBy($"alpha").agg(sum($"alloc_tokens").as("a"))
+      .select($"a").as[Long].collect()
+    assert(spent.forall(_ == tt / 2), s"allocs ${spent.toSeq} != ${tt / 2}")
+    // alpha = 1.0 is the identity row: tempered weight == corpus share
+    // (up to the 1-micro floor slack of the exp/ln round-trip)
+    assert(out.filter($"alpha" === 1.0)
+      .filter(abs($"w_micro" - $"share_micro") > 1).count() == 0)
+    // temperature works: the smallest language gains share as alpha drops
+    val minLang = out.filter($"alpha" === 1.0)
+      .orderBy($"corpus_tokens".asc).select($"lang").as[String].head()
+    val b = out.filter($"lang" === minLang)
+      .orderBy($"alpha").select($"boost").as[Double].collect()
+    assert(b.head > b.last,
+      s"low-alpha boost ${b.head} should exceed alpha=1 boost ${b.last}")
+    out.unpersist()
+  }
+
+  test("q231: group folds leak nothing; naive folds leak the planted wave") {
+    import spark.implicits._
+    val out = Dedup.queries("q231_group_kfold")(spark, dir).cache()
+    assert(out.count() == 5)
+    assert(out.agg(sum($"n_leaked_group")).as[Long].head() == 0,
+      "group-aware folds must never split a duplicate cluster")
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val planted = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 4 === 0).count()
+    val corpusN = nDocs + planted
+    assert(out.agg(sum($"n_docs_group")).as[Long].head() == corpusN)
+    assert(out.agg(sum($"n_docs_naive")).as[Long].head() == corpusN)
+    // doc-level hashing splits ~4/5 of the planted pairs across folds
+    val leaked = out.agg(sum($"n_leaked_naive")).as[Long].head()
+    assert(leaked > 0 && leaked <= 2 * planted,
+      s"naive leak $leaked outside (0, ${2 * planted}]")
+    out.unpersist()
+  }
+
+  test("q232: exactly K draws, PPS draw shares track weight shares") {
+    import spark.implicits._
+    val out = Relational.queries("q232_pps_sample")(spark, dir).cache()
+    assert(out.agg(sum($"n_draws")).as[Long].head() == 1000L,
+      "systematic sampling must place exactly K draws")
+    assert(out.filter($"n_selected" > $"n_draws").count() == 0)
+    // weight shares partition the line (floor slack over 5 groups)
+    val ws = out.agg(sum($"weight_share_micro")).as[Long].head()
+    assert(ws > 1000000L - 5 && ws <= 1000000L)
+    // the PPS property: per-priority draw mass lands within sampling
+    // noise (~3 sigma at K = 1000) of its weight mass
+    assert(out.filter(abs($"draw_share_micro" - $"weight_share_micro")
+      > 40000).count() == 0)
+    out.unpersist()
+  }
 }
