@@ -1806,7 +1806,87 @@ object Dedup {
       .orderBy($"fold")
   }
 
+  // ---------------------------------------------------------------------
+  // q234: Fellegi–Sunter probabilistic record linkage — the DECISION
+  // layer q64 (edit-distance blocking) and q140 (Jaro scoring) stop
+  // short of: per-field agreement weights ln(m/u) (m = P(agree | same
+  // entity), u = P(agree | different entities)), summed into a composite
+  // score, thresholded into match / possible / non-match — the 1969
+  // model every production entity-resolution stack (Splink, dedupe.io)
+  // still runs. Registry B is a deterministically corrupted twin of the
+  // customer table (independent corruption channels: phone last-digit
+  // bump at key%3, balance +7 cents at key%5, segment wipe at key%7,
+  // name truncation at key%11 — so twins arrive with 0-4 disagreeing
+  // fields and the score distribution actually SPANS the three bands).
+  // The phone is synthesized from the key identically in both engines
+  // (q68's injection pattern) since the testdata has no phone column.
+  // Weights are FROZEN ln(m/u) milli-unit literals (documented below),
+  // so scores are exact int sums and the band cutoffs (8000 / 0) are
+  // integer predicates. Census per decision band: pairs, true pairs
+  // (same key), score range, precision.
+  // Scale shape: candidates come from a (nation, $100-balance-band)
+  // blocking equi-join — Sigma block^2, never |A|x|B|; the corrupted
+  // balance can band-shift a twin out of its block (~0.07% of the %5
+  // channel), which is the real blocking-recall trade the census
+  // surfaces. All comparisons run inside the block join projection.
+  private def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def reg(corrupt: Boolean): DataFrame = {
+      val c = Tables.customer(s, dir)
+      val base = c.select($"c_custkey".as("k"), $"c_nationkey".as("nat"),
+        floor($"c_acctbal" * 100).cast(LongType).as("cents"),
+        $"c_mktsegment".as("seg"), $"c_name".as("nm"))
+        .withColumn("ph", concat(($"nat" + 10).cast(StringType), lit("-"),
+          lpad(($"k" * 7919L % 9999991L).cast(StringType), 7, "0")))
+      if (!corrupt) base
+      else base.select($"k", $"nat",
+        ($"cents" + when($"k" % 5 === 0, 7L).otherwise(0L)).as("cents"),
+        when($"k" % 7 === 0, lit("UNKNOWN")).otherwise($"seg").as("seg"),
+        when($"k" % 11 === 0, expr("substring(nm, 1, length(nm) - 1)"))
+          .otherwise($"nm").as("nm"),
+        when($"k" % 3 === 0, expr(
+          "concat(substring(ph, 1, length(ph) - 1)," +
+            " cast((cast(substring(ph, length(ph), 1) as int) + 1) % 10" +
+            " as string))"))
+          .otherwise($"ph").as("ph"))
+    }
+    // band on SHIFTED-positive cents: Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors, so negative balances would band
+    // differently; acctbal >= -999.99 makes +100000 strictly positive
+    val a = reg(corrupt = false)
+      .withColumn("band", expr("(cents + 100000) div 10000"))
+    val b = reg(corrupt = true)
+      .withColumn("band", expr("(cents + 100000) div 10000"))
+    // ln(m/u) agreement / disagreement weights, milli-units:
+    //   name  m=.99 u~1e-4 -> +9000 / ln(.01/.9999) -> -4000 (clamped)
+    //   phone m=.95 u~1e-3 -> +6800 / ln(.05/.999)  -> -3000
+    //   bal   m=.90 u~6e-3 -> +5000 / ln(.10/.994)  -> -2500
+    //   seg   m=.95 u=.20  -> +1558 / ln(.05/.80)   -> -2773
+    val score =
+      when($"a.nm" === $"b.nm", 9000L).otherwise(-4000L) +
+        when($"a.ph" === $"b.ph", 6800L).otherwise(-3000L) +
+        when($"a.cents" === $"b.cents", 5000L).otherwise(-2500L) +
+        when($"a.seg" === $"b.seg", 1558L).otherwise(-2773L)
+    a.as("a").join(b.as("b"),
+        $"a.nat" === $"b.nat" && $"a.band" === $"b.band")
+      .withColumn("score", score)
+      .withColumn("decision",
+        when($"score" >= 8000L, "a_match")
+          .when($"score" >= 0L, "b_possible")
+          .otherwise("c_nonmatch"))
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"a.k" === $"b.k", 1L).otherwise(0L)).as("n_true_pairs"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .select($"decision", $"n_pairs", $"n_true_pairs",
+        $"min_score", $"max_score",
+        Num.roundAt($"n_true_pairs".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType), 6).as("band_precision"))
+      .orderBy($"decision")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_fellegi_sunter" -> (fellegiSunter _),
     "q231_group_kfold" -> (groupKfold _),
     "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
@@ -1897,6 +1977,57 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q234_fellegi_sunter" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg, c_name AS nm,
+        |         concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
+        |           lpad(CAST(c_custkey * 7919 % 9999991 AS VARCHAR), 7, '0'))
+        |           AS ph
+        |  FROM customer),
+        |a AS (
+        |  SELECT k, nat, cents, seg, nm, ph,
+        |         (cents + 100000) // 10000 AS band
+        |  FROM base),
+        |b AS (
+        |  SELECT k, nat,
+        |         cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END AS cents,
+        |         CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+        |         CASE WHEN k % 11 = 0
+        |              THEN substring(nm, 1, length(nm) - 1) ELSE nm END
+        |           AS nm,
+        |         CASE WHEN k % 3 = 0
+        |              THEN concat(substring(ph, 1, length(ph) - 1),
+        |                CAST((CAST(substring(ph, length(ph), 1) AS INT) + 1)
+        |                  % 10 AS VARCHAR))
+        |              ELSE ph END AS ph,
+        |         (cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END + 100000)
+        |           // 10000 AS band
+        |  FROM base),
+        |scored AS (
+        |  SELECT a.k AS ak, b.k AS bk,
+        |         (CASE WHEN a.nm = b.nm THEN 9000 ELSE -4000 END) +
+        |         (CASE WHEN a.ph = b.ph THEN 6800 ELSE -3000 END) +
+        |         (CASE WHEN a.cents = b.cents THEN 5000 ELSE -2500 END) +
+        |         (CASE WHEN a.seg = b.seg THEN 1558 ELSE -2773 END)
+        |           AS score
+        |  FROM a JOIN b ON a.nat = b.nat AND a.band = b.band),
+        |dec AS (
+        |  SELECT CASE WHEN score >= 8000 THEN 'a_match'
+        |              WHEN score >= 0 THEN 'b_possible'
+        |              ELSE 'c_nonmatch' END AS decision,
+        |         score, (ak = bk) AS is_true
+        |  FROM scored)
+        |SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_true_pairs,
+        |       CAST(min(score) AS BIGINT) AS min_score,
+        |       CAST(max(score) AS BIGINT) AS max_score,
+        |       round(CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / count(*), 6) AS band_precision
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q231_group_kfold" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1428,7 +1428,58 @@ object TextAnalysis {
       .orderBy($"alpha", $"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q233: context-length packing sweep — the "which sequence length"
+  // decision input q79's packer (fixed 4096) takes as given. Training
+  // pipelines that concatenate-and-chop a shard into fixed windows pay
+  // two costs that move OPPOSITE ways with L: boundary fragmentation
+  // (docs split across window edges lose cross-boundary attention;
+  // shrinks as L grows) and tail padding (the last window per shard is
+  // part-empty; grows as L grows). The sweep prices L in {128, 512,
+  // 2048} from ONE per-language running cumsum — a doc occupying token
+  // span [cum-n, cum-1] is split iff its span crosses a multiple of L,
+  // i.e. (cum-1) div L != (cum-n) div L — so all three candidate
+  // lengths read the same window frame and no re-scan or re-sort
+  // happens per L. Everything is exact integer arithmetic.
+  // Scale shape: q79's — the cumsum windows partition by language
+  // ((lang, shard) at 100 TB so no ordering grows unbounded); the sweep
+  // is a 3-row broadcast cross join; census is 3 rows.
+  private def packingSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast(LongType).as("n"))
+      .withColumn("cum", sum($"n").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ls = Seq(128L, 512L, 2048L).toDF("ctx_len")
+    val frag = c.crossJoin(broadcast(ls))
+      .withColumn("n_cross",
+        expr("(cum - 1) div ctx_len - (cum - n) div ctx_len"))
+      .groupBy($"ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_cross" > 0, 1L).otherwise(0L)).as("n_split_docs"),
+        sum($"n_cross").as("n_boundary_cuts"))
+    val pad = c.groupBy($"lang").agg(max($"cum").as("t"))
+      .crossJoin(broadcast(ls))
+      .groupBy($"ctx_len")
+      .agg(sum(expr("(t + ctx_len - 1) div ctx_len")).as("n_seqs"),
+        sum(expr("((t + ctx_len - 1) div ctx_len) * ctx_len - t"))
+          .as("pad_tokens"))
+    frag.join(pad, Seq("ctx_len"))
+      .select($"ctx_len", $"n_docs", $"n_split_docs", $"n_boundary_cuts",
+        $"n_seqs", $"pad_tokens",
+        Num.roundAt($"n_split_docs".cast(DoubleType) /
+          $"n_docs".cast(DoubleType), 6).as("split_frac"),
+        Num.roundAt($"pad_tokens".cast(DoubleType) /
+          ($"n_seqs" * $"ctx_len").cast(DoubleType), 6).as("pad_frac"))
+      .orderBy($"ctx_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_packing_sweep" -> (packingSweep _),
     "q230_temperature_mixture" -> (temperatureMixture _),
     "q229_gopher_repetition" -> (gopherRepetition _),
     "q228_eval_split" -> (evalSplit _),
@@ -1609,6 +1660,38 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q233_packing_sweep" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         CAST(sum(len(string_split(text, ' '))) OVER
+        |           (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents),
+        |ls AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS ctx_len),
+        |frag AS (
+        |  SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN (cum - 1) // ctx_len
+        |               <> (cum - n) // ctx_len THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_split_docs,
+        |         CAST(sum((cum - 1) // ctx_len - (cum - n) // ctx_len)
+        |           AS BIGINT) AS n_boundary_cuts
+        |  FROM c, ls GROUP BY 1),
+        |lt AS (SELECT lang, max(cum) AS t FROM c GROUP BY 1),
+        |pad AS (
+        |  SELECT ctx_len,
+        |         CAST(sum((t + ctx_len - 1) // ctx_len) AS BIGINT) AS n_seqs,
+        |         CAST(sum(((t + ctx_len - 1) // ctx_len) * ctx_len - t)
+        |           AS BIGINT) AS pad_tokens
+        |  FROM lt, ls GROUP BY 1)
+        |SELECT f.ctx_len, f.n_docs, f.n_split_docs, f.n_boundary_cuts,
+        |       p.n_seqs, p.pad_tokens,
+        |       round(CAST(f.n_split_docs AS DOUBLE) / f.n_docs, 6)
+        |         AS split_frac,
+        |       round(CAST(p.pad_tokens AS DOUBLE) / (p.n_seqs * f.ctx_len), 6)
+        |         AS pad_frac
+        |FROM frag f JOIN pad p USING (ctx_len) ORDER BY f.ctx_len""".stripMargin,
+
     "q230_temperature_mixture" ->
       """WITH mass AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)

@@ -476,4 +476,43 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       > 40000).count() == 0)
     out.unpersist()
   }
+
+  test("q233: packing sweep trades fragmentation against padding; token mass conserves") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q233_packing_sweep")(spark, dir)
+      .orderBy($"ctx_len").cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    // every row accounts the same corpus: n_seqs*L - pad == total tokens
+    val masses = rows.map(r => r.getAs[Long]("n_seqs") *
+      r.getAs[Long]("ctx_len") - r.getAs[Long]("pad_tokens"))
+    assert(masses.distinct.length == 1, s"token mass drifts: ${masses.toSeq}")
+    // the trade: longer contexts split fewer docs but pad more
+    assert(rows.map(_.getAs[Long]("n_split_docs")).sliding(2)
+      .forall(p => p(0) >= p(1)))
+    assert(rows.map(_.getAs[Long]("pad_tokens")).sliding(2)
+      .forall(p => p(0) <= p(1)))
+    assert(out.filter($"n_boundary_cuts" < $"n_split_docs").count() == 0)
+    out.unpersist()
+  }
+
+  test("q234: FS match band is pure; bands partition the score line") {
+    import spark.implicits._
+    val out = Dedup.queries("q234_fellegi_sunter")(spark, dir).cache()
+    val m = out.filter($"decision" === "a_match").head()
+    // name+phone agreement is impossible across different keys (phone
+    // body is injective in the key), so no false pair can reach 8000
+    assert(m.getAs[Long]("n_pairs") == m.getAs[Long]("n_true_pairs"),
+      "match band must contain only true pairs on this corpus")
+    assert(m.getAs[Long]("min_score") >= 8000L)
+    val p = out.filter($"decision" === "b_possible").head()
+    assert(p.getAs[Long]("min_score") >= 0L &&
+      p.getAs[Long]("max_score") < 8000L)
+    assert(out.filter($"decision" === "c_nonmatch")
+      .head().getAs[Long]("max_score") < 0L)
+    // truth pairs found across all bands never exceed the registry size
+    val truth = out.agg(sum($"n_true_pairs")).as[Long].head()
+    assert(truth <= graft.Tables.customer(spark, dir).count())
+    out.unpersist()
+  }
 }
