@@ -97,7 +97,10 @@ object Bench {
       // bills ~tens of ms of driver latency per stage — measurable across
       // a 152-query suite of sub-second queries. Default stays ON (the
       // production posture); the knob exists so the trade is measured,
-      // not assumed.
+      // not assumed. Measured round 11 at 225 queries / sf0.1 in
+      // matched ~17-eff-core windows: OFF 153.8 s vs ON 150.2 s — the
+      // planning latency is repaid by runtime coalescing even at toy
+      // scale, so ON wins on both axes.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Measured, not assumed: AQE's coalescePartitions.parallelismFirst
       // was tried at `false` (the docs' efficiency recommendation) and

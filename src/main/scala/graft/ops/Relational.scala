@@ -3386,7 +3386,71 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------------------------------------
+  // q236: Neyman optimal allocation — the survey-sampling answer to "how
+  // do I split a fixed audit/labeling budget across strata": sample
+  // stratum h proportionally to N_h * sigma_h (not just N_h), which
+  // minimizes the variance of the estimated total. The third member of
+  // the allocation family: q202/q214 apportion GIVEN weights, q230
+  // derives weights from mass via temperature — this one derives them
+  // from DISPERSION. The raw event values have near-identical spread
+  // across types, so the outcome y attaches deterministic per-class
+  // monetary multipliers (purchase 8x, signup 3x — the "purchases have
+  // the volatile dollar outcomes" shape); the census publishes Neyman
+  // beside proportional allocation so the shift toward high-variance
+  // strata is the readout. Determinism: y is exact integer units, the
+  // stratum variance numerator n*SS - S^2 is exact int64, and ONLY the
+  // per-stratum sd is frozen (floor(sqrt(.)*1000) milli-units, 5 rows —
+  // the q230 freeze pattern); both allocations are exact largest
+  // remainder. Scale shape: one scan -> 5-row moment frame; int64
+  // headroom for n*SS caps around sf10 on this column (switch the
+  // moment accumulation to per-partition scaled units / decimal past
+  // that, documented here rather than discovered in production).
+  private def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 10000L
+    val y = Tables.events(s, dir).select($"event_type",
+      (floor($"value").cast(LongType) *
+        when($"event_type" === "purchase", 8L)
+          .when($"event_type" === "signup", 3L)
+          .otherwise(1L)).as("y"))
+    val st = y.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum($"y" * $"y").as("ss"))
+      .withColumn("sd_milli",
+        floor(sqrt(($"n" * $"ss" - $"sy" * $"sy").cast(DoubleType) /
+          ($"n" * ($"n" - 1)).cast(DoubleType)) * lit(1000.0))
+          .cast(LongType))
+    // largest-remainder apportionment of K over an integer weight column
+    // (5-row frame; the windows are dictionary-sized)
+    def lr(df: DataFrame, w: org.apache.spark.sql.Column,
+        out: String): DataFrame = {
+      val q = df.withColumn("w", w)
+        .withColumn("tw", sum($"w").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("base", expr(s"$K * w div tw"))
+        .withColumn("rem", expr(s"$K * w % tw"))
+        .withColumn("extra", lit(K) - sum($"base").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      q.withColumn(out, $"base" + when(row_number().over(
+          Window.orderBy($"rem".desc, $"event_type".asc)) <= $"extra", 1L)
+          .otherwise(0L))
+        .drop("w", "tw", "base", "rem", "extra")
+    }
+    val withNey = lr(st, $"n" * $"sd_milli", "alloc_neyman")
+    val withBoth = lr(withNey, $"n".cast(LongType), "alloc_prop")
+    withBoth.select($"event_type", $"n".as("n_events"),
+      expr("sy div n").as("mean_y"), $"sd_milli",
+      $"alloc_neyman", $"alloc_prop",
+      ($"alloc_neyman" - $"alloc_prop").as("shift"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_neyman_allocation" -> (neymanAllocation _),
     "q232_pps_sample" -> (ppsSample _),
     "q224_price_dispersion" -> (priceDispersion _),
     "q223_status_consistency" -> (statusConsistency _),
@@ -3527,6 +3591,50 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q236_neyman_allocation" ->
+      """WITH y AS (
+        |  SELECT event_type,
+        |         CAST(floor("value") AS BIGINT) *
+        |           (CASE event_type WHEN 'purchase' THEN 8
+        |                            WHEN 'signup' THEN 3 ELSE 1 END) AS y
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(y * y) AS BIGINT) AS ss
+        |  FROM y GROUP BY 1),
+        |sd AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n * ss - sy * sy AS DOUBLE)
+        |           / (n * (n - 1))) * 1000.0) AS BIGINT) AS sd_milli
+        |  FROM st),
+        |ney AS (
+        |  SELECT *, n * sd_milli AS w,
+        |         sum(n * sd_milli) OVER () AS tw,
+        |         10000 * (n * sd_milli) // sum(n * sd_milli) OVER () AS base,
+        |         10000 * (n * sd_milli) % sum(n * sd_milli) OVER () AS rem
+        |  FROM sd),
+        |ney2 AS (
+        |  SELECT *, base + CASE WHEN row_number() OVER
+        |        (ORDER BY rem DESC, event_type ASC)
+        |        <= 10000 - sum(base) OVER () THEN 1 ELSE 0 END
+        |      AS alloc_neyman
+        |  FROM ney),
+        |pr AS (
+        |  SELECT *, 10000 * n // sum(n) OVER () AS pbase,
+        |         10000 * n % sum(n) OVER () AS prem
+        |  FROM ney2),
+        |pr2 AS (
+        |  SELECT *, pbase + CASE WHEN row_number() OVER
+        |        (ORDER BY prem DESC, event_type ASC)
+        |        <= 10000 - sum(pbase) OVER () THEN 1 ELSE 0 END
+        |      AS alloc_prop
+        |  FROM pr)
+        |SELECT event_type, n AS n_events, sy // n AS mean_y, sd_milli,
+        |       CAST(alloc_neyman AS BIGINT) AS alloc_neyman,
+        |       CAST(alloc_prop AS BIGINT) AS alloc_prop,
+        |       CAST(alloc_neyman - alloc_prop AS BIGINT) AS shift
+        |FROM pr2 ORDER BY event_type""".stripMargin,
+
     "q232_pps_sample" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_orderpriority,

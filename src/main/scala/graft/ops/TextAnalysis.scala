@@ -1478,7 +1478,61 @@ object TextAnalysis {
       .orderBy($"ctx_len")
   }
 
+  // ---------------------------------------------------------------------
+  // q235: phrase-vocabulary coverage sweep — "how many merges buy how
+  // much of the corpus": rank the bigram vocabulary by frequency and
+  // read the exact token-mass coverage of the top K ∈ {50, 200, 800}
+  // phrases — the merge-budget sizing input for q114's BPE (frequency
+  // mass is what greedy BPE optimizes) and the OOV-rate twin of q170's
+  // fertility. Unigrams would be degenerate on this corpus (~46-term
+  // vocabulary, any K covers 100%); the bigram space (~vocab²) has the
+  // Zipf tail that makes the knee measurable. Census per K: covered
+  // occurrences, coverage fraction, OOV fraction, and the share of the
+  // DISTINCT vocabulary the budget spends — all exact ints over one
+  // (bigram, count) frame.
+  // Scale shape: one corpus scan explodes bigrams into a map-side-
+  // combined count; the rank window runs on the VOCABULARY-sized count
+  // frame (dictionary scale, q159's Zipf precedent — at 100 TB a df-cap
+  // pre-filter bounds it before the single-partition rank); the sweep
+  // is a 3-row broadcast cross join against per-K running masses.
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val big = docs(s, dir)
+      .select(split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("g"))
+    val counts = big.groupBy($"g").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").as("n_occ"),
+      count(lit(1)).as("n_vocab"))
+    // dictionary-sized global rank + running mass (vocabulary rows)
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"c".desc, $"g".asc)))
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = Seq(50L, 200L, 800L).toDF("k_budget")
+    ranked.crossJoin(broadcast(ks))
+      .filter($"rk" <= $"k_budget")
+      .groupBy($"k_budget")
+      .agg(max($"cum").as("covered_occ"), count(lit(1)).as("k_eff"))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select($"k_budget", $"k_eff", $"covered_occ", $"n_occ", $"n_vocab",
+        Num.roundAt($"covered_occ".cast(DoubleType) /
+          $"n_occ".cast(DoubleType), 6).as("coverage"),
+        Num.roundAt(($"n_occ" - $"covered_occ").cast(DoubleType) /
+          $"n_occ".cast(DoubleType), 6).as("oov_rate"),
+        Num.roundAt($"k_eff".cast(DoubleType) /
+          $"n_vocab".cast(DoubleType), 6).as("vocab_spend"))
+      .orderBy($"k_budget")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_vocab_coverage" -> (vocabCoverage _),
     "q233_packing_sweep" -> (packingSweep _),
     "q230_temperature_mixture" -> (temperatureMixture _),
     "q229_gopher_repetition" -> (gopherRepetition _),
@@ -1660,6 +1714,38 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q235_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)), i ->
+        |    ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM t),
+        |counts AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_occ,
+        |         CAST(count(*) AS BIGINT) AS n_vocab
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT g, c,
+        |         row_number() OVER (ORDER BY c DESC, g ASC) AS rk,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, g ASC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |ks AS (SELECT CAST(unnest([50, 200, 800]) AS BIGINT) AS k_budget)
+        |SELECT k_budget, CAST(count(*) AS BIGINT) AS k_eff,
+        |       CAST(max(cum) AS BIGINT) AS covered_occ,
+        |       max(n_occ) AS n_occ, max(n_vocab) AS n_vocab,
+        |       round(CAST(max(cum) AS DOUBLE) / max(n_occ), 6) AS coverage,
+        |       round(CAST(max(n_occ) - max(cum) AS DOUBLE) / max(n_occ), 6)
+        |         AS oov_rate,
+        |       round(CAST(count(*) AS DOUBLE) / max(n_vocab), 6)
+        |         AS vocab_spend
+        |FROM ranked, ks, tot WHERE rk <= k_budget
+        |GROUP BY k_budget ORDER BY k_budget""".stripMargin,
+
     "q233_packing_sweep" ->
       """WITH c AS (
         |  SELECT doc_id, lang,

@@ -515,4 +515,36 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(truth <= graft.Tables.customer(spark, dir).count())
     out.unpersist()
   }
+
+  test("q235: coverage curve is monotone and saturates at the full vocabulary") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q235_vocab_coverage")(spark, dir)
+      .orderBy($"k_budget").cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    // more budget, more coverage; k_eff caps at the vocabulary
+    assert(rows.map(_.getAs[Long]("covered_occ")).sliding(2)
+      .forall(p => p(0) <= p(1)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_eff") ==
+        math.min(r.getAs[Long]("k_budget"), r.getAs[Long]("n_vocab")))
+      assert(r.getAs[Long]("covered_occ") <= r.getAs[Long]("n_occ"))
+      assert(math.abs(r.getAs[Double]("coverage") +
+        r.getAs[Double]("oov_rate") - 1.0) < 2e-6)
+    }
+    out.unpersist()
+  }
+
+  test("q236: Neyman spends the budget exactly and shifts toward volatile strata") {
+    import spark.implicits._
+    val out = Relational.queries("q236_neyman_allocation")(spark, dir).cache()
+    assert(out.count() == 5)
+    assert(out.agg(sum($"alloc_neyman")).as[Long].head() == 10000L)
+    assert(out.agg(sum($"alloc_prop")).as[Long].head() == 10000L)
+    assert(out.agg(sum($"shift")).as[Long].head() == 0L)
+    // the planted 8x outcome class must gain allocation vs proportional
+    assert(out.filter($"event_type" === "purchase")
+      .head().getAs[Long]("shift") > 0L)
+    out.unpersist()
+  }
 }
