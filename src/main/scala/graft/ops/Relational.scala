@@ -3449,7 +3449,99 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q238: watermark-delay sweep — q161 measures HOW out-of-order a
+  // stream arrives; this prices the decision that measurement feeds:
+  // for candidate watermark delays {1, 6, 24} hours, how many events
+  // would a Structured Streaming job DROP (event-time lateness beyond
+  // the delay) and how many users would feel it. The raw table is
+  // perfectly ordered (event_id follows ts), so transport disorder is
+  // PLANTED deterministically (the q222 redelivery pattern): every 5th
+  // event's ARRIVAL is delayed by an md5-derived 0-48 h jitter — note
+  // h7 is 28-bit, so the jitter draws whole SECONDS (h7 % 172800) and
+  // scales to micros; drawing micros directly would silently cap at
+  // ~4.5 minutes. One per-user arrival-order window computes lateness
+  // once; every candidate delay is an exceedance predicate over the
+  // same frame (the q220 sweep pattern — no re-sort per candidate).
+  // Determinism: jitter and lateness are exact micros ints. Scale
+  // shape: one user-partitioned window (never global), a 3-row
+  // broadcast, a 3-row census.
+  private def watermarkSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val late = Tables.events(s, dir)
+      .select($"event_id", $"user_id", Num.epochUs($"ts").as("t"))
+      .withColumn("arr", $"t" + when($"event_id" % 5 === 0,
+        (Det.h7(concat(lit("wm:"), $"event_id".cast(StringType)))
+          % 172800L) * 1000000L).otherwise(0L))
+      .withColumn("late_us", greatest(lit(0L), coalesce(
+        max($"t").over(Window.partitionBy($"user_id")
+          .orderBy($"arr", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)) - $"t", lit(0L))))
+    val ds = Seq(1L, 6L, 24L).toDF("delay_h")
+    late.crossJoin(broadcast(ds))
+      .withColumn("dropped", $"late_us" > $"delay_h" * 3600000000L)
+      .groupBy($"delay_h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
+        count_distinct(when($"dropped", $"user_id")).as("n_users_affected"))
+      .select($"delay_h", $"n_events", $"n_dropped", $"n_users_affected",
+        Num.roundAt($"n_dropped".cast(DoubleType) /
+          $"n_events".cast(DoubleType), 6).as("drop_frac"))
+      .orderBy($"delay_h")
+  }
+
+  // ---------------------------------------------------------------------
+  // q239: temporal split with embargo — the time-series sibling of
+  // q231's group k-fold: when train/test splits are chronological, rows
+  // near the boundary leak (a user's behavior minutes before the cut
+  // predicts their behavior minutes after), so quant/forecasting
+  // practice embargoes a gap before the test window. Test = the final
+  // 7 days; for embargo g in {0h, 1h, 24h}, train = everything older
+  // than cut - g. The census reads what the embargo buys and costs:
+  // events excluded vs the USER overlap between train and test — which
+  // barely moves (users are long-lived), the honest readout that a
+  // temporal embargo fixes boundary leakage, not entity leakage; q231's
+  // group split is the fix for the latter. Determinism: the cut derives
+  // from max(ts) in exact micros; all counts are integer predicates
+  // over one scan. Scale shape: one scan + a 3-row broadcast; the
+  // overlap is a distinct-user aggregate per embargo (map-side
+  // combinable), census is 3 rows.
+  private def temporalEmbargo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", Num.epochUs($"ts").as("t"))
+    val cut = ev.agg((max($"t") - lit(7L * 86400000000L)).as("cut"))
+    val gs = Seq(0L, 1L, 24L).toDF("embargo_h")
+    val tagged = ev.crossJoin(broadcast(cut)) // 1-row aggregate frame
+      .crossJoin(broadcast(gs))
+      .withColumn("g_us", $"embargo_h" * 3600000000L)
+      .withColumn("cls",
+        when($"t" >= $"cut", "test")
+          .when($"t" < $"cut" - $"g_us", "train")
+          .otherwise("embargoed"))
+    val users = tagged.groupBy($"embargo_h", $"user_id")
+      .agg(sum(when($"cls" === "train", 1L).otherwise(0L)).as("n_tr"),
+        sum(when($"cls" === "test", 1L).otherwise(0L)).as("n_te"))
+    val overlap = users.groupBy($"embargo_h")
+      .agg(sum(when($"n_tr" > 0 && $"n_te" > 0, 1L).otherwise(0L))
+        .as("n_users_overlap"),
+        sum(when($"n_te" > 0, 1L).otherwise(0L)).as("n_users_test"))
+    tagged.groupBy($"embargo_h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"cls" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"cls" === "test", 1L).otherwise(0L)).as("n_test"),
+        sum(when($"cls" === "embargoed", 1L).otherwise(0L)).as("n_embargoed"))
+      .join(overlap, Seq("embargo_h"))
+      .select($"embargo_h", $"n_events", $"n_train", $"n_test",
+        $"n_embargoed", $"n_users_overlap", $"n_users_test",
+        Num.roundAt($"n_users_overlap".cast(DoubleType) /
+          $"n_users_test".cast(DoubleType), 6).as("user_overlap_frac"))
+      .orderBy($"embargo_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_temporal_embargo" -> (temporalEmbargo _),
+    "q238_watermark_sweep" -> (watermarkSweep _),
     "q236_neyman_allocation" -> (neymanAllocation _),
     "q232_pps_sample" -> (ppsSample _),
     "q224_price_dispersion" -> (priceDispersion _),
@@ -3591,6 +3683,70 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q238_watermark_sweep" ->
+      """WITH t0 AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+        |t AS (
+        |  SELECT *, t + CASE WHEN event_id % 5 = 0
+        |      THEN (CAST(concat('0x', substring(md5(
+        |               concat('wm:', CAST(event_id AS VARCHAR))), 1, 7))
+        |             AS BIGINT) % 172800) * 1000000
+        |      ELSE 0 END AS arr
+        |  FROM t0),
+        |l AS (
+        |  SELECT user_id,
+        |         CAST(greatest(0, coalesce(
+        |           max(t) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t,
+        |           0)) AS BIGINT) AS late_us
+        |  FROM t),
+        |ds AS (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS delay_h)
+        |SELECT delay_h, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > delay_h * 3600000000
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(count(DISTINCT CASE WHEN late_us > delay_h * 3600000000
+        |         THEN user_id END) AS BIGINT) AS n_users_affected,
+        |       round(CAST(sum(CASE WHEN late_us > delay_h * 3600000000
+        |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS drop_frac
+        |FROM l, ds GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q239_temporal_embargo" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |cut AS (SELECT max(t) - 604800000000 AS cut FROM t),
+        |gs AS (SELECT CAST(unnest([0, 1, 24]) AS BIGINT) AS embargo_h),
+        |tagged AS (
+        |  SELECT embargo_h, user_id,
+        |         CASE WHEN t >= cut THEN 'test'
+        |              WHEN t < cut - embargo_h * 3600000000 THEN 'train'
+        |              ELSE 'embargoed' END AS cls
+        |  FROM t, cut, gs),
+        |users AS (
+        |  SELECT embargo_h, user_id,
+        |         sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS n_tr,
+        |         sum(CASE WHEN cls = 'test' THEN 1 ELSE 0 END) AS n_te
+        |  FROM tagged GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT embargo_h,
+        |         CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_users_overlap,
+        |         CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_users_test
+        |  FROM users GROUP BY 1),
+        |ev AS (
+        |  SELECT embargo_h, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_train,
+        |         CAST(sum(CASE WHEN cls = 'test' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_test,
+        |         CAST(sum(CASE WHEN cls = 'embargoed' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_embargoed
+        |  FROM tagged GROUP BY 1)
+        |SELECT e.embargo_h, e.n_events, e.n_train, e.n_test, e.n_embargoed,
+        |       o.n_users_overlap, o.n_users_test,
+        |       round(CAST(o.n_users_overlap AS DOUBLE) / o.n_users_test, 6)
+        |         AS user_overlap_frac
+        |FROM ev e JOIN ov o USING (embargo_h) ORDER BY e.embargo_h""".stripMargin,
+
     "q236_neyman_allocation" ->
       """WITH y AS (
         |  SELECT event_type,

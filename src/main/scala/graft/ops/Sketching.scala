@@ -344,7 +344,68 @@ object Sketching {
       .orderBy($"qpct")
   }
 
+  // ---------------------------------------------------------------------
+  // q237: KMV set algebra — the reason mergeable sketches exist: pairwise
+  // distinct-UNION and distinct-INTERSECTION estimates for every source
+  // pair computed purely from the per-source bottom-K sketches (two
+  // kilobyte arrays per pair; at 100 TB the sketches are the only thing
+  // that leaves the scan), read beside the exact answers. Union: merge =
+  // bottom-K of the deduped concat (exact, q181's argument), est =
+  // (K-1)*M/kth. Intersection: the Beyer et al. estimator — the fraction
+  // of merged-sketch members present in BOTH input sketches estimates
+  // Jaccard, times the union estimate. The exact twins pay what the
+  // sketch avoids: an h-keyed self-join whose output is bounded by
+  // Sigma df^2 with df <= |sources| (measured 754k pair rows at sf0.1,
+  // never shingle-space x shingle-space). Determinism: sketches are
+  // exact int arrays; est_inter multiplies the two ALREADY-ROUNDED
+  // estimates (q181's boundary rule). The pair frame is
+  // |sources|^2-bounded — dictionary-sized, so the inequality join is a
+  // broadcast over 20 rows, not a data-scale nested loop.
+  private def kmvSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dh = shingles(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRank = Window.partitionBy($"source").orderBy($"h")
+    val perSrc = dh.withColumn("rn", row_number().over(wRank))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_exact"),
+        sort_array(collect_list(when($"rn" <= K, $"h"))).as("sk"))
+    val inter = dh.as("x").join(dh.as("y"),
+        $"x.h" === $"y.h" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    perSrc.as("a").join(perSrc.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        $"a.n_exact".as("n_a"), $"b.n_exact".as("n_b"),
+        $"a.sk".as("ska"), $"b.sk".as("skb"))
+      .withColumn("merged",
+        expr(s"slice(array_sort(array_union(ska, skb)), 1, $K)"))
+      .withColumn("k_eff", least(size($"merged"), lit(K)))
+      .withColumn("k_common", size(expr(
+        "filter(merged, x -> array_contains(ska, x)" +
+          " and array_contains(skb, x))")))
+      .withColumn("est_union",
+        when(size($"merged") >= K,
+          Num.roundAt(lit((K - 1).toDouble * M) /
+            element_at($"merged", K).cast(DoubleType), 4))
+          .otherwise(size($"merged").cast(DoubleType)))
+      .withColumn("j_est",
+        Num.roundAt($"k_common".cast(DoubleType) /
+          $"k_eff".cast(DoubleType), 4))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce($"exact_inter", lit(0L)))
+      .withColumn("exact_union", $"n_a" + $"n_b" - $"exact_inter")
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        $"exact_union", $"exact_inter", $"k_common".cast(LongType),
+        $"est_union", $"j_est",
+        Num.roundAt($"j_est" * $"est_union", 2).as("est_inter"),
+        Num.roundAt(abs($"est_union" - $"exact_union") /
+          $"exact_union".cast(DoubleType), 4).as("rel_err_union"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_kmv_set_algebra" -> (kmvSetAlgebra _),
     "q201_ddsketch_quantiles" -> (ddsketchQuantiles _),
     "q181_kmv_sketch" -> (kmvSketch _),
     "q182_hll_registers" -> (hllRegisters _),
@@ -508,6 +569,51 @@ object Sketching {
         |       coalesce(gained, 0) AS gained
         |FROM na FULL OUTER JOIN nb ON na.shard = nb.shard
         |ORDER BY shard""".stripMargin,
+    "q237_kmv_set_algebra" ->
+      s"""WITH $dhSql,
+        |ranked AS (
+        |  SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM dh),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+        |         list(h ORDER BY h) FILTER (WHERE rn <= $K) AS sk
+        |  FROM ranked GROUP BY source),
+        |inter AS (
+        |  SELECT x.source AS src_a, y.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM dh x JOIN dh y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         a.n_exact AS n_a, b.n_exact AS n_b,
+        |         a.sk AS ska, b.sk AS skb,
+        |         array_slice(list_sort(list_distinct(
+        |           list_concat(a.sk, b.sk))), 1, $K) AS merged
+        |  FROM per a JOIN per b ON a.source < b.source),
+        |calc AS (
+        |  SELECT src_a, src_b, n_a, n_b,
+        |         CAST(len(list_filter(merged, x ->
+        |           list_contains(ska, x) AND list_contains(skb, x)))
+        |           AS BIGINT) AS k_common,
+        |         CAST(least(len(merged), $K) AS BIGINT) AS k_eff,
+        |         CASE WHEN len(merged) >= $K
+        |              THEN floor(CAST(${K - 1}.0 * $M AS DOUBLE)
+        |                     / merged[$K] * 10000 + 0.5) / 10000
+        |              ELSE CAST(len(merged) AS DOUBLE) END AS est_union
+        |  FROM pairs),
+        |j AS (
+        |  SELECT c.*, coalesce(i.exact_inter, 0) AS exact_inter,
+        |         c.n_a + c.n_b - coalesce(i.exact_inter, 0) AS exact_union,
+        |         floor(CAST(c.k_common AS DOUBLE) / c.k_eff * 10000 + 0.5)
+        |           / 10000 AS j_est
+        |  FROM calc c LEFT JOIN inter i USING (src_a, src_b))
+        |SELECT src_a, src_b, n_a, n_b, exact_union, exact_inter, k_common,
+        |       est_union, j_est,
+        |       floor(j_est * est_union * 100 + 0.5) / 100 AS est_inter,
+        |       floor(abs(est_union - exact_union) / exact_union * 10000
+        |         + 0.5) / 10000 AS rel_err_union
+        |FROM j ORDER BY src_a, src_b""".stripMargin,
     "q181_kmv_sketch" ->
       s"""WITH $dhSql,
         |ranked AS (

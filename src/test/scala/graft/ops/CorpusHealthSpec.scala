@@ -547,4 +547,42 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .head().getAs[Long]("shift") > 0L)
     out.unpersist()
   }
+
+  test("q238: drop curve decays with the delay; only jittered events drop") {
+    import spark.implicits._
+    val out = Relational.queries("q238_watermark_sweep")(spark, dir)
+      .orderBy($"delay_h").cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_dropped")).sliding(2)
+      .forall(p => p(0) >= p(1)), "longer delay must drop no more events")
+    val jittered = graft.Tables.events(spark, dir)
+      .filter($"event_id" % 5 === 0).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= jittered,
+        "an on-time event can never be late")
+      assert(r.getAs[Long]("n_dropped") > 0,
+        "the planted jitter must make the sweep non-degenerate")
+    }
+    out.unpersist()
+  }
+
+  test("q239: embargo trims train only; classes partition every event") {
+    import spark.implicits._
+    val out = Relational.queries("q239_temporal_embargo")(spark, dir)
+      .orderBy($"embargo_h").cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") +
+        r.getAs[Long]("n_embargoed") == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_users_overlap") <=
+        r.getAs[Long]("n_users_test"))
+    }
+    // test window is fixed by the cut; embargo only eats into train
+    assert(rows.map(_.getAs[Long]("n_test")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n_train")).sliding(2)
+      .forall(p => p(0) >= p(1)))
+    out.unpersist()
+  }
 }

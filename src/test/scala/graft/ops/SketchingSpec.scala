@@ -145,4 +145,26 @@ class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
     }
   }
+
+  test("q237: KMV set algebra covers every source pair with sane estimates") {
+    import spark.implicits._
+    val out = Sketching.queries("q237_kmv_set_algebra")(spark, dir).cache()
+    val nSrc = graft.Tables.documents(spark, dir)
+      .select($"source").distinct().count()
+    assert(out.count() == nSrc * (nSrc - 1) / 2, "one row per source pair")
+    // set algebra: inter <= min, union >= max, union = a + b - inter
+    assert(out.filter($"exact_inter" > least($"n_a", $"n_b")).count() == 0)
+    assert(out.filter($"exact_union" < greatest($"n_a", $"n_b")).count() == 0)
+    assert(out.filter($"exact_union" =!=
+      $"n_a" + $"n_b" - $"exact_inter").count() == 0)
+    assert(out.filter($"k_common" > 32).count() == 0)
+    // K=32 KMV standard error ~18%; individual pairs can land deep in
+    // the tail (measured worst 0.79 at sf0.001 — one source's kth min
+    // drew low), so the per-pair bound is loose and the MEAN carries
+    // the contract
+    assert(out.filter($"rel_err_union" > 1.2).count() == 0)
+    val meanErr = out.agg(avg($"rel_err_union")).as[Double].head()
+    assert(meanErr < 0.25, s"mean union rel err $meanErr")
+    out.unpersist()
+  }
 }
