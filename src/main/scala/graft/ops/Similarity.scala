@@ -809,7 +809,65 @@ object Similarity {
       .orderBy($"dim_budget")
   }
 
+  // ---------------------------------------------------------------------
+  // q240: FILTERED vector search — the production ANN question none of
+  // q28/q49/q93 answer: "top-10 similar items IN THE PROBE'S CATEGORY".
+  // Two strategies exist and the census prices the broken one:
+  // pre-filtering (restrict to the label first, then rank — the truth,
+  // but it needs a per-label index) vs post-filtering (rank globally,
+  // keep a shortlist of S, THEN filter — one global index, but recall
+  // collapses when S is small relative to k/selectivity: at 10%
+  // selectivity a shortlist of 10 keeps ~1 same-label row). The sweep
+  // S in {10, 50, 200} reads mean recall@10 and the kept-count per
+  // probe — the "oversample by k/selectivity" rule made measurable.
+  // One probe-broadcast scan scores every (probe, vector) pair ONCE;
+  // both the global rank and the within-label rank are windows over
+  // that frame (partitioned by probe — never a global sort), and the
+  // three shortlists are exceedance predicates (q220/q238 pattern).
+  // Determinism: ranks use the (cos desc, vec_id asc) tie-break and
+  // identical left-fold dot products both engines (q22 precedent);
+  // recalls divide exact ints. Scale shape: the evaluation-only probe
+  // set broadcasts (q146); at corpus scale the post-filter candidate
+  // generation swaps to the real ANN tiers, same readout.
+  private def filteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubleArr($"embedding").as("v"), $"label")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+    val probes = all.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"),
+        $"label".as("plabel"))
+    val scored = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("same", $"label" === $"plabel")
+      .withColumn("rk_all", row_number().over(
+        Window.partitionBy($"probe_id")
+          .orderBy($"cos".desc, $"vec_id".asc)))
+      .withColumn("rk_grp", row_number().over(
+        Window.partitionBy($"probe_id", $"same")
+          .orderBy($"cos".desc, $"vec_id".asc)))
+      .withColumn("is_truth", $"same" && $"rk_grp" <= 10)
+    val ss = Seq(10L, 50L, 200L).toDF("shortlist")
+    scored.crossJoin(broadcast(ss))
+      .groupBy($"shortlist")
+      .agg(count_distinct($"probe_id").as("n_probes"),
+        sum(when($"is_truth", 1L).otherwise(0L)).as("n_truth"),
+        sum(when($"is_truth" && $"rk_all" <= $"shortlist", 1L)
+          .otherwise(0L)).as("n_hits"),
+        sum(when($"same" && $"rk_all" <= $"shortlist", 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select($"shortlist", $"n_probes", $"n_truth", $"n_hits", $"n_kept",
+        Num.roundAt($"n_hits".cast(DoubleType) /
+          $"n_truth".cast(DoubleType), 6).as("mean_recall"),
+        Num.roundAt($"n_kept".cast(DoubleType) /
+          $"n_probes".cast(DoubleType), 6).as("mean_kept"))
+      .orderBy($"shortlist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_filtered_ann" -> (filteredAnn _),
     "q215_matryoshka_recall" -> (matryoshkaRecall _),
     "q198_class_separability" -> (classSeparability _),
     "q197_hard_negatives" -> (hardNegatives _),
@@ -1338,6 +1396,49 @@ object Similarity {
         |  FROM adc)
         |SELECT probe_id, vec_id AS neighbor_id, rank, round(adc, 6) AS adc_d2
         |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "q240_filtered_ann" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_reduce(list_transform(range(1, 65),
+        |                i -> CAST(embedding[i] AS DOUBLE)
+        |                  * CAST(embedding[i] AS DOUBLE)),
+        |              (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |         (c.label = p.label) AS same,
+        |         list_reduce(list_transform(range(1, 65),
+        |           i -> p.v[i] * c.v[i]), (x, y) -> x + y)
+        |           / (p.nrm * c.nrm) AS cos
+        |  FROM n p JOIN n c ON p.vec_id < 20 AND c.vec_id != p.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, same,
+        |         row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rk_all,
+        |         row_number() OVER (PARTITION BY probe_id, same
+        |           ORDER BY cos DESC, vec_id ASC) AS rk_grp
+        |  FROM scored),
+        |fl AS (
+        |  SELECT *, (same AND rk_grp <= 10) AS is_truth FROM ranked),
+        |ss AS (SELECT CAST(unnest([10, 50, 200]) AS BIGINT) AS shortlist)
+        |SELECT shortlist,
+        |       CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+        |       CAST(sum(CASE WHEN is_truth THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_truth,
+        |       CAST(sum(CASE WHEN is_truth AND rk_all <= shortlist
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(sum(CASE WHEN same AND rk_all <= shortlist
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN is_truth AND rk_all <= shortlist
+        |           THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         sum(CASE WHEN is_truth THEN 1 ELSE 0 END), 6)
+        |         AS mean_recall,
+        |       round(CAST(sum(CASE WHEN same AND rk_all <= shortlist
+        |           THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         count(DISTINCT probe_id), 6) AS mean_kept
+        |FROM fl, ss GROUP BY shortlist ORDER BY shortlist""".stripMargin,
+
     "q22_cosine_topk" ->
       s"""WITH $nSql,
         |scored AS (

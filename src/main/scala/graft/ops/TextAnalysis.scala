@@ -1531,7 +1531,82 @@ object TextAnalysis {
       .orderBy($"k_budget")
   }
 
+  // ---------------------------------------------------------------------
+  // q241: leave-one-source-out influence — the cheapest member of the
+  // data-valuation family (the question Shapley-value sampling
+  // approximates): how much does each SOURCE contribute to how well the
+  // corpus statistics model held-out text? A fixed probe shard
+  // (doc_id % 23) is scored under the full train unigram model and
+  // under each of the 20 leave-one-source-out models; influence =
+  // NLL_loo − NLL_full (positive ⇒ the source was helping). The LOO
+  // trick that makes this one pass instead of 21: every LOO count is
+  // c_full(t) − c_(t,s), so all 21 dictionaries derive ARITHMETICALLY
+  // from one (term, source) count frame — no per-model corpus re-scan,
+  // the reason this operator is runnable at 100 TB while true Shapley
+  // is not. Smoothing is add-one over the full-train vocabulary for
+  // every model (same V, so influence isolates the counts, not the
+  // support). Determinism: ln((c+1)/(T+V)) frozen to int micro-units
+  // per (term, model) — a |V| x 21 dictionary (q226/q227 freeze
+  // pattern); probe scores are exact int sums over the probe's
+  // aggregate term counts (no per-doc state at all).
+  // Scale shape: two scans (train counts, probe counts) collapse to
+  // dictionary-sized frames; everything after is arithmetic on
+  // |V| x |sources| rows.
+  private def looInfluence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("t"))
+    val isProbe = $"doc_id" % 23 === 0
+    val tc = toks.filter(!isProbe)
+      .groupBy($"t", $"source").agg(count(lit(1)).as("c_ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = tc.groupBy($"t").agg(sum($"c_ts").as("c_t"))
+    val srcTot = tc.groupBy($"source").agg(sum($"c_ts").as("t_s"))
+    val gl = full.agg(sum($"c_t").as("t_full"),
+      count(lit(1)).as("v"))
+    // 21 models: '__full__' plus one LOO per source, each a (T, and a
+    // per-term count derivable from c_t and c_ts)
+    val models = srcTot.crossJoin(broadcast(gl))
+      .select($"source".as("model"), ($"t_full" - $"t_s").as("t_m"), $"v")
+      .unionAll(gl.select(lit("__full__").as("model"),
+        $"t_full".as("t_m"), $"v"))
+    val dict = full.crossJoin(broadcast(models))
+      .join(tc.select($"t", $"source".as("model"), $"c_ts"),
+        Seq("t", "model"), "left")
+      .withColumn("c_m", $"c_t" - coalesce($"c_ts", lit(0L)))
+      .withColumn("lnp_micro",
+        floor(log(($"c_m" + 1).cast(DoubleType) /
+          ($"t_m" + $"v").cast(DoubleType)) * lit(1000000.0))
+          .cast(LongType))
+      .select($"t", $"model", $"lnp_micro")
+    val pt = toks.filter(isProbe).groupBy($"t")
+      .agg(count(lit(1)).as("pc"))
+    // probe terms unseen by a model fall to the add-one floor ln(1/(T+V))
+    val scoredM = pt.crossJoin(broadcast(models))
+      .join(dict, Seq("t", "model"), "left")
+      .withColumn("lnp", coalesce($"lnp_micro",
+        floor(log(lit(1.0) / ($"t_m" + $"v").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType)))
+      .groupBy($"model")
+      .agg(sum($"pc" * $"lnp").as("sum_lnp"), sum($"pc").as("n_tok"))
+      .withColumn("nll_micro", expr("(-sum_lnp) div n_tok"))
+    val fullRow = scoredM.filter($"model" === "__full__")
+      .select($"nll_micro".as("nll_full_micro"))
+    scoredM.filter($"model" =!= "__full__")
+      .crossJoin(broadcast(fullRow)) // 1-row scalar frame
+      .join(srcTot.withColumnRenamed("source", "model"), Seq("model"))
+      .select($"model".as("source"), $"t_s".as("train_tokens"),
+        $"n_tok".as("probe_tokens"),
+        Num.roundAt($"nll_micro".cast(DoubleType) / lit(1e6), 6)
+          .as("nll_loo"),
+        Num.roundAt($"nll_full_micro".cast(DoubleType) / lit(1e6), 6)
+          .as("nll_full"),
+        ($"nll_micro" - $"nll_full_micro").as("influence_micro"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_loo_influence" -> (looInfluence _),
     "q235_vocab_coverage" -> (vocabCoverage _),
     "q233_packing_sweep" -> (packingSweep _),
     "q230_temperature_mixture" -> (temperatureMixture _),
@@ -1714,6 +1789,58 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q241_loo_influence" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tc AS (
+        |  SELECT t, source, CAST(count(*) AS BIGINT) AS c_ts
+        |  FROM toks WHERE doc_id % 23 <> 0 GROUP BY 1, 2),
+        |fu AS (SELECT t, CAST(sum(c_ts) AS BIGINT) AS c_t FROM tc GROUP BY 1),
+        |srct AS (
+        |  SELECT source, CAST(sum(c_ts) AS BIGINT) AS t_s FROM tc GROUP BY 1),
+        |gl AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS t_full,
+        |         CAST(count(*) AS BIGINT) AS v FROM fu),
+        |models AS (
+        |  SELECT source AS model, t_full - t_s AS t_m, v FROM srct, gl
+        |  UNION ALL
+        |  SELECT '__full__' AS model, t_full AS t_m, v FROM gl),
+        |dict AS (
+        |  SELECT f.t, m.model, m.t_m, m.v,
+        |         CAST(floor(ln(CAST(f.c_t - coalesce(tc.c_ts, 0) + 1
+        |             AS DOUBLE) / (m.t_m + m.v)) * 1000000.0) AS BIGINT)
+        |           AS lnp_micro
+        |  FROM fu f CROSS JOIN models m
+        |  LEFT JOIN tc ON tc.t = f.t AND tc.source = m.model),
+        |pt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS pc
+        |  FROM toks WHERE doc_id % 23 = 0 GROUP BY 1),
+        |sc AS (
+        |  SELECT m.model,
+        |         CAST(sum(pt.pc * coalesce(d.lnp_micro,
+        |           CAST(floor(ln(1.0 / (m.t_m + m.v)) * 1000000.0)
+        |             AS BIGINT))) AS BIGINT) AS sum_lnp,
+        |         CAST(sum(pt.pc) AS BIGINT) AS n_tok
+        |  FROM pt CROSS JOIN models m
+        |  LEFT JOIN dict d ON d.t = pt.t AND d.model = m.model
+        |  GROUP BY m.model),
+        |nll AS (
+        |  SELECT model, (-sum_lnp) // n_tok AS nll_micro, n_tok FROM sc),
+        |fr AS (
+        |  SELECT nll_micro AS nll_full_micro FROM nll
+        |  WHERE model = '__full__')
+        |SELECT n.model AS source, s.t_s AS train_tokens,
+        |       n.n_tok AS probe_tokens,
+        |       round(CAST(n.nll_micro AS DOUBLE) / 1000000.0, 6) AS nll_loo,
+        |       round(CAST(f.nll_full_micro AS DOUBLE) / 1000000.0, 6)
+        |         AS nll_full,
+        |       CAST(n.nll_micro - f.nll_full_micro AS BIGINT)
+        |         AS influence_micro
+        |FROM nll n CROSS JOIN fr f JOIN srct s ON s.source = n.model
+        |WHERE n.model <> '__full__'
+        |ORDER BY source""".stripMargin,
+
     "q235_vocab_coverage" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS ts FROM documents

@@ -585,4 +585,38 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .forall(p => p(0) >= p(1)))
     out.unpersist()
   }
+
+  test("q240: post-filter recall climbs with the shortlist and saturates") {
+    import spark.implicits._
+    val out = Similarity.queries("q240_filtered_ann")(spark, dir)
+      .orderBy($"shortlist").cache()
+    val rows = out.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_kept"),
+        "every truth hit survives the post-filter")
+      assert(r.getAs[Long]("n_truth") <= 10 * r.getAs[Long]("n_probes"))
+    }
+    assert(rows.map(_.getAs[Long]("n_hits")).sliding(2)
+      .forall(p => p(0) <= p(1)), "bigger shortlist can only add hits")
+    // shortlist 200 covers the whole sf0.001 corpus -> exact recall
+    assert(rows.last.getAs[Double]("mean_recall") == 1.0)
+    out.unpersist()
+  }
+
+  test("q241: LOO influence is scored on one shared probe shard") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q241_loo_influence")(spark, dir).cache()
+    assert(out.count() ==
+      graft.Tables.documents(spark, dir).select($"source")
+        .distinct().count())
+    // one probe shard, 21 models: probe token mass identical per row
+    assert(out.select($"probe_tokens").distinct().count() == 1)
+    assert(out.filter($"nll_loo" <= 0.0 || $"nll_full" <= 0.0).count() == 0)
+    // influence is exactly the micro-unit gap the two columns round from
+    assert(out.filter(abs($"nll_loo" - $"nll_full" -
+      $"influence_micro" / 1e6) > 2e-6).count() == 0)
+    out.unpersist()
+  }
 }
