@@ -3539,7 +3539,45 @@ object Relational {
       .orderBy($"embargo_h")
   }
 
+  // ---------------------------------------------------------------------
+  // q242: differential-privacy sensitivity census — the measurement a
+  // DP aggregation layer runs BEFORE choosing its noise scale: the
+  // sensitivity of a per-type event count to one user is that user's
+  // contribution, so DP-SQL engines CLIP each user to C rows and add
+  // noise proportional to C. The census prices C in {1, 10, 100} per
+  // event type: how much real mass clipping discards (retained
+  // fraction) against the sensitivity bound it buys, beside the
+  // unclipped worst-case contribution (what noise would cost WITHOUT
+  // clipping) and the top-user mass share (concentration). Privacy
+  // family: q195 k-anonymity, q203 l-diversity measure re-identification;
+  // this measures aggregate leakage. No noise is drawn — noise is
+  // random by definition, so the deterministic surface is everything
+  // up to the noise: bounds, clipped mass, concentration (all exact
+  // ints). Scale shape: one scan -> (user, type) counts (map-side
+  // combined), a 3-row broadcast sweep, |types| x 3 census rows.
+  private def dpSensitivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uc = Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = Seq(1L, 10L, 100L).toDF("clip_c")
+    uc.crossJoin(broadcast(cs))
+      .groupBy($"event_type", $"clip_c")
+      .agg(count(lit(1)).as("n_users"), sum($"n_u").as("n_events"),
+        sum(least($"n_u", $"clip_c")).as("clipped_events"),
+        max($"n_u").as("max_user_events"))
+      .select($"event_type", $"clip_c", $"n_users", $"n_events",
+        $"clipped_events", $"max_user_events",
+        Num.roundAt($"clipped_events".cast(DoubleType) /
+          $"n_events".cast(DoubleType), 6).as("retained_frac"),
+        Num.roundAt($"max_user_events".cast(DoubleType) /
+          $"n_events".cast(DoubleType), 6).as("top_user_share"))
+      .orderBy($"event_type", $"clip_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_dp_sensitivity" -> (dpSensitivity _),
     "q239_temporal_embargo" -> (temporalEmbargo _),
     "q238_watermark_sweep" -> (watermarkSweep _),
     "q236_neyman_allocation" -> (neymanAllocation _),
@@ -3683,6 +3721,21 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q242_dp_sensitivity" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+        |  FROM events GROUP BY 1, 2),
+        |cs AS (SELECT CAST(unnest([1, 10, 100]) AS BIGINT) AS clip_c)
+        |SELECT event_type, clip_c, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_u) AS BIGINT) AS n_events,
+        |       CAST(sum(least(n_u, clip_c)) AS BIGINT) AS clipped_events,
+        |       CAST(max(n_u) AS BIGINT) AS max_user_events,
+        |       round(CAST(sum(least(n_u, clip_c)) AS DOUBLE) / sum(n_u), 6)
+        |         AS retained_frac,
+        |       round(CAST(max(n_u) AS DOUBLE) / sum(n_u), 6)
+        |         AS top_user_share
+        |FROM uc, cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q238_watermark_sweep" ->
       """WITH t0 AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events),

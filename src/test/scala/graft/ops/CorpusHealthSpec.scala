@@ -619,4 +619,24 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       $"influence_micro" / 1e6) > 2e-6).count() == 0)
     out.unpersist()
   }
+
+  test("q242: clipping retains more mass as C grows; bounds are honest") {
+    import spark.implicits._
+    val out = Relational.queries("q242_dp_sensitivity")(spark, dir).cache()
+    assert(out.count() == 15) // 5 event types x 3 clip thresholds
+    assert(out.filter($"clipped_events" > $"n_events").count() == 0)
+    // clip at C caps every user: clipped <= n_users * C
+    assert(out.filter($"clipped_events" > $"n_users" * $"clip_c")
+      .count() == 0)
+    // retained mass is monotone in C per type
+    val byType = out.orderBy($"event_type", $"clip_c").collect()
+      .grouped(3).toSeq
+    byType.foreach { g =>
+      val r = g.map(_.getAs[Long]("clipped_events"))
+      assert(r(0) <= r(1) && r(1) <= r(2))
+      // the unclipped sensitivity is the same whatever C we price
+      assert(g.map(_.getAs[Long]("max_user_events")).distinct.length == 1)
+    }
+    out.unpersist()
+  }
 }
