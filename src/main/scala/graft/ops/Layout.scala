@@ -268,7 +268,69 @@ object Layout {
       .orderBy($"col_name")
   }
 
+  // ---------------------------------------------------------------------
+  // q243: zone-map skipping census — min/max statistics are the cheapest
+  // scan-reduction lever a columnar store has, and their value is pure
+  // LAYOUT: the same stats skip ~nothing when the filter column is
+  // scattered across row groups and ~everything when it is clustered.
+  // The census simulates both layouts from the same table — natural
+  // groups = ingest-order key ranges (l_orderkey div 1024: orderkeys
+  // correlate only loosely with ship dates), clustered groups = one per
+  // ship month (what a shipdate-sorted writer would produce) — builds
+  // each group's [min,max] shipdate zone map, and prices three
+  // quarter-long predicates in groups scanned, rows scanned and read
+  // amplification. The q86/q90/q210 sibling: q86 builds the clustering
+  // key, q210 chooses the encoding, this one measures what the
+  // clustering buys at the scan. Determinism: zone maps and predicate
+  // bounds are exact micros ints. Scale shape: group stats are one
+  // map-side-combined aggregate per layout (groups are defined by key
+  // arithmetic, NOT by a global sort — at production scale the sort is
+  // the writer's, never this query's); the predicate sweep is a 3-row
+  // broadcast against group-count-sized frames.
+  private def zoneMapCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dayUs(y: Int, m: Int): Long =
+      java.time.LocalDate.of(y, m, 1).toEpochDay * 86400000000L
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", Num.epochUs($"l_shipdate").as("d"),
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("ship_month"))
+    val preds = Seq(
+      ("1996q1", dayUs(1996, 1), dayUs(1996, 4)),
+      ("1998q3", dayUs(1998, 7), dayUs(1998, 10)),
+      ("2001q1", dayUs(2001, 1), dayUs(2001, 4)))
+      .toDF("pred", "lo", "hi")
+    val matched = li.crossJoin(broadcast(preds))
+      .groupBy($"pred")
+      .agg(sum(when($"d" >= $"lo" && $"d" < $"hi", 1L).otherwise(0L))
+        .as("rows_matched"))
+    def census(layout: String, rgCol: org.apache.spark.sql.Column) = {
+      val rg = li.withColumn("rg", rgCol)
+        .groupBy($"rg")
+        .agg(count(lit(1)).as("n_rows"), min($"d").as("mn"),
+          max($"d").as("mx"))
+      rg.crossJoin(broadcast(preds))
+        .withColumn("hit", $"mx" >= $"lo" && $"mn" < $"hi")
+        .groupBy($"pred")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"hit", 1L).otherwise(0L)).as("n_groups_scanned"),
+          sum(when($"hit", $"n_rows").otherwise(0L)).as("rows_scanned"))
+        .withColumn("layout", lit(layout))
+    }
+    census("a_natural", expr("l_orderkey div 1024"))
+      .unionAll(census("b_clustered", $"ship_month"))
+      .join(matched, Seq("pred"))
+      .select($"layout", $"pred", $"n_groups", $"n_groups_scanned",
+        $"rows_scanned", $"rows_matched",
+        Num.roundAt(($"n_groups" - $"n_groups_scanned").cast(DoubleType) /
+          $"n_groups".cast(DoubleType), 6).as("skip_frac"),
+        when($"rows_matched" > 0, Num.roundAt(
+          $"rows_scanned".cast(DoubleType) /
+            $"rows_matched".cast(DoubleType), 4)).as("read_amp"))
+      .orderBy($"layout", $"pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_zonemap_census" -> (zoneMapCensus _),
     "q210_encoding_census" -> (encodingCensus _),
     "q50_partition_prune" -> (partitionPrune _),
     "q82_orc_scan"        -> (orcScan _),
@@ -306,6 +368,58 @@ object Layout {
        |              $c AS v FROM lineitem))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q243_zonemap_census" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, epoch_us(l_shipdate) AS d,
+        |         year(l_shipdate) * 100 + month(l_shipdate) AS ship_month
+        |  FROM lineitem),
+        |pr AS (
+        |  SELECT * FROM (VALUES
+        |    ('1996q1', epoch_us(TIMESTAMP '1996-01-01'),
+        |               epoch_us(TIMESTAMP '1996-04-01')),
+        |    ('1998q3', epoch_us(TIMESTAMP '1998-07-01'),
+        |               epoch_us(TIMESTAMP '1998-10-01')),
+        |    ('2001q1', epoch_us(TIMESTAMP '2001-01-01'),
+        |               epoch_us(TIMESTAMP '2001-04-01')))
+        |    t(pred, lo, hi)),
+        |matched AS (
+        |  SELECT pred, CAST(sum(CASE WHEN d >= lo AND d < hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+        |  FROM li, pr GROUP BY 1),
+        |rgn AS (
+        |  SELECT l_orderkey // 1024 AS rg, CAST(count(*) AS BIGINT)
+        |           AS n_rows, min(d) AS mn, max(d) AS mx
+        |  FROM li GROUP BY 1),
+        |rgc AS (
+        |  SELECT ship_month AS rg, CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(d) AS mn, max(d) AS mx
+        |  FROM li GROUP BY 1),
+        |cn AS (
+        |  SELECT 'a_natural' AS layout, pred,
+        |         CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_groups_scanned,
+        |         CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN n_rows
+        |           ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM rgn, pr GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'b_clustered' AS layout, pred,
+        |         CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_groups_scanned,
+        |         CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN n_rows
+        |           ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM rgc, pr GROUP BY 2)
+        |SELECT c.layout, c.pred, c.n_groups, c.n_groups_scanned,
+        |       c.rows_scanned, m.rows_matched,
+        |       round(CAST(c.n_groups - c.n_groups_scanned AS DOUBLE)
+        |         / c.n_groups, 6) AS skip_frac,
+        |       CASE WHEN m.rows_matched > 0 THEN
+        |         round(CAST(c.rows_scanned AS DOUBLE) / m.rows_matched, 4)
+        |       END AS read_amp
+        |FROM cn c JOIN matched m USING (pred)
+        |ORDER BY c.layout, c.pred""".stripMargin,
+
     "q210_encoding_census" ->
       s"""WITH u AS (
         |${Seq("l_returnflag", "l_shipdate", "l_quantity", "l_partkey")

@@ -233,4 +233,22 @@ class LayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the other days' data is still there
     assert(spark.read.parquet(path).count() > 1)
   }
+
+  test("q243: zone maps never skip a matching row; clustering pays") {
+    import spark.implicits._
+    val out = Layout.queries("q243_zonemap_census")(spark, dir).cache()
+    assert(out.count() == 6) // 2 layouts x 3 predicates
+    // completeness: every scanned superset contains all matching rows
+    assert(out.filter($"rows_scanned" < $"rows_matched").count() == 0)
+    assert(out.filter($"n_groups_scanned" > $"n_groups").count() == 0)
+    // the clustered layout must skip strictly more than the natural one
+    // for every predicate (that's what the layout buys)
+    val nat = out.filter($"layout" === "a_natural")
+      .select($"pred", $"rows_scanned".as("rs_nat"))
+    val clu = out.filter($"layout" === "b_clustered")
+      .select($"pred", $"rows_scanned".as("rs_clu"))
+    assert(nat.join(clu, "pred").filter($"rs_clu" >= $"rs_nat")
+      .count() == 0, "clustering must reduce rows scanned")
+    out.unpersist()
+  }
 }
