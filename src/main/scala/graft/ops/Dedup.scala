@@ -751,6 +751,24 @@ object Dedup {
     val pairs = bandPairs(mutatedDocs(s, dir), np)
       .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = ccFromPairs(s, pairs).orderBy("doc_id")
+    // the label frame is materialized and cached inside ccFromPairs, so
+    // dropping the pair cache here cannot trigger a band-join re-run
+    pairs.unpersist()
+    out
+  }
+
+  /** Min-label-propagation connected components over a PERSISTED
+    * canonical pair frame (doc_a < doc_b). Returns (doc_id, cluster),
+    * materialized and cached by the convergence actions themselves;
+    * every internal frame is released before return, but `pairs` stays
+    * persisted — the caller built it and decides when to drop it (q57
+    * drops it immediately; q246 keeps deriving from it).
+    */
+  private def ccFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     // Materializes the pair cache AND sizes the loop: the dup-pair graph
     // is orders of magnitude smaller than the corpus it came from, so the
     // CC iteration re-plans its partitioning and join strategy from the
@@ -814,7 +832,7 @@ object Dedup {
     }
     val tInit = System.nanoTime()
     var prevSum = lblSum(labels)
-    System.err.println(s"[q57] init sum=$prevSum took=${(System.nanoTime()-tInit)/1e9}s")
+    System.err.println(s"[cc] init sum=$prevSum took=${(System.nanoTime()-tInit)/1e9}s")
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
@@ -822,7 +840,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val curSum = lblSum(next) // materializes next's cache
-      System.err.println(s"[q57] iter=$iter sum=$curSum took=${(System.nanoTime()-t0)/1e9}s")
+      System.err.println(s"[cc] iter=$iter sum=$curSum took=${(System.nanoTime()-t0)/1e9}s")
       // next is cached now; dropping the previous round's cache is safe
       // (a re-computation would fall back to the persisted edges).
       labels.unpersist()
@@ -831,9 +849,8 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
-    pairs.unpersist()
     edges.unpersist()
-    labels.select($"doc_id", $"lbl".as("cluster")).orderBy("doc_id")
+    labels.select($"doc_id", $"lbl".as("cluster"))
   }
 
   // ---------------------------------------------------------------------
@@ -863,6 +880,71 @@ object Dedup {
       .select($"cluster", $"n_members",
         $"rep.doc_id".as("rep_doc"), $"rep.n_tokens".as("rep_tokens"))
       .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------------
+  // q246: clustering-agreement census — the pair-counting comparison of
+  // the two dedup grouping policies this inventory already prices
+  // separately: TRANSITIVE clusters (q57's connected components — the
+  // semantically right grouping) vs the ONE-PASS smaller-id-survivor
+  // assignment (q56/q216's rule: each doc attaches to its smallest
+  // direct match — what a single streaming pass can afford). The
+  // agreement is computed over PAIRS without ever enumerating them:
+  // with contingency counts n_ij = |cc-cluster i ∩ one-pass group j|,
+  // pairs-together-in-both = Σ C(n_ij,2), and the marginals give the
+  // CC-pair and one-pass-pair totals — so Rand index, pair-precision
+  // and pair-recall (CC as truth) are exact integer ratios from three
+  // dictionary-over-contingency aggregates. The readout is the policy
+  // gap itself: recall < 1 is exactly the chained-duplicate mass the
+  // one-pass rule fails to co-group (A~B, B~C, A!~C), the q57-vs-q56
+  // argument as a number. Scale shape: ONE band self-join builds the
+  // persisted pair frame; the CC loop (shared ccFromPairs) and the
+  // one-pass min-aggregate both derive from that cache; the contingency
+  // frame is cluster-dictionary-sized and every Σ C(n,2) is a map-side
+  // partial aggregate. Precision/recall denominators are guarded
+  // (NULL on an edgeless corpus), divisions are single IEEE ops over
+  // exact int64s.
+  private def clusterAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted: consumed by the CC loop, the node census and the
+    // one-pass min-aggregate; released by the session post-action clear
+    val pairs = bandPairs(mutatedDocs(s, dir), np)
+      .filter($"est" >= 0.5).select($"doc_a", $"doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = ccFromPairs(s, pairs) // (doc_id, cluster), cached+materialized
+    // one-pass labels over the same pair-graph nodes: doc_a < doc_b is
+    // canonical, so a doc's survivor is min(doc_a) over its incoming
+    // matches, or itself when nothing smaller matched
+    val nodes = pairs.select($"doc_a".as("doc"))
+      .unionAll(pairs.select($"doc_b".as("doc"))).distinct()
+    val bm = pairs.groupBy($"doc_b".as("doc")).agg(min($"doc_a").as("m"))
+    val onep = nodes.join(bm, Seq("doc"), "left")
+      .select($"doc", coalesce($"m", $"doc").as("grp"))
+    val ct = cc.join(onep, cc("doc_id") === onep("doc"))
+      .groupBy($"cluster", $"grp").agg(count(lit(1)).as("n"))
+    val both = ct.agg(sum($"n").as("n_docs"),
+      sum(expr("n * (n - 1) div 2")).as("p_both"))
+    val pcc = cc.groupBy($"cluster").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("p_cc"))
+    val pop = onep.groupBy($"grp").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("p_onepass"))
+    both.crossJoin(broadcast(pcc)).crossJoin(broadcast(pop))
+      .withColumn("p_total", expr("n_docs * (n_docs - 1) div 2"))
+      .select($"n_docs", $"p_total",
+        $"p_cc".as("pairs_cc"), $"p_onepass".as("pairs_onepass"),
+        $"p_both".as("pairs_both"),
+        Num.roundAt(($"p_total" - $"p_cc" - $"p_onepass" +
+          lit(2L) * $"p_both").cast(DoubleType) /
+          $"p_total".cast(DoubleType), 6).as("rand_index"),
+        when($"p_onepass" === 0L, lit(null).cast(DoubleType))
+          .otherwise(Num.roundAt($"p_both".cast(DoubleType) /
+            $"p_onepass".cast(DoubleType), 6)).as("pair_precision"),
+        when($"p_cc" === 0L, lit(null).cast(DoubleType))
+          .otherwise(Num.roundAt($"p_both".cast(DoubleType) /
+            $"p_cc".cast(DoubleType), 6)).as("pair_recall"))
   }
 
   // ---------------------------------------------------------------------
@@ -1831,6 +1913,29 @@ object Dedup {
   // surfaces. All comparisons run inside the block join projection.
   private def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    fsScored(s, dir)
+      .withColumn("decision",
+        when($"score" >= 8000L, "a_match")
+          .when($"score" >= 0L, "b_possible")
+          .otherwise("c_nonmatch"))
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"ak" === $"bk", 1L).otherwise(0L)).as("n_true_pairs"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .select($"decision", $"n_pairs", $"n_true_pairs",
+        $"min_score", $"max_score",
+        Num.roundAt($"n_true_pairs".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType), 6).as("band_precision"))
+      .orderBy($"decision")
+  }
+
+  /** Blocked, scored Fellegi–Sunter candidate pairs (ak, bk, score) —
+    * the shared core of q234 (decision bands) and q248 (calibration).
+    * See fellegiSunter's header comment for the model and corruption
+    * channels; scores are exact int milli-units of ln(m/u).
+    */
+  private def fsScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     def reg(corrupt: Boolean): DataFrame = {
       val c = Tables.customer(s, dir)
       val base = c.select($"c_custkey".as("k"), $"c_nationkey".as("nat"),
@@ -1870,23 +1975,52 @@ object Dedup {
     a.as("a").join(b.as("b"),
         $"a.nat" === $"b.nat" && $"a.band" === $"b.band")
       .withColumn("score", score)
-      .withColumn("decision",
-        when($"score" >= 8000L, "a_match")
-          .when($"score" >= 0L, "b_possible")
-          .otherwise("c_nonmatch"))
-      .groupBy($"decision")
+      .select($"a.k".as("ak"), $"b.k".as("bk"), $"score")
+  }
+
+  // ---------------------------------------------------------------------
+  // q248: linkage-score CALIBRATION census — q234 decides with its
+  // composite score; this asks whether that score MEANS what the model
+  // claims. Under Fellegi–Sunter the score is the log-likelihood ratio,
+  // so with prior match odds p₀ = T/(C−T) the posterior match
+  // probability at score s is σ(ln p₀ + s/1000) — and a 4-binary-field
+  // comparison vector admits only 2⁴ distinct scores, so the
+  // reliability diagram is EXACT, not binned: per score level, the
+  // empirical precision (true pairs / pairs, exact ints) sits beside
+  // the model's implied probability, and the gap is the
+  // miscalibration a threshold-picker would inherit. This is the
+  // q227/q191-style calibration rung for the entity-resolution family.
+  // Scale shape: one pass over the blocked candidate pairs (persisted —
+  // two consumers: the prior-odds census and the per-score groupBy,
+  // both map-side partial over ≤16 score levels); everything after is
+  // broadcast arithmetic on a 16-row frame. exp/σ are single IEEE ops
+  // per dictionary row at readout.
+  private def fsCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sc = fsScored(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = sc.agg(count(lit(1)).as("c"),
+      sum(when($"ak" === $"bk", 1L).otherwise(0L)).as("t"))
+    sc.groupBy($"score")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when($"a.k" === $"b.k", 1L).otherwise(0L)).as("n_true_pairs"),
-        min($"score").as("min_score"), max($"score").as("max_score"))
-      .select($"decision", $"n_pairs", $"n_true_pairs",
-        $"min_score", $"max_score",
+        sum(when($"ak" === $"bk", 1L).otherwise(0L)).as("n_true_pairs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("odds", ($"t".cast(DoubleType) /
+        ($"c" - $"t").cast(DoubleType)) *
+        exp($"score".cast(DoubleType) / lit(1000.0)))
+      .select($"score", $"n_pairs", $"n_true_pairs",
         Num.roundAt($"n_true_pairs".cast(DoubleType) /
-          $"n_pairs".cast(DoubleType), 6).as("band_precision"))
-      .orderBy($"decision")
+          $"n_pairs".cast(DoubleType), 6).as("empirical_precision"),
+        Num.roundAt($"odds" / (lit(1.0) + $"odds"), 6).as("implied_prob"),
+        Num.roundAt($"n_true_pairs".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType) -
+          $"odds" / (lit(1.0) + $"odds"), 6).as("calibration_gap"))
+      .orderBy($"score")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_fellegi_sunter" -> (fellegiSunter _),
+    "q248_fs_calibration" -> (fsCalibration _),
     "q231_group_kfold" -> (groupKfold _),
     "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
@@ -1904,6 +2038,7 @@ object Dedup {
     "q27_dedup_embed"    -> (dedupEmbedding _),
     "q56_corpus_clean"   -> (corpusClean _),
     "q57_dup_clusters"   -> (dupClusters _),
+    "q246_cluster_agreement" -> (clusterAgreement _),
     "q157_cluster_representative" -> (clusterRepresentative _),
     "q158_cross_source_contamination" -> (crossSourceContamination _),
     "q165_hamming_search" -> (hammingSearch _),
@@ -1977,6 +2112,65 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q248_fs_calibration" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg, c_name AS nm,
+        |         concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
+        |           lpad(CAST(c_custkey * 7919 % 9999991 AS VARCHAR), 7, '0'))
+        |           AS ph
+        |  FROM customer),
+        |a AS (
+        |  SELECT k, nat, cents, seg, nm, ph,
+        |         (cents + 100000) // 10000 AS band
+        |  FROM base),
+        |b AS (
+        |  SELECT k, nat,
+        |         cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END AS cents,
+        |         CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+        |         CASE WHEN k % 11 = 0
+        |              THEN substring(nm, 1, length(nm) - 1) ELSE nm END
+        |           AS nm,
+        |         CASE WHEN k % 3 = 0
+        |              THEN concat(substring(ph, 1, length(ph) - 1),
+        |                CAST((CAST(substring(ph, length(ph), 1) AS INT) + 1)
+        |                  % 10 AS VARCHAR))
+        |              ELSE ph END AS ph,
+        |         (cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END + 100000)
+        |           // 10000 AS band
+        |  FROM base),
+        |scored AS (
+        |  SELECT a.k AS ak, b.k AS bk,
+        |         (CASE WHEN a.nm = b.nm THEN 9000 ELSE -4000 END) +
+        |         (CASE WHEN a.ph = b.ph THEN 6800 ELSE -3000 END) +
+        |         (CASE WHEN a.cents = b.cents THEN 5000 ELSE -2500 END) +
+        |         (CASE WHEN a.seg = b.seg THEN 1558 ELSE -2773 END)
+        |           AS score
+        |  FROM a JOIN b ON a.nat = b.nat AND a.band = b.band),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN ak = bk THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS t
+        |  FROM scored),
+        |lvl AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN ak = bk THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_true_pairs
+        |  FROM scored GROUP BY 1),
+        |o AS (
+        |  SELECT score, n_pairs, n_true_pairs,
+        |         (CAST(t AS DOUBLE) / CAST(c - t AS DOUBLE))
+        |           * exp(CAST(score AS DOUBLE) / 1000.0) AS odds
+        |  FROM lvl, tot)
+        |SELECT CAST(score AS BIGINT) AS score, n_pairs, n_true_pairs,
+        |       round(CAST(n_true_pairs AS DOUBLE)
+        |         / CAST(n_pairs AS DOUBLE), 6) AS empirical_precision,
+        |       round(odds / (1.0 + odds), 6) AS implied_prob,
+        |       round(CAST(n_true_pairs AS DOUBLE)
+        |           / CAST(n_pairs AS DOUBLE) - odds / (1.0 + odds), 6)
+        |         AS calibration_gap
+        |FROM o ORDER BY score""".stripMargin,
     "q234_fellegi_sunter" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_nationkey AS nat,
@@ -2886,6 +3080,57 @@ object Dedup {
         |FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
         |WHERE d.doc_id IS NULL
         |ORDER BY e.doc_id""".stripMargin,
+    "q246_cluster_agreement" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |${bandCtes("corpus")},
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        |  SELECT u AS doc_id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS doc_id, r.lbl
+        |  FROM edges e JOIN reach r ON e.v = r.doc_id),
+        |labels AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+        |nodes AS (
+        |  -- explicit DISTINCT: inside a WITH RECURSIVE block this
+        |  -- DuckDB version runs non-recursive UNIONs without dedup
+        |  SELECT DISTINCT doc FROM (
+        |    SELECT doc_a AS doc FROM pairs
+        |    UNION ALL SELECT doc_b AS doc FROM pairs)),
+        |bm AS (SELECT doc_b AS doc, min(doc_a) AS m FROM pairs GROUP BY 1),
+        |onep AS (
+        |  SELECT n.doc, coalesce(bm.m, n.doc) AS grp
+        |  FROM nodes n LEFT JOIN bm ON n.doc = bm.doc),
+        |ct AS (
+        |  SELECT l.cluster, o.grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM labels l JOIN onep o ON l.doc_id = o.doc GROUP BY 1, 2),
+        |sboth AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS p_both
+        |  FROM ct),
+        |scc AS (
+        |  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p_cc
+        |  FROM (SELECT count(*) AS c FROM labels GROUP BY cluster)),
+        |sop AS (
+        |  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p_onepass
+        |  FROM (SELECT count(*) AS c FROM onep GROUP BY grp))
+        |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS p_total,
+        |       p_cc AS pairs_cc, p_onepass AS pairs_onepass,
+        |       p_both AS pairs_both,
+        |       round(CAST(n_docs * (n_docs - 1) // 2 - p_cc - p_onepass
+        |           + 2 * p_both AS DOUBLE)
+        |         / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+        |         AS rand_index,
+        |       CASE WHEN p_onepass = 0 THEN NULL
+        |            ELSE round(CAST(p_both AS DOUBLE)
+        |              / CAST(p_onepass AS DOUBLE), 6) END AS pair_precision,
+        |       CASE WHEN p_cc = 0 THEN NULL
+        |            ELSE round(CAST(p_both AS DOUBLE)
+        |              / CAST(p_cc AS DOUBLE), 6) END AS pair_recall
+        |FROM sboth, scc, sop""".stripMargin,
     "q57_dup_clusters" ->
       s"""WITH RECURSIVE $corpusSql,
         |${bandCtes("corpus")},

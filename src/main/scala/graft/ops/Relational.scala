@@ -2700,6 +2700,67 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q244: t-closeness census — the third rung of the release-audit
+  // ladder (q195 k-anonymity: classes big enough? q203 l-diversity:
+  // sensitive values spread enough?): even a diverse class leaks if its
+  // sensitive DISTRIBUTION deviates from the table-wide one (skewness
+  // attack — Li et al. 2007), so each QI class (event_type × hour) gets
+  // the Earth-Mover's Distance between its value-band distribution and
+  // the global band distribution over the ORDERED band domain. EMD over
+  // an ordered discrete domain is Σ|cumulative(P−Q)|/(m−1), and it stays
+  // integer-exact here: per-band deviation is D_v = c_v·N − g_v·sz
+  // (cross-multiplied counts, no per-class division), the running sum
+  // and its |·|-fold are int64, and t = Σ|C_v| / (N·sz·(m−1)) exists as
+  // a float only in the readout — the release bands themselves compare
+  // 20·Σ|C| ≤ N·sz·(m−1) etc., so a class lands in "<=0.05" by integer
+  // predicate, never by a float boundary. Scale shape: one map-side
+  // groupBy to (QI, band) counts; the class frame (|types|·24 rows) and
+  // band domain (value-range/50 rows) are both dictionary-sized, so the
+  // dense class×band grid, its per-class cumsum window and the 4-row
+  // census all run on broadcast-joined censuses — the raw table is
+  // scanned ONCE. Int64 headroom note: c·N caps at rows², fine through
+  // ~3·10^9 rows; past that the cross-multiplication moves to
+  // Decimal(38,0) — a type swap, not a shape change.
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = Tables.events(s, dir)
+      .select($"event_type", hour($"ts").as("hr"),
+        floor($"value" / 50).cast(LongType).as("v"))
+      .groupBy($"event_type", $"hr", $"v").agg(count(lit(1)).as("c"))
+    val cls = cnt.groupBy($"event_type", $"hr").agg(sum($"c").as("sz"))
+    val gl = cnt.groupBy($"v").agg(sum($"c").as("g"))
+    val tot = gl.agg(sum($"g").as("nn"), count(lit(1)).as("m"))
+    // Dense class×band grid: absent (class, band) cells count 0 but
+    // still move the cumulative — a left join against the sparse count
+    // frame with a 0-fill, both sides dictionary-sized broadcasts.
+    val grid = cls.crossJoin(broadcast(gl.crossJoin(broadcast(tot))))
+      .join(cnt, Seq("event_type", "hr", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("d", $"c" * $"nn" - $"g" * $"sz")
+    val wc = Window.partitionBy($"event_type", $"hr").orderBy($"v")
+    val emd = grid
+      .withColumn("cu", sum($"d").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"event_type", $"hr", $"sz", $"nn", $"m")
+      .agg(sum(abs($"cu")).as("es"))
+      .withColumn("den", $"nn" * $"sz" * ($"m" - 1L))
+    emd.withColumn("band",
+        when($"es" * 20L <= $"den", "<=0.05")
+          .when($"es" * 10L <= $"den", "<=0.10")
+          .when($"es" * 5L <= $"den", "<=0.20")
+          .otherwise(">0.20"))
+      .withColumn("t", $"es".cast(DoubleType) / $"den".cast(DoubleType))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_records"),
+        max($"t").as("mx"), sum(floor($"t" * lit(1e6))).as("st"))
+      .select($"band", $"n_classes", $"n_records",
+        Num.roundAt($"mx", 6).as("max_t"),
+        Num.roundAt($"st".cast(DoubleType) / $"n_classes".cast(DoubleType)
+          / lit(1e6), 6).as("mean_t"))
+      .orderBy($"band")
+  }
+
+  // ---------------------------------------------------------------------
   // q204: join-cardinality preflight — the cost-based-optimizer
   // estimate, run as a QUERY before committing a cluster to a self-join
   // (the q188 skew preflight's sibling: q188 asks "will one reducer
@@ -2872,6 +2933,64 @@ object Relational {
         $"rank".as("rank_units"), $"prev_rank".as("prev_rank_units"))
       .orderBy($"rank_units".desc, $"kind".asc, $"node_id".asc)
       .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q245: k-core peeling census — the graph-density audit beside q119's
+  // triangle count and q206's rank walk: iteratively delete every node
+  // of degree < k from the customer–supplier trade graph and watch the
+  // graph collapse to its k-core (the maximal subgraph where everyone
+  // keeps ≥ k partners — the "dense web" a dedup/abuse investigation
+  // actually chases, and the standard preprocessing cut before any
+  // expensive community pass). Four peel rounds at k=3, each round's
+  // census (nodes, edges, min-degree) emitted as a row — fixed-round
+  // unrolling rather than convergence-looping is what keeps the DuckDB
+  // oracle exact (a recursive CTE cannot re-join its own working table
+  // twice, but 4 unrolled rounds are plain SQL); once a round's
+  // min_deg ≥ k the remaining rounds are provably identical, so the
+  // census itself shows where the fixpoint landed. All-integer algebra.
+  // Scale shape: each round is ONE map-side-combinable degree count
+  // plus two LEFT SEMI joins on the node key against the (node-
+  // dictionary-sized) survivor set — the classic distributed peeling
+  // superstep; the doubled edge list is repartitioned on src once per
+  // round and persisted (round N+1's degree count and both semi-join
+  // probes reuse it), superseded rounds' frames stay cached only until
+  // the session's post-action clear, kilobytes at census scale. At
+  // data scale the same per-round plan iterates to fixpoint; the
+  // round-count becomes a driver loop bound, not a shape change.
+  private def kcorePeeling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 3L
+    val pairs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000000L).as("b"))
+      .distinct()
+    def census(r: Int, e: DataFrame): DataFrame =
+      e.groupBy($"s").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
+          min($"c").as("md"))
+        .select(lit(r.toLong).as("round"), $"n_nodes",
+          coalesce(expr("m2 div 2"), lit(0L)).as("n_edges"),
+          coalesce($"md", lit(0L)).as("min_deg"))
+    var edges = pairs.select($"a".as("s"), $"b".as("t"))
+      .unionAll(pairs.select($"b".as("s"), $"a".as("t")))
+      .repartition(8, $"s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var out = census(0, edges)
+    for (r <- 1 to 4) {
+      val keep = edges.groupBy($"s").agg(count(lit(1)).as("c"))
+        .filter($"c" >= K).select($"s")
+      val next = edges
+        .join(keep, Seq("s"), "left_semi")
+        .join(keep.withColumnRenamed("s", "t"), Seq("t"), "left_semi")
+        .select($"s", $"t")
+        .repartition(8, $"s")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out = out.unionAll(census(r, next))
+      edges = next
+    }
+    out.orderBy($"round")
   }
 
   // ---------------------------------------------------------------------
@@ -3578,6 +3697,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q242_dp_sensitivity" -> (dpSensitivity _),
+    "q244_t_closeness" -> (tCloseness _),
+    "q245_kcore_peeling" -> (kcorePeeling _),
     "q239_temporal_embargo" -> (temporalEmbargo _),
     "q238_watermark_sweep" -> (watermarkSweep _),
     "q236_neyman_allocation" -> (neymanAllocation _),
@@ -3721,6 +3842,92 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q245_kcore_peeling" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
+        |k1 AS (SELECT s FROM e0 GROUP BY s HAVING count(*) >= 3),
+        |e1 AS (SELECT e.s, e.t FROM e0 e
+        |       JOIN k1 x ON e.s = x.s JOIN k1 y ON e.t = y.s),
+        |k2 AS (SELECT s FROM e1 GROUP BY s HAVING count(*) >= 3),
+        |e2 AS (SELECT e.s, e.t FROM e1 e
+        |       JOIN k2 x ON e.s = x.s JOIN k2 y ON e.t = y.s),
+        |k3 AS (SELECT s FROM e2 GROUP BY s HAVING count(*) >= 3),
+        |e3 AS (SELECT e.s, e.t FROM e2 e
+        |       JOIN k3 x ON e.s = x.s JOIN k3 y ON e.t = y.s),
+        |k4 AS (SELECT s FROM e3 GROUP BY s HAVING count(*) >= 3),
+        |e4 AS (SELECT e.s, e.t FROM e3 e
+        |       JOIN k4 x ON e.s = x.s JOIN k4 y ON e.t = y.s),
+        |c0 AS (SELECT CAST(0 AS BIGINT) AS round,
+        |         CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(coalesce(sum(c), 0) // 2 AS BIGINT) AS n_edges,
+        |         CAST(coalesce(min(c), 0) AS BIGINT) AS min_deg
+        |       FROM (SELECT s, count(*) AS c FROM e0 GROUP BY 1)),
+        |c1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(c), 0) // 2 AS BIGINT),
+        |         CAST(coalesce(min(c), 0) AS BIGINT)
+        |       FROM (SELECT s, count(*) AS c FROM e1 GROUP BY 1)),
+        |c2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(c), 0) // 2 AS BIGINT),
+        |         CAST(coalesce(min(c), 0) AS BIGINT)
+        |       FROM (SELECT s, count(*) AS c FROM e2 GROUP BY 1)),
+        |c3 AS (SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(c), 0) // 2 AS BIGINT),
+        |         CAST(coalesce(min(c), 0) AS BIGINT)
+        |       FROM (SELECT s, count(*) AS c FROM e3 GROUP BY 1)),
+        |c4 AS (SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(c), 0) // 2 AS BIGINT),
+        |         CAST(coalesce(min(c), 0) AS BIGINT)
+        |       FROM (SELECT s, count(*) AS c FROM e4 GROUP BY 1))
+        |SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        |UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+        |UNION ALL SELECT * FROM c4 ORDER BY round""".stripMargin,
+    "q244_t_closeness" ->
+      """WITH cnt AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |         CAST(floor(value / 50) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS sz
+        |  FROM cnt GROUP BY 1, 2),
+        |gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS m
+        |  FROM gl),
+        |grid AS (
+        |  SELECT cls.event_type, cls.hr, cls.sz, gl.v, tot.nn, tot.m,
+        |         coalesce(cnt.c, 0) * tot.nn - gl.g * cls.sz AS d
+        |  FROM cls CROSS JOIN gl CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.event_type = cls.event_type
+        |    AND cnt.hr = cls.hr AND cnt.v = gl.v),
+        |cum AS (
+        |  SELECT event_type, hr, sz, nn, m,
+        |         CAST(sum(d) OVER (PARTITION BY event_type, hr ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cu
+        |  FROM grid),
+        |emd AS (
+        |  SELECT event_type, hr, sz, nn, m,
+        |         CAST(sum(abs(cu)) AS BIGINT) AS es,
+        |         nn * sz * (m - 1) AS den
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5),
+        |tb AS (
+        |  SELECT sz,
+        |         CASE WHEN es * 20 <= den THEN '<=0.05'
+        |              WHEN es * 10 <= den THEN '<=0.10'
+        |              WHEN es * 5 <= den THEN '<=0.20'
+        |              ELSE '>0.20' END AS band,
+        |         CAST(es AS DOUBLE) / CAST(den AS DOUBLE) AS t
+        |  FROM emd)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(sz) AS BIGINT) AS n_records,
+        |       round(max(t), 6) AS max_t,
+        |       round(CAST(sum(CAST(floor(t * 1000000.0) AS BIGINT))
+        |           AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+        |         AS mean_t
+        |FROM tb GROUP BY 1 ORDER BY 1""".stripMargin,
     "q242_dp_sensitivity" ->
       """WITH uc AS (
         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u

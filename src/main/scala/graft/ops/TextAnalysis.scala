@@ -1605,7 +1605,57 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q247: delete-one-bucket jackknife — the error bar ON a corpus metric
+  // itself (q241 prices each source's influence on quality; this prices
+  // how STABLE the headline number is): the corpus mean tokens-per-doc
+  // is re-estimated 20 times, each time deleting one deterministic
+  // md5 bucket (the q120 split rule, so the resampling plan survives
+  // retries and repartitioning), and the jackknife variance
+  // (G−1)/G · Σ(θ̂₍₋g₎ − θ̄)² turns the point estimate into a standard
+  // error — the number a dashboard needs before calling a week-over-
+  // week metric move real. Every leave-one-out mean is the TOTALS MINUS
+  // THE BUCKET — (T−t_g)/(N−n_g) off one 20-row census, never 20 corpus
+  // passes. Determinism: LOO means are frozen to exact int 1e-4 units
+  // via integer floor-division, deviations d_g = G·loo_g − Σloo are
+  // exact ints, and the squared sum runs in decimal(38,0)/HUGEINT so no
+  // float exists until the final sqrt readout (single IEEE ops over
+  // identical exact ints on both engines). Scale shape: ONE scan
+  // reduces map-side to the 20-row bucket census; everything after is
+  // broadcast arithmetic on that census.
+  private def jackknifeVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 10000L // 1e-4-unit freeze for LOO means
+    val b = Tables.documents(s, dir)
+      .select((Det.h7($"doc_id".cast(StringType)) % 20L).as("bucket"),
+        size(split($"text", " ")).cast(LongType).as("tok"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("sum_tokens"))
+    val tot = b.agg(sum($"n_docs").as("nn"), sum($"sum_tokens").as("tt"),
+      count(lit(1)).as("g"))
+    val loo = b.crossJoin(broadcast(tot))
+      .withColumn("loo_s",
+        expr(s"($S * (tt - sum_tokens)) div (nn - n_docs)"))
+    val sl = loo.agg(sum($"loo_s").as("sum_loo"))
+    val d = loo.crossJoin(broadcast(sl))
+      .withColumn("dd", $"g" * $"loo_s" - $"sum_loo")
+    val ssd = d.agg(sum($"dd".cast(DecimalType(38, 0)) *
+      $"dd".cast(DecimalType(38, 0))).as("ssd"))
+    d.crossJoin(broadcast(ssd))
+      .select($"bucket", $"n_docs", $"sum_tokens",
+        Num.roundAt($"loo_s".cast(DoubleType) / lit(S.toDouble), 6)
+          .as("loo_mean"),
+        Num.roundAt($"tt".cast(DoubleType) / $"nn".cast(DoubleType), 6)
+          .as("theta_mean"),
+        Num.roundAt(sqrt(
+          ($"g" - 1L).cast(DoubleType) * $"ssd".cast(DoubleType) /
+            ($"g" * $"g" * $"g").cast(DoubleType) /
+            lit(S.toDouble * S.toDouble)), 6).as("jk_se"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_jackknife_variance" -> (jackknifeVariance _),
     "q241_loo_influence" -> (looInfluence _),
     "q235_vocab_coverage" -> (vocabCoverage _),
     "q233_packing_sweep" -> (packingSweep _),
@@ -1789,6 +1839,41 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q247_jackknife_variance" ->
+      """WITH b AS (
+        |  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 7)) AS BIGINT) % 20 AS bucket,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+        |         CAST(sum(sum_tokens) AS BIGINT) AS tt,
+        |         CAST(count(*) AS BIGINT) AS g
+        |  FROM c),
+        |loo AS (
+        |  SELECT bucket, n_docs, sum_tokens, nn, tt, g,
+        |         (10000 * (tt - sum_tokens)) // (nn - n_docs) AS loo_s
+        |  FROM c, tot),
+        |sl AS (SELECT CAST(sum(loo_s) AS BIGINT) AS sum_loo FROM loo),
+        |d AS (
+        |  SELECT bucket, n_docs, sum_tokens, nn, tt, g, loo_s,
+        |         g * loo_s - sum_loo AS dd
+        |  FROM loo, sl),
+        |sq AS (
+        |  SELECT sum(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT)) AS ssd
+        |  FROM d)
+        |SELECT bucket, n_docs, sum_tokens,
+        |       round(CAST(loo_s AS DOUBLE) / 10000.0, 6) AS loo_mean,
+        |       round(CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |         AS theta_mean,
+        |       round(sqrt(CAST(g - 1 AS DOUBLE) * CAST(ssd AS DOUBLE)
+        |           / CAST(g * g * g AS DOUBLE)
+        |           / (10000.0 * 10000.0)), 6) AS jk_se
+        |FROM d, sq ORDER BY bucket""".stripMargin,
     "q241_loo_influence" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t

@@ -516,6 +516,39 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q248: calibration census reconciles with q234 and σ is monotone") {
+    import spark.implicits._
+    val out = Dedup.queries("q248_fs_calibration")(spark, dir).cache()
+    val rows = out.orderBy("score").collect()
+    // a 4-binary-field comparison vector admits at most 16 score levels
+    assert(rows.length <= 16 && rows.nonEmpty)
+    // totals reconcile with q234's band census exactly
+    val bands = Dedup.queries("q234_fellegi_sunter")(spark, dir)
+      .agg(sum($"n_pairs"), sum($"n_true_pairs")).head()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == bands.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_true_pairs")).sum == bands.getLong(1))
+    // the model's implied probability is strictly increasing in score
+    val imp = rows.map(_.getAs[Double]("implied_prob"))
+    assert(imp.sliding(2).forall { case Array(a, b) => a <= b },
+      "posterior not monotone in the log-likelihood score")
+    rows.foreach { r =>
+      val e = r.getAs[Double]("empirical_precision")
+      val i = r.getAs[Double]("implied_prob")
+      // implied σ can ROUND to exactly 1.0 at the top score level
+      assert(e >= 0.0 && e <= 1.0 && i > 0.0 && i <= 1.0)
+      assert(math.abs(r.getAs[Double]("calibration_gap") - (e - i)) < 2e-6)
+      assert(r.getAs[Long]("n_true_pairs") <= r.getAs[Long]("n_pairs"))
+    }
+    // recompute one implied probability from the prior odds directly
+    val c = rows.map(_.getAs[Long]("n_pairs")).sum
+    val t = rows.map(_.getAs[Long]("n_true_pairs")).sum
+    val r0 = rows.head
+    val odds = t.toDouble / (c - t) *
+      math.exp(r0.getAs[Long]("score").toDouble / 1000.0)
+    assert(math.abs(r0.getAs[Double]("implied_prob") - odds / (1 + odds)) < 1e-5)
+    out.unpersist()
+  }
+
   test("q235: coverage curve is monotone and saturates at the full vocabulary") {
     import spark.implicits._
     val out = TextAnalysis.queries("q235_vocab_coverage")(spark, dir)
@@ -637,6 +670,90 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // the unclipped sensitivity is the same whatever C we price
       assert(g.map(_.getAs[Long]("max_user_events")).distinct.length == 1)
     }
+    out.unpersist()
+  }
+
+  test("q247: jackknife LOO means reconcile with totals and the SE is exact") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q247_jackknife_variance")(spark, dir).cache()
+    val rows = out.orderBy("bucket").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 19L))
+    val d = graft.Tables.documents(spark, dir)
+    val nDocs = d.count()
+    val nTok = d.agg(sum(size(split($"text", " ")))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == nTok)
+    // replicate the integer algebra end-to-end from the census columns
+    val g = rows.length.toLong
+    val looS = rows.map { r =>
+      10000L * (nTok - r.getAs[Long]("sum_tokens")) /
+        (nDocs - r.getAs[Long]("n_docs"))
+    }
+    val sumLoo = looS.sum
+    val ssd = looS.map(l => BigInt(g * l - sumLoo).pow(2)).sum
+    val se = math.sqrt((g - 1).toDouble * ssd.toDouble /
+      (g * g * g).toDouble / 1e8)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("jk_se") - se) < 1e-5,
+        s"jk_se ${r.getAs[Double]("jk_se")} vs recomputed $se")
+    }
+    // LOO means bracket the point estimate, which matches T/N
+    val theta = nTok.toDouble / nDocs
+    assert(math.abs(rows.head.getAs[Double]("theta_mean") - theta) < 1e-5)
+    val loos = rows.map(_.getAs[Double]("loo_mean"))
+    assert(loos.min <= theta + 1e-6 && theta - 1e-6 <= loos.max)
+    out.unpersist()
+  }
+
+  test("q244: t-closeness EMD is a bounded metric and the census is total") {
+    import spark.implicits._
+    val out = Relational.queries("q244_t_closeness")(spark, dir).cache()
+    val ev = graft.Tables.events(spark, dir)
+    // every record and every QI class lands in exactly one band
+    assert(out.agg(sum($"n_records")).first().getLong(0) == ev.count())
+    val nClasses = ev.select($"event_type", hour($"ts")).distinct().count()
+    assert(out.agg(sum($"n_classes")).first().getLong(0) == nClasses)
+    // EMD over normalized distributions is in [0, 1]; means below maxes
+    out.collect().foreach { r =>
+      val mx = r.getAs[Double]("max_t"); val mn = r.getAs[Double]("mean_t")
+      assert(mx >= 0.0 && mx <= 1.0 + 1e-9, s"max_t $mx out of [0,1]")
+      assert(mn >= 0.0 && mn <= mx + 1e-6, s"band ${r.getString(0)}: mean_t $mn > max_t $mx")
+    }
+    // band boundaries are honest: a band's max_t respects its cutoff
+    val caps = Map("<=0.05" -> 0.05, "<=0.10" -> 0.10, "<=0.20" -> 0.20)
+    out.collect().foreach { r =>
+      caps.get(r.getString(0)).foreach { cap =>
+        assert(r.getAs[Double]("max_t") <= cap + 1e-6,
+          s"band ${r.getString(0)} leaks past its cutoff")
+      }
+    }
+    // independent recomputation for ONE class: brute-force EMD over the
+    // band domain must match the query's integer algebra
+    val one = ev.select($"event_type", hour($"ts").as("hr")).distinct()
+      .orderBy($"event_type", $"hr").first()
+    val (et, hr) = (one.getString(0), one.getInt(1))
+    val glob = ev.groupBy(floor($"value" / 50).cast("long").as("v"))
+      .agg(count(lit(1)).as("g")).orderBy($"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nn = glob.map(_._2).sum.toDouble
+    val clsCnt = ev.filter($"event_type" === et && hour($"ts") === hr)
+      .groupBy(floor($"value" / 50).cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sz = clsCnt.values.sum.toDouble
+    var cum = 0.0; var emd = 0.0
+    glob.foreach { case (v, g) =>
+      cum += clsCnt.getOrElse(v, 0L) / sz - g / nn
+      emd += math.abs(cum)
+    }
+    val t = emd / (glob.length - 1)
+    // the class's t must sit inside the band census it was assigned to:
+    // locate the band whose range contains t and check n_classes >= 1
+    val band = if (t <= 0.05) "<=0.05" else if (t <= 0.10) "<=0.10"
+      else if (t <= 0.20) "<=0.20" else ">0.20"
+    assert(out.filter($"band" === band).count() == 1,
+      s"recomputed t=$t expects band $band present")
     out.unpersist()
   }
 }

@@ -58,6 +58,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     clusters.unpersist()
   }
 
+  test("q246: pair-counting agreement is consistent with q57's clusters") {
+    import spark.implicits._
+    val out = Dedup.queries("q246_cluster_agreement")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    val nDocs = r.getAs[Long]("n_docs")
+    val pTotal = r.getAs[Long]("p_total")
+    val pCc = r.getAs[Long]("pairs_cc")
+    val pOp = r.getAs[Long]("pairs_onepass")
+    val pBoth = r.getAs[Long]("pairs_both")
+    assert(pTotal == nDocs * (nDocs - 1) / 2)
+    // intersection pairs are bounded by both marginals, and one-pass
+    // groups REFINE nothing coarser than CC clusters: every one-pass
+    // group sits inside one CC cluster, so p_both == p_onepass exactly
+    // (a doc and its smallest direct match are trivially connected)
+    assert(pBoth <= pCc && pBoth <= pOp)
+    assert(pBoth == pOp, "a one-pass group straddled two CC clusters")
+    assert(r.getAs[Double]("pair_precision") == 1.0)
+    // and the CC marginal independently matches q57's cluster sizes
+    val cls = Dedup.queries("q57_dup_clusters")(spark, dir)
+      .groupBy($"cluster").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")), sum($"c")).first()
+    assert(pCc == cls.getLong(0))
+    assert(nDocs == cls.getLong(1))
+    // recall < 1 iff some cluster chains beyond direct matches;
+    // either way the Rand identity must reconcile exactly
+    val rand = r.getAs[Double]("rand_index")
+    val expect = BigDecimal(pTotal - pCc - pOp + 2 * pBoth) / BigDecimal(pTotal)
+    assert(math.abs(rand - expect.toDouble) < 1e-6)
+    out.unpersist()
+  }
+
   test("q27: every synthesized embedding near-dup pair is found") {
     import spark.implicits._
     val out = Dedup.queries("q27_dedup_embed")(spark, dir)

@@ -304,6 +304,51 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q245: k-core peeling shrinks monotonically and fixpoints at min_deg >= k") {
+    import spark.implicits._
+    val out = Relational.queries("q245_kcore_peeling")(spark, dir).cache()
+    val rows = out.orderBy("round").collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (0L to 4L))
+    // round 0 is the raw trade graph: recount it independently
+    val pairs = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000000L).as("b"))
+      .distinct().cache()
+    assert(rows(0).getAs[Long]("n_edges") == pairs.count())
+    val nNodes = pairs.select($"a").union(pairs.select($"b"))
+      .distinct().count()
+    assert(rows(0).getAs[Long]("n_nodes") == nNodes)
+    // peeling only deletes: nodes and edges are non-increasing
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("n_nodes") <= p.getAs[Long]("n_nodes"))
+      assert(n.getAs[Long]("n_edges") <= p.getAs[Long]("n_edges"))
+    }
+    // survivors of any round AFTER a peel have degree >= k... only at
+    // the fixpoint; but once a round reports min_deg >= 3 the census
+    // must be FROZEN for all later rounds (peeling is idempotent there)
+    val fix = rows.find(r => r.getAs[Long]("n_nodes") == 0L ||
+      r.getAs[Long]("min_deg") >= 3L)
+    fix.foreach { f =>
+      rows.filter(_.getAs[Long]("round") > f.getAs[Long]("round"))
+        .foreach { later =>
+          assert(later.getAs[Long]("n_nodes") == f.getAs[Long]("n_nodes"))
+          assert(later.getAs[Long]("n_edges") == f.getAs[Long]("n_edges"))
+          assert(later.getAs[Long]("min_deg") == f.getAs[Long]("min_deg"))
+        }
+    }
+    // handshake sanity: a graph with edges has min_deg >= 1 and
+    // n_edges >= n_nodes * min_deg / 2
+    rows.filter(_.getAs[Long]("n_edges") > 0).foreach { r =>
+      assert(r.getAs[Long]("min_deg") >= 1L)
+      assert(2 * r.getAs[Long]("n_edges") >=
+        r.getAs[Long]("n_nodes") * r.getAs[Long]("min_deg"))
+    }
+    pairs.unpersist(); out.unpersist()
+  }
+
   test("q205: WOE bins are equi-depth, counts reconcile, IV is non-negative") {
     import spark.implicits._
     val out = Relational.queries("q205_woe_iv")(spark, dir).cache()
