@@ -56,6 +56,65 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q249: mutual-kNN census — the embedding-geometry health check the
+  // retrieval evals (q146/q196) take as given: in a well-shaped space
+  // most nearest-neighbor edges are RECIPROCATED; heavy hubness (a few
+  // vectors appearing in everyone's top-k while many appear in no
+  // one's) is the classic high-dimensional failure that silently
+  // degrades both semantic dedup (q113) and kNN retrieval. Over a
+  // deterministic quarter of the corpus (vec_id % 4 — bounded by
+  // DESIGN; at data scale swap the quadratic subset join for the
+  // q28/q49 candidate generators, same downstream census), exact
+  // top-10 lists feed one reverse-edge self-join, and the census reads
+  // out per k ∈ {1,5,10}: mutual-pair count, reciprocation rate,
+  // max in-degree and orphan count (in-degree-0 vectors — the
+  // anti-hubs). Everything is exact ints off the ranked frame except
+  // the final rate division. Scale shape: ONE probe-broadcast scored
+  // scan + ONE ranking window builds the ≤10·n edge frame (persisted —
+  // the reverse join probes it twice and the in-degree census once);
+  // the k sweep is a 3-row broadcast over that frame, never a re-scan.
+  private def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sub = base(s, dir).filter($"vec_id" % 4 === 0)
+    val probes = sub.select($"vec_id".as("probe_id"), $"v".as("pv"),
+      $"nrm".as("pn"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)
+    val ranked = sub.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id".as("a"), $"vec_id".as("b"), $"rank")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = sub.agg(count(lit(1)).as("n_nodes"))
+    val ks = s.range(1, 2).select(explode(array(lit(1), lit(5), lit(10)))
+      .as("k"))
+    // reverse-edge rank rides in via ONE self-join; a missing reverse
+    // edge (rank_rev null) can never satisfy rank_rev <= k
+    val rev = ranked.select($"b".as("a"), $"a".as("b"),
+      $"rank".as("rank_rev"))
+    val mut = ranked.join(rev, Seq("a", "b"), "left")
+    val mutual = mut.crossJoin(broadcast(ks))
+      .groupBy($"k")
+      .agg(sum(when($"rank" <= $"k" && $"rank_rev" <= $"k" && $"a" < $"b",
+        1L).otherwise(0L)).as("n_mutual_pairs"),
+        sum(when($"rank" <= $"k", 1L).otherwise(0L)).as("n_directed"))
+    val indeg = ranked.crossJoin(broadcast(ks))
+      .filter($"rank" <= $"k")
+      .groupBy($"k", $"b").agg(count(lit(1)).as("ind"))
+      .groupBy($"k")
+      .agg(max($"ind").as("max_indegree"),
+        count(lit(1)).as("n_with_indegree"))
+    mutual.join(indeg, Seq("k")).crossJoin(broadcast(nNodes))
+      .select($"k".cast(LongType).as("k"), $"n_nodes",
+        $"n_mutual_pairs",
+        Num.roundAt((lit(2L) * $"n_mutual_pairs").cast(DoubleType) /
+          $"n_directed".cast(DoubleType), 6).as("reciprocation_rate"),
+        $"max_indegree", ($"n_nodes" - $"n_with_indegree").as("n_orphans"))
+      .orderBy($"k")
+  }
+
   // q28: LSH-bucketed ANN, top-3 per probe within bucket candidates.
   // Buckets come from the native codegen'd expression
   // (graft.functions.LshBuckets): hyperplane weights are integer Knuth
@@ -879,6 +938,7 @@ object Similarity {
     "q164_rerank_ann" -> (rerankAnn _),
     "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
+    "q249_mutual_knn" -> (mutualKnn _),
     "q28_lsh_ann"     -> (lshAnn _),
     "q49_ivf_ann"     -> (ivfAnn _),
     "q146_ann_recall" -> (annRecall _),
@@ -1439,6 +1499,45 @@ object Similarity {
         |         count(DISTINCT probe_id), 6) AS mean_kept
         |FROM fl, ss GROUP BY shortlist ORDER BY shortlist""".stripMargin,
 
+    "q249_mutual_knn" ->
+      s"""WITH $nSql,
+        |sub AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+        |scored AS (
+        |  SELECT p.vec_id AS a, c.vec_id AS b,
+        |         list_reduce(list_transform(range(1, 65), i -> p.v[i] * c.v[i]),
+        |           (x, y) -> x + y) / (p.nrm * c.nrm) AS cos
+        |  FROM sub p JOIN sub c ON c.vec_id != p.vec_id),
+        |ranked AS (
+        |  SELECT a, b, CAST(row_number() OVER (PARTITION BY a
+        |           ORDER BY cos DESC, b ASC) AS BIGINT) AS rank
+        |  FROM scored),
+        |e AS (SELECT a, b, rank FROM ranked WHERE rank <= 10),
+        |rev AS (SELECT b AS a, a AS b, rank AS rank_rev FROM e),
+        |m AS (
+        |  SELECT e.a, e.b, e.rank, rev.rank_rev
+        |  FROM e LEFT JOIN rev ON e.a = rev.a AND e.b = rev.b),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |mutual AS (
+        |  SELECT k,
+        |         CAST(sum(CASE WHEN rank <= k AND rank_rev <= k AND a < b
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual_pairs,
+        |         CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_directed
+        |  FROM m, ks GROUP BY k),
+        |ind AS (
+        |  SELECT k, b, CAST(count(*) AS BIGINT) AS ind
+        |  FROM e, ks WHERE rank <= k GROUP BY k, b),
+        |indc AS (
+        |  SELECT k, CAST(max(ind) AS BIGINT) AS max_indegree,
+        |         CAST(count(*) AS BIGINT) AS n_with
+        |  FROM ind GROUP BY k),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM sub)
+        |SELECT mutual.k, n_nodes, n_mutual_pairs,
+        |       round(CAST(2 * n_mutual_pairs AS DOUBLE)
+        |         / CAST(n_directed AS DOUBLE), 6) AS reciprocation_rate,
+        |       max_indegree, n_nodes - n_with AS n_orphans
+        |FROM mutual JOIN indc ON mutual.k = indc.k, nn
+        |ORDER BY mutual.k""".stripMargin,
     "q22_cosine_topk" ->
       s"""WITH $nSql,
         |scored AS (

@@ -90,6 +90,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q249: mutual-kNN census is monotone in k and internally consistent") {
+    import spark.implicits._
+    val out = Similarity.queries("q249_mutual_knn")(spark, dir).cache()
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
+    val n = rows.head.getAs[Long]("n_nodes")
+    assert(n > 10, "subset too small for a top-10 census")
+    rows.sliding(2).foreach { case Array(p, c) =>
+      // growing k only ADDS edges: mutual pairs and hub degree grow,
+      // orphans shrink
+      assert(p.getAs[Long]("n_mutual_pairs") <= c.getAs[Long]("n_mutual_pairs"))
+      assert(p.getAs[Long]("max_indegree") <= c.getAs[Long]("max_indegree"))
+      assert(p.getAs[Long]("n_orphans") >= c.getAs[Long]("n_orphans"))
+    }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val m = r.getAs[Long]("n_mutual_pairs")
+      val rate = r.getAs[Double]("reciprocation_rate")
+      // every node has a full k-list (n > 10), so directed = k*n exactly
+      assert(m <= k * n / 2)
+      assert(math.abs(rate - 2.0 * m / (k * n)) < 1e-5)
+      assert(r.getAs[Long]("max_indegree") <= n - 1)
+      assert(r.getAs[Long]("n_orphans") < n)
+    }
+    out.unpersist()
+  }
+
   test("q27: every synthesized embedding near-dup pair is found") {
     import spark.implicits._
     val out = Dedup.queries("q27_dedup_embed")(spark, dir)
