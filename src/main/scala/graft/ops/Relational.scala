@@ -2949,26 +2949,33 @@ object Relational {
   // twice, but 4 unrolled rounds are plain SQL); once a round's
   // min_deg ≥ k the remaining rounds are provably identical, so the
   // census itself shows where the fixpoint landed. All-integer algebra.
-  // Scale shape: each round is ONE map-side-combinable degree count
-  // plus two LEFT SEMI joins on the node key against the (node-
-  // dictionary-sized) survivor set — the classic distributed peeling
-  // superstep; the doubled edge list is repartitioned on src once per
-  // round and persisted (round N+1's degree count and both semi-join
-  // probes reuse it), superseded rounds' frames stay cached only until
-  // the session's post-action clear, kilobytes at census scale. At
-  // data scale the same per-round plan iterates to fixpoint; the
-  // round-count becomes a driver loop bound, not a shape change.
+  // Scale shape: each round computes ONE map-side-combinable degree
+  // frame (persisted — it serves the round's census AND the survivor
+  // set, so census and keep never re-aggregate), then prunes the
+  // cached edge list with two BROADCAST left-semi joins against the
+  // node-dictionary-sized survivor set — after the single up-front src
+  // repartition NO exchange happens in any round: the streamed side's
+  // partitioning survives broadcast joins and projections, so every
+  // round's degree groupBy reuses it. At the broadcast ceiling
+  // (billions of surviving nodes at 100 TB) the semi-joins fall back
+  // to shuffles on the node key — same per-round plan, one hint; the
+  // round-count becomes a driver loop bound at fixpoint, not a shape
+  // change. Superseded frames stay cached only until the session's
+  // post-action clear, kilobytes at census scale.
   private def kcorePeeling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.storage.StorageLevel
     val K = 3L
     val pairs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000000L).as("b"))
       .distinct()
-    def census(r: Int, e: DataFrame): DataFrame =
+    def degs(e: DataFrame): DataFrame =
       e.groupBy($"s").agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def census(r: Int, dg: DataFrame): DataFrame =
+      dg.agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
           min($"c").as("md"))
         .select(lit(r.toLong).as("round"), $"n_nodes",
           coalesce(expr("m2 div 2"), lit(0L)).as("n_edges"),
@@ -2976,21 +2983,206 @@ object Relational {
     var edges = pairs.select($"a".as("s"), $"b".as("t"))
       .unionAll(pairs.select($"b".as("s"), $"a".as("t")))
       .repartition(8, $"s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var out = census(0, edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dg = degs(edges)
+    var out = census(0, dg)
     for (r <- 1 to 4) {
-      val keep = edges.groupBy($"s").agg(count(lit(1)).as("c"))
-        .filter($"c" >= K).select($"s")
+      val keep = dg.filter($"c" >= K).select($"s")
       val next = edges
         .join(keep, Seq("s"), "left_semi")
         .join(keep.withColumnRenamed("s", "t"), Seq("t"), "left_semi")
         .select($"s", $"t")
         .repartition(8, $"s")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out = out.unionAll(census(r, next))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dg = degs(next)
+      out = out.unionAll(census(r, dg))
       edges = next
     }
     out.orderBy($"round")
+  }
+
+  // ---------------------------------------------------------------------
+  // q250: Benford first-digit audit — the fraud/synthetic-data screen
+  // every financial-data intake runs: naturally-grown multiplicative
+  // amounts follow P(d) = log₁₀(1+1/d), and a first-digit histogram
+  // that strays (uniform digits, truncated generators, hand-typed
+  // values) flags the feed before it poisons a model. The digit is
+  // extracted EXACTLY — first character of the integer-cents string,
+  // no float log in the extraction path — and the chi-square terms
+  // (n_d − N·p_d)²/(N·p_d) are single IEEE ops over exact counts, so
+  // the census is bit-stable across engines. Scale shape: one scan
+  // reduces map-side to a 9-row digit census; the expected-frequency
+  // dictionary is arithmetic on that census.
+  private def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .select(substring(floor($"o_totalprice" * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = d.agg(sum($"n_obs").as("nn"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("p", log($"digit".cast(DoubleType) + lit(1.0)) / log(lit(10.0)) -
+        log($"digit".cast(DoubleType)) / log(lit(10.0)))
+      .select($"digit", $"n_obs",
+        Num.roundAt($"n_obs".cast(DoubleType) / $"nn".cast(DoubleType), 6)
+          .as("obs_frac"),
+        Num.roundAt($"p", 6).as("benford_frac"),
+        Num.roundAt(($"n_obs".cast(DoubleType) - $"nn".cast(DoubleType) * $"p") *
+          ($"n_obs".cast(DoubleType) - $"nn".cast(DoubleType) * $"p") /
+          ($"nn".cast(DoubleType) * $"p"), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  // ---------------------------------------------------------------------
+  // q251: Herfindahl–Hirschman concentration census — the market-
+  // structure readout beside q155's Lorenz deciles (inequality of the
+  // whole distribution) and q224's dispersion bands: per nation, the
+  // supplier revenue HHI Σ sᵢ² = Σ rᵢ² / R², its equivalent-firm count
+  // 1/HHI, and the top supplier's share — the "is this market one
+  // vendor in a trench coat" number a sourcing dashboard keys on.
+  // Revenue stays exact integer cents (q141 rule); Σ rᵢ² runs in
+  // decimal(38,0) (HUGEINT twin) so cents² cannot overflow at any SF;
+  // the two ratios are single IEEE divisions at readout. Scale shape:
+  // one lineitem⋈supplier join reduces map-side to the (nation,
+  // supplier) revenue frame (dictionary-sized), then a |nations|-row
+  // census; the supplier broadcast is kilobytes.
+  private def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .select($"l_suppkey", floor($"l_extendedprice" * 100)
+        .cast(LongType).as("cents"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")), Seq("l_suppkey"))
+      .groupBy($"s_nationkey", $"l_suppkey")
+      .agg(sum($"cents").as("r"))
+    rev.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"r").as("total_cents"),
+        sum($"r".cast(DecimalType(38, 0)) * $"r".cast(DecimalType(38, 0)))
+          .as("sq"), max($"r").as("top_r"))
+      .select($"s_nationkey".as("nationkey"), $"n_suppliers", $"total_cents",
+        Num.roundAt($"sq".cast(DoubleType) /
+          ($"total_cents".cast(DecimalType(38, 0)) *
+            $"total_cents".cast(DecimalType(38, 0))).cast(DoubleType), 6)
+          .as("hhi"),
+        Num.roundAt(($"total_cents".cast(DecimalType(38, 0)) *
+          $"total_cents".cast(DecimalType(38, 0))).cast(DoubleType) /
+          $"sq".cast(DoubleType), 2).as("equivalent_firms"),
+        Num.roundAt($"top_r".cast(DoubleType) /
+          $"total_cents".cast(DoubleType), 6).as("top_share"))
+      .orderBy($"nationkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q252: Kaplan–Meier repurchase curve — the survival analysis a
+  // retention team actually runs on "days until second order": right-
+  // censored at the data horizon (a customer with one order hasn't
+  // NOT repurchased — they just haven't yet), which naive gap averaging
+  // (q220's sessionization sibling) silently gets wrong. Per duration
+  // day: risk set nₜ, events dₜ, censorings cₜ, and the product-limit
+  // survival Π(1 − dᵢ/nᵢ) — computed as a CUMULATIVE SUM of per-step
+  // ln((n−d)/n) FROZEN to integer micro-units (the q241 ln-freeze
+  // rule), so the running reduction is exact-int and order-free, and
+  // exp() exists only in the readout. Scale shape: orders reduce
+  // map-side to one row per customer (first/second order dates via
+  // min + conditional min), then to a duration-day census (calendar-
+  // bounded); the risk-set window and the survival cumsum run on that
+  // dictionary-sized frame.
+  private def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey", to_date($"o_orderdate").as("d"))
+    val horizon = o.agg(max($"d").as("hz"))
+    // first and second DISTINCT order days per customer: earliest day,
+    // then the earliest day strictly after it (same-day reorders are
+    // one visit)
+    val firsts = o.groupBy($"o_custkey").agg(min($"d").as("d1"))
+    val seconds = o.join(firsts, Seq("o_custkey"))
+      .filter($"d" > $"d1")
+      .groupBy($"o_custkey", $"d1").agg(min($"d").as("d2"))
+    val spans = firsts.join(seconds.select($"o_custkey", $"d2"),
+        Seq("o_custkey"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"d2".isNotNull, datediff($"d2", $"d1"))
+          .otherwise(datediff($"hz", $"d1")).cast(LongType).as("dur"),
+        when($"d2".isNotNull, 1L).otherwise(0L).as("ev"))
+      // a first order ON the horizon day carries zero information
+      .filter($"dur" > 0L)
+    val byDay = spans.groupBy($"dur")
+      .agg(sum($"ev").as("d_t"), sum(lit(1L) - $"ev").as("c_t"))
+    val wAll = Window.orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byDay.agg(sum($"d_t" + $"c_t").as("nn"))
+    val risk = byDay.crossJoin(broadcast(tot))
+      .withColumn("left_before",
+        sum($"d_t" + $"c_t").over(wAll) - ($"d_t" + $"c_t"))
+      .withColumn("n_risk", $"nn" - $"left_before")
+      // frozen ln step: floor(1e6 · ln((n−d)/n)) — exact-int cumsum.
+      // When the whole remaining risk set events at once (n == d, the
+      // curve's terminal drop to zero — guaranteed on the max-duration
+      // day if nothing censors past it), ln(0) is replaced by the
+      // frozen-ln(1e-10) sentinel −23025851: survival rounds to exactly
+      // 0.0 at 6 dp and no engine-specific ±inf ever exists.
+      .withColumn("lns",
+        when($"d_t" > 0L && $"n_risk" > $"d_t",
+          floor(log(($"n_risk" - $"d_t").cast(DoubleType) /
+            $"n_risk".cast(DoubleType)) * lit(1e6)).cast(LongType))
+        .when($"d_t" > 0L, lit(-23025851L))
+        .otherwise(0L))
+      .withColumn("cum", sum($"lns").over(wAll))
+    risk.filter($"d_t" > 0L)
+      .select($"dur".as("day"), $"n_risk", $"d_t".as("n_events"),
+        $"c_t".as("n_censored"),
+        Num.roundAt(exp($"cum".cast(DoubleType) / lit(1e6)), 6)
+          .as("survival"))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // q253: CUPED variance-reduction census — the pre-experiment
+  // covariate adjustment (Deng et al. 2013) every mature A/B platform
+  // applies before q143's test is run: using each customer's
+  // PRE-period spend X as the control covariate for the experiment-
+  // period spend Y, θ = cov(X,Y)/var(X) and the adjusted metric
+  // Y − θX has variance var(Y)·(1−ρ²) — the census prices exactly how
+  // much experiment sample the covariate buys back. All moments are
+  // exact: per-customer cents (q141 rule), cross-moments in
+  // decimal(38,0)/HUGEINT via the n·Σxy − ΣxΣy centering identity
+  // (no float mean ever subtracted), ratios single IEEE ops at
+  // readout. Scale shape: one orders scan reduces map-side to one row
+  // per customer (two conditional sums), then a 1-row moment census.
+  private def cupedVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1999-01-01").cast(DateType)
+    val per = Tables.orders(s, dir)
+      .select($"o_custkey",
+        when(to_date($"o_orderdate") < cut,
+          floor($"o_totalprice" * 100).cast(LongType)).otherwise(0L).as("x"),
+        when(to_date($"o_orderdate") >= cut,
+          floor($"o_totalprice" * 100).cast(LongType)).otherwise(0L).as("y"))
+      .groupBy($"o_custkey")
+      .agg(sum($"x").as("x"), sum($"y").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val m = per.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum(dec($"x") * dec($"x")).as("sxx"),
+      sum(dec($"y") * dec($"y")).as("syy"), sum(dec($"x") * dec($"y")).as("sxy"))
+    m.select($"n",
+        ($"n" * $"sxy" - dec($"sx") * dec($"sy")).as("covn"),
+        ($"n" * $"sxx" - dec($"sx") * dec($"sx")).as("varxn"),
+        ($"n" * $"syy" - dec($"sy") * dec($"sy")).as("varyn"))
+      .select($"n",
+        Num.roundAt($"covn".cast(DoubleType) / $"varxn".cast(DoubleType), 6)
+          .as("theta"),
+        Num.roundAt($"varyn".cast(DoubleType) /
+          ($"n" * $"n").cast(DoubleType) / lit(1e4), 2).as("var_y_dollars"),
+        Num.roundAt($"covn".cast(DoubleType) * $"covn".cast(DoubleType) /
+          ($"varxn".cast(DoubleType) * $"varyn".cast(DoubleType)), 6)
+          .as("rho_sq"),
+        Num.roundAt($"varyn".cast(DoubleType) *
+          (lit(1.0) - $"covn".cast(DoubleType) * $"covn".cast(DoubleType) /
+            ($"varxn".cast(DoubleType) * $"varyn".cast(DoubleType))) /
+          ($"n" * $"n").cast(DoubleType) / lit(1e4), 2)
+          .as("var_adj_dollars"))
   }
 
   // ---------------------------------------------------------------------
@@ -3699,6 +3891,10 @@ object Relational {
     "q242_dp_sensitivity" -> (dpSensitivity _),
     "q244_t_closeness" -> (tCloseness _),
     "q245_kcore_peeling" -> (kcorePeeling _),
+    "q250_benford_audit" -> (benfordAudit _),
+    "q251_hhi_concentration" -> (hhiConcentration _),
+    "q252_kaplan_meier" -> (kaplanMeier _),
+    "q253_cuped_variance" -> (cupedVariance _),
     "q239_temporal_embargo" -> (temporalEmbargo _),
     "q238_watermark_sweep" -> (watermarkSweep _),
     "q236_neyman_allocation" -> (neymanAllocation _),
@@ -3842,6 +4038,134 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q250_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM c),
+        |p AS (
+        |  SELECT digit, n_obs, nn,
+        |         ln(CAST(digit AS DOUBLE) + 1.0) / ln(10.0)
+        |           - ln(CAST(digit AS DOUBLE)) / ln(10.0) AS p
+        |  FROM c, t)
+        |SELECT digit, n_obs,
+        |       round(CAST(n_obs AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |         AS obs_frac,
+        |       round(p, 6) AS benford_frac,
+        |       round((CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |           * (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |           / (CAST(nn AS DOUBLE) * p), 6) AS chi2_term
+        |FROM p ORDER BY digit""".stripMargin,
+    "q251_hhi_concentration" ->
+      """WITH rev AS (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS r
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         CAST(sum(r) AS BIGINT) AS total_cents,
+        |         sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS sq,
+        |         CAST(max(r) AS BIGINT) AS top_r
+        |  FROM rev GROUP BY 1)
+        |SELECT s_nationkey AS nationkey, n_suppliers, total_cents,
+        |       round(CAST(sq AS DOUBLE)
+        |         / CAST(CAST(total_cents AS HUGEINT)
+        |             * CAST(total_cents AS HUGEINT) AS DOUBLE), 6) AS hhi,
+        |       round(CAST(CAST(total_cents AS HUGEINT)
+        |             * CAST(total_cents AS HUGEINT) AS DOUBLE)
+        |         / CAST(sq AS DOUBLE), 2) AS equivalent_firms,
+        |       round(CAST(top_r AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+        |         AS top_share
+        |FROM agg ORDER BY nationkey""".stripMargin,
+    "q252_kaplan_meier" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |hz AS (SELECT max(d) AS hz FROM o),
+        |firsts AS (SELECT o_custkey, min(d) AS d1 FROM o GROUP BY 1),
+        |seconds AS (
+        |  SELECT o.o_custkey, min(o.d) AS d2
+        |  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+        |  WHERE o.d > f.d1 GROUP BY 1),
+        |spans AS (
+        |  SELECT CAST(CASE WHEN s.d2 IS NOT NULL
+        |           THEN datediff('day', f.d1, s.d2)
+        |           ELSE datediff('day', f.d1, hz.hz) END AS BIGINT) AS dur,
+        |         CAST(CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END
+        |           AS BIGINT) AS ev
+        |  FROM firsts f LEFT JOIN seconds s ON f.o_custkey = s.o_custkey,
+        |       hz),
+        |byday AS (
+        |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d_t,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c_t
+        |  FROM spans WHERE dur > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d_t + c_t) AS BIGINT) AS nn FROM byday),
+        |risk AS (
+        |  SELECT dur, d_t, c_t, nn,
+        |         nn - (CAST(sum(d_t + c_t) OVER (ORDER BY dur
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - (d_t + c_t)) AS n_risk
+        |  FROM byday, tot),
+        |lns AS (
+        |  SELECT dur, d_t, c_t, n_risk,
+        |         CASE WHEN d_t > 0 AND n_risk > d_t
+        |              THEN CAST(floor(ln(CAST(n_risk - d_t AS DOUBLE)
+        |                / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |              WHEN d_t > 0 THEN -23025851
+        |              ELSE 0 END AS l
+        |  FROM risk),
+        |cum AS (
+        |  SELECT dur, d_t, c_t, n_risk,
+        |         CAST(sum(l) OVER (ORDER BY dur
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM lns)
+        |SELECT dur AS day, n_risk, d_t AS n_events, c_t AS n_censored,
+        |       round(exp(CAST(cum AS DOUBLE) / 1000000.0), 6) AS survival
+        |FROM cum WHERE d_t > 0 ORDER BY day""".stripMargin,
+    "q253_cuped_variance" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+        |             < DATE '1999-01-01'
+        |           THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+        |             >= DATE '1999-01-01'
+        |           THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM per),
+        |c AS (
+        |  SELECT n,
+        |         n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS covn,
+        |         n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varxn,
+        |         n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS varyn
+        |  FROM m)
+        |SELECT n,
+        |       round(CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE), 6)
+        |         AS theta,
+        |       round(CAST(varyn AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |         / 10000.0, 2) AS var_y_dollars,
+        |       round(CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |         / (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)), 6)
+        |         AS rho_sq,
+        |       round(CAST(varyn AS DOUBLE)
+        |           * (1.0 - CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |             / (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)))
+        |           / CAST(n * n AS DOUBLE) / 10000.0, 2)
+        |         AS var_adj_dollars
+        |FROM c""".stripMargin,
     "q245_kcore_peeling" ->
       """WITH p AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b

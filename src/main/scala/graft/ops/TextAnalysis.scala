@@ -1654,7 +1654,54 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // q254: Good–Turing frequency census — the unseen-mass estimate under
+  // every smoothed language model (and the honest answer to "how much
+  // of the n-gram distribution has this corpus NOT seen", the question
+  // q235's coverage sweep asks only about seen types): count-of-counts
+  // N_r for r ≤ 10 over BIGRAMS (the corpus' 31-word unigram vocabulary
+  // saturates — every word repeats 26+ times — while the bigram line
+  // has the genuine rare tail GT exists for), the GT re-estimated count
+  // r* = (r+1)·N_{r+1}/N_r, each level's share of total occurrence
+  // mass, and the leave-mass-for-unseen estimate p₀ = N₁/N on every
+  // row. All counts are exact ints off two map-side-combined groupBys;
+  // the sparse N_{r+1} lookup is a self-join on r+1 (NEVER a window
+  // over the sparse r line — lead() would read the next EXISTING level,
+  // not level r+1); ratios are single IEEE readouts. Scale shape:
+  // (bigram → count) shuffles once; count-of-counts is a vocabulary-
+  // sized second aggregate; everything after runs on a ≤10-row frame
+  // with two 1-row broadcasts.
+  private def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select(split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> " +
+          "concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("r"))
+    val coc = tf.groupBy($"r").agg(count(lit(1)).as("n_types"))
+    val tot = coc.agg(sum($"r" * $"n_types").as("nn"))
+    val n1 = coc.filter($"r" === 1L).select($"n_types".as("n1"))
+    val nxt = coc.select(($"r" - 1L).as("r"), $"n_types".as("n_next"))
+    coc.join(nxt, Seq("r"), "left")
+      .filter($"r" <= 10L)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select($"r", $"n_types",
+        when($"n_next".isNotNull,
+          Num.roundAt((($"r" + 1L) * $"n_next").cast(DoubleType) /
+            $"n_types".cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("r_star"),
+        Num.roundAt(($"r" * $"n_types").cast(DoubleType) /
+          $"nn".cast(DoubleType), 6).as("mass_frac"),
+        Num.roundAt($"n1".cast(DoubleType) / $"nn".cast(DoubleType), 6)
+          .as("p0_unseen"))
+      .orderBy($"r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_good_turing" -> (goodTuring _),
     "q247_jackknife_variance" -> (jackknifeVariance _),
     "q241_loo_influence" -> (looInfluence _),
     "q235_vocab_coverage" -> (vocabCoverage _),
@@ -1839,6 +1886,33 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q254_good_turing" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |           i -> concat(ts[i], ' ', ts[i + 1]))) AS t
+        |  FROM tok),
+        |tf AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS r
+        |  FROM bg GROUP BY 1),
+        |coc AS (
+        |  SELECT r, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r * n_types) AS BIGINT) AS nn FROM coc),
+        |n1 AS (SELECT CAST(n_types AS BIGINT) AS n1 FROM coc WHERE r = 1),
+        |nxt AS (SELECT r - 1 AS r, n_types AS n_next FROM coc)
+        |SELECT c.r, c.n_types,
+        |       CASE WHEN x.n_next IS NULL THEN NULL
+        |            ELSE round(CAST((c.r + 1) * x.n_next AS DOUBLE)
+        |              / CAST(c.n_types AS DOUBLE), 6) END AS r_star,
+        |       round(CAST(c.r * c.n_types AS DOUBLE)
+        |         / CAST(nn AS DOUBLE), 6) AS mass_frac,
+        |       round(CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |         AS p0_unseen
+        |FROM coc c LEFT JOIN nxt x ON c.r = x.r, tot, n1
+        |WHERE c.r <= 10 ORDER BY c.r""".stripMargin,
     "q247_jackknife_variance" ->
       """WITH b AS (
         |  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),

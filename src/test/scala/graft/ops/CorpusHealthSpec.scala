@@ -673,6 +673,42 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q254: Good-Turing levels reconcile with raw term counts") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q254_good_turing")(spark, dir).cache()
+    val rows = out.orderBy("r").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("r")).contains(1L))
+    // recount the bigram count-of-counts independently (driver-side
+    // sliding over collected token lists — a different formulation)
+    val tf = graft.Tables.documents(spark, dir)
+      .select(split($"text", " ").as("ts")).collect()
+      .map(_.getSeq[String](0)).filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (_, v) => v.length }
+      .toSeq
+    val coc: Map[Long, Long] = tf.groupBy(identity)
+      .map { case (r, v) => r.toLong -> v.size.toLong }
+    val nTok = coc.map { case (r, n) => r * n }.sum
+    rows.foreach { q =>
+      val r = q.getAs[Long]("r")
+      assert(q.getAs[Long]("n_types") == coc(r))
+      assert(math.abs(q.getAs[Double]("mass_frac") -
+        r.toDouble * coc(r) / nTok) < 1e-5)
+      assert(math.abs(q.getAs[Double]("p0_unseen") -
+        coc(1L).toDouble / nTok) < 1e-5)
+      // GT re-estimate matches (r+1) N_{r+1} / N_r where the next
+      // level exists, and is NULL where it does not
+      coc.get(r + 1) match {
+        case Some(nn) =>
+          assert(math.abs(q.getAs[Double]("r_star") -
+            (r + 1).toDouble * nn / coc(r)) < 1e-5)
+        case None => assert(q.isNullAt(q.fieldIndex("r_star")))
+      }
+    }
+    out.unpersist()
+  }
+
   test("q247: jackknife LOO means reconcile with totals and the SE is exact") {
     import spark.implicits._
     val out = TextAnalysis.queries("q247_jackknife_variance")(spark, dir).cache()

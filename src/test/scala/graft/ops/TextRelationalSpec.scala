@@ -349,6 +349,98 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q250: Benford digits partition the table; both histograms are proper") {
+    import spark.implicits._
+    val out = Relational.queries("q250_benford_audit")(spark, dir).cache()
+    val rows = out.orderBy("digit").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum ==
+      graft.Tables.orders(spark, dir).count())
+    assert(math.abs(rows.map(_.getAs[Double]("obs_frac")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("benford_frac")).sum - 1.0) < 1e-4)
+    // Benford frequencies are strictly decreasing in the digit
+    val bf = rows.map(_.getAs[Double]("benford_frac"))
+    assert(bf.sliding(2).forall { case Array(a, b) => a > b })
+    assert(math.abs(bf.head - 0.30103) < 1e-4)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+    out.unpersist()
+  }
+
+  test("q251: HHI respects its algebraic bounds per nation") {
+    import spark.implicits._
+    val out = Relational.queries("q251_hhi_concentration")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // total revenue reconciles with the raw lineitem cents sum
+    val cents = graft.Tables.lineitem(spark, dir)
+      .agg(sum(floor($"l_extendedprice" * 100).cast("long"))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("total_cents")).sum == cents)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      // 1/n (perfect split) <= HHI <= 1 (monopoly); top share bounds it
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9)
+      assert(top * top <= hhi + 1e-6 && hhi <= top + 1e-6,
+        s"nation ${r.get(0)}: hhi $hhi outside [top^2, top] of $top")
+      assert(math.abs(r.getAs[Double]("equivalent_firms") - 1.0 / hhi) < 0.05)
+    }
+    out.unpersist()
+  }
+
+  test("q252: KM survival is a proper non-increasing step curve") {
+    import spark.implicits._
+    val out = Relational.queries("q252_kaplan_meier")(spark, dir).cache()
+    val rows = out.orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // risk sets shrink, survival is non-increasing in [0, 1]
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(v => v >= 0.0 && v <= 1.0))
+    assert(surv.sliding(2).forall { case Array(a, b) => a >= b - 1e-9 })
+    val risks = rows.map(_.getAs[Long]("n_risk"))
+    assert(risks.sliding(2).forall { case Array(a, b) => a >= b })
+    // event totals: one event per customer with >= 2 distinct order days
+    val o = graft.Tables.orders(spark, dir)
+      .select($"o_custkey", to_date($"o_orderdate").as("d")).distinct()
+    val multi = o.groupBy($"o_custkey").agg(countDistinct($"d").as("k"))
+      .filter($"k" >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == multi)
+    // first step is exactly 1 - d1/n1 (within the micro-unit freeze)
+    val h = rows.head
+    val expect = 1.0 - h.getAs[Long]("n_events").toDouble / h.getAs[Long]("n_risk")
+    assert(math.abs(surv.head - expect) < 1e-4)
+    out.unpersist()
+  }
+
+  test("q253: CUPED moments match a driver-side recomputation") {
+    import spark.implicits._
+    val out = Relational.queries("q253_cuped_variance")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    val rho = r.getAs[Double]("rho_sq")
+    assert(rho >= 0.0 && rho <= 1.0)
+    assert(r.getAs[Double]("var_adj_dollars") <=
+      r.getAs[Double]("var_y_dollars") + 1e-6)
+    // recompute theta from per-customer cents on the small fixture
+    val per = graft.Tables.orders(spark, dir)
+      .select($"o_custkey",
+        when(to_date($"o_orderdate") < lit("1999-01-01").cast("date"),
+          floor($"o_totalprice" * 100).cast("long")).otherwise(0L).as("x"),
+        when(to_date($"o_orderdate") >= lit("1999-01-01").cast("date"),
+          floor($"o_totalprice" * 100).cast("long")).otherwise(0L).as("y"))
+      .groupBy($"o_custkey").agg(sum($"x").as("x"), sum($"y").as("y"))
+      .collect().map(q => (q.getLong(1).toDouble, q.getLong(2).toDouble))
+    val n = per.length.toDouble
+    val (sx, sy) = (per.map(_._1).sum, per.map(_._2).sum)
+    val cov = per.map(p => p._1 * p._2).sum - sx * sy / n
+    val vx = per.map(p => p._1 * p._1).sum - sx * sx / n
+    val vy = per.map(p => p._2 * p._2).sum - sy * sy / n
+    assert(math.abs(r.getAs[Double]("theta") - cov / vx) < 1e-4)
+    assert(math.abs(rho - cov * cov / (vx * vy)) < 1e-4)
+    assert(r.getAs[Long]("n") == per.length)
+    out.unpersist()
+  }
+
   test("q205: WOE bins are equi-depth, counts reconcile, IV is non-negative") {
     import spark.implicits._
     val out = Relational.queries("q205_woe_iv")(spark, dir).cache()
