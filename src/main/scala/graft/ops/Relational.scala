@@ -2936,6 +2936,56 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q255: Mann–Whitney U rank-sum test — the DISTRIBUTION-FREE sibling
+  // of q143's Welch test (heavy-tailed revenue is exactly where a mean
+  // test misleads and a rank test doesn't): same minstd variant split,
+  // order totals compared by pooled midranks. The whole statistic is
+  // computed WITHOUT ranking rows: group by distinct cents value, and
+  // a tied block occupying positions [c+1, c+n_v] contributes midrank
+  // (2c+n_v+1)/2 — so doubled rank sums 2R₁ = Σ n₁ᵥ(2cᵥ+n_v+1), the
+  // doubled U, the tie-corrected variance (Σ(t³−t) in decimal), and
+  // every moment are EXACT integers off a value-dictionary cumsum; the
+  // z-score is the only float, one IEEE sequence at readout. Scale
+  // shape: one scan reduces map-side to the (cents → counts) value
+  // dictionary; the ordered cumsum and 1-row census run on that
+  // dictionary, bounded by the price domain, never the row count.
+  private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    val g1 = when($"o_custkey" % M * 16807L % M * 48271L % M % 2 === 0,
+      1L).otherwise(0L)
+    val byv = Tables.orders(s, dir)
+      .select(g1.as("g1"), floor($"o_totalprice" * 100)
+        .cast(LongType).as("cents"))
+      .groupBy($"cents").agg(count(lit(1)).as("nv"), sum($"g1").as("n1v"))
+    val w = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("cb", sum($"nv").over(w) - $"nv")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val m = cum.agg(
+      sum($"n1v" * (lit(2L) * $"cb" + $"nv" + 1L)).as("r1x2"),
+      sum($"n1v").as("n1"), sum($"nv").as("nn"),
+      sum(dec($"nv") * dec($"nv") * dec($"nv") - dec($"nv")).as("t3"))
+    m.select($"n1", ($"nn" - $"n1").as("n2"), $"nn", $"r1x2", $"t3")
+      .withColumn("u1x2", $"r1x2" - $"n1" * ($"n1" + 1L))
+      .withColumn("varx4",
+        // 4·Var(U) = n1·n2/3 · ((N+1) − Σ(t³−t)/(N(N−1))) · ... kept as
+        // one float sequence over exact ints: n1 n2 ((N+1) − T/(N(N−1)))/3
+        $"n1".cast(DoubleType) * $"n2".cast(DoubleType) *
+          (($"nn" + 1L).cast(DoubleType) - $"t3".cast(DoubleType) /
+            ($"nn".cast(DoubleType) * ($"nn" - 1L).cast(DoubleType))) /
+          lit(3.0))
+      .select($"n1".as("n_control"), $"n2".as("n_treatment"),
+        Num.roundAt($"u1x2".cast(DoubleType) / lit(2.0), 1).as("u_control"),
+        Num.roundAt(($"n1" * $"n2").cast(DoubleType) -
+          $"u1x2".cast(DoubleType) / lit(2.0), 1).as("u_treatment"),
+        // z = (U₁ − n₁n₂/2)/σ = (2U₁ − n₁n₂)/√(4·Var) — both sides exact
+        Num.roundAt(($"u1x2".cast(DoubleType) -
+          ($"n1" * $"n2").cast(DoubleType)) / sqrt($"varx4"), 6)
+          .as("z_score"))
+  }
+
+  // ---------------------------------------------------------------------
   // q245: k-core peeling census — the graph-density audit beside q119's
   // triangle count and q206's rank walk: iteratively delete every node
   // of degree < k from the customer–supplier trade graph and watch the
@@ -3892,6 +3942,7 @@ object Relational {
     "q244_t_closeness" -> (tCloseness _),
     "q245_kcore_peeling" -> (kcorePeeling _),
     "q250_benford_audit" -> (benfordAudit _),
+    "q255_mann_whitney" -> (mannWhitney _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
     "q253_cuped_variance" -> (cupedVariance _),
@@ -4038,6 +4089,48 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q255_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN o_custkey % 2147483647 * 16807 % 2147483647
+        |                   * 48271 % 2147483647 % 2 = 0
+        |              THEN 1 ELSE 0 END AS g1,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |byv AS (
+        |  SELECT cents, CAST(count(*) AS BIGINT) AS nv,
+        |         CAST(sum(g1) AS BIGINT) AS n1v
+        |  FROM v GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, nv, n1v,
+        |         CAST(sum(nv) OVER (ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - nv AS cb
+        |  FROM byv),
+        |m AS (
+        |  SELECT CAST(sum(n1v * (2 * cb + nv + 1)) AS BIGINT) AS r1x2,
+        |         CAST(sum(n1v) AS BIGINT) AS n1,
+        |         CAST(sum(nv) AS BIGINT) AS nn,
+        |         sum(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+        |           * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT)) AS t3
+        |  FROM cum),
+        |c AS (
+        |  SELECT n1, nn - n1 AS n2, nn, t3,
+        |         r1x2 - n1 * (n1 + 1) AS u1x2
+        |  FROM m),
+        |f AS (
+        |  SELECT n1, n2, u1x2,
+        |         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |           * (CAST(nn + 1 AS DOUBLE) - CAST(t3 AS DOUBLE)
+        |             / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+        |           / 3.0 AS varx4
+        |  FROM c)
+        |SELECT n1 AS n_control, n2 AS n_treatment,
+        |       round(CAST(u1x2 AS DOUBLE) / 2.0, 1) AS u_control,
+        |       round(CAST(n1 * n2 AS DOUBLE)
+        |         - CAST(u1x2 AS DOUBLE) / 2.0, 1) AS u_treatment,
+        |       round((CAST(u1x2 AS DOUBLE)
+        |           - CAST(n1 * n2 AS DOUBLE)) / sqrt(varx4), 6) AS z_score
+        |FROM f""".stripMargin,
     "q250_benford_audit" ->
       """WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)

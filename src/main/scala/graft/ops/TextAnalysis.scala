@@ -1700,7 +1700,51 @@ object TextAnalysis {
       .orderBy($"r")
   }
 
+  // ---------------------------------------------------------------------
+  // q256: nDCG ranking-quality census — the GRADED eval the retrieval
+  // family still lacked: q83 ranks by BM25, q194 compares rankers by
+  // rank agreement, but nothing scored a ranking against graded
+  // relevance. Relevance here is the exact query-term occurrence count
+  // per document (an exact-int label, no judgment model), and the
+  // census reads out DCG@k, ideal DCG@k and their ratio at k ∈
+  // {5,10,20} — the standard "did the ranker put the heavy documents
+  // up top" number. Gains rel/log₂(rank+1) are single IEEE ops in rank
+  // order and the cumsums run over ≤20-row frames, so the floats are
+  // cross-engine stable. Scale shape: relevance is one map-side
+  // term-filtered aggregate; the ideal list is a TakeOrdered top-20
+  // (never a corpus-wide window); both cumulative windows run on
+  // 20-row frames.
+  private def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rel = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin("join", "scan", "merge"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("rel"))
+    val log2 = (c: org.apache.spark.sql.Column) => log(c) / log(lit(2.0))
+    val wS = Window.orderBy($"rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sysD = bm25(s, dir).select($"doc_id", $"rank")
+      .join(rel, Seq("doc_id"), "left").na.fill(0L, Seq("rel"))
+      .withColumn("dcg", sum($"rel".cast(DoubleType) /
+        log2($"rank".cast(DoubleType) + lit(1.0))).over(wS))
+    val ideal = rel.orderBy($"rel".desc, $"doc_id".asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rel".desc, $"doc_id".asc)))
+      .withColumn("idcg", sum($"rel".cast(DoubleType) /
+        log2($"rank".cast(DoubleType) + lit(1.0))).over(wS))
+    sysD.filter($"rank".isin(5, 10, 20))
+      .select($"rank".cast(LongType).as("k"), $"dcg")
+      .join(ideal.filter($"rank".isin(5, 10, 20))
+        .select($"rank".cast(LongType).as("k"), $"idcg"), Seq("k"))
+      .select($"k", Num.roundAt($"dcg", 6).as("dcg"),
+        Num.roundAt($"idcg", 6).as("idcg"),
+        Num.roundAt($"dcg" / $"idcg", 6).as("ndcg"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_ndcg_eval" -> (ndcgEval _),
     "q254_good_turing" -> (goodTuring _),
     "q247_jackknife_variance" -> (jackknifeVariance _),
     "q241_loo_influence" -> (looInfluence _),
@@ -1886,6 +1930,61 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q256_ndcg_eval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |  FROM tok WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |           * ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |              (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |                + (0.75::DOUBLE * dl) / avgdl))) AS sc
+        |  FROM tf t JOIN df USING (term), scal),
+        |p AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'scan' THEN sc END), 0.0::DOUBLE)
+        |       + coalesce(sum(CASE WHEN term = 'merge' THEN sc END), 0.0::DOUBLE)
+        |           AS score
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |      FROM p),
+        |rel AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS rel FROM tf GROUP BY 1),
+        |sysd AS (
+        |  SELECT r.rank,
+        |         sum(CAST(coalesce(rel.rel, 0) AS DOUBLE)
+        |             / (ln(CAST(r.rank AS DOUBLE) + 1.0) / ln(2.0)))
+        |           OVER (ORDER BY r.rank
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg
+        |  FROM r LEFT JOIN rel ON r.doc_id = rel.doc_id
+        |  WHERE r.rank <= 20),
+        |itop AS (
+        |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+        |  FROM rel ORDER BY rel DESC, doc_id LIMIT 20),
+        |ideal AS (
+        |  SELECT rank,
+        |         sum(CAST(rel AS DOUBLE)
+        |             / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)))
+        |           OVER (ORDER BY rank
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idcg
+        |  FROM itop)
+        |SELECT CAST(s2.rank AS BIGINT) AS k, round(s2.dcg, 6) AS dcg,
+        |       round(i.idcg, 6) AS idcg,
+        |       round(s2.dcg / i.idcg, 6) AS ndcg
+        |FROM sysd s2 JOIN ideal i ON s2.rank = i.rank
+        |WHERE s2.rank IN (5, 10, 20) ORDER BY k""".stripMargin,
     "q254_good_turing" ->
       """WITH tok AS (
         |  SELECT string_split(text, ' ') AS ts FROM documents

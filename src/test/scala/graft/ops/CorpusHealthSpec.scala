@@ -673,6 +673,39 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q256: nDCG is bounded by the ideal and reconciles with q83's ranking") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q256_ndcg_eval")(spark, dir).cache()
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(5L, 10L, 20L))
+    rows.foreach { r =>
+      val (d, i, n) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+        r.getAs[Double]("ndcg"))
+      assert(d >= 0.0 && i > 0.0 && d <= i + 1e-9, s"dcg $d exceeds ideal $i")
+      assert(n >= 0.0 && n <= 1.0 + 1e-9)
+      assert(math.abs(n - d / i) < 2e-6)
+    }
+    // cumulative gains grow with k on both curves
+    assert(rows.map(_.getAs[Double]("dcg")).sliding(2)
+      .forall { case Array(a, b) => a <= b + 1e-9 })
+    assert(rows.map(_.getAs[Double]("idcg")).sliding(2)
+      .forall { case Array(a, b) => a <= b + 1e-9 })
+    // recompute dcg@5 from q83's ranking and a raw relevance recount
+    val rel = graft.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t".isin("join", "scan", "merge"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("rel"))
+      .collect().map(q => q.getLong(0) -> q.getLong(1)).toMap
+    val top = TextAnalysis.queries("q83_bm25")(spark, dir)
+      .orderBy("rank").collect().take(5)
+    val dcg5 = top.zipWithIndex.map { case (q, idx) =>
+      rel.getOrElse(q.getLong(0), 0L).toDouble /
+        (math.log(idx + 2.0) / math.log(2.0))
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("dcg") - dcg5) < 1e-4)
+    out.unpersist()
+  }
+
   test("q254: Good-Turing levels reconcile with raw term counts") {
     import spark.implicits._
     val out = TextAnalysis.queries("q254_good_turing")(spark, dir).cache()

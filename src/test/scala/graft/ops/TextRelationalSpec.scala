@@ -349,6 +349,40 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q255: Mann-Whitney U matches a driver-side midrank recomputation") {
+    import spark.implicits._
+    val out = Relational.queries("q255_mann_whitney")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    val n1 = r.getAs[Long]("n_control"); val n2 = r.getAs[Long]("n_treatment")
+    assert(n1 + n2 == graft.Tables.orders(spark, dir).count())
+    // the two U statistics are complementary by identity
+    assert(math.abs(r.getAs[Double]("u_control") +
+      r.getAs[Double]("u_treatment") - n1.toDouble * n2) < 0.01)
+    // recompute U1 via explicit midranks on the small fixture
+    val M = 2147483647L
+    val vals = graft.Tables.orders(spark, dir)
+      .select($"o_custkey", floor($"o_totalprice" * 100).cast("long").as("c"))
+      .collect().map(q => (q.getLong(0) % M * 16807L % M * 48271L % M % 2 == 0,
+        q.getLong(1)))
+    val sorted = vals.sortBy(_._2)
+    val ranks = scala.collection.mutable.Map[Long, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val mid = (i + 1 + j).toDouble / 2 // midrank of positions i+1..j
+      ranks(sorted(i)._2) = mid
+      i = j
+    }
+    val r1 = vals.filter(_._1).map(v => ranks(v._2)).sum
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(math.abs(r.getAs[Double]("u_control") - u1) < 0.01,
+      s"U1 ${r.getAs[Double]("u_control")} vs recomputed $u1")
+    assert(!r.getAs[Double]("z_score").isNaN)
+    out.unpersist()
+  }
+
   test("q250: Benford digits partition the table; both histograms are proper") {
     import spark.implicits._
     val out = Relational.queries("q250_benford_audit")(spark, dir).cache()
