@@ -948,6 +948,73 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q257: Fellegi–Sunter EM re-estimation step — the UNSUPERVISED
+  // parameter learning q234/q248 take as given: production linkers
+  // (Splink's core loop) fit m = P(agree|match), u = P(agree|non-match)
+  // and the match prior by EM over the agreement-pattern census, never
+  // from labels. One full EM step from the documented priors: the
+  // E-step posterior per pattern w = pΠm/(pΠm + (1−p)Πu) is computed
+  // once per DISTINCT pattern (a 4-binary-field vector has ≤16) and
+  // FROZEN to integer nano-units, so every M-step moment is an exact
+  // integer sum Σ wₙ·n·agree_f over the 16-row census — no float ever
+  // crosses an aggregation boundary, the Det rule the q203-style fold
+  // exists for, obtained here by freezing instead of folding. Readout:
+  // per field, prior (m,u) beside re-estimated (m,u) and the new match
+  // prior — on this corpus the E-step weights recover the true-pair
+  // mass (spec pins w ≈ truth), so m' moves toward the OBSERVED
+  // corruption rates. Scale shape: one blocked-candidate scan reduces
+  // map-side to the 16-pattern census; the field unpivot is 64 rows.
+  private def fsEmStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = fsScored(s, dir)
+      .groupBy($"anm", $"aph", $"ac", $"asg")
+      .agg(count(lit(1)).as("n"))
+    // documented priors (fellegiSunter's weight table sources)
+    val p0 = 0.001
+    def mt(flag: org.apache.spark.sql.Column, m: Double) =
+      when(flag, lit(m)).otherwise(lit(1.0 - m))
+    val pm = mt($"anm", 0.99) * mt($"aph", 0.95) *
+      mt($"ac", 0.90) * mt($"asg", 0.95)
+    val pu = mt($"anm", 1e-4) * mt($"aph", 1e-3) *
+      mt($"ac", 6e-3) * mt($"asg", 0.20)
+    val wn = pat
+      .withColumn("wnano", floor(lit(1e9) * (lit(p0) * pm) /
+        (lit(p0) * pm + lit(1.0 - p0) * pu)).cast(LongType))
+    // unpivot the 4 fields: one row per (pattern, field)
+    val fields = wn.select($"n", $"wnano", explode(array(
+      struct(lit("1_name").as("field"), $"anm".as("agree"),
+        lit(0.99).as("m_init"), lit(1e-4).as("u_init")),
+      struct(lit("2_phone").as("field"), $"aph".as("agree"),
+        lit(0.95).as("m_init"), lit(1e-3).as("u_init")),
+      struct(lit("3_balance").as("field"), $"ac".as("agree"),
+        lit(0.90).as("m_init"), lit(6e-3).as("u_init")),
+      struct(lit("4_segment").as("field"), $"asg".as("agree"),
+        lit(0.95).as("m_init"), lit(0.20).as("u_init")))).as("f"))
+      .select($"n", $"wnano", $"f.field", $"f.agree",
+        $"f.m_init", $"f.u_init")
+    // nano-unit × count products in decimal(38,0): exact at any pair
+    // count (wnano·n would brush int64 past ~9e9 candidates)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val tot = wn.agg(sum(dec($"wnano") * dec($"n")).as("wsum"),
+      sum(dec(lit(1000000000L) - $"wnano") * dec($"n")).as("vsum"),
+      sum($"n").as("nn"))
+    fields.groupBy($"field", $"m_init", $"u_init")
+      .agg(sum(when($"agree", dec($"wnano") * dec($"n"))
+        .otherwise(dec(lit(0L)))).as("wm"),
+        sum(when($"agree", dec(lit(1000000000L) - $"wnano") * dec($"n"))
+          .otherwise(dec(lit(0L)))).as("wu"))
+      .crossJoin(broadcast(tot))
+      .select($"field", $"m_init", $"u_init",
+        Num.roundAt($"wm".cast(DoubleType) / $"wsum".cast(DoubleType), 6)
+          .as("m_new"),
+        Num.roundAt($"wu".cast(DoubleType) / $"vsum".cast(DoubleType), 6)
+          .as("u_new"),
+        Num.roundAt($"wsum".cast(DoubleType) /
+          (lit(1e9) * $"nn".cast(DoubleType)), 6).as("p_new"))
+      .orderBy($"field")
+  }
+
+  // ---------------------------------------------------------------------
   // q158: cross-source contamination matrix — for every pair of corpus
   // sources, how many exact-duplicate documents they share, and what
   // fraction of the smaller source that overlap covers (containment).
@@ -1975,7 +2042,10 @@ object Dedup {
     a.as("a").join(b.as("b"),
         $"a.nat" === $"b.nat" && $"a.band" === $"b.band")
       .withColumn("score", score)
-      .select($"a.k".as("ak"), $"b.k".as("bk"), $"score")
+      .select($"a.k".as("ak"), $"b.k".as("bk"), $"score",
+        ($"a.nm" === $"b.nm").as("anm"), ($"a.ph" === $"b.ph").as("aph"),
+        ($"a.cents" === $"b.cents").as("ac"),
+        ($"a.seg" === $"b.seg").as("asg"))
   }
 
   // ---------------------------------------------------------------------
@@ -2021,6 +2091,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_fellegi_sunter" -> (fellegiSunter _),
     "q248_fs_calibration" -> (fsCalibration _),
+    "q257_fs_em_step" -> (fsEmStep _),
     "q231_group_kfold" -> (groupKfold _),
     "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
@@ -2112,6 +2183,98 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q257_fs_em_step" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg, c_name AS nm,
+        |         concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
+        |           lpad(CAST(c_custkey * 7919 % 9999991 AS VARCHAR), 7, '0'))
+        |           AS ph
+        |  FROM customer),
+        |a AS (
+        |  SELECT k, nat, cents, seg, nm, ph,
+        |         (cents + 100000) // 10000 AS band
+        |  FROM base),
+        |b AS (
+        |  SELECT k, nat,
+        |         cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END AS cents,
+        |         CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+        |         CASE WHEN k % 11 = 0
+        |              THEN substring(nm, 1, length(nm) - 1) ELSE nm END
+        |           AS nm,
+        |         CASE WHEN k % 3 = 0
+        |              THEN concat(substring(ph, 1, length(ph) - 1),
+        |                CAST((CAST(substring(ph, length(ph), 1) AS INT) + 1)
+        |                  % 10 AS VARCHAR))
+        |              ELSE ph END AS ph,
+        |         (cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END + 100000)
+        |           // 10000 AS band
+        |  FROM base),
+        |scored AS (
+        |  SELECT a.nm = b.nm AS anm, a.ph = b.ph AS aph,
+        |         a.cents = b.cents AS ac, a.seg = b.seg AS asg
+        |  FROM a JOIN b ON a.nat = b.nat AND a.band = b.band),
+        |pat AS (
+        |  SELECT anm, aph, ac, asg, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1, 2, 3, 4),
+        |w AS (
+        |  SELECT *, CAST(floor(1000000000.0::DOUBLE *
+        |      (0.001::DOUBLE * (
+        |          CASE WHEN anm THEN 0.99::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.99::DOUBLE END
+        |        * CASE WHEN aph THEN 0.95::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.95::DOUBLE END
+        |        * CASE WHEN ac THEN 0.90::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.90::DOUBLE END
+        |        * CASE WHEN asg THEN 0.95::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.95::DOUBLE END))
+        |      / (0.001::DOUBLE * (
+        |          CASE WHEN anm THEN 0.99::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.99::DOUBLE END
+        |        * CASE WHEN aph THEN 0.95::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.95::DOUBLE END
+        |        * CASE WHEN ac THEN 0.90::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.90::DOUBLE END
+        |        * CASE WHEN asg THEN 0.95::DOUBLE
+        |               ELSE 1.0::DOUBLE - 0.95::DOUBLE END)
+        |        + (1.0::DOUBLE - 0.001::DOUBLE)
+        |          * (CASE WHEN anm THEN 0.0001::DOUBLE
+        |                  ELSE 1.0::DOUBLE - 0.0001::DOUBLE END
+        |          * CASE WHEN aph THEN 0.001::DOUBLE
+        |                  ELSE 1.0::DOUBLE - 0.001::DOUBLE END
+        |          * CASE WHEN ac THEN 0.006::DOUBLE
+        |                  ELSE 1.0::DOUBLE - 0.006::DOUBLE END
+        |          * CASE WHEN asg THEN 0.20::DOUBLE
+        |                  ELSE 1.0::DOUBLE - 0.20::DOUBLE END)))
+        |      AS BIGINT) AS wnano
+        |  FROM pat),
+        |tot AS (
+        |  SELECT sum(CAST(wnano AS HUGEINT) * CAST(n AS HUGEINT)) AS wsum,
+        |         sum(CAST(1000000000 - wnano AS HUGEINT)
+        |           * CAST(n AS HUGEINT)) AS vsum,
+        |         CAST(sum(n) AS BIGINT) AS nn
+        |  FROM w),
+        |fields AS (
+        |  SELECT '1_name' AS field, anm AS agree, 0.99 AS m_init,
+        |         0.0001 AS u_init, n, wnano FROM w
+        |  UNION ALL SELECT '2_phone', aph, 0.95, 0.001, n, wnano FROM w
+        |  UNION ALL SELECT '3_balance', ac, 0.90, 0.006, n, wnano FROM w
+        |  UNION ALL SELECT '4_segment', asg, 0.95, 0.20, n, wnano FROM w),
+        |g AS (
+        |  SELECT field, m_init, u_init,
+        |         sum(CASE WHEN agree THEN CAST(wnano AS HUGEINT)
+        |           * CAST(n AS HUGEINT) ELSE 0 END) AS wm,
+        |         sum(CASE WHEN agree THEN CAST(1000000000 - wnano AS HUGEINT)
+        |           * CAST(n AS HUGEINT) ELSE 0 END) AS wu
+        |  FROM fields GROUP BY 1, 2, 3)
+        |SELECT field, CAST(m_init AS DOUBLE) AS m_init,
+        |       CAST(u_init AS DOUBLE) AS u_init,
+        |       round(CAST(wm AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS m_new,
+        |       round(CAST(wu AS DOUBLE) / CAST(vsum AS DOUBLE), 6) AS u_new,
+        |       round(CAST(wsum AS DOUBLE)
+        |         / (1000000000.0 * CAST(nn AS DOUBLE)), 6) AS p_new
+        |FROM g, tot ORDER BY field""".stripMargin,
     "q248_fs_calibration" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_nationkey AS nat,

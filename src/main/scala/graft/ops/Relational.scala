@@ -2936,6 +2936,96 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q258: log-log price-elasticity OLS — the demand-curve slope
+  // ε = d ln q / d ln p a pricing team fits before touching a price
+  // (q152's bridge decomposes realized revenue; this estimates the
+  // response): pooled OLS of ln(quantity) on ln(unit price) across
+  // lineitems. Both logs are FROZEN to integer micro-units at the row
+  // (the q241/q252 ln rule), so all five OLS moments are exact integer
+  // sums (cross-products in decimal/HUGEINT) and the centering
+  // identity n·Σxy − ΣxΣy never subtracts a float mean; slope,
+  // intercept and R² are single IEEE readouts. On this corpus quantity
+  // is price-independent by construction, so ε ≈ 0 and R² ≈ 0 — the
+  // harness proves the estimator, the nulls document the synthesis.
+  // Scale shape: one scan reduces map-side to one 1-row moment frame.
+  private def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val rows = Tables.lineitem(s, dir)
+      .filter($"l_quantity" > 0 && $"l_extendedprice" > 0)
+      .select(
+        floor(lit(1e6) * log($"l_extendedprice" / $"l_quantity"))
+          .cast(LongType).as("lp"),
+        floor(lit(1e6) * log($"l_quantity")).cast(LongType).as("lq"))
+    val m = rows.agg(count(lit(1)).as("n"), sum($"lp").as("sx"),
+      sum($"lq").as("sy"), sum(dec($"lp") * dec($"lp")).as("sxx"),
+      sum(dec($"lq") * dec($"lq")).as("syy"),
+      sum(dec($"lp") * dec($"lq")).as("sxy"))
+    m.select($"n",
+        ($"n" * $"sxy" - dec($"sx") * dec($"sy")).as("covn"),
+        ($"n" * $"sxx" - dec($"sx") * dec($"sx")).as("varxn"),
+        ($"n" * $"syy" - dec($"sy") * dec($"sy")).as("varyn"),
+        $"sx", $"sy")
+      .select($"n",
+        Num.roundAt($"covn".cast(DoubleType) / $"varxn".cast(DoubleType), 6)
+          .as("elasticity"),
+        // intercept in ln-units: (Σy − β Σx)/n, descaled from micro
+        Num.roundAt(($"sy".cast(DoubleType) -
+          $"covn".cast(DoubleType) / $"varxn".cast(DoubleType) *
+            $"sx".cast(DoubleType)) / $"n".cast(DoubleType) / lit(1e6), 6)
+          .as("intercept_ln"),
+        Num.roundAt($"covn".cast(DoubleType) * $"covn".cast(DoubleType) /
+          ($"varxn".cast(DoubleType) * $"varyn".cast(DoubleType)), 6)
+          .as("r_sq"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q259: Theil inequality decomposition — the additive complement of
+  // q155's Lorenz deciles and q251's HHI: the Theil-T index of
+  // customer spend decomposes EXACTLY into within-nation + between-
+  // nation parts (T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)) — the "is
+  // inequality local or structural" readout no quantile census gives.
+  // Per-row entropy terms r·ln(r) are FROZEN to integer micro-units
+  // (q241 rule) so both the global and the within-group sums are
+  // exact-int and order-free; the ratios feeding each ln are doubles
+  // of exact int64 products (x·N < 2^53 through ~sf100; decimal swap
+  // past that). Readout per nation: population, spend share, within-
+  // Theil and the between term — the spec reassembles the global index
+  // from these parts. Scale shape: one orders scan to per-customer
+  // cents, one broadcast customer→nation attach, one 1-row total and
+  // one |nations|-row census; the frozen sums are map-side partial.
+  private def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("x"))
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_nationkey"), Seq("o_custkey"))
+    val tot = cust.agg(sum($"x").as("xx"), count(lit(1)).as("nn"))
+    val grp = cust.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("ng"), sum($"x").as("xg"))
+    val within = cust.join(broadcast(grp), Seq("c_nationkey"))
+      .withColumn("rw", $"x".cast(DoubleType) * $"ng".cast(DoubleType) /
+        $"xg".cast(DoubleType))
+      .withColumn("wterm", floor(lit(1e6) * $"rw" * log($"rw"))
+        .cast(LongType))
+      .groupBy($"c_nationkey", $"ng", $"xg")
+      .agg(sum($"wterm").as("wsum"))
+    within.crossJoin(broadcast(tot))
+      .select($"c_nationkey".as("nationkey"), $"ng".as("n_customers"),
+        $"xg".as("total_cents"),
+        Num.roundAt($"xg".cast(DoubleType) / $"xx".cast(DoubleType), 6)
+          .as("income_share"),
+        Num.roundAt($"wsum".cast(DoubleType) /
+          (lit(1e6) * $"ng".cast(DoubleType)), 6).as("theil_within"),
+        Num.roundAt($"xg".cast(DoubleType) / $"xx".cast(DoubleType) *
+          log(($"xg".cast(DoubleType) * $"nn".cast(DoubleType)) /
+            ($"xx".cast(DoubleType) * $"ng".cast(DoubleType))), 6)
+          .as("between_term"))
+      .orderBy($"nationkey")
+  }
+
+  // ---------------------------------------------------------------------
   // q255: Mann–Whitney U rank-sum test — the DISTRIBUTION-FREE sibling
   // of q143's Welch test (heavy-tailed revenue is exactly where a mean
   // test misleads and a rank test doesn't): same minstd variant split,
@@ -3943,6 +4033,8 @@ object Relational {
     "q245_kcore_peeling" -> (kcorePeeling _),
     "q250_benford_audit" -> (benfordAudit _),
     "q255_mann_whitney" -> (mannWhitney _),
+    "q258_price_elasticity" -> (priceElasticity _),
+    "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
     "q253_cuped_variance" -> (cupedVariance _),
@@ -4089,6 +4181,74 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q258_price_elasticity" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(floor(1000000.0 * ln(l_extendedprice / l_quantity))
+        |           AS BIGINT) AS lp,
+        |         CAST(floor(1000000.0 * ln(l_quantity)) AS BIGINT) AS lq
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(lp) AS BIGINT) AS sx,
+        |         CAST(sum(lq) AS BIGINT) AS sy,
+        |         sum(CAST(lp AS HUGEINT) * CAST(lp AS HUGEINT)) AS sxx,
+        |         sum(CAST(lq AS HUGEINT) * CAST(lq AS HUGEINT)) AS syy,
+        |         sum(CAST(lp AS HUGEINT) * CAST(lq AS HUGEINT)) AS sxy
+        |  FROM rows_),
+        |c AS (
+        |  SELECT n, sx, sy,
+        |         n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS covn,
+        |         n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varxn,
+        |         n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS varyn
+        |  FROM m)
+        |SELECT n,
+        |       round(CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE), 6)
+        |         AS elasticity,
+        |       round((CAST(sy AS DOUBLE)
+        |           - CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE)
+        |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |         / 1000000.0, 6) AS intercept_ln,
+        |       round(CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+        |         / (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)), 6)
+        |         AS r_sq
+        |FROM c""".stripMargin,
+    "q259_theil_decomposition" ->
+      """WITH cust AS (
+        |  SELECT o.o_custkey, c.c_nationkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(x) AS BIGINT) AS xx,
+        |         CAST(count(*) AS BIGINT) AS nn
+        |  FROM cust),
+        |grp AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(x) AS BIGINT) AS xg
+        |  FROM cust GROUP BY 1),
+        |w AS (
+        |  SELECT cu.c_nationkey, g.ng, g.xg,
+        |         CAST(floor(1000000.0
+        |             * (CAST(cu.x AS DOUBLE) * CAST(g.ng AS DOUBLE)
+        |                / CAST(g.xg AS DOUBLE))
+        |             * ln(CAST(cu.x AS DOUBLE) * CAST(g.ng AS DOUBLE)
+        |                / CAST(g.xg AS DOUBLE))) AS BIGINT) AS wterm
+        |  FROM cust cu JOIN grp g ON cu.c_nationkey = g.c_nationkey),
+        |ws AS (
+        |  SELECT c_nationkey, ng, xg, CAST(sum(wterm) AS BIGINT) AS wsum
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT c_nationkey AS nationkey, ng AS n_customers,
+        |       xg AS total_cents,
+        |       round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE), 6)
+        |         AS income_share,
+        |       round(CAST(wsum AS DOUBLE)
+        |         / (1000000.0 * CAST(ng AS DOUBLE)), 6) AS theil_within,
+        |       round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+        |           * ln((CAST(xg AS DOUBLE) * CAST(nn AS DOUBLE))
+        |             / (CAST(xx AS DOUBLE) * CAST(ng AS DOUBLE))), 6)
+        |         AS between_term
+        |FROM ws, tot ORDER BY nationkey""".stripMargin,
     "q255_mann_whitney" ->
       """WITH v AS (
         |  SELECT CASE WHEN o_custkey % 2147483647 * 16807 % 2147483647

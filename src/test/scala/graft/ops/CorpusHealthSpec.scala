@@ -706,6 +706,40 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q257: one EM step recovers the planted corruption rates") {
+    import spark.implicits._
+    val out = Dedup.queries("q257_fs_em_step")(spark, dir).cache()
+    val rows = out.orderBy("field").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_name", "2_phone", "3_balance", "4_segment"))
+    rows.foreach { r =>
+      val (m, u) = (r.getAs[Double]("m_new"), r.getAs[Double]("u_new"))
+      assert(m > 0.0 && m <= 1.0 && u >= 0.0 && u < 1.0)
+      assert(m > u, s"${r.getString(0)}: m' $m not above u' $u")
+      // at the tiny fixture SF the (nation, band) blocks are so small
+      // that most candidates ARE the planted twins, so the learned
+      // prior is legitimately high — only require a proper probability
+      val p = r.getAs[Double]("p_new")
+      assert(p > 0.0 && p < 1.0)
+    }
+    // the E-step posterior concentrates on true pairs (name+phone joint
+    // agreement is key-injective), so m' must land near the PLANTED
+    // per-field corruption rates: name 1-1/11, phone 1-1/3,
+    // balance 1-1/5, segment 1-1/7
+    val expected = Map("1_name" -> (1.0 - 1.0 / 11), "2_phone" -> (1.0 - 1.0 / 3),
+      "3_balance" -> (1.0 - 1.0 / 5), "4_segment" -> (1.0 - 1.0 / 7))
+    rows.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(math.abs(r.getAs[Double]("m_new") - e) < 0.08,
+        s"${r.getString(0)}: m' ${r.getAs[Double]("m_new")} far from planted $e")
+    }
+    // u-side absolutes are NOT asserted: at the fixture SF the genuine
+    // non-match pool inside blocks is a handful of pairs, so u' is
+    // dominated by fractional posteriors — only the m > u separation
+    // and the m-side planted rates (above) are stable across SFs
+    out.unpersist()
+  }
+
   test("q254: Good-Turing levels reconcile with raw term counts") {
     import spark.implicits._
     val out = TextAnalysis.queries("q254_good_turing")(spark, dir).cache()

@@ -349,6 +349,52 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q258: OLS slope matches a driver-side fit on the frozen logs") {
+    import spark.implicits._
+    val out = Relational.queries("q258_price_elasticity")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    assert(r.getAs[Double]("r_sq") >= 0.0 && r.getAs[Double]("r_sq") <= 1.0)
+    // quantity is synthesized independent of unit price: near-zero slope
+    assert(math.abs(r.getAs[Double]("elasticity")) < 1.0)
+    val rows = graft.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 0 && $"l_extendedprice" > 0)
+      .select(floor(lit(1e6) * log($"l_extendedprice" / $"l_quantity"))
+        .cast("long"), floor(lit(1e6) * log($"l_quantity")).cast("long"))
+      .collect().map(q => (q.getLong(0).toDouble, q.getLong(1).toDouble))
+    val n = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val cov = rows.map(p => p._1 * p._2).sum - sx * sy / n
+    val vx = rows.map(p => p._1 * p._1).sum - sx * sx / n
+    assert(math.abs(r.getAs[Double]("elasticity") - cov / vx) < 1e-4)
+    assert(r.getAs[Long]("n") == rows.length)
+    out.unpersist()
+  }
+
+  test("q259: Theil parts reassemble the directly-computed global index") {
+    import spark.implicits._
+    val out = Relational.queries("q259_theil_decomposition")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("income_share")).sum - 1.0) < 1e-4)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("theil_within") >= -1e-5,
+        s"nation ${r.get(0)}: negative within-Theil"))
+    // reassemble: T = sum share*within + sum between, vs the direct index
+    val assembled = rows.map(r => r.getAs[Double]("income_share") *
+      r.getAs[Double]("theil_within")).sum +
+      rows.map(_.getAs[Double]("between_term")).sum
+    val xs = graft.Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("x"))
+      .select($"x").as[Long].collect().map(_.toDouble)
+    val mu = xs.sum / xs.length
+    val direct = xs.map(x => x / mu * math.log(x / mu)).sum / xs.length
+    assert(math.abs(assembled - direct) < 1e-3,
+      s"assembled $assembled vs direct $direct")
+    out.unpersist()
+  }
+
   test("q255: Mann-Whitney U matches a driver-side midrank recomputation") {
     import spark.implicits._
     val out = Relational.queries("q255_mann_whitney")(spark, dir).cache()
