@@ -2936,6 +2936,56 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q260: conversion-window funnel sweep — the knob q59's funnel takes
+  // as given: every attribution system must DECIDE how long a click may
+  // trail its view before the chain breaks (industry fights about 1 vs
+  // 7 vs 30 days for a reason), and this harness prices the candidate
+  // windows on one pass: per user, the first view, the first click
+  // AFTER it, the first purchase after that (the q59 conditional-min
+  // shape), then each window W ∈ {1h, 24h, 7d} reads conversion counts
+  // off that per-user frame with exact microsecond gap predicates —
+  // the windowed rung of the q148/q85 attribution family. Scale shape:
+  // ONE events scan to the per-user stage frame (map-side conditional
+  // mins), then a 3-row window broadcast over the user census; the
+  // sweep adds zero scans.
+  private def conversionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+    val st = e.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"t")).as("tv"))
+    val wc = e.filter($"event_type" === "click")
+      .join(st.filter($"tv".isNotNull), Seq("user_id"))
+      .filter($"t" > $"tv")
+      .groupBy($"user_id", $"tv").agg(min($"t").as("tc"))
+    val wp = e.filter($"event_type" === "purchase")
+      .join(wc, Seq("user_id"))
+      .filter($"t" > $"tc")
+      .groupBy($"user_id", $"tv", $"tc").agg(min($"t").as("tp"))
+    val chain = st.join(wc.select($"user_id", $"tc"), Seq("user_id"), "left")
+      .join(wp.select($"user_id", $"tp"), Seq("user_id"), "left")
+    val ws = s.range(1, 2).select(explode(array(
+      struct(lit("1_hour").as("win"), lit(3600000000L).as("w")),
+      struct(lit("2_day").as("win"), lit(86400000000L).as("w")),
+      struct(lit("3_week").as("win"), lit(604800000000L).as("w")))).as("x"))
+      .select($"x.win", $"x.w")
+    chain.crossJoin(broadcast(ws))
+      .groupBy($"win", $"w")
+      .agg(count(when($"tv".isNotNull, 1)).as("n_view"),
+        count(when($"tc" - $"tv" <= $"w", 1)).as("n_click_in_w"),
+        count(when($"tc" - $"tv" <= $"w" && $"tp" - $"tc" <= $"w", 1))
+          .as("n_purchase_in_w"))
+      .select($"win", ($"w" / 1000000L).cast(LongType).as("window_sec"),
+        $"n_view", $"n_click_in_w", $"n_purchase_in_w",
+        Num.roundAt($"n_click_in_w".cast(DoubleType) /
+          $"n_view".cast(DoubleType), 6).as("view_to_click"),
+        Num.roundAt($"n_purchase_in_w".cast(DoubleType) /
+          greatest($"n_click_in_w", lit(1L)).cast(DoubleType), 6)
+          .as("click_to_purchase"))
+      .orderBy($"win")
+  }
+
+  // ---------------------------------------------------------------------
   // q258: log-log price-elasticity OLS — the demand-curve slope
   // ε = d ln q / d ln p a pricing team fits before touching a price
   // (q152's bridge decomposes realized revenue; this estimates the
@@ -4034,6 +4084,7 @@ object Relational {
     "q250_benford_audit" -> (benfordAudit _),
     "q255_mann_whitney" -> (mannWhitney _),
     "q258_price_elasticity" -> (priceElasticity _),
+    "q260_conversion_windows" -> (conversionWindows _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -4181,6 +4232,45 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q260_conversion_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |st AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN t END) AS tv
+        |  FROM e GROUP BY 1),
+        |wc AS (
+        |  SELECT e.user_id, min(e.t) AS tc
+        |  FROM e JOIN st ON e.user_id = st.user_id
+        |  WHERE e.event_type = 'click' AND st.tv IS NOT NULL
+        |    AND e.t > st.tv
+        |  GROUP BY 1),
+        |wp AS (
+        |  SELECT e.user_id, min(e.t) AS tp
+        |  FROM e JOIN wc ON e.user_id = wc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > wc.tc
+        |  GROUP BY 1),
+        |chain AS (
+        |  SELECT st.user_id, st.tv, wc.tc, wp.tp
+        |  FROM st LEFT JOIN wc USING (user_id) LEFT JOIN wp USING (user_id)),
+        |ws AS (
+        |  SELECT * FROM (VALUES ('1_hour', 3600000000),
+        |    ('2_day', 86400000000), ('3_week', 604800000000)) AS v(win, w))
+        |SELECT win, CAST(w // 1000000 AS BIGINT) AS window_sec,
+        |       CAST(count(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT)
+        |         AS n_view,
+        |       CAST(count(CASE WHEN tc - tv <= w THEN 1 END) AS BIGINT)
+        |         AS n_click_in_w,
+        |       CAST(count(CASE WHEN tc - tv <= w AND tp - tc <= w THEN 1 END)
+        |         AS BIGINT) AS n_purchase_in_w,
+        |       round(CAST(count(CASE WHEN tc - tv <= w THEN 1 END) AS DOUBLE)
+        |         / CAST(count(CASE WHEN tv IS NOT NULL THEN 1 END)
+        |             AS DOUBLE), 6) AS view_to_click,
+        |       round(CAST(count(CASE WHEN tc - tv <= w AND tp - tc <= w
+        |             THEN 1 END) AS DOUBLE)
+        |         / CAST(greatest(count(CASE WHEN tc - tv <= w THEN 1 END), 1)
+        |             AS DOUBLE), 6) AS click_to_purchase
+        |FROM chain, ws GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q258_price_elasticity" ->
       """WITH rows_ AS (
         |  SELECT CAST(floor(1000000.0 * ln(l_extendedprice / l_quantity))

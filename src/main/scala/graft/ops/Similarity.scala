@@ -115,6 +115,48 @@ object Similarity {
       .orderBy($"k")
   }
 
+  // ---------------------------------------------------------------------
+  // q261: embedding anisotropy census — the geometry pathology BENEATH
+  // q249's hubness: embedding spaces collapse toward a common direction
+  // (Ethayarajh 2019), which inflates every cosine and hides true
+  // neighbors; the standard readout is ‖μ‖²/E‖x‖² (≈ the expected
+  // cosine between random vectors) plus the per-dimension variance
+  // profile (one dominant dimension = rogue feature). Coordinates are
+  // frozen to 1e-6-unit int64s at the row (q160/q173 rule), so
+  // per-dimension sums, squared sums (decimal/HUGEINT) and the
+  // anisotropy ratio Σ_d sd_d² / (n·Σ_d sq_d) are EXACT integers; the
+  // only floats are readout divisions. Scale shape: one posexplode
+  // scan reduces map-side to a 64-row per-dimension census; everything
+  // after is broadcast arithmetic on those 64 rows.
+  private def anisotropyCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val e = Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"dim".cast(LongType).as("dim"),
+        floor($"x".cast(DoubleType) * lit(1e6)).cast(LongType).as("xs"))
+    val byd = e.groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"xs").as("sd"),
+        sum(dec($"xs") * dec($"xs")).as("sq"))
+    val tot = byd.agg(sum(dec($"sd") * dec($"sd")).as("ssd2"),
+      sum($"sq").as("ssq"),
+      sum(dec($"n") * $"sq" - dec($"sd") * dec($"sd")).as("svar"),
+      max($"n").as("nn"))
+    byd.crossJoin(broadcast(tot))
+      .select($"dim",
+        Num.roundAt($"sd".cast(DoubleType) /
+          ($"n".cast(DoubleType) * lit(1e6)), 6).as("mean"),
+        Num.roundAt((dec($"n") * $"sq" - dec($"sd") * dec($"sd"))
+          .cast(DoubleType) /
+          (($"n" * $"n").cast(DoubleType) * lit(1e12)), 6).as("variance"),
+        Num.roundAt((dec($"n") * $"sq" - dec($"sd") * dec($"sd"))
+          .cast(DoubleType) / $"svar".cast(DoubleType), 6).as("var_share"),
+        Num.roundAt($"ssd2".cast(DoubleType) /
+          ($"nn".cast(DoubleType) * $"ssq".cast(DoubleType)), 6)
+          .as("anisotropy"))
+      .orderBy($"dim")
+  }
+
   // q28: LSH-bucketed ANN, top-3 per probe within bucket candidates.
   // Buckets come from the native codegen'd expression
   // (graft.functions.LshBuckets): hyperplane weights are integer Knuth
@@ -939,6 +981,7 @@ object Similarity {
     "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
     "q249_mutual_knn" -> (mutualKnn _),
+    "q261_anisotropy" -> (anisotropyCensus _),
     "q28_lsh_ann"     -> (lshAnn _),
     "q49_ivf_ann"     -> (ivfAnn _),
     "q146_ann_recall" -> (annRecall _),
@@ -1499,6 +1542,38 @@ object Similarity {
         |         count(DISTINCT probe_id), 6) AS mean_kept
         |FROM fl, ss GROUP BY shortlist ORDER BY shortlist""".stripMargin,
 
+    "q261_anisotropy" ->
+      """WITH x AS (
+        |  SELECT i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |           AS BIGINT) AS xs
+        |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+        |byd AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xs) AS BIGINT) AS sd,
+        |         sum(CAST(xs AS HUGEINT) * CAST(xs AS HUGEINT)) AS sq
+        |  FROM x GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ssd2,
+        |         sum(sq) AS ssq,
+        |         sum(CAST(n AS HUGEINT) * sq
+        |           - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS svar,
+        |         CAST(max(n) AS BIGINT) AS nn
+        |  FROM byd)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       round(CAST(sd AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean,
+        |       round(CAST(CAST(n AS HUGEINT) * sq
+        |           - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS DOUBLE)
+        |         / (CAST(n * n AS DOUBLE) * 1000000000000.0), 6)
+        |         AS variance,
+        |       round(CAST(CAST(n AS HUGEINT) * sq
+        |           - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS DOUBLE)
+        |         / CAST(svar AS DOUBLE), 6) AS var_share,
+        |       round(CAST(ssd2 AS DOUBLE)
+        |         / (CAST(nn AS DOUBLE) * CAST(ssq AS DOUBLE)), 6)
+        |         AS anisotropy
+        |FROM byd, tot ORDER BY dim""".stripMargin,
     "q249_mutual_knn" ->
       s"""WITH $nSql,
         |sub AS (SELECT * FROM n WHERE vec_id % 4 = 0),

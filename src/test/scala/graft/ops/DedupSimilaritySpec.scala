@@ -117,6 +117,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q261: anisotropy census reconciles with direct moments") {
+    import spark.implicits._
+    val out = Similarity.queries("q261_anisotropy")(spark, dir).cache()
+    val rows = out.orderBy("dim").collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (0L to 63L))
+    // variance shares partition the total variance
+    assert(math.abs(rows.map(_.getAs[Double]("var_share")).sum - 1.0) < 1e-4)
+    val an = rows.map(_.getAs[Double]("anisotropy")).distinct
+    assert(an.length == 1 && an.head >= 0.0 && an.head <= 1.0)
+    // dim 0's mean/variance match Spark's own aggregates (population var)
+    val d0 = graft.Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).cast("double").as("x"))
+    val m0 = d0.agg(avg($"x"), var_pop($"x")).first()
+    assert(math.abs(rows.head.getAs[Double]("mean") - m0.getDouble(0)) < 1e-4)
+    assert(math.abs(rows.head.getAs[Double]("variance") - m0.getDouble(1)) < 1e-4)
+    out.unpersist()
+  }
+
   test("q27: every synthesized embedding near-dup pair is found") {
     import spark.implicits._
     val out = Dedup.queries("q27_dedup_embed")(spark, dir)

@@ -349,6 +349,30 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q260: funnel counts are monotone in the window and properly nested") {
+    import spark.implicits._
+    val out = Relational.queries("q260_conversion_windows")(spark, dir).cache()
+    val rows = out.orderBy("win").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_hour", "2_day", "3_week"))
+    assert(rows.map(_.getAs[Long]("window_sec")).toSeq ==
+      Seq(3600L, 86400L, 604800L))
+    // views don't depend on the window; clicks/purchases grow with it
+    assert(rows.map(_.getAs[Long]("n_view")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n_click_in_w")).sliding(2)
+      .forall { case Array(a, b) => a <= b })
+    assert(rows.map(_.getAs[Long]("n_purchase_in_w")).sliding(2)
+      .forall { case Array(a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchase_in_w") <= r.getAs[Long]("n_click_in_w"))
+      assert(r.getAs[Long]("n_click_in_w") <= r.getAs[Long]("n_view"))
+    }
+    // the view census matches the raw table
+    val nv = graft.Tables.events(spark, dir)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_view") == nv)
+    out.unpersist()
+  }
+
   test("q258: OLS slope matches a driver-side fit on the frozen logs") {
     import spark.implicits._
     val out = Relational.queries("q258_price_elasticity")(spark, dir).cache()
