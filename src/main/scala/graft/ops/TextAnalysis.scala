@@ -1743,7 +1743,89 @@ object TextAnalysis {
       .orderBy($"k")
   }
 
+  // ---------------------------------------------------------------------
+  // q262: Kneser–Ney heldout perplexity — the smoothing ladder's top
+  // rung (q127 add-k in-sample → q192 add-one heldout → q254's
+  // Good–Turing counts → THIS, the interpolated-KN estimator every
+  // n-gram LM actually ships): absolute discount D = N₁/(N₁+2N₂)
+  // derived from the train count-of-counts, continuation probability
+  // P_cont(w₂) = N₁₊(·w₂)/|bigram types| (how many CONTEXTS a word
+  // completes — the insight that "Francisco" is frequent but
+  // unversatile), and P_KN = max(c₁₂−D,0)/c₁ + D·N₁₊(w₁·)/c₁ ·
+  // P_cont. Unseen w₁ backs off to P_cont alone; a word with no
+  // continuation statistics gets the 1/(V+1) floor — every branch
+  // total and deterministic. Same 80/20 minstd split and per-doc
+  // position-ordered ln fold as q192, so the two estimators are
+  // directly comparable (the spec pins KN strictly better). Scale
+  // shape: the bigram frame persists once (train counts + eval probes
+  // read it); all model frames are vocabulary-sized; the three eval
+  // joins are the q192 shape plus one more dictionary join.
+  private def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("t"))
+      .withColumn("is_train",
+        $"doc_id" % p * 16807L % p * 48271L % p % 100 < 80)
+    val big = tok.filter(size($"t") >= 2)
+      .select($"doc_id", $"source", $"is_train", posexplode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"))
+        .as(Seq("pos", "b")))
+      .select($"doc_id", $"source", $"is_train", $"pos",
+        $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = big.filter($"is_train").groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c1 carries N1+(w1·) alongside: one pass over the type dictionary
+    val c1 = c12.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("r1"))
+    val cl = c12.groupBy($"w2").agg(count(lit(1)).as("l2"))
+    val bt = c12.agg(count(lit(1)).as("btypes"),
+      sum(when($"c12" === 1L, 1L).otherwise(0L)).as("nn1"),
+      sum(when($"c12" === 2L, 1L).otherwise(0L)).as("nn2"))
+    val v = tok.filter($"is_train").select(explode($"t").as("w"))
+      .agg(count_distinct($"w").as("v"))
+    val perDoc = big.filter(!$"is_train")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cl, Seq("w2"), "left")
+      .crossJoin(broadcast(bt)).crossJoin(broadcast(v))
+      .withColumn("dd", $"nn1".cast(DoubleType) /
+        ($"nn1" + $"nn2" * 2L).cast(DoubleType))
+      .withColumn("pc", coalesce(
+        $"l2".cast(DoubleType) / $"btypes".cast(DoubleType),
+        lit(1.0) / ($"v" + 1L).cast(DoubleType)))
+      .withColumn("pkn", when($"c1".isNull, $"pc")
+        .otherwise(
+          greatest(coalesce($"c12", lit(0L)).cast(DoubleType) - $"dd",
+            lit(0.0)) / $"c1".cast(DoubleType) +
+          $"dd" * $"r1".cast(DoubleType) / $"c1".cast(DoubleType) * $"pc"))
+      .withColumn("lp", log($"pkn"))
+      .withColumn("unseen",
+        when(coalesce($"c12", lit(0L)) === 0L, 1L).otherwise(0L))
+      .groupBy($"doc_id", $"source", $"dd")
+      .agg(count(lit(1)).as("nb"), sum($"unseen").as("nu"),
+        sort_array(collect_list(struct($"pos", $"lp"))).as("lps"))
+      .withColumn("nll",
+        -aggregate($"lps", lit(0.0), (acc, x) => acc + x.getField("lp")) /
+          $"nb".cast(DoubleType))
+    perDoc.groupBy($"source", $"dd")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("n_bigrams"), sum($"nu").as("n_unseen"),
+        sum(floor($"nll" * lit(1e9))).as("snll"))
+      .select($"source", $"n_docs", $"n_bigrams", $"n_unseen",
+        Num.roundAt($"dd", 6).as("d_discount"),
+        Num.roundAt($"n_unseen".cast(DoubleType) / $"n_bigrams", 6)
+          .as("unseen_rate"),
+        Num.roundAt($"snll".cast(DoubleType) / $"n_docs".cast(DoubleType)
+          / lit(1e9), 6).as("mean_nll"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_kn_perplexity" -> (knPerplexity _),
     "q256_ndcg_eval" -> (ndcgEval _),
     "q254_good_turing" -> (goodTuring _),
     "q247_jackknife_variance" -> (jackknifeVariance _),
@@ -1930,6 +2012,71 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q262_kn_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t,
+        |         doc_id % 2147483647 * 16807 % 2147483647
+        |           * 48271 % 2147483647 % 100 < 80 AS is_train
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, source, is_train,
+        |         (b).pos AS pos, (b).w1 AS w1, (b).w2 AS w2
+        |  FROM (SELECT doc_id, source, is_train,
+        |          unnest(list_transform(range(1, len(t)),
+        |            i -> struct_pack(pos := i, w1 := t[i], w2 := t[i+1]))) AS b
+        |        FROM tok WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM big WHERE is_train GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |              CAST(count(*) AS BIGINT) AS r1
+        |       FROM c12 GROUP BY 1),
+        |cl AS (SELECT w2, CAST(count(*) AS BIGINT) AS l2 FROM c12 GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS btypes,
+        |              CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS nn1,
+        |              CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS nn2
+        |       FROM c12),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS w FROM tok WHERE is_train)),
+        |lp AS (
+        |  SELECT b.doc_id, b.source, b.pos,
+        |         CAST(nn1 AS DOUBLE) / CAST(nn1 + 2 * nn2 AS DOUBLE) AS dd,
+        |         ln(CASE WHEN c1.c1 IS NULL
+        |              THEN coalesce(CAST(l2 AS DOUBLE) / CAST(btypes AS DOUBLE),
+        |                     1.0 / CAST(v + 1 AS DOUBLE))
+        |              ELSE greatest(CAST(coalesce(c12, 0) AS DOUBLE)
+        |                     - CAST(nn1 AS DOUBLE)
+        |                       / CAST(nn1 + 2 * nn2 AS DOUBLE), 0.0)
+        |                   / CAST(c1.c1 AS DOUBLE)
+        |                 + CAST(nn1 AS DOUBLE) / CAST(nn1 + 2 * nn2 AS DOUBLE)
+        |                   * CAST(r1 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+        |                   * coalesce(CAST(l2 AS DOUBLE)
+        |                       / CAST(btypes AS DOUBLE),
+        |                     1.0 / CAST(v + 1 AS DOUBLE)) END) AS lp,
+        |         CASE WHEN coalesce(c12, 0) = 0 THEN 1 ELSE 0 END AS unseen
+        |  FROM big b
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1)
+        |  LEFT JOIN cl USING (w2), bt, v
+        |  WHERE NOT b.is_train),
+        |d AS (
+        |  SELECT doc_id, source, max(dd) AS dd,
+        |         CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(sum(unseen) AS BIGINT) AS nu,
+        |         -list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+        |                      (acc, x) -> acc + x) AS s
+        |  FROM lp GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(nu) AS BIGINT) AS n_unseen,
+        |       floor(max(dd) * 1000000 + 0.5) / 1000000 AS d_discount,
+        |       floor(CAST(sum(nu) AS DOUBLE) / sum(nb) * 1000000 + 0.5)
+        |         / 1000000 AS unseen_rate,
+        |       floor(CAST(sum(CAST(floor(s / nb * 1000000000.0) AS BIGINT))
+        |           AS DOUBLE) / count(*) / 1000000000.0 * 1000000 + 0.5)
+        |         / 1000000 AS mean_nll
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
     "q256_ndcg_eval" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
