@@ -349,6 +349,28 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q263: per-band clustering reconciles with q119's global census") {
+    import spark.implicits._
+    val out = Relational.queries("q263_clustering_coeff")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).sorted.toSeq)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_local_cc")
+      val t = r.getAs[Double]("transitivity")
+      assert(m >= 0.0 && m <= 1.0 && t >= 0.0 && t <= 1.0)
+      assert(r.getAs[Long]("n_closed") <= 2 * r.getAs[Long]("n_wedges"),
+        "closed wedges exceed wedges")
+    }
+    // every triangle has exactly 3 corners; wedge mass matches q119
+    // (degree-1 nodes contribute zero wedges, so exclusion is free)
+    val g = Relational.queries("q119_triangles")(spark, dir).first()
+    assert(rows.map(_.getAs[Long]("n_closed")).sum ==
+      3 * g.getAs[Long]("n_triangles"))
+    assert(rows.map(_.getAs[Long]("n_wedges")).sum == g.getAs[Long]("n_wedges"))
+    out.unpersist()
+  }
+
   test("q260: funnel counts are monotone in the window and properly nested") {
     import spark.implicits._
     val out = Relational.queries("q260_conversion_windows")(spark, dir).cache()
