@@ -2936,6 +2936,51 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q265: Theil–Sen robust trend — the slope estimator that shrugs off
+  // the outlier days q221 flags (one corrupted day drags an OLS fit;
+  // the MEDIAN of all pairwise slopes has a 29% breakdown point), run
+  // on the daily revenue series beside its OLS twin so the gap between
+  // the two IS the outlier-influence readout. Pairwise slopes are
+  // single IEEE divisions of exact ints (cents Δ / day Δ); the median
+  // is an EXPLICIT row_number pick under a total order (slope, i, j) —
+  // never percentile interpolation, whose tie/lerp arithmetic differs
+  // across engines — and the even-count case averages two picked rows
+  // (one commutative float add). Scale note: the series is CALENDAR-
+  // bounded (the raw scan reduces map-side to ~2.4k daily rows), so
+  // the O(days²) pair frame is a few million slim rows and the global
+  // sort ranks a bounded set — the classic "quadratic in the
+  // dictionary, never in the data" shape.
+  private def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val daily = Tables.orders(s, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).cast(LongType).as("x"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = daily.toDF("xi", "yi").join(daily.toDF("xj", "yj"),
+        $"xi" < $"xj")
+      .select($"xi", $"xj",
+        (($"yj" - $"yi").cast(DoubleType) /
+          ($"xj" - $"xi").cast(DoubleType)).as("slope"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val w = Window.orderBy($"slope", $"xi", $"xj")
+    val med = pairs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(np))
+      .filter($"rn" === ($"np" + 1L) / 2L || $"rn" === $"np" / 2L + 1L)
+      .agg((sum($"slope") / count(lit(1))).as("sen"))
+    val m = daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum(dec($"x") * dec($"x")).as("sxx"),
+      sum(dec($"x") * dec($"y")).as("sxy"))
+    m.crossJoin(np).crossJoin(med)
+      .select($"n".as("n_days"), $"np".as("n_pairs"),
+        Num.roundAt($"sen", 4).as("sen_slope_cents_per_day"),
+        Num.roundAt(($"n" * $"sxy" - dec($"sx") * dec($"sy"))
+          .cast(DoubleType) /
+          ($"n" * $"sxx" - dec($"sx") * dec($"sx")).cast(DoubleType), 4)
+          .as("ols_slope_cents_per_day"))
+  }
+
+  // ---------------------------------------------------------------------
   // q263: local clustering-coefficient census — q119 gives the graph
   // ONE number (global transitivity); this gives the distribution the
   // one number hides: per degree band of the co-purchase graph, the
@@ -4147,6 +4192,7 @@ object Relational {
     "q258_price_elasticity" -> (priceElasticity _),
     "q260_conversion_windows" -> (conversionWindows _),
     "q263_clustering_coeff" -> (clusteringCoefficients _),
+    "q265_theil_sen" -> (theilSenTrend _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -4294,6 +4340,41 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q265_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.x AS xi, b.x AS xj,
+        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |           AS slope
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+        |ranked AS (
+        |  SELECT slope,
+        |         CAST(row_number() OVER (ORDER BY slope, xi, xj)
+        |           AS BIGINT) AS rn
+        |  FROM pairs),
+        |med AS (
+        |  SELECT sum(slope) / count(*) AS sen
+        |  FROM ranked, np
+        |  WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM daily)
+        |SELECT n AS n_days, np AS n_pairs,
+        |       round(sen, 4) AS sen_slope_cents_per_day,
+        |       round(CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+        |           AS DOUBLE)
+        |         / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |           AS DOUBLE), 4) AS ols_slope_cents_per_day
+        |FROM m, np, med""".stripMargin,
     "q263_clustering_coeff" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -1824,8 +1824,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q264: effective token-yield census — the number a training-data
+  // budget is actually planned in: raw token counts (q42) overstate a
+  // corpus whose documents repeat, and the dedup ops (q20/q56) report
+  // doc counts, not token mass. Per source: raw vs exact-unique
+  // document and token counts and the yield ratio — "of the tokens we
+  // pay to store/scan, how many survive exact dedup" — the per-source
+  // discount a mixture planner (q121/q168) should apply before
+  // weighting. Identical texts have identical token counts, so the
+  // per-digest frame carries ONE token count and a copy count, and
+  // both the raw and unique masses are exact integer sums off it.
+  // Scale shape: one scan to the (source, digest) frame — only 16-byte
+  // digests and two ints shuffle, never text — then a |sources|-row
+  // census.
+  private def tokenYield(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uniq = Tables.documents(s, dir)
+      .select($"source", md5($"text").as("digest"),
+        size(split($"text", " ")).cast(LongType).as("tok"))
+      .groupBy($"source", $"digest")
+      .agg(count(lit(1)).as("copies"), max($"tok").as("tok"))
+    uniq.groupBy($"source")
+      .agg(sum($"copies").as("n_docs"), count(lit(1)).as("n_unique_docs"),
+        sum($"tok" * $"copies").as("raw_tokens"),
+        sum($"tok").as("unique_tokens"))
+      .select($"source", $"n_docs", $"n_unique_docs",
+        $"raw_tokens", $"unique_tokens",
+        Num.roundAt($"unique_tokens".cast(DoubleType) /
+          $"raw_tokens".cast(DoubleType), 6).as("token_yield"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_kn_perplexity" -> (knPerplexity _),
+    "q264_token_yield" -> (tokenYield _),
     "q256_ndcg_eval" -> (ndcgEval _),
     "q254_good_turing" -> (goodTuring _),
     "q247_jackknife_variance" -> (jackknifeVariance _),
@@ -2012,6 +2045,19 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q264_token_yield" ->
+      """WITH uniq AS (
+        |  SELECT source, md5(text) AS digest,
+        |         CAST(count(*) AS BIGINT) AS copies,
+        |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_unique_docs,
+        |       CAST(sum(tok * copies) AS BIGINT) AS raw_tokens,
+        |       CAST(sum(tok) AS BIGINT) AS unique_tokens,
+        |       round(CAST(sum(tok) AS DOUBLE)
+        |         / CAST(sum(tok * copies) AS DOUBLE), 6) AS token_yield
+        |FROM uniq GROUP BY 1 ORDER BY 1""".stripMargin,
     "q262_kn_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS t,

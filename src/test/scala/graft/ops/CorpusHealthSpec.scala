@@ -706,6 +706,27 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q264: token yield reconciles with raw counts and exact dedup") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q264_token_yield")(spark, dir).cache()
+    val rows = out.collect()
+    val d = graft.Tables.documents(spark, dir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(rows.map(_.getAs[Long]("raw_tokens")).sum ==
+      d.agg(sum(size(split($"text", " ")))).first().getLong(0))
+    val uniqueDocs = d.select(md5($"text")).distinct().count()
+    // per-source unique counts can exceed the global distinct count
+    // (the same text posted under two sources counts once per source)
+    assert(rows.map(_.getAs[Long]("n_unique_docs")).sum >= uniqueDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("unique_tokens") <= r.getAs[Long]("raw_tokens"))
+      val y = r.getAs[Double]("token_yield")
+      assert(y > 0.0 && y <= 1.0)
+    }
+    out.unpersist()
+  }
+
   test("q262: KN shares q192's split and beats add-one smoothing") {
     import spark.implicits._
     val kn = TextAnalysis.queries("q262_kn_perplexity")(spark, dir).cache()

@@ -349,6 +349,30 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q265: Theil-Sen median slope matches a driver-side recomputation") {
+    import spark.implicits._
+    val out = Relational.queries("q265_theil_sen")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    val nd = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).cast("long").as("x"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    val slopes = (for {
+      (a, i) <- daily.zipWithIndex; (b, j) <- daily.zipWithIndex
+      if a._1 < b._1
+    } yield (b._2 - a._2).toDouble / (b._1 - a._1)).sorted
+    val np = slopes.length
+    val sen = if (np % 2 == 1) slopes(np / 2)
+      else (slopes(np / 2 - 1) + slopes(np / 2)) / 2
+    assert(math.abs(r.getAs[Double]("sen_slope_cents_per_day") - sen) < 1e-3,
+      s"sen ${r.getAs[Double]("sen_slope_cents_per_day")} vs recomputed $sen")
+    assert(!r.getAs[Double]("ols_slope_cents_per_day").isNaN)
+    out.unpersist()
+  }
+
   test("q263: per-band clustering reconciles with q119's global census") {
     import spark.implicits._
     val out = Relational.queries("q263_clustering_coeff")(spark, dir).cache()
