@@ -554,4 +554,85 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"decode pass must be a pure partition-local map:\n$p")
     }
   }
+
+  // --- round-11 additions ------------------------------------------------
+
+  test("q244: the shared QI census is computed once (exchange reuse), pruned") {
+    val (df, p) = plan("q244_t_closeness")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the EMD grid:\n$p")
+    scans(df).foreach(sc => assert(sc.requiredSchema.size <= 3,
+      s"events scan reads ${sc.requiredSchema.fieldNames.mkString(",")}"))
+    // the cnt census is referenced by cls/gl/grid: physically it must be
+    // ONE scan+aggregate whose exchange the other branches REUSE
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      s"shared QI census re-executed per branch:\n$ep")
+  }
+
+  test("q245: peel rounds are semi equi-joins, never a cartesian") {
+    val (df, p) = plan("q245_kcore_peeling")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"k-core peel lost its equi-joins:\n$p")
+    // both base tables pruned to the two join/key columns each
+    scans(df).foreach(sc => assert(sc.requiredSchema.size <= 2,
+      s"scan reads ${sc.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q246: agreement census joins are equi; contingency never fans out") {
+    val (_, p) = plan("q246_cluster_agreement")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the pair-counting census:\n$p")
+  }
+
+  test("q247/q250/q255: moment censuses prune their scans and reuse exchanges") {
+    for ((q, cols) <- Seq(("q247_jackknife_variance", 2),
+        ("q250_benford_audit", 1), ("q255_mann_whitney", 2))) {
+      val (df, p) = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      scans(df).foreach(sc => assert(sc.requiredSchema.size <= cols,
+        s"$q: scan reads ${sc.requiredSchema.fieldNames.mkString(",")}"))
+      // the dictionary census feeds several derived branches: the
+      // executed plan must compute it once and REUSE the exchange —
+      // i.e. the raw table is physically scanned once per query
+      df.collect()
+      val ep = df.queryExecution.executedPlan.toString
+      if (scans(df).size > 1)
+        assert(ep.contains("ReusedExchange"),
+          s"$q: shared census re-executed per branch:\n$ep")
+    }
+  }
+
+  test("q260: window sweep is one broadcast, stage joins stay equi") {
+    val (_, p) = plan("q260_conversion_windows")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the funnel:\n$p")
+    // the only nested-loop is the designed 3-row window broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"funnel stage joins degraded to nested loops:\n$p")
+  }
+
+  test("q263: clustering census keeps q119's equi-join wedge shape") {
+    val (_, p) = plan("q263_clustering_coeff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge machinery lost its equi-joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"degree attaches no longer broadcast:\n$p")
+  }
+
+  test("q265: the quadratic pair join runs on the DAILY frame, not raw rows") {
+    val (df, p) = plan("q265_theil_sen")
+    // the range join (xi < xj) is a designed calendar-bounded nested
+    // loop — but it must sit ABOVE the daily aggregate: every scan's
+    // output reaches an aggregate before any join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"), "expected the designed range join")
+    val agg = df.queryExecution.sparkPlan.collect {
+      case a if a.nodeName.contains("HashAggregate") => a
+    }
+    assert(agg.nonEmpty, "daily aggregate missing below the pair join")
+    scans(df).foreach(sc => assert(sc.requiredSchema.size <= 2,
+      s"scan reads ${sc.requiredSchema.fieldNames.mkString(",")}"))
+  }
 }
