@@ -948,6 +948,32 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q267: duplicate-cluster SIZE distribution — the shape question the
+  // q57/q157/q246 cluster family answers pointwise but never as a
+  // census: is the near-dup web a mist of pairs or a few giant blobs?
+  // (The answer decides dedup strategy: pair-dropping handles mist;
+  // blobs need the representative election q157 runs — and a heavy
+  // tail here is the classic symptom of boilerplate/template text.)
+  // Count-of-cluster-sizes over the CC labels, with each size level's
+  // document mass and its share of the pair-graph population — the
+  // dedup-side twin of q254's count-of-counts. Scale shape: the CC
+  // labels come from the shared ccFromPairs loop (one band self-join);
+  // the size census is two dictionary-sized aggregates on top.
+  private def clusterSizeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = dupClusters(s, dir)
+      .groupBy($"cluster").agg(count(lit(1)).as("sz"))
+    val dist = sizes.groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+    val tot = dist.agg(sum($"sz" * $"n_clusters").as("nn"))
+    dist.crossJoin(broadcast(tot))
+      .select($"sz".as("cluster_size"), $"n_clusters",
+        ($"sz" * $"n_clusters").as("n_docs"),
+        Num.roundAt(($"sz" * $"n_clusters").cast(DoubleType) /
+          $"nn".cast(DoubleType), 6).as("doc_share"))
+      .orderBy($"cluster_size")
+  }
+
+  // ---------------------------------------------------------------------
   // q257: Fellegi–Sunter EM re-estimation step — the UNSUPERVISED
   // parameter learning q234/q248 take as given: production linkers
   // (Splink's core loop) fit m = P(agree|match), u = P(agree|non-match)
@@ -2092,6 +2118,7 @@ object Dedup {
     "q234_fellegi_sunter" -> (fellegiSunter _),
     "q248_fs_calibration" -> (fsCalibration _),
     "q257_fs_em_step" -> (fsEmStep _),
+    "q267_cluster_sizes" -> (clusterSizeDist _),
     "q231_group_kfold" -> (groupKfold _),
     "q219_bbit_minhash" -> (bbitMinhash _),
     "q216_dedup_flow" -> (dedupFlow _),
@@ -3294,6 +3321,32 @@ object Dedup {
         |            ELSE round(CAST(p_both AS DOUBLE)
         |              / CAST(p_cc AS DOUBLE), 6) END AS pair_recall
         |FROM sboth, scc, sop""".stripMargin,
+    "q267_cluster_sizes" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |${bandCtes("corpus")},
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        |  SELECT u AS doc_id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS doc_id, r.lbl
+        |  FROM edges e JOIN reach r ON e.v = r.doc_id),
+        |labels AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+        |sizes AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+        |  FROM labels GROUP BY 1),
+        |dist AS (
+        |  SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sz * n_clusters) AS BIGINT) AS nn FROM dist)
+        |SELECT sz AS cluster_size, n_clusters,
+        |       CAST(sz * n_clusters AS BIGINT) AS n_docs,
+        |       round(CAST(sz * n_clusters AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |         AS doc_share
+        |FROM dist, tot ORDER BY cluster_size""".stripMargin,
     "q57_dup_clusters" ->
       s"""WITH RECURSIVE $corpusSql,
         |${bandCtes("corpus")},

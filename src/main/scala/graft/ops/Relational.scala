@@ -2936,6 +2936,50 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q266: distribution-free median CI — the error bar q87's quantiles
+  // ship without: the binomial order-statistic bound says the true
+  // median lies between order statistics ⌊(n−z√n)/2⌋ and
+  // ⌈1+(n+z√n)/2⌉ with ~95% coverage, NO distributional assumption —
+  // the robust sibling of q247's jackknife (which does means). No row
+  // is ever ranked: like q255, the value-dictionary cumsum locates any
+  // order statistic as "smallest value whose cumulative count reaches
+  // the rank", so the lower median and both CI endpoints come from one
+  // 3-row rank broadcast against the calendar…er, price-dictionary-
+  // sized cumsum frame. Ranks are exact ints off one deterministic
+  // sqrt; everything else is integer. Scale shape: one scan reduces
+  // map-side to the value dictionary; the cumsum window and the rank
+  // probes run on that dictionary, never the row count.
+  private def medianCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byv = Tables.orders(s, dir)
+      .select(floor($"o_totalprice" * 100).cast(LongType).as("cents"))
+      .groupBy($"cents").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("cum", sum($"nv").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cum.agg(max($"cum").as("n"))
+    val ranks = tot.select(explode(array(
+      struct(lit("1_ci_lo").as("which"),
+        floor(($"n".cast(DoubleType) - lit(1.96) * sqrt($"n".cast(DoubleType)))
+          / lit(2.0)).cast(LongType).as("r")),
+      struct(lit("2_median").as("which"),
+        expr("(n + 1) div 2").cast(LongType).as("r")),
+      struct(lit("3_ci_hi").as("which"),
+        ceil(lit(1.0) + ($"n".cast(DoubleType) +
+          lit(1.96) * sqrt($"n".cast(DoubleType))) / lit(2.0))
+          .cast(LongType).as("r")))).as("x"))
+      .select($"x.which", greatest($"x.r", lit(1L)).as("r"))
+    cum.crossJoin(broadcast(ranks))
+      .filter($"cum" >= $"r")
+      .groupBy($"which", $"r")
+      .agg(min($"cents").as("cents"))
+      .crossJoin(broadcast(tot))
+      .select($"which", $"r".as("rank"), $"cents", $"n".as("n_rows"))
+      .orderBy($"which")
+  }
+
+  // ---------------------------------------------------------------------
   // q265: Theil–Sen robust trend — the slope estimator that shrugs off
   // the outlier days q221 flags (one corrupted day drags an OLS fit;
   // the MEDIAN of all pairwise slopes has a 29% breakdown point), run
@@ -4193,6 +4237,7 @@ object Relational {
     "q260_conversion_windows" -> (conversionWindows _),
     "q263_clustering_coeff" -> (clusteringCoefficients _),
     "q265_theil_sen" -> (theilSenTrend _),
+    "q266_median_ci" -> (medianCi _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -4340,6 +4385,36 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q266_median_ci" ->
+      """WITH byv AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(count(*) AS BIGINT) AS nv
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |         CAST(sum(nv) OVER (ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM byv),
+        |tot AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+        |ranks AS (
+        |  SELECT '1_ci_lo' AS which,
+        |         greatest(CAST(floor((CAST(n AS DOUBLE)
+        |             - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1)
+        |           AS r
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT '2_median', greatest((n + 1) // 2, 1) FROM tot
+        |  UNION ALL
+        |  SELECT '3_ci_hi',
+        |         greatest(CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+        |             + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1)
+        |  FROM tot)
+        |SELECT which, r AS rank,
+        |       CAST(min(cents) AS BIGINT) AS cents,
+        |       CAST((SELECT n FROM tot) AS BIGINT) AS n_rows
+        |FROM cum, ranks WHERE cum >= r
+        |GROUP BY which, r ORDER BY which""".stripMargin,
     "q265_theil_sen" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1970-01-01',

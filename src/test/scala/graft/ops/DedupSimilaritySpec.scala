@@ -117,6 +117,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q267: cluster-size distribution reconciles with q57's labels") {
+    import spark.implicits._
+    val out = Dedup.queries("q267_cluster_sizes")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every pair-graph node has >= 1 partner, so no singleton clusters
+    assert(rows.forall(_.getAs[Long]("cluster_size") >= 2))
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")))
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
+    // masses reconcile with q57 exactly
+    val labels = Dedup.queries("q57_dup_clusters")(spark, dir).cache()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == labels.count())
+    val szs = labels.groupBy($"cluster").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      szs(r.getAs[Long]("cluster_size")) == r.getAs[Long]("n_clusters")))
+    labels.unpersist(); out.unpersist()
+  }
+
   test("q261: anisotropy census reconciles with direct moments") {
     import spark.implicits._
     val out = Similarity.queries("q261_anisotropy")(spark, dir).cache()

@@ -349,6 +349,30 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q266: order-statistic CI brackets the driver-computed median") {
+    import spark.implicits._
+    val out = Relational.queries("q266_median_ci")(spark, dir).cache()
+    val rows = out.orderBy("which").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_ci_lo", "2_median", "3_ci_hi"))
+    val Array(lo, med, hi) = rows
+    assert(lo.getAs[Long]("rank") <= med.getAs[Long]("rank") &&
+      med.getAs[Long]("rank") <= hi.getAs[Long]("rank"))
+    assert(lo.getAs[Long]("cents") <= med.getAs[Long]("cents") &&
+      med.getAs[Long]("cents") <= hi.getAs[Long]("cents"))
+    val cents = graft.Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" * 100).cast("long")).as[Long]
+      .collect().sorted
+    assert(med.getAs[Long]("n_rows") == cents.length)
+    // lower median by the (n+1) div 2 rule
+    assert(med.getAs[Long]("cents") == cents((cents.length + 1) / 2 - 1))
+    // each reported value IS the order statistic at its reported rank
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cents") == cents(r.getAs[Long]("rank").toInt - 1))
+    }
+    out.unpersist()
+  }
+
   test("q265: Theil-Sen median slope matches a driver-side recomputation") {
     import spark.implicits._
     val out = Relational.queries("q265_theil_sen")(spark, dir).cache()
