@@ -2936,6 +2936,138 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q268: Spearman rank-correlation census — q100's Pearson matrix
+  // measures LINEAR association; heavy-tailed commerce columns need the
+  // rank version (monotone association, outlier-immune), and the q255
+  // midrank identity makes it exact without ranking a single row: each
+  // column's value dictionary assigns every tied block its doubled
+  // midrank 2c+k+1 via the cumsum, rows join back to kilobyte rank
+  // dictionaries (broadcast; at data-scale value domains the join
+  // falls back to a shuffle on the value key), and Spearman's ρ is
+  // Pearson over exact-int doubled midranks — five decimal/HUGEINT
+  // moments per pair, one sqrt at readout. Three lineitem pairs:
+  // (quantity, price), (quantity, discount), (price, discount). Scale
+  // shape: three dictionary builds plus the ranked pass, all pruned to
+  // the same 3 columns (cheap parquet re-scans beat caching a fact
+  // table); the moment frames are 1-row, unioned to a 3-row census.
+  private def spearmanCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.lineitem(s, dir).select(
+      $"l_quantity".cast(LongType).as("q"),
+      floor($"l_extendedprice" * 100).cast(LongType).as("p"),
+      floor($"l_discount" * 100).cast(LongType).as("d"))
+    def rankDict(col: String): DataFrame = {
+      val w = Window.orderBy(org.apache.spark.sql.functions.col(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(org.apache.spark.sql.functions.col(col))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("r2",
+          lit(2L) * (sum($"nv").over(w) - $"nv") + $"nv" + 1L)
+        .select(org.apache.spark.sql.functions.col(col), $"r2".as(s"r_$col"))
+    }
+    val ranked = base
+      .join(broadcast(rankDict("q")), Seq("q"))
+      .join(broadcast(rankDict("p")), Seq("p"))
+      .join(broadcast(rankDict("d")), Seq("d"))
+    // ALL nine moments in one pass over the ranked frame; the three
+    // pair readouts unpivot from that single 1-row frame
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum($"r_q").as("sq"), sum($"r_p").as("sp"), sum($"r_d").as("sd"),
+      sum(dec($"r_q") * dec($"r_q")).as("sqq"),
+      sum(dec($"r_p") * dec($"r_p")).as("spp"),
+      sum(dec($"r_d") * dec($"r_d")).as("sdd"),
+      sum(dec($"r_q") * dec($"r_p")).as("sqp"),
+      sum(dec($"r_q") * dec($"r_d")).as("sqd"),
+      sum(dec($"r_p") * dec($"r_d")).as("spd"))
+    def rho(sxy: org.apache.spark.sql.Column,
+        sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) =
+      Num.roundAt(($"n" * sxy - dec(sx) * dec(sy)).cast(DoubleType) /
+        sqrt(($"n" * sxx - dec(sx) * dec(sx)).cast(DoubleType) *
+          ($"n" * syy - dec(sy) * dec(sy)).cast(DoubleType)), 6)
+    m.select($"n", explode(array(
+        struct(lit("1_qty_price").as("pair"),
+          rho($"sqp", $"sq", $"sp", $"sqq", $"spp").as("spearman_rho")),
+        struct(lit("2_qty_discount").as("pair"),
+          rho($"sqd", $"sq", $"sd", $"sqq", $"sdd").as("spearman_rho")),
+        struct(lit("3_price_discount").as("pair"),
+          rho($"spd", $"sp", $"sd", $"spp", $"sdd").as("spearman_rho"))))
+        .as("e"))
+      .select($"e.pair", $"n", $"e.spearman_rho")
+      .orderBy($"pair")
+  }
+
+  // ---------------------------------------------------------------------
+  // q269: autocorrelation census — the lag structure q149's seasonal
+  // forecast ASSUMES (a weekly cycle) made measurable: ACF of the daily
+  // revenue series at lags {1, 7, 28}, computed with the n-scaled
+  // deviation identity dₜ = n·yₜ − Σy so every centered product is an
+  // exact integer (decimal/HUGEINT — cents × calendar scale), and
+  // ACF(l) = Σ dₜ·dₜ₊ₗ / Σ dₜ² is one float division per lag. Pairs
+  // align by CALENDAR day (xₜ₊ₗ = xₜ + l), so series gaps drop pairs
+  // instead of silently misaligning. Scale shape: map-side reduction
+  // to the calendar-bounded daily frame; three self-equi-joins on the
+  // shifted day key against the broadcast 3-lag frame.
+  private def acfCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val daily = Tables.orders(s, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).cast(LongType).as("x"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select($"x", ($"n" * $"y" - $"sy").as("dv"))
+    val den = dev.agg(sum(dec($"dv") * dec($"dv")).as("den"))
+    val lags = s.range(1, 2).select(explode(array(
+      lit(1L), lit(7L), lit(28L))).as("lag"))
+    val num = dev.crossJoin(broadcast(lags))
+      .withColumn("x2", $"x" + $"lag")
+      .join(dev.select($"x".as("x2"), $"dv".as("dv2")), Seq("x2"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec($"dv") * dec($"dv2")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        Num.roundAt($"num".cast(DoubleType) / $"den".cast(DoubleType), 6)
+          .as("acf"))
+      .orderBy($"lag")
+  }
+
+  // ---------------------------------------------------------------------
+  // q270: exact Gini coefficient — the single-number closure of q155's
+  // Lorenz deciles (which show the curve but interpolate the summary)
+  // and q259's Theil (which decomposes but weights differently): over
+  // per-customer spend, G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), computed
+  // WITHOUT ranking a row — a tied value block spanning ranks
+  // [c+1, c+k] contributes v·(k·c + k(k+1)/2) to Σ i·x₍ᵢ₎, all off the
+  // q255 value-dictionary cumsum in exact decimal integers; the
+  // coefficient is one float division at readout. Scale shape: orders
+  // reduce map-side to per-customer cents, then to the spend-value
+  // dictionary; the cumsum window runs on that dictionary.
+  private def giniExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val byv = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("k"))
+    val w = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv.withColumn("c", sum($"k").over(w) - $"k")
+    // six2 = 2·Σᵢ i·x₍ᵢ₎ — kept doubled so the tied-block term
+    // 2kc + k(k+1) stays integer (no decimal division anywhere)
+    val m = cum.agg(sum($"k").as("n"), sum(dec($"x") * dec($"k")).as("sx"),
+      sum(dec($"x") * (lit(2) * dec($"k") * dec($"c") +
+        dec($"k") * (dec($"k") + 1))).as("six2"))
+    m.select($"n".as("n_customers"),
+        $"sx".cast(LongType).as("total_cents"),
+        Num.roundAt(($"six2" - ($"n" + 1) * $"sx").cast(DoubleType) /
+          ($"n" * $"sx").cast(DoubleType), 6).as("gini"))
+  }
+
+  // ---------------------------------------------------------------------
   // q266: distribution-free median CI — the error bar q87's quantiles
   // ship without: the binomial order-statistic bound says the true
   // median lies between order statistics ⌊(n−z√n)/2⌋ and
@@ -4238,6 +4370,9 @@ object Relational {
     "q263_clustering_coeff" -> (clusteringCoefficients _),
     "q265_theil_sen" -> (theilSenTrend _),
     "q266_median_ci" -> (medianCi _),
+    "q268_spearman" -> (spearmanCensus _),
+    "q269_acf" -> (acfCensus _),
+    "q270_gini" -> (giniExact _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -4385,6 +4520,118 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q268_spearman" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(floor(l_discount * 100) AS BIGINT) AS d
+        |  FROM lineitem),
+        |rq AS (
+        |  SELECT q, 2 * (CAST(sum(count(*)) OVER (ORDER BY q
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - count(*)) + count(*) + 1 AS r_q
+        |  FROM base GROUP BY q),
+        |rp AS (
+        |  SELECT p, 2 * (CAST(sum(count(*)) OVER (ORDER BY p
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - count(*)) + count(*) + 1 AS r_p
+        |  FROM base GROUP BY p),
+        |rd AS (
+        |  SELECT d, 2 * (CAST(sum(count(*)) OVER (ORDER BY d
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - count(*)) + count(*) + 1 AS r_d
+        |  FROM base GROUP BY d),
+        |ranked AS (
+        |  SELECT r_q, r_p, r_d
+        |  FROM base JOIN rq USING (q) JOIN rp USING (p) JOIN rd USING (d)),
+        |mm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(r_q) AS BIGINT) AS sq, CAST(sum(r_p) AS BIGINT) AS sp,
+        |         CAST(sum(r_d) AS BIGINT) AS sd,
+        |         sum(CAST(r_q AS HUGEINT) * CAST(r_q AS HUGEINT)) AS sqq,
+        |         sum(CAST(r_p AS HUGEINT) * CAST(r_p AS HUGEINT)) AS spp,
+        |         sum(CAST(r_d AS HUGEINT) * CAST(r_d AS HUGEINT)) AS sdd,
+        |         sum(CAST(r_q AS HUGEINT) * CAST(r_p AS HUGEINT)) AS sqp,
+        |         sum(CAST(r_q AS HUGEINT) * CAST(r_d AS HUGEINT)) AS sqd,
+        |         sum(CAST(r_p AS HUGEINT) * CAST(r_d AS HUGEINT)) AS spd
+        |  FROM ranked)
+        |SELECT '1_qty_price' AS pair, n,
+        |       round(CAST(n * sqp - CAST(sq AS HUGEINT) * CAST(sp AS HUGEINT)
+        |           AS DOUBLE)
+        |         / sqrt(CAST(n * sqq - CAST(sq AS HUGEINT)
+        |             * CAST(sq AS HUGEINT) AS DOUBLE)
+        |           * CAST(n * spp - CAST(sp AS HUGEINT)
+        |             * CAST(sp AS HUGEINT) AS DOUBLE)), 6) AS spearman_rho
+        |FROM mm
+        |UNION ALL
+        |SELECT '2_qty_discount', n,
+        |       round(CAST(n * sqd - CAST(sq AS HUGEINT) * CAST(sd AS HUGEINT)
+        |           AS DOUBLE)
+        |         / sqrt(CAST(n * sqq - CAST(sq AS HUGEINT)
+        |             * CAST(sq AS HUGEINT) AS DOUBLE)
+        |           * CAST(n * sdd - CAST(sd AS HUGEINT)
+        |             * CAST(sd AS HUGEINT) AS DOUBLE)), 6)
+        |FROM mm
+        |UNION ALL
+        |SELECT '3_price_discount', n,
+        |       round(CAST(n * spd - CAST(sp AS HUGEINT) * CAST(sd AS HUGEINT)
+        |           AS DOUBLE)
+        |         / sqrt(CAST(n * spp - CAST(sp AS HUGEINT)
+        |             * CAST(sp AS HUGEINT) AS DOUBLE)
+        |           * CAST(n * sdd - CAST(sd AS HUGEINT)
+        |             * CAST(sd AS HUGEINT) AS DOUBLE)), 6)
+        |FROM mm ORDER BY pair""".stripMargin,
+    "q269_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sy
+        |  FROM daily),
+        |dev AS (SELECT x, n * y - sy AS dv FROM daily, tot),
+        |den AS (
+        |  SELECT sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS den
+        |  FROM dev),
+        |lags AS (SELECT CAST(unnest([1, 7, 28]) AS BIGINT) AS lag),
+        |num AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT)) AS num
+        |  FROM dev a CROSS JOIN lags
+        |  JOIN dev b ON b.x = a.x + lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |FROM num, den ORDER BY lag""".stripMargin,
+    "q270_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |byv AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS k FROM cust GROUP BY 1),
+        |cum AS (
+        |  SELECT x, k,
+        |         CAST(sum(k) OVER (ORDER BY x
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) - k AS c
+        |  FROM byv),
+        |m AS (
+        |  SELECT CAST(sum(k) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT) * CAST(k AS HUGEINT)) AS sx,
+        |         sum(CAST(x AS HUGEINT)
+        |           * (2 * CAST(k AS HUGEINT) * CAST(c AS HUGEINT)
+        |             + CAST(k AS HUGEINT) * (CAST(k AS HUGEINT) + 1)))
+        |           AS six2
+        |  FROM cum)
+        |SELECT n AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+        |       round(CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |         / CAST(n * sx AS DOUBLE), 6) AS gini
+        |FROM m""".stripMargin,
     "q266_median_ci" ->
       """WITH byv AS (
         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,

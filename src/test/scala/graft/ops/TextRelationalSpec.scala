@@ -349,6 +349,75 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q268: Spearman rho matches a driver-side midrank recomputation") {
+    import spark.implicits._
+    val out = Relational.queries("q268_spearman")(spark, dir).cache()
+    val rows = out.orderBy("pair").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_qty_price", "2_qty_discount", "3_price_discount"))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("spearman_rho")) <= 1.0))
+    // this corpus synthesizes price independently of quantity, so all
+    // three pairs hover near zero — the recomputation below is the
+    // correctness check, near-zero is the documented data property
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("spearman_rho")) < 0.2))
+    // independent recomputation of the qty/discount pair on the fixture
+    val base = graft.Tables.lineitem(spark, dir)
+      .select($"l_quantity".cast("long"),
+        floor($"l_discount" * 100).cast("long"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    def midranks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    }
+    val rq = midranks(base.map(_._1)); val rd = midranks(base.map(_._2))
+    val xs = base.map(b => rq(b._1)); val ys = base.map(b => rd(b._2))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val expect = cov / math.sqrt(vx * vy)
+    assert(math.abs(rows(1).getAs[Double]("spearman_rho") - expect) < 1e-4,
+      s"rho ${rows(1).getAs[Double]("spearman_rho")} vs recomputed $expect")
+    out.unpersist()
+  }
+
+  test("q269: ACF is Cauchy-Schwarz-bounded; pair counts shrink with the lag") {
+    import spark.implicits._
+    val out = Relational.queries("q269_acf")(spark, dir).cache()
+    val rows = out.orderBy("lag").collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == Seq(1L, 7L, 28L))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9))
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    assert(np(0) >= np(1) && np(1) >= np(2),
+      "longer lags cannot align more pairs")
+    val nDays = graft.Tables.orders(spark, dir)
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(np(0) <= nDays - 1)
+    out.unpersist()
+  }
+
+  test("q270: exact Gini matches the sorted driver-side formula") {
+    import spark.implicits._
+    val out = Relational.queries("q270_gini")(spark, dir).cache()
+    assert(out.count() == 1)
+    val r = out.first()
+    val xs = graft.Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("x"))
+      .select($"x").as[Long].collect().sorted
+    assert(r.getAs[Long]("n_customers") == xs.length)
+    assert(r.getAs[Long]("total_cents") == xs.sum)
+    val n = xs.length.toDouble
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+    val expect = (2 * six - (n + 1) * xs.sum.toDouble) / (n * xs.sum.toDouble)
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    assert(math.abs(g - expect) < 1e-5, s"gini $g vs recomputed $expect")
+    out.unpersist()
+  }
+
   test("q266: order-statistic CI brackets the driver-computed median") {
     import spark.implicits._
     val out = Relational.queries("q266_median_ci")(spark, dir).cache()
