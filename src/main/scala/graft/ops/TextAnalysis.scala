@@ -1856,8 +1856,84 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q271: dedup survivorship-shift census — dedup changes WHAT the
+  // corpus is, not just how big: if duplicates skew short (boilerplate)
+  // or low-diversity (templates), the surviving distribution shifts,
+  // and a model trained post-dedup sees different statistics than the
+  // raw corpus audit promised. One scan computes per-doc token count
+  // and type-token ratio (frozen to 1e-6 ints); the pre-corpus census
+  // aggregates everything, the post-corpus census aggregates one
+  // smallest-id survivor per digest — and the paired rows expose the
+  // shift. All integer until the mean readouts. Scale shape: per-doc
+  // stats reduce map-side; the survivor election is one digest groupBy
+  // (min_by smallest id, the q20 rule); censuses are 2 rows.
+  private def survivorshipShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("digest"),
+        size(split($"text", " ")).cast(LongType).as("tok"),
+        floor(lit(1e6) *
+          size(array_distinct(split($"text", " "))).cast(DoubleType) /
+          size(split($"text", " ")).cast(DoubleType)).cast(LongType)
+          .as("ttr_micro"))
+    def census(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"tok").as("st"),
+        sum($"ttr_micro").as("sr"))
+        .select(lit(stage).as("stage"), $"n_docs",
+          Num.roundAt($"st".cast(DoubleType) / $"n_docs".cast(DoubleType), 6)
+            .as("mean_tokens"),
+          Num.roundAt($"sr".cast(DoubleType) /
+            ($"n_docs".cast(DoubleType) * lit(1e6)), 6).as("mean_ttr"))
+    val post = d.groupBy($"digest")
+      .agg(min_by(struct($"tok", $"ttr_micro"), $"doc_id").as("rep"))
+      .select($"rep.tok".as("tok"), $"rep.ttr_micro".as("ttr_micro"))
+    census("1_pre_dedup", d).unionAll(census("2_post_dedup", post))
+      .orderBy($"stage")
+  }
+
+  // ---------------------------------------------------------------------
+  // q272: Wilson score intervals for gate pass-rates — the error bar
+  // q180/q227's retention censuses ship without: "source A passes 62%,
+  // source B 58%" means nothing until the intervals separate, and the
+  // Wilson interval (unlike the naive ±z√(p̂q̂/n)) stays inside [0,1]
+  // and behaves at small n and extreme p̂ — exactly the regime of
+  // small, dirty sources. Per source: exact pass counts for one
+  // documented gate (≥ 50 tokens AND type-token ratio ≥ 0.5), the
+  // point rate and the Wilson 95% bounds — one fixed IEEE float
+  // sequence over exact integer counts. Scale shape: one scan,
+  // map-side gate evaluation, |sources|-row census.
+  private def wilsonGateCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z2 = 1.96 * 1.96
+    val g = Tables.documents(s, dir)
+      .select($"source",
+        when(size(split($"text", " ")) >= 50 &&
+          floor(lit(1e6) *
+            size(array_distinct(split($"text", " "))).cast(DoubleType) /
+            size(split($"text", " ")).cast(DoubleType)) >= 500000L,
+          1L).otherwise(0L).as("pass"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"pass").as("k"))
+    g.withColumn("ph", $"k".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("den", lit(1.0) + lit(z2) / $"n".cast(DoubleType))
+      .withColumn("ctr", ($"ph" + lit(z2) /
+        (lit(2.0) * $"n".cast(DoubleType))) / $"den")
+      .withColumn("hw", lit(1.96) * sqrt(
+        $"ph" * (lit(1.0) - $"ph") / $"n".cast(DoubleType) +
+          lit(z2) / (lit(4.0) * $"n".cast(DoubleType) *
+            $"n".cast(DoubleType))) / $"den")
+      .select($"source", $"n", $"k".as("n_pass"),
+        Num.roundAt($"ph", 6).as("pass_rate"),
+        Num.roundAt($"ctr" - $"hw", 6).as("wilson_lo"),
+        Num.roundAt($"ctr" + $"hw", 6).as("wilson_hi"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_kn_perplexity" -> (knPerplexity _),
+    "q271_survivorship_shift" -> (survivorshipShift _),
+    "q272_wilson_gate_ci" -> (wilsonGateCi _),
     "q264_token_yield" -> (tokenYield _),
     "q256_ndcg_eval" -> (ndcgEval _),
     "q254_good_turing" -> (goodTuring _),
@@ -2045,6 +2121,72 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q271_survivorship_shift" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS digest,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |         CAST(floor(1000000.0
+        |             * CAST(len(list_distinct(string_split(text, ' ')))
+        |                 AS DOUBLE)
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |           AS BIGINT) AS ttr_micro
+        |  FROM documents),
+        |post AS (
+        |  SELECT min_by(tok, doc_id) AS tok,
+        |         min_by(ttr_micro, doc_id) AS ttr_micro
+        |  FROM d GROUP BY digest),
+        |pre_c AS (
+        |  SELECT '1_pre_dedup' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS st,
+        |         CAST(sum(ttr_micro) AS BIGINT) AS sr
+        |  FROM d),
+        |post_c AS (
+        |  SELECT '2_post_dedup', CAST(count(*) AS BIGINT),
+        |         CAST(sum(tok) AS BIGINT), CAST(sum(ttr_micro) AS BIGINT)
+        |  FROM post),
+        |u AS (SELECT * FROM pre_c UNION ALL SELECT * FROM post_c)
+        |SELECT stage, n_docs,
+        |       round(CAST(st AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |         AS mean_tokens,
+        |       round(CAST(sr AS DOUBLE)
+        |         / (CAST(n_docs AS DOUBLE) * 1000000.0), 6) AS mean_ttr
+        |FROM u ORDER BY stage""".stripMargin,
+    "q272_wilson_gate_ci" ->
+      """WITH g AS (
+        |  SELECT source,
+        |         CASE WHEN len(string_split(text, ' ')) >= 50
+        |               AND CAST(floor(1000000.0
+        |                   * CAST(len(list_distinct(string_split(text, ' ')))
+        |                       AS DOUBLE)
+        |                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |                 AS BIGINT) >= 500000
+        |              THEN 1 ELSE 0 END AS pass
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pass) AS BIGINT) AS k
+        |  FROM g GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |         1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE)
+        |           / CAST(n AS DOUBLE) AS den
+        |  FROM c),
+        |w2 AS (
+        |  SELECT source, n, k, ph,
+        |         (ph + (1.96::DOUBLE * 1.96::DOUBLE)
+        |             / (2.0::DOUBLE * CAST(n AS DOUBLE))) / den AS ctr,
+        |         1.96::DOUBLE * sqrt(ph * (1.0::DOUBLE - ph)
+        |             / CAST(n AS DOUBLE)
+        |           + (1.96::DOUBLE * 1.96::DOUBLE)
+        |             / (4.0::DOUBLE * CAST(n AS DOUBLE)
+        |               * CAST(n AS DOUBLE))) / den AS hw
+        |  FROM w)
+        |SELECT source, n, k AS n_pass,
+        |       round(ph, 6) AS pass_rate,
+        |       round(ctr - hw, 6) AS wilson_lo,
+        |       round(ctr + hw, 6) AS wilson_hi
+        |FROM w2 ORDER BY source""".stripMargin,
     "q264_token_yield" ->
       """WITH uniq AS (
         |  SELECT source, md5(text) AS digest,

@@ -706,6 +706,56 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q271: survivorship census pairs reconcile with exact dedup") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q271_survivorship_shift")(spark, dir).cache()
+    val rows = out.orderBy("stage").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_pre_dedup", "2_post_dedup"))
+    val d = graft.Tables.documents(spark, dir)
+    assert(rows(0).getAs[Long]("n_docs") == d.count())
+    assert(rows(1).getAs[Long]("n_docs") ==
+      d.select(md5($"text")).distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_tokens") > 0.0)
+      val t = r.getAs[Double]("mean_ttr")
+      assert(t > 0.0 && t <= 1.0)
+    }
+    // post mean recomputed from smallest-id survivors
+    val post = d.select($"doc_id", md5($"text").as("dg"),
+        size(split($"text", " ")).cast("long").as("tok"))
+      .groupBy($"dg").agg(min_by($"tok", $"doc_id").as("tok"))
+      .agg(avg($"tok")).first().getDouble(0)
+    assert(math.abs(rows(1).getAs[Double]("mean_tokens") - post) < 1e-4)
+    out.unpersist()
+  }
+
+  test("q272: Wilson intervals bracket the rate and stay inside [0,1]") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q272_wilson_gate_ci")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, p, hi) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("pass_rate"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p + 1e-9 && p <= hi + 1e-9,
+        s"${r.getString(0)}: [$lo, $hi] does not bracket $p")
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n"))
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.documents(spark, dir).count())
+    // recompute one interval by hand
+    val r0 = rows.head
+    val (n, k) = (r0.getAs[Long]("n").toDouble, r0.getAs[Long]("n_pass").toDouble)
+    val z2 = 1.96 * 1.96
+    val ph = k / n; val den = 1.0 + z2 / n
+    val ctr = (ph + z2 / (2 * n)) / den
+    val hw = 1.96 * math.sqrt(ph * (1 - ph) / n + z2 / (4 * n * n)) / den
+    assert(math.abs(r0.getAs[Double]("wilson_lo") - (ctr - hw)) < 1e-5)
+    assert(math.abs(r0.getAs[Double]("wilson_hi") - (ctr + hw)) < 1e-5)
+    out.unpersist()
+  }
+
   test("q264: token yield reconciles with raw counts and exact dedup") {
     import spark.implicits._
     val out = TextAnalysis.queries("q264_token_yield")(spark, dir).cache()
