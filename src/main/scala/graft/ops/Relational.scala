@@ -3036,6 +3036,100 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q273: cross-correlation census — q269 measures a series against
+  // ITSELF; operations questions are usually about two series ("does
+  // order VOLUME lead revenue, or do big-ticket days decouple?"), and
+  // the lag profile is the readout: CCF(l) = Σ dₓ(t)·d_y(t+l) /
+  // √(Σdₓ²·Σd_y²) between daily order COUNT and daily revenue at
+  // l ∈ {−7,−1,0,1,7} (the events table lives on a disjoint 2024
+  // calendar — no honest overlap exists with 1995–2001 orders, so both
+  // series come from orders; CCF(0) ≈ volume-revenue coupling, the
+  // lags its persistence). Both series use the q269 n-scaled integer
+  // deviations; products run in decimal/HUGEINT; the denominator is
+  // the full-series Cauchy–Schwarz bound so |ccf| ≤ 1 by construction.
+  // Scale shape: ONE map-side calendar reduction carries both series,
+  // one 5-lag broadcast, equi-joins on the shifted day key.
+  private def crossCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val daily = Tables.orders(s, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).cast(LongType).as("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor($"o_totalprice" * 100).cast(LongType)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"cnt").as("sc"),
+      sum($"rev").as("sr"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select($"x", ($"n" * $"cnt" - $"sc").as("dvx"),
+        ($"n" * $"rev" - $"sr").as("dvy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = dev.select($"x", $"dvx".as("dv"))
+    val rev = dev.select($"x", $"dvy".as("dv"))
+    val den = ev.agg(sum(dec($"dv") * dec($"dv")).as("dx"))
+      .crossJoin(rev.agg(sum(dec($"dv") * dec($"dv")).as("dy")))
+    val lags = s.range(1, 2).select(explode(array(
+      lit(-7L), lit(-1L), lit(0L), lit(1L), lit(7L))).as("lag"))
+    ev.crossJoin(broadcast(lags))
+      .withColumn("x2", $"x" + $"lag")
+      .join(rev.select($"x".as("x2"), $"dv".as("dv2")), Seq("x2"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec($"dv") * dec($"dv2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        Num.roundAt($"num".cast(DoubleType) /
+          sqrt($"dx".cast(DoubleType) * $"dy".cast(DoubleType)), 6)
+          .as("ccf"))
+      .orderBy($"lag")
+  }
+
+  // ---------------------------------------------------------------------
+  // q274: weekday-seasonality strength — the variance decomposition
+  // q149's seasonal-naive forecast silently assumes is strong: of the
+  // daily-revenue variance, how much does day-of-week membership
+  // explain? Classic one-way ANOVA R² = SSB/SST over the 7 weekday
+  // groups, all in exact integers via the n-scaled identity
+  // (n·SSB = Σ_g (n·S_g − n_g·T)²·n/(n_g·n²)… kept exact by computing
+  // SSB's numerator per group as (n·S_g − n_g·T)²/(n_g) in decimal
+  // cross-multiplied form: R² = n·Σ_g (n·S_g − n_g·T)²/n_g all over
+  // n²·SST where SST's own identity is n·ΣY² − T². The only float is
+  // the final ratio. Per-group readout rows plus the shared R² make
+  // the census self-explanatory. Scale shape: calendar-bounded daily
+  // frame, 7-row group census, 1-row moment frames.
+  private def weekdaySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("y"))
+      .select(dayofweek($"d").cast(LongType).as("dow"), $"y")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("t"),
+      sum(dec($"y") * dec($"y")).as("syy"))
+    val grp = daily.groupBy($"dow")
+      .agg(count(lit(1)).as("ng"), sum($"y").as("sg"))
+    // SSB numerator per group in exact cross-multiplied decimal:
+    // (n·S_g − n_g·T)², then each group's share of R² is FROZEN to an
+    // integer nano-unit (the Det rule — a float sum across groups
+    // would be reduction-order-dependent) and R² = Σ contrib / 1e9
+    val parts = grp.crossJoin(broadcast(tot))
+      .withColumn("dev2", (dec($"n") * dec($"sg") - dec($"ng") * dec($"t")) *
+        (dec($"n") * dec($"sg") - dec($"ng") * dec($"t")))
+      .withColumn("contrib_nano", floor(lit(1e9) *
+        ($"dev2".cast(DoubleType) / $"ng".cast(DoubleType) /
+          ($"n".cast(DoubleType) *
+            (dec($"n") * $"syy" - dec($"t") * dec($"t")).cast(DoubleType))))
+        .cast(LongType))
+    val r2 = parts.agg(sum($"contrib_nano").as("rn"))
+    parts.crossJoin(broadcast(r2))
+      .select($"dow", $"ng".as("n_days"),
+        Num.roundAt($"sg".cast(DoubleType) /
+          ($"ng".cast(DoubleType) * lit(100.0)), 2).as("mean_rev_dollars"),
+        Num.roundAt($"rn".cast(DoubleType) / lit(1e9), 6).as("weekday_r2"))
+      .orderBy($"dow")
+  }
+
+  // ---------------------------------------------------------------------
   // q270: exact Gini coefficient — the single-number closure of q155's
   // Lorenz deciles (which show the curve but interpolate the summary)
   // and q259's Theil (which decomposes but weights differently): over
@@ -4373,6 +4467,8 @@ object Relational {
     "q268_spearman" -> (spearmanCensus _),
     "q269_acf" -> (acfCensus _),
     "q270_gini" -> (giniExact _),
+    "q273_cross_correlation" -> (crossCorrelation _),
+    "q274_weekday_seasonality" -> (weekdaySeasonality _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -4606,6 +4702,73 @@ object Relational {
         |SELECT lag, n_pairs,
         |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
         |FROM num, den ORDER BY lag""".stripMargin,
+    "q273_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(cnt) AS BIGINT) AS sc,
+        |               CAST(sum(rev) AS BIGINT) AS sr FROM daily),
+        |ev AS (SELECT x, n * cnt - sc AS dv FROM daily, tot),
+        |rv AS (SELECT x, n * rev - sr AS dv FROM daily, tot),
+        |den AS (
+        |  SELECT (SELECT sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+        |          FROM ev) AS dx,
+        |         (SELECT sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+        |          FROM rv) AS dy),
+        |lags AS (SELECT CAST(unnest([-7, -1, 0, 1, 7]) AS BIGINT) AS lag),
+        |num AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT)) AS num
+        |  FROM ev a CROSS JOIN lags
+        |  JOIN rv b ON b.x = a.x + lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |       round(CAST(num AS DOUBLE)
+        |         / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf
+        |FROM num, den ORDER BY lag""".stripMargin,
+    "q274_weekday_seasonality" ->
+      """WITH daily AS (
+        |  -- DuckDB dayofweek is Sunday=0; Spark is Sunday=1 — shift
+        |  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+        |           AS dow,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS t,
+        |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM daily),
+        |grp AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(y) AS BIGINT) AS sg
+        |  FROM daily GROUP BY 1),
+        |parts AS (
+        |  SELECT dow, ng, sg, n, t, syy,
+        |         (CAST(n AS HUGEINT) * CAST(sg AS HUGEINT)
+        |           - CAST(ng AS HUGEINT) * CAST(t AS HUGEINT))
+        |         * (CAST(n AS HUGEINT) * CAST(sg AS HUGEINT)
+        |           - CAST(ng AS HUGEINT) * CAST(t AS HUGEINT)) AS dev2
+        |  FROM grp, tot),
+        |pc AS (
+        |  SELECT dow, ng, sg,
+        |         CAST(floor(1000000000.0
+        |             * (CAST(dev2 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |               / (CAST(n AS DOUBLE)
+        |                 * CAST(CAST(n AS HUGEINT) * syy
+        |                   - CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+        |                   AS DOUBLE)))) AS BIGINT) AS contrib_nano
+        |  FROM parts),
+        |r2 AS (SELECT CAST(sum(contrib_nano) AS BIGINT) AS rn FROM pc)
+        |SELECT dow, ng AS n_days,
+        |       round(CAST(sg AS DOUBLE) / (CAST(ng AS DOUBLE) * 100.0), 2)
+        |         AS mean_rev_dollars,
+        |       round(CAST(rn AS DOUBLE) / 1000000000.0, 6) AS weekday_r2
+        |FROM pc, r2 ORDER BY dow""".stripMargin,
     "q270_gini" ->
       """WITH cust AS (
         |  SELECT o_custkey,

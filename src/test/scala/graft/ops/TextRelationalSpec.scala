@@ -349,6 +349,53 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.unpersist(); out.unpersist()
   }
 
+  test("q273: CCF is Cauchy-Schwarz-bounded and symmetric in pair counts") {
+    import spark.implicits._
+    val out = Relational.queries("q273_cross_correlation")(spark, dir).cache()
+    val rows = out.orderBy("lag").collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == Seq(-7L, -1L, 0L, 1L, 7L))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ccf")) <= 1.0 + 1e-9))
+    // volume and revenue are strongly coupled at lag 0, and the
+    // contemporaneous coupling dominates every shifted alignment
+    val byLag = rows.map(r => r.getAs[Long]("lag") ->
+      r.getAs[Double]("ccf")).toMap
+    assert(byLag(0L) > 0.5, s"lag-0 coupling ${byLag(0L)} implausibly weak")
+    rows.filter(_.getAs[Long]("lag") != 0L).foreach(r =>
+      assert(r.getAs[Double]("ccf") < byLag(0L)))
+    // pair counts bounded by the calendar and shrink with |lag|
+    val nr = graft.Tables.orders(spark, dir)
+      .select(to_date($"o_orderdate")).distinct().count()
+    rows.foreach(r => assert(r.getAs[Long]("n_pairs") <=
+      nr - math.abs(r.getAs[Long]("lag")) ||
+      r.getAs[Long]("n_pairs") <= nr))
+    out.unpersist()
+  }
+
+  test("q274: weekday R2 matches a driver-side one-way ANOVA") {
+    import spark.implicits._
+    val out = Relational.queries("q274_weekday_seasonality")(spark, dir).cache()
+    val rows = out.orderBy("dow").collect()
+    assert(rows.map(_.getAs[Long]("dow")).toSeq.forall(d => d >= 1 && d <= 7))
+    val r2s = rows.map(_.getAs[Double]("weekday_r2")).distinct
+    assert(r2s.length == 1 && r2s.head >= 0.0 && r2s.head <= 1.0)
+    // recompute R2 directly from collected daily revenue
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .select(dayofweek($"d").cast("long"), $"y")
+      .collect().map(q => (q.getLong(0), q.getLong(1).toDouble))
+    assert(rows.map(_.getAs[Long]("n_days")).sum == daily.length)
+    val mu = daily.map(_._2).sum / daily.length
+    val sst = daily.map(v => (v._2 - mu) * (v._2 - mu)).sum
+    val ssb = daily.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2).sum / g.length
+      g.length * (gm - mu) * (gm - mu)
+    }.sum
+    assert(math.abs(r2s.head - ssb / sst) < 1e-4,
+      s"R2 ${r2s.head} vs recomputed ${ssb / sst}")
+    out.unpersist()
+  }
+
   test("q268: Spearman rho matches a driver-side midrank recomputation") {
     import spark.implicits._
     val out = Relational.queries("q268_spearman")(spark, dir).cache()
