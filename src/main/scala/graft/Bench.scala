@@ -173,9 +173,13 @@ object Bench {
     //      dominated round 7's 737s wall clock. Residual allocation debt
     //      is noise-level and the min-of-two pass absorbs it.
     val errs = scala.collection.mutable.Map[String, String]()
-    // SPARK_GRAFT_ONLY=q245_x,q206_y restricts the timed set — the
-    // single-query profiling loop the round-10 verdict prescribed
-    // (warmup above still runs the full set so plan caches are fair).
+    // SPARK_GRAFT_ONLY=q245_x,q206_y restricts BOTH the warmup and the
+    // timed set — the single-query profiling loop the round-10 verdict
+    // prescribed. Restricting warmup too is deliberate: the loop exists
+    // to iterate on one query in seconds, and warming 270 plans to time
+    // one defeats that; the restricted query still gets its own full
+    // warm pass, so codegen fairness holds for every query actually
+    // timed. Full-suite runs (ONLY unset) warm everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

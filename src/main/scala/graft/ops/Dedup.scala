@@ -1003,9 +1003,15 @@ object Dedup {
       mt($"ac", 0.90) * mt($"asg", 0.95)
     val pu = mt($"anm", 1e-4) * mt($"aph", 1e-3) *
       mt($"ac", 6e-3) * mt($"asg", 0.20)
+    // PERSISTED (round-11 ADVICE): wn fans out to the `tot` aggregate
+    // and the `fields` unpivot — without the cache each consumer re-runs
+    // the fsScored blocked self-join (the expensive part; the census
+    // itself is ≤16 rows, so the cache is bytes). q248's analogous
+    // two-consumer fsScored frame is persisted for the same reason.
     val wn = pat
       .withColumn("wnano", floor(lit(1e9) * (lit(p0) * pm) /
         (lit(p0) * pm + lit(1.0 - p0) * pu)).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpivot the 4 fields: one row per (pattern, field)
     val fields = wn.select($"n", $"wnano", explode(array(
       struct(lit("1_name").as("field"), $"anm".as("agree"),

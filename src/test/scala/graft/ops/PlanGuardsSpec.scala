@@ -570,6 +570,20 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"shared QI census re-executed per branch:\n$ep")
   }
 
+  test("q257: the 16-pattern census is computed once and cached for both consumers") {
+    // round-12 (round-11 ADVICE): wn fans out to the tot aggregate and
+    // the field unpivot — it must be a persisted frame both branches
+    // read as an in-memory scan, or the fsScored blocked self-join runs
+    // twice (q248's analogous fsScored persist is the precedent)
+    val (df, p) = plan("q257_fs_em_step")
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    val inMem = "InMemoryTableScan".r.findAllIn(ep).size
+    assert(inMem >= 2,
+      s"pattern census not shared (saw $inMem InMemoryTableScans):\n$ep")
+    spark.catalog.clearCache()
+  }
+
   test("q245: peel rounds are semi equi-joins, never a cartesian") {
     val (df, p) = plan("q245_kcore_peeling")
     assert(!p.contains("CartesianProduct") &&
@@ -621,18 +635,28 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"degree attaches no longer broadcast:\n$p")
   }
 
-  test("q265: the quadratic pair join runs on the DAILY frame, not raw rows") {
+  test("q265: the median pick is eager and distributed; the readout is slim") {
+    // Round-12 shape: the pairwise-slope selection runs EAGERLY inside
+    // the builder (range-partitioned rank pick + ≤64-row census collect
+    // — the round-11 verdict's fix for the partitionless row_number that
+    // funneled ~2.9M pair rows through one task), so building the frame
+    // already proves the selection executes. The RETURNED plan must be
+    // the slim readout only: a pruned orders scan under the daily
+    // aggregate — no window at all (partitionless or otherwise), and no
+    // surviving pair join.
     val (df, p) = plan("q265_theil_sen")
-    // the range join (xi < xj) is a designed calendar-bounded nested
-    // loop — but it must sit ABOVE the daily aggregate: every scan's
-    // output reaches an aggregate before any join
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("CartesianProduct"), "expected the designed range join")
     val agg = df.queryExecution.sparkPlan.collect {
       case a if a.nodeName.contains("HashAggregate") => a
     }
-    assert(agg.nonEmpty, "daily aggregate missing below the pair join")
+    assert(agg.nonEmpty, "daily aggregate missing from the readout")
     scans(df).foreach(sc => assert(sc.requiredSchema.size <= 2,
       s"scan reads ${sc.requiredSchema.fieldNames.mkString(",")}"))
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, s"readout should carry no window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair join leaked into the readout plan:\n$p")
   }
 }
