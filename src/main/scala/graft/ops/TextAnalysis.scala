@@ -832,10 +832,11 @@ object TextAnalysis {
   // Determinism: ln(c/N) is frozen to int micro-units per VOCABULARY
   // TERM (dictionary-sized), so every per-doc and per-bucket sum is an
   // exact order-free int64; the two ratios divide exact ints and round
-  // at 6dp. Scale shape: one corpus scan fans into (a) map-side gate
-  // booleans + digest, (b) a collapsed (doc, term) count frame
-  // (persisted — the unigram dictionary AND the per-doc NLL both
-  // derive from it); the dictionary broadcasts (df-capped vocab at
+  // at 6dp. Scale shape: one corpus scan fans into (a) a slim
+  // (doc, digest) dup frame, (b) a collapsed (doc, term) count frame
+  // (persisted — the unigram dictionary, the per-doc NLL, AND all
+  // three gate moments derive from it, so the gates cost no extra
+  // corpus pass); the dictionary broadcasts (df-capped vocab at
   // 100 TB, shuffle-join fallback documented at the call site); the
   // census is 4 rows.
   private def gateCalibration(s: SparkSession, dir: String): DataFrame = {
@@ -852,35 +853,26 @@ object TextAnalysis {
     val corpus = base.unionAll(
       base.filter(size(split($"text", " ")) < 30)
         .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
-    // ONE gate pass over the corpus, collapsed to the slim doc-level
-    // frame (id, gates, digest) and PERSISTED: it has two consumers
-    // (the digest census and the join back) and the gate arithmetic is
-    // the HOF-heavy part of the scan — re-deriving it per consumer
-    // would triple the corpus passes. Kilobytes per doc drop to ~50
-    // bytes here, so the cache is corpus-count-sized, not corpus-sized.
+    // Slim dup frame: (id, digest) only and PERSISTED for its two
+    // consumers (the digest census and the join back). Round-12: the
+    // gate arithmetic moved OFF this pass entirely — every gate moment
+    // (token count, summed token chars, stopword occurrences) is an
+    // exact integer the collapsed (doc, term) frame already carries, so
+    // the per-doc NLL aggregate computes the gates for free and the
+    // HOF transform/filter pass over raw token arrays (one full corpus
+    // tokenization, ~0.3 s of the measured 1.6 s warm) is gone.
     val slim = corpus
-      .withColumn("tokens", split($"text", " "))
-      .withColumn("n", size($"tokens"))
-      .withColumn("avg_len",
-        aggregate(transform($"tokens", t => length(t)), lit(0),
-          (a, x) => a + x) / $"n")
-      .withColumn("stop_ratio", markerCount($"tokens", en) / $"n")
-      .withColumn("n_gates",
-        ($"n" >= 30).cast("int") +
-          ($"avg_len" >= 3.0 && $"avg_len" <= 10.0).cast("int") +
-          ($"stop_ratio" >= 0.05).cast("int"))
-      .select($"doc_id", $"n_gates", md5($"text").as("dg"))
+      .select($"doc_id", md5($"text").as("dg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-dup membership: digest groupBy + digest-keyed join back
     val dupDg = slim.groupBy($"dg").agg(count(lit(1)).as("nc"))
       .filter($"nc" >= 2).select($"dg", lit(1L).as("is_dup"))
     val gated = slim
       .join(dupDg, Seq("dg"), "left")
-      .select($"doc_id", $"n_gates", coalesce($"is_dup", lit(0L)).as("is_dup"))
-    // collapsed (doc, term) counts: ONE token shuffle feeds both the
-    // dictionary and the per-doc NLL — persisted for its two consumers.
-    // Built from the raw corpus (split only), not the gate frame: the
-    // explode needs no gate columns.
+      .select($"doc_id", coalesce($"is_dup", lit(0L)).as("is_dup"))
+    // collapsed (doc, term) counts: ONE token shuffle feeds the
+    // dictionary, the per-doc NLL, and the gate moments — persisted for
+    // its consumers.
     val dtf = corpus.select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -891,10 +883,23 @@ object TextAnalysis {
       .select($"term",
         floor(log($"ct".cast(DoubleType) / $"nn".cast(DoubleType))
           * lit(1000000.0)).cast(LongType).as("lnp_micro"))
+    // Per-doc NLL + gate moments in ONE aggregate over the cached term
+    // frame (the lnp dictionary covers every term by construction, so
+    // the inner join drops nothing): n = Σc, summed chars = Σ c·len(t),
+    // stopword occurrences = Σc over the marker set — bit-identical to
+    // the former size/transform-aggregate/filter HOF spellings, since
+    // int/int and long/long division both widen to double in Spark.
     val nll = dtf.join(broadcast(lnp), Seq("term"))
       .groupBy($"doc_id")
       .agg(sum($"c" * $"lnp_micro").as("sum_lnp_micro"),
-        sum($"c").as("n_tok"))
+        sum($"c").as("n_tok"),
+        sum($"c" * length($"term")).as("sum_chars"),
+        sum(when($"term".isin(en: _*), $"c").otherwise(0L)).as("n_stop"))
+      .withColumn("avg_len", $"sum_chars" / $"n_tok")
+      .withColumn("n_gates",
+        ($"n_tok" >= 30).cast("int") +
+          ($"avg_len" >= 3.0 && $"avg_len" <= 10.0).cast("int") +
+          (($"n_stop" / $"n_tok") >= 0.05).cast("int"))
     gated.join(nll, Seq("doc_id"))
       .groupBy($"n_gates")
       .agg(count(lit(1)).as("n_docs"),
@@ -1251,7 +1256,11 @@ object TextAnalysis {
     val stats = dbc.groupBy($"b")
       .agg(sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
         sum($"c").as("cr"))
-    val tots = stats.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+    // totals straight off the cached frame — summing the 1024-row stats
+    // would re-run its aggregation chain for the broadcast job
+    val tots = dbc.agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("tt"),
+      sum($"c").as("tr"))
     // add-one smoothing over B buckets; delta frozen to int micro-units
     // at the BUCKET (1024 rows), so per-doc scores are exact int sums
     val delta = stats.crossJoin(broadcast(tots))
@@ -1261,9 +1270,15 @@ object TextAnalysis {
           log(($"cr" + lit(1)).cast(DoubleType) /
             ($"tr" + lit(B)).cast(DoubleType))) * lit(1000000.0))
           .cast(LongType).as("dm"))
+    // PERSISTED (round-12): scores has two consumers — the percentile
+    // cut and the per-language census — and without the cache each
+    // re-runs the dbc→delta join and per-doc aggregation chain end to
+    // end (measured: the duplicated chain was ~0.6 s of the 2.7 s warm).
+    // The frame is one slim row per doc.
     val scores = dbc.join(broadcast(delta), Seq("b"))
       .groupBy($"doc_id", $"lang")
       .agg(sum($"c" * $"dm").as("score_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cut = scores.agg(
       percentile($"score_micro", lit(0.8)).as("thr"))
     scores.crossJoin(broadcast(cut))
