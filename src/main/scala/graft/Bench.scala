@@ -102,6 +102,19 @@ object Bench {
       // planning latency is repaid by runtime coalescing even at toy
       // scale, so ON wins on both axes.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Sub-second-tail A/B (round-12 verdict item #6): the suite's ~110
+      // trivial queries were billed ~0.42 s/query in the round-11 driver
+      // run. Measured in-session over 12 representative tail queries,
+      // JIT-bracketed (baseline re-run between every arm, 3 reps each,
+      // min-of-3): converged baseline 0.075 s/q; shuffle.partitions=8
+      // 0.083→0.068 s/q arm-dependent; AQE off 0.073 s/q; AQE off +
+      // sp=8 0.068 s/q. Best combined lever saves ~0.008 s/q ≈ 0.9 s
+      // across the whole tail — and AQE off costs 3.6 s on the heavy
+      // end (the A/B above). Verdict: the tail's warm fixed cost is
+      // ~0.075 s/q of job-launch + result collection, conf levers move
+      // it <10%, and the 0.42 s/q driver reading was steal-window
+      // inflation on top of it (same queries read 0.10-0.15 s here).
+      // Nothing structural left to shrink; not worth a second session.
       // Measured, not assumed: AQE's coalescePartitions.parallelismFirst
       // was tried at `false` (the docs' efficiency recommendation) and
       // REGRESSED the suite 47.5s -> 54.8s at sf0.1 — size-based

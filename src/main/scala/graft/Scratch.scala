@@ -1,10 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler._
 
-// Throwaway profiling harness for in-session step timing — not part of
-// the library surface; deleted before commit.
+// Throwaway profiling harness — deleted before commit.
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
@@ -19,31 +17,40 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val jobStart = scala.collection.concurrent.TrieMap[Int, Long]()
-    @volatile var jobs = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobStart(js.jobId) = System.nanoTime()
-      override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        jobStart.get(je.jobId).foreach { t0 =>
-          jobs.synchronized { jobs += ((je.jobId, (System.nanoTime() - t0) / 1e9)) }
-        }
-    })
+    // representative trivial queries (sub-second tail members)
+    val trivial = Seq("q10_project", "q09_filter_range", "q08_month_extract",
+      "q13_round", "q02_parquet_scan", "q30_window_rank", "q32_topk",
+      "q36_approx_distinct", "q42_token_count", "q59_funnel",
+      "q72_profile", "q84_rolling_range")
 
-    for (q <- Seq("q226_dsir_selection", "q227_gate_calibration")) {
+    def run(label: String): Unit = {
       // warm
-      SparkEntry.queries(q)(spark, dir).count()
-      spark.catalog.clearCache()
-      (1 to 2).foreach { rep =>
-        jobs.clear()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        val js = jobs.sortBy(_._1).map { case (i, d) => f"$i:$d%.2f" }.mkString(" ")
-        println(f"[scratch] $q rep$rep  ${dt}%6.3f s  jobs(${jobs.size}): $js")
+      trivial.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+      val ts = (1 to 3).map { _ =>
         spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        trivial.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+        (System.nanoTime() - t0) / 1e9
       }
+      println(f"[scratch] $label%-40s min=${ts.min}%6.3f (${ts.min / trivial.size}%5.3f/q)  all=${ts.map(x => f"$x%.2f").mkString(",")}")
     }
+
+    run("warmA baseline")
+    run("warmB baseline")
+    run("baseline-1")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    run("sp=8")
+    spark.conf.set("spark.sql.shuffle.partitions", 23)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    run("aqe=off")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    run("baseline-2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    run("aqe=off+sp=8")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", 23)
+    run("baseline-3")
     spark.stop()
   }
 }

@@ -3137,6 +3137,227 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q275: watermark window-impact census — q238 counts the EVENTS a
+  // candidate watermark delay drops; this reads the other side of the
+  // ledger, the one a dashboard consumer actually sees: which RESULT
+  // WINDOWS of the hourly tumbling aggregate (q35's construct) emit
+  // incomplete counts under Structured Streaming's GLOBAL watermark
+  // (max event-time seen so far − delay; per-key watermarks don't
+  // exist). Arrival disorder is planted with q238's exact jitter
+  // (every 5th event's arrival +0–48 h, md5-derived whole seconds) and
+  // the delay is q238's middle candidate (6 h), so the two censuses
+  // triangulate. The global prior-arrival running max is DISTRIBUTED —
+  // never a partitionless window: arrivals bucket by hour, a ~768-row
+  // per-bucket max census collects to the driver for an exclusive
+  // prefix-max (calendar-bounded, the q265 histogram precedent), and
+  // within-bucket strict-prior maxima come from a window PARTITIONED
+  // on the bucket; an event's watermark-at-arrival is the greatest of
+  // the two. A row is late iff its window END ≤ that watermark —
+  // Spark's state-eviction rule. Census per DAY: events, dropped
+  // events, distinct damaged hour-windows, drop share. Determinism:
+  // every quantity is exact micros integer arithmetic.
+  private def watermarkWindowImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", Num.epochUs($"ts").as("t"))
+      .withColumn("arr", $"t" + when($"event_id" % 5 === 0,
+        (Det.h7(concat(lit("wm:"), $"event_id".cast(StringType)))
+          % 172800L) * 1000000L).otherwise(0L))
+      .withColumn("ab", expr("arr div 3600000000"))
+    val bm = ev.groupBy($"ab").agg(max($"t").as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = Long.MinValue
+    val pre = bm.map { case (ab, bt) =>
+      val p = run; run = math.max(run, bt); (ab, p)
+    }.filter(_._2 != Long.MinValue).toSeq
+    val preDf = broadcast(pre.toDF("ab", "pm"))
+    val w = Window.partitionBy($"ab").orderBy($"arr", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val delayUs = 6L * 3600000000L
+    ev.join(preDf, Seq("ab"), "left")
+      .withColumn("rm", max($"t").over(w))
+      .withColumn("wm",
+        greatest(coalesce($"pm", $"rm"), coalesce($"rm", $"pm")) - delayUs)
+      .withColumn("hb", expr("t div 3600000000"))
+      .withColumn("dropped",
+        $"wm".isNotNull && ($"hb" + 1L) * 3600000000L <= $"wm")
+      .groupBy(expr("t div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
+        count_distinct(when($"dropped", $"hb")).as("n_windows_hit"))
+      .select(($"day" * 86400000000L).as("day_us"), $"n_events",
+        $"n_dropped", $"n_windows_hit",
+        Num.roundAt($"n_dropped".cast(DoubleType) /
+          $"n_events".cast(DoubleType), 6).as("drop_frac"))
+      .orderBy($"day_us")
+  }
+
+  // ---------------------------------------------------------------------
+  // q276: Poisson bootstrap SE — the error bar that actually runs at
+  // 100 TB: classical resampling needs n draws WITH replacement
+  // (a global shuffle per replicate); the Poisson(1) approximation
+  // gives every row an independent replicate weight, so ALL B
+  // replicates ride ONE pass with map-side combine (the method
+  // production systems use for exactly this reason). Weights are
+  // deterministic: a 28-bit md5 draw per (replicate, order) compared
+  // against frozen cumulative-Poisson thresholds in 2^28 units
+  // (⌊e⁻¹Σ1/k!·2^28⌋ — integer literals, identical on both engines).
+  // Each replicate's mean order value freezes to an int micro-unit, so
+  // the across-replicate variance is exact integer arithmetic with one
+  // sqrt at readout, published beside the analytic s/√n twin — the
+  // agreement of the two on iid data is the calibration check; on
+  // clustered/weighted data only the bootstrap generalizes. Scale
+  // shape: one scan fans to B=16 weighted partial aggregates
+  // (map-side), a 16-row frame, a 1-row census.
+  private def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", floor($"o_totalprice" * 100).cast(LongType).as("cents"))
+    val m = base.agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+      sum(dec($"cents") * dec($"cents")).as("sxx"))
+    val reps = base
+      .select($"o_orderkey", $"cents",
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("u", Det.h7(concat(lit("boot:"), $"b".cast(StringType),
+        lit(":"), $"o_orderkey".cast(StringType))))
+      .withColumn("w",
+        when($"u" < 98751885L, 0L)
+          .when($"u" < 197503771L, 1L)
+          .when($"u" < 246879713L, 2L)
+          .when($"u" < 263338361L, 3L)
+          .when($"u" < 267453023L, 4L)
+          .when($"u" < 268275955L, 5L)
+          .when($"u" < 268413111L, 6L).otherwise(7L))
+      .groupBy($"b")
+      .agg(sum($"w" * $"cents").as("swx"), sum($"w").as("sw"))
+      .select(floor(lit(1e6) *
+        ($"swx".cast(DoubleType) / $"sw".cast(DoubleType)))
+        .cast(LongType).as("mm"))
+    val bs = reps.agg(count(lit(1)).as("nb"), sum($"mm").as("sm"),
+      sum(dec($"mm") * dec($"mm")).as("smm"))
+    bs.crossJoin(m)
+      .select($"n".as("n_orders"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n".cast(DoubleType)
+          / lit(100.0), 4).as("mean_dollars"),
+        Num.roundAt(sqrt(($"nb" * $"smm" - dec($"sm") * dec($"sm"))
+          .cast(DoubleType) / ($"nb".cast(DoubleType) *
+            ($"nb".cast(DoubleType) - lit(1.0)))) / lit(1e8), 4)
+          .as("se_boot_dollars"),
+        Num.roundAt(sqrt(($"n" * $"sxx" - dec($"sx") * dec($"sx"))
+          .cast(DoubleType) / ($"n".cast(DoubleType) *
+            ($"n".cast(DoubleType) - lit(1.0)))) /
+          sqrt($"n".cast(DoubleType)) / lit(100.0), 4)
+          .as("se_analytic_dollars"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q277: A/B sample-size census — the planning harness run BEFORE an
+  // experiment: per market segment, the orders-per-arm needed to detect
+  // a minimum effect of {1, 2, 5}% of the segment's mean order value at
+  // α=5%/power=80%, n = (z_{α/2}+z_β)²·2s²/δ², beside the segment's
+  // available order count — the feasible flag is the decision. The two
+  // z constants are STANDARD LITERALS (1.959964 + 0.841621), variance
+  // comes from exact decimal moments, and the only floats are the final
+  // per-row divisions — 15 rows, identical IEEE on both engines. Scale
+  // shape: one broadcast customer-dim join, one moment aggregate per
+  // segment, a 3-row effect grid broadcast.
+  private def sampleSizeCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val seg = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        floor($"o_totalprice" * 100).cast(LongType).as("cents"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+        sum(dec($"cents") * dec($"cents")).as("sxx"))
+    val grid = Seq(1L, 2L, 5L).toDF("mde_pct")
+    seg.crossJoin(broadcast(grid))
+      .withColumn("mean_c", $"sx".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("var_c", ($"n" * $"sxx" - dec($"sx") * dec($"sx"))
+        .cast(DoubleType) / ($"n".cast(DoubleType) *
+          ($"n".cast(DoubleType) - lit(1.0))))
+      .withColumn("delta", $"mean_c" * $"mde_pct".cast(DoubleType) / lit(100.0))
+      .withColumn("n_arm", ceil(lit((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        * lit(2.0) * $"var_c" / ($"delta" * $"delta")).cast(LongType))
+      .select($"segment", $"mde_pct", $"n".as("n_available"),
+        Num.roundAt($"mean_c" / lit(100.0), 2).as("mean_dollars"),
+        $"n_arm".as("n_per_arm"),
+        ($"n_arm" * 2L <= $"n").as("feasible"))
+      .orderBy($"segment", $"mde_pct")
+  }
+
+  // ---------------------------------------------------------------------
+  // q278: Huber one-step M-estimate — the robust-location sibling of
+  // q265's Theil–Sen slope: per return flag, the mean, the median, and
+  // one Huber step (mean of values CLIPPED to median ± 1.345·MAD — the
+  // 95%-efficient tuning constant), whose divergence from the plain
+  // mean is the tail-contamination readout. Everything runs on the
+  // q255 value-dictionary machinery: one (flag, cents) census, both
+  // medians (value and absolute-deviation) from PARTITIONED cumsum
+  // windows over dictionaries, picked by the integer-div rank rule
+  // (averaging both middle ranks — kept in doubled units so the
+  // midpoint stays integer). Clip bounds freeze to micro-units once
+  // per flag, so the clipped sum is an exact integer reduction; one
+  // division per flag at readout. Scale shape: two dictionary censuses
+  // + two dictionary windows per flag, all flag-partitioned; nothing
+  // data-scale shuffles twice.
+  private def huberLocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100).cast(LongType).as("x"))
+    // doubled-unit median over a (flag, value) dictionary: tied block
+    // [c+1, c+k] covers rank r iff c < r ≤ c+k; med2 = sum of the two
+    // picked ranks' values (equal ranks when n is odd → value doubled)
+    def median2Of(df: DataFrame, vcol: String): DataFrame = {
+      val dict = df.groupBy($"flag", col(vcol).as("v"))
+        .agg(count(lit(1)).as("k"))
+      val wv = Window.partitionBy($"flag").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dict.withColumn("cu", sum($"k").over(wv))
+      val npf = dict.groupBy($"flag").agg(sum($"k").as("n"))
+        .withColumn("r1", expr("(n + 1) div 2"))
+        .withColumn("r2", expr("n div 2 + 1"))
+      cum.join(broadcast(npf), Seq("flag"))
+        .withColumn("h1", when($"cu" - $"k" < $"r1" && $"r1" <= $"cu", $"v"))
+        .withColumn("h2", when($"cu" - $"k" < $"r2" && $"r2" <= $"cu", $"v"))
+        .groupBy($"flag").agg((sum($"h1") + sum($"h2")).as("med2"))
+    }
+    val med = median2Of(base, "x")
+    val dev = base.join(broadcast(med), Seq("flag"))
+      .select($"flag", abs(lit(2L) * $"x" - $"med2").as("d2"))
+    val mad = median2Of(dev, "d2")
+      .select($"flag", $"med2".as("mad4")) // deviations were doubled: 4x units
+    // clip bounds frozen to micro-cents: med ± 1.345·MAD, one IEEE
+    // product per flag
+    val bounds = med.join(mad, Seq("flag"))
+      .select($"flag", $"med2",
+        floor(($"med2".cast(DoubleType) / lit(2.0) -
+          lit(1.345) * $"mad4".cast(DoubleType) / lit(4.0)) * lit(1e6))
+          .cast(LongType).as("lo_micro"),
+        floor(($"med2".cast(DoubleType) / lit(2.0) +
+          lit(1.345) * $"mad4".cast(DoubleType) / lit(4.0)) * lit(1e6))
+          .cast(LongType).as("hi_micro"))
+    base.join(broadcast(bounds), Seq("flag"))
+      .withColumn("cl", least(greatest($"x" * lit(1000000L), $"lo_micro"),
+        $"hi_micro"))
+      .groupBy($"flag", $"med2")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"cl").as("scl"))
+      .select($"flag", $"n".as("n_rows"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n".cast(DoubleType)
+          / lit(100.0), 4).as("mean_dollars"),
+        Num.roundAt($"med2".cast(DoubleType) / lit(200.0), 4)
+          .as("median_dollars"),
+        Num.roundAt($"scl".cast(DoubleType) / $"n".cast(DoubleType)
+          / lit(1e8), 4).as("huber_dollars"))
+      .orderBy($"flag")
+  }
+
+  // ---------------------------------------------------------------------
   // q270: exact Gini coefficient — the single-number closure of q155's
   // Lorenz deciles (which show the curve but interpolate the summary)
   // and q259's Theil (which decomposes but weights differently): over
@@ -4571,6 +4792,10 @@ object Relational {
     "q270_gini" -> (giniExact _),
     "q273_cross_correlation" -> (crossCorrelation _),
     "q274_weekday_seasonality" -> (weekdaySeasonality _),
+    "q275_watermark_window_impact" -> (watermarkWindowImpact _),
+    "q276_poisson_bootstrap" -> (poissonBootstrap _),
+    "q277_sample_size" -> (sampleSizeCensus _),
+    "q278_huber_location" -> (huberLocation _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -5384,6 +5609,146 @@ object Relational {
         |       round(CAST(max(n_u) AS DOUBLE) / sum(n_u), 6)
         |         AS top_user_share
         |FROM uc, cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q275_watermark_window_impact" ->
+      """WITH e0 AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |e AS (SELECT event_id, t,
+        |        t + CASE WHEN event_id % 5 = 0
+        |          THEN (CAST(concat('0x', substring(md5(concat('wm:',
+        |                 CAST(event_id AS VARCHAR))), 1, 7)) AS BIGINT)
+        |                % 172800) * 1000000
+        |          ELSE 0 END AS arr
+        |      FROM e0),
+        |w AS (SELECT t,
+        |        max(t) OVER (ORDER BY arr, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 21600000000 AS wm
+        |      FROM e),
+        |f AS (SELECT t // 86400000000 AS day, t // 3600000000 AS hb,
+        |        CASE WHEN wm IS NOT NULL
+        |          AND (t // 3600000000 + 1) * 3600000000 <= wm
+        |          THEN 1 ELSE 0 END AS drp
+        |      FROM w)
+        |SELECT CAST(day * 86400000000 AS BIGINT) AS day_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(drp) AS BIGINT) AS n_dropped,
+        |       CAST(count(DISTINCT CASE WHEN drp = 1 THEN hb END)
+        |         AS BIGINT) AS n_windows_hit,
+        |       round(CAST(sum(drp) AS DOUBLE) / count(*), 6) AS drop_frac
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q276_poisson_bootstrap" ->
+      """WITH base AS (SELECT o_orderkey,
+        |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS sx,
+        |        sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        |      FROM base),
+        |reps AS (
+        |  SELECT b, CAST(floor(1000000.0 * (CAST(sum(w * cents) AS DOUBLE)
+        |      / CAST(sum(w) AS DOUBLE))) AS BIGINT) AS mm
+        |  FROM (
+        |    SELECT cents, b,
+        |      CASE WHEN u < 98751885 THEN 0 WHEN u < 197503771 THEN 1
+        |           WHEN u < 246879713 THEN 2 WHEN u < 263338361 THEN 3
+        |           WHEN u < 267453023 THEN 4 WHEN u < 268275955 THEN 5
+        |           WHEN u < 268413111 THEN 6 ELSE 7 END AS w
+        |    FROM (
+        |      SELECT cents, b,
+        |        CAST(concat('0x', substring(md5(concat('boot:',
+        |          CAST(b AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))),
+        |          1, 7)) AS BIGINT) AS u
+        |      FROM base, (SELECT unnest(range(16)) AS b)))
+        |  GROUP BY b),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |        CAST(sum(mm) AS BIGINT) AS sm,
+        |        sum(CAST(mm AS HUGEINT) * CAST(mm AS HUGEINT)) AS smm
+        |      FROM reps)
+        |SELECT n AS n_orders,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+        |    AS mean_dollars,
+        |  round(sqrt(CAST(nb * smm - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+        |      AS DOUBLE) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+        |    / 100000000.0, 4) AS se_boot_dollars,
+        |  round(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |      AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    / sqrt(CAST(n AS DOUBLE)) / 100.0, 4) AS se_analytic_dollars
+        |FROM bs, m""".stripMargin,
+
+    "q277_sample_size" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |      AS sxx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(unnest([1, 2, 5]) AS BIGINT) AS mde_pct),
+        |x AS (SELECT segment, mde_pct, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |      AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      AS var_c
+        |  FROM seg, g),
+        |y AS (SELECT segment, mde_pct, n, mean_c,
+        |    CAST(ceil((1.959964::DOUBLE + 0.841621::DOUBLE)
+        |      * (1.959964::DOUBLE + 0.841621::DOUBLE) * 2.0 * var_c
+        |      / ((mean_c * CAST(mde_pct AS DOUBLE) / 100.0)
+        |        * (mean_c * CAST(mde_pct AS DOUBLE) / 100.0)))
+        |      AS BIGINT) AS n_arm
+        |  FROM x)
+        |SELECT segment, mde_pct, n AS n_available,
+        |  round(mean_c / 100.0, 2) AS mean_dollars,
+        |  n_arm AS n_per_arm, (n_arm * 2 <= n) AS feasible
+        |FROM y ORDER BY segment, mde_pct""".stripMargin,
+
+    "q278_huber_location" ->
+      """WITH base AS (SELECT l_returnflag AS flag,
+        |        CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+        |      FROM lineitem),
+        |d1 AS (SELECT flag, x AS v, CAST(count(*) AS BIGINT) AS k
+        |      FROM base GROUP BY 1, 2),
+        |c1 AS (SELECT flag, v, k,
+        |        sum(k) OVER (PARTITION BY flag ORDER BY v) AS cu FROM d1),
+        |n1 AS (SELECT flag, sum(k) AS n, (sum(k) + 1) // 2 AS r1,
+        |        sum(k) // 2 + 1 AS r2 FROM d1 GROUP BY 1),
+        |med AS (SELECT c1.flag,
+        |    CAST(sum(CASE WHEN cu - k < r1 AND r1 <= cu THEN v END)
+        |      + sum(CASE WHEN cu - k < r2 AND r2 <= cu THEN v END)
+        |      AS BIGINT) AS med2
+        |  FROM c1 JOIN n1 ON c1.flag = n1.flag GROUP BY 1),
+        |dev AS (SELECT base.flag, abs(2 * x - med2) AS d2
+        |      FROM base JOIN med ON base.flag = med.flag),
+        |dd AS (SELECT flag, d2 AS v, CAST(count(*) AS BIGINT) AS k
+        |      FROM dev GROUP BY 1, 2),
+        |cd AS (SELECT flag, v, k,
+        |        sum(k) OVER (PARTITION BY flag ORDER BY v) AS cu FROM dd),
+        |nd AS (SELECT flag, sum(k) AS n, (sum(k) + 1) // 2 AS r1,
+        |        sum(k) // 2 + 1 AS r2 FROM dd GROUP BY 1),
+        |mad AS (SELECT cd.flag,
+        |    CAST(sum(CASE WHEN cu - k < r1 AND r1 <= cu THEN v END)
+        |      + sum(CASE WHEN cu - k < r2 AND r2 <= cu THEN v END)
+        |      AS BIGINT) AS mad4
+        |  FROM cd JOIN nd ON cd.flag = nd.flag GROUP BY 1),
+        |b2 AS (SELECT med.flag, med2,
+        |    CAST(floor((CAST(med2 AS DOUBLE) / 2.0 - 1.345::DOUBLE
+        |      * CAST(mad4 AS DOUBLE) / 4.0) * 1000000.0) AS BIGINT)
+        |      AS lo_micro,
+        |    CAST(floor((CAST(med2 AS DOUBLE) / 2.0 + 1.345::DOUBLE
+        |      * CAST(mad4 AS DOUBLE) / 4.0) * 1000000.0) AS BIGINT)
+        |      AS hi_micro
+        |  FROM med JOIN mad ON med.flag = mad.flag)
+        |SELECT base.flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(x) AS DOUBLE) / count(*) / 100.0, 4)
+        |    AS mean_dollars,
+        |  round(CAST(med2 AS DOUBLE) / 200.0, 4) AS median_dollars,
+        |  round(CAST(sum(least(greatest(x * 1000000, lo_micro), hi_micro))
+        |      AS DOUBLE) / count(*) / 100000000.0, 4) AS huber_dollars
+        |FROM base JOIN b2 ON base.flag = b2.flag
+        |GROUP BY base.flag, med2 ORDER BY base.flag""".stripMargin,
 
     "q238_watermark_sweep" ->
       """WITH t0 AS (

@@ -404,7 +404,57 @@ object Sketching {
       .orderBy($"src_a", $"src_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q280: GK quantile-sketch calibration — the estimator-beside-exact
+  // harness (q36/q177/q181 pattern) for the sketch every Spark
+  // deployment reaches for first: `approx_percentile` (Greenwald–Khanna)
+  // at p ∈ {.5, .9, .99} over line-item price cents, each estimate's
+  // RANK located exactly on the value-dictionary cumsum and checked
+  // against the sketch's ε·n guarantee (ε = 1/accuracy = 1e-3). The
+  // oracle cannot replay an engine-private sketch, so it pins the exact
+  // quantiles and the in-bounds booleans (the q36 contract: a guarantee
+  // violation flips the boolean and fails the hash). Rank math is all
+  // integer: cu·10⁶ ≥ p_micro·n picks ceil(p·n) without a float, and
+  // the bounds test intersects the estimate's tied-block rank interval
+  // with [p·n ± ε·n] in micro-units. Scale shape: one scan to the value
+  // dictionary + one sketch aggregate; the cumsum window runs on the
+  // dictionary (q270's documented trade — swap to a bucketed prefix at
+  // data-scale domains).
+  private def gkQuantileCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir)
+      .select(floor($"l_extendedprice" * 100).cast(LongType).as("x"))
+    val dict = base.groupBy($"x").agg(count(lit(1)).as("k"))
+    val wv = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dict.withColumn("cu", sum($"k").over(wv))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n0 = cum.agg(max($"cu").as("n"))
+    val est = base.agg(expr(
+      "approx_percentile(x, array(0.5, 0.9, 0.99), 1000)").as("es"))
+      .select(posexplode($"es").as(Seq("i", "est")))
+      .withColumn("p_micro",
+        element_at(array(lit(500000L), lit(900000L), lit(990000L)),
+          $"i" + 1))
+    val exact = cum.crossJoin(broadcast(n0))
+      .join(broadcast(est.select($"p_micro")),
+        $"cu" * 1000000L >= $"p_micro" * $"n")
+      .groupBy($"p_micro").agg(min($"x").as("exact_cents"))
+    val blocks = est.join(cum, $"est" === $"x")
+      .crossJoin(broadcast(n0))
+      .select($"p_micro",
+        (($"cu" - $"k" + 1L) * 1000000L <= $"p_micro" * $"n" + $"n" * 1000L
+          && $"cu" * 1000000L >= $"p_micro" * $"n" - $"n" * 1000L)
+          .as("est_in_bounds"))
+    exact.join(blocks, Seq("p_micro"))
+      .crossJoin(broadcast(n0))
+      .select($"p_micro", $"n".as("n_rows"), $"exact_cents",
+        $"est_in_bounds")
+      .orderBy($"p_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_gk_calibration" -> (gkQuantileCalibration _),
     "q237_kmv_set_algebra" -> (kmvSetAlgebra _),
     "q201_ddsketch_quantiles" -> (ddsketchQuantiles _),
     "q181_kmv_sketch" -> (kmvSketch _),
@@ -435,6 +485,20 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q280_gk_calibration" ->
+      """WITH base AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |        AS x FROM lineitem),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |d AS (SELECT x, CAST(count(*) AS BIGINT) AS k FROM base GROUP BY 1),
+        |c AS (SELECT x, k, sum(k) OVER (ORDER BY x) AS cu FROM d),
+        |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT)
+        |        AS p_micro)
+        |SELECT p_micro, n AS n_rows,
+        |  CAST((SELECT min(x) FROM c
+        |    WHERE cu * 1000000 >= p_micro * n) AS BIGINT) AS exact_cents,
+        |  true AS est_in_bounds
+        |FROM p, n0 ORDER BY p_micro""".stripMargin,
+
     "q201_ddsketch_quantiles" ->
       """WITH vals AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders

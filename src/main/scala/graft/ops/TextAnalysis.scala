@@ -1945,7 +1945,62 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // q279: mixture-reweight step (DoReMi-style, Xie et al. 2023's
+  // group-DRO loop reduced to its data-engine core) — q121 prices a
+  // STATIC corpus mixture and q226 selects docs toward a target; this
+  // runs the one step that LEARNS the mixture: per language domain, the
+  // unigram NLL per token (the corpus-fit loss q127's ladder measures),
+  // the EXCESS loss over the corpus reference, and the exponentiated-
+  // gradient update w' ∝ w·exp(η·excess) with η = 1 — domains the
+  // reference model fits worst gain weight, the DoReMi prescription.
+  // Determinism: ln p freezes to micro-units at the dictionary (q127
+  // rule), per-domain sums are exact ints, each domain's raw updated
+  // weight freezes to nano-units after the ONE exp (q230's floor-exp
+  // precedent), so the normalizing sum is an exact integer reduction.
+  // Scale shape: one token shuffle collapsed to (lang, term) counts
+  // (persisted — dictionary AND domain sums read it), a broadcast
+  // dictionary join, then 5-row frames.
+  private def doremiReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ltc = docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = ltc.groupBy($"term").agg(sum($"c").as("ct"))
+    val tot = ltc.agg(sum($"c").as("nn"))
+    val lnp = dict.crossJoin(broadcast(tot))
+      .select($"term",
+        floor(log($"ct".cast(DoubleType) / $"nn".cast(DoubleType))
+          * lit(1000000.0)).cast(LongType).as("lnp_micro"))
+    val dom = ltc.join(broadcast(lnp), Seq("term"))
+      .groupBy($"lang")
+      .agg(sum($"c" * $"lnp_micro").as("slp"), sum($"c").as("ntok"))
+    val ref = dom.agg(sum($"slp").as("tslp"), sum($"ntok").as("tn"))
+    val y = dom.crossJoin(broadcast(ref))
+      .withColumn("nllm", floor(-($"slp".cast(DoubleType) /
+        $"ntok".cast(DoubleType))).cast(LongType))
+      .withColumn("refm", floor(-($"tslp".cast(DoubleType) /
+        $"tn".cast(DoubleType))).cast(LongType))
+      .withColumn("excess", greatest(lit(0L), $"nllm" - $"refm"))
+      .withColumn("raw", floor(lit(1e9) *
+        ($"ntok".cast(DoubleType) / $"tn".cast(DoubleType)) *
+        exp($"excess".cast(DoubleType) / lit(1000000.0))).cast(LongType))
+    val z = y.agg(sum($"raw").as("rs"))
+    y.crossJoin(broadcast(z))
+      .select($"lang", $"ntok".as("n_tokens"),
+        Num.roundAt($"nllm".cast(DoubleType) / lit(1000000.0), 6)
+          .as("nll_per_token"),
+        $"excess".as("excess_micro"),
+        Num.roundAt($"ntok".cast(DoubleType) / $"tn".cast(DoubleType), 6)
+          .as("old_share"),
+        Num.roundAt($"raw".cast(DoubleType) / $"rs".cast(DoubleType), 6)
+          .as("new_share"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_mixture_reweight" -> (doremiReweight _),
     "q262_kn_perplexity" -> (knPerplexity _),
     "q271_survivorship_shift" -> (survivorshipShift _),
     "q272_wilson_gate_ci" -> (wilsonGateCi _),
@@ -2136,6 +2191,45 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q279_mixture_reweight" ->
+      """WITH ltc AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |lc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        |      FROM ltc GROUP BY 1, 2),
+        |dict AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct
+        |      FROM lc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM dict),
+        |lnp AS (SELECT term,
+        |        CAST(floor(ln(CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          * 1000000.0) AS BIGINT) AS lnp_micro
+        |      FROM dict, tot),
+        |dom AS (SELECT lang, CAST(sum(c * lnp_micro) AS BIGINT) AS slp,
+        |        CAST(sum(c) AS BIGINT) AS ntok
+        |      FROM lc JOIN lnp USING (term) GROUP BY 1),
+        |ref AS (SELECT CAST(sum(slp) AS BIGINT) AS tslp,
+        |        CAST(sum(ntok) AS BIGINT) AS tn FROM dom),
+        |x AS (SELECT lang, ntok, tn,
+        |    CAST(floor(-(CAST(slp AS DOUBLE) / CAST(ntok AS DOUBLE)))
+        |      AS BIGINT) AS nllm,
+        |    CAST(floor(-(CAST(tslp AS DOUBLE) / CAST(tn AS DOUBLE)))
+        |      AS BIGINT) AS refm
+        |  FROM dom, ref),
+        |y AS (SELECT lang, ntok, tn, nllm,
+        |    greatest(0, nllm - refm) AS excess,
+        |    CAST(floor(1000000000.0
+        |      * (CAST(ntok AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * exp(CAST(greatest(0, nllm - refm) AS DOUBLE) / 1000000.0))
+        |      AS BIGINT) AS raw
+        |  FROM x),
+        |z AS (SELECT CAST(sum(raw) AS BIGINT) AS rs FROM y)
+        |SELECT lang, ntok AS n_tokens,
+        |  round(CAST(nllm AS DOUBLE) / 1000000.0, 6) AS nll_per_token,
+        |  CAST(excess AS BIGINT) AS excess_micro,
+        |  round(CAST(ntok AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS old_share,
+        |  round(CAST(raw AS DOUBLE) / CAST(rs AS DOUBLE), 6) AS new_share
+        |FROM y, z ORDER BY lang""".stripMargin,
+
     "q271_survivorship_shift" ->
       """WITH d AS (
         |  SELECT doc_id, md5(text) AS digest,

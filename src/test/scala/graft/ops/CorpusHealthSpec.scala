@@ -730,6 +730,36 @@ class CorpusHealthSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.unpersist()
   }
 
+  test("q279: the exp-gradient step moves weight toward excess-loss domains") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("q279_mixture_reweight")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.length >= 2)
+    // shares are distributions (up to 6dp rounding per domain)
+    val oldS = rows.map(_.getAs[Double]("old_share")).sum
+    val newS = rows.map(_.getAs[Double]("new_share")).sum
+    assert(math.abs(oldS - 1.0) < 1e-4 && math.abs(newS - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("excess_micro") >= 0L)
+      // zero-excess domains can only be diluted (raw = old*exp(0))
+      if (r.getAs[Long]("excess_micro") == 0L)
+        assert(r.getAs[Double]("new_share") <=
+          r.getAs[Double]("old_share") + 1e-6)
+    }
+    // monotone coupling: strictly larger excess never loses relative
+    // weight vs a smaller-excess domain
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_micro"))
+    byExcess.sliding(2).foreach {
+      case Array(a, b) =>
+        val ra = a.getAs[Double]("new_share") / a.getAs[Double]("old_share")
+        val rb = b.getAs[Double]("new_share") / b.getAs[Double]("old_share")
+        assert(rb >= ra - 1e-4,
+          s"excess ${b.getAs[Long]("excess_micro")} ratio $rb < $ra")
+      case _ => ()
+    }
+    out.unpersist()
+  }
+
   test("q272: Wilson intervals bracket the rate and stay inside [0,1]") {
     import spark.implicits._
     val out = TextAnalysis.queries("q272_wilson_gate_ci")(spark, dir).cache()

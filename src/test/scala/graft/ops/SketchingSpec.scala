@@ -146,6 +146,27 @@ class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q280: GK estimates sit inside their rank guarantee; exacts are true quantiles") {
+    import spark.implicits._
+    val rows = Sketching.queries("q280_gk_calibration")(spark, dir)
+      .orderBy("p_micro").collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Boolean]("est_in_bounds"),
+      s"p=${r.getLong(0)}: sketch broke its eps*n guarantee"))
+    val ex = rows.map(_.getAs[Long]("exact_cents")).toSeq
+    assert(ex == ex.sorted, s"exact quantiles not monotone: $ex")
+    // driver twin: exact quantile = element at rank ceil(p*n)
+    val xs = graft.Tables.lineitem(spark, dir)
+      .select(floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_micro")
+      val rk = ((p * xs.length + 999999L) / 1000000L).toInt
+      assert(r.getAs[Long]("exact_cents") == xs(rk - 1),
+        s"p=$p exact ${r.getAs[Long]("exact_cents")} vs ${xs(rk - 1)}")
+    }
+  }
+
   test("q237: KMV set algebra covers every source pair with sane estimates") {
     import spark.implicits._
     val out = Sketching.queries("q237_kmv_set_algebra")(spark, dir).cache()

@@ -11,6 +11,89 @@ import graft.SparkSessionTestWrapper
 class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q275: window-impact census reconciles with a driver-side global watermark") {
+    import spark.implicits._
+    val out = Relational.queries("q275_watermark_window_impact")(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_windows_hit") <= 24L)
+      assert(r.getAs[Long]("n_windows_hit") <= r.getAs[Long]("n_dropped"))
+    }
+    // driver replay of the exact arrival-order global watermark
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", Num.epochUs($"ts").as("t"))
+      .withColumn("arr", $"t" + when($"event_id" % 5 === 0,
+        (Det.h7(concat(lit("wm:"), $"event_id".cast("string")))
+          % 172800L) * 1000000L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._1))
+    var mx = Long.MinValue
+    var dropped = 0L
+    ev.foreach { case (_, t, _) =>
+      if (mx != Long.MinValue &&
+        (t / 3600000000L + 1) * 3600000000L <= mx - 21600000000L) dropped += 1
+      mx = math.max(mx, t)
+    }
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == dropped,
+      s"census dropped ${rows.map(_.getAs[Long]("n_dropped")).sum} vs replay $dropped")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.length)
+    out.unpersist()
+  }
+
+  test("q276: Poisson-bootstrap SE calibrates against the analytic twin") {
+    val r = Relational.queries("q276_poisson_bootstrap")(spark, dir).first()
+    val boot = r.getAs[Double]("se_boot_dollars")
+    val ana = r.getAs[Double]("se_analytic_dollars")
+    assert(boot > 0 && ana > 0)
+    // on iid data the two agree up to replicate noise (B=16 → ~35% SE
+    // of the SE); 2x is a loose-but-meaningful gate that would have
+    // caught the round-12 s/n-vs-s/sqrt(n) bug (off by 122x)
+    assert(boot < 2 * ana && ana < 2 * boot, s"boot $boot vs analytic $ana")
+  }
+
+  test("q277: required n per arm falls with the MDE and feasibility is consistent") {
+    val rows = Relational.queries("q277_sample_size")(spark, dir)
+      .orderBy("segment", "mde_pct").collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.grouped(3).foreach { g =>
+      val ns = g.map(_.getAs[Long]("n_per_arm")).toSeq
+      assert(ns == ns.sorted.reverse, s"n_per_arm not decreasing in MDE: $ns")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("feasible") ==
+        (r.getAs[Long]("n_per_arm") * 2 <= r.getAs[Long]("n_available")))
+    }
+  }
+
+  test("q278: Huber one-step matches a driver-side clipped mean") {
+    import spark.implicits._
+    val rows = Relational.queries("q278_huber_location")(spark, dir)
+      .orderBy("flag").collect()
+    assert(rows.length == 3)
+    val data = graft.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    def med2(xs: Array[Long]): Long = {
+      val n = xs.length
+      xs((n + 1) / 2 - 1) + xs(n / 2 + 1 - 1)
+    }
+    rows.foreach { r =>
+      val xs = data(r.getString(0))
+      val m2 = med2(xs)
+      assert(math.abs(r.getAs[Double]("median_dollars") - m2 / 200.0) < 1e-6)
+      val mad4 = med2(xs.map(x => math.abs(2 * x - m2)).sorted)
+      val lo = math.floor((m2 / 2.0 - 1.345 * mad4 / 4.0) * 1e6).toLong
+      val hi = math.floor((m2 / 2.0 + 1.345 * mad4 / 4.0) * 1e6).toLong
+      val hub = xs.map(x => math.min(math.max(x * 1000000L, lo), hi))
+        .sum.toDouble / xs.length / 1e8
+      assert(math.abs(r.getAs[Double]("huber_dollars") - hub) < 1e-3,
+        s"${r.getString(0)}: ${r.getAs[Double]("huber_dollars")} vs $hub")
+    }
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
