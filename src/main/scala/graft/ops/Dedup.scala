@@ -1448,6 +1448,77 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q282: MinHash AUC — the single-number capstone of the estimator-
+  // quality family (q177 calibrates by decile, q178 prices band
+  // geometry, q209 prices cutoffs): how well does the 64-permutation
+  // signature RANK pairs by true similarity? Over the AllPairs
+  // verified-pair frame (complete for J ≥ 0.3, so the negative class is
+  // exactly the HARD negatives every LSH threshold actually has to
+  // reject — random pairs would inflate the number), truth = exact
+  // Jaccard ≥ 0.5 as the integer predicate 3·inter ≥ n1+n2, score = the
+  // signature match count k ∈ 0..64, and AUC is the Mann–Whitney
+  // rank-sum identity on the q255 doubled-midrank dictionary — a
+  // 65-value dictionary regardless of corpus size, so the whole
+  // statistic is exact integers with ONE float division; Gini = 2·AUC−1
+  // beside it. The candidate frame alone contains NO negatives on this
+  // corpus (the prefix filter admits only near-dups — measured: 139/139
+  // positives at sf0.01, which under ANSI turned the AUC denominator
+  // into a divide-by-zero), so the pair set unions in deterministic
+  // CONTROL pairs (every third doc paired with its id-successor) — the
+  // standard eval design: positives from the retriever's own
+  // candidates, negatives sampled from the background. Scale shape:
+  // the candidate frame is the q128 machinery (prefix-filtered, never
+  // n²), controls are one id-shift semi-join; shingle sets and
+  // signatures attach by doc-keyed joins; the rank arithmetic runs on
+  // 65 rows.
+  private def minhashAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val corpus = mutatedDocs(s, dir)
+    val sigs = corpus
+      .withColumn("sig", expr("minhash_sig(split(text, ' '))"))
+      .select($"doc_id", $"sig")
+    val ids = corpus.select($"doc_id")
+    val ctrl = ids.filter($"doc_id" % 3 === 0)
+      .select($"doc_id".as("doc_a"), ($"doc_id" + 1L).as("doc_b"))
+      .join(ids.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
+    val pairsAll = verifiedPairs(s, corpus).select($"doc_a", $"doc_b")
+      .unionByName(ctrl.select($"doc_a", $"doc_b"))
+      .distinct()
+    val ng = corpus
+      .select($"doc_id", expr("shingle_hashes(split(text, ' '), 4)").as("ng"))
+    val scored = pairsAll
+      .join(ng.toDF("doc_a", "ng_a"), Seq("doc_a"))
+      .join(ng.toDF("doc_b", "ng_b"), Seq("doc_b"))
+      .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .select(
+        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+          v => v)).cast(LongType).as("k"),
+        (lit(3L) * expr("sorted_overlap(ng_a, ng_b)") >=
+          size($"ng_a") + size($"ng_b")).as("pos"))
+    val dict = scored.groupBy($"k").agg(
+      sum(when($"pos", 1L).otherwise(0L)).as("np"),
+      sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+    // doubled midrank per tied block off the ≤65-row score dictionary
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mid = dict
+      .withColumn("cb", coalesce(sum($"np" + $"nn").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * $"cb" + ($"np" + $"nn") + 1L)
+    mid.agg(sum($"np").as("p"), sum($"nn").as("n"),
+        sum($"np" * $"r2").as("r2p"))
+      .select(($"p" + $"n").as("n_pairs"), $"p".as("n_pos"),
+        $"n".as("n_neg"),
+        Num.roundAt(($"r2p" - $"p" * ($"p" + 1L)).cast(DoubleType) /
+          (lit(2.0) * $"p".cast(DoubleType) * $"n".cast(DoubleType)), 6)
+          .as("auc"),
+        Num.roundAt(($"r2p" - $"p" * ($"p" + 1L)).cast(DoubleType) /
+          ($"p".cast(DoubleType) * $"n".cast(DoubleType)) - lit(1.0), 6)
+          .as("gini"))
+  }
+
+  // ---------------------------------------------------------------------
   // q209: dedup THRESHOLD sweep — the policy decision every dedup
   // deployment actually argues about is not the algorithm but the
   // CUTOFF, and this harness prices each candidate value in corpus
@@ -2135,6 +2206,7 @@ object Dedup {
     "q147_dedup_recall" -> (dedupRecall _),
     "q118_substring_dedup" -> (substringDedup _),
     "q128_simjoin_prefix" -> (simjoinPrefix _),
+    "q282_minhash_auc" -> (minhashAuc _),
     "q20_dedup_exact"    -> (dedupExact _),
     "q21_dedup_minhash"  -> (dedupMinhash _),
     "q25_dedup_simhash"  -> (dedupSimhash _),
@@ -3059,6 +3131,86 @@ object Dedup {
         |       round(CAST(inter AS DOUBLE) / n_a, 4) AS containment
         |FROM ver WHERE 10 * inter >= 9 * n_a
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q282_minhash_auc" ->
+      s"""WITH $corpusSql,
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS th
+        |  FROM corpus),
+        |ng AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(th) >= 4
+        |           THEN list_transform(range(1, len(th) - 2),
+        |                  i -> list_reduce(th[i : i + 3],
+        |                         (a, x) -> (a * 31 + x) % 2147483647))
+        |           ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |         END) AS ng
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(ng) AS sh FROM ng),
+        |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |lst AS (
+        |  SELECT doc_id, list(e.sh ORDER BY df.df, e.sh) AS srt
+        |  FROM e JOIN df USING (sh) GROUP BY doc_id),
+        |pre AS (
+        |  SELECT doc_id,
+        |         unnest(srt[1 : len(srt) - ((3 * len(srt) + 9) // 10) + 1]) AS sh
+        |  FROM lst),
+        |cand0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |ctrl AS (
+        |  SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b
+        |  FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 3 = 0),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM
+        |    (SELECT doc_a, doc_b FROM cand0
+        |     UNION ALL SELECT doc_a, doc_b FROM ctrl)),
+        |mh AS (
+        |  SELECT doc_id, list_distinct(
+        |           CASE WHEN len(th) >= 3
+        |                THEN list_transform(range(1, len(th) - 1), i ->
+        |                       ((th[i] * 31 + th[i+1]) % 2147483647 * 31
+        |                         + th[i+2]) % 2147483647)
+        |                ELSE [CAST(concat('0x', substring(md5(text), 1, 7)) AS BIGINT)]
+        |           END) AS hashes
+        |  FROM tok),
+        |msig AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |           list_aggregate(list_transform(hashes, h ->
+        |             ((((j+1) * 2654435761) % 2147483647) * h
+        |              + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sig
+        |  FROM mh),
+        |scored AS (
+        |  SELECT CAST(len(list_filter(range(1, 65),
+        |           i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS k,
+        |         3 * len(list_intersect(na.ng, nb.ng))
+        |           >= len(na.ng) + len(nb.ng) AS pos
+        |  FROM cand
+        |  JOIN ng na ON na.doc_id = cand.doc_a
+        |  JOIN ng nb ON nb.doc_id = cand.doc_b
+        |  JOIN msig sa ON sa.doc_id = cand.doc_a
+        |  JOIN msig sb ON sb.doc_id = cand.doc_b),
+        |d AS (
+        |  SELECT k, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM scored GROUP BY 1),
+        |mid AS (
+        |  SELECT np, nn,
+        |         2 * coalesce(sum(np + nn) OVER (ORDER BY k
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + (np + nn) + 1 AS r2
+        |  FROM d),
+        |agg AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+        |          CAST(sum(nn) AS BIGINT) AS n,
+        |          CAST(sum(np * r2) AS BIGINT) AS r2p FROM mid)
+        |SELECT p + n AS n_pairs, p AS n_pos, n AS n_neg,
+        |  round(CAST(r2p - p * (p + 1) AS DOUBLE)
+        |    / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc,
+        |  round(CAST(r2p - p * (p + 1) AS DOUBLE)
+        |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) - 1.0, 6) AS gini
+        |FROM agg""".stripMargin,
+
     "q128_simjoin_prefix" ->
       s"""WITH $corpusSql,
         |tok AS (

@@ -40,6 +40,61 @@ object Similarity {
       .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
   }
 
+  // ---------------------------------------------------------------------
+  // q281: metric-learning margin census — the label-aware twin of
+  // q160's centroid purity: per probe (a deterministic 5% of vectors),
+  // the cosine MARGIN between its nearest same-label and nearest
+  // other-label neighbor, plus its top-5 label agreement — the
+  // triplet-loss readout (is each point closer to its own class than
+  // to the nearest impostor?) that decides whether labels can seed
+  // hard-negative mining or need cleaning first (Confident Learning's
+  // kNN-agreement signal is the same number). Per-probe margins FREEZE
+  // to micro-units (the one place IEEE cosines meet a cross-row sum),
+  // so the per-label census is exact integers; probes whose label has
+  // no other member (or that see only one class) are excluded on both
+  // engines. Scale shape: one probe-broadcast brute scan (q22's
+  // pattern; at data scale swap in the q28/q49 candidate generators,
+  // same census) + one probe-partitioned ranking window + a
+  // |labels|-row census.
+  private def marginCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", toDoubleArr($"embedding").as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nrm", sqrt(expr("fold_dot(v, v)")))
+    val probes = all.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("probe_id"), $"label".as("plabel"),
+        $"v".as("pv"), $"nrm".as("pn"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val per = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("same", $"label" === $"plabel")
+      .withColumn("rank", row_number().over(w))
+      .groupBy($"probe_id", $"plabel")
+      .agg(max(when($"same", $"cos")).as("bs"),
+        max(when(!$"same", $"cos")).as("bd"),
+        sum(when($"rank" <= 5 && $"same", 1L).otherwise(0L)).as("k5"))
+      .filter($"bs".isNotNull && $"bd".isNotNull)
+      .withColumn("m_micro",
+        floor(($"bs" - $"bd") * lit(1000000.0)).cast(LongType))
+    per.groupBy($"plabel".as("label"))
+      .agg(count(lit(1)).as("n_probes"), sum($"m_micro").as("sm"),
+        sum(when($"m_micro" >= 0L, 1L).otherwise(0L)).as("npos"),
+        sum($"k5").as("sk5"))
+      .select($"label", $"n_probes",
+        Num.roundAt($"sm".cast(DoubleType) /
+          ($"n_probes".cast(DoubleType) * lit(1000000.0)), 6)
+          .as("mean_margin"),
+        Num.roundAt($"npos".cast(DoubleType) /
+          $"n_probes".cast(DoubleType), 6).as("frac_margin_pos"),
+        Num.roundAt($"sk5".cast(DoubleType) /
+          ($"n_probes".cast(DoubleType) * lit(5.0)), 6)
+          .as("knn5_label_agree"))
+      .orderBy($"label")
+  }
+
   // q22: brute-force cosine top-5 for probes vec_id < 20.
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -980,6 +1035,7 @@ object Similarity {
     "q164_rerank_ann" -> (rerankAnn _),
     "q93_pq_ann"      -> (pqAnn _),
     "q22_cosine_topk" -> (cosineTopK _),
+    "q281_margin_census" -> (marginCensus _),
     "q249_mutual_knn" -> (mutualKnn _),
     "q261_anisotropy" -> (anisotropyCensus _),
     "q28_lsh_ann"     -> (lshAnn _),
@@ -1613,6 +1669,47 @@ object Similarity {
         |       max_indegree, n_nodes - n_with AS n_orphans
         |FROM mutual JOIN indc ON mutual.k = indc.k, nn
         |ORDER BY mutual.k""".stripMargin,
+    "q281_margin_census" ->
+      s"""WITH nl AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_reduce(list_transform(range(1, 65),
+        |                i -> CAST(embedding[i] AS DOUBLE)
+        |                  * CAST(embedding[i] AS DOUBLE)),
+        |              (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, p.label AS plabel, c.vec_id,
+        |         c.label = p.label AS same,
+        |         list_reduce(list_transform(range(1, 65),
+        |           i -> p.v[i] * c.v[i]), (x, y) -> x + y)
+        |           / (p.nrm * c.nrm) AS cos
+        |  FROM nl p JOIN nl c
+        |    ON p.vec_id % 20 = 0 AND c.vec_id != p.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored),
+        |per AS (
+        |  SELECT probe_id, plabel,
+        |         max(CASE WHEN same THEN cos END) AS bs,
+        |         max(CASE WHEN NOT same THEN cos END) AS bd,
+        |         CAST(sum(CASE WHEN rank <= 5 AND same THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS k5
+        |  FROM ranked GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT plabel, CAST(floor((bs - bd) * 1000000.0) AS BIGINT)
+        |           AS m_micro, k5
+        |  FROM per WHERE bs IS NOT NULL AND bd IS NOT NULL)
+        |SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        |  round(CAST(sum(m_micro) AS DOUBLE)
+        |    / (count(*) * 1000000.0), 6) AS mean_margin,
+        |  round(CAST(sum(CASE WHEN m_micro >= 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS frac_margin_pos,
+        |  round(CAST(sum(k5) AS DOUBLE) / (count(*) * 5.0), 6)
+        |    AS knn5_label_agree
+        |FROM pm GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q22_cosine_topk" ->
       s"""WITH $nSql,
         |scored AS (

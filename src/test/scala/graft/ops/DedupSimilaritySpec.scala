@@ -252,6 +252,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     pq.unpersist()
   }
 
+  test("q282: MinHash AUC is a proper rank statistic over a two-class pair set") {
+    val r = Dedup.queries("q282_minhash_auc")(spark, dir).first()
+    val (np, npos, nneg) = (r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    assert(np == npos + nneg)
+    // the control-pair union must guarantee both classes are populated
+    // (an empty class made the AUC denominator divide by zero in ANSI
+    // mode — the round-12 bug the controls exist to prevent)
+    assert(npos > 0 && nneg > 0, s"degenerate classes: $npos/$nneg")
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 2e-6)
+    // planted near-dups vs random controls are separable: the estimator
+    // must rank them far better than chance
+    assert(auc > 0.9, s"signature ranking collapsed: auc=$auc")
+  }
+
+  test("q281: margins and agreements are bounded; probes reconcile") {
+    import spark.implicits._
+    val rows = Similarity.queries("q281_margin_census")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_margin") >= -2.0 &&
+        r.getAs[Double]("mean_margin") <= 2.0)
+      val fp = r.getAs[Double]("frac_margin_pos")
+      val ka = r.getAs[Double]("knn5_label_agree")
+      assert(fp >= 0.0 && fp <= 1.0 && ka >= 0.0 && ka <= 1.0)
+    }
+    // every census probe is a real probe id; none counted twice
+    val nProbes = rows.map(_.getAs[Long]("n_probes")).sum
+    val eligible = graft.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 20 === 0).count()
+    assert(nProbes <= eligible, s"$nProbes probes vs $eligible eligible")
+  }
+
   test("q128: prefix filter is lossless — identical to the brute-force all-pairs join") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
