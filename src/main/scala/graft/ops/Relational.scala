@@ -3252,6 +3252,204 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q283: cluster bootstrap for a ratio metric — the companion q276
+  // deliberately leaves open: mean order value is a RATIO of two
+  // customer-level totals (Σ revenue / Σ orders), and orders within a
+  // customer are correlated, so the iid order-level SE is biased low.
+  // Resampling must happen at the CLUSTER (customer) unit: the same
+  // deterministic Poisson(1) weights as q276, drawn per (replicate,
+  // customer), scale both the numerator and denominator of each
+  // replicate's ratio — the estimator production A/B systems call the
+  // delta-method-free cluster bootstrap. Readout: point ratio, the
+  // cluster-bootstrap SE, and the NAIVE order-level analytic SE — the
+  // gap between the two is the design effect of within-customer
+  // correlation, visible in one row. Determinism: q276's integer
+  // thresholds, micro-frozen replicate ratios, exact moment decimals.
+  private def clusterBootstrapRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val orders = Tables.orders(s, dir)
+      .select($"o_custkey", floor($"o_totalprice" * 100).cast(LongType).as("cents"))
+    val cust = orders.groupBy($"o_custkey")
+      .agg(sum($"cents").as("x"), count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = orders.agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+      sum(dec($"cents") * dec($"cents")).as("sxx"))
+    val reps = cust
+      .select($"o_custkey", $"x", $"m",
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("u", Det.h7(concat(lit("cboot:"), $"b".cast(StringType),
+        lit(":"), $"o_custkey".cast(StringType))))
+      .withColumn("w",
+        when($"u" < 98751885L, 0L)
+          .when($"u" < 197503771L, 1L)
+          .when($"u" < 246879713L, 2L)
+          .when($"u" < 263338361L, 3L)
+          .when($"u" < 267453023L, 4L)
+          .when($"u" < 268275955L, 5L)
+          .when($"u" < 268413111L, 6L).otherwise(7L))
+      .groupBy($"b")
+      .agg(sum($"w" * $"x").as("swx"), sum($"w" * $"m").as("swm"))
+      .select(floor(lit(1e6) *
+        ($"swx".cast(DoubleType) / $"swm".cast(DoubleType)))
+        .cast(LongType).as("rr"))
+    val bs = reps.agg(count(lit(1)).as("nb"), sum($"rr").as("sr"),
+      sum(dec($"rr") * dec($"rr")).as("srr"))
+    bs.crossJoin(m)
+      .select($"n".as("n_orders"),
+        Num.roundAt($"sx".cast(DoubleType) / $"n".cast(DoubleType)
+          / lit(100.0), 4).as("mean_order_dollars"),
+        Num.roundAt(sqrt(($"nb" * $"srr" - dec($"sr") * dec($"sr"))
+          .cast(DoubleType) / ($"nb".cast(DoubleType) *
+            ($"nb".cast(DoubleType) - lit(1.0)))) / lit(1e8), 4)
+          .as("se_cluster_boot_dollars"),
+        Num.roundAt(sqrt(($"n" * $"sxx" - dec($"sx") * dec($"sx"))
+          .cast(DoubleType) / ($"n".cast(DoubleType) *
+            ($"n".cast(DoubleType) - lit(1.0)))) /
+          sqrt($"n".cast(DoubleType)) / lit(100.0), 4)
+          .as("se_naive_iid_dollars"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q284: trimmed & winsorized mean ladder — q156 winsorizes at sketch
+  // quantiles (approximate by design); this is the EXACT ladder over
+  // line-item price for α ∈ {1, 5, 25}%: drop (trim) or clamp
+  // (winsorize) the α tails and read how far each robust mean moves
+  // from the raw one — the tail-mass diagnosis in three rows. All rank
+  // arithmetic is the q255 value-dictionary cumsum: a tied block
+  // [cu−k+1, cu] contributes its overlap with the kept rank interval
+  // [g+1, n−g] (g = ⌊αn⌋) in exact decimal products; the winsorized
+  // version adds g copies of each boundary order statistic, themselves
+  // picked by the same block-cover rule. One float division per row at
+  // readout. Scale shape: one scan to the value dictionary, one
+  // dictionary window, a 3-row grid broadcast.
+  private def trimmedMeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val dict = Tables.lineitem(s, dir)
+      .select(floor($"l_extendedprice" * 100).cast(LongType).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("k"))
+    val wv = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dict.withColumn("cu", sum($"k").over(wv))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cum.agg(max($"cu").as("n"), sum(dec($"v") * dec($"k")).as("sv"))
+    val grid = Seq(1L, 5L, 25L).toDF("alpha_pct")
+    val g = grid.crossJoin(broadcast(tot))
+      .withColumn("gg", expr("(alpha_pct * n) div 100"))
+    val per = cum.crossJoin(broadcast(g))
+      .withColumn("keep",
+        greatest(lit(0L), least($"cu", $"n" - $"gg") -
+          greatest($"cu" - $"k", $"gg")))
+      .withColumn("lo_v", when($"cu" - $"k" < $"gg" + 1L &&
+        $"gg" + 1L <= $"cu", $"v"))
+      .withColumn("hi_v", when($"cu" - $"k" < $"n" - $"gg" &&
+        $"n" - $"gg" <= $"cu", $"v"))
+      .groupBy($"alpha_pct", $"n", $"sv", $"gg")
+      .agg(sum(dec($"v") * dec($"keep")).as("ts"),
+        sum($"lo_v").as("bl"), sum($"hi_v").as("bh"))
+    per.select($"alpha_pct", $"n".as("n_rows"),
+        Num.roundAt($"sv".cast(DoubleType) / $"n".cast(DoubleType)
+          / lit(100.0), 4).as("raw_mean_dollars"),
+        Num.roundAt($"ts".cast(DoubleType) /
+          ($"n" - lit(2L) * $"gg").cast(DoubleType) / lit(100.0), 4)
+          .as("trimmed_mean_dollars"),
+        Num.roundAt(($"ts" + dec($"gg") * (dec($"bl") + dec($"bh")))
+          .cast(DoubleType) / $"n".cast(DoubleType) / lit(100.0), 4)
+          .as("winsorized_mean_dollars"))
+      .orderBy($"alpha_pct")
+  }
+
+  // ---------------------------------------------------------------------
+  // q285: split-balance chi-square audit — q120 hashes rows into
+  // 80/10/10 splits and q228 apportions one; this is the QA gate a
+  // pipeline runs AFTER splitting: are the splits independent of the
+  // strata (order priority)? Pearson's χ² over the (stratum, split)
+  // census with the cross-multiplied identity — each cell contributes
+  // (n·o − rs·cs)²/(n·rs·cs), frozen to nano-units so the χ² total is
+  // an exact integer sum — compared against the df=8 95% critical
+  // value (15.507 — a standard-table literal on both engines). A
+  // hash-split SHOULD pass; a split keyed on anything correlated with
+  // the stratum fails, which is the audit's point. Scale shape: one
+  // scan to a ≤15-cell census; everything after is arithmetic on it.
+  private def splitChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val M = 2147483647L
+    val h = $"o_orderkey" % M * 16807L % M * 48271L % M
+    val cells = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("stratum"),
+        when(h % 100 < 80, lit("train"))
+          .when(h % 100 < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy($"stratum", $"split").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rs = cells.groupBy($"stratum").agg(sum($"o").as("rs"))
+    val cs = cells.groupBy($"split").agg(sum($"o").as("cs"))
+    val n = cells.agg(sum($"o").as("n"))
+    val contrib = cells.join(broadcast(rs), Seq("stratum"))
+      .join(broadcast(cs), Seq("split"))
+      .crossJoin(broadcast(n))
+      .withColumn("dev", dec($"n") * dec($"o") - dec($"rs") * dec($"cs"))
+      .withColumn("c_nano", floor(lit(1e9) *
+        ($"dev" * $"dev").cast(DoubleType) /
+        (dec($"n") * dec($"rs") * dec($"cs")).cast(DoubleType))
+        .cast(LongType))
+    contrib.agg(count(lit(1)).as("n_cells"),
+        sum($"c_nano").as("chin"),
+        countDistinct($"stratum").as("nr"),
+        countDistinct($"split").as("nc"))
+      .select($"n_cells",
+        (($"nr" - 1L) * ($"nc" - 1L)).as("df"),
+        Num.roundAt($"chin".cast(DoubleType) / lit(1e9), 6).as("chi2"),
+        ($"chin".cast(DoubleType) / lit(1e9) <= lit(15.507)).as("balanced_95"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q286: Hill tail-index estimate — the heavy-tail diagnosis behind
+  // q155/q270's inequality readouts: over per-customer spend, the Hill
+  // estimator on the top decile, α̂ = k / Σᵢ(ln x₍ᵢ₎ − ln x₍ₖ₎) —
+  // α below ~2 means infinite variance and every mean-based statistic
+  // upstream needs the q276/q278 robust machinery; α large means the
+  // tail is tame. Rank work is a DESCENDING value-dictionary cumsum;
+  // ln v freezes to micro-units per dictionary row (q127 rule) so the
+  // top-k log-sum is an exact integer; x₍ₖ₎ is a block-cover rank pick
+  // and the estimate is one division. k = n div 10 (data-derived so
+  // the query is scale-free). Scale shape: orders reduce map-side to
+  // per-customer cents, then to the spend dictionary; the window runs
+  // on that dictionary.
+  private def hillTailIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("k"))
+    val wv = Window.orderBy($"v".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dict
+      .withColumn("cu", sum($"k").over(wv))
+      .withColumn("lnv_micro",
+        floor(log($"v".cast(DoubleType)) * lit(1000000.0)).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cum.agg(max($"cu").as("n"))
+      .withColumn("kk", expr("n div 10"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .withColumn("inTop",
+        greatest(lit(0L), least($"cu", $"kk") - ($"cu" - $"k")))
+      .withColumn("xk", when($"cu" - $"k" < $"kk" && $"kk" <= $"cu", $"v"))
+      .withColumn("lnxk", when($"cu" - $"k" < $"kk" && $"kk" <= $"cu",
+        $"lnv_micro"))
+      .groupBy($"n", $"kk")
+      .agg(sum($"inTop" * $"lnv_micro").as("sln"),
+        sum($"xk").as("xk"), sum($"lnxk").as("lnxk"))
+    agg.select($"n".as("n_customers"), $"kk".as("k_top"),
+        $"xk".as("xk_cents"),
+        Num.roundAt($"kk".cast(DoubleType) * lit(1000000.0) /
+          ($"sln" - $"kk" * $"lnxk").cast(DoubleType), 4)
+          .as("hill_alpha"))
+  }
+
+  // ---------------------------------------------------------------------
   // q277: A/B sample-size census — the planning harness run BEFORE an
   // experiment: per market segment, the orders-per-arm needed to detect
   // a minimum effect of {1, 2, 5}% of the segment's mean order value at
@@ -4796,6 +4994,10 @@ object Relational {
     "q276_poisson_bootstrap" -> (poissonBootstrap _),
     "q277_sample_size" -> (sampleSizeCensus _),
     "q278_huber_location" -> (huberLocation _),
+    "q283_cluster_bootstrap" -> (clusterBootstrapRatio _),
+    "q284_trimmed_means" -> (trimmedMeans _),
+    "q285_split_chi2" -> (splitChi2 _),
+    "q286_hill_tail" -> (hillTailIndex _),
     "q259_theil_decomposition" -> (theilDecomposition _),
     "q251_hhi_concentration" -> (hhiConcentration _),
     "q252_kaplan_meier" -> (kaplanMeier _),
@@ -5609,6 +5811,135 @@ object Relational {
         |       round(CAST(max(n_u) AS DOUBLE) / sum(n_u), 6)
         |         AS top_user_share
         |FROM uc, cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q283_cluster_bootstrap" ->
+      """WITH o0 AS (SELECT o_custkey,
+        |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders),
+        |cust AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS x,
+        |        CAST(count(*) AS BIGINT) AS m0 FROM o0 GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS sx,
+        |        sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        |      FROM o0),
+        |reps AS (
+        |  SELECT b, CAST(floor(1000000.0 * (CAST(sum(w * x) AS DOUBLE)
+        |      / CAST(sum(w * m0) AS DOUBLE))) AS BIGINT) AS rr
+        |  FROM (
+        |    SELECT x, m0, b,
+        |      CASE WHEN u < 98751885 THEN 0 WHEN u < 197503771 THEN 1
+        |           WHEN u < 246879713 THEN 2 WHEN u < 263338361 THEN 3
+        |           WHEN u < 267453023 THEN 4 WHEN u < 268275955 THEN 5
+        |           WHEN u < 268413111 THEN 6 ELSE 7 END AS w
+        |    FROM (
+        |      SELECT x, m0, b,
+        |        CAST(concat('0x', substring(md5(concat('cboot:',
+        |          CAST(b AS VARCHAR), ':', CAST(o_custkey AS VARCHAR))),
+        |          1, 7)) AS BIGINT) AS u
+        |      FROM cust, (SELECT unnest(range(16)) AS b)))
+        |  GROUP BY b),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |        CAST(sum(rr) AS BIGINT) AS sr,
+        |        sum(CAST(rr AS HUGEINT) * CAST(rr AS HUGEINT)) AS srr
+        |      FROM reps)
+        |SELECT n AS n_orders,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+        |    AS mean_order_dollars,
+        |  round(sqrt(CAST(nb * srr - CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)
+        |      AS DOUBLE) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+        |    / 100000000.0, 4) AS se_cluster_boot_dollars,
+        |  round(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |      AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    / sqrt(CAST(n AS DOUBLE)) / 100.0, 4) AS se_naive_iid_dollars
+        |FROM bs, m""".stripMargin,
+
+    "q284_trimmed_means" ->
+      """WITH d AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |        CAST(count(*) AS BIGINT) AS k FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, k, sum(k) OVER (ORDER BY v) AS cu FROM d),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+        |        sum(CAST(v AS HUGEINT) * CAST(k AS HUGEINT)) AS sv FROM d),
+        |g AS (SELECT CAST(unnest([1, 5, 25]) AS BIGINT) AS alpha_pct),
+        |gd AS (SELECT alpha_pct, n, sv, (alpha_pct * n) // 100 AS g0
+        |      FROM g, t),
+        |per AS (SELECT alpha_pct, n, sv, g0,
+        |    sum(CAST(v AS HUGEINT) * CAST(greatest(0,
+        |      least(cu, n - g0) - greatest(cu - k, g0)) AS HUGEINT)) AS ts,
+        |    CAST(sum(CASE WHEN cu - k < g0 + 1 AND g0 + 1 <= cu
+        |      THEN v END) AS BIGINT) AS bl,
+        |    CAST(sum(CASE WHEN cu - k < n - g0 AND n - g0 <= cu
+        |      THEN v END) AS BIGINT) AS bh
+        |  FROM c, gd GROUP BY 1, 2, 3, 4)
+        |SELECT alpha_pct, n AS n_rows,
+        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+        |    AS raw_mean_dollars,
+        |  round(CAST(ts AS DOUBLE) / CAST(n - 2 * g0 AS DOUBLE) / 100.0, 4)
+        |    AS trimmed_mean_dollars,
+        |  round(CAST(ts + CAST(g0 AS HUGEINT) * (CAST(bl AS HUGEINT)
+        |      + CAST(bh AS HUGEINT)) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 100.0, 4) AS winsorized_mean_dollars
+        |FROM per ORDER BY alpha_pct""".stripMargin,
+
+    "q285_split_chi2" ->
+      """WITH s0 AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    (o_orderkey % 2147483647 * 16807 % 2147483647 * 48271
+        |      % 2147483647) % 100 AS hh
+        |  FROM orders),
+        |cells AS (
+        |  SELECT stratum,
+        |    CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM s0 GROUP BY 1, 2),
+        |rs AS (SELECT stratum, CAST(sum(o) AS BIGINT) AS rs
+        |      FROM cells GROUP BY 1),
+        |cs AS (SELECT split, CAST(sum(o) AS BIGINT) AS cs
+        |      FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |con AS (
+        |  SELECT CAST(floor(1000000000.0 *
+        |      CAST((CAST(n AS HUGEINT) * CAST(o AS HUGEINT)
+        |        - CAST(rs.rs AS HUGEINT) * CAST(cs.cs AS HUGEINT))
+        |       * (CAST(n AS HUGEINT) * CAST(o AS HUGEINT)
+        |        - CAST(rs.rs AS HUGEINT) * CAST(cs.cs AS HUGEINT))
+        |       AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * CAST(rs.rs AS HUGEINT)
+        |        * CAST(cs.cs AS HUGEINT) AS DOUBLE)) AS BIGINT) AS c_nano,
+        |    cells.stratum, cells.split
+        |  FROM cells JOIN rs USING (stratum) JOIN cs USING (split), n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT stratum) - 1)
+        |    * (count(DISTINCT split) - 1) AS BIGINT) AS df,
+        |  round(CAST(sum(c_nano) AS DOUBLE) / 1000000000.0, 6) AS chi2,
+        |  (CAST(sum(c_nano) AS DOUBLE) / 1000000000.0
+        |    <= 15.507::DOUBLE) AS balanced_95
+        |FROM con""".stripMargin,
+
+    "q286_hill_tail" ->
+      """WITH cust AS (SELECT o_custkey,
+        |        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |          AS BIGINT) AS v
+        |      FROM orders GROUP BY 1),
+        |d AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM cust GROUP BY 1),
+        |c AS (SELECT v, k, sum(k) OVER (ORDER BY v DESC) AS cu,
+        |        CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |          AS lnv
+        |      FROM d),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+        |        CAST(sum(k) AS BIGINT) // 10 AS kk FROM d),
+        |a AS (SELECT n, kk,
+        |    CAST(sum(greatest(0, least(cu, kk) - (cu - k)) * lnv)
+        |      AS BIGINT) AS sln,
+        |    CAST(sum(CASE WHEN cu - k < kk AND kk <= cu THEN v END)
+        |      AS BIGINT) AS xk,
+        |    CAST(sum(CASE WHEN cu - k < kk AND kk <= cu THEN lnv END)
+        |      AS BIGINT) AS lnxk
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n AS n_customers, kk AS k_top, xk AS xk_cents,
+        |  round(CAST(kk AS DOUBLE) * 1000000.0
+        |    / CAST(sln - kk * lnxk AS DOUBLE), 4) AS hill_alpha
+        |FROM a""".stripMargin,
 
     "q275_watermark_window_impact" ->
       """WITH e0 AS (SELECT event_id, epoch_us(ts) AS t FROM events),

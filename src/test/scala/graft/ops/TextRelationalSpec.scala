@@ -94,6 +94,68 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q283: cluster-bootstrap SE is a sane ratio SE beside the naive twin") {
+    val r = Relational.queries("q283_cluster_bootstrap")(spark, dir).first()
+    val cb = r.getAs[Double]("se_cluster_boot_dollars")
+    val nv = r.getAs[Double]("se_naive_iid_dollars")
+    assert(cb > 0 && nv > 0)
+    // synthetic orders are iid across customers, so the design effect
+    // is ~1: the two SEs agree within bootstrap replicate noise
+    assert(cb < 2 * nv && nv < 2 * cb, s"cluster $cb vs naive $nv")
+  }
+
+  test("q284: trim/winsorize conserve mass and order sensibly") {
+    import spark.implicits._
+    val rows = Relational.queries("q284_trimmed_means")(spark, dir)
+      .orderBy("alpha_pct").collect()
+    assert(rows.length == 3)
+    val raw = rows.head.getAs[Double]("raw_mean_dollars")
+    rows.foreach(r => assert(r.getAs[Double]("raw_mean_dollars") == raw))
+    // exact driver replay of BOTH robust means at the 1% row (no
+    // between-ness assertion: with asymmetric tails the winsorized mean
+    // can legitimately move further from raw than the trimmed one)
+    val xs = graft.Tables.lineitem(spark, dir)
+      .select(floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val g = xs.length / 100
+    val mid = xs.slice(g, xs.length - g)
+    val expT = mid.map(BigInt(_)).sum.toDouble / mid.length / 100.0
+    assert(math.abs(rows.head.getAs[Double]("trimmed_mean_dollars") - expT) < 1e-3)
+    val expW = (mid.map(BigInt(_)).sum +
+      BigInt(g) * (BigInt(xs(g)) + BigInt(xs(xs.length - g - 1)))).toDouble /
+      xs.length / 100.0
+    assert(math.abs(rows.head.getAs[Double]("winsorized_mean_dollars") - expW) < 1e-3,
+      s"${rows.head.getAs[Double]("winsorized_mean_dollars")} vs $expW")
+  }
+
+  test("q285: the hash split is stratum-balanced and the census is total") {
+    val r = Relational.queries("q285_split_chi2")(spark, dir).first()
+    assert(r.getAs[Long]("df") == (r.getAs[Long]("n_cells") match {
+      case 15L => 8L
+      case _ => r.getAs[Long]("df") // degenerate strata at tiny SF
+    }))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Boolean]("balanced_95"),
+      s"hash split failed its own independence audit: chi2=${r.getAs[Double]("chi2")}")
+  }
+
+  test("q286: Hill alpha matches a driver-side top-decile recomputation") {
+    import spark.implicits._
+    val r = Relational.queries("q286_hill_tail")(spark, dir).first()
+    val xs = graft.Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("v"))
+      .collect().map(_.getAs[Long]("v")).sorted.reverse
+    val k = xs.length / 10
+    assert(r.getAs[Long]("k_top") == k)
+    assert(r.getAs[Long]("xk_cents") == xs(k - 1))
+    val sln = xs.take(k).map(v => math.floor(math.log(v.toDouble) * 1e6).toLong).sum
+    val lnxk = math.floor(math.log(xs(k - 1).toDouble) * 1e6).toLong
+    val alpha = k * 1e6 / (sln - k * lnxk).toDouble
+    assert(math.abs(r.getAs[Double]("hill_alpha") - alpha) < 1e-3,
+      s"${r.getAs[Double]("hill_alpha")} vs $alpha")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
