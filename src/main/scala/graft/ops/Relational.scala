@@ -3450,6 +3450,110 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q287: embedding dimension-correlation census — the feature-
+  // decorrelation check run before trusting q49's IVF cells or q93's PQ
+  // sub-spaces (both implicitly assume dimensions carry independent
+  // information; strongly correlated dims waste codebook bits): the
+  // exact 64×64 second-moment matrix in ONE pass (dims explode per
+  // vector, pair products combine map-side to a dim²-bounded census —
+  // the classic one-pass covariance shape, bounded by 2016 cells
+  // regardless of corpus), coordinates frozen to int micro-units so
+  // every moment is an exact integer sum, Pearson per pair at readout.
+  // The census publishes the 10 most-correlated pairs plus the
+  // full-matrix mean |corr| — q261 measures anisotropy of the MEAN
+  // direction; this measures pairwise redundancy. Scale shape: one
+  // scan, one (i,j)-keyed map-side aggregate, a 2016-row frame.
+  private def dimCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val dims = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode(transform($"embedding",
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("i", "xi")))
+    val pairs = dims.toDF("vec_id", "i", "xi")
+      .join(dims.toDF("vec_id", "j", "xj"), Seq("vec_id"))
+      .filter($"i" < $"j")
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"xi").as("si"), sum($"xj").as("sj"),
+        sum(dec($"xi") * dec($"xi")).as("sii"),
+        sum(dec($"xj") * dec($"xj")).as("sjj"),
+        sum(dec($"xi") * dec($"xj")).as("sij"))
+      .withColumn("corr_micro", floor(lit(1e6) *
+        ($"n" * $"sij" - dec($"si") * dec($"sj")).cast(DoubleType) /
+        sqrt(($"n" * $"sii" - dec($"si") * dec($"si")).cast(DoubleType) *
+          ($"n" * $"sjj" - dec($"sj") * dec($"sj")).cast(DoubleType)))
+        .cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(abs($"corr_micro")).as("sabs"))
+    val w = Window.orderBy(abs($"corr_micro").desc, $"i".asc, $"j".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .crossJoin(broadcast(tot))
+      .select($"rank", $"i".cast(LongType).as("dim_i"),
+        $"j".cast(LongType).as("dim_j"),
+        Num.roundAt($"corr_micro".cast(DoubleType) / lit(1e6), 6).as("corr"),
+        $"n_pairs",
+        Num.roundAt($"sabs".cast(DoubleType) /
+          ($"n_pairs".cast(DoubleType) * lit(1e6)), 6).as("mean_abs_corr"))
+      .orderBy($"rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // q288: event-type Markov chain — the behavioral-model distillation
+  // of the event stream q150's path census samples: per-user arrival-
+  // order transition counts collapse to a |types|²-bounded matrix, rows
+  // normalize to transition probabilities FROZEN to micro-units, and
+  // the census publishes each transition beside the EMPIRICAL source
+  // frequency and the chain's 2-step evolution from a uniform start
+  // (two matrix-vector products over the ≤64-cell census in exact
+  // frozen-int arithmetic) — the quick answer to "does the chain mix
+  // toward the empirical mix or trap in a loop?". Scale shape: one
+  // user-partitioned lag window (never global), a dictionary-bounded
+  // census, driver-free matrix steps via two census self-joins.
+  private def markovChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wU = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val tr = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        $"event_type".as("cur"))
+      .withColumn("prev", lag($"cur", 1).over(wU))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = tr.groupBy($"prev").agg(sum($"c").as("rt"))
+    // transition probabilities frozen at the census cell
+    val p = tr.join(broadcast(rowTot), Seq("prev"))
+      .select($"prev", $"cur",
+        expr("(c * 1000000) div rt").as("p_micro"), $"c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val states = rowTot.select($"prev".as("st"))
+    val nSt = states.agg(count(lit(1)).as("k"))
+    // two power steps from uniform: v0 = 1e6/k per state (integer div),
+    // v_{t+1}(cur) = Σ_prev v_t(prev)·p(prev,cur) div 1e6
+    val v0 = states.crossJoin(broadcast(nSt))
+      .select($"st", expr("1000000 div k").as("v"))
+    def step(v: DataFrame): DataFrame =
+      v.join(p, $"st" === $"prev")
+        .groupBy($"cur")
+        .agg(sum($"v" * $"p_micro").as("raw"))
+        .select($"cur".as("st"), expr("raw div 1000000").as("v"))
+    val v2 = step(step(v0))
+    val tot = tr.agg(sum($"c").as("nn"))
+    p.join(broadcast(v2.withColumnRenamed("st", "cur")
+        .withColumnRenamed("v", "v2_micro")), Seq("cur"))
+      .crossJoin(broadcast(tot))
+      .select($"prev", $"cur",
+        $"c".as("n_transitions"),
+        Num.roundAt($"p_micro".cast(DoubleType) / lit(1e6), 6).as("p"),
+        Num.roundAt($"v2_micro".cast(DoubleType) / lit(1e6), 6)
+          .as("p2_from_uniform"),
+        Num.roundAt($"c".cast(DoubleType) / $"nn".cast(DoubleType), 6)
+          .as("empirical_share"))
+      .orderBy($"prev", $"cur")
+  }
+
+  // ---------------------------------------------------------------------
   // q277: A/B sample-size census — the planning harness run BEFORE an
   // experiment: per market segment, the orders-per-arm needed to detect
   // a minimum effect of {1, 2, 5}% of the segment's mean order value at
@@ -4995,6 +5099,8 @@ object Relational {
     "q277_sample_size" -> (sampleSizeCensus _),
     "q278_huber_location" -> (huberLocation _),
     "q283_cluster_bootstrap" -> (clusterBootstrapRatio _),
+    "q287_dim_correlation" -> (dimCorrelation _),
+    "q288_markov_chain" -> (markovChain _),
     "q284_trimmed_means" -> (trimmedMeans _),
     "q285_split_chi2" -> (splitChi2 _),
     "q286_hill_tail" -> (hillTailIndex _),
@@ -5811,6 +5917,68 @@ object Relational {
         |       round(CAST(max(n_u) AS DOUBLE) / sum(n_u), 6)
         |         AS top_user_share
         |FROM uc, cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q287_dim_correlation" ->
+      """WITH dims AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xi
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |pr AS (
+        |  SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.xi) AS BIGINT) AS si, CAST(sum(b.xi) AS BIGINT) AS sj,
+        |    sum(CAST(a.xi AS HUGEINT) * CAST(a.xi AS HUGEINT)) AS sii,
+        |    sum(CAST(b.xi AS HUGEINT) * CAST(b.xi AS HUGEINT)) AS sjj,
+        |    sum(CAST(a.xi AS HUGEINT) * CAST(b.xi AS HUGEINT)) AS sij
+        |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT i, j, CAST(floor(1000000.0 *
+        |      CAST(n * sij - CAST(si AS HUGEINT) * CAST(sj AS HUGEINT)
+        |        AS DOUBLE)
+        |      / sqrt(CAST(n * sii - CAST(si AS HUGEINT) * CAST(si AS HUGEINT)
+        |          AS DOUBLE)
+        |        * CAST(n * sjj - CAST(sj AS HUGEINT) * CAST(sj AS HUGEINT)
+        |          AS DOUBLE))) AS BIGINT) AS corr_micro
+        |  FROM pr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(abs(corr_micro)) AS BIGINT) AS sabs FROM cm),
+        |rk AS (SELECT i, j, corr_micro,
+        |        CAST(row_number() OVER (ORDER BY abs(corr_micro) DESC,
+        |          i ASC, j ASC) AS INTEGER) AS rank
+        |      FROM cm)
+        |SELECT rank, i AS dim_i, j AS dim_j,
+        |  round(CAST(corr_micro AS DOUBLE) / 1000000.0, 6) AS corr,
+        |  n_pairs,
+        |  round(CAST(sabs AS DOUBLE) / (n_pairs * 1000000.0), 6)
+        |    AS mean_abs_corr
+        |FROM rk, tot WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q288_markov_chain" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |        event_type AS cur FROM events),
+        |l AS (SELECT user_id, cur, lag(cur) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS prev FROM e),
+        |tr AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+        |      FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS rt FROM tr GROUP BY 1),
+        |p AS (SELECT tr.prev, cur, (c * 1000000) // rt AS p_micro, c
+        |      FROM tr JOIN rt USING (prev)),
+        |st AS (SELECT prev AS st FROM rt),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+        |v0 AS (SELECT st, 1000000 // k AS v FROM st, k),
+        |v1 AS (SELECT cur AS st, sum(v * p_micro) // 1000000 AS v
+        |      FROM v0 JOIN p ON v0.st = p.prev GROUP BY 1),
+        |v2 AS (SELECT cur AS st, sum(v * p_micro) // 1000000 AS v
+        |      FROM v1 JOIN p ON v1.st = p.prev GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM tr)
+        |SELECT p.prev, p.cur, c AS n_transitions,
+        |  round(CAST(p_micro AS DOUBLE) / 1000000.0, 6) AS p,
+        |  round(CAST(v2.v AS DOUBLE) / 1000000.0, 6) AS p2_from_uniform,
+        |  round(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |    AS empirical_share
+        |FROM p JOIN v2 ON p.cur = v2.st, nn
+        |ORDER BY p.prev, p.cur""".stripMargin,
 
     "q283_cluster_bootstrap" ->
       """WITH o0 AS (SELECT o_custkey,

@@ -156,6 +156,39 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"${r.getAs[Double]("hill_alpha")} vs $alpha")
   }
 
+  test("q287: correlation census is bounded, ranked, and dim-consistent") {
+    val rows = Relational.queries("q287_dim_correlation")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.length == 10)
+    val cs = rows.map(r => math.abs(r.getAs[Double]("corr")))
+    assert(cs.forall(c => c <= 1.0 + 1e-6))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"|corr| not descending: ${cs.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim_i") < r.getAs[Long]("dim_j"))
+      assert(r.getAs[Long]("dim_j") <= 63L)
+      assert(r.getAs[Long]("n_pairs") == 64L * 63 / 2)
+      val m = r.getAs[Double]("mean_abs_corr")
+      assert(m >= 0.0 && m <= 1.0)
+    }
+  }
+
+  test("q288: transition rows are distributions and the chain step conserves mass") {
+    val rows = Relational.queries("q288_markov_chain")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-source probabilities sum to ~1 (micro-floor loses < k ulps)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Double]("p")).sum
+      assert(tot > 0.999 && tot <= 1.0 + 1e-9, s"$src row sums to $tot")
+    }
+    val emp = rows.map(_.getAs[Double]("empirical_share")).sum
+    assert(math.abs(emp - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val p2 = r.getAs[Double]("p2_from_uniform")
+      assert(p2 >= 0.0 && p2 <= 1.0)
+    }
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
