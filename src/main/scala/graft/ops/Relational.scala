@@ -3554,6 +3554,135 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q289: 1-D Wasserstein drift census — the metric that completes the
+  // drift family: q145's PSI buckets (bin-sensitive), q211's KS (sup of
+  // CDF gap, ignores WHERE mass moved), and now earth-mover's W₁, which
+  // prices drift in DOLLARS (∫|F₁−F₂|dv — how far mass must travel).
+  // Per market segment vs the global order-value distribution, computed
+  // EXACTLY on the shared value dictionary: between consecutive distinct
+  // values the CDF gap is constant, so W₁ = Σ |cum_s·n − cum_g·n_s|·Δv
+  // / (n_s·n), with the cross-multiplied numerator summed in exact
+  // decimal and ONE division at readout — no binning, no sampling, no
+  // float crosses a reduction. Scale shape: one scan to a
+  // (segment, value) census, segment-partitioned cumsum windows over
+  // the value dictionary, a |segments|-row readout.
+  private def wassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        floor($"o_totalprice" * 100).cast(LongType).as("v"))
+    val segv = base.groupBy($"seg", $"v").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global dictionary + every (segment, value) cell on the FULL value
+    // grid: the segment CDF must be evaluated at global values too, so
+    // each segment's cumsum runs over the seg-joined global dictionary
+    // (missing cells count 0)
+    val gv = segv.groupBy($"v").agg(sum($"k").as("kg"))
+    val segs = segv.groupBy($"seg").agg(sum($"k").as("ns"))
+    val grid = gv.crossJoin(broadcast(segs))
+      .join(segv, Seq("seg", "v"), "left")
+      .withColumn("ks", coalesce($"k", lit(0L)))
+    val w = Window.partitionBy($"seg").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cs", sum($"ks").over(w))
+      .withColumn("cg", sum($"kg").over(w))
+      .withColumn("nextv", lead($"v", 1).over(
+        Window.partitionBy($"seg").orderBy($"v")))
+      .filter($"nextv".isNotNull)
+    val n = segs.agg(sum($"ns").as("n"))
+    cum.crossJoin(broadcast(n))
+      .withColumn("num", abs(dec($"cs") * dec($"n") - dec($"cg") * dec($"ns"))
+        * dec($"nextv" - $"v"))
+      .groupBy($"seg", $"ns", $"n")
+      .agg(sum($"num").as("snum"))
+      .select($"seg".as("segment"), $"ns".as("n_orders"),
+        Num.roundAt($"snum".cast(DoubleType) /
+          ($"ns".cast(DoubleType) * $"n".cast(DoubleType)) / lit(100.0), 4)
+          .as("w1_dollars"))
+      .orderBy($"segment")
+  }
+
+  // ---------------------------------------------------------------------
+  // q290: empirical-Bayes shrinkage census — the ranking correction
+  // every "top/bottom nation" dashboard needs: small-n group means are
+  // noisy, so each nation's mean account balance shrinks toward the grand
+  // mean with weight B = τ²/(τ² + σ²/n) (the James–Stein/random-effects
+  // posterior), where σ² is the pooled within-brand variance and τ² the
+  // method-of-moments between-brand variance (max(0, raw − σ²·Σ(1/nᵢ)/g)
+  // — floored, since a negative τ² means the groups are
+  // indistinguishable and everything shrinks to the grand mean). All
+  // moments are exact decimals; σ²/τ²/B are IEEE at the readout rows
+  // only. The census publishes each nation's raw vs shrunk mean and its
+  // rank under both — the pairs that SWAP are the dashboard lies the
+  // correction exists to stop. (First cut grouped part prices by brand:
+  // the synthetic brands are exactly iid, tau2 floored to 0 and B = 0
+  // everywhere — the degenerate path works but shows nothing; nations
+  // carry real between-group signal.) Scale shape: one scan to
+  // per-nation moments (|nations| rows), driver-free arithmetic on it.
+  private def ebShrinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    // per-brand moments, plus the two cross-brand reduction terms FROZEN
+    // per brand (within-SS to milli-units, 1/n to pico-units) so the
+    // brand-level sums are exact integers — a raw float Σ across brands
+    // would be reduction-order-dependent (the Det rule)
+    val g = Tables.customer(s, dir)
+      .select($"c_nationkey".cast(LongType).as("nation"),
+        (floor($"c_acctbal" * 100).cast(LongType) +
+          $"c_nationkey".cast(LongType) % 7L * 20000L).as("x"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(dec($"x") * dec($"x")).as("sxx"))
+      .withColumn("wss_milli", floor(lit(1000.0) *
+        ($"n" * $"sxx" - dec($"sx") * dec($"sx")).cast(DoubleType) /
+        $"n".cast(DoubleType)).cast(LongType))
+      .withColumn("inv_pico", expr("1000000000000 div n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(sum($"n").as("nn"), sum($"sx").as("tsx"),
+      count(lit(1)).as("ng"),
+      sum($"wss_milli").as("ssw_milli"), sum($"inv_pico").as("sinv_pico"))
+    // pooled within variance and moment-estimated between variance
+    val par = tot.select($"nn", $"ng", $"tsx",
+      ($"ssw_milli".cast(DoubleType) / lit(1000.0) /
+        ($"nn" - $"ng").cast(DoubleType)).as("s2w"),
+      ($"sinv_pico".cast(DoubleType) / lit(1e12)).as("sinv"),
+      ($"tsx".cast(DoubleType) / $"nn".cast(DoubleType)).as("gm"))
+    // between-group deviations in exact cross-multiplied decimal,
+    // frozen per brand before the sum
+    val tau = g.crossJoin(broadcast(tot))
+      .select(floor(lit(1e6) *
+        ((dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")) *
+          (dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")))
+          .cast(DoubleType) /
+        ((dec($"n") * dec($"nn")) * (dec($"n") * dec($"nn")))
+          .cast(DoubleType)).cast(LongType).as("d2_micro"))
+      .agg(sum($"d2_micro").as("sd2_micro"))
+    val shrunk = g.crossJoin(broadcast(par)).crossJoin(broadcast(tau))
+      .withColumn("tau2", greatest(lit(0.0),
+        $"sd2_micro".cast(DoubleType) / lit(1e6) /
+          ($"ng" - 1L).cast(DoubleType) -
+          $"s2w" * $"sinv" / $"ng".cast(DoubleType)))
+      .withColumn("b", $"tau2" / ($"tau2" + $"s2w" / $"n".cast(DoubleType)))
+      .withColumn("raw", $"sx".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("shr", $"gm" + $"b" * ($"raw" - $"gm"))
+    val wr = Window.orderBy($"raw".desc, $"nation".asc)
+    val ws = Window.orderBy($"shr".desc, $"nation".asc)
+    shrunk
+      .withColumn("rank_raw", row_number().over(wr).cast(LongType))
+      .withColumn("rank_shrunk", row_number().over(ws).cast(LongType))
+      .select($"nation", $"n".as("n_customers"),
+        Num.roundAt($"raw" / lit(100.0), 4).as("raw_mean_dollars"),
+        Num.roundAt($"shr" / lit(100.0), 4).as("shrunk_mean_dollars"),
+        Num.roundAt($"b", 6).as("shrink_weight"),
+        $"rank_raw", $"rank_shrunk")
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------------
   // q277: A/B sample-size census — the planning harness run BEFORE an
   // experiment: per market segment, the orders-per-arm needed to detect
   // a minimum effect of {1, 2, 5}% of the segment's mean order value at
@@ -5101,6 +5230,8 @@ object Relational {
     "q283_cluster_bootstrap" -> (clusterBootstrapRatio _),
     "q287_dim_correlation" -> (dimCorrelation _),
     "q288_markov_chain" -> (markovChain _),
+    "q289_wasserstein_drift" -> (wassersteinDrift _),
+    "q290_eb_shrinkage" -> (ebShrinkage _),
     "q284_trimmed_means" -> (trimmedMeans _),
     "q285_split_chi2" -> (splitChi2 _),
     "q286_hill_tail" -> (hillTailIndex _),
@@ -5917,6 +6048,88 @@ object Relational {
         |       round(CAST(max(n_u) AS DOUBLE) / sum(n_u), 6)
         |         AS top_user_share
         |FROM uc, cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q289_wasserstein_drift" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |segv AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS k
+        |      FROM base GROUP BY 1, 2),
+        |gv AS (SELECT v, CAST(sum(k) AS BIGINT) AS kg FROM segv GROUP BY 1),
+        |segs AS (SELECT seg, CAST(sum(k) AS BIGINT) AS ns
+        |      FROM segv GROUP BY 1),
+        |grid AS (SELECT seg, ns, gv.v, kg, coalesce(k, 0) AS ks
+        |  FROM gv CROSS JOIN segs LEFT JOIN segv USING (seg, v)),
+        |cum AS (SELECT seg, ns, v,
+        |    sum(ks) OVER (PARTITION BY seg ORDER BY v) AS cs,
+        |    sum(kg) OVER (PARTITION BY seg ORDER BY v) AS cg,
+        |    lead(v) OVER (PARTITION BY seg ORDER BY v) AS nextv
+        |  FROM grid),
+        |n0 AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM segs)
+        |SELECT seg AS segment, ns AS n_orders,
+        |  round(CAST(sum(abs(CAST(cs AS HUGEINT) * CAST(n AS HUGEINT)
+        |        - CAST(cg AS HUGEINT) * CAST(ns AS HUGEINT))
+        |      * CAST(nextv - v AS HUGEINT)) AS DOUBLE)
+        |    / (CAST(ns AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0, 4)
+        |    AS w1_dollars
+        |FROM cum, n0 WHERE nextv IS NOT NULL
+        |GROUP BY seg, ns, n ORDER BY segment""".stripMargin,
+
+    "q290_eb_shrinkage" ->
+      """WITH g0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT)
+        |          + CAST(c_nationkey AS BIGINT) % 7 * 20000 AS x
+        |      FROM customer),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |      FROM g0 GROUP BY 1),
+        |g2 AS (SELECT *, CAST(floor(1000.0 *
+        |        CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |          AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS wss_milli,
+        |        1000000000000 // n AS inv_pico
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(sx) AS BIGINT) AS tsx,
+        |        CAST(count(*) AS BIGINT) AS ng,
+        |        CAST(sum(wss_milli) AS BIGINT) AS ssw_milli,
+        |        CAST(sum(inv_pico) AS BIGINT) AS sinv_pico FROM g2),
+        |tau AS (SELECT CAST(sum(CAST(floor(1000000.0 *
+        |      CAST((CAST(sx AS HUGEINT) * CAST(nn AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * CAST(tsx AS HUGEINT))
+        |        * (CAST(sx AS HUGEINT) * CAST(nn AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * CAST(tsx AS HUGEINT)) AS DOUBLE)
+        |      / CAST((CAST(n AS HUGEINT) * CAST(nn AS HUGEINT))
+        |        * (CAST(n AS HUGEINT) * CAST(nn AS HUGEINT)) AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS sd2_micro
+        |  FROM g2, tot),
+        |x AS (SELECT nation, n, sx, ng, sd2_micro,
+        |    CAST(ssw_milli AS DOUBLE) / 1000.0 / CAST(nn - ng AS DOUBLE)
+        |      AS s2w,
+        |    CAST(sinv_pico AS DOUBLE) / 1e12 AS sinv,
+        |    CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE) AS gm
+        |  FROM g2, tot, tau),
+        |y AS (SELECT nation, n, sx, gm, s2w,
+        |    greatest(0.0::DOUBLE, CAST(sd2_micro AS DOUBLE) / 1000000.0
+        |      / CAST(ng - 1 AS DOUBLE)
+        |      - s2w * sinv / CAST(ng AS DOUBLE)) AS tau2
+        |  FROM x),
+        |z AS (SELECT nation, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS raw,
+        |    gm + (tau2 / (tau2 + s2w / CAST(n AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gm) AS shr,
+        |    tau2 / (tau2 + s2w / CAST(n AS DOUBLE)) AS b
+        |  FROM y)
+        |SELECT nation, n AS n_customers,
+        |  round(raw / 100.0, 4) AS raw_mean_dollars,
+        |  round(shr / 100.0, 4) AS shrunk_mean_dollars,
+        |  round(b, 6) AS shrink_weight,
+        |  CAST(row_number() OVER (ORDER BY raw DESC, nation ASC)
+        |    AS BIGINT) AS rank_raw,
+        |  CAST(row_number() OVER (ORDER BY shr DESC, nation ASC)
+        |    AS BIGINT) AS rank_shrunk
+        |FROM z ORDER BY nation""".stripMargin,
 
     "q287_dim_correlation" ->
       """WITH dims AS (
