@@ -3477,6 +3477,12 @@ object Relational {
   private def dimCorrelation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    // moment sums stay in INT64 through the 8M-row aggregate (unit-scale
+    // coordinates: |x_micro| ≤ ~2e6, products ≤ 4e12, summed over corpus
+    // rows ≤ 1e6 → ≤ 4e18 < 2^63 — the bound that makes long sums safe;
+    // round-12 bench fix: the first cut aggregated DECIMAL(38,0) products
+    // over all 8M rows and cost 4.3 s, longs cost a fraction); decimal
+    // appears only in the 2016-row readout arithmetic
     val dims = Tables.embeddings(s, dir)
       .select($"vec_id", posexplode(transform($"embedding",
         x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
@@ -3486,13 +3492,16 @@ object Relational {
       .filter($"i" < $"j")
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"), sum($"xi").as("si"), sum($"xj").as("sj"),
-        sum(dec($"xi") * dec($"xi")).as("sii"),
-        sum(dec($"xj") * dec($"xj")).as("sjj"),
-        sum(dec($"xi") * dec($"xj")).as("sij"))
+        sum($"xi" * $"xi").as("sii"),
+        sum($"xj" * $"xj").as("sjj"),
+        sum($"xi" * $"xj").as("sij"))
       .withColumn("corr_micro", floor(lit(1e6) *
-        ($"n" * $"sij" - dec($"si") * dec($"sj")).cast(DoubleType) /
-        sqrt(($"n" * $"sii" - dec($"si") * dec($"si")).cast(DoubleType) *
-          ($"n" * $"sjj" - dec($"sj") * dec($"sj")).cast(DoubleType)))
+        (dec($"n") * dec($"sij") - dec($"si") * dec($"sj"))
+          .cast(DoubleType) /
+        sqrt((dec($"n") * dec($"sii") - dec($"si") * dec($"si"))
+          .cast(DoubleType) *
+          (dec($"n") * dec($"sjj") - dec($"sj") * dec($"sj"))
+            .cast(DoubleType)))
         .cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = pairs.agg(count(lit(1)).as("n_pairs"),
@@ -3749,50 +3758,114 @@ object Relational {
   private def huberLocation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val base = Tables.lineitem(s, dir)
+    // ONE row-level scan; everything downstream — both medians, the
+    // deviation census, the clipped mean — runs on the (flag, value, k)
+    // dictionary (round-12 bench fix: the row-level spelling re-scanned
+    // lineitem three times and cost 4.3 s; dictionary residency cut it
+    // to the one scan + dictionary-sized arithmetic)
+    val dict = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("flag"),
-        floor($"l_extendedprice" * 100).cast(LongType).as("x"))
-    // doubled-unit median over a (flag, value) dictionary: tied block
-    // [c+1, c+k] covers rank r iff c < r ≤ c+k; med2 = sum of the two
-    // picked ranks' values (equal ranks when n is odd → value doubled)
-    def median2Of(df: DataFrame, vcol: String): DataFrame = {
-      val dict = df.groupBy($"flag", col(vcol).as("v"))
-        .agg(count(lit(1)).as("k"))
-      val wv = Window.partitionBy($"flag").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = dict.withColumn("cu", sum($"k").over(wv))
-      val npf = dict.groupBy($"flag").agg(sum($"k").as("n"))
-        .withColumn("r1", expr("(n + 1) div 2"))
-        .withColumn("r2", expr("n div 2 + 1"))
-      cum.join(broadcast(npf), Seq("flag"))
-        .withColumn("h1", when($"cu" - $"k" < $"r1" && $"r1" <= $"cu", $"v"))
-        .withColumn("h2", when($"cu" - $"k" < $"r2" && $"r2" <= $"cu", $"v"))
-        .groupBy($"flag").agg((sum($"h1") + sum($"h2")).as("med2"))
+        floor($"l_extendedprice" * 100).cast(LongType).as("v"))
+      .groupBy($"flag", $"v").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Doubled-unit weighted median per flag (a tied block [c+1, c+k]
+    // covers rank r iff c < r ≤ c+k; med2 = sum of the two picked
+    // ranks' values, equal when n is odd → doubled), by the q265
+    // HISTOGRAM SELECTION rather than a dictionary window: the lazy
+    // frame spelling built a 30-job broadcast chain (3.1-4.3 s warm)
+    // and the windowed cumsum still single-task-sorted each flag's
+    // ~190k-value dictionary (0.3-0.45 s a pass); here two map-side
+    // censuses (per-flag min/max/n, then 1024 equal-width bucket
+    // counts) locate the 1-2 target buckets per flag, and only those
+    // ~190 dictionary rows collect for an exact driver rank walk — no
+    // sort anywhere, every collect bounded by B·|flags| or the bucket
+    // width. Rank targets are exact integers off the census, so bucket
+    // boundary IEEE never affects correctness (the pick filter reuses
+    // the census's own bucket expression).
+    def byFlag(m: Map[String, Long]): org.apache.spark.sql.Column =
+      m.foldLeft(lit(0L)) { case (e, (f, v)) =>
+        when($"flag" === f, lit(v)).otherwise(e)
+      }
+    def median2Of(d: DataFrame): Map[String, Long] = {
+      val B = 1024L
+      val stats = d.groupBy($"flag")
+        .agg(min($"v").as("lo"), max($"v").as("hi"), sum($"k").as("n"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val loC = byFlag(stats.map { case (f, (lo, _, _)) => f -> lo })
+      val hiC = byFlag(stats.map { case (f, (_, hi, _)) => f -> hi })
+      val bCol = when(hiC <= loC, lit(0L))
+        .otherwise(least(lit(B - 1L), greatest(lit(0L),
+          floor(($"v" - loC).cast(DoubleType) /
+            (hiC - loC).cast(DoubleType) * B.toDouble).cast(LongType))))
+      val cen = d.groupBy($"flag", bCol.as("b")).agg(sum($"k").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val ranksOf = stats.map { case (f, (_, _, n)) =>
+        f -> Seq((n + 1) / 2, n / 2 + 1).distinct
+      }
+      // locate target buckets + the rank offset before the first one
+      val targets: Map[String, (Seq[Long], Long)] = cen.map { case (f, rows) =>
+        val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+        var acc = 0L
+        var off = -1L
+        val bs = scala.collection.mutable.ArrayBuffer[Long]()
+        for ((b, c) <- sorted) {
+          if (ranksOf(f).exists(r => r > acc && r <= acc + c)) {
+            if (off < 0) off = acc
+            bs += b
+          }
+          acc += c
+        }
+        f -> ((bs.toSeq, off))
+      }
+      val tgtFilter = targets.foldLeft(lit(false)) { case (e, (f, (bs, _))) =>
+        e || ($"flag" === f && bCol.isin(bs: _*))
+      }
+      val picked = d.filter(tgtFilter).select($"flag", $"v", $"k")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      picked.map { case (f, rows) =>
+        var acc = targets(f)._2
+        var sum2 = 0L
+        for ((v, c) <- rows.map(t => (t._2, t._3)).sortBy(_._1)) {
+          ranksOf(f).foreach(r => if (r > acc && r <= acc + c) sum2 += v)
+          acc += c
+        }
+        // odd n picks one rank → double it to stay in med2 units
+        f -> (if (ranksOf(f).size == 1) 2 * sum2 else sum2)
+      }
     }
-    val med = median2Of(base, "x")
-    val dev = base.join(broadcast(med), Seq("flag"))
-      .select($"flag", abs(lit(2L) * $"x" - $"med2").as("d2"))
-    val mad = median2Of(dev, "d2")
-      .select($"flag", $"med2".as("mad4")) // deviations were doubled: 4x units
+    val med = median2Of(dict)
+    // deviation census straight off the value dictionary (weights
+    // ride); persisted — the selection makes three passes over it
+    val devDict = dict
+      .groupBy($"flag", abs(lit(2L) * $"v" - byFlag(med)).as("v"))
+      .agg(sum($"k").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = median2Of(devDict) // deviations were doubled: 4x units
     // clip bounds frozen to micro-cents: med ± 1.345·MAD, one IEEE
-    // product per flag
-    val bounds = med.join(mad, Seq("flag"))
-      .select($"flag", $"med2",
-        floor(($"med2".cast(DoubleType) / lit(2.0) -
-          lit(1.345) * $"mad4".cast(DoubleType) / lit(4.0)) * lit(1e6))
-          .cast(LongType).as("lo_micro"),
-        floor(($"med2".cast(DoubleType) / lit(2.0) +
-          lit(1.345) * $"mad4".cast(DoubleType) / lit(4.0)) * lit(1e6))
-          .cast(LongType).as("hi_micro"))
-    base.join(broadcast(bounds), Seq("flag"))
-      .withColumn("cl", least(greatest($"x" * lit(1000000L), $"lo_micro"),
-        $"hi_micro"))
-      .groupBy($"flag", $"med2")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"cl").as("scl"))
+    // product per flag (computed on the driver — same two literals the
+    // frame spelling froze)
+    val lo = med.map { case (f, m2) =>
+      f -> math.floor((m2 / 2.0 - 1.345 * mad(f) / 4.0) * 1e6).toLong
+    }
+    val hi = med.map { case (f, m2) =>
+      f -> math.floor((m2 / 2.0 + 1.345 * mad(f) / 4.0) * 1e6).toLong
+    }
+    dict
+      .withColumn("cl", least(greatest($"v" * lit(1000000L), byFlag(lo)),
+        byFlag(hi)))
+      .groupBy($"flag")
+      // clipped micro-values × counts overflow int64 past ~sf0.5 —
+      // decimal sums, but only over dictionary rows, never the raw scan
+      .agg(sum($"k").as("n"), sum($"v" * $"k").as("sx"),
+        sum(dec($"cl") * dec($"k")).as("scl"))
       .select($"flag", $"n".as("n_rows"),
         Num.roundAt($"sx".cast(DoubleType) / $"n".cast(DoubleType)
           / lit(100.0), 4).as("mean_dollars"),
-        Num.roundAt($"med2".cast(DoubleType) / lit(200.0), 4)
+        Num.roundAt(byFlag(med).cast(DoubleType) / lit(200.0), 4)
           .as("median_dollars"),
         Num.roundAt($"scl".cast(DoubleType) / $"n".cast(DoubleType)
           / lit(1e8), 4).as("huber_dollars"))
