@@ -2783,8 +2783,9 @@ object Relational {
       .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
     val stats = kc.agg(sum($"c").as("n"), count(lit(1)).as("d"),
       sum($"c" * $"c").as("exact"))
-    val wt = Window.orderBy($"c".desc, $"l_partkey".asc)
-    val top = kc.withColumn("r", row_number().over(wt)).filter($"r" <= 100)
+    // distributed TakeOrdered top-100 (was a partitionless row_number
+    // over the part-key census, which grows with part count)
+    val top = kc.orderBy($"c".desc, $"l_partkey".asc).limit(100)
       .agg(count(lit(1)).as("kt"), sum($"c").as("topn"),
         sum($"c" * $"c").as("topsq"))
     val est = stats.crossJoin(broadcast(top))
@@ -2968,12 +2969,14 @@ object Relational {
       floor($"l_extendedprice" * 100).cast(LongType).as("p"),
       floor($"l_discount" * 100).cast(LongType).as("d"))
     def rankDict(col: String): DataFrame = {
-      val w = Window.orderBy(org.apache.spark.sql.functions.col(col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.groupBy(org.apache.spark.sql.functions.col(col))
+      // doubled midranks off the shared bucketed dictionary cumsum —
+      // the price dictionary's NDV grows with SF, so the former
+      // partitionless Window.orderBy was the one non-scaling stage here
+      val dict = base.groupBy(org.apache.spark.sql.functions.col(col))
         .agg(count(lit(1)).as("nv"))
-        .withColumn("r2",
-          lit(2L) * (sum($"nv").over(w) - $"nv") + $"nv" + 1L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Prefix.cumsum(dict, col, Seq("nv" -> "cw"))
+        .withColumn("r2", lit(2L) * ($"cw" - $"nv") + $"nv" + 1L)
         .select(org.apache.spark.sql.functions.col(col), $"r2".as(s"r_$col"))
     }
     // Broadcast hints only where the dictionary is DOMAIN-bounded:
@@ -3337,14 +3340,15 @@ object Relational {
   private def trimmedMeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    // dictionary persisted, cumsum via the shared bucketed two-stage
+    // prefix (Prefix.cumsum) — the round-12 verdict's top task: this was
+    // a partitionless Window.orderBy whose frame grows with price NDV
     val dict = Tables.lineitem(s, dir)
       .select(floor($"l_extendedprice" * 100).cast(LongType).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("k"))
-    val wv = Window.orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = dict.withColumn("cu", sum($"k").over(wv))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = cum.agg(max($"cu").as("n"), sum(dec($"v") * dec($"k")).as("sv"))
+    val cum = Prefix.cumsum(dict, "v", Seq("k" -> "cu"))
+    val tot = dict.agg(sum($"k").as("n"), sum(dec($"v") * dec($"k")).as("sv"))
     val grid = Seq(1L, 5L, 25L).toDF("alpha_pct")
     val g = grid.crossJoin(broadcast(tot))
       .withColumn("gg", expr("(alpha_pct * n) div 100"))
@@ -3431,18 +3435,17 @@ object Relational {
   // on that dictionary.
   private def hillTailIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // descending dictionary cumsum via the shared bucketed prefix
+    // (was a partitionless Window.orderBy over the spend NDV)
     val dict = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("k"))
-    val wv = Window.orderBy($"v".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = dict
-      .withColumn("cu", sum($"k").over(wv))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = Prefix.cumsum(dict, "v", Seq("k" -> "cu"), asc = false)
       .withColumn("lnv_micro",
         floor(log($"v".cast(DoubleType)) * lit(1000000.0)).cast(LongType))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = cum.agg(max($"cu").as("n"))
+    val tot = dict.agg(sum($"k").as("n"))
       .withColumn("kk", expr("n div 10"))
     val agg = cum.crossJoin(broadcast(tot))
       .withColumn("inTop",
@@ -3605,13 +3608,14 @@ object Relational {
     val grid = gv.crossJoin(broadcast(segs))
       .join(segv, Seq("seg", "v"), "left")
       .withColumn("ks", coalesce($"k", lit(0L)))
-    val w = Window.partitionBy($"seg").orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid
-      .withColumn("cs", sum($"ks").over(w))
-      .withColumn("cg", sum($"kg").over(w))
-      .withColumn("nextv", lead($"v", 1).over(
-        Window.partitionBy($"seg").orderBy($"v")))
+    // per-segment cumsums via the shared bucketed prefix (a |segments|-
+    // partitioned window still carried the FULL value dictionary per
+    // partition); nextv depends only on v, so the bucketed lead runs
+    // once on the global dictionary and joins back by value
+    val nxt = Prefix.nextValue(gv, "v", "nextv").select($"v", $"nextv")
+    val cum = Prefix.cumsum(grid, "v", Seq("ks" -> "cs", "kg" -> "cg"),
+        partCols = Seq("seg"))
+      .join(nxt, Seq("v"))
       .filter($"nextv".isNotNull)
     val n = segs.agg(sum($"ns").as("n"))
     cum.crossJoin(broadcast(n))
@@ -3890,9 +3894,11 @@ object Relational {
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("x"))
       .groupBy($"x").agg(count(lit(1)).as("k"))
-    val w = Window.orderBy($"x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byv.withColumn("c", sum($"k").over(w) - $"k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exclusive rank base c off the shared bucketed dictionary cumsum
+    // (was a partitionless Window.orderBy over the spend NDV)
+    val cum = Prefix.cumsum(byv, "x", Seq("k" -> "cu"))
+      .withColumn("c", $"cu" - $"k")
     // six2 = 2·Σᵢ i·x₍ᵢ₎ — kept doubled so the tied-block term
     // 2kc + k(k+1) stays integer (no decimal division anywhere)
     val m = cum.agg(sum($"k").as("n"), sum(dec($"x") * dec($"k")).as("sx"),
@@ -3923,11 +3929,11 @@ object Relational {
     val byv = Tables.orders(s, dir)
       .select(floor($"o_totalprice" * 100).cast(LongType).as("cents"))
       .groupBy($"cents").agg(count(lit(1)).as("nv"))
-    val w = Window.orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byv.withColumn("cum", sum($"nv").over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = cum.agg(max($"cum").as("n"))
+    // bucketed dictionary cumsum (was a partitionless Window.orderBy
+    // over the price NDV)
+    val cum = Prefix.cumsum(byv, "cents", Seq("nv" -> "cum"))
+    val tot = byv.agg(sum($"nv").as("n"))
     val ranks = tot.select(explode(array(
       struct(lit("1_ci_lo").as("which"),
         floor(($"n".cast(DoubleType) - lit(1.96) * sqrt($"n".cast(DoubleType)))
@@ -4315,9 +4321,11 @@ object Relational {
       .select(g1.as("g1"), floor($"o_totalprice" * 100)
         .cast(LongType).as("cents"))
       .groupBy($"cents").agg(count(lit(1)).as("nv"), sum($"g1").as("n1v"))
-    val w = Window.orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byv.withColumn("cb", sum($"nv").over(w) - $"nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exclusive block base cb off the shared bucketed dictionary cumsum
+    // (was a partitionless Window.orderBy over the price NDV)
+    val cum = Prefix.cumsum(byv, "cents", Seq("nv" -> "cw"))
+      .withColumn("cb", $"cw" - $"nv")
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val m = cum.agg(
       sum($"n1v" * (lit(2L) * $"cb" + $"nv" + 1L)).as("r1x2"),
@@ -4648,20 +4656,20 @@ object Relational {
         .filter($"o_orderpriority".isin(pa, pb))
         .select($"o_totalprice".as("x"),
           ($"o_orderpriority" === pa).as("ga"))
+      // support dictionary persisted; ECDF cumsums via the shared
+      // bucketed prefix (was a partitionless Window.orderBy over the
+      // price support), totals read off the same dictionary, and the
+      // supremum is a distributed TakeOrdered limit(1), not a global
+      // row_number
       val g = o.groupBy($"x")
         .agg(sum(when($"ga", 1L).otherwise(0L)).as("da"),
           sum(when(!$"ga", 1L).otherwise(0L)).as("db"))
-      val wc = Window.orderBy($"x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wr = Window.orderBy($"dabs".desc, $"x".asc)
-      val tot = o.agg(sum(when($"ga", 1L).otherwise(0L)).as("n1"),
-        sum(when(!$"ga", 1L).otherwise(0L)).as("n2"))
-      g.withColumn("c1", sum($"da").over(wc))
-        .withColumn("c2", sum($"db").over(wc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = g.agg(sum($"da").as("n1"), sum($"db").as("n2"))
+      Prefix.cumsum(g, "x", Seq("da" -> "c1", "db" -> "c2"))
         .crossJoin(broadcast(tot))
         .withColumn("dabs", abs($"c1" * $"n2" - $"c2" * $"n1"))
-        .withColumn("rn", row_number().over(wr))
-        .filter($"rn" === 1)
+        .orderBy($"dabs".desc, $"x".asc).limit(1)
         .select(lit(s"$pa|$pb").as("pair"), $"n1", $"n2",
           Num.roundAt($"dabs".cast(DoubleType) /
             ($"n1" * $"n2").cast(DoubleType), 6).as("d"),

@@ -318,9 +318,11 @@ object Sketching {
     val bc = vals
       .groupBy(ceil(log($"x") / log(lit(1.02))).cast(LongType).as("b"))
       .agg(count(lit(1)).as("c"))
-    val wc = Window.orderBy($"b")
-    val cum = bc.withColumn("cum", sum($"c").over(
-      wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the log-bucket census is range-bounded (~log_γ of the value span)
+    // but rides the shared bucketed prefix anyway — one pattern, no
+    // partitionless window left to audit
+    val cum = Prefix.cumsum(bc, "b", Seq("c" -> "cum"))
     val tot = bc.agg(sum($"c").as("n"), count(lit(1)).as("n_buckets"))
     val chosen = Seq(50, 90, 95, 99).toDF("qpct")
       .crossJoin(broadcast(tot))
@@ -425,11 +427,11 @@ object Sketching {
     val base = Tables.lineitem(s, dir)
       .select(floor($"l_extendedprice" * 100).cast(LongType).as("x"))
     val dict = base.groupBy($"x").agg(count(lit(1)).as("k"))
-    val wv = Window.orderBy($"x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = dict.withColumn("cu", sum($"k").over(wv))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n0 = cum.agg(max($"cu").as("n"))
+    // bucketed dictionary cumsum (q270's documented trade, now taken:
+    // was a partitionless Window.orderBy over the price NDV)
+    val cum = Prefix.cumsum(dict, "x", Seq("k" -> "cu"))
+    val n0 = dict.agg(sum($"k").as("n"))
     val est = base.agg(expr(
       "approx_percentile(x, array(0.5, 0.9, 0.99), 1000)").as("es"))
       .select(posexplode($"es").as(Seq("i", "est")))

@@ -1523,12 +1523,17 @@ object TextAnalysis {
     val counts = big.groupBy($"g").agg(count(lit(1)).as("c"))
     val tot = counts.agg(sum($"c").as("n_occ"),
       count(lit(1)).as("n_vocab"))
-    // dictionary-sized global rank + running mass (vocabulary rows)
+    // only ranks ≤ max(k_budget)=800 ever survive the filter, so the
+    // rank/running-mass windows run on a distributed TakeOrdered
+    // top-800 — an 800-row constant-bounded frame (partitioned by a
+    // literal so WindowExec doesn't log its data-scale warning) — never
+    // on the full bigram vocabulary, which grows with the corpus
     val ranked = counts
+      .orderBy($"c".desc, $"g".asc).limit(800)
       .withColumn("rk", row_number().over(
-        Window.orderBy($"c".desc, $"g".asc)))
+        Window.partitionBy(lit(0)).orderBy($"c".desc, $"g".asc)))
       .withColumn("cum", sum($"c").over(
-        Window.orderBy($"rk")
+        Window.partitionBy(lit(0)).orderBy($"rk")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ks = Seq(50L, 200L, 800L).toDF("k_budget")
     ranked.crossJoin(broadcast(ks))
