@@ -10,9 +10,12 @@ a single pathological plan (DuckDB's recursive-CTE connected components
 went > 1 h and ~80 GiB on the 10x corpus before this script existed)
 must cost its own budget, not the whole artifact. Per query: one
 untimed warm run + one timed run inside the subprocess; a timeout or
-OOM records {"dnf": true, "budget_s": T} — an honest DNF, counted at
-the budget in the total so the artifact understates (never overstates)
-the paired gap.
+OOM records an honest DNF, counted at the budget in the total so the
+artifact understates (never overstates) the paired gap. A subprocess
+that exits non-zero WITHOUT running out the clock (an instant SQL
+error, or an OOM kill partway) is charged its measured wall time and
+listed under "errors" — charging the full budget to a query that
+failed in 0.1s would overstate the gap.
 """
 import json
 import subprocess
@@ -38,7 +41,7 @@ def main():
     sfdir, oracle_path, out = sys.argv[1], sys.argv[2], sys.argv[3]
     budget = int(sys.argv[4]) if len(sys.argv) > 4 else 600
     oracle = json.load(open(oracle_path))
-    q, total, dnf = {}, 0.0, []
+    q, total, dnf, err = {}, 0.0, [], []
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
         try:
@@ -58,18 +61,25 @@ def main():
             dnf.append(name)
             print(f"{name}: DNF (> {budget}s budget)")
         except Exception as e:
-            q[name] = float(budget)
-            total += budget
-            dnf.append(name)
-            print(f"{name}: DNF ({e})")
+            # A genuine timeout is charged the full budget (the DNF cap
+            # understates DuckDB's true cost). A child that DIED without
+            # running out the clock (instant SQL error, or an OOM kill
+            # partway) is charged its MEASURED wall time — charging 600s
+            # to a query that failed in 0.1s would overstate the paired
+            # gap — and listed under "errors".
+            wall = time.time() - t0
+            q[name] = round(wall, 2)
+            total += wall
+            err.append(name)
+            print(f"{name}: ERROR after {wall:.1f}s ({e})")
     doc = {"metric": "duckdb_total", "value": round(total, 3), "unit": "sec",
            "threads": 32, "sf": sfdir, "n_queries": len(q),
-           "dnf_at_budget": dnf, "budget_s": budget,
+           "dnf_at_budget": dnf, "errors": err, "budget_s": budget,
            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "queries": q}
     json.dump(doc, open(out, "w"), indent=0)
     print(json.dumps({k: doc[k] for k in ("metric", "value", "n_queries",
-                                          "dnf_at_budget")}))
+                                          "dnf_at_budget", "errors")}))
 
 
 if __name__ == "__main__":

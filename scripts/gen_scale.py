@@ -52,31 +52,52 @@ def main():
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{t}: copied")
 
+    # Per-replica offsets derive from the SOURCE's own keyspace
+    # (max(key)+1), not sf0.1 constants: chaining sf1 -> sf10 with
+    # hardcoded sf0.1 offsets would silently collide keys across
+    # replicas, corrupting join fan-out and graph structure. The same
+    # offset is shared by every table referencing the key (custkey in
+    # customer AND orders, etc.) so foreign keys stay consistent.
+    def keyspace(table, key):
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+
+    off = {"cust": keyspace("customer", "c_custkey"),
+           "supp": keyspace("supplier", "s_suppkey"),
+           "part": keyspace("part", "p_partkey"),
+           "ord": keyspace("orders", "o_orderkey"),
+           "event": keyspace("events", "event_id"),
+           "user": keyspace("events", "user_id"),
+           "vec": keyspace("embeddings", "vec_id"),
+           "doc": keyspace("documents", "doc_id")}
+    print(f"offsets: {off}")
+
     copy("customer",
-         "SELECT c_custkey + {r} * 15000 AS c_custkey, c_name, c_nationkey,"
-         " c_acctbal, c_mktsegment FROM {src}")
+         f"SELECT c_custkey + {{r}} * {off['cust']} AS c_custkey, c_name,"
+         " c_nationkey, c_acctbal, c_mktsegment FROM {src}")
     copy("supplier",
-         "SELECT s_suppkey + {r} * 1000 AS s_suppkey, s_name, s_nationkey,"
-         " s_acctbal FROM {src}")
+         f"SELECT s_suppkey + {{r}} * {off['supp']} AS s_suppkey, s_name,"
+         " s_nationkey, s_acctbal FROM {src}")
     copy("part",
-         "SELECT p_partkey + {r} * 20000 AS p_partkey, p_name, p_brand,"
-         " p_type, p_size, p_retailprice FROM {src}")
+         f"SELECT p_partkey + {{r}} * {off['part']} AS p_partkey, p_name,"
+         " p_brand, p_type, p_size, p_retailprice FROM {src}")
     copy("orders",
-         "SELECT o_orderkey + {r} * 150000 AS o_orderkey,"
-         " o_custkey + {r} * 15000 AS o_custkey, o_orderstatus,"
+         f"SELECT o_orderkey + {{r}} * {off['ord']} AS o_orderkey,"
+         f" o_custkey + {{r}} * {off['cust']} AS o_custkey, o_orderstatus,"
          " o_totalprice, o_orderdate, o_orderpriority FROM {src}")
     copy("lineitem",
-         "SELECT l_orderkey + {r} * 150000 AS l_orderkey,"
-         " l_partkey + {r} * 20000 AS l_partkey,"
-         " l_suppkey + {r} * 1000 AS l_suppkey, l_linenumber, l_quantity,"
-         " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
-         " l_shipdate FROM {src}")
+         f"SELECT l_orderkey + {{r}} * {off['ord']} AS l_orderkey,"
+         f" l_partkey + {{r}} * {off['part']} AS l_partkey,"
+         f" l_suppkey + {{r}} * {off['supp']} AS l_suppkey, l_linenumber,"
+         " l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,"
+         " l_linestatus, l_shipdate FROM {src}")
     copy("events",
-         "SELECT event_id + {r} * 100000 AS event_id, ts,"
-         " user_id + {r} * 1500 AS user_id, event_type, value, props"
-         " FROM {src}")
+         f"SELECT event_id + {{r}} * {off['event']} AS event_id, ts,"
+         f" user_id + {{r}} * {off['user']} AS user_id, event_type, value,"
+         " props FROM {src}")
     copy("embeddings",
-         "SELECT vec_id + {r} * 1000000 AS vec_id, embedding, label"
+         f"SELECT vec_id + {{r}} * {off['vec']} AS vec_id, embedding, label"
          " FROM {src}")
 
     # documents: replica 0 verbatim; replicas 1.. token-permuted
@@ -91,7 +112,7 @@ def main():
                 toks = text.split(" ")
                 random.Random(doc_id * 31 + r).shuffle(toks)
                 text = " ".join(toks)
-            rows["doc_id"].append(doc_id + r * 1000000)
+            rows["doc_id"].append(doc_id + r * off["doc"])
             rows["text"].append(text)
             rows["lang"].append(lang)
             rows["source"].append(source)

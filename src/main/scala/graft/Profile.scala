@@ -26,7 +26,10 @@ object Profile {
     // job's wall time + first stage name during the LAST timed rep, so a
     // slow query's cost attributes to its jobs (broadcast builds, persist
     // materializations, final collect) instead of one opaque total.
-    val jobDetail = sys.props.get("graft.profile.jobs").contains("true")
+    // (env twin because build.sbt's forked run JVM doesn't inherit -D
+    // flags passed to sbt itself)
+    val jobDetail = sys.props.get("graft.profile.jobs").contains("true") ||
+      sys.env.get("GRAFT_PROFILE_JOBS").contains("true")
     @volatile var traceJobs = false
     if (jobDetail) {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}

@@ -1847,9 +1847,10 @@ object Relational {
     // single digits so the array state is bounded); everything else
     // derives from the persisted basket frame map-side: the order
     // census is its count, item counts explode it, and pair generation
-    // is a double explode with u < v — the Σ k² per-order bound WITHOUT
-    // the self-join's second shuffle of the full item frame. itemN is
-    // dictionary-sized (≤ |part|), so both scoring attaches broadcast.
+    // explodes per-order pair arrays — the Σ k²/2 per-order bound
+    // WITHOUT the self-join's second shuffle of the full item frame.
+    // itemN is dictionary-sized (≤ |part|), so both scoring attaches
+    // broadcast.
     val baskets = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .groupBy($"o").agg(collect_set($"p").as("items"))
@@ -1862,12 +1863,30 @@ object Relational {
     // as the order census — n_orders becomes a driver literal instead of
     // a 1-row crossJoin frame, removing that broadcast entirely.
     val nOrders = baskets.count()
+    // itemN is persisted and materialized for the same reason: the TWO
+    // broadcast builds below (c_u and c_v attach) each re-ran the
+    // explode+groupBy off the basket cache — a duplicated data-scale
+    // pass the round-13 job trace showed as twin ~0.7s jobs; off this
+    // dictionary cache each build is a ≤|part|-row read
     val itemN = baskets.select(explode($"items").as("p"))
       .groupBy($"p").agg(count(lit(1)).as("c_item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    itemN.count()
+    // u<v pairs generated IN the array domain (slice past each element
+    // of the sorted basket) — emits exactly k(k-1)/2 rows per order
+    // instead of exploding k² and filtering half away; collect_set
+    // arrays carry no order, so sort once to make u<v a positional
+    // fact. A/B'd against the codegen'd double-explode+filter at sf0.1
+    // (6 reps, 24 threads, eff ~20): HOF arm 1.69-1.71 s steady, the
+    // explode² arm 1.79-1.96 s — the halved generate output beats the
+    // interpreted-lambda penalty, and the margin widens with k.
     val pairs = baskets
-      .select(explode($"items").as("u"), $"items")
-      .select($"u", explode($"items").as("v"))
-      .filter($"u" < $"v")
+      .select(array_sort($"items").as("si"))
+      .select(explode(expr(
+        """flatten(transform(si,
+          |  (u, i) -> transform(slice(si, i + 2, size(si)),
+          |    v -> struct(u, v))))""".stripMargin)).as("uv"))
+      .select($"uv.u".as("u"), $"uv.v".as("v"))
       .groupBy($"u", $"v").agg(count(lit(1)).as("c_pair"))
       // min support 2: the synthetic baskets draw from a part space that
       // grows with SF, so repeated pairs are rare (max support measured
@@ -1891,6 +1910,7 @@ object Relational {
       .select($"u", $"v", $"c_pair", $"c_u", $"c_v", $"n_orders", $"lift")
       .collect()
     baskets.unpersist(false) // the eager top-20 was the last consumer
+    itemN.unpersist(false)
     s.createDataFrame(top.zipWithIndex.toSeq.map { case (r, i) =>
       (i + 1, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getDouble(6))
@@ -4387,9 +4407,21 @@ object Relational {
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000000L).as("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Edge-partition width derived from the MEASURED edge count (the
+    // ccFromPairs sizing rule: ~125k doubled-edge rows per task, capped
+    // at the conf width) instead of the former hardcoded 8 — right at
+    // sf0.1 (~1M doubled edges → 8) but a serialization point at 100×.
+    // The pair cache pays for the count; the peel loop's semi-joins run
+    // off the persisted EDGE frame, so AQE's runtime-broadcast
+    // conversion there is untouched.
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = 2L * pairs.count()
+    val width =
+      math.max(1L, math.min(np.toLong, nEdges / 125000L + 1L)).toInt
     var edges = pairs.select($"a".as("s"), $"b".as("t"))
       .unionAll(pairs.select($"b".as("s"), $"a".as("t")))
-      .repartition(8, $"s")
+      .repartition(width, $"s")
       .persist(StorageLevel.MEMORY_AND_DISK)
     def census(r: Int, e: DataFrame): DataFrame =
       e.groupBy($"s").agg(count(lit(1)).as("c"))
