@@ -27,18 +27,25 @@ class PrefixSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // every check runs BOTH runtime paths: smallNdv=0 forces the bucketed
+  // decomposition (the fixtures are far under the production threshold),
+  // the default exercises the measured-small one-partition path
   private def check(df: org.apache.spark.sql.DataFrame, vcol: String,
                     asc: Boolean, parts: Seq[String] = Nil,
                     sums: Seq[(String, String)] = Seq("k" -> "cu"),
                     buckets: Int = 64): Unit = {
-    val got = Prefix.cumsum(df, vcol, sums, asc, parts, buckets)
     val want = naive(df, vcol, asc, parts, sums)
-    assert(got.columns.sorted.sameElements(want.columns.sorted),
-      s"columns ${got.columns.toSeq} vs ${want.columns.toSeq}")
-    val cols = want.columns.toSeq.sorted.map(col)
-    val diff = got.select(cols: _*).exceptAll(want.select(cols: _*))
-      .unionAll(want.select(cols: _*).exceptAll(got.select(cols: _*)))
-    assert(diff.isEmpty, s"mismatch rows: ${diff.take(5).mkString("; ")}")
+    for (thr <- Seq(0L, 1L << 19)) {
+      val got = Prefix.cumsum(df, vcol, sums, asc, parts, buckets,
+        smallNdv = thr)
+      assert(got.columns.sorted.sameElements(want.columns.sorted),
+        s"columns ${got.columns.toSeq} vs ${want.columns.toSeq}")
+      val cols = want.columns.toSeq.sorted.map(col)
+      val diff = got.select(cols: _*).exceptAll(want.select(cols: _*))
+        .unionAll(want.select(cols: _*).exceptAll(got.select(cols: _*)))
+      assert(diff.isEmpty,
+        s"thr=$thr mismatch rows: ${diff.take(5).mkString("; ")}")
+    }
   }
 
   // deterministic pseudo-random dictionary: hash-spread values with
@@ -98,7 +105,7 @@ class PrefixSpec extends AnyFunSuite with SparkSessionTestWrapper {
     check(dict, "v", asc = true, buckets = 3)
   }
 
-  test("nextValue matches global lead, including across empty buckets") {
+  test("leadCol matches a global lead, including across empty buckets") {
     for (df <- Seq(dict,
         // 390 dense values then a handful far away: most buckets empty,
         // the dense block's last row must reach across them
@@ -107,13 +114,56 @@ class PrefixSpec extends AnyFunSuite with SparkSessionTestWrapper {
             lit(1L).as("k"))
           .groupBy($"v").agg(sum($"k").as("k")),
         Seq((5L, 3L)).toDF("v", "k"))) {
-      val got = Prefix.nextValue(df, "v", "nv")
-      val want = df.withColumn("nv",
-        lead($"v", 1).over(Window.orderBy($"v".asc)))
+      val want = df
+        .withColumn("cu", sum($"k").over(Window.orderBy($"v".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nv", lead($"v", 1).over(Window.orderBy($"v".asc)))
+      for (thr <- Seq(0L, 1L << 19)) {
+        val got = Prefix.cumsum(df, "v", Seq("k" -> "cu"),
+          leadCol = Some("nv"), smallNdv = thr)
+        val cols = want.columns.toSeq.sorted.map(col)
+        val diff = got.select(cols: _*).exceptAll(want.select(cols: _*))
+          .unionAll(want.select(cols: _*).exceptAll(got.select(cols: _*)))
+        assert(diff.isEmpty,
+          s"thr=$thr mismatch: ${diff.take(5).mkString("; ")}")
+      }
+    }
+  }
+
+  test("leadCol with partition columns stays inside each group") {
+    val seg = spark.range(300)
+      .select(($"id" % 3L).as("seg"),
+        (($"id" * 48271L) % 999L).as("v"), lit(1L).as("k"))
+      .groupBy($"seg", $"v").agg(sum($"k").as("k"))
+    val w = Window.partitionBy($"seg").orderBy($"v".asc)
+    val want = seg
+      .withColumn("cu", sum($"k").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nv", lead($"v", 1).over(w))
+    for (thr <- Seq(0L, 1L << 19)) {
+      val got = Prefix.cumsum(seg, "v", Seq("k" -> "cu"),
+        partCols = Seq("seg"), leadCol = Some("nv"), smallNdv = thr)
       val cols = want.columns.toSeq.sorted.map(col)
       val diff = got.select(cols: _*).exceptAll(want.select(cols: _*))
         .unionAll(want.select(cols: _*).exceptAll(got.select(cols: _*)))
-      assert(diff.isEmpty, s"mismatch: ${diff.take(5).mkString("; ")}")
+      assert(diff.isEmpty,
+        s"thr=$thr mismatch: ${diff.take(5).mkString("; ")}")
+    }
+  }
+
+  test("descending leadCol yields the next value in descending order") {
+    val want = dict
+      .withColumn("cu", sum($"k").over(Window.orderBy($"v".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nv", lead($"v", 1).over(Window.orderBy($"v".desc)))
+    for (thr <- Seq(0L, 1L << 19)) {
+      val got = Prefix.cumsum(dict, "v", Seq("k" -> "cu"), asc = false,
+        leadCol = Some("nv"), smallNdv = thr)
+      val cols = want.columns.toSeq.sorted.map(col)
+      val diff = got.select(cols: _*).exceptAll(want.select(cols: _*))
+        .unionAll(want.select(cols: _*).exceptAll(got.select(cols: _*)))
+      assert(diff.isEmpty,
+        s"thr=$thr mismatch: ${diff.take(5).mkString("; ")}")
     }
   }
 }

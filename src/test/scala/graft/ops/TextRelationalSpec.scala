@@ -236,6 +236,35 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "shrinkage expanded the between-group spread")
   }
 
+  test("q291: session_window census matches a driver-side gap-merge replay") {
+    import spark.implicits._
+    val gapUs = 6L * 3600L * 1000000L
+    val out = Relational.queries("q291_session_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", Num.epochUs($"ts").as("t"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._1 - cur.head._1 < gapUs =>
+            (e :: cur) :: rest // cur.head is the session's LATEST event
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.map { ses =>
+        (u, ses.last._1, ses.head._1 + gapUs, ses.length.toLong,
+          ses.map(_._2).sum)
+      }
+    }.toSet
+    assert(out == want,
+      s"spark-only: ${(out -- want).take(3)}; replay-only: ${(want -- out).take(3)}")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
