@@ -455,7 +455,70 @@ object Sketching {
       .orderBy($"p_micro")
   }
 
+  // ---------------------------------------------------------------------
+  // q292: pinball-loss quantile evaluation — the scoring rule that makes
+  // the sketch family (q201 DDSketch, q280 GK, q36 HLL) auditable as
+  // FORECASTS, not just estimates: a point forecast ŷ of the τ-quantile
+  // is optimal iff it minimizes mean pinball loss
+  // L_τ(y,ŷ) = τ·(y−ŷ)⁺ + (1−τ)·(ŷ−y)⁺, so evaluating the EXACT
+  // dictionary quantile under its own loss gives the attainable floor a
+  // sketch's readout can be compared against per flag. τ ∈ {0.5, 0.9}
+  // frozen as tenths, so every loss term is an exact integer
+  // (10·L = 5/5 or 9/1 weighted positive parts); loss sums ride the
+  // (flag, cents, k) dictionary in decimal, one double division at
+  // readout. Scale shape: one scan to the dictionary, quantile
+  // selection via the shared bucketed cumsum + one aggregate, loss
+  // census via one more dictionary pass against 6 driver literals.
+  private def pinballLoss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val dict = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("f"),
+        floor($"l_extendedprice" * 100).cast(LongType).as("v"))
+      .groupBy($"f", $"v").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-flag n → exact integer rank targets ⌈τ·n⌉ as driver literals
+    val ns = dict.groupBy($"f").agg(sum($"k").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def byF(m: Map[String, Long]): org.apache.spark.sql.Column =
+      m.foldLeft(lit(0L)) { case (e, (f, x)) =>
+        when($"f" === f, lit(x)).otherwise(e)
+      }
+    val r50 = ns.map { case (f, n) => f -> ((n + 1L) / 2L) }
+    val r90 = ns.map { case (f, n) => f -> ((9L * n + 9L) / 10L) }
+    // smallest value whose inclusive cum count reaches the target rank
+    val qs = Prefix.cumsum(dict, "v", Seq("k" -> "cum"),
+        partCols = Seq("f"))
+      .groupBy($"f").agg(
+        min(when($"cum" >= byF(r50), $"v")).as("q50"),
+        min(when($"cum" >= byF(r90), $"v")).as("q90"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val q50c = byF(qs.map { case (f, q) => f -> q._1 })
+    val q90c = byF(qs.map { case (f, q) => f -> q._2 })
+    dict
+      .groupBy($"f")
+      .agg(sum($"k").as("n"),
+        sum(dec($"k") * dec(when($"v" > q50c, lit(5L) * ($"v" - q50c))
+          .otherwise(lit(5L) * (q50c - $"v")))).as("pl50x10"),
+        sum(dec($"k") * dec(when($"v" > q90c, lit(9L) * ($"v" - q90c))
+          .otherwise(q90c - $"v"))).as("pl90x10"))
+      .select($"f".as("returnflag"), $"n".as("n_rows"),
+        Num.roundAt(q50c.cast(DoubleType) / lit(100.0), 2)
+          .as("q50_dollars"),
+        Num.roundAt(q90c.cast(DoubleType) / lit(100.0), 2)
+          .as("q90_dollars"),
+        Num.roundAt($"pl50x10".cast(DoubleType) /
+          (lit(10.0) * $"n".cast(DoubleType) * lit(100.0)), 6)
+          .as("pinball_50"),
+        Num.roundAt($"pl90x10".cast(DoubleType) /
+          (lit(10.0) * $"n".cast(DoubleType) * lit(100.0)), 6)
+          .as("pinball_90"))
+      .orderBy($"returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_pinball_loss" -> (pinballLoss _),
     "q280_gk_calibration" -> (gkQuantileCalibration _),
     "q237_kmv_set_algebra" -> (kmvSetAlgebra _),
     "q201_ddsketch_quantiles" -> (ddsketchQuantiles _),
@@ -487,6 +550,34 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q292_pinball_loss" ->
+      """WITH d AS (SELECT l_returnflag AS f,
+        |        CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT f, CAST(sum(k) AS BIGINT) AS n FROM d GROUP BY 1),
+        |c AS (SELECT f, v, k, sum(k) OVER (PARTITION BY f ORDER BY v)
+        |        AS cum FROM d),
+        |s AS (SELECT c.f,
+        |        min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q50,
+        |        min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS q90
+        |      FROM c JOIN n USING (f) GROUP BY 1),
+        |l AS (SELECT d.f,
+        |        sum(CAST(k AS HUGEINT) * (CASE WHEN v > q50
+        |          THEN 5 * (v - q50) ELSE 5 * (q50 - v) END)) AS pl50,
+        |        sum(CAST(k AS HUGEINT) * (CASE WHEN v > q90
+        |          THEN 9 * (v - q90) ELSE q90 - v END)) AS pl90
+        |      FROM d JOIN s USING (f) GROUP BY 1)
+        |SELECT l.f AS returnflag, n AS n_rows,
+        |  round(CAST(q50 AS DOUBLE) / 100.0, 2) AS q50_dollars,
+        |  round(CAST(q90 AS DOUBLE) / 100.0, 2) AS q90_dollars,
+        |  round(CAST(pl50 AS DOUBLE) / (10.0 * CAST(n AS DOUBLE) * 100.0),
+        |    6) AS pinball_50,
+        |  round(CAST(pl90 AS DOUBLE) / (10.0 * CAST(n AS DOUBLE) * 100.0),
+        |    6) AS pinball_90
+        |FROM l JOIN s USING (f) JOIN n USING (f)
+        |ORDER BY returnflag""".stripMargin,
+
     "q280_gk_calibration" ->
       """WITH base AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
         |        AS x FROM lineitem),

@@ -2004,7 +2004,77 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q293: cross-source vocabulary overlap — the corpus-redundancy map a
+  // mixture designer reads BEFORE weighting sources (q121/q279 tune
+  // shares; this says which sources even differ): for every source pair,
+  // |V_a ∩ V_b| and Jaccard over the distinct-token vocabularies. Scale
+  // shape: one scan to the DISTINCT (source, token) inventory, then the
+  // intersection is an equi-join ON TOKEN (per-token work = squared
+  // source-occupancy of that token, Σ bounded by |sources|²·|V| — never
+  // doc-pairwise), per-source sizes broadcast to the pair census. The
+  // pair frame is |sources|² rows.
+  private def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tv = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tv.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val inter = tv.toDF("sa", "t")
+      .join(tv.toDF("sb", "t2"), $"t" === $"t2")
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("sa", "nva")), Seq("sa"))
+      .join(broadcast(sizes.toDF("sb", "nvb")), Seq("sb"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"),
+        $"nva".as("vocab_a"), $"nvb".as("vocab_b"), $"n_common",
+        Num.roundAt($"n_common".cast(DoubleType) /
+          ($"nva" + $"nvb" - $"n_common").cast(DoubleType), 6)
+          .as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q295: token burstiness census — the boilerplate detector quality
+  // pipelines run beside q229's windowed repetition: a token whose
+  // per-document counts are OVERDISPERSED (variance-to-mean ratio ≫ 1,
+  // zeros included) concentrates in few documents — template/boilerplate
+  // mass — while VMR ≈ 1 is Poisson-like organic usage. With N docs,
+  // per-token occurrences cᵢ and total T: VMR = (N·Σcᵢ² − T²)/(N·T),
+  // frozen to micros by integer division — exact on both engines. The
+  // zeros never materialize: Σcᵢ² over docs WITH the token plus the
+  // N−n₀ zeros is the same sum. Top-20 by (vmr desc, token asc) via
+  // distributed TakeOrdered. Scale shape: one scan to (token, doc)
+  // counts, one map-side-combinable token rollup, a top-k.
+  private def tokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val perDoc = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"t", $"doc_id").agg(count(lit(1)).as("c"))
+    perDoc
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n_docs_with"), sum($"c").as("total_occ"),
+        sum($"c" * $"c").as("sumsq"))
+      // decimal intermediates (N·Σc² crosses int64 at corpus scale),
+      // integral `div` freeze — quotient is ≤ 1e6·max(c), bigint-safe
+      .withColumn("vmr_micro", expr(
+        s"""(1000000 * (cast(${nDocs}L as decimal(38,0)) * sumsq
+           |  - cast(total_occ as decimal(38,0)) * total_occ))
+           |div (${nDocs}L * total_occ)""".stripMargin))
+      .orderBy($"vmr_micro".desc, $"t".asc).limit(20)
+      .select($"t".as("token"), $"n_docs_with", $"total_occ",
+        Num.roundAt($"vmr_micro".cast(DoubleType) / lit(1e6), 6).as("vmr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_vocab_overlap" -> (vocabOverlap _),
+    "q295_token_burstiness" -> (tokenBurstiness _),
     "q279_mixture_reweight" -> (doremiReweight _),
     "q262_kn_perplexity" -> (knPerplexity _),
     "q271_survivorship_shift" -> (survivorshipShift _),
@@ -2196,6 +2266,47 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q293_vocab_overlap" ->
+      """WITH tv AS (SELECT DISTINCT source, t.tok AS t
+        |      FROM documents,
+        |        unnest(string_split(text, ' ')) AS t(tok)
+        |      WHERE t.tok <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |      FROM tv GROUP BY 1),
+        |inter AS (SELECT a.source AS sa, b.source AS sb,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |      FROM tv a JOIN tv b ON a.t = b.t AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  za.nv AS vocab_a, zb.nv AS vocab_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(za.nv + zb.nv - n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.source = sa
+        |JOIN sz zb ON zb.source = sb
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q295_token_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pd AS (SELECT t.tok AS t, doc_id,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM documents,
+        |        unnest(string_split(text, ' ')) AS t(tok)
+        |      WHERE t.tok <> '' GROUP BY 1, 2),
+        |tok AS (SELECT t, CAST(count(*) AS BIGINT) AS n_docs_with,
+        |        CAST(sum(c) AS BIGINT) AS total_occ,
+        |        CAST(sum(c * c) AS BIGINT) AS sumsq
+        |      FROM pd GROUP BY 1),
+        |v AS (SELECT t, n_docs_with, total_occ,
+        |        CAST((1000000 * (CAST(n AS HUGEINT) * sumsq
+        |            - CAST(total_occ AS HUGEINT) * total_occ))
+        |          // (CAST(n AS HUGEINT) * total_occ) AS BIGINT)
+        |          AS vmr_micro
+        |      FROM tok, nd)
+        |SELECT t AS token, n_docs_with, total_occ,
+        |  round(CAST(vmr_micro AS DOUBLE) / 1e6, 6) AS vmr
+        |FROM v ORDER BY vmr_micro DESC, t ASC LIMIT 20""".stripMargin,
+
     "q279_mixture_reweight" ->
       """WITH ltc AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS term

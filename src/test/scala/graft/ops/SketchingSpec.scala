@@ -188,4 +188,33 @@ class SketchingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(meanErr < 0.25, s"mean union rel err $meanErr")
     out.unpersist()
   }
+
+  test("q292: pinball losses reconcile with a driver-side replay") {
+    import spark.implicits._
+    val rows = Sketching.queries("q292_pinball_loss")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val data = graft.Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val f = r.getAs[String]("returnflag")
+      val vs = data(f)
+      val n = vs.length
+      // the committed rank rule: smallest value at inclusive rank ⌈τn⌉
+      val q50 = vs((n + 1) / 2 - 1).toInt
+      val q90 = vs(((9L * n + 9L) / 10L).toInt - 1)
+      assert(r.getAs[Double]("q50_dollars") == q50 / 100.0 ||
+        math.abs(r.getAs[Double]("q50_dollars") - q50 / 100.0) < 0.011)
+      val pl50 = vs.map(v => 0.5 * math.abs(v - q50)).sum / n / 100.0
+      assert(math.abs(r.getAs[Double]("pinball_50") - pl50) < 0.01,
+        s"$f pinball50 ${r.getAs[Double]("pinball_50")} vs $pl50")
+      val pl90 = vs.map(v => if (v > q90) 0.9 * (v - q90)
+        else 0.1 * (q90 - v)).sum / n / 100.0
+      assert(math.abs(r.getAs[Double]("pinball_90") - pl90) < 0.01,
+        s"$f pinball90 ${r.getAs[Double]("pinball_90")} vs $pl90")
+      assert(r.getAs[Double]("q90_dollars") >= r.getAs[Double]("q50_dollars"))
+    }
+  }
 }

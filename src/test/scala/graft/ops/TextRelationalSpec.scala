@@ -265,6 +265,61 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"spark-only: ${(out -- want).take(3)}; replay-only: ${(want -- out).take(3)}")
   }
 
+  test("q293: vocabulary overlaps are symmetric-complete and Jaccard-consistent") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("q293_vocab_overlap")(spark, dir).collect()
+    val nSrc = graft.Tables.documents(spark, dir)
+      .select($"source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"${rows.length} pairs for $nSrc sources")
+    rows.foreach { r =>
+      val (va, vb, nc) = (r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b"),
+        r.getAs[Long]("n_common"))
+      assert(nc >= 1L && nc <= math.min(va, vb))
+      val j = r.getAs[Double]("jaccard")
+      assert(math.abs(j - nc.toDouble / (va + vb - nc)) < 1e-6)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("q294: conformal coverage meets its finite-sample guarantee") {
+    val rows = Relational.queries("q294_conformal_coverage")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      // split-conformal guarantees E[coverage] >= 0.9; a single draw
+      // fluctuates ~1/sqrt(n_test), so pin a generous floor and ceiling
+      assert(cov >= 0.82 && cov <= 1.0, s"coverage $cov")
+      assert(r.getAs[Double]("qhat_dollars") > 0.0)
+      assert(r.getAs[Long]("n_calib") > 0L && r.getAs[Long]("n_test") > 0L)
+    }
+  }
+
+  test("q295: burstiness census is ordered and VMR-consistent") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("q295_token_burstiness")(spark, dir)
+      .collect()
+    assert(rows.length == 20)
+    val vmrs = rows.map(_.getAs[Double]("vmr"))
+    assert(vmrs.zip(vmrs.tail).forall { case (a, b) => a >= b },
+      "not descending")
+    val n = graft.Tables.documents(spark, dir).count()
+    // driver replay for the top token
+    val top = rows.head
+    val tok = top.getAs[String]("token")
+    val cs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" === tok)
+      .groupBy($"doc_id").count().collect().map(_.getLong(1))
+    val tot = cs.sum.toDouble
+    val sumsq = cs.map(c => c * c).sum.toDouble
+    val vmr = (n * sumsq - tot * tot) / (n * tot)
+    assert(math.abs(top.getAs[Double]("vmr") - vmr) < 1e-3,
+      s"$tok vmr ${top.getAs[Double]("vmr")} vs $vmr")
+    assert(top.getAs[Long]("n_docs_with") == cs.length)
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
