@@ -1641,16 +1641,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = ng.select($"doc_id", explode($"ng").as("sh"))
     val dfreq = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // prefix rows carry the SET SIZE so the PPJoin length filter can
+    // kill candidates BEFORE the verification join attaches two full
+    // ~200-long shingle arrays per pair — the verify attachment is the
+    // fat stage (measured at sf10: array shipping alone spilled past
+    // this box's 77 GB scratch; J >= 1/2 implies max(n1,n2) <= 2*min,
+    // an exact bound, so the filter drops only pairs verification
+    // would reject anyway)
     val pref = e.join(dfreq, Seq("sh"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"),
         count(lit(1)).as("n"))
-      .select($"doc_id",
+      .select($"doc_id", $"n",
         expr("transform(slice(ord, 1, cast(n - ((n + 1) div 2) + 1 as int))," +
           " x -> x.sh)").as("prefix"))
-      .select($"doc_id", explode($"prefix").as("sh"))
+      .select($"doc_id", $"n", explode($"prefix").as("sh"))
     val cand = pref.as("a")
-      .join(pref.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .join(pref.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id"
+        && greatest($"a.n", $"b.n") <= lit(2L) * least($"a.n", $"b.n"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     cand
