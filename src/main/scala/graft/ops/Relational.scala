@@ -5496,7 +5496,170 @@ object Relational {
       .orderBy($"event_type", $"clip_c")
   }
 
+  // ---------------------------------------------------------------------
+  // q296: degree assortativity — the one-number mixing pattern of the
+  // customer–supplier trade graph (q245's edge rule), read beside q119's
+  // triangles / q263's clustering / q206's rank walk: the Pearson
+  // correlation of endpoint degrees over edges (Newman 2002). Negative r
+  // = hubs attach to leaves (the disassortative shape real commerce and
+  // fraud graphs have); positive r = rich-club. The census also answers
+  // a pure engineering question — whether q51's salting is needed
+  // BEFORE a node-keyed join is paid (disassortative graphs concentrate
+  // adjacency mass on few keys). Every edge contributes both endpoint
+  // orders (symmetrized), so x- and y-moments coincide but both are
+  // computed for the textbook identity. All moments are exact integer
+  // sums (cross-products in decimal — deg·deg over millions of edges
+  // crosses int64); r is one IEEE readout from six exact terms via the
+  // n·Σxy − ΣxΣy centering identity (q253's rule — no float mean ever
+  // crosses a reduction). Scale shape: one distinct edge reduction, one
+  // map-side degree count, a node-dictionary equi-join (AQE broadcasts
+  // the degree side while it fits; at 100 TB it shuffles on the node
+  // key — both sides already cluster there), one 1-row moment frame.
+  private def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val pairs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000000L).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
+    val m = edges
+      .join(deg.select($"node".as("a"), $"d".as("du")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"d".as("dv")), Seq("b"))
+      .agg(count(lit(1)).as("ne2"),
+        sum($"du").as("sx"), sum($"dv").as("sy"),
+        sum(dec($"du") * dec($"dv")).as("sxy"),
+        sum(dec($"du") * dec($"du")).as("sxx"),
+        sum(dec($"dv") * dec($"dv")).as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum($"d").as("dtot"), max($"d").as("max_degree"))
+    m.crossJoin(broadcast(nodes))
+      .select(($"ne2" / 2L).cast(LongType).as("n_edges"), $"n_nodes",
+        $"max_degree",
+        Num.roundAt($"dtot".cast(DoubleType) / $"n_nodes".cast(DoubleType), 6)
+          .as("mean_degree"),
+        Num.roundAt((dec($"ne2") * $"sxy" - dec($"sx") * dec($"sy"))
+          .cast(DoubleType) /
+          (sqrt((dec($"ne2") * $"sxx" - dec($"sx") * dec($"sx"))
+            .cast(DoubleType)) *
+           sqrt((dec($"ne2") * $"syy" - dec($"sy") * dec($"sy"))
+            .cast(DoubleType))), 6).as("assortativity"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q298: Kruskal–Wallis rank test — q255's Mann–Whitney generalized to
+  // k samples (the distribution-free ANOVA): do the five order-priority
+  // classes draw order values from the same distribution? Computed
+  // WITHOUT ranking a single row, on the q255 doubled-midrank identity:
+  // a tied value block (before-count c, size t) carries midrank2 =
+  // 2c + t + 1, so each group's doubled rank-sum is R2_g =
+  // Σ_v n_gv·(2c_v + t_v + 1) — exact integers off the value-dictionary
+  // cumsum. H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))
+  // with R_g = R2_g/2; the Σ R2_g²/n_g term crosses int64 (R2_g ~ 2N²)
+  // so it accumulates in decimal, and H is one IEEE readout over five
+  // exact terms, checked against the df=4 χ²₀.₀₅ literal. Output: one
+  // row per priority (n, mean midrank) carrying the shared H columns —
+  // the per-group means show WHERE the shift is. Scale shape: one scan
+  // to the (group, value) census, a dictionary cumsum (bucketed at
+  // data-scale NDV), dictionary-sized join, 5-row readout.
+  private def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val gv = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice" * 100).cast(LongType).as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("ngv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vd = gv.groupBy($"v").agg(sum($"ngv").as("t"))
+    val cum = Prefix.cumsum(vd, "v", Seq("t" -> "cumt"))
+      .withColumn("c", $"cumt" - $"t")
+    val grp = gv.join(cum.select($"v", $"c", $"t"), Seq("v"))
+      .groupBy($"g")
+      .agg(sum($"ngv").as("ng"),
+        sum($"ngv" * (lit(2L) * $"c" + $"t" + 1L)).as("r2g"))
+    val ties = vd.agg(sum(dec($"t") * dec($"t") * dec($"t") - dec($"t"))
+      .as("t3"), sum($"t").as("nn"))
+    val hh = grp.crossJoin(broadcast(ties))
+      .agg(
+        // Σ R_g²/n_g = Σ R2_g²/(4·n_g): decimal numerator, per-group
+        // INTEGER division (`div` — identical truncation in DuckDB's
+        // `//`) so the cross-group sum is an exact integer reduction,
+        // never an order-dependent float; the dropped sub-unit
+        // remainders are identical on both engines. The /4 defers to
+        // the float readout. (The div quotient re-crosses int64 around
+        // sf10 — at that scale widen to a decimal-returning division.)
+        sum(expr("(cast(r2g as decimal(38,0)) * r2g) div ng")
+          .cast(DecimalType(38, 0))).as("sr2"),
+        first($"nn").as("nn"), first($"t3").as("t3"))
+      .select(
+        (lit(12.0) * $"sr2".cast(DoubleType) / lit(4.0) /
+          ($"nn".cast(DoubleType) * ($"nn" + 1L).cast(DoubleType)) -
+          lit(3.0) * ($"nn" + 1L).cast(DoubleType)).as("h_raw"),
+        (lit(1.0) - $"t3".cast(DoubleType) /
+          (dec($"nn") * dec($"nn") * dec($"nn") - dec($"nn"))
+            .cast(DoubleType)).as("tie_den"),
+        $"nn")
+    grp.crossJoin(broadcast(hh))
+      .select($"g".as("priority"), $"ng".as("n"),
+        Num.roundAt($"r2g".cast(DoubleType) /
+          (lit(2.0) * $"ng".cast(DoubleType)), 6).as("mean_rank"),
+        Num.roundAt($"h_raw" / $"tie_den", 6).as("h_statistic"),
+        lit(9.487729).as("chi2_crit_df4"),
+        ($"h_raw" / $"tie_den" > 9.487729).as("reject_same_dist"))
+      .orderBy($"priority")
+  }
+
+  // ---------------------------------------------------------------------
+  // q300: Cochran–Armitage trend test — the dose-response sibling of
+  // q285's χ² independence: q285 asks "is outcome associated with the
+  // stratum AT ALL", this asks the sharper monotone question "does the
+  // fulfilled-rate RISE (or fall) with priority" by spending all the
+  // power on one ordered contrast. Outcome = o_orderstatus 'F', ordered
+  // scores = the priority's integer prefix (1-URGENT → 1 … 5-LOW → 5).
+  // Z = (N·Σsᵢrᵢ − R·Σsᵢnᵢ)·√N / √(R(N−R)·[N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²]) —
+  // numerator and the bracketed variance term are exact integer
+  // cross-multiplications (the q274/q285 freeze rule; the variance
+  // product crosses int64 → decimal), Z is one IEEE readout against the
+  // two-sided 1.959964 literal. On this corpus statuses are synthesized
+  // independent of priority, so Z ≈ 0 — the harness proves the
+  // estimator, the null documents the synthesis (q258 precedent).
+  // Scale shape: one map-side-combined 5-row census, driver-free
+  // 1-row moment frame, 5-row readout.
+  private def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cen = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast(LongType).as("sc"),
+        $"o_orderpriority".as("priority"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("f"))
+      .groupBy($"priority", $"sc")
+      .agg(count(lit(1)).as("n"), sum($"f").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = cen.agg(sum($"n").as("nn"), sum($"r").as("rr"),
+      sum($"sc" * $"r").as("ssr"), sum($"sc" * $"n").as("ssn"),
+      sum($"sc" * $"sc" * $"n").as("ss2n"))
+    val z = m.select(
+      (($"nn" * $"ssr" - $"rr" * $"ssn").cast(DoubleType) *
+        sqrt($"nn".cast(DoubleType)) /
+        sqrt((dec($"rr") * dec($"nn" - $"rr") *
+          (dec($"nn") * dec($"ss2n") - dec($"ssn") * dec($"ssn")))
+          .cast(DoubleType))).as("zt"))
+    cen.crossJoin(broadcast(z))
+      .select($"priority", $"sc".as("score"), $"n", $"r".as("n_fulfilled"),
+        Num.roundAt($"r".cast(DoubleType) / $"n".cast(DoubleType), 6)
+          .as("rate"),
+        Num.roundAt($"zt", 6).as("z_trend"),
+        (abs($"zt") > 1.959964).as("reject_no_trend"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_degree_assortativity" -> (degreeAssortativity _),
+    "q300_cochran_armitage" -> (cochranArmitage _),
+    "q298_kruskal_wallis" -> (kruskalWallis _),
     "q242_dp_sensitivity" -> (dpSensitivity _),
     "q244_t_closeness" -> (tCloseness _),
     "q245_kcore_peeling" -> (kcorePeeling _),
@@ -5673,6 +5836,97 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q296_degree_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a, b FROM pairs
+        |          UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM edges GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS ne2,
+        |        CAST(sum(du.d) AS BIGINT) AS sx,
+        |        CAST(sum(dv.d) AS BIGINT) AS sy,
+        |        sum(CAST(du.d AS HUGEINT) * dv.d) AS sxy,
+        |        sum(CAST(du.d AS HUGEINT) * du.d) AS sxx,
+        |        sum(CAST(dv.d AS HUGEINT) * dv.d) AS syy
+        |      FROM edges e
+        |      JOIN deg du ON du.node = e.a
+        |      JOIN deg dv ON dv.node = e.b),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |        CAST(sum(d) AS BIGINT) AS dtot,
+        |        CAST(max(d) AS BIGINT) AS max_degree FROM deg)
+        |SELECT CAST(ne2 / 2 AS BIGINT) AS n_edges, n_nodes, max_degree,
+        |  round(CAST(dtot AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+        |    AS mean_degree,
+        |  round(CAST(CAST(ne2 AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / (sqrt(CAST(CAST(ne2 AS HUGEINT) * sxx
+        |          - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |     * sqrt(CAST(CAST(ne2 AS HUGEINT) * syy
+        |          - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM m, nd""".stripMargin,
+
+    "q298_kruskal_wallis" ->
+      """WITH gv AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS ngv
+        |  FROM orders GROUP BY 1, 2),
+        |vd AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS t
+        |       FROM gv GROUP BY 1),
+        |cum AS (SELECT v, t,
+        |        CAST(sum(t) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) - t AS c
+        |      FROM vd),
+        |grp AS (SELECT g, CAST(sum(ngv) AS BIGINT) AS ng,
+        |        CAST(sum(ngv * (2 * c + t + 1)) AS BIGINT) AS r2g
+        |      FROM gv JOIN cum USING (v) GROUP BY 1),
+        |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS t3,
+        |        CAST(sum(t) AS BIGINT) AS nn FROM vd),
+        |hh AS (SELECT
+        |        12.0 * CAST(sum((CAST(r2g AS HUGEINT) * r2g) // ng) AS DOUBLE)
+        |          / 4.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+        |          - 3.0 * CAST(nn + 1 AS DOUBLE) AS h_raw,
+        |        1.0 - CAST(t3 AS DOUBLE)
+        |          / CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS DOUBLE)
+        |          AS tie_den
+        |      FROM grp, ties GROUP BY nn, t3)
+        |SELECT g AS priority, ng AS n,
+        |  round(CAST(r2g AS DOUBLE) / (2.0 * CAST(ng AS DOUBLE)), 6)
+        |    AS mean_rank,
+        |  round(h_raw / tie_den, 6) AS h_statistic,
+        |  9.487729 AS chi2_crit_df4,
+        |  h_raw / tie_den > 9.487729 AS reject_same_dist
+        |FROM grp, hh ORDER BY priority""".stripMargin,
+
+    "q300_cochran_armitage" ->
+      """WITH cen AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(r) AS BIGINT) AS rr,
+        |        CAST(sum(sc * r) AS BIGINT) AS ssr,
+        |        CAST(sum(sc * n) AS BIGINT) AS ssn,
+        |        CAST(sum(sc * sc * n) AS BIGINT) AS ss2n
+        |      FROM cen),
+        |z AS (SELECT CAST(nn * ssr - rr * ssn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+        |        / sqrt(CAST(CAST(rr AS HUGEINT) * (nn - rr)
+        |            * (CAST(nn AS HUGEINT) * ss2n
+        |               - CAST(ssn AS HUGEINT) * ssn) AS DOUBLE)) AS zt
+        |      FROM m)
+        |SELECT priority, sc AS score, n, r AS n_fulfilled,
+        |  round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round(zt, 6) AS z_trend,
+        |  abs(zt) > 1.959964 AS reject_no_trend
+        |FROM cen, z ORDER BY priority""".stripMargin,
+
     "q268_spearman" ->
       """WITH base AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS q,

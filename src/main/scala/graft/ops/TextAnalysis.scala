@@ -2078,7 +2078,139 @@ object TextAnalysis {
         Num.roundAt($"vmr_micro".cast(DoubleType) / lit(1e6), 6).as("vmr"))
   }
 
+  // ---------------------------------------------------------------------
+  // q297: metadata mutual-information census — BEFORE stratifying or
+  // mixture-weighting by two metadata fields (q228 splits on
+  // (lang, source); q230/q279 weight by lang), measure whether the
+  // fields are even independent: MI(lang, source) with both marginal
+  // entropies and the two uncertainty coefficients U(X|Y) = MI/H(X) —
+  // near-0 means the fields carry independent signal (stratify on
+  // both), near-1 means one is a relabeling of the other (stratifying
+  // on both just fragments strata). Determinism: each cell's
+  // c·ln(cN/(c_l·c_s)) freezes to nano-units at the |langs|×|sources|
+  // census (the q259 r·ln r rule), marginal entropy terms likewise, so
+  // all three reductions are exact integer sums and the readouts are
+  // single IEEE divisions. Scale shape: one scan map-side-combines to
+  // the ≤|langs|·|sources| cell census; everything after is
+  // census-sized (marginals derive FROM the cells, no second scan).
+  private def fieldMi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = cells.groupBy($"lang").agg(sum($"c").as("cl"))
+    val sm = cells.groupBy($"source").agg(sum($"c").as("cs"))
+    val tot = cells.agg(sum($"c").as("nn"), count(lit(1)).as("n_cells"))
+    val smi = cells.join(broadcast(lm), Seq("lang"))
+      .join(broadcast(sm), Seq("source"))
+      .crossJoin(broadcast(tot.select($"nn")))
+      .select(expr(
+        """cast(floor(cast(c as double) * ln((cast(c as double)
+          |  * cast(nn as double)) / (cast(cl as double)
+          |  * cast(cs as double))) * 1e9) as bigint)""".stripMargin)
+        .as("minano"))
+      .agg(sum($"minano").as("smi"))
+    val shl = lm.crossJoin(broadcast(tot.select($"nn")))
+      .select(expr(
+        """cast(floor(cast(cl as double) * ln(cast(nn as double)
+          |  / cast(cl as double)) * 1e9) as bigint)""".stripMargin)
+        .as("hn"))
+      .agg(sum($"hn").as("shl"), count(lit(1)).as("n_langs"))
+    val shs = sm.crossJoin(broadcast(tot.select($"nn")))
+      .select(expr(
+        """cast(floor(cast(cs as double) * ln(cast(nn as double)
+          |  / cast(cs as double)) * 1e9) as bigint)""".stripMargin)
+        .as("hn"))
+      .agg(sum($"hn").as("shs"), count(lit(1)).as("n_sources"))
+    tot.crossJoin(broadcast(smi)).crossJoin(broadcast(shl))
+      .crossJoin(broadcast(shs))
+      .select($"nn".as("n_docs"), $"n_langs", $"n_sources", $"n_cells",
+        Num.roundAt($"shl".cast(DoubleType) /
+          ($"nn".cast(DoubleType) * lit(1e9)), 6).as("h_lang"),
+        Num.roundAt($"shs".cast(DoubleType) /
+          ($"nn".cast(DoubleType) * lit(1e9)), 6).as("h_source"),
+        Num.roundAt($"smi".cast(DoubleType) /
+          ($"nn".cast(DoubleType) * lit(1e9)), 6).as("mi"),
+        Num.roundAt($"smi".cast(DoubleType) / $"shl".cast(DoubleType), 6)
+          .as("u_lang_given_source"),
+        Num.roundAt($"smi".cast(DoubleType) / $"shs".cast(DoubleType), 6)
+          .as("u_source_given_lang"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q299: Heaps'-law vocabulary-growth fit — the companion of q159's
+  // Zipf fit and the capacity planner for every vocabulary-sized
+  // structure in this inventory (q24's term census, q114's BPE merges,
+  // q235's coverage sweep): walk the corpus in arrival (doc_id) order,
+  // record distinct-vocabulary size V(n) at each token-count decile n,
+  // and fit V = k·n^β by OLS on (ln n, ln V) over the 10 decile points.
+  // β < 1 quantifies how sublinearly the term dictionary grows — the
+  // number that says whether a vocab-keyed shuffle still fits at 100 TB.
+  // The vocabulary UNIT here is the 3-token shingle (the native
+  // shingle_windows generator, q138's machinery): this corpus's closed
+  // 31-word unigram vocabulary saturates inside the first decile (the
+  // q262-documented synthesis artifact), which would fit β = 0 exactly;
+  // the ~30k-shingle space still grows through the walk, so the fit is
+  // non-degenerate at every SF. On a real corpus the same operator runs
+  // on unigrams unchanged. Exactness: decile boundaries are EXACT
+  // arrival ranks off the per-doc cumsum (rank ⌈dN/10⌉'s doc, collected
+  // as 10 driver literals); V(n) is an exact count of first occurrences
+  // ≤ boundary; both lns freeze to micro-units per decile row so the
+  // OLS moments are exact integer sums (q159/q258 rule) and β/k are
+  // single IEEE readouts. Scale shape: one generate scan feeds BOTH the
+  // per-doc count frame and the (shingle → min doc) first-occurrence
+  // frame; the decile census is |V|·10 via a 10-row broadcast, the fit
+  // is a 10-row fold.
+  private def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", expr("shingle_windows(tk, 3)"))
+      .select($"doc_id", $"shingle".as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = toks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("ntok"))
+      .withColumn("one", lit(1L))
+    val cum = Prefix.cumsum(perDoc, "doc_id",
+      Seq("ntok" -> "cum_tok", "one" -> "cum_doc"))
+    val nD = toks.select($"doc_id").distinct().count()
+    val ranks = (1 to 10).map(d => (d.toLong * nD + 9L) / 10L)
+    val rankToDecile = ranks.zipWithIndex.map { case (r, i) => r -> (i + 1L) }
+    // ranks are strictly increasing for nD ≥ 10; each boundary row is
+    // unique, so this collect is exactly 10 rows
+    val bounds = cum.filter($"cum_doc".isin(ranks: _*))
+      .select($"cum_doc", $"doc_id", $"cum_tok").collect()
+      .map(r => (rankToDecile.toMap.apply(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val bdf = bounds.toSeq.toDF("decile", "bdoc", "n_tokens")
+    val fo = toks.groupBy($"t").agg(min($"doc_id").as("fd"))
+    val census = fo.crossJoin(broadcast(bdf))
+      .filter($"fd" <= $"bdoc")
+      .groupBy($"decile", $"n_tokens")
+      .agg(count(lit(1)).as("vocab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = census.select(
+      expr("cast(floor(ln(cast(n_tokens as double)) * 1e6) as bigint)").as("x"),
+      expr("cast(floor(ln(cast(vocab as double)) * 1e6) as bigint)").as("y"))
+    val fit = pts.agg(count(lit(1)).as("np"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select(
+        (($"np" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+          ($"np" * $"sxx" - $"sx" * $"sx").cast(DoubleType)).as("beta"),
+        $"np", $"sx", $"sy")
+      .select($"beta",
+        exp(($"sy".cast(DoubleType) - $"beta" * $"sx".cast(DoubleType)) /
+          ($"np".cast(DoubleType) * lit(1e6))).as("k"))
+    census.crossJoin(broadcast(fit))
+      .select($"decile", $"n_tokens", $"vocab",
+        Num.roundAt($"beta", 6).as("heaps_beta"),
+        Num.roundAt($"k", 6).as("heaps_k"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_field_mi" -> (fieldMi _),
+    "q299_heaps_law" -> (heapsLaw _),
     "q293_vocab_overlap" -> (vocabOverlap _),
     "q295_token_burstiness" -> (tokenBurstiness _),
     "q279_mixture_reweight" -> (doremiReweight _),
@@ -2272,6 +2404,85 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q297_field_mi" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |lm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl
+        |      FROM cells GROUP BY 1),
+        |sm AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+        |      FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |        CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |smi AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+        |          * ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+        |            / (CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE))) * 1e9)
+        |          AS BIGINT)) AS BIGINT) AS smi
+        |      FROM cells JOIN lm USING (lang) JOIN sm USING (source), tot),
+        |shl AS (SELECT CAST(sum(CAST(floor(CAST(cl AS DOUBLE)
+        |          * ln(CAST(nn AS DOUBLE) / CAST(cl AS DOUBLE)) * 1e9)
+        |          AS BIGINT)) AS BIGINT) AS shl,
+        |        CAST(count(*) AS BIGINT) AS n_langs FROM lm, tot),
+        |shs AS (SELECT CAST(sum(CAST(floor(CAST(cs AS DOUBLE)
+        |          * ln(CAST(nn AS DOUBLE) / CAST(cs AS DOUBLE)) * 1e9)
+        |          AS BIGINT)) AS BIGINT) AS shs,
+        |        CAST(count(*) AS BIGINT) AS n_sources FROM sm, tot)
+        |SELECT nn AS n_docs, n_langs, n_sources, n_cells,
+        |  round(CAST(shl AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e9), 6)
+        |    AS h_lang,
+        |  round(CAST(shs AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e9), 6)
+        |    AS h_source,
+        |  round(CAST(smi AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e9), 6) AS mi,
+        |  round(CAST(smi AS DOUBLE) / CAST(shl AS DOUBLE), 6)
+        |    AS u_lang_given_source,
+        |  round(CAST(smi AS DOUBLE) / CAST(shs AS DOUBLE), 6)
+        |    AS u_source_given_lang
+        |FROM tot, smi, shl, shs""".stripMargin,
+
+    "q299_heaps_law" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS pos
+        |  FROM tok WHERE len(tk) >= 3),
+        |toks AS (
+        |  SELECT doc_id, array_to_string(tk[pos:pos+2], ' ') AS t
+        |  FROM idx),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+        |      FROM toks GROUP BY 1),
+        |cum AS (SELECT doc_id,
+        |        CAST(sum(ntok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_tok,
+        |        CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+        |          AS cum_doc
+        |      FROM pd),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pd),
+        |decs AS (SELECT CAST(d AS BIGINT) AS decile, (d * n + 9) // 10 AS rk
+        |      FROM (SELECT unnest(generate_series(1, 10)) AS d), nd),
+        |b AS (SELECT decile, doc_id AS bdoc, cum_tok AS n_tokens
+        |      FROM decs JOIN cum ON cum.cum_doc = decs.rk),
+        |fo AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS fd
+        |      FROM toks GROUP BY 1),
+        |census AS (SELECT decile, n_tokens, CAST(count(*) AS BIGINT) AS vocab
+        |      FROM fo, b WHERE fd <= bdoc GROUP BY 1, 2),
+        |pts AS (SELECT
+        |        CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |        CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |      FROM census),
+        |fit0 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx FROM pts),
+        |fit AS (SELECT CAST(np * sxy - sx * sy AS DOUBLE)
+        |          / CAST(np * sxx - sx * sx AS DOUBLE) AS beta,
+        |        np, sx, sy FROM fit0),
+        |f2 AS (SELECT beta,
+        |        exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+        |          / (CAST(np AS DOUBLE) * 1e6)) AS k FROM fit)
+        |SELECT decile, n_tokens, vocab,
+        |  round(beta, 6) AS heaps_beta, round(k, 6) AS heaps_k
+        |FROM census, f2 ORDER BY decile""".stripMargin,
+
     "q293_vocab_overlap" ->
       """WITH tv AS (SELECT DISTINCT source, t.tok AS t
         |      FROM documents,

@@ -320,6 +320,150 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top.getAs[Long]("n_docs_with") == cs.length)
   }
 
+  test("q296: assortativity is a valid correlation and the degree census reconciles") {
+    import spark.implicits._
+    val r = Relational.queries("q296_degree_assortativity")(spark, dir)
+      .collect()(0)
+    val rho = r.getAs[Double]("assortativity")
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"assortativity $rho")
+    // driver replay: recompute the endpoint-degree Pearson from the
+    // collected edge list (sf0.001 pair graph is small)
+    val pairs = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", ($"l_suppkey" + 1000000000L).as("b"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xs = pairs.flatMap { case (a, b) =>
+      Seq((deg(a).toDouble, deg(b).toDouble), (deg(b).toDouble, deg(a).toDouble))
+    }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rho - want) < 1e-4, s"$rho vs replay $want")
+    assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+    assert(r.getAs[Long]("n_nodes") == deg.size.toLong)
+  }
+
+  test("q297: MI census is information-theoretically consistent") {
+    val r = TextAnalysis.queries("q297_field_mi")(spark, dir).collect()(0)
+    val (hl, hs, mi) = (r.getAs[Double]("h_lang"),
+      r.getAs[Double]("h_source"), r.getAs[Double]("mi"))
+    // MI >= 0 up to the nano-freeze truncation; MI <= min(H) exactly
+    assert(mi >= -1e-5, s"mi $mi")
+    assert(mi <= math.min(hl, hs) + 1e-6, s"mi $mi vs H ($hl, $hs)")
+    assert(hl > 0.0 && hs > 0.0)
+    val ul = r.getAs[Double]("u_lang_given_source")
+    val us = r.getAs[Double]("u_source_given_lang")
+    assert(ul >= -1e-5 && ul <= 1.0 + 1e-6)
+    assert(us >= -1e-5 && us <= 1.0 + 1e-6)
+    // driver replay of the exact MI from the cell census
+    import spark.implicits._
+    val cells = graft.Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val nn = cells.map(_._3).sum.toDouble
+    val cl = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cs = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val want = cells.map { case (l, s2, c) =>
+      c / nn * math.log(c * nn / (cl(l).toDouble * cs(s2))) }.sum
+    assert(math.abs(mi - want) < 1e-3, s"mi $mi vs replay $want")
+  }
+
+  test("q298: Kruskal-Wallis midranks reconcile with a driver ranking") {
+    import spark.implicits._
+    val rows = Relational.queries("q298_kruskal_wallis")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val h = rows.head.getAs[Double]("h_statistic")
+    assert(h >= -1e-9, s"H $h")
+    assert(rows.forall(_.getAs[Double]("h_statistic") == h))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("reject_same_dist") == (h > 9.487729)))
+    // driver replay: midranks by explicit sort
+    val vals = graft.Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        floor($"o_totalprice" * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = vals.length
+    val rankOf: Map[Long, Double] = vals.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+    val meanRanks = vals.groupBy(_._1).view.mapValues { g =>
+      g.map(v => rankOf(v._2)).sum / g.length }.toMap
+    rows.foreach { r =>
+      val want = meanRanks(r.getAs[String]("priority"))
+      assert(math.abs(r.getAs[Double]("mean_rank") - want) < 1e-6,
+        s"${r.getAs[String]("priority")}: ${r.getAs[Double]("mean_rank")} vs $want")
+    }
+    // grand mean of midranks is (N+1)/2 — weighted reconciliation
+    val tot = rows.map(r =>
+      r.getAs[Double]("mean_rank") * r.getAs[Long]("n")).sum
+    assert(math.abs(tot / n - (n + 1) / 2.0) < 1e-6)
+  }
+
+  test("q299: Heaps census is monotone and the fit reproduces the endpoints") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("q299_heaps_law")(spark, dir)
+      .orderBy($"decile").collect()
+    assert(rows.length == 10)
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val vocab = rows.map(_.getAs[Long]("vocab"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    // final decile covers the whole corpus: vocab == distinct 3-shingles
+    val all = graft.Tables.documents(spark, dir)
+      .select(split($"text", " ").as("tk"))
+      .select(expr("shingle_windows(tk, 3)"))
+      .select($"shingle").distinct().count()
+    assert(vocab.last == all, s"${vocab.last} vs corpus vocab $all")
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    val k = rows.head.getAs[Double]("heaps_k")
+    assert(beta > 0.0 && beta < 1.5, s"beta $beta")
+    assert(k > 0.0)
+    // the fitted curve passes within a factor of 3 of each point (the
+    // corpus is synthetic; this pins the fit is on the right scale)
+    rows.foreach { r =>
+      val pred = k * math.pow(r.getAs[Long]("n_tokens").toDouble, beta)
+      val v = r.getAs[Long]("vocab").toDouble
+      assert(pred / v < 3.0 && v / pred < 3.0, s"pred $pred vs $v")
+    }
+  }
+
+  test("q300: Cochran-Armitage z reconciles with a driver replay") {
+    import spark.implicits._
+    val rows = Relational.queries("q300_cochran_armitage")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val z = rows.head.getAs[Double]("z_trend")
+    assert(rows.forall(_.getAs[Double]("z_trend") == z))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("reject_no_trend") == (math.abs(z) > 1.959964)))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("score") ==
+        r.getAs[String]("priority").substring(0, 1).toLong)
+    }
+    // driver replay from the census itself
+    val cen = rows.map(r => (r.getAs[Long]("score"),
+      r.getAs[Long]("n"), r.getAs[Long]("n_fulfilled")))
+    val nn = cen.map(_._2).sum.toDouble
+    val rr = cen.map(_._3).sum.toDouble
+    val ssr = cen.map(c => c._1 * c._3).sum.toDouble
+    val ssn = cen.map(c => c._1 * c._2).sum.toDouble
+    val ss2n = cen.map(c => c._1 * c._1 * c._2).sum.toDouble
+    val want = (nn * ssr - rr * ssn) * math.sqrt(nn) /
+      math.sqrt(rr * (nn - rr) * (nn * ss2n - ssn * ssn))
+    assert(math.abs(z - want) < 1e-5, s"z $z vs replay $want")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
