@@ -3036,29 +3036,49 @@ object Relational {
       .join(broadcast(rankDict("q")), Seq("q"))
       .join(rankDict("p"), Seq("p"))
       .join(broadcast(rankDict("d")), Seq("d"))
-    // ALL nine moments in one pass over the ranked frame; the three
-    // pair readouts unpivot from that single 1-row frame
-    val m = ranked.agg(count(lit(1)).as("n"),
-      sum($"r_q").as("sq"), sum($"r_p").as("sp"), sum($"r_d").as("sd"),
-      sum(dec($"r_q") * dec($"r_q")).as("sqq"),
-      sum(dec($"r_p") * dec($"r_p")).as("spp"),
-      sum(dec($"r_d") * dec($"r_d")).as("sdd"),
+    // Only the THREE cross-moments run over the row-scale ranked frame;
+    // the six single-variable moments are dictionary identities
+    // (Σr = Σ_v n_v·r_v, Σr² = Σ_v n_v·r_v²) off the persisted r2All.
+    // Honest measurement (round-13 back-to-back A/B at sf0.1, 24
+    // threads): a WASH — 3.02 s before, 3.08 s after; the scan + three
+    // rank joins dominate the big pass here, not the removed sums. Kept
+    // anyway: the row-scale pass drops 6 of its 9 decimal product-sums,
+    // which is the term that grows with data while the added dictionary
+    // pass is NDV-bounded — the right trade at the 100-TB design point,
+    // cost-neutral at bench scale. The 3-row collect is bounded by the
+    // tag count; the marginal/denominator algebra runs on the driver
+    // over exact BigDecimals with the SAME op order as the oracle's SQL
+    // (cast-each-term-to-double, multiply, sqrt), so the IEEE bits are
+    // unchanged.
+    val dmRows = r2All.groupBy($"tag").agg(
+        sum($"nv" * $"r2").as("s1"),
+        sum(dec($"nv") * dec($"r2") * dec($"r2")).as("s2"),
+        sum($"nv").as("cnt")).collect()
+    val dm = dmRows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+    val n = dm("q")._3
+    val m = ranked.agg(
       sum(dec($"r_q") * dec($"r_p")).as("sqp"),
       sum(dec($"r_q") * dec($"r_d")).as("sqd"),
       sum(dec($"r_p") * dec($"r_d")).as("spd"))
-    def rho(sxy: org.apache.spark.sql.Column,
-        sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
-        sxx: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) =
-      Num.roundAt(($"n" * sxy - dec(sx) * dec(sy)).cast(DoubleType) /
-        sqrt(($"n" * sxx - dec(sx) * dec(sx)).cast(DoubleType) *
-          ($"n" * syy - dec(sy) * dec(sy)).cast(DoubleType)), 6)
-    m.select($"n", explode(array(
+    import java.math.BigDecimal
+    def varTerm(t: String): Double = {
+      val (s1, s2, _) = dm(t)
+      BigDecimal.valueOf(n).multiply(s2)
+        .subtract(BigDecimal.valueOf(s1).multiply(BigDecimal.valueOf(s1)))
+        .doubleValue
+    }
+    def rho(sxy: org.apache.spark.sql.Column, a: String, b: String) =
+      Num.roundAt((lit(n) * sxy - lit(BigDecimal.valueOf(dm(a)._1)
+          .multiply(BigDecimal.valueOf(dm(b)._1)))).cast(DoubleType) /
+        sqrt(lit(varTerm(a)) * lit(varTerm(b))), 6)
+    m.select(lit(n).as("n"), explode(array(
         struct(lit("1_qty_price").as("pair"),
-          rho($"sqp", $"sq", $"sp", $"sqq", $"spp").as("spearman_rho")),
+          rho($"sqp", "q", "p").as("spearman_rho")),
         struct(lit("2_qty_discount").as("pair"),
-          rho($"sqd", $"sq", $"sd", $"sqq", $"sdd").as("spearman_rho")),
+          rho($"sqd", "q", "d").as("spearman_rho")),
         struct(lit("3_price_discount").as("pair"),
-          rho($"spd", $"sp", $"sd", $"spp", $"sdd").as("spearman_rho"))))
+          rho($"spd", "p", "d").as("spearman_rho"))))
         .as("e"))
       .select($"e.pair", $"n", $"e.spearman_rho")
       .orderBy($"pair")
@@ -5656,9 +5676,55 @@ object Relational {
       .orderBy($"priority")
   }
 
+  // ---------------------------------------------------------------------
+  // q303: Mantel–Haenszel stratified odds ratio — the confounder-aware
+  // rung of the association family (q285 tests raw independence, q300 a
+  // raw trend; both can be Simpson-reversed by a stratifying variable):
+  // exposure = urgent priority (1–2), outcome = fulfilled status,
+  // stratified by customer market segment. Per-stratum 2×2 cells and
+  // OR = a·d/(b·c) beside the pooled MH estimate Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ).
+  // Determinism: cells are exact ints; each stratum's ad/n and bc/n
+  // freeze to micro-units by INTEGER division ((1000000·a·d) div n —
+  // identical truncation in DuckDB's //), so both pooled sums are exact
+  // integer reductions and the MH ratio is one IEEE division. Products
+  // stay under int64 (a·d ≤ (N/2)² then ×1e6 ≈ 1e16 at sf0.1; the
+  // micro-freeze would need decimal past ~sf3, noted not needed at the
+  // oracle SFs). Scale shape: one map-side-combined (segment, exposure,
+  // outcome) census — 20 cells regardless of scale — then driver-free
+  // 5-row algebra.
+  private def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cen = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        (substring($"o_orderpriority", 1, 1).cast(LongType) <= 2L).as("exp"),
+        ($"o_orderstatus" === "F").as("out"))
+      .groupBy($"seg")
+      .agg(sum(when($"exp" && $"out", 1L).otherwise(0L)).as("a"),
+        sum(when($"exp" && !$"out", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"exp" && $"out", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"exp" && !$"out", 1L).otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = cen.agg(
+        sum(expr("(1000000 * a * d) div n")).as("sad"),
+        sum(expr("(1000000 * b * c) div n")).as("sbc"))
+      .select(($"sad".cast(DoubleType) / $"sbc".cast(DoubleType)).as("mh"))
+    cen.crossJoin(broadcast(mh))
+      .select($"seg".as("segment"), $"a".as("n_exp_out"),
+        $"b".as("n_exp_noout"), $"c".as("n_unexp_out"),
+        $"d".as("n_unexp_noout"),
+        Num.roundAt(($"a" * $"d").cast(DoubleType) /
+          ($"b" * $"c").cast(DoubleType), 4).as("stratum_or"),
+        Num.roundAt($"mh", 4).as("mh_or"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_degree_assortativity" -> (degreeAssortativity _),
     "q300_cochran_armitage" -> (cochranArmitage _),
+    "q303_mantel_haenszel" -> (mantelHaenszel _),
     "q298_kruskal_wallis" -> (kruskalWallis _),
     "q242_dp_sensitivity" -> (dpSensitivity _),
     "q244_t_closeness" -> (tCloseness _),
@@ -5836,6 +5902,30 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q303_mantel_haenszel" ->
+      """WITH cen AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(sum(CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT) <= 2
+        |          AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT) <= 2
+        |          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT) > 2
+        |          AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT) > 2
+        |          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |c2 AS (SELECT seg, a, b, c, d, a + b + c + d AS n FROM cen),
+        |mh AS (SELECT CAST(sum((1000000 * a * d) // n) AS DOUBLE)
+        |        / CAST(sum((1000000 * b * c) // n) AS DOUBLE) AS mh
+        |      FROM c2)
+        |SELECT seg AS segment, a AS n_exp_out, b AS n_exp_noout,
+        |  c AS n_unexp_out, d AS n_unexp_noout,
+        |  round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 4)
+        |    AS stratum_or,
+        |  round(mh, 4) AS mh_or
+        |FROM c2, mh ORDER BY segment""".stripMargin,
+
     "q296_degree_assortativity" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b

@@ -1022,7 +1022,74 @@ object Similarity {
       .orderBy($"shortlist")
   }
 
+  // ---------------------------------------------------------------------
+  // q304: centroid-silhouette census — the clustering-quality readout
+  // over the label partition (q160 measures purity = "does the nearest
+  // centroid agree with the label"; silhouette measures SEPARATION:
+  // s = (b − a)/max(a, b) with a = distance to the own-label centroid,
+  // b = distance to the nearest OTHER centroid — the standard pre-flight
+  // before trusting labels as IVF cells (q49) or semantic-dedup strata
+  // (q113)). Centroid variant, not pairwise: the classical all-pairs
+  // silhouette is O(n²) and tells the same separation story at cluster
+  // granularity. Determinism: coordinates freeze to micro-units at the
+  // scan (q261 rule), centroids are integer-division means of exact
+  // coordinate sums (Spark `div` ≡ DuckDB `//`, both truncate toward
+  // zero), squared distances are exact int64 folds; the two sqrts and
+  // one division per point are a fixed IEEE sequence, re-frozen to
+  // micro before the per-label mean so no float crosses a reduction.
+  // Scale shape: one posexplode pass to the |labels|×64 centroid
+  // census (bounded collect), one scored scan with the centroid matrix
+  // as plan literals (the q49/q160 broadcast-codebook shape),
+  // |labels|-row output.
+  private def silhouetteCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        transform(toDoubleArr($"embedding"),
+          x => floor(x * lit(1e6)).cast(LongType)).as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents: Seq[(Int, Seq[Long])] = e
+      .select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"col").as("sx"), count(lit(1)).as("cnt"))
+      .select($"label", $"pos", expr("sx div cnt").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3).toSeq }
+      .sortBy(_._1)
+    // label-ordered array of exact squared distances; labels are dense
+    // 0..k-1 (q160's element_at contract), so own = element_at(lbl+1)
+    val d2s = array(cents.map { case (_, c) =>
+      aggregate(
+        zip_with($"v", typedlit(c), (x, cc) => (x - cc) * (x - cc)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    val scored = e.withColumn("d2", d2s)
+      .withColumn("a", sqrt(element_at($"d2", $"label" + 1).cast(DoubleType)))
+      .withColumn("b", sqrt(array_min(zip_with($"d2",
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => when(i === $"label", lit(null)).otherwise(d)))
+        .cast(DoubleType)))
+      .withColumn("sil",
+        floor(($"b" - $"a") / greatest($"a", $"b") * lit(1e6)).cast(LongType))
+    scored.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"sil").as("ssil"),
+        sum(floor($"a" * lit(1e6)).cast(LongType)).as("sa"),
+        sum(floor($"b" * lit(1e6)).cast(LongType)).as("sb"))
+      .select($"label", $"n_vecs",
+        Num.roundAt($"ssil".cast(DoubleType) /
+          $"n_vecs".cast(DoubleType) / lit(1e6), 6).as("mean_silhouette"),
+        Num.roundAt($"sa".cast(DoubleType) /
+          $"n_vecs".cast(DoubleType) / lit(1e6), 6).as("mean_dist_own"),
+        Num.roundAt($"sb".cast(DoubleType) /
+          $"n_vecs".cast(DoubleType) / lit(1e6), 6).as("mean_dist_other"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_silhouette" -> (silhouetteCensus _),
     "q240_filtered_ann" -> (filteredAnn _),
     "q215_matryoshka_recall" -> (matryoshkaRecall _),
     "q198_class_separability" -> (classSeparability _),
@@ -1080,6 +1147,41 @@ object Similarity {
        |  FROM s$d WHERE vec_id < 20)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q304_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |px AS (SELECT label, i, v[i] AS x
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        |cent AS (SELECT label, i, CAST(sum(x) // count(*) AS BIGINT) AS c
+        |      FROM px GROUP BY 1, 2),
+        |carr AS (SELECT label AS clbl, list(c ORDER BY i) AS cv
+        |      FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, carr.clbl,
+        |        list_reduce(list_transform(range(1, 65),
+        |          i -> (v[i] - cv[i]) * (v[i] - cv[i])), (x, y) -> x + y) AS d2
+        |      FROM e CROSS JOIN carr),
+        |ab AS (SELECT vec_id, label,
+        |        sqrt(CAST(max(CASE WHEN clbl = label THEN d2 END) AS DOUBLE))
+        |          AS a,
+        |        sqrt(CAST(min(CASE WHEN clbl <> label THEN d2 END) AS DOUBLE))
+        |          AS b
+        |      FROM d GROUP BY 1, 2),
+        |sil AS (SELECT label,
+        |        CAST(floor((b - a) / greatest(a, b) * 1e6) AS BIGINT) AS sil,
+        |        CAST(floor(a * 1e6) AS BIGINT) AS am,
+        |        CAST(floor(b * 1e6) AS BIGINT) AS bm
+        |      FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(sil) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+        |    AS mean_silhouette,
+        |  round(CAST(sum(am) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+        |    AS mean_dist_own,
+        |  round(CAST(sum(bm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+        |    AS mean_dist_other
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
     "q215_matryoshka_recall" ->
       s"""WITH ${mrlSliceSql(16)},
         |${mrlSliceSql(32)},

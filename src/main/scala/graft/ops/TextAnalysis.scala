@@ -2208,7 +2208,98 @@ object TextAnalysis {
       .orderBy($"decile")
   }
 
+  // ---------------------------------------------------------------------
+  // q301: Chao1 unseen-vocabulary estimate — the richness extrapolation
+  // beside q254's Good–Turing spectrum and q299's Heaps fit: per
+  // source, how many 3-shingle TYPES exist that this crawl hasn't seen
+  // yet, from the singleton/doubleton counts alone (Chao 1984,
+  // bias-corrected: V + f₁(f₁−1)/(2(f₂+1)), defined even at f₂ = 0).
+  // The per-source sample-coverage 1 − f₁/n (Turing) rides along — the
+  // "is another crawl of this source worth it" decision pair (coverage
+  // near 1 AND chao1 near V = the source is exhausted, the q183
+  // novelty-curve question answered without arrival history).
+  // Everything is exact integers except the two single-division
+  // readouts. Scale shape: one generate scan to (source, shingle)
+  // counts (map-side combined), a vocabulary-sized count-of-counts
+  // rollup, |sources| output rows.
+  private def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = docs(s, dir)
+      .select($"source", split($"text", " ").as("tk"))
+      .select($"source", expr("shingle_windows(tk, 3)"))
+      .groupBy($"source", $"shingle").agg(count(lit(1)).as("c"))
+    sc.groupBy($"source")
+      .agg(count(lit(1)).as("v_obs"), sum($"c").as("n_tokens"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"n_tokens", $"v_obs", $"f1", $"f2",
+        Num.roundAt($"v_obs".cast(DoubleType) +
+          ($"f1" * ($"f1" - 1L)).cast(DoubleType) /
+            (lit(2.0) * ($"f2" + 1L).cast(DoubleType)), 4).as("chao1"),
+        Num.roundAt(lit(1.0) - $"f1".cast(DoubleType) /
+          $"n_tokens".cast(DoubleType), 6).as("coverage"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q302: distinctive-term extraction by weighted log-odds (Monroe,
+  // Colaresi & Quinn 2008, the informative-Dirichlet-prior corpus
+  // comparison): per language, which 3-shingles are OVER-represented
+  // against the rest of the corpus, scored by the z of the smoothed
+  // log-odds-ratio delta — the statistically honest version of the
+  // "top TF-IDF terms per subcorpus" report (raw ratios blow up on rare
+  // terms; the corpus-proportional prior α_i = α₀·p_i shrinks exactly
+  // those). Top-3 per language by z (ties to shingle asc). Determinism:
+  // counts are exact ints; each row's δ/σ is ONE fixed IEEE sequence
+  // (no float crosses a reduction — the only aggregation after scoring
+  // is the rank window on bit-identical doubles). Scale shape: one
+  // generate scan to (lang, shingle) counts, a vocabulary-sized corpus
+  // rollup broadcast back, a |langs|·|V| scored frame, per-lang top-3
+  // via the rank window (WindowGroupLimit bounds the shuffle to k per
+  // group per partition).
+  private def logOddsTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a0 = 1000.0
+    val lc = docs(s, dir)
+      .select($"lang", split($"text", " ").as("tk"))
+      .select($"lang", expr("shingle_windows(tk, 3)"))
+      .groupBy($"lang", $"shingle").agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = lc.groupBy($"shingle").agg(sum($"y").as("cy"))
+    val nl = lc.groupBy($"lang").agg(sum($"y").as("n"))
+    val nn = lc.agg(sum($"y").as("nt"))
+    val scored = lc
+      .join(corpus, Seq("shingle"))
+      .join(broadcast(nl), Seq("lang"))
+      .crossJoin(broadcast(nn))
+      .withColumn("alpha",
+        $"cy".cast(DoubleType) * lit(a0) / $"nt".cast(DoubleType))
+      .withColumn("yo", $"cy" - $"y")   // rest-of-corpus count
+      .withColumn("no", $"nt" - $"n")
+      .withColumn("delta",
+        log(($"y".cast(DoubleType) + $"alpha") /
+          (($"n".cast(DoubleType) + lit(a0)) -
+            ($"y".cast(DoubleType) + $"alpha"))) -
+        log(($"yo".cast(DoubleType) + $"alpha") /
+          (($"no".cast(DoubleType) + lit(a0)) -
+            ($"yo".cast(DoubleType) + $"alpha"))))
+      .withColumn("z", $"delta" /
+        sqrt(lit(1.0) / ($"y".cast(DoubleType) + $"alpha") +
+          lit(1.0) / ($"yo".cast(DoubleType) + $"alpha")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"z".desc, $"shingle".asc)))
+      .filter($"rank" <= 3)
+      .select($"lang", $"rank".cast(LongType).as("rank"),
+        $"shingle".as("term"), $"y".as("n_in_lang"),
+        $"cy".as("n_corpus"), Num.roundAt($"z", 4).as("log_odds_z"))
+      .orderBy($"lang", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_chao1_richness" -> (chao1Richness _),
+    "q302_log_odds_terms" -> (logOddsTerms _),
     "q297_field_mi" -> (fieldMi _),
     "q299_heaps_law" -> (heapsLaw _),
     "q293_vocab_overlap" -> (vocabOverlap _),
@@ -2404,6 +2495,66 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q301_chao1_richness" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT source, tk, unnest(range(1, len(tk) - 1)) AS pos
+        |  FROM tok WHERE len(tk) >= 3),
+        |sc AS (
+        |  SELECT source, array_to_string(tk[pos:pos+2], ' ') AS sh
+        |  FROM idx),
+        |cnt AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS c
+        |      FROM sc GROUP BY 1, 2),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |      FROM cnt GROUP BY 1)
+        |SELECT source, n_tokens, v_obs, f1, f2,
+        |  round(CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 4) AS chao1,
+        |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS coverage
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q302_log_odds_terms" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT lang, tk, unnest(range(1, len(tk) - 1)) AS pos
+        |  FROM tok WHERE len(tk) >= 3),
+        |sh AS (
+        |  SELECT lang, array_to_string(tk[pos:pos+2], ' ') AS shingle
+        |  FROM idx),
+        |lc AS (SELECT lang, shingle, CAST(count(*) AS BIGINT) AS y
+        |      FROM sh GROUP BY 1, 2),
+        |corpus AS (SELECT shingle, CAST(sum(y) AS BIGINT) AS cy
+        |      FROM lc GROUP BY 1),
+        |nl AS (SELECT lang, CAST(sum(y) AS BIGINT) AS n FROM lc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(y) AS BIGINT) AS nt FROM lc),
+        |s2 AS (SELECT lang, shingle, y, cy, n, nt,
+        |        CAST(cy AS DOUBLE) * 1000.0 / CAST(nt AS DOUBLE) AS alpha,
+        |        cy - y AS yo, nt - n AS nother
+        |      FROM lc JOIN corpus USING (shingle) JOIN nl USING (lang), nn),
+        |z AS (SELECT lang, shingle, y, cy,
+        |        (ln((CAST(y AS DOUBLE) + alpha)
+        |            / ((CAST(n AS DOUBLE) + 1000.0)
+        |               - (CAST(y AS DOUBLE) + alpha)))
+        |         - ln((CAST(yo AS DOUBLE) + alpha)
+        |            / ((CAST(nother AS DOUBLE) + 1000.0)
+        |               - (CAST(yo AS DOUBLE) + alpha))))
+        |        / sqrt(1.0 / (CAST(y AS DOUBLE) + alpha)
+        |               + 1.0 / (CAST(yo AS DOUBLE) + alpha)) AS z
+        |      FROM s2),
+        |r AS (SELECT lang, shingle, y, cy, z,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY z DESC, shingle ASC) AS rank
+        |      FROM z)
+        |SELECT lang, rank, shingle AS term, y AS n_in_lang, cy AS n_corpus,
+        |  round(z, 4) AS log_odds_z
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
     "q297_field_mi" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
         |      FROM documents GROUP BY 1, 2),

@@ -464,6 +464,109 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(z - want) < 1e-5, s"z $z vs replay $want")
   }
 
+  test("q301: Chao1 lower-bounds nothing below the observed richness") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("q301_chao1_richness")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chao1") >= r.getAs[Long]("v_obs").toDouble)
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+      assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <=
+        r.getAs[Long]("v_obs"))
+    }
+    // driver replay of f1/f2 for the first source
+    val src = rows.head.getAs[String]("source")
+    val cs = graft.Tables.documents(spark, dir)
+      .filter($"source" === src)
+      .select(split($"text", " ").as("tk"))
+      .select(expr("shingle_windows(tk, 3)"))
+      .groupBy($"shingle").count().collect().map(_.getLong(1))
+    assert(rows.head.getAs[Long]("f1") == cs.count(_ == 1L))
+    assert(rows.head.getAs[Long]("f2") == cs.count(_ == 2L))
+    assert(rows.head.getAs[Long]("v_obs") == cs.length.toLong)
+  }
+
+  test("q302: log-odds top terms are rank-ordered and over-represented") {
+    val rows = TextAnalysis.queries("q302_log_odds_terms")(spark, dir)
+      .collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    assert(rows.length == langs.length * 3)
+    langs.foreach { l =>
+      val zs = rows.filter(_.getAs[String]("lang") == l)
+        .sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("log_odds_z"))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a >= b },
+        s"$l ranks not z-ordered: ${zs.mkString(",")}")
+      // a top distinctive term should genuinely skew into its language
+      assert(zs.head > 0.0, s"$l top term not over-represented")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_in_lang") <=
+      r.getAs[Long]("n_corpus")))
+  }
+
+  test("q303: MH odds ratio reconciles with the published cells") {
+    val rows = Relational.queries("q303_mantel_haenszel")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val mh = rows.head.getAs[Double]("mh_or")
+    assert(rows.forall(_.getAs[Double]("mh_or") == mh))
+    assert(mh > 0.0)
+    // replay the frozen-int pooled sums from the output cells
+    var sad = 0L; var sbc = 0L
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("n_exp_out"),
+        r.getAs[Long]("n_exp_noout"), r.getAs[Long]("n_unexp_out"),
+        r.getAs[Long]("n_unexp_noout"))
+      val n = a + b + c + d
+      sad += 1000000L * a * d / n
+      sbc += 1000000L * b * c / n
+      val or = r.getAs[Double]("stratum_or")
+      assert(math.abs(or - a.toDouble * d / (b.toDouble * c)) < 1e-3)
+    }
+    assert(math.abs(mh - sad.toDouble / sbc) < 1e-3, s"$mh vs ${sad.toDouble / sbc}")
+  }
+
+  test("q304: silhouette census matches a full driver replay") {
+    import spark.implicits._
+    val rows = Similarity.queries("q304_silhouette")(spark, dir)
+      .orderBy($"label").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s0 = r.getAs[Double]("mean_silhouette")
+      assert(s0 >= -1.0 - 1e-9 && s0 <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("mean_dist_own") >= 0.0)
+      assert(r.getAs[Double]("mean_dist_other") >= 0.0)
+    }
+    // exact replay at sf0.001: freeze, centroid div, distances, means
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong)))
+    val byL = vecs.groupBy(_._1)
+    val cents = byL.view.mapValues { vs =>
+      val n = vs.length
+      (0 until 64).map(d => vs.map(_._2(d)).sum / n)
+    }.toMap
+    val want = byL.map { case (l, vs) =>
+      val sils = vs.map { case (_, v) =>
+        def d2(c: Seq[Long]) =
+          v.zip(c).map { case (x, cc) => (x - cc) * (x - cc) }.sum
+        val a = math.sqrt(d2(cents(l)).toDouble)
+        val b = math.sqrt(cents.filter(_._1 != l).values
+          .map(c => d2(c)).min.toDouble)
+        math.floor((b - a) / math.max(a, b) * 1e6).toLong
+      }
+      l -> sils.sum.toDouble / vs.length / 1e6
+    }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - want(l)) < 1e-5,
+        s"label $l: ${r.getAs[Double]("mean_silhouette")} vs ${want(l)}")
+    }
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
