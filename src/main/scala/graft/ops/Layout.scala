@@ -329,7 +329,78 @@ object Layout {
       .orderBy($"layout", $"pred")
   }
 
+  // ---------------------------------------------------------------------
+  // q306: per-rowgroup Bloom-filter pruning census — the equality-
+  // predicate complement of q243's zone maps: under the natural ingest
+  // layout (rowgroups keyed by orderkey ranges) a point lookup on
+  // l_suppkey finds zone min/max USELESS (suppkeys scatter across every
+  // group, min..max covers any probe), which is exactly the case
+  // parquet/lakehouse row-group bloom filters exist for. Simulated
+  // honestly: per group, an m=4096-bit / k=2 filter over the group's
+  // distinct suppkeys (bits = md5-derived h7, the q187 hash family —
+  // deterministic on both engines); probes are 5 present + 5 absent
+  // keys; the census prices groups-scanned under zone-map-only vs
+  // +bloom against the true containing-group count, separating the
+  // absent-key wins (bloom skips ~everything, FPR-bounded) from the
+  // present-key floor (bloom can never skip a true member). All exact
+  // integers. Scale shape: group stats and (group, bit) sets are
+  // map-side reductions bounded by |groups|·m; probes are a 10-row
+  // broadcast; every join is bit- or key-equi.
+  private def bloomPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val M = 4096L
+    val li = Tables.lineitem(s, dir)
+      .select(expr("l_orderkey div 1024").as("rg"), $"l_suppkey".as("sk"))
+    val rgKeys = li.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rgStats = rgKeys.groupBy($"rg")
+      .agg(min($"sk").as("mn"), max($"sk").as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def hb(tag: String, c: org.apache.spark.sql.Column) =
+      graft.ops.Det.h7(concat(lit(tag), c.cast(org.apache.spark.sql.types.StringType))) % M
+    val bits = rgKeys
+      .select($"rg", explode(array(hb("b1:", $"sk"), hb("b2:", $"sk"))).as("bit"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ((1L to 5L) ++ (1000001L to 1000005L)).toDF("probe_key")
+      .select($"probe_key", hb("b1:", $"probe_key").as("h1"),
+        hb("b2:", $"probe_key").as("h2"))
+    val nGroups = rgStats.agg(count(lit(1)).as("n_groups"))
+    val truth = probes.join(rgKeys, $"probe_key" === $"sk")
+      .groupBy($"probe_key").agg(count(lit(1)).as("n_true"))
+    val zone = probes.join(rgStats,
+        $"mn" <= $"probe_key" && $"probe_key" <= $"mx")
+      .groupBy($"probe_key").agg(count(lit(1)).as("n_zone"))
+    val hit1 = probes.select($"probe_key", $"h1".as("bit"))
+      .join(bits, Seq("bit")).select($"probe_key", $"rg")
+    val hit2 = probes.select($"probe_key", $"h2".as("bit"))
+      .join(bits, Seq("bit")).select($"probe_key", $"rg")
+    val bloom = hit1.join(hit2, Seq("probe_key", "rg"))
+      .groupBy($"probe_key").agg(count(lit(1)).as("n_bloom"))
+    probes.select($"probe_key")
+      .join(truth, Seq("probe_key"), "left")
+      .join(zone, Seq("probe_key"), "left")
+      .join(bloom, Seq("probe_key"), "left")
+      .crossJoin(broadcast(nGroups))
+      .select($"probe_key",
+        (coalesce($"n_true", lit(0L)) > 0L).as("member"),
+        $"n_groups",
+        coalesce($"n_true", lit(0L)).as("n_true"),
+        coalesce($"n_zone", lit(0L)).as("n_zone"),
+        coalesce($"n_bloom", lit(0L)).as("n_bloom"),
+        Num.roundAt(($"n_groups" - coalesce($"n_bloom", lit(0L)))
+          .cast(DoubleType) / $"n_groups".cast(DoubleType), 6)
+          .as("bloom_skip_frac"),
+        Num.roundAt((coalesce($"n_bloom", lit(0L)) -
+          coalesce($"n_true", lit(0L))).cast(DoubleType) /
+          greatest($"n_groups" - coalesce($"n_true", lit(0L)), lit(1L))
+            .cast(DoubleType), 6).as("false_positive_rate"))
+      .orderBy($"probe_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_bloom_pruning" -> (bloomPruning _),
     "q243_zonemap_census" -> (zoneMapCensus _),
     "q210_encoding_census" -> (encodingCensus _),
     "q50_partition_prune" -> (partitionPrune _),
@@ -368,6 +439,51 @@ object Layout {
        |              $c AS v FROM lineitem))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q306_bloom_pruning" ->
+      """WITH li AS (
+        |  SELECT l_orderkey // 1024 AS rg, l_suppkey AS sk FROM lineitem),
+        |rgk AS (SELECT DISTINCT rg, sk FROM li),
+        |rgstats AS (SELECT rg, CAST(min(sk) AS BIGINT) AS mn,
+        |        CAST(max(sk) AS BIGINT) AS mx FROM rgk GROUP BY 1),
+        |bits AS (SELECT DISTINCT rg, bit FROM (
+        |    SELECT rg, CAST(concat('0x', substring(md5(
+        |        concat('b1:', CAST(sk AS VARCHAR))), 1, 7)) AS BIGINT) % 4096
+        |      AS bit FROM rgk
+        |    UNION ALL
+        |    SELECT rg, CAST(concat('0x', substring(md5(
+        |        concat('b2:', CAST(sk AS VARCHAR))), 1, 7)) AS BIGINT) % 4096
+        |      AS bit FROM rgk)),
+        |probes AS (SELECT CAST(k AS BIGINT) AS probe_key,
+        |    CAST(concat('0x', substring(md5(
+        |      concat('b1:', CAST(k AS VARCHAR))), 1, 7)) AS BIGINT) % 4096 AS h1,
+        |    CAST(concat('0x', substring(md5(
+        |      concat('b2:', CAST(k AS VARCHAR))), 1, 7)) AS BIGINT) % 4096 AS h2
+        |  FROM (SELECT unnest([1, 2, 3, 4, 5, 1000001, 1000002, 1000003,
+        |      1000004, 1000005]) AS k)),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM rgstats),
+        |truth AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS n_true
+        |      FROM probes JOIN rgk ON sk = probe_key GROUP BY 1),
+        |zone AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS n_zone
+        |      FROM probes JOIN rgstats
+        |        ON mn <= probe_key AND probe_key <= mx GROUP BY 1),
+        |hb1 AS (SELECT probe_key, rg FROM probes JOIN bits ON bit = h1),
+        |hb2 AS (SELECT probe_key, rg FROM probes JOIN bits ON bit = h2),
+        |bloom AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS n_bloom
+        |      FROM hb1 JOIN hb2 USING (probe_key, rg) GROUP BY 1)
+        |SELECT p.probe_key, coalesce(n_true, 0) > 0 AS member, n_groups,
+        |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(coalesce(n_zone, 0) AS BIGINT) AS n_zone,
+        |  CAST(coalesce(n_bloom, 0) AS BIGINT) AS n_bloom,
+        |  round(CAST(n_groups - coalesce(n_bloom, 0) AS DOUBLE)
+        |    / CAST(n_groups AS DOUBLE), 6) AS bloom_skip_frac,
+        |  round(CAST(coalesce(n_bloom, 0) - coalesce(n_true, 0) AS DOUBLE)
+        |    / CAST(greatest(n_groups - coalesce(n_true, 0), 1) AS DOUBLE), 6)
+        |    AS false_positive_rate
+        |FROM probes p LEFT JOIN truth USING (probe_key)
+        |LEFT JOIN zone USING (probe_key)
+        |LEFT JOIN bloom USING (probe_key), ng
+        |ORDER BY probe_key""".stripMargin,
+
     "q243_zonemap_census" ->
       """WITH li AS (
         |  SELECT l_orderkey, epoch_us(l_shipdate) AS d,

@@ -3752,16 +3752,16 @@ object Relational {
     // between-group deviations in exact cross-multiplied decimal,
     // frozen per brand before the sum
     val tau = g.crossJoin(broadcast(tot))
-      .select(floor(lit(1e6) *
+      .select(floor(lit(1e2) *
         ((dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")) *
           (dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")))
           .cast(DoubleType) /
         ((dec($"n") * dec($"nn")) * (dec($"n") * dec($"nn")))
-          .cast(DoubleType)).cast(LongType).as("d2_micro"))
-      .agg(sum($"d2_micro").as("sd2_micro"))
+          .cast(DoubleType)).cast(LongType).as("d2_centi"))
+      .agg(sum($"d2_centi").as("sd2_centi"))
     val shrunk = g.crossJoin(broadcast(par)).crossJoin(broadcast(tau))
       .withColumn("tau2", greatest(lit(0.0),
-        $"sd2_micro".cast(DoubleType) / lit(1e6) /
+        $"sd2_centi".cast(DoubleType) / lit(1e2) /
           ($"ng" - 1L).cast(DoubleType) -
           $"s2w" * $"sinv" / $"ng".cast(DoubleType)))
       .withColumn("b", $"tau2" / ($"tau2" + $"s2w" / $"n".cast(DoubleType)))
@@ -5721,10 +5721,95 @@ object Relational {
       .orderBy($"segment")
   }
 
+  // ---------------------------------------------------------------------
+  // q307: winner's-curse validation — q290 SHIPS shrinkage; this
+  // measures whether it pays, on the out-of-sample design every
+  // experimentation/ranking platform should run: split the order
+  // history at a fixed date (1998-01-01, mid-corpus), pick the top-5
+  // nations by period-1 mean order value (selection ON the noisy
+  // estimate — the winner's-curse setup), then read each winner's
+  // period-2 realized mean against BOTH the raw and the EB-shrunk
+  // period-1 estimate. Selected-on-noise raw means regress toward the
+  // mean by construction; the shrunk column is the q290 machinery's
+  // out-of-sample report card. Determinism: the q290 frozen-moment EB
+  // recipe verbatim on the period-1 census; selection ranks by the
+  // MICRO-FROZEN integer mean ((1e6·sx) div n — never a float sort
+  // key); period-2 readouts are single IEEE divisions. Scale shape:
+  // one orders scan to a (nation × period) census, |nations|-bounded
+  // frames everywhere after.
+  private def winnersCurse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cut = lit("1998-01-01").cast(TimestampType)
+    val per = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast(LongType).as("nation"),
+        ($"o_orderdate" < cut).as("p1"),
+        floor($"o_totalprice" * 100).cast(LongType).as("x"))
+      .groupBy($"nation", $"p1")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(dec($"x") * dec($"x")).as("sxx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = per.filter($"p1")
+      .select($"nation", $"n", $"sx", $"sxx")
+      // order values are ~100x q290's balances, so the q290 milli/micro
+      // freezes overflow int64 here: within-SS freezes to KILO-cents^2
+      // (n*var ~ 4e17 cent^2 at sf0.1 -> 4e14 kilo-units; relative
+      // truncation ~1e-14) and the between-deviation to centi-units
+      .withColumn("wss_kilo", floor(
+        ($"n" * $"sxx" - dec($"sx") * dec($"sx")).cast(DoubleType) /
+        $"n".cast(DoubleType) / lit(1000.0)).cast(LongType))
+      .withColumn("inv_pico", expr("1000000000000 div n"))
+    val tot = g.agg(sum($"n").as("nn"), sum($"sx").as("tsx"),
+      count(lit(1)).as("ng"),
+      sum($"wss_kilo").as("ssw_kilo"), sum($"inv_pico").as("sinv_pico"))
+    val par = tot.select($"nn", $"ng", $"tsx",
+      ($"ssw_kilo".cast(DoubleType) * lit(1000.0) /
+        ($"nn" - $"ng").cast(DoubleType)).as("s2w"),
+      ($"sinv_pico".cast(DoubleType) / lit(1e12)).as("sinv"),
+      ($"tsx".cast(DoubleType) / $"nn".cast(DoubleType)).as("gm"))
+    val tau = g.crossJoin(broadcast(tot))
+      .select(floor(lit(1e2) *
+        ((dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")) *
+          (dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")))
+          .cast(DoubleType) /
+        ((dec($"n") * dec($"nn")) * (dec($"n") * dec($"nn")))
+          .cast(DoubleType)).cast(LongType).as("d2_centi"))
+      .agg(sum($"d2_centi").as("sd2_centi"))
+    val shrunk = g.crossJoin(broadcast(par)).crossJoin(broadcast(tau))
+      .withColumn("tau2", greatest(lit(0.0),
+        $"sd2_centi".cast(DoubleType) / lit(1e2) /
+          ($"ng" - 1L).cast(DoubleType) -
+          $"s2w" * $"sinv" / $"ng".cast(DoubleType)))
+      .withColumn("b", $"tau2" / ($"tau2" + $"s2w" / $"n".cast(DoubleType)))
+      .withColumn("raw", $"sx".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("shr", $"gm" + $"b" * ($"raw" - $"gm"))
+    val sel = shrunk
+      .withColumn("m1m", expr("(1000000 * cast(sx as decimal(38,0))) div n"))
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy($"m1m".desc, $"nation".asc)).cast(LongType))
+      .filter($"sel_rank" <= 5L)
+    val p2 = per.filter(!$"p1")
+      .select($"nation", $"n".as("n2"), $"sx".as("sx2"))
+    sel.join(p2, Seq("nation"))
+      .withColumn("m2", $"sx2".cast(DoubleType) / $"n2".cast(DoubleType))
+      .select($"nation", $"sel_rank", $"n".as("n1"),
+        Num.roundAt($"raw" / lit(100.0), 4).as("m1_dollars"),
+        Num.roundAt($"shr" / lit(100.0), 4).as("m1_shrunk_dollars"),
+        $"n2", Num.roundAt($"m2" / lit(100.0), 4).as("m2_dollars"),
+        Num.roundAt(($"raw" - $"m2") / lit(100.0), 4)
+          .as("raw_regression_dollars"),
+        Num.roundAt(($"shr" - $"m2") / lit(100.0), 4)
+          .as("shrunk_regression_dollars"))
+      .orderBy($"sel_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_degree_assortativity" -> (degreeAssortativity _),
     "q300_cochran_armitage" -> (cochranArmitage _),
     "q303_mantel_haenszel" -> (mantelHaenszel _),
+    "q307_winners_curse" -> (winnersCurse _),
     "q298_kruskal_wallis" -> (kruskalWallis _),
     "q242_dp_sensitivity" -> (dpSensitivity _),
     "q244_t_closeness" -> (tCloseness _),
@@ -5902,6 +5987,72 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q307_winners_curse" ->
+      """WITH per AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         o_orderdate < TIMESTAMP '1998-01-01' AS p1,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pc AS (SELECT nation, p1, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |      FROM per GROUP BY 1, 2),
+        |g2 AS (SELECT nation, n, sx,
+        |        CAST(floor(
+        |          CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |            AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0) AS BIGINT)
+        |          AS wss_kilo,
+        |        1000000000000 // n AS inv_pico
+        |      FROM pc WHERE p1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(sx) AS BIGINT) AS tsx,
+        |        CAST(count(*) AS BIGINT) AS ng,
+        |        CAST(sum(wss_kilo) AS BIGINT) AS ssw_kilo,
+        |        CAST(sum(inv_pico) AS BIGINT) AS sinv_pico FROM g2),
+        |tau AS (SELECT CAST(sum(CAST(floor(100.0 *
+        |      CAST((CAST(sx AS HUGEINT) * CAST(nn AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * CAST(tsx AS HUGEINT))
+        |        * (CAST(sx AS HUGEINT) * CAST(nn AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * CAST(tsx AS HUGEINT)) AS DOUBLE)
+        |      / CAST((CAST(n AS HUGEINT) * CAST(nn AS HUGEINT))
+        |        * (CAST(n AS HUGEINT) * CAST(nn AS HUGEINT)) AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS sd2_centi
+        |  FROM g2, tot),
+        |xx AS (SELECT nation, n, sx, ng, sd2_centi,
+        |    CAST(ssw_kilo AS DOUBLE) * 1000.0 / CAST(nn - ng AS DOUBLE)
+        |      AS s2w,
+        |    CAST(sinv_pico AS DOUBLE) / 1e12 AS sinv,
+        |    CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE) AS gm
+        |  FROM g2, tot, tau),
+        |yy AS (SELECT nation, n, sx, gm, s2w,
+        |    greatest(0.0::DOUBLE, CAST(sd2_centi AS DOUBLE) / 100.0
+        |      / CAST(ng - 1 AS DOUBLE)
+        |      - s2w * sinv / CAST(ng AS DOUBLE)) AS tau2
+        |  FROM xx),
+        |zz AS (SELECT nation, n, sx,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS raw,
+        |    gm + (tau2 / (tau2 + s2w / CAST(n AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gm) AS shr
+        |  FROM yy),
+        |r AS (SELECT nation, n, raw, shr,
+        |    CAST(row_number() OVER (ORDER BY
+        |      (1000000 * CAST(sx AS HUGEINT)) // n DESC, nation ASC)
+        |      AS BIGINT) AS sel_rank
+        |  FROM zz),
+        |p2 AS (SELECT nation, n AS n2, sx AS sx2 FROM pc WHERE NOT p1)
+        |SELECT r.nation, sel_rank, r.n AS n1,
+        |  round(raw / 100.0, 4) AS m1_dollars,
+        |  round(shr / 100.0, 4) AS m1_shrunk_dollars,
+        |  n2,
+        |  round((CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0, 4)
+        |    AS m2_dollars,
+        |  round((raw - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0, 4)
+        |    AS raw_regression_dollars,
+        |  round((shr - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0, 4)
+        |    AS shrunk_regression_dollars
+        |FROM r JOIN p2 USING (nation)
+        |WHERE sel_rank <= 5 ORDER BY sel_rank""".stripMargin,
+
     "q303_mantel_haenszel" ->
       """WITH cen AS (
         |  SELECT c_mktsegment AS seg,

@@ -1088,7 +1088,79 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------------
+  // q305: IVF nprobe sweep — the tuning harness q178 is for LSH band
+  // geometry, pointed at the IVF knob: the same cell index read at
+  // nprobe ∈ {1, 2, 4}, each point priced in candidate volume vs exact
+  // recall@10 (summed hits over summed truth — exact integers, one
+  // division per row). Probing is NESTED (a probe's nprobe=1 cell set ⊂
+  // its nprobe=2 set ⊂ 4), so ONE scored candidate pass at nprobe=4
+  // carries the whole sweep: each (probe, cand) keeps the MINIMUM cell
+  // rank that reached it, and smaller-nprobe results are rank filters
+  // over the persisted scored frame — three windows, zero re-scoring
+  // (the q178/q260 one-pass-sweep pattern). Ground truth is the q146
+  // brute pass, computed once. Scale shape: cell assignment is a
+  // codebook-literal map stage, candidates are bucket-equi-join
+  // occupancy, the sweep adds only bounded window work.
+  private def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val all = base(s, dir)
+    val centRows = naiveCodebook(s, dir)
+    val scoredCells = array(centRows.map { case (cid, cv, cn) =>
+      struct(
+        (call_function("fold_dot", $"v", typedlit(cv)) / ($"nrm" * lit(cn))).as("ccos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    val withCells = all.withColumn("cells", reverse(array_sort(scoredCells)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assign = withCells
+      .select($"vec_id".as("cand_id"), (-$"cells"(0)("negcid")).as("cell"),
+        $"v".as("cv2"), $"nrm".as("cn2"))
+    val probeCells = withCells
+      .filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("probe_id"), posexplode(slice($"cells", 1, 4)),
+        $"v".as("pv"), $"nrm".as("pn"))
+      .select($"probe_id", ($"pos" + 1).as("crank"),
+        (-$"col"("negcid")).as("cell"), $"pv", $"pn")
+    val scored = probeCells.join(assign, Seq("cell"))
+      .filter($"probe_id" =!= $"cand_id")
+      .withColumn("c", expr("fold_dot(pv, cv2)") / ($"pn" * $"cn2"))
+      .groupBy($"probe_id", $"cand_id")
+      .agg(max($"c").as("cos"), min($"crank").as("crank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id".asc)
+    val probes = all.filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"nrm".as("pn"))
+    val exact = all.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", expr("fold_dot(pv, v)") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"vec_id".as("cand_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exn = exact.agg(count(lit(1)).as("n_exact"))
+    nps.map { np =>
+      val cand = scored.filter($"crank" <= np)
+      val topk = cand
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= 10)
+        .select($"probe_id", $"cand_id")
+      val hits = topk.join(exact, Seq("probe_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(exn)
+        .select(lit(np.toLong).as("nprobe"), $"n_candidates", $"n_hit",
+          $"n_exact",
+          Num.roundAt($"n_hit".cast(DoubleType) /
+            $"n_exact".cast(DoubleType), 6).as("recall_at_10"))
+    }.reduce(_ unionAll _).orderBy($"nprobe")
+  }
+
+  private val nps = Seq(1, 2, 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_nprobe_sweep" -> (nprobeSweep _),
     "q304_silhouette" -> (silhouetteCensus _),
     "q240_filtered_ann" -> (filteredAnn _),
     "q215_matryoshka_recall" -> (matryoshkaRecall _),
@@ -1147,6 +1219,74 @@ object Similarity {
        |  FROM s$d WHERE vec_id < 20)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q305_nprobe_sweep" ->
+      s"""WITH $nSql,
+        |cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |aff AS (
+        |  SELECT n.vec_id, cents.cent_id,
+        |         list_reduce(list_transform(range(1, 65), i -> n.v[i] * cents.cv[i]),
+        |           (x, y) -> x + y) / (n.nrm * cents.cn) AS ccos
+        |  FROM n, cents),
+        |ranked_aff AS (
+        |  SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ccos DESC, cent_id ASC) AS crank
+        |  FROM aff),
+        |assign AS (
+        |  SELECT vec_id AS cand_id, cent_id AS cell FROM ranked_aff WHERE crank = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, cent_id AS cell, crank FROM ranked_aff
+        |  WHERE vec_id >= 20 AND vec_id < 40 AND crank <= 4),
+        |ivf_scored AS (
+        |  SELECT p.probe_id, a.cand_id,
+        |         max(list_reduce(list_transform(range(1, 65), i -> pn.v[i] * cn2.v[i]),
+        |           (x, y) -> x + y) / (pn.nrm * cn2.nrm)) AS cos,
+        |         min(p.crank) AS crank
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.cand_id != p.probe_id
+        |  JOIN n pn ON pn.vec_id = p.probe_id
+        |  JOIN n cn2 ON cn2.vec_id = a.cand_id
+        |  GROUP BY p.probe_id, a.cand_id),
+        |nps AS (SELECT unnest([1, 2, 4]) AS np),
+        |cand AS (
+        |  SELECT np, probe_id, cand_id, cos FROM ivf_scored, nps
+        |  WHERE crank <= np),
+        |ivf AS (
+        |  SELECT np, probe_id, cand_id FROM (
+        |    SELECT np, probe_id, cand_id,
+        |           row_number() OVER (PARTITION BY np, probe_id
+        |             ORDER BY cos DESC, cand_id ASC) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 10),
+        |exact_scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_reduce(list_transform(range(1, 65), i -> p.v[i] * c.v[i]),
+        |           (x, y) -> x + y) / (p.nrm * c.nrm) AS cos
+        |  FROM n p JOIN n c
+        |    ON p.vec_id >= 20 AND p.vec_id < 40 AND c.vec_id != p.vec_id),
+        |exact AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |           row_number() OVER (PARTITION BY probe_id
+        |             ORDER BY cos DESC, cand_id ASC) AS rank
+        |    FROM exact_scored)
+        |  WHERE rank <= 10),
+        |exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+        |nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates
+        |      FROM cand GROUP BY 1),
+        |hit AS (
+        |  SELECT i.np, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ivf i JOIN exact e
+        |    ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
+        |  GROUP BY 1)
+        |SELECT CAST(nc.np AS BIGINT) AS nprobe, n_candidates,
+        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+        |  round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+        |    / CAST(n_exact AS DOUBLE), 6) AS recall_at_10
+        |FROM nc LEFT JOIN hit ON hit.np = nc.np, exn
+        |ORDER BY nprobe""".stripMargin,
+
     "q304_silhouette" ->
       """WITH e AS (
         |  SELECT vec_id, label,

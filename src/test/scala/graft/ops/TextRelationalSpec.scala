@@ -567,6 +567,70 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q305: nprobe sweep nests — candidates and recall only grow") {
+    import spark.implicits._
+    val rows = Similarity.queries("q305_nprobe_sweep")(spark, dir)
+      .orderBy($"nprobe").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val hits = rows.map(_.getAs[Long]("n_hit"))
+    // nested probing: wider nprobe can only add candidates and hits
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") > 0L)
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    }
+  }
+
+  test("q306: bloom pruning never skips a true member; absent keys skip hard") {
+    val rows = Layout.queries("q306_bloom_pruning")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nt, nz, nb, ng) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_zone"),
+        r.getAs[Long]("n_bloom"), r.getAs[Long]("n_groups"))
+      // no false negatives: every containing group passes both filters
+      assert(nb >= nt, s"bloom dropped a true group: $nb < $nt")
+      assert(nz >= nt, s"zone dropped a true group: $nz < $nt")
+      assert(nb <= ng && nz <= ng)
+      val fpr = r.getAs[Double]("false_positive_rate")
+      assert(fpr >= 0.0 && fpr <= 1.0)
+      if (!r.getAs[Boolean]("member")) {
+        assert(nt == 0L)
+        // m=4096/k=2 over ~100 distinct keys per group: FPR well under 5%
+        assert(fpr < 0.05, s"absent-key FPR $fpr")
+      }
+    }
+    // the absent keys must exist and must skip more than the present ones
+    val absent = rows.filter(!_.getAs[Boolean]("member"))
+    assert(absent.length == 5, s"${absent.length} absent probes")
+  }
+
+  test("q307: selected-on-noise winners regress and the report is self-consistent") {
+    import spark.implicits._
+    val rows = Relational.queries("q307_winners_curse")(spark, dir)
+      .orderBy($"sel_rank").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val m1 = r.getAs[Double]("m1_dollars")
+      val m2 = r.getAs[Double]("m2_dollars")
+      assert(math.abs(r.getAs[Double]("raw_regression_dollars") -
+        (m1 - m2)) < 0.01)
+      assert(math.abs(r.getAs[Double]("shrunk_regression_dollars") -
+        (r.getAs[Double]("m1_shrunk_dollars") - m2)) < 0.01)
+      assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n2") > 0L)
+    }
+    // selection ranks by period-1 mean: m1 must be non-increasing
+    val m1s = rows.map(_.getAs[Double]("m1_dollars"))
+    assert(m1s.zip(m1s.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // shrinkage pulls toward the grand mean: shrunk <= raw for winners
+    rows.foreach(r => assert(r.getAs[Double]("m1_shrunk_dollars") <=
+      r.getAs[Double]("m1_dollars") + 1e-9))
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
