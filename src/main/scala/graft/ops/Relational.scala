@@ -5805,7 +5805,152 @@ object Relational {
       .orderBy($"sel_rank")
   }
 
+  // ---------------------------------------------------------------------
+  // q308: stream-stream join census — the BATCH twin of
+  // streaming/StreamingDemo's watermarked purchase⋈view join
+  // (StreamStreamJoin.purchasesWithRecentViews) promoted to a
+  // DuckDB-paired oracle row, the q291 precedent closing the last
+  // spec-only streaming category: per day, purchases with ≥1 view by
+  // the same user in the preceding hour, the pair count, and the mean
+  // view→purchase gap. The join condition IS the streaming state
+  // contract — user-equi plus a bounded event-time range is exactly
+  // what lets the streaming engine evict buffered rows; this census
+  // also prices that state (pairs per purchase). Exactness: epoch-micro
+  // integer predicates, gap sums exact ints, one division per day.
+  // Scale shape: both sides cluster on user_id for the equi-join, the
+  // time bound caps per-user fan-out, per-day census is
+  // calendar-bounded.
+  private def streamJoinCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("u"),
+        unix_micros($"ts").as("pt"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("u"), unix_micros($"ts").as("vt"))
+    val perP = p.join(v, Seq("u"))
+      .filter($"vt" >= $"pt" - 3600000000L && $"vt" <= $"pt")
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("nv"), sum($"pt" - $"vt").as("gap_sum"))
+    p.join(perP, Seq("p_id"), "left")
+      // integer `div`, never `/`: 2024 epoch-micros (~1.7e18) exceed a
+      // double's 2^53 integer range (the Tables.events nanos lesson)
+      .groupBy(expr("pt div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count($"nv").as("n_with_view"),
+        sum(coalesce($"nv", lit(0L))).as("n_pairs"),
+        sum(coalesce($"gap_sum", lit(0L))).as("gap_sum"))
+      .select($"epoch_day", $"n_purchases", $"n_with_view", $"n_pairs",
+        Num.roundAt($"n_pairs".cast(DoubleType) /
+          $"n_purchases".cast(DoubleType), 6).as("pairs_per_purchase"),
+        when($"n_pairs" > 0L, Num.roundAt($"gap_sum".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType) / lit(60000000.0), 4))
+          .as("mean_gap_min"))
+      .orderBy($"epoch_day")
+  }
+
+  // ---------------------------------------------------------------------
+  // q309: group-sequential A/B monitor (O'Brien–Fleming) — q143 reads
+  // ONE final z; real experiments get peeked at, and naive repeated
+  // testing inflates false positives ~5x over 4 looks. This harness
+  // prices the experiment the correct sequential way: the q143 minstd
+  // arm split over the 1997 order year, cumulative Welch z at 4
+  // equally-spaced interim looks, each against its OBF boundary
+  // 2.024·√(K/k) (the z-spending shape that keeps overall α = 5%: near-
+  // unspendable early, full-strength at the end). Cumulative moments
+  // for all looks come off ONE scan via a 4-row cutoff broadcast —
+  // peeking costs zero extra passes. Exact decimal moments, one IEEE z
+  // per (look, arm-pair) row; the split is deterministic so z ≈ 0 and
+  // no boundary crosses, documenting the null honestly (q258/q300
+  // precedent). Scale shape: one scan, 8-cell census, 4-row readout.
+  private def sequentialMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val M = 2147483647L
+    val looks = Seq(
+      (1L, "1997-04-01"), (2L, "1997-07-01"),
+      (3L, "1997-10-01"), (4L, "1998-01-01")).toDF("look", "cut")
+      .select($"look", $"cut".cast(TimestampType).as("cut"))
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+      .select(
+        ($"o_custkey" % M * 16807L % M * 48271L % M % 2 === 0).as("ctrl"),
+        $"o_orderdate".as("d"),
+        floor($"o_totalprice" * 100).cast(LongType).as("x"))
+    val cum = base.crossJoin(broadcast(looks))
+      .filter($"d" < $"cut")
+      .groupBy($"look", $"cut", $"ctrl")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(dec($"x") * dec($"x")).as("sxx"))
+      .withColumn("mean", $"sx".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("vr",
+        ($"sxx".cast(DoubleType) - $"mean" * $"mean" *
+          $"n".cast(DoubleType)) / ($"n" - 1L).cast(DoubleType))
+    val c = cum.filter($"ctrl")
+      .select($"look", $"cut", $"n".as("nc"), $"mean".as("mc"), $"vr".as("vc"))
+    val t = cum.filter(!$"ctrl")
+      .select($"look", $"n".as("nt"), $"mean".as("mt"), $"vr".as("vt"))
+    c.join(t, Seq("look"))
+      .withColumn("z", ($"mt" - $"mc") /
+        sqrt($"vc" / $"nc".cast(DoubleType) + $"vt" / $"nt".cast(DoubleType)))
+      .withColumn("bound", lit(2.024) * sqrt(lit(4.0) / $"look".cast(DoubleType)))
+      .select($"look", unix_micros($"cut").as("cut_us"), $"nc".as("n_control"),
+        $"nt".as("n_treatment"),
+        Num.roundAt(($"mt" - $"mc") / lit(100.0), 4).as("diff_dollars"),
+        Num.roundAt($"z", 6).as("z_cum"),
+        Num.roundAt($"bound", 6).as("obf_boundary"),
+        (abs($"z") > $"bound").as("crossed"))
+      .orderBy($"look")
+  }
+
+  // ---------------------------------------------------------------------
+  // q310: functional-dependency discovery census — the data-profiling
+  // pass (Metanome/HoloClean shape) run before trusting a column as a
+  // join key, dedup survivor attribute, or SCD grain: a candidate
+  // A → B holds iff ndv(A) == ndv(A, B); the violation count
+  // ndv(A,B) − ndv(A) prices HOW broken a failed dependency is. Five
+  // candidates: the true key (holds), the dimension-carried
+  // supplier→nation dependency (holds), two designed-to-fail pairs,
+  // and the ASSUMED composite key (o_orderkey, l_linenumber) →
+  // l_partkey — which the census PROVES broken in this corpus (the
+  // synthetic generator reuses line numbers within an order; 1397
+  // violating groups at sf0.001), exactly the silent-assumption
+  // discovery a profiling pass exists to make before that "key" seeds
+  // a dedup or MERGE grain. All distinct-counts are exact
+  // (each an ndv-bounded shuffle with map-side partial distinct; at
+  // 100 TB swap any advisory row to approx_count_distinct — q36's
+  // documented trade — since the HOLDS verdict needs exactness only
+  // when it is actually in doubt). One bounded row per candidate.
+  private def fdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cand(name: String, df: DataFrame, lhs: Seq[String], rhs: String) =
+      df.agg(countDistinct(struct(lhs.map(col): _*)).as("ndv_lhs"),
+          countDistinct(struct((lhs :+ rhs).map(col): _*)).as("ndv_pair"))
+        .select(lit(name).as("candidate"), $"ndv_lhs", $"ndv_pair",
+          ($"ndv_lhs" === $"ndv_pair").as("holds"),
+          ($"ndv_pair" - $"ndv_lhs").as("n_violations"))
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sup = li.select($"l_suppkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+    cand("1_orderkey_to_custkey", o, Seq("o_orderkey"), "o_custkey")
+      .unionAll(cand("2_custkey_to_priority", o, Seq("o_custkey"),
+        "o_orderpriority"))
+      .unionAll(cand("3_orderkey_to_suppkey", li, Seq("l_orderkey"),
+        "l_suppkey"))
+      .unionAll(cand("4_orderline_to_partkey", li,
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+      .unionAll(cand("5_suppkey_to_nation", sup, Seq("l_suppkey"),
+        "s_nationkey"))
+      .orderBy($"candidate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_stream_join_census" -> (streamJoinCensus _),
+    "q309_sequential_monitor" -> (sequentialMonitor _),
+    "q310_fd_discovery" -> (fdDiscovery _),
     "q296_degree_assortativity" -> (degreeAssortativity _),
     "q300_cochran_armitage" -> (cochranArmitage _),
     "q303_mantel_haenszel" -> (mantelHaenszel _),
@@ -5987,6 +6132,101 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q308_stream_join_census" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS u, epoch_us(ts) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS u, epoch_us(ts) AS vt
+        |      FROM events WHERE event_type = 'view'),
+        |perp AS (SELECT p_id, CAST(count(*) AS BIGINT) AS nv,
+        |        CAST(sum(pt - vt) AS BIGINT) AS gap_sum
+        |      FROM p JOIN v USING (u)
+        |      WHERE vt >= pt - 3600000000 AND vt <= pt GROUP BY 1),
+        |d AS (SELECT p.p_id, pt // 86400000000 AS epoch_day, nv, gap_sum
+        |      FROM p LEFT JOIN perp USING (p_id))
+        |SELECT epoch_day, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(nv) AS BIGINT) AS n_with_view,
+        |  CAST(sum(coalesce(nv, 0)) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(coalesce(nv, 0)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pairs_per_purchase,
+        |  CASE WHEN sum(coalesce(nv, 0)) > 0 THEN
+        |    round(CAST(sum(coalesce(gap_sum, 0)) AS DOUBLE)
+        |      / CAST(sum(coalesce(nv, 0)) AS DOUBLE) / 60000000.0, 4)
+        |  END AS mean_gap_min
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q309_sequential_monitor" ->
+      """WITH looks AS (SELECT * FROM (VALUES
+        |    (1, TIMESTAMP '1997-04-01'), (2, TIMESTAMP '1997-07-01'),
+        |    (3, TIMESTAMP '1997-10-01'), (4, TIMESTAMP '1998-01-01'))
+        |    AS t(look, cut)),
+        |base AS (SELECT
+        |    o_custkey % 2147483647 * 16807 % 2147483647 * 48271
+        |      % 2147483647 % 2 = 0 AS ctrl,
+        |    o_orderdate AS d,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |cum AS (SELECT look, cut, ctrl, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM base, looks WHERE d < cut GROUP BY 1, 2, 3),
+        |m AS (SELECT look, cut, ctrl, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(sxx AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(n AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE) AS vr
+        |  FROM cum),
+        |cc AS (SELECT look, cut, n AS nc, mean AS mc, vr AS vc
+        |      FROM m WHERE ctrl),
+        |tt AS (SELECT look, n AS nt, mean AS mt, vr AS vt
+        |      FROM m WHERE NOT ctrl),
+        |z AS (SELECT look, cut, nc, nt, mt, mc,
+        |    (mt - mc) / sqrt(vc / CAST(nc AS DOUBLE)
+        |      + vt / CAST(nt AS DOUBLE)) AS z,
+        |    2.024 * sqrt(4.0 / CAST(look AS DOUBLE)) AS bound
+        |  FROM cc JOIN tt USING (look))
+        |SELECT CAST(look AS BIGINT) AS look, epoch_us(cut) AS cut_us,
+        |  nc AS n_control, nt AS n_treatment,
+        |  round((mt - mc) / 100.0, 4) AS diff_dollars,
+        |  round(z, 6) AS z_cum, round(bound, 6) AS obf_boundary,
+        |  abs(z) > bound AS crossed
+        |FROM z ORDER BY look""".stripMargin,
+
+    "q310_fd_discovery" ->
+      """WITH u AS (
+        |  SELECT '1_orderkey_to_custkey' AS candidate,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_lhs,
+        |    CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS ndv_pair
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '2_custkey_to_priority',
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '3_orderkey_to_suppkey',
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |    CAST(count(DISTINCT (l_orderkey, l_suppkey)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT '4_orderline_to_partkey',
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber, l_partkey))
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT '5_suppkey_to_nation',
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT (l_suppkey, s_nationkey)) AS BIGINT)
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT candidate, ndv_lhs, ndv_pair,
+        |  ndv_lhs = ndv_pair AS holds,
+        |  ndv_pair - ndv_lhs AS n_violations
+        |FROM u ORDER BY candidate""".stripMargin,
+
     "q307_winners_curse" ->
       """WITH per AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

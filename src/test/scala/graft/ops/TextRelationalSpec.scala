@@ -631,6 +631,62 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       r.getAs[Double]("m1_dollars") + 1e-9))
   }
 
+  test("q308: batch census reconciles with the real stream-stream join") {
+    import spark.implicits._
+    val rows = Relational.queries("q308_stream_join_census")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_view") <= r.getAs[Long]("n_purchases"))
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_with_view"))
+      if (r.getAs[Long]("n_pairs") > 0L) {
+        val g = r.getAs[Double]("mean_gap_min")
+        assert(g >= 0.0 && g <= 60.0 + 1e-9, s"gap $g")
+      }
+    }
+    // the census total must equal the REAL Structured Streaming join's
+    // output row count — the batch twin contract, pinned end-to-end
+    val streamed = graft.streaming.StreamStreamJoin
+      .purchasesWithRecentViews(spark, dir, "ss_join_q308_spec")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == streamed.count(),
+      "batch census pairs != streaming join rows")
+  }
+
+  test("q309: OBF boundaries decay on schedule and the monitor is cumulative") {
+    import spark.implicits._
+    val rows = Relational.queries("q309_sequential_monitor")(spark, dir)
+      .orderBy($"look").collect()
+    assert(rows.length == 4)
+    val bounds = rows.map(_.getAs[Double]("obf_boundary"))
+    (1 to 4).foreach { k =>
+      assert(math.abs(bounds(k - 1) - 2.024 * math.sqrt(4.0 / k)) < 1e-6)
+    }
+    val ns = rows.map(r => r.getAs[Long]("n_control") +
+      r.getAs[Long]("n_treatment"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      "cumulative look sizes must grow")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("crossed") ==
+        (math.abs(r.getAs[Double]("z_cum")) > r.getAs[Double]("obf_boundary")))
+    }
+  }
+
+  test("q310: FD verdicts match the data, including the broken composite key") {
+    val rows = Relational.queries("q310_fd_discovery")(spark, dir).collect()
+    assert(rows.length == 5)
+    val byName = rows.map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(byName("1_orderkey_to_custkey").getAs[Boolean]("holds"))
+    assert(byName("5_suppkey_to_nation").getAs[Boolean]("holds"))
+    assert(!byName("2_custkey_to_priority").getAs[Boolean]("holds"))
+    assert(!byName("3_orderkey_to_suppkey").getAs[Boolean]("holds"))
+    // the "obvious" composite key is genuinely broken in this corpus
+    assert(!byName("4_orderline_to_partkey").getAs[Boolean]("holds"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv_pair") >= r.getAs[Long]("ndv_lhs"))
+      assert(r.getAs[Boolean]("holds") == (r.getAs[Long]("n_violations") == 0L))
+    }
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
