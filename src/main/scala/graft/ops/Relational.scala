@@ -5947,7 +5947,49 @@ object Relational {
       .orderBy($"candidate")
   }
 
+  // ---------------------------------------------------------------------
+  // q312: randomized-response debiasing — the ESTIMATOR rung of the
+  // privacy family (q195/q203/q244 measure re-identification, q242
+  // prices sensitivity; this runs the classic Warner local-DP
+  // mechanism and proves the analyst can still recover the aggregate):
+  // each event reports its sensitive bit (value > 100) honestly on one
+  // md5 coin, or a second md5 coin's answer otherwise (f = 1/2), and
+  // the census inverts the noise per event type: p̂ = 2·p_reported −
+  // 1/2. "Randomness" is the md5-thresholded deterministic coin (the
+  // q208/q276 precedent — a DP deployment would draw real coins; the
+  // deterministic surface is the estimator algebra, which is what the
+  // oracle can check). abs_error reads the inversion quality directly.
+  // Exact counts, three IEEE readouts per row. Scale shape: one scan,
+  // map-side-combined |types|-row census.
+  private def randomizedResponse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type",
+        ($"value" > 100.0).as("t"),
+        (Det.h7(concat(lit("rr1:"), $"event_id".cast(StringType)))
+          % 2L === 0L).as("honest"),
+        (Det.h7(concat(lit("rr2:"), $"event_id".cast(StringType)))
+          % 2L === 0L).as("coin"))
+      .withColumn("rep", when($"honest", $"t").otherwise($"coin"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"t", 1L).otherwise(0L)).as("n_true"),
+        sum(when($"rep", 1L).otherwise(0L)).as("n_reported"))
+      .withColumn("true_rate",
+        $"n_true".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("rep_rate",
+        $"n_reported".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("deb", lit(2.0) * $"rep_rate" - lit(0.5))
+      .select($"event_type", $"n", $"n_true", $"n_reported",
+        Num.roundAt($"true_rate", 6).as("true_rate"),
+        Num.roundAt($"rep_rate", 6).as("reported_rate"),
+        Num.roundAt($"deb", 6).as("debiased_rate"),
+        Num.roundAt(abs($"deb" - $"true_rate"), 6).as("abs_error"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_randomized_response" -> (randomizedResponse _),
     "q308_stream_join_census" -> (streamJoinCensus _),
     "q309_sequential_monitor" -> (sequentialMonitor _),
     "q310_fd_discovery" -> (fdDiscovery _),
@@ -6132,6 +6174,34 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q312_randomized_response" ->
+      """WITH ev AS (
+        |  SELECT event_type, value > 100 AS t,
+        |    CAST(concat('0x', substring(md5(
+        |      concat('rr1:', CAST(event_id AS VARCHAR))), 1, 7)) AS BIGINT)
+        |      % 2 = 0 AS honest,
+        |    CAST(concat('0x', substring(md5(
+        |      concat('rr2:', CAST(event_id AS VARCHAR))), 1, 7)) AS BIGINT)
+        |      % 2 = 0 AS coin
+        |  FROM events),
+        |r AS (SELECT event_type, t,
+        |        CASE WHEN honest THEN t ELSE coin END AS rep FROM ev),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |        CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_reported
+        |      FROM r GROUP BY 1),
+        |x AS (SELECT event_type, n, n_true, n_reported,
+        |        CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE) AS true_rate,
+        |        CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE) AS rep_rate
+        |      FROM c)
+        |SELECT event_type, n, n_true, n_reported,
+        |  round(true_rate, 6) AS true_rate,
+        |  round(rep_rate, 6) AS reported_rate,
+        |  round(2.0 * rep_rate - 0.5, 6) AS debiased_rate,
+        |  round(abs(2.0 * rep_rate - 0.5 - true_rate), 6) AS abs_error
+        |FROM x ORDER BY event_type""".stripMargin,
+
     "q308_stream_join_census" ->
       """WITH p AS (SELECT event_id AS p_id, user_id AS u, epoch_us(ts) AS pt
         |      FROM events WHERE event_type = 'purchase'),

@@ -1159,7 +1159,77 @@ object Similarity {
 
   private val nps = Seq(1, 2, 4)
 
+  /** Driver-side twin of Det.h7 (first 7 md5 hex chars as an int) — for
+    * deterministic constants computed once on the driver and shipped as
+    * plan literals; java MessageDigest md5 ≡ Spark md5 ≡ DuckDB md5.
+    */
+  private def h7Driver(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ---------------------------------------------------------------------
+  // q311: Johnson–Lindenstrauss projection-distortion census — the
+  // dimensionality-reduction harness beside q215's Matryoshka
+  // truncation: q215 keeps PREFIX dims (needs a Matryoshka-trained
+  // encoder); JL projects through a random ±1 sign matrix and works on
+  // ANY embedding, with the lemma's guarantee that k=16 preserves
+  // pairwise distance in expectation (E[‖R(x−y)‖²/k] = ‖x−y‖²). The
+  // census measures the realized distortion ratio over 100 fixed pairs
+  // — the decision input before an ANN tier runs at k=16 instead of 64.
+  // Determinism: coordinates micro-frozen; the 16×64 sign matrix
+  // derives from md5 (h7("jl:r:d") parity — computed ONCE on the
+  // driver, shipped as literals; same md5 in DuckDB); projections are
+  // exact int64 folds, each pair's ratio is one IEEE division frozen
+  // to micro before the census reduction. Scale shape: projection is a
+  // per-row map (16 codegen'd folds); the pair census is a bounded
+  // key-arithmetic self-join, never all-pairs.
+  private def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 16
+    val signs: Seq[Seq[Long]] = (0 until K).map(r =>
+      (0 until 64).map(d => if (h7Driver(s"jl:$r:$d") % 2L == 0L) 1L else -1L))
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        transform(toDoubleArr($"embedding"),
+          x => floor(x * lit(1e6)).cast(org.apache.spark.sql.types.LongType))
+          .as("v"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val proj = e.withColumn("p", array(signs.map(row =>
+      aggregate(zip_with($"v", typedlit(row), (x, sg) => x * sg),
+        lit(0L), (acc, x) => acc + x)): _*))
+    val a = proj.filter($"vec_id" < 100)
+      .select($"vec_id".as("ida"), $"v".as("va"), $"p".as("pa"))
+    val b = proj.select(($"vec_id" - 100L).as("ida"),
+      $"v".as("vb"), $"p".as("pb"))
+    val pairs = a.join(b, Seq("ida"))
+      .withColumn("d64", aggregate(zip_with($"va", $"vb",
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+      .withColumn("d16", aggregate(zip_with($"pa", $"pb",
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+      .filter($"d64" > 0L)
+      // realized/expected ratio, micro-frozen before any reduction
+      .withColumn("ratio_micro", floor($"d16".cast(DoubleType) /
+        (lit(K.toDouble) * $"d64".cast(DoubleType)) * lit(1e6))
+        .cast(org.apache.spark.sql.types.LongType))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum($"ratio_micro").as("sr"),
+        min($"ratio_micro").as("mn"), max($"ratio_micro").as("mx"),
+        sum(when($"ratio_micro" >= 700000L && $"ratio_micro" <= 1300000L,
+          1L).otherwise(0L)).as("n_within_30pct"))
+      .select($"n_pairs",
+        Num.roundAt($"sr".cast(DoubleType) / $"n_pairs".cast(DoubleType)
+          / lit(1e6), 6).as("mean_ratio"),
+        Num.roundAt($"mn".cast(DoubleType) / lit(1e6), 6).as("min_ratio"),
+        Num.roundAt($"mx".cast(DoubleType) / lit(1e6), 6).as("max_ratio"),
+        Num.roundAt($"n_within_30pct".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType), 6).as("frac_within_30pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_jl_distortion" -> (jlDistortion _),
     "q305_nprobe_sweep" -> (nprobeSweep _),
     "q304_silhouette" -> (silhouetteCensus _),
     "q240_filtered_ann" -> (filteredAnn _),
@@ -1219,6 +1289,43 @@ object Similarity {
        |  FROM s$d WHERE vec_id < 20)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q311_jl_distortion" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |rd AS (SELECT r, d,
+        |    CASE WHEN CAST(concat('0x', substring(md5(
+        |        'jl:' || CAST(r AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |        1, 7)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS r),
+        |       (SELECT unnest(generate_series(0, 63)) AS d)),
+        |proj AS (SELECT vec_id, r, CAST(sum(sg * v[d + 1]) AS BIGINT) AS pr
+        |  FROM e, rd GROUP BY 1, 2),
+        |p0 AS (SELECT a.vec_id AS ida, a.v AS va, b.v AS vb
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 100),
+        |dd64 AS (SELECT ida, CAST(list_reduce(list_transform(range(1, 65),
+        |      i -> (va[i] - vb[i]) * (va[i] - vb[i])), (x, y) -> x + y)
+        |    AS BIGINT) AS d64 FROM p0),
+        |dd16 AS (SELECT pa.vec_id AS ida,
+        |    CAST(sum((pa.pr - pb.pr) * (pa.pr - pb.pr)) AS BIGINT) AS d16
+        |  FROM proj pa JOIN proj pb
+        |    ON pb.vec_id = pa.vec_id + 100 AND pb.r = pa.r
+        |  WHERE pa.vec_id < 100 GROUP BY 1),
+        |rt AS (SELECT ida, CAST(floor(CAST(d16 AS DOUBLE)
+        |      / (16.0 * CAST(d64 AS DOUBLE)) * 1e6) AS BIGINT) AS ratio_micro
+        |  FROM dd64 JOIN dd16 USING (ida) WHERE d64 > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(ratio_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1e6, 6) AS mean_ratio,
+        |  round(CAST(min(ratio_micro) AS DOUBLE) / 1e6, 6) AS min_ratio,
+        |  round(CAST(max(ratio_micro) AS DOUBLE) / 1e6, 6) AS max_ratio,
+        |  round(CAST(sum(CASE WHEN ratio_micro BETWEEN 700000 AND 1300000
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS frac_within_30pct
+        |FROM rt""".stripMargin,
+
     "q305_nprobe_sweep" ->
       s"""WITH $nSql,
         |cents AS (

@@ -687,6 +687,39 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q311: JL distortion concentrates near 1 and bounds hold") {
+    val r = Similarity.queries("q311_jl_distortion")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    val (mn, mean, mx) = (r.getAs[Double]("min_ratio"),
+      r.getAs[Double]("mean_ratio"), r.getAs[Double]("max_ratio"))
+    assert(mn <= mean && mean <= mx)
+    assert(mn >= 0.0)
+    // E[ratio] = 1; with k=16 the mean over >=50 pairs lands well inside
+    // [0.5, 1.6] for any non-adversarial corpus
+    assert(mean > 0.5 && mean < 1.6, s"mean ratio $mean")
+    val frac = r.getAs[Double]("frac_within_30pct")
+    assert(frac >= 0.0 && frac <= 1.0)
+  }
+
+  test("q312: randomized-response inversion recovers the true rate") {
+    val rows = Relational.queries("q312_randomized_response")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tr, rep, deb) = (r.getAs[Double]("true_rate"),
+        r.getAs[Double]("reported_rate"), r.getAs[Double]("debiased_rate"))
+      // reported rate is pulled toward 1/2 by the noise
+      assert(math.abs(rep - 0.5) <= math.abs(tr - 0.5) + 0.05,
+        s"reported $rep not shrunk vs true $tr")
+      // both columns round to 6dp independently -> up to 1e-6 apart
+      assert(math.abs(deb - (2.0 * rep - 0.5)) < 2e-6)
+      // inversion error is sampling noise: ~1/sqrt(n) scale
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Double]("abs_error") <= 5.0 / math.sqrt(n.toDouble),
+        s"abs_error ${r.getAs[Double]("abs_error")} at n=$n")
+    }
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
