@@ -5546,14 +5546,26 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
     val deg = edges.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
+    // Moments run over the (du, dv) DEGREE-PAIR CENSUS, not per edge:
+    // degree values repeat massively, so the map-side-combined groupBy
+    // collapses |2E| rows to ≤ ndv(deg)² cells and the decimal
+    // cross-products touch cells, not edges. Honest sf1 measurement
+    // (round 13, 24 threads): 4.03 → 3.4 s warm — a ~15% cut; the
+    // remaining cost is the distinct-pair + degree + two-join chain
+    // itself, spread across ~0.3-0.8 s jobs with no dominant stage
+    // (job profile at the call date). The census is still the right
+    // shape at 100 TB: decimal work stays cell-bounded while the edge
+    // count grows. Sums reassociate exact integers, so the oracle's
+    // per-edge spelling hashes identically.
     val m = edges
       .join(deg.select($"node".as("a"), $"d".as("du")), Seq("a"))
       .join(deg.select($"node".as("b"), $"d".as("dv")), Seq("b"))
-      .agg(count(lit(1)).as("ne2"),
-        sum($"du").as("sx"), sum($"dv").as("sy"),
-        sum(dec($"du") * dec($"dv")).as("sxy"),
-        sum(dec($"du") * dec($"du")).as("sxx"),
-        sum(dec($"dv") * dec($"dv")).as("syy"))
+      .groupBy($"du", $"dv").agg(count(lit(1)).as("w"))
+      .agg(sum($"w").as("ne2"),
+        sum($"w" * $"du").as("sx"), sum($"w" * $"dv").as("sy"),
+        sum(dec($"w") * dec($"du") * dec($"dv")).as("sxy"),
+        sum(dec($"w") * dec($"du") * dec($"du")).as("sxx"),
+        sum(dec($"w") * dec($"dv") * dec($"dv")).as("syy"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       sum($"d").as("dtot"), max($"d").as("max_degree"))
     m.crossJoin(broadcast(nodes))
@@ -5988,7 +6000,250 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q313: STL-lite decomposition census — q221 residualizes against a
+  // weekday median and q149 assumes a weekly cycle; this DECOMPOSES the
+  // daily revenue series the classical way (trend = centered 29-day
+  // moving mean, seasonal = mean detrended value per 7-phase, residual
+  // = the rest) and prices each component's variance share — the "is
+  // there anything left after trend+week" readout read before any
+  // anomaly threshold is chosen. Exactness: daily cents are exact;
+  // trend freezes to milli-cents by integer division of window sums
+  // (ROWS window ±14 over the day-ordered frame — boundary windows
+  // truncate identically in both engines); the 7-phase uses pure
+  // epoch-day arithmetic day % 7 (NOT dayofweek — engines disagree on
+  // week start, q274's lesson; phase identity is irrelevant to a
+  // variance share); per-phase means are integer divisions; all SS
+  // terms are decimal sums of exact milli ints, shares are IEEE
+  // readouts. Scale shape: one scan to the calendar-bounded daily
+  // frame; the ordered window runs on calendar NDV (the documented
+  // bounded-window class), everything else is 7-row algebra.
+  private def stlDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val daily = Tables.orders(s, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).cast(LongType).as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast(LongType)).as("y"))
+    val wMa = Window.orderBy($"day").rowsBetween(-14, 14)
+    val t1 = daily
+      .withColumn("tsum", sum($"y").over(wMa))
+      .withColumn("tn", count(lit(1)).over(wMa))
+      .withColumn("trend_milli", expr("(1000 * tsum) div tn"))
+      .withColumn("resid_milli", lit(1000L) * $"y" - $"trend_milli")
+      .withColumn("wd", $"day" % 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seas = t1.groupBy($"wd")
+      .agg(count(lit(1)).as("n_days"), sum($"resid_milli").as("sr"))
+      .withColumn("s_milli", expr("sr div n_days"))
+    val t2 = t1.join(broadcast(seas.select($"wd", $"s_milli")), Seq("wd"))
+      .withColumn("r2_milli", $"resid_milli" - $"s_milli")
+    val gm = t1.agg(sum($"y").as("sy"), count(lit(1)).as("nd"))
+      .select(expr("(1000 * sy) div nd").as("m_milli"))
+    val ss = t2.crossJoin(broadcast(gm))
+      .agg(
+        sum(dec($"trend_milli" - $"m_milli") *
+          dec($"trend_milli" - $"m_milli")).as("ss_t"),
+        sum(dec($"s_milli") * dec($"s_milli")).as("ss_s"),
+        sum(dec($"r2_milli") * dec($"r2_milli")).as("ss_r"))
+      .select($"ss_t", $"ss_s", $"ss_r",
+        ($"ss_t" + $"ss_s" + $"ss_r").cast(DoubleType).as("tot"))
+    seas.crossJoin(broadcast(ss))
+      .select($"wd".as("phase"), $"n_days",
+        Num.roundAt($"s_milli".cast(DoubleType) / lit(100000.0), 4)
+          .as("seasonal_dollars"),
+        Num.roundAt($"ss_t".cast(DoubleType) / $"tot", 6)
+          .as("trend_var_share"),
+        Num.roundAt($"ss_s".cast(DoubleType) / $"tot", 6)
+          .as("seasonal_var_share"),
+        Num.roundAt($"ss_r".cast(DoubleType) / $"tot", 6)
+          .as("residual_var_share"))
+      .orderBy($"phase")
+  }
+
+  // ---------------------------------------------------------------------
+  // q314: quantile treatment effects — q143 reads ONE mean difference;
+  // distributional questions ("did the treatment move the tail or the
+  // middle?") need the arm quantiles themselves: QTE(p) = q_t(p) −
+  // q_c(p) at p ∈ {25, 50, 75} over order value, arms from q143's
+  // minstd split. Quantiles by the EXACT rank rule (q_p = min{v :
+  // cum(v) ≥ ⌈p·n/100⌉} — never engine interpolation) off ONE
+  // arm-partitioned value-dictionary cumsum; per-arm ranks collect as
+  // two bounded literals. On this corpus the split is hash-random so
+  // every QTE ≈ 0 — the null documents the synthesis (q258 precedent).
+  // Scale shape: one scan to the (arm, value) dictionary, the shared
+  // bucketed cumsum, 3-row readout.
+  private def quantileTreatmentEffects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    val dict = Tables.orders(s, dir)
+      .select(when($"o_custkey" % M * 16807L % M * 48271L % M % 2 === 0,
+        lit("c")).otherwise(lit("t")).as("arm"),
+        floor($"o_totalprice" * 100).cast(LongType).as("v"))
+      .groupBy($"arm", $"v").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns: Map[String, Long] = dict.groupBy($"arm").agg(sum($"k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cum = Prefix.cumsum(dict, "v", Seq("k" -> "cum"),
+      partCols = Seq("arm"))
+    val ps = Seq(25L, 50L, 75L)
+    def rankOf(arm: String, p: Long): Long = (p * ns(arm) + 99L) / 100L
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      min(when($"cum" >= when($"arm" === "c", rankOf("c", p))
+        .otherwise(rankOf("t", p)), $"v")).as(s"q$i")
+    }
+    val qs = cum.groupBy($"arm")
+      .agg(qCols.head, qCols.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ps.zipWithIndex.map { case (p, i) =>
+      (p, ns("c"), ns("t"), qs("c")(i), qs("t")(i))
+    }.toDF("p", "n_control", "n_treatment", "qc_cents", "qt_cents")
+      .select($"p", $"n_control", $"n_treatment",
+        Num.roundAt($"qc_cents".cast(DoubleType) / lit(100.0), 2)
+          .as("q_control_dollars"),
+        Num.roundAt($"qt_cents".cast(DoubleType) / lit(100.0), 2)
+          .as("q_treatment_dollars"),
+        Num.roundAt(($"qt_cents" - $"qc_cents").cast(DoubleType)
+          / lit(100.0), 2).as("qte_dollars"))
+      .orderBy($"p")
+  }
+
+  // ---------------------------------------------------------------------
+  // q315: covariate-balance SMD census — the pre-experiment table every
+  // platform prints before trusting q143/q309's arms: per customer
+  // covariate (account balance, order count, lifetime spend), the
+  // standardized mean difference (m_t − m_c)/√((s²_t + s²_c)/2) across
+  // the SAME minstd arms, with the standard |SMD| > 0.1 imbalance
+  // flag. Exact integer moments per (arm, covariate) via the
+  // n·Σx² − (Σx)² identity (decimal cross-products), one IEEE readout
+  // per covariate; the covariate frame unpivots from one per-customer
+  // aggregate so the census costs ONE scan of orders plus the customer
+  // dim. Scale shape: map-side per-customer rollup, 3×2-cell moment
+  // census, 3-row readout.
+  private def covariateBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val M = 2147483647L
+    val perCust = Tables.customer(s, dir)
+      .select($"c_custkey", floor($"c_acctbal" * 100).cast(LongType).as("bal"))
+      .join(Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor($"o_totalprice" * 100).cast(LongType)).as("spend")),
+        $"c_custkey" === $"o_custkey")
+      .select(
+        when($"c_custkey" % M * 16807L % M * 48271L % M % 2 === 0,
+          lit("c")).otherwise(lit("t")).as("arm"),
+        $"bal", $"n_orders", $"spend")
+    val unp = perCust.select($"arm", explode(array(
+        struct(lit("1_acctbal_cents").as("cov"), $"bal".as("x")),
+        struct(lit("2_order_count").as("cov"), $"n_orders".as("x")),
+        struct(lit("3_spend_cents").as("cov"), $"spend".as("x")))).as("e"))
+      .select($"arm", $"e.cov", $"e.x")
+    val m = unp.groupBy($"cov", $"arm")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(dec($"x") * dec($"x")).as("sxx"))
+      .withColumn("mean", $"sx".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("vr",
+        ($"n" * $"sxx" - dec($"sx") * dec($"sx")).cast(DoubleType) /
+          ($"n".cast(DoubleType) * ($"n" - 1L).cast(DoubleType)))
+    val c = m.filter($"arm" === "c")
+      .select($"cov", $"n".as("nc"), $"mean".as("mc"), $"vr".as("vc"))
+    val t = m.filter($"arm" === "t")
+      .select($"cov", $"n".as("nt"), $"mean".as("mt"), $"vr".as("vt"))
+    c.join(t, Seq("cov"))
+      .withColumn("smd", ($"mt" - $"mc") /
+        sqrt(($"vc" + $"vt") / lit(2.0)))
+      .select($"cov".as("covariate"), $"nc".as("n_control"),
+        $"nt".as("n_treatment"),
+        Num.roundAt($"mc", 4).as("mean_control"),
+        Num.roundAt($"mt", 4).as("mean_treatment"),
+        Num.roundAt($"smd", 6).as("smd"),
+        (abs($"smd") > 0.1).as("imbalanced"))
+      .orderBy($"covariate")
+  }
+
+  // ---------------------------------------------------------------------
+  // q316: Shapley-value channel attribution (Zhao et al. 2018's
+  // data-driven simplified Shapley) — the principled settlement of the
+  // question q85's last-touch and q148's position-weighted rules answer
+  // by fiat: with channels {view=1, click=2, signup=4} as players and
+  // v(S) = the observed conversion rate of users whose touch set is
+  // EXACTLY S, channel i's credit is Σ_S |S|!(n−|S|−1)!/n!·(v(S∪i) −
+  // v(S)) — the unique split satisfying efficiency/symmetry/dummy.
+  // With 3 players the whole game is an 8-row bitmask census:
+  // cohort rates freeze to micro by integer division (empty cohorts
+  // read v = 0, documented), the factorial weights scale by 6 to stay
+  // integer ({2,1,1,2} for |S| = 0..2), so each channel's 6·Shapley is
+  // an exact integer sum and the only floats are the readout
+  // divisions. The RAW corpus is degenerate for this game (every user
+  // touches every type — one populated mask), so the harness plants
+  // the standard recoverable structure (q222/q234/q257 precedent):
+  // md5 exposure cohorts spread users over all 8 masks, and a
+  // deterministic md5 thinning keeps a converted user with probability
+  // (2 + |mask ∩ {view, click}|)/4 — view and click carry real effect,
+  // signup none. The census then demonstrates the dummy-player axiom
+  // measurably: signup's Shapley credit ≈ 0 while view/click split the
+  // planted lift. Scale shape: one events scan to per-user flags
+  // (map-side combined), an 8-row census, bitmask-join algebra on
+  // broadcast literals.
+  private def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .select($"user_id",
+        (Det.h7(concat(lit("sh:m:"), $"user_id".cast(StringType))) % 8L)
+          .as("mask"),
+        $"np")
+      .select($"mask",
+        when($"np" > 0L &&
+          Det.h7(concat(lit("sh:k:"), $"user_id".cast(StringType))) % 4L <
+            lit(2L) + expr("bit_count(mask & 3)"), 1L)
+          .otherwise(0L).as("conv"))
+    val cen = ev.groupBy($"mask")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("nconv"))
+      .withColumn("v_micro", expr("(1000000 * nconv) div n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chans = Seq((1L, "1_view"), (2L, "2_click"), (4L, "4_signup"))
+      .toDF("c", "channel")
+    val subs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("sub")
+    // 6·w(|S|) for n=3: |S|=0 -> 2, 1 -> 1, 2 -> 2
+    val pairs = chans.crossJoin(subs)
+      .filter(expr("(sub & c) = 0"))
+      .withColumn("coef", when(expr("bit_count(sub)") === 0, 2L)
+        .when(expr("bit_count(sub)") === 1, 1L).otherwise(2L))
+      .withColumn("hi", expr("sub | c"))
+    val withV = pairs
+      .join(broadcast(cen.select($"mask".as("sub"), $"v_micro".as("v_lo"))),
+        Seq("sub"), "left")
+      .join(broadcast(cen.select($"mask".as("hi"), $"v_micro".as("v_hi"))),
+        Seq("hi"), "left")
+      .groupBy($"c", $"channel")
+      .agg(sum($"coef" * (coalesce($"v_hi", lit(0L)) -
+        coalesce($"v_lo", lit(0L)))).as("shap6_micro"))
+    val touched = cen.crossJoin(broadcast(chans))
+      .filter(expr("(mask & c) != 0"))
+      .groupBy($"c")
+      .agg(sum($"n").as("n_touched"), sum($"nconv").as("n_conv_touched"))
+    val tot = withV.agg(sum($"shap6_micro").as("ts"))
+    withV.join(broadcast(touched), Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select($"channel", $"n_touched",
+        Num.roundAt($"n_conv_touched".cast(DoubleType) /
+          $"n_touched".cast(DoubleType), 6).as("conv_rate_touched"),
+        Num.roundAt($"shap6_micro".cast(DoubleType) / lit(6e6), 6)
+          .as("shapley_rate"),
+        Num.roundAt($"shap6_micro".cast(DoubleType) /
+          $"ts".cast(DoubleType), 6).as("credit_share"))
+      .orderBy($"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_shapley_attribution" -> (shapleyAttribution _),
+    "q313_stl_decomposition" -> (stlDecomposition _),
+    "q314_quantile_effects" -> (quantileTreatmentEffects _),
+    "q315_covariate_balance" -> (covariateBalance _),
     "q312_randomized_response" -> (randomizedResponse _),
     "q308_stream_join_census" -> (streamJoinCensus _),
     "q309_sequential_monitor" -> (sequentialMonitor _),
@@ -6174,6 +6429,158 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q316_shapley_attribution" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events GROUP BY 1),
+        |u1 AS (SELECT user_id, np,
+        |    CAST(concat('0x', substring(md5(
+        |      concat('sh:m:', CAST(user_id AS VARCHAR))), 1, 7)) AS BIGINT)
+        |      % 8 AS mask
+        |  FROM pu),
+        |um AS (SELECT mask,
+        |    CASE WHEN np > 0 AND
+        |      CAST(concat('0x', substring(md5(
+        |        concat('sh:k:', CAST(user_id AS VARCHAR))), 1, 7)) AS BIGINT)
+        |        % 4 < 2 + bit_count(mask & 3)
+        |      THEN 1 ELSE 0 END AS conv FROM u1),
+        |cen AS (SELECT mask, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(conv) AS BIGINT) AS nconv FROM um GROUP BY 1),
+        |c2 AS (SELECT mask, n, nconv,
+        |      (1000000 * nconv) // n AS v_micro FROM cen),
+        |chans AS (SELECT CAST(c AS BIGINT) AS c, channel FROM (VALUES
+        |      (1, '1_view'), (2, '2_click'), (4, '4_signup'))
+        |      AS t(c, channel)),
+        |subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS sub),
+        |pairs AS (SELECT c, channel, sub, sub | c AS hi,
+        |      CASE WHEN bit_count(sub) = 0 THEN 2
+        |           WHEN bit_count(sub) = 1 THEN 1 ELSE 2 END AS coef
+        |    FROM chans, subs WHERE (sub & c) = 0),
+        |wv AS (SELECT c, channel,
+        |      CAST(sum(coef * (coalesce(hiv.v_micro, 0)
+        |        - coalesce(lov.v_micro, 0))) AS BIGINT) AS shap6
+        |    FROM pairs
+        |    LEFT JOIN c2 lov ON lov.mask = pairs.sub
+        |    LEFT JOIN c2 hiv ON hiv.mask = pairs.hi
+        |    GROUP BY 1, 2),
+        |touched AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_touched,
+        |      CAST(sum(nconv) AS BIGINT) AS n_conv
+        |    FROM c2, chans WHERE (mask & c) != 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(shap6) AS BIGINT) AS ts FROM wv)
+        |SELECT channel, n_touched,
+        |  round(CAST(n_conv AS DOUBLE) / CAST(n_touched AS DOUBLE), 6)
+        |    AS conv_rate_touched,
+        |  round(CAST(shap6 AS DOUBLE) / 6e6, 6) AS shapley_rate,
+        |  round(CAST(shap6 AS DOUBLE) / CAST(ts AS DOUBLE), 6)
+        |    AS credit_share
+        |FROM wv JOIN touched USING (c), tot ORDER BY channel""".stripMargin,
+
+    "q313_stl_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |t1 AS (SELECT day, y, day % 7 AS wd,
+        |        (1000 * CAST(sum(y) OVER w AS BIGINT))
+        |          // CAST(count(*) OVER w AS BIGINT) AS trend_milli
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day
+        |        ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING)),
+        |t1b AS (SELECT day, y, wd, trend_milli,
+        |        1000 * y - trend_milli AS resid_milli FROM t1),
+        |seas AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(resid_milli) AS BIGINT) AS sr
+        |      FROM t1b GROUP BY 1),
+        |s2 AS (SELECT wd, n_days, sr, sr // n_days AS s_milli FROM seas),
+        |t2 AS (SELECT t1b.*, s_milli,
+        |        resid_milli - s_milli AS r2_milli
+        |      FROM t1b JOIN s2 USING (wd)),
+        |gm AS (SELECT (1000 * CAST(sum(y) AS BIGINT))
+        |        // CAST(count(*) AS BIGINT) AS m_milli FROM daily),
+        |ss AS (SELECT
+        |        sum(CAST(trend_milli - m_milli AS HUGEINT)
+        |          * (trend_milli - m_milli)) AS ss_t,
+        |        sum(CAST(s_milli AS HUGEINT) * s_milli) AS ss_s,
+        |        sum(CAST(r2_milli AS HUGEINT) * r2_milli) AS ss_r
+        |      FROM t2, gm),
+        |s3 AS (SELECT ss_t, ss_s, ss_r,
+        |        CAST(ss_t + ss_s + ss_r AS DOUBLE) AS tot FROM ss)
+        |SELECT wd AS phase, n_days,
+        |  round(CAST(s_milli AS DOUBLE) / 100000.0, 4) AS seasonal_dollars,
+        |  round(CAST(ss_t AS DOUBLE) / tot, 6) AS trend_var_share,
+        |  round(CAST(ss_s AS DOUBLE) / tot, 6) AS seasonal_var_share,
+        |  round(CAST(ss_r AS DOUBLE) / tot, 6) AS residual_var_share
+        |FROM s2, s3 ORDER BY phase""".stripMargin,
+
+    "q314_quantile_effects" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_custkey % 2147483647 * 16807 % 2147483647
+        |      * 48271 % 2147483647 % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM orders GROUP BY 1, 2),
+        |ns AS (SELECT arm, CAST(sum(k) AS BIGINT) AS n FROM d GROUP BY 1),
+        |cum AS (SELECT arm, v,
+        |        CAST(sum(k) OVER (PARTITION BY arm ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM d),
+        |ps AS (SELECT unnest([25, 50, 75]) AS p),
+        |qs AS (SELECT CAST(p AS BIGINT) AS p, arm,
+        |        min(CASE WHEN cum >= (p * n + 99) // 100 THEN v END) AS q
+        |      FROM cum JOIN ns USING (arm), ps GROUP BY 1, 2),
+        |w AS (SELECT qc.p, nc.n AS n_control, nt.n AS n_treatment,
+        |        qc.q AS qc_cents, qt.q AS qt_cents
+        |      FROM qs qc JOIN qs qt ON qc.p = qt.p
+        |        AND qc.arm = 'c' AND qt.arm = 't'
+        |      JOIN ns nc ON nc.arm = 'c'
+        |      JOIN ns nt ON nt.arm = 't')
+        |SELECT p, n_control, n_treatment,
+        |  round(CAST(qc_cents AS DOUBLE) / 100.0, 2) AS q_control_dollars,
+        |  round(CAST(qt_cents AS DOUBLE) / 100.0, 2) AS q_treatment_dollars,
+        |  round(CAST(qt_cents - qc_cents AS DOUBLE) / 100.0, 2)
+        |    AS qte_dollars
+        |FROM w ORDER BY p""".stripMargin,
+
+    "q315_covariate_balance" ->
+      """WITH pc AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2147483647 * 16807 % 2147483647
+        |      * 48271 % 2147483647 % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |unp AS (
+        |  SELECT arm, '1_acctbal_cents' AS cov, bal AS x FROM pc
+        |  UNION ALL SELECT arm, '2_order_count', n_orders FROM pc
+        |  UNION ALL SELECT arm, '3_spend_cents', spend FROM pc),
+        |m AS (SELECT cov, arm, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM unp GROUP BY 1, 2),
+        |m2 AS (SELECT cov, arm, n,
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |        CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vr
+        |      FROM m),
+        |cc AS (SELECT cov, n AS nc, mean AS mc, vr AS vc
+        |      FROM m2 WHERE arm = 'c'),
+        |tt AS (SELECT cov, n AS nt, mean AS mt, vr AS vt
+        |      FROM m2 WHERE arm = 't'),
+        |j AS (SELECT cc.cov, nc, nt, mc, mt,
+        |        (mt - mc) / sqrt((vc + vt) / 2.0) AS smd
+        |      FROM cc JOIN tt USING (cov))
+        |SELECT cov AS covariate, nc AS n_control, nt AS n_treatment,
+        |  round(mc, 4) AS mean_control, round(mt, 4) AS mean_treatment,
+        |  round(smd, 6) AS smd, abs(smd) > 0.1 AS imbalanced
+        |FROM j ORDER BY covariate""".stripMargin,
+
     "q312_randomized_response" ->
       """WITH ev AS (
         |  SELECT event_type, value > 100 AS t,

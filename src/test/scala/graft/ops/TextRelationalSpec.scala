@@ -720,6 +720,123 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q313: STL shares form a unit partition and phases cover the week") {
+    import spark.implicits._
+    val rows = Relational.queries("q313_stl_decomposition")(spark, dir)
+      .orderBy($"phase").collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("phase")).toSeq == (0L to 6L))
+    val r0 = rows.head
+    val shares = Seq(r0.getAs[Double]("trend_var_share"),
+      r0.getAs[Double]("seasonal_var_share"),
+      r0.getAs[Double]("residual_var_share"))
+    assert(shares.forall(s => s >= 0.0 && s <= 1.0))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    assert(rows.forall(r => shares == Seq(r.getAs[Double]("trend_var_share"),
+      r.getAs[Double]("seasonal_var_share"),
+      r.getAs[Double]("residual_var_share"))))
+    // seasonal effects are detrended means: their day-weighted mean is
+    // zero up to the MA's boundary bias (edge windows are one-sided), so
+    // bound it by 1% of the mean daily revenue rather than pinning 0
+    val wsum = rows.map(r =>
+      r.getAs[Double]("seasonal_dollars") * r.getAs[Long]("n_days")).sum
+    val total = rows.map(_.getAs[Long]("n_days")).sum
+    val dailyMean = graft.Tables.orders(spark, dir)
+      .agg(sum(floor($"o_totalprice" * 100)) /
+        countDistinct(to_date($"o_orderdate")))
+      .collect()(0).getDouble(0) / 100.0
+    assert(math.abs(wsum / total) < 0.01 * dailyMean,
+      s"weighted seasonal mean ${wsum / total} vs daily mean $dailyMean")
+  }
+
+  test("q314: arm quantiles are ordered in p and QTE is their difference") {
+    import spark.implicits._
+    val rows = Relational.queries("q314_quantile_effects")(spark, dir)
+      .orderBy($"p").collect()
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Seq(25L, 50L, 75L))
+    val qc = rows.map(_.getAs[Double]("q_control_dollars"))
+    val qt = rows.map(_.getAs[Double]("q_treatment_dollars"))
+    assert(qc.zip(qc.tail).forall { case (a, b) => a <= b })
+    assert(qt.zip(qt.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte_dollars") -
+        (r.getAs[Double]("q_treatment_dollars") -
+          r.getAs[Double]("q_control_dollars"))) < 0.011)
+    }
+    // driver replay of the control median via the same rank rule
+    val vals = graft.Tables.orders(spark, dir)
+      .select($"o_custkey", floor($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (ck, _) =>
+        val M = 2147483647L
+        ck % M * 16807L % M * 48271L % M % 2 == 0 }
+      .map(_._2).sorted
+    val want = vals((((50L * vals.length + 99L) / 100L) - 1L).toInt)
+    assert(math.abs(rows(1).getAs[Double]("q_control_dollars") -
+      want / 100.0) < 0.011, s"median replay $want")
+  }
+
+  test("q315: SMD census is near-balanced under the hash split") {
+    val rows = Relational.queries("q315_covariate_balance")(spark, dir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val smd = r.getAs[Double]("smd")
+      assert(!smd.isNaN && math.abs(smd) < 1.0, s"smd $smd")
+      assert(r.getAs[Boolean]("imbalanced") == (math.abs(smd) > 0.1))
+      assert(r.getAs[Long]("n_control") > 0L &&
+        r.getAs[Long]("n_treatment") > 0L)
+    }
+  }
+
+  test("q316: Shapley credits satisfy efficiency and match a driver replay") {
+    import spark.implicits._
+    val rows = Relational.queries("q316_shapley_attribution")(spark, dir)
+      .orderBy($"channel").collect()
+    assert(rows.length == 3)
+    // driver replay: rebuild the 8-mask census and the exact Shapley
+    def h7(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s2.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(7), 16)
+    }
+    val users = graft.Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = users.map { case (u, np) =>
+      val mask = h7(s"sh:m:$u") % 8L
+      val conv = if (np > 0 &&
+        h7(s"sh:k:$u") % 4L < 2L + java.lang.Long.bitCount(mask & 3L)) 1L
+        else 0L
+      (mask, conv)
+    }
+    val cen = cohort.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum) }.toMap
+    def v(mask: Long): Long = cen.get(mask)
+      .map { case (n, c) => 1000000L * c / n }.getOrElse(0L)
+    val chans = Seq(1L -> "1_view", 2L -> "2_click", 4L -> "4_signup")
+    val want = chans.map { case (c, name) =>
+      val s6 = (0L to 7L).filter(s2 => (s2 & c) == 0).map { s2 =>
+        val coef = java.lang.Long.bitCount(s2) match {
+          case 0 => 2L; case 1 => 1L; case _ => 2L }
+        coef * (v(s2 | c) - v(s2))
+      }.sum
+      name -> s6 / 6e6
+    }.toMap
+    rows.foreach { r =>
+      val name = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("shapley_rate") - want(name)) < 1e-5,
+        s"$name: ${r.getAs[Double]("shapley_rate")} vs ${want(name)}")
+    }
+    // efficiency axiom: credits sum to v(full) - v(empty), exactly a
+    // property of the formula, independent of cohort noise
+    val total = rows.map(_.getAs[Double]("shapley_rate")).sum
+    assert(math.abs(total - (v(7L) - v(0L)) / 1e6) < 1e-4,
+      s"efficiency: $total vs ${(v(7L) - v(0L)) / 1e6}")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
