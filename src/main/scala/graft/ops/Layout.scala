@@ -399,7 +399,58 @@ object Layout {
       .orderBy($"probe_key")
   }
 
+  // ---------------------------------------------------------------------
+  // q318: partition-size planner — the sizing arithmetic behind every
+  // `spark.sql.shuffle.partitions` / `maxPartitionBytes` / bucket-count
+  // decision, computed from the data instead of guessed: per table, the
+  // exact row count, an in-memory byte estimate from the schema's fixed
+  // widths plus EXACT summed string lengths (ASCII corpus: length =
+  // bytes), the partition count that lands ~128 MiB partitions, the
+  // next power-of-two bucket count (bucket joins want stable widths;
+  // pow2 via the q210 Σ[p > 2^k] predicate trick — never a float log),
+  // and rows per partition. The planner's claim is falsifiable: spill
+  // starts when a partition outgrows executor memory, and these are the
+  // numbers that predict it. All integer arithmetic; one map-side
+  // aggregate per table. Scale shape: four 1-row aggregates.
+  private def partitionPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M128 = 134217728L
+    def plan(name: String, df: DataFrame, fixed: Long,
+             strCols: Seq[String]) = {
+      val bytesPerRow = strCols.map(c => sum(length(col(c)))).toList match {
+        case Nil => lit(0L)
+        case h :: t => t.foldLeft(h)(_ + _)
+      }
+      df.agg(count(lit(1)).as("n_rows"), bytesPerRow.as("str_bytes"))
+        .select(lit(name).as("table_name"), $"n_rows",
+          ($"n_rows" * fixed + $"str_bytes").as("est_bytes"))
+    }
+    val plans = Seq(
+      plan("1_lineitem", Tables.lineitem(s, dir), 68L,
+        Seq("l_returnflag", "l_linestatus")),
+      plan("2_orders", Tables.orders(s, dir), 32L,
+        Seq("o_orderstatus", "o_orderpriority")),
+      plan("3_events", Tables.events(s, dir), 32L,
+        Seq("event_type", "props")),
+      plan("4_documents", Tables.documents(s, dir), 16L,
+        Seq("text", "lang", "source")))
+      .reduce(_ unionAll _)
+    plans
+      .withColumn("parts_128mb", expr(s"(est_bytes + ${M128 - 1L}) div $M128"))
+      .withColumn("p2bits", (0 to 30).map(k =>
+        when($"parts_128mb" > (1L << k), 1).otherwise(0)).reduce(_ + _))
+      .select($"table_name", $"n_rows", $"est_bytes",
+        Num.roundAt($"est_bytes".cast(DoubleType) / lit(1048576.0), 2)
+          .as("est_mb"),
+        $"parts_128mb",
+        expr("cast(shiftleft(cast(1 as bigint), p2bits) as bigint)")
+          .as("bucket_pow2"),
+        expr("n_rows div parts_128mb").as("rows_per_part"))
+      .orderBy($"table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_partition_planner" -> (partitionPlanner _),
     "q306_bloom_pruning" -> (bloomPruning _),
     "q243_zonemap_census" -> (zoneMapCensus _),
     "q210_encoding_census" -> (encodingCensus _),
@@ -438,7 +489,42 @@ object Layout {
        |      FROM (SELECT l_orderkey, l_linenumber,
        |              $c AS v FROM lineitem))))""".stripMargin
 
+  /** q318 pow2 twin: 1 << Σ[p > 2^k] — same predicate trick as q210. */
+  private val pow2Sql: String = "CAST(1 << (" +
+    (0 to 30).map(k =>
+      s"(CASE WHEN parts_128mb > ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ") + ") AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "q318_partition_planner" ->
+      s"""WITH li AS (SELECT '1_lineitem' AS table_name,
+        |      CAST(count(*) AS BIGINT) AS n_rows,
+        |      CAST(count(*) * 68 + sum(length(l_returnflag))
+        |        + sum(length(l_linestatus)) AS BIGINT) AS est_bytes
+        |    FROM lineitem),
+        |oo AS (SELECT '2_orders', CAST(count(*) AS BIGINT),
+        |      CAST(count(*) * 32 + sum(length(o_orderstatus))
+        |        + sum(length(o_orderpriority)) AS BIGINT)
+        |    FROM orders),
+        |ee AS (SELECT '3_events', CAST(count(*) AS BIGINT),
+        |      CAST(count(*) * 32 + sum(length(event_type))
+        |        + sum(length(props)) AS BIGINT)
+        |    FROM events),
+        |dd AS (SELECT '4_documents', CAST(count(*) AS BIGINT),
+        |      CAST(count(*) * 16 + sum(length(text)) + sum(length(lang))
+        |        + sum(length(source)) AS BIGINT)
+        |    FROM documents),
+        |u AS (SELECT * FROM li UNION ALL SELECT * FROM oo
+        |      UNION ALL SELECT * FROM ee UNION ALL SELECT * FROM dd),
+        |p AS (SELECT table_name, n_rows, est_bytes,
+        |      (est_bytes + 134217727) // 134217728 AS parts_128mb FROM u)
+        |SELECT table_name, n_rows, est_bytes,
+        |  round(CAST(est_bytes AS DOUBLE) / 1048576.0, 2) AS est_mb,
+        |  parts_128mb,
+        |  $pow2Sql AS bucket_pow2,
+        |  n_rows // parts_128mb AS rows_per_part
+        |FROM p ORDER BY table_name""".stripMargin,
+
     "q306_bloom_pruning" ->
       """WITH li AS (
         |  SELECT l_orderkey // 1024 AS rg, l_suppkey AS sk FROM lineitem),

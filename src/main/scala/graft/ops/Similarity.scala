@@ -1228,7 +1228,50 @@ object Similarity {
           $"n_pairs".cast(DoubleType), 6).as("frac_within_30pct"))
   }
 
+  // ---------------------------------------------------------------------
+  // q317: leave-one-out 1-NN label accuracy — the label-quality gate
+  // run BEFORE labels seed anything (q49's IVF cells, q113's semantic
+  // dedup strata, q281's hard-negative mining): if a point's nearest
+  // neighbor disagrees with its label much more often than the label
+  // marginals predict, the labels are noisy (the Confident-Learning
+  // premise read through geometry). LOO 1-NN over a deterministic
+  // 200-vector subset (the q249 bounded-subset precedent; at data
+  // scale the subset self-join swaps for the q28/q49 candidate
+  // generators): per label — n, LOO-correct count, accuracy, plus the
+  // label's share of the subset (the chance-rate baseline the accuracy
+  // must beat). Cosines are the Det fold, ties break on cand_id asc,
+  // so the neighbor choice is deterministic and the census
+  // hash-compares. Scale shape: bounded self-join, one ranking window
+  // over per-probe candidates, |labels|-row census.
+  private def looLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = base(s, dir).filter($"vec_id" < 200)
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"label"),
+        Seq("vec_id"))
+      .select($"vec_id", $"label", $"v", $"nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = sub.toDF("a_id", "a_lbl", "av", "an")
+      .join(sub.toDF("b_id", "b_lbl", "bv", "bn"), $"a_id" =!= $"b_id")
+      .withColumn("cos", expr("fold_dot(av, bv)") / ($"an" * $"bn"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"a_id")
+        .orderBy($"cos".desc, $"b_id".asc)))
+      .filter($"rk" === 1)
+      .select($"a_id", $"a_lbl", $"b_lbl")
+    val tot = nn.agg(count(lit(1)).as("n_sub"))
+    nn.groupBy($"a_lbl".as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"a_lbl" === $"b_lbl", 1L).otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(tot))
+      .select($"label", $"n", $"n_correct",
+        Num.roundAt($"n_correct".cast(DoubleType) / $"n".cast(DoubleType), 6)
+          .as("loo_accuracy"),
+        Num.roundAt($"n".cast(DoubleType) / $"n_sub".cast(DoubleType), 6)
+          .as("chance_rate"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_loo_label_accuracy" -> (looLabelAccuracy _),
     "q311_jl_distortion" -> (jlDistortion _),
     "q305_nprobe_sweep" -> (nprobeSweep _),
     "q304_silhouette" -> (silhouetteCensus _),
@@ -1289,6 +1332,36 @@ object Similarity {
        |  FROM s$d WHERE vec_id < 20)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q317_loo_label_accuracy" ->
+      s"""WITH $nSql,
+        |sub AS (
+        |  SELECT n.vec_id, e.label, n.v, n.nrm
+        |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+        |  WHERE n.vec_id < 200),
+        |sc AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_lbl, b.label AS b_lbl,
+        |         b.vec_id AS b_id,
+        |         list_reduce(list_transform(range(1, 65),
+        |           i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |           / (a.nrm * b.nrm) AS cos
+        |  FROM sub a JOIN sub b ON a.vec_id != b.vec_id),
+        |nn AS (
+        |  SELECT a_id, a_lbl, b_lbl FROM (
+        |    SELECT a_id, a_lbl, b_lbl,
+        |           row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, b_id ASC) AS rk
+        |    FROM sc)
+        |  WHERE rk = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sub FROM nn)
+        |SELECT a_lbl AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a_lbl = b_lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN a_lbl = b_lbl THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS loo_accuracy,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_sub AS DOUBLE), 6)
+        |    AS chance_rate
+        |FROM nn, tot GROUP BY a_lbl, n_sub ORDER BY label""".stripMargin,
+
     "q311_jl_distortion" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -837,6 +837,45 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"efficiency: $total vs ${(v(7L) - v(0L)) / 1e6}")
   }
 
+  test("q317: LOO accuracy census partitions the subset and beats-or-meets bounds") {
+    import spark.implicits._
+    val rows = Similarity.queries("q317_loo_label_accuracy")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nSub = rows.map(_.getAs[Long]("n")).sum
+    val subSize = graft.Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 200).count()
+    assert(nSub == subSize, s"census covers $nSub of $subSize")
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("loo_accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+      val cr = r.getAs[Double]("chance_rate")
+      assert(math.abs(cr - r.getAs[Long]("n").toDouble / nSub) < 1e-5)
+    }
+  }
+
+  test("q318: planner sizes reconcile with exact driver arithmetic") {
+    import spark.implicits._
+    val rows = Layout.queries("q318_partition_planner")(spark, dir)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (b, p) = (r.getAs[Long]("est_bytes"), r.getAs[Long]("parts_128mb"))
+      assert(p == (b + 134217727L) / 134217728L)
+      val pow2 = r.getAs[Long]("bucket_pow2")
+      assert(pow2 >= p && (pow2 & (pow2 - 1)) == 0L, s"pow2 $pow2 for $p")
+      assert(pow2 == 1L || pow2 / 2 < p, s"pow2 $pow2 not minimal for $p")
+      assert(r.getAs[Long]("rows_per_part") ==
+        r.getAs[Long]("n_rows") / p)
+    }
+    // lineitem byte estimate replay: 68 fixed + the two 1-char flags
+    val li = rows.find(_.getAs[String]("table_name") == "1_lineitem").get
+    val n = graft.Tables.lineitem(spark, dir).count()
+    assert(li.getAs[Long]("est_bytes") == n * 70L,
+      s"${li.getAs[Long]("est_bytes")} vs ${n * 70L}")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
