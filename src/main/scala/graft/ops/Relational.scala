@@ -6309,7 +6309,103 @@ object Relational {
       .orderBy($"fold")
   }
 
+  // ---------------------------------------------------------------------
+  // q320: dataset manifest — the reproducibility record a pipeline run
+  // writes BEFORE anything downstream trusts its inputs (the run-level
+  // sibling of q193's replica Merkle diff): per core table, the exact
+  // row count, the key span, and an ORDER-FREE content fingerprint
+  // (sum of md5-h7 over a canonical key:value row string — commutative
+  // by construction, so partitioning/ordering can't change it; a
+  // single flipped cent flips the sum). Two manifests equal ⟺ same
+  // rows, no diff walk needed; the q104/q126 time-travel machinery
+  // gives WHICH version, this gives WHAT bytes. All exact integers.
+  // Scale shape: one map-side-combined aggregate per table, 5 rows out.
+  private def datasetManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def row(name: String, df: DataFrame, key: org.apache.spark.sql.Column,
+            payload: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"), min(key).as("key_min"),
+          max(key).as("key_max"),
+          sum(Det.h7(payload)).as("content_fp"))
+        .select(lit(name).as("table_name"), $"n_rows", $"key_min",
+          $"key_max", $"content_fp")
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+    val e = Tables.events(s, dir)
+    val d = Tables.documents(s, dir)
+    row("1_orders", o, $"o_orderkey",
+      concat($"o_orderkey".cast(StringType), lit(":"),
+        floor($"o_totalprice" * 100).cast(LongType).cast(StringType)))
+      .unionAll(row("2_lineitem", li, $"l_orderkey",
+        concat($"l_orderkey".cast(StringType), lit(":"),
+          $"l_linenumber".cast(StringType), lit(":"),
+          floor($"l_extendedprice" * 100).cast(LongType).cast(StringType))))
+      .unionAll(row("3_customer", c, $"c_custkey",
+        concat($"c_custkey".cast(StringType), lit(":"),
+          floor($"c_acctbal" * 100).cast(LongType).cast(StringType))))
+      .unionAll(row("4_events", e, $"event_id",
+        concat($"event_id".cast(StringType), lit(":"), $"event_type")))
+      .unionAll(row("5_documents", d, $"doc_id",
+        concat($"doc_id".cast(StringType), lit(":"),
+          $"n_chars".cast(StringType))))
+      .orderBy($"table_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q321: rank-biased overlap of period leaderboards — "how stable is
+  // the top-100" asked properly: RBO (Webber et al. 2010) between the
+  // revenue top-100 part lists of 1995-97 vs 1998-01, truncated at
+  // depth 100 with persistence p = 0.9 — the top-weighted list
+  // similarity q194's Kendall (which needs a SHARED shortlist) can't
+  // express. Each list is a TakeOrdered top-100 (never a corpus-wide
+  // rank window — the dictionary grows with SF; 100-row windows after
+  // the take are bounded). Agreement at depth d derives from ONE
+  // bounded cumsum over max(rank_a, rank_b) of the common items;
+  // per-depth terms (o_d/d)·p^(d−1) freeze to nano ints (p-powers via
+  // exp((d−1)·ln 0.9) — the exp/ln pair both engines bit-match, never
+  // SQL pow), so the 100-term sum is exact. Scale shape: two
+  // aggregate+top-k passes, then ≤100-row frames.
+  private def rankBiasedOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-01-01").cast(TimestampType)
+    def top100(pred: org.apache.spark.sql.Column) =
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          floor($"o_totalprice" * 100).cast(LongType).as("cents"))
+        .filter(pred)
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_partkey").agg(sum($"cents").as("rev"))
+        .orderBy($"rev".desc, $"l_partkey".asc).limit(100)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"rev".desc, $"l_partkey".asc)))
+        .select($"l_partkey", $"rk")
+    val a = top100($"o_orderdate" < cut)
+    val b = top100($"o_orderdate" >= cut)
+    val common = a.toDF("pk", "ra").join(b.toDF("pk", "rb"), Seq("pk"))
+      .select(greatest($"ra", $"rb").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val depths = s.range(1, 101).select($"id".as("d"))
+    val od = depths.join(common, $"m" <= $"d", "left")
+      .groupBy($"d").agg(sum(coalesce($"k", lit(0L))).as("o_d"))
+    val terms = od.select($"d", $"o_d",
+      expr("""cast(floor(1e9 * (cast(o_d as double) / cast(d as double))
+        | * exp(cast(d - 1 as double) * ln(0.9))) as bigint)"""
+        .stripMargin.replace("\n", "")).as("t_nano"))
+    val agg = terms.agg(sum($"t_nano").as("st"),
+      max(when($"d" === 10L, $"o_d")).as("o10"),
+      max(when($"d" === 50L, $"o_d")).as("o50"),
+      max(when($"d" === 100L, $"o_d")).as("o100"))
+    agg.select(lit(100L).as("depth"), $"o10".as("overlap_at_10"),
+      $"o50".as("overlap_at_50"), $"o100".as("overlap_at_100"),
+      Num.roundAt(lit(0.1) * $"st".cast(DoubleType) / lit(1e9), 6)
+        .as("rbo_trunc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_dataset_manifest" -> (datasetManifest _),
+    "q321_rank_biased_overlap" -> (rankBiasedOverlap _),
     "q319_cv_regression" -> (cvRegression _),
     "q316_shapley_attribution" -> (shapleyAttribution _),
     "q313_stl_decomposition" -> (stlDecomposition _),
@@ -6500,6 +6596,88 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q320_dataset_manifest" ->
+      """WITH oo AS (SELECT '1_orders' AS table_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(o_orderkey) AS BIGINT) AS key_min,
+        |    CAST(max(o_orderkey) AS BIGINT) AS key_max,
+        |    CAST(sum(CAST(concat('0x', substring(md5(concat(
+        |      CAST(o_orderkey AS VARCHAR), ':',
+        |      CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR))),
+        |      1, 7)) AS BIGINT)) AS BIGINT) AS content_fp
+        |  FROM orders),
+        |li AS (SELECT '2_lineitem', CAST(count(*) AS BIGINT),
+        |    CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT),
+        |    CAST(sum(CAST(concat('0x', substring(md5(concat(
+        |      CAST(l_orderkey AS VARCHAR), ':',
+        |      CAST(l_linenumber AS VARCHAR), ':',
+        |      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR))),
+        |      1, 7)) AS BIGINT)) AS BIGINT)
+        |  FROM lineitem),
+        |cc AS (SELECT '3_customer', CAST(count(*) AS BIGINT),
+        |    CAST(min(c_custkey) AS BIGINT), CAST(max(c_custkey) AS BIGINT),
+        |    CAST(sum(CAST(concat('0x', substring(md5(concat(
+        |      CAST(c_custkey AS VARCHAR), ':',
+        |      CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR))),
+        |      1, 7)) AS BIGINT)) AS BIGINT)
+        |  FROM customer),
+        |ee AS (SELECT '4_events', CAST(count(*) AS BIGINT),
+        |    CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+        |    CAST(sum(CAST(concat('0x', substring(md5(concat(
+        |      CAST(event_id AS VARCHAR), ':', event_type)),
+        |      1, 7)) AS BIGINT)) AS BIGINT)
+        |  FROM events),
+        |dd AS (SELECT '5_documents', CAST(count(*) AS BIGINT),
+        |    CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT),
+        |    CAST(sum(CAST(concat('0x', substring(md5(concat(
+        |      CAST(doc_id AS VARCHAR), ':', CAST(n_chars AS VARCHAR))),
+        |      1, 7)) AS BIGINT)) AS BIGINT)
+        |  FROM documents)
+        |SELECT * FROM oo UNION ALL SELECT * FROM li
+        |UNION ALL SELECT * FROM cc UNION ALL SELECT * FROM ee
+        |UNION ALL SELECT * FROM dd ORDER BY table_name""".stripMargin,
+
+    "q321_rank_biased_overlap" ->
+      """WITH lo AS (SELECT o_orderkey, o_orderdate,
+        |      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM orders),
+        |ja AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev
+        |    FROM lo JOIN lineitem ON o_orderkey = l_orderkey
+        |    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY 1 ORDER BY rev DESC, l_partkey ASC LIMIT 100),
+        |ra AS (SELECT l_partkey AS pk,
+        |      CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC)
+        |        AS BIGINT) AS rka
+        |    FROM ja),
+        |jb AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev
+        |    FROM lo JOIN lineitem ON o_orderkey = l_orderkey
+        |    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    GROUP BY 1 ORDER BY rev DESC, l_partkey ASC LIMIT 100),
+        |rb AS (SELECT l_partkey AS pk,
+        |      CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC)
+        |        AS BIGINT) AS rkb
+        |    FROM jb),
+        |common AS (SELECT greatest(rka, rkb) AS m,
+        |      CAST(count(*) AS BIGINT) AS k
+        |    FROM ra JOIN rb USING (pk) GROUP BY 1),
+        |depths AS (SELECT CAST(unnest(generate_series(1, 100)) AS BIGINT)
+        |      AS d),
+        |od AS (SELECT d, CAST(coalesce(sum(k), 0) AS BIGINT) AS o_d
+        |    FROM depths LEFT JOIN common ON m <= d GROUP BY 1),
+        |terms AS (SELECT d, o_d,
+        |      CAST(floor(1e9 * (CAST(o_d AS DOUBLE) / CAST(d AS DOUBLE))
+        |        * exp(CAST(d - 1 AS DOUBLE) * ln(0.9))) AS BIGINT) AS t_nano
+        |    FROM od),
+        |agg AS (SELECT CAST(sum(t_nano) AS BIGINT) AS st,
+        |      max(CASE WHEN d = 10 THEN o_d END) AS o10,
+        |      max(CASE WHEN d = 50 THEN o_d END) AS o50,
+        |      max(CASE WHEN d = 100 THEN o_d END) AS o100
+        |    FROM terms)
+        |SELECT CAST(100 AS BIGINT) AS depth, o10 AS overlap_at_10,
+        |  o50 AS overlap_at_50, o100 AS overlap_at_100,
+        |  round(0.1 * CAST(st AS DOUBLE) / 1e9, 6) AS rbo_trunc
+        |FROM agg""".stripMargin,
+
     "q319_cv_regression" ->
       """WITH r AS (SELECT
         |    CAST(concat('0x', substring(md5(concat('cv:',

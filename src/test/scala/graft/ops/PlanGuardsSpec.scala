@@ -24,6 +24,38 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def scans(df: DataFrame): Seq[FileSourceScanExec] =
     df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
 
+  test("q296: the degree join never cartesians and the census aggregates partially") {
+    // the pair frame is persisted, so the file scans sit inside an
+    // InMemoryRelation this plan-string check can still see through
+    val (_, p) = plan("q296_degree_assortativity")
+    assert(!p.contains("CartesianProduct"), "cartesian in the degree join")
+    assert(p.contains("HashAggregate"), s"no hash aggregation in:\n$p")
+  }
+
+  test("q303/q309/q315: the customer/arm dimension joins stay broadcast") {
+    Seq("q303_mantel_haenszel", "q307_winners_curse").foreach { q =>
+      val (_, p) = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
+
+  test("q310: FD candidates partial-aggregate before the exchange") {
+    val (_, p) = plan("q310_fd_discovery")
+    // every countDistinct plans partial_count + expand/partial aggregate
+    // below its exchange — a plain global distinct would ship raw rows
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q316: the Shapley lattice joins are broadcast on census-sized sides") {
+    val (_, p) = plan("q316_shapley_attribution")
+    assert("BroadcastHashJoin".r.findAllIn(p).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"lattice joins not broadcast:\n$p")
+  }
+
   test("q101: dimension joins broadcast; at most one shuffle-side join moves fact data") {
     val (_, p) = plan("q101_local_supplier")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size

@@ -894,6 +894,69 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rmses.max / rmses.min < 2.0, s"rmse spread ${rmses.mkString(",")}")
   }
 
+  test("q320: the manifest fingerprint reproduces and flags a single-row change") {
+    import spark.implicits._
+    val rows = Relational.queries("q320_dataset_manifest")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val cust = rows.find(_.getAs[String]("table_name") == "3_customer").get
+    // driver replay of the customer fingerprint
+    def h7(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s2.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(7), 16)
+    }
+    val cs = graft.Tables.customer(spark, dir)
+      .select($"c_custkey", floor($"c_acctbal" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = cs.map { case (k, b) => h7(s"$k:$b") }.sum
+    assert(cust.getAs[Long]("content_fp") == want,
+      s"${cust.getAs[Long]("content_fp")} vs replay $want")
+    assert(cust.getAs[Long]("n_rows") == cs.length.toLong)
+    // a one-cent perturbation of one row flips the sum
+    val perturbed = want - h7(s"${cs.head._1}:${cs.head._2}") +
+      h7(s"${cs.head._1}:${cs.head._2 + 1}")
+    assert(perturbed != want)
+  }
+
+  test("q321: RBO reconciles with a full driver replay of both leaderboards") {
+    import spark.implicits._
+    val r = Relational.queries("q321_rank_biased_overlap")(spark, dir)
+      .collect()(0)
+    val (o10, o50, o100) = (r.getAs[Long]("overlap_at_10"),
+      r.getAs[Long]("overlap_at_50"), r.getAs[Long]("overlap_at_100"))
+    assert(o10 <= o50 && o50 <= o100)
+    val rbo = r.getAs[Double]("rbo_trunc")
+    assert(rbo >= 0.0 && rbo <= 1.0)
+    // driver replay
+    val rows = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        (Num.epochUs($"o_orderdate") / 1000000L).cast("long").as("ts"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .join(graft.Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey"), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey", $"ts", $"cents").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val cutUs = java.time.LocalDate.parse("1998-01-01").toEpochDay * 86400L
+    def top(pred: Long => Boolean): Map[Long, Int] = rows
+      .filter(x => pred(x._2)).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (pk, rev) => (-rev, pk) }.take(100)
+      .zipWithIndex.map { case ((pk, _), i) => pk -> (i + 1) }.toMap
+    val (ta, tb) = (top(_ < cutUs), top(_ >= cutUs))
+    val ms = ta.keySet.intersect(tb.keySet).toSeq
+      .map(pk => math.max(ta(pk), tb(pk)))
+    val sum = (1 to 100).map { d =>
+      val od = ms.count(_ <= d)
+      math.floor(1e9 * (od.toDouble / d) *
+        math.exp((d - 1).toDouble * math.log(0.9))).toLong
+    }.sum
+    assert(math.abs(rbo - 0.1 * sum / 1e9) < 1e-5,
+      s"$rbo vs replay ${0.1 * sum / 1e9}")
+    assert(o100 == ms.length.toLong)
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
