@@ -6403,7 +6403,46 @@ object Relational {
         .as("rbo_trunc"))
   }
 
+  // ---------------------------------------------------------------------
+  // q322: SQL-scripting amortization — promotes the last spec-only §2.1
+  // construct (Spark 4 BEGIN…END compound statements, SqlScriptingSpec)
+  // to a DuckDB-paired oracle row, the q291/q308 pattern: a
+  // stored-procedure-style WHILE loop runs ON the engine (DECLARE/SET
+  // state, a data-derived principal from a scalar subquery, an
+  // integer-exact balance recurrence bal ← bal + bal div 100 − pay)
+  // until the balance clears; the oracle replays the identical
+  // recurrence as a recursive CTE — different mechanism, same exact
+  // integers, so the hash match certifies Spark's procedural surface
+  // against a declarative twin. Payment = principal/48 (> the 1%
+  // interest, so the loop provably terminates; belt-and-braces bound
+  // m < 120 mirrored in the CTE). Scale shape: one scan for the
+  // principal; the loop is O(months) driver-side control flow over
+  // 1-row state — exactly what engine-side scripting is FOR.
+  private def scriptAmortization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(s, dir).createOrReplaceTempView("q322_orders")
+    s.sql(
+      """BEGIN
+        |  DECLARE principal BIGINT;
+        |  DECLARE bal BIGINT;
+        |  DECLARE pay BIGINT;
+        |  DECLARE m BIGINT DEFAULT 0;
+        |  SET principal = (SELECT sum(CAST(floor(o_totalprice * 100)
+        |    AS BIGINT)) div 1000 FROM q322_orders);
+        |  SET bal = principal;
+        |  SET pay = principal div 48;
+        |  WHILE bal > 0 AND m < 120 DO
+        |    SET bal = bal + bal div 100 - pay;
+        |    SET m = m + 1;
+        |  END WHILE;
+        |  SELECT principal AS principal_cents, pay AS payment_cents,
+        |    m AS n_months, -bal AS overpay_cents;
+        |END""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_script_amortization" -> (scriptAmortization _),
     "q320_dataset_manifest" -> (datasetManifest _),
     "q321_rank_biased_overlap" -> (rankBiasedOverlap _),
     "q319_cv_regression" -> (cvRegression _),
@@ -6596,6 +6635,20 @@ object Relational {
        |WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q322_script_amortization" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) // 1000
+        |    AS BIGINT) AS principal FROM orders),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS m, principal AS bal,
+        |         principal // 48 AS pay, principal FROM p
+        |  UNION ALL
+        |  SELECT m + 1, bal + bal // 100 - pay, pay, principal
+        |  FROM r WHERE bal > 0 AND m < 120)
+        |SELECT principal AS principal_cents, pay AS payment_cents,
+        |  m AS n_months, -bal AS overpay_cents
+        |FROM r ORDER BY m DESC LIMIT 1""".stripMargin,
+
     "q320_dataset_manifest" ->
       """WITH oo AS (SELECT '1_orders' AS table_name,
         |    CAST(count(*) AS BIGINT) AS n_rows,

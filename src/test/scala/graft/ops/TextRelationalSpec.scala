@@ -957,6 +957,24 @@ class TextRelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(o100 == ms.length.toLong)
   }
 
+  test("q322: the scripted loop reconciles with a driver replay of the recurrence") {
+    import spark.implicits._
+    val r = Relational.queries("q322_script_amortization")(spark, dir)
+      .collect()(0)
+    val principal = graft.Tables.orders(spark, dir)
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")))
+      .collect()(0).getLong(0) / 1000L
+    assert(r.getAs[Long]("principal_cents") == principal)
+    val pay = principal / 48L
+    assert(r.getAs[Long]("payment_cents") == pay)
+    var bal = principal; var m = 0L
+    while (bal > 0 && m < 120) { bal = bal + bal / 100L - pay; m += 1 }
+    assert(r.getAs[Long]("n_months") == m, s"${r.getAs[Long]("n_months")} vs $m")
+    assert(r.getAs[Long]("overpay_cents") == -bal)
+    // the payment genuinely outruns the interest, so the loop terminated
+    assert(m < 120 && bal <= 0)
+  }
+
   test("q224: dispersion bands partition eligible parts with ordered spreads") {
     import spark.implicits._
     val out = Relational.queries("q224_price_dispersion")(spark, dir).cache()
