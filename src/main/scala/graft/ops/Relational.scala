@@ -3750,18 +3750,21 @@ object Relational {
       ($"sinv_pico".cast(DoubleType) / lit(1e12)).as("sinv"),
       ($"tsx".cast(DoubleType) / $"nn".cast(DoubleType)).as("gm"))
     // between-group deviations in exact cross-multiplied decimal,
-    // frozen per brand before the sum
+    // frozen per brand before the sum. Micro units — this MUST match the
+    // q290 oracle's floor(1000000.0*...)/1e6 exactly (the centi freeze is
+    // q307's pair only; a unit mismatch here is a latent hash hazard that
+    // round(...,4/6) merely masks at sf0.01 — round-14 ADVICE item).
     val tau = g.crossJoin(broadcast(tot))
-      .select(floor(lit(1e2) *
+      .select(floor(lit(1e6) *
         ((dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")) *
           (dec($"sx") * dec($"nn") - dec($"n") * dec($"tsx")))
           .cast(DoubleType) /
         ((dec($"n") * dec($"nn")) * (dec($"n") * dec($"nn")))
-          .cast(DoubleType)).cast(LongType).as("d2_centi"))
-      .agg(sum($"d2_centi").as("sd2_centi"))
+          .cast(DoubleType)).cast(LongType).as("d2_micro"))
+      .agg(sum($"d2_micro").as("sd2_micro"))
     val shrunk = g.crossJoin(broadcast(par)).crossJoin(broadcast(tau))
       .withColumn("tau2", greatest(lit(0.0),
-        $"sd2_centi".cast(DoubleType) / lit(1e2) /
+        $"sd2_micro".cast(DoubleType) / lit(1e6) /
           ($"ng" - 1L).cast(DoubleType) -
           $"s2w" * $"sinv" / $"ng".cast(DoubleType)))
       .withColumn("b", $"tau2" / ($"tau2" + $"s2w" / $"n".cast(DoubleType)))
@@ -5698,10 +5701,13 @@ object Relational {
   // Determinism: cells are exact ints; each stratum's ad/n and bc/n
   // freeze to micro-units by INTEGER division ((1000000·a·d) div n —
   // identical truncation in DuckDB's //), so both pooled sums are exact
-  // integer reductions and the MH ratio is one IEEE division. Products
-  // stay under int64 (a·d ≤ (N/2)² then ×1e6 ≈ 1e16 at sf0.1; the
-  // micro-freeze would need decimal past ~sf3, noted not needed at the
-  // oracle SFs). Scale shape: one map-side-combined (segment, exposure,
+  // integer reductions and the MH ratio is one IEEE division. The
+  // 1e6·a·d cross-product is widened to decimal(38,0) (HUGEINT in the
+  // oracle) on BOTH sides — int64 would silently overflow past ~sf3 and
+  // sf1+ datapoints are recorded (round-14 ADVICE item); the QUOTIENT
+  // ad/n ≤ min(a,d) so the micro-frozen per-stratum terms and their sum
+  // stay comfortably in int64 at any SF.
+  // Scale shape: one map-side-combined (segment, exposure,
   // outcome) census — 20 cells regardless of scale — then driver-free
   // 5-row algebra.
   private def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
@@ -5720,8 +5726,8 @@ object Relational {
       .withColumn("n", $"a" + $"b" + $"c" + $"d")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = cen.agg(
-        sum(expr("(1000000 * a * d) div n")).as("sad"),
-        sum(expr("(1000000 * b * c) div n")).as("sbc"))
+        sum(expr("(1000000 * cast(a as decimal(38,0)) * d) div n")).as("sad"),
+        sum(expr("(1000000 * cast(b as decimal(38,0)) * c) div n")).as("sbc"))
       .select(($"sad".cast(DoubleType) / $"sbc".cast(DoubleType)).as("mh"))
     cen.crossJoin(broadcast(mh))
       .select($"seg".as("segment"), $"a".as("n_exp_out"),
@@ -6419,26 +6425,43 @@ object Relational {
   // principal; the loop is O(months) driver-side control flow over
   // 1-row state — exactly what engine-side scripting is FOR.
   private def scriptAmortization(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.scripting.enabled", "true")
+    // Scoped session mutation (round-14 ADVICE item): snapshot + restore
+    // the scripting conf and drop the temp view so nothing leaks into
+    // queries benchmarked after this one in the same session. The script
+    // executes eagerly inside s.sql(); we pin its 1-row result to a local
+    // relation so the returned frame survives the restore.
+    val confKey = "spark.sql.scripting.enabled"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
     Tables.orders(s, dir).createOrReplaceTempView("q322_orders")
-    s.sql(
-      """BEGIN
-        |  DECLARE principal BIGINT;
-        |  DECLARE bal BIGINT;
-        |  DECLARE pay BIGINT;
-        |  DECLARE m BIGINT DEFAULT 0;
-        |  SET principal = (SELECT sum(CAST(floor(o_totalprice * 100)
-        |    AS BIGINT)) div 1000 FROM q322_orders);
-        |  SET bal = principal;
-        |  SET pay = principal div 48;
-        |  WHILE bal > 0 AND m < 120 DO
-        |    SET bal = bal + bal div 100 - pay;
-        |    SET m = m + 1;
-        |  END WHILE;
-        |  SELECT principal AS principal_cents, pay AS payment_cents,
-        |    m AS n_months, -bal AS overpay_cents;
-        |END""".stripMargin)
+    try {
+      val res = s.sql(
+        """BEGIN
+          |  DECLARE principal BIGINT;
+          |  DECLARE bal BIGINT;
+          |  DECLARE pay BIGINT;
+          |  DECLARE m BIGINT DEFAULT 0;
+          |  SET principal = (SELECT sum(CAST(floor(o_totalprice * 100)
+          |    AS BIGINT)) div 1000 FROM q322_orders);
+          |  SET bal = principal;
+          |  SET pay = principal div 48;
+          |  WHILE bal > 0 AND m < 120 DO
+          |    SET bal = bal + bal div 100 - pay;
+          |    SET m = m + 1;
+          |  END WHILE;
+          |  SELECT principal AS principal_cents, pay AS payment_cents,
+          |    m AS n_months, -bal AS overpay_cents;
+          |END""".stripMargin)
+      val rows = res.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+      s.catalog.dropTempView("q322_orders")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7127,8 +7150,8 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1),
         |c2 AS (SELECT seg, a, b, c, d, a + b + c + d AS n FROM cen),
-        |mh AS (SELECT CAST(sum((1000000 * a * d) // n) AS DOUBLE)
-        |        / CAST(sum((1000000 * b * c) // n) AS DOUBLE) AS mh
+        |mh AS (SELECT CAST(sum((1000000 * CAST(a AS HUGEINT) * d) // n) AS DOUBLE)
+        |        / CAST(sum((1000000 * CAST(b AS HUGEINT) * c) // n) AS DOUBLE) AS mh
         |      FROM c2)
         |SELECT seg AS segment, a AS n_exp_out, b AS n_exp_noout,
         |  c AS n_unexp_out, d AS n_unexp_noout,
