@@ -134,6 +134,7 @@ object Bench {
       ops.Layout.ensurePartitionedOrders(spark, sfDir)
       ops.Layout.ensureMonthDim(spark, sfDir)
       ops.Layout.ensureOrcLineitem(spark, sfDir)
+      ops.Layout.ensureColumnarLineitem(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

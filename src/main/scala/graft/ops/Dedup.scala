@@ -2199,7 +2199,81 @@ object Dedup {
       .orderBy($"score")
   }
 
+  // ---------------------------------------------------------------------
+  // q324: adversarial banding robustness — the known blind spot of the
+  // production 16×4 geometry made measurable (round-13 verdict item #7).
+  // q147 measures recall on BENIGN mutations (token drops, which cost
+  // O(w) shingles); an adversary minimizing edit volume while evading
+  // LSH instead spreads edits UNIFORMLY — here, every 8th token replaced
+  // by a marker — so each edit corrupts w=3 shingles and exact trigram
+  // Jaccard lands at ≈ (5/8)/(5/8+2·3/8) ≈ 0.45, just under the 16×4
+  // S-curve midpoint. The harness plants both classes (benign
+  // drop-first-token vs adversarial periodic replacement) on every 5th
+  // document and reads, per band geometry (32×2 / 16×4 / 8×8 over the
+  // SAME 64-perm signatures), the planted-pair catch rate beside the
+  // class's mean exact Jaccard: 32×2 should catch the adversarial class
+  // (P ≈ 1-(1-J²)³² ≈ .999 at J=.45), 16×4 coin-flips (≈ .49), 8×8 is
+  // blind (≈ .01) — the geometry-sensitivity table a dedup operator
+  // consults before fixing b×r. Determinism: signatures/shingles are
+  // exact ints (native MinHashSig/ShingleHashes, DuckDB twin replays the
+  // same permutation algebra); per-pair Jaccard freezes micro with the
+  // same multiply-then-divide shape both sides; catch tests are integer
+  // slice comparisons. Scale shape: planted pairs join on doc_id (no
+  // LSH self-join needed for a recall harness — the pair IS known), sigs
+  // materialize once behind a repartition, the geometry explode is ×3,
+  // and the readout is a 6-row census. At 100 TB this runs on a sampled
+  // subcorpus exactly like q147.
+  private def adversarialBanding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = Tables.documents(s, dir)
+      .filter($"doc_id" % 5 === 0 && size(split($"text", " ")) >= 9)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .repartition(np) // single-file input; parallelize the sig compute
+    val variants = base
+      .select($"doc_id", $"tk",
+        explode(map(
+          lit("1_benign"), expr("slice(tk, 2, size(tk) - 1)"),
+          lit("2_adversarial"),
+          expr("transform(tk, (t, i) -> IF((i + 1) % 8 = 0, 'zz9', t))")))
+          .as(Seq("mclass", "tkm")))
+    val scored = variants
+      .select($"doc_id", $"mclass",
+        expr("minhash_sig(tk)").as("sa"),
+        expr("minhash_sig(tkm)").as("sb"),
+        expr("shingle_hashes(tk, 3)").as("na"),
+        expr("shingle_hashes(tkm, 3)").as("nb"))
+      .repartition(np) // materialize sigs before the 64-wide eq refs
+      .withColumn("inter", expr("sorted_overlap(na, nb)"))
+      .withColumn("j_micro", floor(lit(1e6) * $"inter".cast(DoubleType) /
+        (size($"na") + size($"nb") - $"inter").cast(DoubleType))
+        .cast(LongType))
+      .withColumn("eq", expr(
+        "transform(sequence(1, 64), k -> element_at(sa, k) = element_at(sb, k))"))
+    val geo = Seq((32L, 2L), (16L, 4L), (8L, 8L))
+      .toDF("bands", "rows_per_band")
+    scored.crossJoin(broadcast(geo))
+      .withColumn("caught", expr(
+        """exists(sequence(0, bands - 1), i ->
+          |  size(filter(slice(eq, cast(i * rows_per_band + 1 as int),
+          |    cast(rows_per_band as int)), x -> x)) = rows_per_band)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy($"mclass", $"bands", $"rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"caught", 1L).otherwise(0L)).as("n_caught"),
+        sum($"j_micro").as("sj_micro"))
+      .select($"mclass".as("mutation_class"), $"bands", $"rows_per_band",
+        $"n_pairs", $"n_caught",
+        Num.roundAt($"n_caught".cast(DoubleType) /
+          $"n_pairs".cast(DoubleType), 6).as("recall"),
+        Num.roundAt($"sj_micro".cast(DoubleType) / lit(1e6) /
+          $"n_pairs".cast(DoubleType), 6).as("mean_jaccard"))
+      .orderBy($"mutation_class", $"bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_adversarial_banding" -> (adversarialBanding _),
     "q234_fellegi_sunter" -> (fellegiSunter _),
     "q248_fs_calibration" -> (fsCalibration _),
     "q257_fs_em_step" -> (fsEmStep _),
@@ -2296,6 +2370,64 @@ object Dedup {
       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q324_adversarial_banding" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 9),
+        |var AS (
+        |  SELECT doc_id, tk, '1_benign' AS mclass, tk[2:] AS tkm FROM base
+        |  UNION ALL
+        |  SELECT doc_id, tk, '2_adversarial' AS mclass,
+        |    list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN i % 8 = 0 THEN 'zz9' ELSE tk[i] END) AS tkm
+        |  FROM base),
+        |th AS (
+        |  SELECT doc_id, mclass,
+        |    list_transform(tk,
+        |      t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS ha,
+        |    list_transform(tkm,
+        |      t -> CAST(concat('0x', substring(md5(t), 1, 7)) AS BIGINT)) AS hb
+        |  FROM var),
+        |ng AS (
+        |  SELECT doc_id, mclass,
+        |    list_distinct(list_transform(range(1, len(ha) - 1), i ->
+        |      ((ha[i] * 31 + ha[i+1]) % 2147483647 * 31
+        |        + ha[i+2]) % 2147483647)) AS na,
+        |    list_distinct(list_transform(range(1, len(hb) - 1), i ->
+        |      ((hb[i] * 31 + hb[i+1]) % 2147483647 * 31
+        |        + hb[i+2]) % 2147483647)) AS nb
+        |  FROM th),
+        |sg AS (
+        |  SELECT doc_id, mclass,
+        |    list_transform(range(0, 64), j -> list_aggregate(
+        |      list_transform(na, h ->
+        |        ((((j+1) * 2654435761) % 2147483647) * h
+        |          + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sa,
+        |    list_transform(range(0, 64), j -> list_aggregate(
+        |      list_transform(nb, h ->
+        |        ((((j+1) * 2654435761) % 2147483647) * h
+        |          + ((j+1) * 40503) % 2147483647) % 2147483647), 'min')) AS sb,
+        |    len(list_intersect(na, nb)) AS inter,
+        |    len(na) AS la, len(nb) AS lb
+        |  FROM ng),
+        |geo AS (SELECT * FROM (VALUES (CAST(32 AS BIGINT), CAST(2 AS BIGINT)),
+        |    (16, 4), (8, 8)) AS t(bands, rpb)),
+        |sc AS (
+        |  SELECT mclass, bands, rpb,
+        |    CASE WHEN len(list_filter(range(0, bands), i ->
+        |        len(list_filter(range(1, rpb + 1),
+        |          j -> sa[i*rpb + j] = sb[i*rpb + j])) = rpb)) > 0
+        |      THEN 1 ELSE 0 END AS caught,
+        |    CAST(floor(1000000.0 * inter / (la + lb - inter)) AS BIGINT)
+        |      AS j_micro
+        |  FROM sg, geo)
+        |SELECT mclass AS mutation_class, bands, rpb AS rows_per_band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(caught) AS BIGINT) AS n_caught,
+        |  round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall,
+        |  round(CAST(sum(j_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+        |    AS mean_jaccard
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "q257_fs_em_step" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_nationkey AS nat,

@@ -449,7 +449,62 @@ object Layout {
       .orderBy($"table_name")
   }
 
+  private val gcolOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time ingest of lineitem into the library's OWN columnar format
+    * (sources/ColumnarSource.scala), range-clustered on `l_orderkey`
+    * (repartitionByRange + sortWithinPartitions) so the per-block zone
+    * maps are tight and disjoint on the probe key — the layout work that
+    * makes q323's block skipping real. Bench pre-pays it untimed, like
+    * the ORC/bucket/partition fixtures.
+    */
+  private[graft] def ensureColumnarLineitem(s: SparkSession, dir: String): String =
+    gcolOnce.getOrElseUpdate(dir, {
+      val out = Core.tmp("graft_gcol_lineitem")
+      Tables.lineitem(s, dir)
+        // l_partkey and l_suppkey ride along UNREFERENCED by q323 so the
+        // plan guard can observe column pruning at the scan (their byte
+        // segments are never read back)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "8192")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  // q323: graft-columnar scan — the round-trip oracle row for the
+  // library's own columnar DSv2 source (round-13 verdict item #4: the
+  // vectorization rung proved instead of taken on faith from parquet).
+  // Lineitem is written to the .gcol format clustered on l_orderkey,
+  // then read back through the connector: the range predicate is pushed
+  // (SupportsPushDownFilters) and prunes whole BLOCKS via footer zone
+  // maps before tasks are planned, the projection prunes column
+  // segments at the byte level (SupportsPushDownRequiredColumns), and
+  // the reader decodes straight into OnHeapColumnVectors
+  // (ColumnarBatch path — PlanGuardsSpec asserts scan.supportsColumnar,
+  // the ColumnarToRow bridge, and blocks-skipped > 0; ColumnarSourceSpec
+  // holds the format contract). The oracle runs identical SQL over the
+  // PARQUET twin — a custom format must not change one bit of the
+  // result. Determinism: count + exact integer centi-sums only.
+  // Scale shape: one task per surviving (file, block); the filter cuts
+  // the task list itself, and unprojected columns are never read.
+  private def columnarScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureColumnarLineitem(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .filter($"l_orderkey" <= 30000L && $"l_quantity" >= 25.0)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity" * 100).cast(LongType)).as("qty_centi"),
+        sum(floor($"l_extendedprice" * 100).cast(LongType)).as("price_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_columnar_scan" -> (columnarScan _),
     "q318_partition_planner" -> (partitionPlanner _),
     "q306_bloom_pruning" -> (bloomPruning _),
     "q243_zonemap_census" -> (zoneMapCensus _),
@@ -496,6 +551,15 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q323_columnar_scan" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey <= 30000 AND l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q318_partition_planner" ->
       s"""WITH li AS (SELECT '1_lineitem' AS table_name,
         |      CAST(count(*) AS BIGINT) AS n_rows,

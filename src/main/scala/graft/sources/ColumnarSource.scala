@@ -1,0 +1,821 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-columnar` — a self-contained COLUMNAR file format plus its
+  * DataSource V2 read/write connector: the vectorization rung of the
+  * extension ladder made concrete instead of taken on faith from
+  * parquet (round-13 verdict item #4).
+  *
+  *   df.write.format("graft-columnar").mode("overwrite").save(dir)
+  *   spark.read.format("graft-columnar").load(dir)
+  *
+  * What it demonstrates, each with a PlanGuardsSpec proof:
+  *
+  *   - '''ColumnarBatch reads''' — the `PartitionReaderFactory` reports
+  *     `supportColumnarReads = true` and decodes straight into
+  *     `OnHeapColumnVector`s, so the scan enters Spark's vectorized
+  *     path (`BatchScanExec.supportsColumnar`, a `ColumnarToRow`
+  *     bridge above it, whole-stage codegen consuming the vectors).
+  *   - '''Column pruning''' (`SupportsPushDownRequiredColumns`) — the
+  *     file layout is one contiguous encoded segment PER COLUMN per
+  *     block, so a pruned column is never read from disk at all (the
+  *     reader seeks past it), not decoded-then-dropped.
+  *   - '''Filter pushdown''' (`SupportsPushDownFilters`) — the footer
+  *     carries per-block zone maps (min/max/nullCount per column);
+  *     accepted filters prune BLOCKS at `planInputPartitions` time, so
+  *     a selective predicate shrinks the task list itself. Zone maps
+  *     are block-granular, so every accepted filter is also returned
+  *     as residual for Spark to re-apply exactly (the parquet min/max
+  *     contract).
+  *   - '''Statistics''' (`SupportsReportStatistics`) — post-pruning
+  *     byte/row counts feed the optimizer's broadcast decision.
+  *
+  * File layout (`*.gcol`, one file per write task, little-endian):
+  * {{{
+  *   [block 0][block 1]...[footer JSON][footerLen:int32][magic:int64]
+  *   block  = per column (schema order): [null bitmap][payload]
+  *   payload: int32/date 4B·n | int64/ts 8B·n | double 8B·n |
+  *            boolean bitmap | string int32 offsets (n+1) + UTF-8 bytes
+  * }}}
+  * The footer records schema, block row counts and per-(block, column)
+  * (offset, length, nullCount, min, max). Plain byte-aligned encodings
+  * — no general compression — keep the decode loop a straight
+  * `putLongs/putInts/putDoubles` memcpy into the vectors; the format's
+  * scale story is pruning + vectorization, not entropy coding.
+  *
+  * Scale shape: writers stream one bounded block (default 16 384 rows)
+  * at a time — no partition-sized buffering; readers get one task per
+  * surviving (file, block), so parallelism tracks data volume and a
+  * selective filter cuts the stage's task count, not just its row
+  * count. Footers are driver-read O(files) metadata, the same contract
+  * as parquet footers.
+  */
+class ColumnarSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-columnar"
+
+  // writes pass the frame's own schema (no pre-existing table needed)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    require(dir != null && dir.nonEmpty, "graft-columnar requires a path")
+    val files = ColumnarFormat.listFiles(dir)
+    require(files.nonEmpty, s"no .gcol files under $dir")
+    ColumnarFormat.readFooter(files.head).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val dir = properties.get("path")
+    require(dir != null && dir.nonEmpty, "graft-columnar requires a path")
+    new GcolTable(dir, schema)
+  }
+}
+
+private[sources] class GcolTable(dir: String, tblSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    "graft_columnar_" + dir.replaceAll("[^A-Za-z0-9_]", "_")
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GcolScanBuilder(dir, tblSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GcolWriteBuilder(dir, info.schema(),
+      Option(info.options.get("rowsPerBlock")).map(_.toInt)
+        .getOrElse(ColumnarFormat.DefaultRowsPerBlock))
+}
+
+// ---------------------------------------------------------------------
+// read path
+// ---------------------------------------------------------------------
+
+private[sources] class GcolScanBuilder(dir: String, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve FILE column order; the reader decodes segments in file
+    // order and the scan's readSchema must match what it emits
+    required = StructType(
+      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** Accept filters the zone maps can evaluate; everything is returned
+    * as residual because block skipping is approximate by granularity.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(ColumnarFormat.supportedFilter(full, _))
+    filters // all residual — Spark re-applies exactly above the scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new GcolScan(dir, required, accepted)
+}
+
+// public (not private[sources]): plan guards in other packages downcast
+// BatchScanExec.scan to reach the skip counters
+class GcolScan private[sources] (dir: String, required: StructType,
+                                 filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  // spec observability: how many blocks the zone maps let through
+  @volatile var plannedBlocks: Int = -1
+  @volatile var totalBlocks: Int = -1
+  def pushedAccepted: Array[Filter] = filters
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-columnar $dir PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  override def toBatch: Batch = this
+
+  private lazy val planned: Array[GcolBlockPartition] = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
+    var total = 0
+    ColumnarFormat.listFiles(dir).foreach { f =>
+      val footer = ColumnarFormat.readFooter(f)
+      required.fields.foreach(r => require(
+        footer.schema.fieldNames.contains(r.name),
+        s"$f lacks required column ${r.name}"))
+      footer.blocks.foreach { blk =>
+        total += 1
+        if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
+          val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
+          all += GcolBlockPartition(f.toString, blk.rows,
+            idx.map(blk.offs), idx.map(blk.lens), required.json)
+        }
+      }
+    }
+    totalBlocks = total
+    plannedBlocks = all.size
+    all.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GcolReaderFactory
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = planned.map(_.rows.toLong).sum
+    private val bytes = planned.map(_.lens.sum).sum
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+}
+
+/** One surviving (file, block): byte ranges of the REQUIRED columns only,
+  * in readSchema order. Everything here is a plain serializable value.
+  */
+private[sources] case class GcolBlockPartition(
+    path: String, rows: Int,
+    offs: Array[Long], lens: Array[Long],
+    readSchemaJson: String) extends InputPartition
+
+private[sources] object GcolReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "graft-columnar is a columnar-only source")
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val part = p.asInstanceOf[GcolBlockPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var emitted = false
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean =
+        if (emitted) false
+        else { batch = ColumnarFormat.decodeBlock(part); emitted = true; true }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// write path
+// ---------------------------------------------------------------------
+
+private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
+                                        rowsPerBlock: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = {
+    schema.fields.foreach(f => ColumnarFormat.checkType(f)) // fail NOW
+    new Write {
+      override def toBatch: BatchWrite =
+        new GcolBatchWrite(dir, schema, rowsPerBlock, replace)
+    }
+  }
+}
+
+/** Tasks stream into a staging subdir; the driver MOVES survivors into
+  * the root on commit (and deletes pre-existing files first on
+  * overwrite), so a failed job leaves the directory readable.
+  */
+private[sources] class GcolBatchWrite(dir: String, schema: StructType,
+                                      rowsPerBlock: Int, replace: Boolean)
+    extends BatchWrite {
+  private val staging = s"_staging-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GcolWriterFactory(dir, staging, schema.json, rowsPerBlock)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    if (replace) ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
+    messages.foreach {
+      case GcolFileCommitted(rel) if rel.nonEmpty =>
+        val src = root.resolve(staging).resolve(rel)
+        Files.move(src, root.resolve(rel))
+      case _ => ()
+    }
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    val d = Paths.get(dir).resolve(staging)
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+      Files.deleteIfExists(d)
+    }
+  }
+}
+
+private[sources] case class GcolFileCommitted(rel: String)
+    extends WriterCommitMessage
+
+private[sources] class GcolWriterFactory(dir: String, staging: String,
+                                         schemaJson: String, rowsPerBlock: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GcolDataWriter(dir, staging,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      rowsPerBlock, partitionId, taskId)
+}
+
+/** Buffers exactly ONE block (bounded memory), encodes and appends it
+  * when full, accumulating footer metadata; speculative attempts write
+  * distinct file names and lose in abort().
+  */
+private[sources] class GcolDataWriter(dir: String, staging: String,
+                                      schema: StructType, rowsPerBlock: Int,
+                                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val rel = s"part-$partitionId-$taskId.gcol"
+  private val path = {
+    val d = Paths.get(dir).resolve(staging)
+    Files.createDirectories(d)
+    d.resolve(rel)
+  }
+  private val raf = new RandomAccessFile(path.toFile, "rw")
+  private val chan = raf.getChannel
+
+  private val enc = new ColumnarFormat.BlockEncoder(schema, rowsPerBlock)
+  private val blockMetas = scala.collection.mutable.ArrayBuffer
+    .empty[ColumnarFormat.BlockMeta]
+  private var total = 0L
+
+  override def write(row: InternalRow): Unit = {
+    enc.add(row)
+    total += 1
+    if (enc.rows == rowsPerBlock) flush()
+  }
+
+  private def flush(): Unit = if (enc.rows > 0) {
+    blockMetas += enc.writeTo(chan)
+    enc.reset()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    if (total == 0) {
+      chan.close(); raf.close(); Files.deleteIfExists(path)
+      GcolFileCommitted("")
+    } else {
+      ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq)
+      chan.close(); raf.close()
+      GcolFileCommitted(rel)
+    }
+  }
+
+  override def abort(): Unit = {
+    try { chan.close(); raf.close() } catch { case _: Throwable => () }
+    Files.deleteIfExists(path)
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------
+// the format itself
+// ---------------------------------------------------------------------
+
+object ColumnarFormat {
+  val DefaultRowsPerBlock = 16384
+  val Magic: Long = 0x47434F4C464D5431L // "GCOLFMT1"
+
+  case class ColMeta(off: Long, len: Long, nullCount: Int,
+                     min: Option[Any], max: Option[Any])
+  case class BlockMeta(rows: Int, cols: Array[ColMeta]) {
+    def offs: Array[Long] = cols.map(_.off)
+    def lens: Array[Long] = cols.map(_.len)
+  }
+  case class Footer(schema: StructType, blockList: Seq[BlockMeta]) {
+    def blocks: Seq[BlockView] = blockList.zipWithIndex.map { case (b, _) =>
+      BlockView(b.rows, b.cols.map(_.off), b.cols.map(_.len), b.cols)
+    }
+  }
+  case class BlockView(rows: Int, offs: Array[Long], lens: Array[Long],
+                       cols: Array[ColMeta])
+
+  private val mapper = new ObjectMapper()
+
+  def checkType(f: StructField): Unit = f.dataType match {
+    case BooleanType | IntegerType | DateType | LongType | TimestampType |
+         TimestampNTZType | DoubleType | StringType => ()
+    case dt => throw new IllegalArgumentException(
+      s"graft-columnar does not support column `${f.name}` of type " +
+        s"${dt.simpleString}; supported: boolean, int, date, bigint, " +
+        "timestamp, timestamp_ntz, double, string")
+  }
+
+  def listFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".gcol"))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+
+  // ---- footer ---------------------------------------------------------
+
+  def writeFooter(chan: java.nio.channels.FileChannel, schema: StructType,
+                  blocks: Seq[BlockMeta]): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("schema", schema.json)
+    val arr: ArrayNode = root.putArray("blocks")
+    blocks.foreach { b =>
+      val bn = arr.addObject()
+      bn.put("rows", b.rows)
+      val cn = bn.putArray("cols")
+      b.cols.zip(schema.fields).foreach { case (c, f) =>
+        val o = cn.addObject()
+        o.put("o", c.off); o.put("l", c.len); o.put("nn", c.nullCount)
+        (c.min, c.max) match {
+          case (Some(mn), Some(mx)) => f.dataType match {
+            case IntegerType | DateType =>
+              o.put("mn", mn.asInstanceOf[Int]); o.put("mx", mx.asInstanceOf[Int])
+            case LongType | TimestampType | TimestampNTZType =>
+              o.put("mn", mn.asInstanceOf[Long]); o.put("mx", mx.asInstanceOf[Long])
+            case DoubleType =>
+              o.put("mn", mn.asInstanceOf[Double]); o.put("mx", mx.asInstanceOf[Double])
+            case StringType =>
+              o.put("mn", mn.asInstanceOf[String]); o.put("mx", mx.asInstanceOf[String])
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    }
+    val bytes = mapper.writeValueAsBytes(root)
+    val tail = ByteBuffer.allocate(bytes.length + 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    tail.put(bytes).putInt(bytes.length).putLong(Magic).flip()
+    while (tail.hasRemaining) chan.write(tail)
+  }
+
+  def readFooter(path: Path): Footer = {
+    val raf = new RandomAccessFile(path.toFile, "r")
+    try {
+      val size = raf.length()
+      require(size >= 12, s"$path: not a gcol file")
+      val tail = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      raf.getChannel.read(tail, size - 12); tail.flip()
+      val fLen = tail.getInt
+      require(tail.getLong == Magic, s"$path: bad gcol magic")
+      val fBuf = ByteBuffer.allocate(fLen)
+      raf.getChannel.read(fBuf, size - 12 - fLen)
+      val root = mapper.readTree(fBuf.array())
+      val schema = DataType.fromJson(root.get("schema").asText())
+        .asInstanceOf[StructType]
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      root.get("blocks").forEach { bn =>
+        val cols = scala.collection.mutable.ArrayBuffer.empty[ColMeta]
+        var i = 0
+        bn.get("cols").forEach { cn =>
+          val dt = schema.fields(i).dataType
+          val mm: (Option[Any], Option[Any]) =
+            if (!cn.has("mn")) (None, None)
+            else dt match {
+              case IntegerType | DateType =>
+                (Some(cn.get("mn").asInt()), Some(cn.get("mx").asInt()))
+              case LongType | TimestampType | TimestampNTZType =>
+                (Some(cn.get("mn").asLong()), Some(cn.get("mx").asLong()))
+              case DoubleType =>
+                (Some(cn.get("mn").asDouble()), Some(cn.get("mx").asDouble()))
+              case StringType =>
+                (Some(cn.get("mn").asText()), Some(cn.get("mx").asText()))
+              case _ => (None, None)
+            }
+          cols += ColMeta(cn.get("o").asLong(), cn.get("l").asLong(),
+            cn.get("nn").asInt(), mm._1, mm._2)
+          i += 1
+        }
+        blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
+      }
+      Footer(schema, blocks.toSeq)
+    } finally raf.close()
+  }
+
+  // ---- zone-map evaluation -------------------------------------------
+
+  /** Filters the zone maps can participate in (attribute vs literal on a
+    * numeric/string column, null tests, conjunction/disjunction).
+    * Date/timestamp literals arrive as java.sql/java.time values — left
+    * out of skipping (conservative), their blocks always survive.
+    */
+  def supportedFilter(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => zoneCol(schema, a) && plainLit(v)
+    case GreaterThan(a, v) => zoneCol(schema, a) && plainLit(v)
+    case GreaterThanOrEqual(a, v) => zoneCol(schema, a) && plainLit(v)
+    case LessThan(a, v) => zoneCol(schema, a) && plainLit(v)
+    case LessThanOrEqual(a, v) => zoneCol(schema, a) && plainLit(v)
+    case In(a, vs) => zoneCol(schema, a) && vs.forall(plainLit)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supportedFilter(schema, l) && supportedFilter(schema, r)
+    case Or(l, r) => supportedFilter(schema, l) && supportedFilter(schema, r)
+    case _ => false
+  }
+
+  private def zoneCol(schema: StructType, name: String): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType match {
+      case IntegerType | LongType | DoubleType | StringType => true
+      case _ => false
+    })
+
+  private def plainLit(v: Any): Boolean = v match {
+    case _: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+         _: String => true
+    case _: UTF8String => true
+    case _ => false
+  }
+
+  /** Conservative per-block test: false ONLY when the zone map proves no
+    * row can satisfy `f`. Unknown shapes answer true.
+    */
+  def mayMatch(schema: StructType, blk: BlockView, f: Filter): Boolean = {
+    def col(name: String): Option[(ColMeta, DataType)] = {
+      val i = schema.fieldIndex(name)
+      Some((blk.cols(i), schema.fields(i).dataType))
+    }
+    // three-way compare of zone bound vs literal in the column's domain
+    def cmp(bound: Any, v: Any, dt: DataType): Option[Int] = dt match {
+      case IntegerType | LongType =>
+        val b = bound match { case i: Int => i.toLong; case l: Long => l }
+        v match {
+          case i: Int => Some(java.lang.Long.compare(b, i.toLong))
+          case l: Long => Some(java.lang.Long.compare(b, l))
+          case s: Short => Some(java.lang.Long.compare(b, s.toLong))
+          case by: Byte => Some(java.lang.Long.compare(b, by.toLong))
+          case _ => None // fractional literal vs integral column: keep block
+        }
+      case DoubleType =>
+        val b = bound.asInstanceOf[Double]
+        v match {
+          case d: Double => Some(java.lang.Double.compare(b, d))
+          case fl: Float => Some(java.lang.Double.compare(b, fl.toDouble))
+          case i: Int => Some(java.lang.Double.compare(b, i.toDouble))
+          case l: Long => Some(java.lang.Double.compare(b, l.toDouble))
+          case _ => None
+        }
+      case StringType =>
+        val b = UTF8String.fromString(bound.asInstanceOf[String])
+        v match {
+          case s: String => Some(b.compareTo(UTF8String.fromString(s)))
+          case u: UTF8String => Some(b.compareTo(u))
+          case _ => None
+        }
+      case _ => None
+    }
+    def range(name: String, v: Any)(
+        test: (Int, Int) => Boolean): Boolean =
+      col(name) match {
+        case Some((c, dt)) =>
+          (c.min, c.max) match {
+            case (Some(mn), Some(mx)) =>
+              (cmp(mn, v, dt), cmp(mx, v, dt)) match {
+                case (Some(cl), Some(ch)) => test(cl, ch)
+                case _ => true
+              }
+            case _ => false // all-null column: no non-null row can match
+          }
+        case None => true
+      }
+    f match {
+      case EqualTo(a, v) => range(a, v)((cl, ch) => cl <= 0 && ch >= 0)
+      case GreaterThan(a, v) => range(a, v)((_, ch) => ch > 0)
+      case GreaterThanOrEqual(a, v) => range(a, v)((_, ch) => ch >= 0)
+      case LessThan(a, v) => range(a, v)((cl, _) => cl < 0)
+      case LessThanOrEqual(a, v) => range(a, v)((cl, _) => cl <= 0)
+      case In(a, vs) =>
+        vs.exists(v => range(a, v)((cl, ch) => cl <= 0 && ch >= 0))
+      case IsNull(a) =>
+        col(a).forall { case (c, _) => c.nullCount > 0 }
+      case IsNotNull(a) =>
+        col(a).forall { case (c, _) => c.nullCount < blk.rows }
+      case And(l, r) => mayMatch(schema, blk, l) && mayMatch(schema, blk, r)
+      case Or(l, r) => mayMatch(schema, blk, l) || mayMatch(schema, blk, r)
+      case _ => true
+    }
+  }
+
+  // ---- block encode ---------------------------------------------------
+
+  /** One block's worth of column builders; bounded at rowsPerBlock. */
+  final class BlockEncoder(schema: StructType, cap: Int) {
+    private val n = schema.length
+    private val nulls = Array.fill(n)(new Array[Boolean](cap))
+    private val longs = schema.fields.map {
+      case f if isLong(f.dataType) => new Array[Long](cap)
+      case _ => null
+    }
+    private val ints = schema.fields.map {
+      case f if isInt(f.dataType) => new Array[Int](cap)
+      case _ => null
+    }
+    private val dbls = schema.fields.map {
+      case f if f.dataType == DoubleType => new Array[Double](cap)
+      case _ => null
+    }
+    private val bools = schema.fields.map {
+      case f if f.dataType == BooleanType => new Array[Boolean](cap)
+      case _ => null
+    }
+    private val strs = schema.fields.map {
+      case f if f.dataType == StringType => new Array[Array[Byte]](cap)
+      case _ => null
+    }
+    var rows = 0
+
+    private def isLong(dt: DataType) = dt match {
+      case LongType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    private def isInt(dt: DataType) = dt match {
+      case IntegerType | DateType => true
+      case _ => false
+    }
+
+    def add(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        // explicit both-ways set: the arrays are REUSED across blocks
+        // (reset() only rewinds the cursor), so a stale `true` from the
+        // previous block must be overwritten
+        nulls(i)(rows) = row.isNullAt(i)
+        if (!nulls(i)(rows)) schema.fields(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            longs(i)(rows) = row.getLong(i)
+          case IntegerType | DateType => ints(i)(rows) = row.getInt(i)
+          case DoubleType => dbls(i)(rows) = row.getDouble(i)
+          case BooleanType => bools(i)(rows) = row.getBoolean(i)
+          case StringType => strs(i)(rows) = row.getUTF8String(i).getBytes
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        }
+        i += 1
+      }
+      rows += 1
+    }
+
+    def reset(): Unit = rows = 0
+
+    /** Encode + append every column segment; returns the block's meta. */
+    def writeTo(chan: java.nio.channels.FileChannel): BlockMeta = {
+      val metas = new Array[ColMeta](n)
+      var i = 0
+      while (i < n) {
+        val off = chan.position()
+        val bitmapLen = (rows + 7) / 8
+        val f = schema.fields(i)
+        val payload: ByteBuffer = f.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            val b = ByteBuffer.allocate(bitmapLen + 8 * rows)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            putBitmap(b, nulls(i), rows)
+            var r = 0; while (r < rows) { b.putLong(longs(i)(r)); r += 1 }
+            b
+          case IntegerType | DateType =>
+            val b = ByteBuffer.allocate(bitmapLen + 4 * rows)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            putBitmap(b, nulls(i), rows)
+            var r = 0; while (r < rows) { b.putInt(ints(i)(r)); r += 1 }
+            b
+          case DoubleType =>
+            val b = ByteBuffer.allocate(bitmapLen + 8 * rows)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            putBitmap(b, nulls(i), rows)
+            var r = 0; while (r < rows) { b.putDouble(dbls(i)(r)); r += 1 }
+            b
+          case BooleanType =>
+            val b = ByteBuffer.allocate(bitmapLen * 2)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            putBitmap(b, nulls(i), rows)
+            putBitmap(b, bools(i), rows)
+            b
+          case StringType =>
+            var bytes = 0
+            var r = 0
+            while (r < rows) {
+              if (!nulls(i)(r)) bytes += strs(i)(r).length; r += 1
+            }
+            val b = ByteBuffer.allocate(bitmapLen + 4 * (rows + 1) + bytes)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            putBitmap(b, nulls(i), rows)
+            var acc = 0
+            b.putInt(0)
+            r = 0
+            while (r < rows) {
+              if (!nulls(i)(r)) acc += strs(i)(r).length
+              b.putInt(acc); r += 1
+            }
+            r = 0
+            while (r < rows) {
+              if (!nulls(i)(r)) b.put(strs(i)(r)); r += 1
+            }
+            b
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        }
+        payload.flip()
+        while (payload.hasRemaining) chan.write(payload)
+        metas(i) = ColMeta(off, chan.position() - off, nullCountOf(i),
+          minOf(i), maxOf(i))
+        i += 1
+      }
+      BlockMeta(rows, metas)
+    }
+
+    private def putBitmap(b: ByteBuffer, bits: Array[Boolean],
+                          len: Int): Unit = {
+      var byteI = 0
+      while (byteI * 8 < len) {
+        var v = 0
+        var k = 0
+        while (k < 8 && byteI * 8 + k < len) {
+          if (bits(byteI * 8 + k)) v |= (1 << k); k += 1
+        }
+        b.put(v.toByte)
+        byteI += 1
+      }
+    }
+
+    private def nullCountOf(i: Int): Int = {
+      var c = 0; var r = 0
+      while (r < rows) { if (nulls(i)(r)) c += 1; r += 1 }
+      c
+    }
+
+    private def minMax(i: Int, wantMin: Boolean): Option[Any] = {
+      val f = schema.fields(i)
+      var out: Option[Any] = None
+      var r = 0
+      while (r < rows) {
+        if (!nulls(i)(r)) {
+          f.dataType match {
+            case LongType | TimestampType | TimestampNTZType =>
+              val v = longs(i)(r)
+              out = Some(out.fold(v)(o => if (wantMin) math.min(o.asInstanceOf[Long], v)
+                else math.max(o.asInstanceOf[Long], v)))
+            case IntegerType | DateType =>
+              val v = ints(i)(r)
+              out = Some(out.fold(v)(o => if (wantMin) math.min(o.asInstanceOf[Int], v)
+                else math.max(o.asInstanceOf[Int], v)))
+            case DoubleType =>
+              val v = dbls(i)(r)
+              out = Some(out.fold(v)(o => if (wantMin) math.min(o.asInstanceOf[Double], v)
+                else math.max(o.asInstanceOf[Double], v)))
+            case StringType =>
+              val v = UTF8String.fromBytes(strs(i)(r))
+              out = Some(out.fold[Any](v.toString) { o =>
+                val c = UTF8String.fromString(o.asInstanceOf[String]).compareTo(v)
+                if ((wantMin && c <= 0) || (!wantMin && c >= 0)) o else v.toString
+              })
+            case _ => () // boolean: no zone map
+          }
+        }
+        r += 1
+      }
+      out
+    }
+    private def minOf(i: Int): Option[Any] = minMax(i, wantMin = true)
+    private def maxOf(i: Int): Option[Any] = minMax(i, wantMin = false)
+  }
+
+  // ---- block decode (executor side) ------------------------------------
+
+  /** Read ONLY the partition's column byte ranges and fill on-heap
+    * vectors; the bulk fills (`putLongs`/`putInts`/`putDoubles`) are the
+    * little-endian memcpy overloads, so decode is byte-copy speed.
+    */
+  def decodeBlock(part: GcolBlockPartition): ColumnarBatch = {
+    val schema = DataType.fromJson(part.readSchemaJson)
+      .asInstanceOf[StructType]
+    val rows = part.rows
+    val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
+    val raf = new RandomAccessFile(part.path, "r")
+    try {
+      var i = 0
+      while (i < schema.length) {
+        val len = part.lens(i).toInt
+        val buf = ByteBuffer.allocate(len)
+        var read = 0
+        while (read < len) {
+          val k = raf.getChannel.read(buf, part.offs(i) + read)
+          require(k > 0, s"${part.path}: truncated column segment")
+          read += k
+        }
+        val bytes = buf.array()
+        val bitmapLen = (rows + 7) / 8
+        val v = vectors(i)
+        schema.fields(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            v.putLongs(0, rows, bytes, bitmapLen)
+          case IntegerType | DateType =>
+            v.putInts(0, rows, bytes, bitmapLen)
+          case DoubleType =>
+            v.putDoubles(0, rows, bytes, bitmapLen)
+          case BooleanType =>
+            var r = 0
+            while (r < rows) {
+              v.putBoolean(r, (bytes(bitmapLen + r / 8) & (1 << (r % 8))) != 0)
+              r += 1
+            }
+          case StringType =>
+            val offs = ByteBuffer.wrap(bytes, bitmapLen, 4 * (rows + 1))
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val dataStart = bitmapLen + 4 * (rows + 1)
+            var prev = offs.getInt()
+            var r = 0
+            while (r < rows) {
+              val cur = offs.getInt()
+              v.putByteArray(r, bytes, dataStart + prev, cur - prev)
+              prev = cur
+              r += 1
+            }
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        }
+        // nulls AFTER values: putNull only flips the flag
+        var r = 0
+        while (r < rows) {
+          if ((bytes(r / 8) & (1 << (r % 8))) != 0) v.putNull(r)
+          r += 1
+        }
+        i += 1
+      }
+      new ColumnarBatch(vectors.toArray[ColumnVector], rows)
+    } finally raf.close()
+  }
+}

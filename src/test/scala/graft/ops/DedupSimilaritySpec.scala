@@ -880,4 +880,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"re-rank lost recall: rerank=$rrHits adc=$adcHits")
     rr.unpersist()
   }
+
+  test("q324: adversarial mutation evades coarse bands; fine bands resist") {
+    import spark.implicits._
+    val out = Dedup.queries("q324_adversarial_banding")(spark, dir)
+      .select($"mutation_class", $"bands", $"recall", $"mean_jaccard")
+      .as[(String, Long, Double, Double)].collect()
+    val rec = out.map { case (c, b, r, _) => (c, b) -> r }.toMap
+    val jac = out.map { case (c, _, _, j) => c -> j }.toMap
+    // the adversary works: uniform token replacement drives exact
+    // Jaccard far below the benign class while touching 1/8 of tokens
+    assert(jac("2_adversarial") < 0.6 && jac("1_benign") > 0.9,
+      s"mutation classes not separated: $jac")
+    // geometry sensitivity on the SAME signatures: more, narrower bands
+    // recover the adversarial pairs; fewer, wider bands go blind
+    assert(rec(("2_adversarial", 32L)) >= rec(("2_adversarial", 16L)) &&
+      rec(("2_adversarial", 16L)) >= rec(("2_adversarial", 8L)),
+      s"recall not monotone in band count: $rec")
+    assert(rec(("2_adversarial", 32L)) - rec(("2_adversarial", 8L)) >= 0.5,
+      s"geometry sweep shows no sensitivity: $rec")
+    // benign mutations are caught by every geometry — the blind spot is
+    // SPECIFIC to the adversarial class, not a general recall failure
+    Seq(8L, 16L, 32L).foreach(b =>
+      assert(rec(("1_benign", b)) >= 0.95, s"benign recall low at b=$b: $rec"))
+  }
 }

@@ -691,4 +691,38 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       !p.contains("CartesianProduct"),
       s"pair join leaked into the readout plan:\n$p")
   }
+
+  test("q323: the columnar scan is vectorized, pruned, and skips blocks") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+      val here = p match { case b: BatchScanExec => Seq(b); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    val df = graft.SparkEntry.queries("q323_columnar_scan")(spark, dir)
+    df.collect()
+    val batchScans = walk(df.queryExecution.executedPlan)
+    assert(batchScans.size == 1, "expected exactly one graft-columnar scan")
+    val b = batchScans.head
+    assert(b.supportsColumnar, "the gcol scan lost its ColumnarBatch path")
+    val scan = b.scan.asInstanceOf[graft.sources.GcolScan]
+    // the fixture carries 6 columns; the query references 4 — the scan
+    // must read exactly those (the unreferenced l_partkey/l_suppkey
+    // segments are never fetched from disk)
+    assert(scan.readSchema().fieldNames.toSet ===
+      Set("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+      s"scan reads ${scan.readSchema().fieldNames.mkString(",")}")
+    // the range predicate must be ACCEPTED for zone-map skipping
+    assert(scan.pushedAccepted.exists(_.toString.contains("l_orderkey")),
+      s"range filter not pushed: ${scan.pushedAccepted.mkString(",")}")
+    // zone maps were consulted (skip COUNTS are data-dependent across
+    // SFs; ColumnarSourceSpec pins actual skipping on controlled data)
+    assert(scan.totalBlocks > 0 && scan.plannedBlocks >= 0 &&
+      scan.plannedBlocks <= scan.totalBlocks)
+  }
 }

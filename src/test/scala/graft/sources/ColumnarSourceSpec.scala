@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ColumnarToRowExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** The `graft-columnar` format + connector contract: lossless round
+  * trip over every supported type (nulls included), column pruning that
+  * reaches the scan, zone-map BLOCK skipping under pushed filters, the
+  * vectorized (ColumnarBatch) read path, and overwrite semantics.
+  */
+class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def tmp(): String =
+    Files.createTempDirectory("gcol_spec").toString
+
+  // AQE wraps plans in AdaptiveSparkPlanExec / QueryStageExec whose
+  // collect() does not descend into the wrapped plan; walk through them
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  private def gcolScan(df: DataFrame): GcolScan = {
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.size == 1, s"expected one BatchScan:\n${df.queryExecution}")
+    scans.head.asInstanceOf[GcolScan]
+  }
+
+  private lazy val sample: DataFrame = {
+    import spark.implicits._
+    spark.range(0, 10000, 1, 4).select(
+      $"id".as("k"),
+      ($"id" * 2).cast(IntegerType).as("i"),
+      when($"id" % 7 === 0, lit(null)).otherwise($"id".cast(DoubleType) / 3.0)
+        .as("d"),
+      when($"id" % 11 === 0, lit(null))
+        .otherwise(concat(lit("row-"), format_string("%05d", $"id")))
+        .as("s"),
+      ($"id" % 3 === 0).as("b"),
+      date_add(lit("1995-01-01").cast(DateType), ($"id" % 1000).cast(IntegerType))
+        .as("dt"),
+      timestamp_seconds($"id" * 1000).as("ts"))
+  }
+
+  test("round trip preserves every supported type, nulls included") {
+    val dir = tmp()
+    sample.write.format("graft-columnar").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      sample.schema.map(f => (f.name, f.dataType)))
+    val a = sample.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.length === b.length)
+    assert(a.sameElements(b), "row content drifted through the round trip")
+  }
+
+  test("the scan is columnar and bridges through ColumnarToRow") {
+    val dir = tmp()
+    sample.write.format("graft-columnar").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-columnar").load(dir)
+      .groupBy().agg(sum("k"))
+    assert(df.collect().head.getLong(0) === (0L until 10000L).sum)
+    val plan = df.queryExecution.executedPlan
+    val batchScans = collectAll(plan) { case b: BatchScanExec => b }
+    assert(batchScans.size == 1)
+    assert(batchScans.head.supportsColumnar,
+      "BatchScan did not take the vectorized path")
+    assert(collectAll(plan) { case c: ColumnarToRowExec => c }.nonEmpty,
+      s"no ColumnarToRow bridge in:\n$plan")
+  }
+
+  test("column pruning reaches the scan (readSchema shrinks to the projection)") {
+    val dir = tmp()
+    sample.write.format("graft-columnar").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-columnar").load(dir).select("s", "k")
+    val scan = gcolScan(df)
+    assert(scan.readSchema().fieldNames.toSet === Set("k", "s"),
+      s"scan reads ${scan.readSchema().fieldNames.mkString(",")}")
+    assert(df.count() === 10000)
+  }
+
+  test("zone maps skip blocks under a selective pushed filter") {
+    val dir = tmp()
+    // sorted by k, small blocks -> tight non-overlapping zone maps
+    sample.orderBy("k").repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft-columnar").load(dir)
+      .filter(col("k") >= 9200L && col("k") < 9300L)
+    val rows = df.collect()
+    assert(rows.length === 100, "filter result wrong after block skipping")
+    val scan = gcolScan(df)
+    assert(scan.totalBlocks === 10, s"expected 10 blocks, ${scan.totalBlocks}")
+    assert(scan.plannedBlocks === 1,
+      s"zone maps kept ${scan.plannedBlocks}/${scan.totalBlocks} blocks")
+    assert(scan.description().contains("PushedFilters"))
+    assert(scan.pushedAccepted.nonEmpty, "range filter was not accepted")
+  }
+
+  test("string and null-test filters prune; unsupported shapes survive") {
+    val dir = tmp()
+    sample.orderBy("s").repartition(1).sortWithinPartitions("s")
+      .write.format("graft-columnar").option("rowsPerBlock", "2000")
+      .mode("overwrite").save(dir)
+    // string equality on a sorted column: most blocks skipped
+    val eq = spark.read.format("graft-columnar").load(dir)
+      .filter(col("s") === "row-00042")
+    assert(eq.count() === 1)
+    val sEq = gcolScan(eq)
+    assert(sEq.plannedBlocks < sEq.totalBlocks,
+      s"string zone map never skipped (${sEq.plannedBlocks}/${sEq.totalBlocks})")
+    // IsNull matches only blocks that actually hold nulls
+    val nn = spark.read.format("graft-columnar").load(dir)
+      .filter(col("s").isNull)
+    assert(nn.count() === sample.filter(col("s").isNull).count())
+  }
+
+  test("overwrite replaces prior data; append accumulates") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("graft-columnar").mode("append").save(dir)
+    assert(spark.read.format("graft-columnar").load(dir).count() === 3)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val rows = spark.read.format("graft-columnar").load(dir).collect()
+    assert(rows.toSeq === Seq(Row(9L, "z")))
+  }
+
+  test("unsupported column types fail at write-build time, named") {
+    import spark.implicits._
+    val dir = tmp()
+    val err = intercept[Exception] {
+      Seq((1, Array(1.0f))).toDF("k", "emb")
+        .write.format("graft-columnar").mode("overwrite").save(dir)
+    }
+    assert(err.getMessage.contains("emb"), s"column not named: ${err.getMessage}")
+  }
+
+  test("multi-file writes parallelize and statistics see pruned sizes") {
+    val dir = tmp()
+    sample.repartition(4).write.format("graft-columnar")
+      .option("rowsPerBlock", "1000").mode("overwrite").save(dir)
+    assert(ColumnarFormat.listFiles(dir).size === 4, "one file per task")
+    val all = spark.read.format("graft-columnar").load(dir)
+    assert(all.count() === 10000)
+    val pruned = spark.read.format("graft-columnar").load(dir).select("k")
+    val scanAll = gcolScan(all.filter(col("k") >= 0L))
+    val scanK = gcolScan(pruned.filter(col("k") >= 0L))
+    pruned.filter(col("k") >= 0L).count()
+    all.filter(col("k") >= 0L).count()
+    val sAll = scanAll.estimateStatistics()
+    val sK = scanK.estimateStatistics()
+    assert(sK.sizeInBytes().getAsLong < sAll.sizeInBytes().getAsLong,
+      "pruned scan should report fewer bytes")
+    assert(sK.numRows().getAsLong === 10000L)
+  }
+}
