@@ -3015,12 +3015,25 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r2All persisted AND materialized before the three rank joins fan
     // out — the q136 lesson: two of them are broadcast builds that race,
-    // and each unmaterialized racer re-runs the whole tagged window
+    // and each unmaterialized racer re-runs the whole tagged window.
+    // The materializing first consumer is dmRows' eager collect below
+    // (it runs in the BUILDER, before any rank join can race), so the
+    // explicit r2All.count() that used to sit here was a redundant
+    // second blocking pass. Round-14 re-pair close-out (sf0.1, 24
+    // threads, 6-rep warm min, back-to-back A/B): with count 3.00 s,
+    // without 2.71 s — the count's 1.36 s job collapses into dmRows'
+    // 1.21 s materializing collect. Also A/B'd: folding the three
+    // pruned dictOf scans into one exploded scan is a wash (2.70 s)
+    // and reads the same column bytes at any scale — kept the simpler
+    // union. The remaining ~2.7 s is structural: ~1.2 s NDV-bounded
+    // dictionary cumsum materialization + the row-scale ranked pass +
+    // ~8 sequential job fixed costs; r12's 1.55 s board reading
+    // predates the bucketed Prefix.cumsum adoption (the scale-correct
+    // trade, same adjudication as q280).
     val r2All = Prefix.cumsum(dictAll, "v", Seq("nv" -> "cw"),
         partCols = Seq("tag"))
       .withColumn("r2", lit(2L) * ($"cw" - $"nv") + $"nv" + 1L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    r2All.count()
     def rankDict(c: String): DataFrame =
       r2All.filter($"tag" === c)
         .select($"v".as(c), $"r2".as(s"r_$c"))
@@ -6424,6 +6437,19 @@ object Relational {
   // m < 120 mirrored in the CTE). Scale shape: one scan for the
   // principal; the loop is O(months) driver-side control flow over
   // 1-row state — exactly what engine-side scripting is FOR.
+  //
+  // Scripting-floor adjudication (round-14, the round-13 perf flag):
+  // job-traced at sf0.1 — Spark 4 scripting launches a full (1-row)
+  // query execution PER STATEMENT, ~2 jobs per WHILE iteration
+  // (condition + SET), 207 jobs/run ≈ 2.05 s of job wall with the
+  // remainder per-statement analysis. DECLARE state is NOT kept
+  // driver-local by the engine; the reducible part was the statement
+  // count: fusing the two assignments into one tuple-SET
+  // (`SET (bal, m) = (SELECT …)`) cut the warm min 4.65 → 3.66 s.
+  // The rest is the engine's per-statement floor — scale-CONSTANT (one
+  // data scan total; the loop never touches data), so the ~180×
+  // DuckDB ratio at sf0.1 is a fixed cost that vanishes into any
+  // data-scale suite, not a plan liability.
   private def scriptAmortization(s: SparkSession, dir: String): DataFrame = {
     // Scoped session mutation (round-14 ADVICE item): snapshot + restore
     // the scripting conf and drop the temp view so nothing leaks into
@@ -6446,8 +6472,7 @@ object Relational {
           |  SET bal = principal;
           |  SET pay = principal div 48;
           |  WHILE bal > 0 AND m < 120 DO
-          |    SET bal = bal + bal div 100 - pay;
-          |    SET m = m + 1;
+          |    SET (bal, m) = (SELECT bal + bal div 100 - pay, m + 1);
           |  END WHILE;
           |  SELECT principal AS principal_cents, pay AS payment_cents,
           |    m AS n_months, -bal AS overpay_cents;
