@@ -38,6 +38,9 @@ object GraftExtensions {
     "pq_encode"      -> (e => PqEncode(e(0), e(1), e(2), e(3))),
     "jaro_winkler"   -> (e => JaroWinkler(e(0), e(1))),
     "cdc_boundaries" -> (e => CdcBoundaries(e(0), e(1), e(2))),
+    // native AGGREGATE surface (TypedImperativeAggregate): map-side
+    // partial sketches, 256-byte merge state — see HllDistinct
+    "hll_distinct"   -> (e => HllDistinct(e.head).toAggregateExpression()),
     // table-generating (Generator) surface — fans one row out to many
     "shingle_windows" -> (e =>
       if (e.size >= 2) ShingleWindows(e(0), e(1)) else ShingleWindows(e.head))

@@ -88,6 +88,21 @@ object MinHashSig {
     ((m(0) & 0xffL) << 20) | ((m(1) & 0xffL) << 12) | ((m(2) & 0xffL) << 4) | ((m(3) & 0xffL) >>> 4)
   }
 
+  /** 60-bit md5 prefix (first 15 hex chars, the q25 spelling) —
+    * numerically identical to
+    * `CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)`.
+    * Wide enough to feed HLL bucket + ρ bits (HllDistinct).
+    */
+  def h15(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val m = d.digest(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (m(i) & 0xffL); i += 1 }
+    l >>> 4
+  }
+
   /** Shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData, numPerms: Int): GenericArrayData = {
     val toks = nonNullStrings(tokens)

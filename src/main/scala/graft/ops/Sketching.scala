@@ -526,7 +526,52 @@ object Sketching {
       .orderBy($"returnflag")
   }
 
+  // ---------------------------------------------------------------------
+  // q325: native HLL aggregate — the estimator-beside-exact harness for
+  // `hll_distinct` (functions/HllDistinct.scala), the library's
+  // TypedImperativeAggregate rung. q182 builds HLL registers as a
+  // COMPOSED query (explode → groupBy max) to exhibit the algebra; this
+  // row runs the sketch as a FIRST-CLASS Catalyst aggregate, so the
+  // plan itself carries the 100-TB shape: ObjectHashAggregate with a
+  // partial_hll_distinct below the exchange (each task folds its rows
+  // into a 256-byte register array), a shuffle of serialized sketches
+  // (256 B per group per task, row-count-independent — count(distinct)
+  // would shuffle every distinct key), and a register-max merge above.
+  // PlanGuardsSpec pins the partial/merge split. Determinism: md5-h15
+  // bucketing, exact integer register sum, one shared-literal division
+  // — the oracle replays the register algebra in SQL (group by bucket,
+  // max ρ via integer bit-length, the same 2^(53−M) shifted sum) and
+  // hash-matches the estimate to the bit. Exact distinct + relative
+  // error ride beside, making the sketch auditable (the q36/q181
+  // pattern). The aggregate keeps the RAW HLL path only — the classic
+  // small-range linear-counting correction needs ln(), whose last-ulp
+  // bits differ across libm implementations and would break the
+  // bit-exact pairing — so at low cardinality the estimator carries
+  // raw-HLL's documented upward bias, and the rel_err column REPORTS
+  // it: the oracle-SF groups (~300 distinct at sf0.001, ~1.3k at
+  // sf0.01, near/above 2.5·m = 640) deliberately span that bias zone,
+  // which is exactly what an estimator-beside-exact harness is for.
+  // The hash-match holds at every SF regardless — determinism and
+  // estimator quality are separate axes, and this row pins the first
+  // while measuring the second.
+  private def nativeHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(
+        expr("hll_distinct(cast(o_custkey as string))").as("est_raw"),
+        countDistinct($"o_custkey").cast(LongType).as("exact_distinct"),
+        count(lit(1)).as("n_rows"))
+      .select($"priority", $"n_rows", $"exact_distinct",
+        Num.roundAt($"est_raw", 2).as("hll_estimate"),
+        Num.roundAt(abs($"est_raw" - $"exact_distinct".cast(DoubleType)) /
+          $"exact_distinct".cast(DoubleType), 6).as("rel_err"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_native_hll" -> (nativeHll _),
     "q292_pinball_loss" -> (pinballLoss _),
     "q280_gk_calibration" -> (gkQuantileCalibration _),
     "q237_kmv_set_algebra" -> (kmvSetAlgebra _),
@@ -559,6 +604,36 @@ object Sketching {
       |dh AS (SELECT DISTINCT source, h FROM th)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q325_native_hll" ->
+      s"""WITH h AS (
+        |  SELECT o_orderpriority AS priority, o_custkey,
+        |    CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS hv
+        |  FROM orders),
+        |r AS (
+        |  SELECT priority, hv & 255 AS bucket,
+        |    CASE WHEN (hv >> 8) = 0 THEN 53
+        |         ELSE 53 - length(format('{:b}', hv >> 8)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT priority, bucket, max(rho) AS m
+        |        FROM r GROUP BY 1, 2),
+        |sreg AS (
+        |  SELECT priority,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT))
+        |        * (CAST(1 AS BIGINT) << 53) AS s
+        |  FROM reg GROUP BY 1),
+        |ex AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY 1)
+        |SELECT e.priority, e.n_rows, e.exact_distinct,
+        |  round(${graft.functions.HllDistinct.C} / CAST(s AS DOUBLE), 2)
+        |    AS hll_estimate,
+        |  round(abs(${graft.functions.HllDistinct.C} / CAST(s AS DOUBLE)
+        |      - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM ex e JOIN sreg USING (priority) ORDER BY 1""".stripMargin,
     "q292_pinball_loss" ->
       """WITH d AS (SELECT l_returnflag AS f,
         |        CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,

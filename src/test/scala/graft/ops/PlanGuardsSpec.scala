@@ -692,6 +692,19 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"pair join leaked into the readout plan:\n$p")
   }
 
+  test("q325: the native HLL aggregate partial-aggregates before the exchange") {
+    val df = graft.SparkEntry.queries("q325_native_hll")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    // the sketch must fold map-side (256-byte partial state shuffled,
+    // not rows) and merge above — Spark renders the split as
+    // partial/merge modes of the same aggregate
+    assert(p.contains("partial_hll_distinct"),
+      s"no map-side partial sketch in:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregate lost its object-hash path:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q323: the columnar scan is vectorized, pruned, and skips blocks") {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
