@@ -100,7 +100,7 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GcolScanBuilder(dir, tblSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -183,6 +183,22 @@ class GcolScan private[sources] (dir: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GcolReaderFactory
 
+  /** Streaming surface: offsets count lines of the commit-ordered
+    * journal `_gcol_journal` (directory names don't encode arrival
+    * order; the writer's driver-side commit does). A batch (s, e]
+    * reads exactly journal lines s..e-1 — immutable files, so replay
+    * from a checkpoint is exactly-once, the TableLogSource contract.
+    * The stream prunes each batch's blocks with whatever filters the
+    * ScanBuilder received — but Spark 4 applies V2 pushdown to BATCH
+    * relations only, so today that array is empty on the streaming
+    * path and filtering runs above the scan (behavior pinned in
+    * ColumnarSourceSpec so an engine upgrade that starts pushing gets
+    * noticed and the zone maps light up for free).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GcolMicroBatchStream(dir, required, filters)
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = planned.map(_.rows.toLong).sum
     private val bytes = planned.map(_.lens.sum).sum
@@ -256,13 +272,25 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    if (replace) ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
-    messages.foreach {
+    if (replace) {
+      ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
+      Files.deleteIfExists(root.resolve(ColumnarFormat.JournalName))
+    }
+    val committed = messages.collect {
       case GcolFileCommitted(rel) if rel.nonEmpty =>
         val src = root.resolve(staging).resolve(rel)
         Files.move(src, root.resolve(rel))
-      case _ => ()
+        rel
     }
+    // commit-ordered journal: one line per published file, appended
+    // atomically per logical write — the streaming read's offset axis
+    // (sorted directory names don't encode arrival order; this does)
+    if (committed.nonEmpty)
+      Files.write(root.resolve(ColumnarFormat.JournalName),
+        committed.sorted.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     cleanupStaging()
   }
 
@@ -350,9 +378,61 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
 // the format itself
 // ---------------------------------------------------------------------
 
+/** File-count offset over the commit journal. */
+private[sources] case class GcolOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class GcolMicroBatchStream(
+    dir: String, required: StructType, filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GcolOffset(0L)
+  override def latestOffset(): Offset =
+    GcolOffset(ColumnarFormat.journal(dir).size.toLong)
+  override def deserializeOffset(json: String): Offset =
+    GcolOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GcolOffset].n.toInt
+    val e = end.asInstanceOf[GcolOffset].n.toInt
+    val files = ColumnarFormat.journal(dir).slice(s, e)
+    val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
+    files.foreach { rel =>
+      val f = Paths.get(dir).resolve(rel)
+      val footer = ColumnarFormat.readFooter(f)
+      footer.blocks.foreach { blk =>
+        if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
+          val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
+          all += GcolBlockPartition(f.toString, blk.rows,
+            idx.map(blk.offs), idx.map(blk.lens), required.json)
+        }
+      }
+    }
+    all.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GcolReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 object ColumnarFormat {
   val DefaultRowsPerBlock = 16384
   val Magic: Long = 0x47434F4C464D5431L // "GCOLFMT1"
+  val JournalName = "_gcol_journal"
+
+  /** Committed file names in commit order (the streaming offset axis). */
+  def journal(dir: String): Seq[String] = {
+    val j = Paths.get(dir).resolve(JournalName)
+    if (!Files.exists(j)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(j).asScala.toSeq.filter(_.nonEmpty)
+  }
 
   case class ColMeta(off: Long, len: Long, nullCount: Int,
                      min: Option[Any], max: Option[Any])

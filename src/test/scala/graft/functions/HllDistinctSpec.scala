@@ -59,6 +59,43 @@ class HllDistinctSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(expected - n) / n < 0.25, s"estimate $expected vs $n")
   }
 
+  test("the sketch shuffles orders of magnitude fewer bytes than count(distinct)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the 100-TB claim, measured: partial sketches shuffle 256 B per
+    // (group, task) regardless of cardinality; count(distinct) must
+    // shuffle every distinct key
+    def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).toSeq
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).sum
+    }
+    // % breaks range-id's provable uniqueness — Spark 4 otherwise
+    // rewrites count(distinct unique_col) to a plain count and the
+    // distinct-key shuffle being measured here never happens
+    val wide = spark.range(0, 2000000, 1, 16)
+      .select(($"id" % 1900000L).as("v"))
+    val hll = shuffledBytes(
+      wide.agg(expr("hll_distinct(cast(v as string))")))
+    val cd = shuffledBytes(wide.agg(countDistinct($"v")))
+    assert(hll > 0 && cd > 0, s"metrics missing: hll=$hll cd=$cd")
+    assert(hll * 100 < cd,
+      s"sketch shuffle ($hll B) not << distinct-key shuffle ($cd B)")
+  }
+
   test("the shared C literal round-trips through its decimal rendering") {
     // the DuckDB oracle embeds C.toString; parsing it back must yield
     // the identical double or the one-division readout desyncs
