@@ -503,7 +503,35 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  // q326: metadata-only aggregate through graft-columnar's
+  // SupportsPushDownAggregates — ungrouped COUNT/MIN/MAX answered
+  // ENTIRELY from file footers (row counts, null counts, zone maps):
+  // planInputPartitions emits one pre-aggregated row and zero data
+  // blocks are opened (PlanGuardsSpec pins aggregated=true and
+  // plannedBlocks=0). This is the "SELECT count(*) in milliseconds at
+  // any scale" contract parquet users expect, implemented and proven
+  // on the library's own format; a filtered aggregate automatically
+  // falls back to the block-reading path (footers cannot see row-level
+  // predicates — ColumnarSourceSpec pins the fallback). Oracle runs the
+  // identical SQL over the parquet twin. Determinism: counts and
+  // min/max are exact values, no arithmetic at all.
+  private def columnarMetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureColumnarLineitem(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_quantity").as("n_qty"),
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        min($"l_returnflag").as("min_flag"),
+        max($"l_returnflag").as("max_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_metadata_agg" -> (columnarMetadataAgg _),
     "q323_columnar_scan" -> (columnarScan _),
     "q318_partition_planner" -> (partitionPlanner _),
     "q306_bloom_pruning" -> (bloomPruning _),
@@ -551,6 +579,14 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q326_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin,
     "q323_columnar_scan" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -115,16 +115,19 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
 
 private[sources] class GcolScanBuilder(dir: String, full: StructType)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[ColumnarFormat.AggSpec]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve FILE column order; the reader decodes segments in file
     // order and the scan's readSchema must match what it emits
-    required = StructType(
-      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    if (pushedAgg.isEmpty)
+      required = StructType(
+        full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   /** Accept filters the zone maps can evaluate; everything is returned
     * as residual because block skipping is approximate by granularity.
@@ -135,25 +138,131 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new GcolScan(dir, required, accepted)
+  /** Metadata-only aggregates: ungrouped COUNT(*), COUNT(col),
+    * MIN/MAX(col) are exact footer algebra (row counts, null counts,
+    * zone maps) — answering them reads ZERO data blocks. Partial
+    * pushdown contract: the scan emits one pre-aggregated row and
+    * Spark's final aggregate merges (so empty tables and type
+    * coercions follow engine semantics). Spark only attempts this
+    * when no post-scan filters remain, and every filter here is
+    * residual by design — so an aggregate with any WHERE clause
+    * automatically takes the normal block-reading path (footer values
+    * cannot see row-level predicates).
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (accepted.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          full.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+    def zoneMapped(f: StructField): Boolean = f.dataType match {
+      case IntegerType | DateType | LongType | TimestampType |
+           TimestampNTZType | DoubleType | StringType => true
+      case _ => false
+    }
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => Some(ColumnarFormat.AggCountStar)
+      case c: Count if !c.isDistinct =>
+        colOf(c.column()).map(f => ColumnarFormat.AggCount(f.name))
+      case m: Min =>
+        colOf(m.column()).filter(zoneMapped)
+          .map(f => ColumnarFormat.AggMin(f.name, f.dataType))
+      case m: Max =>
+        colOf(m.column()).filter(zoneMapped)
+          .map(f => ColumnarFormat.AggMax(f.name, f.dataType))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    pushedAgg = Some(specs.flatten.toSeq)
+    required = ColumnarFormat.aggSchema(specs.flatten.toSeq)
+    true
+  }
+
+  override def build(): Scan = new GcolScan(dir, required, accepted, pushedAgg)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
 // BatchScanExec.scan to reach the skip counters
-class GcolScan private[sources] (dir: String, required: StructType,
-                                 filters: Array[Filter])
+class GcolScan private[sources] (
+    dir: String, required: StructType, filters: Array[Filter],
+    aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   // spec observability: how many blocks the zone maps let through
   @volatile var plannedBlocks: Int = -1
   @volatile var totalBlocks: Int = -1
   def pushedAccepted: Array[Filter] = filters
+  def aggregated: Boolean = aggSpecs.nonEmpty
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-columnar $dir PushedFilters: [${filters.mkString(", ")}], " +
+      aggSpecs.fold("")(a => s"PushedAggregates: [${a.mkString(", ")}], ") +
       s"ReadSchema: ${required.catalogString}"
   override def toBatch: Batch = this
+
+  private lazy val plannedAgg: GcolAggPartition = {
+    // driver-side footer algebra: O(files) metadata reads, zero block
+    // IO — the values the scan's single row will carry
+    val specs = aggSpecs.get
+    var countStar = 0L
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    def better(cur: Option[Any], cand: Any, dt: DataType,
+               wantMin: Boolean): Any = cur match {
+      case None => cand
+      case Some(c) =>
+        val cmp = dt match {
+          case IntegerType | DateType =>
+            Integer.compare(c.asInstanceOf[Int], cand.asInstanceOf[Int])
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.compare(c.asInstanceOf[Long], cand.asInstanceOf[Long])
+          case DoubleType =>
+            java.lang.Double.compare(c.asInstanceOf[Double], cand.asInstanceOf[Double])
+          case StringType =>
+            UTF8String.fromString(c.asInstanceOf[String])
+              .compareTo(UTF8String.fromString(cand.asInstanceOf[String]))
+          case _ => 0
+        }
+        if ((wantMin && cmp <= 0) || (!wantMin && cmp >= 0)) c else cand
+    }
+    ColumnarFormat.listFiles(dir).foreach { f =>
+      val footer = ColumnarFormat.readFooter(f)
+      footer.blocks.foreach { blk =>
+        countStar += blk.rows
+        specs.foreach {
+          case ColumnarFormat.AggCount(c) =>
+            val i = footer.schema.fieldIndex(c)
+            counts(c) = counts.getOrElse(c, 0L) +
+              (blk.rows - blk.cols(i).nullCount)
+          case ColumnarFormat.AggMin(c, dt) =>
+            val i = footer.schema.fieldIndex(c)
+            blk.cols(i).min.foreach(v =>
+              mins(c) = better(mins.get(c), v, dt, wantMin = true))
+          case ColumnarFormat.AggMax(c, dt) =>
+            val i = footer.schema.fieldIndex(c)
+            blk.cols(i).max.foreach(v =>
+              maxs(c) = better(maxs.get(c), v, dt, wantMin = false))
+          case ColumnarFormat.AggCountStar => ()
+        }
+      }
+    }
+    val values: Seq[Any] = specs.map {
+      case ColumnarFormat.AggCountStar => countStar
+      case ColumnarFormat.AggCount(c) => counts.getOrElse(c, 0L)
+      case ColumnarFormat.AggMin(c, _) => mins.get(c).orNull
+      case ColumnarFormat.AggMax(c, _) => maxs.get(c).orNull
+    }
+    plannedBlocks = 0
+    totalBlocks = 0
+    GcolAggPartition(values.toArray, required.json)
+  }
 
   private lazy val planned: Array[GcolBlockPartition] = {
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
@@ -178,7 +287,8 @@ class GcolScan private[sources] (dir: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    planned.toArray[InputPartition]
+    if (aggregated) Array(plannedAgg)
+    else planned.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
     GcolReaderFactory
@@ -200,8 +310,10 @@ class GcolScan private[sources] (dir: String, required: StructType,
     new GcolMicroBatchStream(dir, required, filters)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = planned.map(_.rows.toLong).sum
-    private val bytes = planned.map(_.lens.sum).sum
+    private val rows =
+      if (aggregated) 1L else planned.map(_.rows.toLong).sum
+    private val bytes =
+      if (aggregated) 64L else planned.map(_.lens.sum).sum
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
@@ -216,12 +328,34 @@ private[sources] case class GcolBlockPartition(
     offs: Array[Long], lens: Array[Long],
     readSchemaJson: String) extends InputPartition
 
+/** One pre-aggregated row computed from footers on the driver; values
+  * are plain JVM types (String for text) so the partition serializes.
+  */
+private[sources] case class GcolAggPartition(
+    values: Array[Any], schemaJson: String) extends InputPartition
+
 private[sources] object GcolReaderFactory extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.isInstanceOf[GcolBlockPartition]
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    throw new UnsupportedOperationException(
-      "graft-columnar is a columnar-only source")
+    p match {
+      case agg: GcolAggPartition =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              agg.values.map {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              })
+          override def close(): Unit = ()
+        }
+      case _ => throw new UnsupportedOperationException(
+        "graft-columnar data blocks are columnar-only")
+    }
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -425,6 +559,34 @@ object ColumnarFormat {
   val DefaultRowsPerBlock = 16384
   val Magic: Long = 0x47434F4C464D5431L // "GCOLFMT1"
   val JournalName = "_gcol_journal"
+
+  /** Footer-answerable aggregates (ungrouped, unfiltered). */
+  sealed trait AggSpec
+  case object AggCountStar extends AggSpec {
+    override def toString = "COUNT(*)"
+  }
+  case class AggCount(col: String) extends AggSpec {
+    override def toString = s"COUNT($col)"
+  }
+  case class AggMin(col: String, dt: DataType) extends AggSpec {
+    override def toString = s"MIN($col)"
+  }
+  case class AggMax(col: String, dt: DataType) extends AggSpec {
+    override def toString = s"MAX($col)"
+  }
+
+  /** Scan output schema for a pushed aggregation, in aggregate order —
+    * the partial-pushdown contract Spark's final aggregate merges over.
+    */
+  def aggSchema(specs: Seq[AggSpec]): StructType = StructType(
+    specs.zipWithIndex.map {
+      case (AggCountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (AggCount(_), i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (AggMin(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+      case (AggMax(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+    })
 
   /** Committed file names in commit order (the streaming offset axis). */
   def journal(dir: String): Seq[String] = {

@@ -705,6 +705,29 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q326: the metadata aggregate reads zero blocks through agg pushdown") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+      val here = p match { case b: BatchScanExec => Seq(b); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    val df = graft.SparkEntry.queries("q326_metadata_agg")(spark, dir)
+    df.collect()
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.size == 1)
+    val scan = scans.head.scan.asInstanceOf[graft.sources.GcolScan]
+    assert(scan.aggregated, "aggregation was not pushed to the scan")
+    assert(scan.plannedBlocks === 0,
+      s"metadata query opened ${scan.plannedBlocks} data blocks")
+    assert(scan.description().contains("PushedAggregates"))
+  }
+
   test("q323: the columnar scan is vectorized, pruned, and skips blocks") {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

@@ -156,6 +156,33 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(err.getMessage.contains("emb"), s"column not named: ${err.getMessage}")
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from footers, zero blocks read") {
+    import spark.implicits._
+    val dir = tmp()
+    sample.repartition(4).write.format("graft-columnar")
+      .option("rowsPerBlock", "1000").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-columnar").load(dir)
+      .agg(count(lit(1)).as("n"), count($"s").as("n_s"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        min($"s").as("min_s"), max($"d").as("max_d"))
+    val row = df.collect().head
+    assert(row.getLong(0) === 10000L)
+    assert(row.getLong(1) === sample.filter($"s".isNotNull).count())
+    assert(row.getLong(2) === 0L && row.getLong(3) === 9999L)
+    assert(row.getString(4) === "row-00001") // id 0 % 11 == 0 -> null
+    assert(row.getDouble(5) === sample.agg(max($"d")).collect().head.getDouble(0))
+    val scan = gcolScan(df)
+    assert(scan.aggregated, s"aggregation not pushed:\n${df.queryExecution}")
+    assert(scan.plannedBlocks === 0, "metadata query read data blocks")
+    assert(scan.description().contains("PushedAggregates"))
+    // a FILTERED aggregate must NOT push (footers can't see row-level
+    // predicates) — it takes the normal block-reading path
+    val filtered = spark.read.format("graft-columnar").load(dir)
+      .filter($"k" >= 5000L).agg(count(lit(1)))
+    assert(filtered.collect().head.getLong(0) === 5000L)
+    assert(!gcolScan(filtered).aggregated, "filtered aggregate was pushed")
+  }
+
   test("micro-batch streaming read: journal offsets deliver appends exactly once") {
     import spark.implicits._
     val dir = tmp()
