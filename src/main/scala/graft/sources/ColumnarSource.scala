@@ -50,6 +50,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     contract).
   *   - '''Statistics''' (`SupportsReportStatistics`) — post-pruning
   *     byte/row counts feed the optimizer's broadcast decision.
+  *   - '''Aggregate pushdown''' (`SupportsPushDownAggregates`) —
+  *     ungrouped COUNT/COUNT(col)/MIN/MAX are answered ENTIRELY from
+  *     footers (one pre-aggregated row, zero blocks opened); filtered
+  *     aggregates fall back to the block path.
+  *   - '''Runtime filtering''' (`SupportsRuntimeFiltering`) — the DSv2
+  *     dynamic-pruning surface: a selective join build side hands the
+  *     scan `In(key, values)` at execution time and the block list
+  *     replans (spec: engine-driven DPP keeps 1 of 100 blocks).
+  *   - '''Micro-batch streaming''' — `readStream` over a commit-ordered
+  *     journal, exactly-once from a checkpoint.
   *
   * File layout (`*.gcol`, one file per write task, little-endian):
   * {{{
@@ -191,13 +201,34 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
 class GcolScan private[sources] (
     dir: String, required: StructType, filters: Array[Filter],
     aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // spec observability: how many blocks the zone maps let through
   @volatile var plannedBlocks: Int = -1
   @volatile var totalBlocks: Int = -1
   def pushedAccepted: Array[Filter] = filters
   def aggregated: Boolean = aggSpecs.nonEmpty
+
+  /** Runtime (join-driven) filters — the DSv2 dynamic-pruning surface:
+    * when a selective build side finishes, Spark hands the scan an
+    * `In(col, values)` over any attribute advertised here and replans
+    * partitions, so the probe side's BLOCK list shrinks to the keys
+    * that actually exist (zone-map evaluation is value-exact for In).
+    * Advertise every zone-mapped read column; unsupported shapes are
+    * ignored (block planning just keeps everything — always sound).
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  def runtimeApplied: Array[Filter] = runtimeFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | DoubleType | StringType => true
+      case _ => false
+    }).map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(ColumnarFormat.supportedFilter(required, _))
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -264,7 +295,11 @@ class GcolScan private[sources] (
     GcolAggPartition(values.toArray, required.json)
   }
 
-  private lazy val planned: Array[GcolBlockPartition] = {
+  // a def, not a lazy val: runtime filters can arrive AFTER statistics
+  // were estimated, and the replan must see them (footer reads are
+  // driver-scale metadata, cheap to repeat)
+  private def planned: Array[GcolBlockPartition] = {
+    val effective = filters ++ runtimeFilters
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
     var total = 0
     ColumnarFormat.listFiles(dir).foreach { f =>
@@ -274,7 +309,7 @@ class GcolScan private[sources] (
         s"$f lacks required column ${r.name}"))
       footer.blocks.foreach { blk =>
         total += 1
-        if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
+        if (effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
           val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
           all += GcolBlockPartition(f.toString, blk.rows,
             idx.map(blk.offs), idx.map(blk.lens), required.json)
@@ -310,10 +345,9 @@ class GcolScan private[sources] (
     new GcolMicroBatchStream(dir, required, filters)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows =
-      if (aggregated) 1L else planned.map(_.rows.toLong).sum
-    private val bytes =
-      if (aggregated) 64L else planned.map(_.lens.sum).sum
+    private val snap = if (aggregated) Array.empty[GcolBlockPartition] else planned
+    private val rows = if (aggregated) 1L else snap.map(_.rows.toLong).sum
+    private val bytes = if (aggregated) 64L else snap.map(_.lens.sum).sum
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)

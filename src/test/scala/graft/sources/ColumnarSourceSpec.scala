@@ -156,6 +156,54 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(err.getMessage.contains("emb"), s"column not named: ${err.getMessage}")
   }
 
+  test("runtime filtering replans blocks when a join hands the scan In-values") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 10000).select($"id".as("k"), ($"id" * 3).as("payload"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    // contract level: Spark hands In-values post-build-side; the scan
+    // must shrink its block list on replan
+    val df = spark.read.format("graft-columnar").load(dir)
+    val scan = gcolScan(df)
+    assert(scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe()).contains("k"))
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before === 10)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(42L, 43L, 8500L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after === 2, s"runtime In did not prune: $before -> $after")
+    assert(scan.runtimeApplied.nonEmpty)
+    // integration level: the ENGINE drives it end-to-end — a dim with a
+    // key-opaque selective predicate (tag, not k, so nothing is
+    // statically inferable onto the fact side) broadcast-joins the gcol
+    // fact; DPP executes the dim, hands the scan In(k, <dim keys>) and
+    // the replan keeps only the blocks holding those keys
+    // (DPP's benefit heuristic wants a fact side worth pruning: 100k
+    // rows / 100 blocks clears it; 10k did not)
+    val factDir = tmp()
+    val dimDir = tmp()
+    spark.range(0, 100000).select($"id".as("k"), ($"id" * 3).as("payload"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(factDir)
+    spark.range(0, 100000).select($"id".as("k"),
+        ($"id" / 1000L).cast("long").as("tag"))
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.format("graft-columnar").load(factDir)
+      .join(spark.read.parquet(dimDir).filter($"tag" === 42L), "k")
+    // execute JOINED itself (count() spawns a separate QueryExecution
+    // whose scan instance is not the one inspected below)
+    assert(joined.collect().length === 1000)
+    val jScan = gcolScan(joined)
+    assert(jScan.runtimeApplied.nonEmpty,
+      "engine never invoked SupportsRuntimeFiltering.filter")
+    assert(jScan.plannedBlocks === 1 && jScan.totalBlocks === 100,
+      s"runtime pruning kept ${jScan.plannedBlocks}/${jScan.totalBlocks}")
+  }
+
   test("metadata-only aggregates: COUNT/MIN/MAX answered from footers, zero blocks read") {
     import spark.implicits._
     val dir = tmp()
