@@ -126,7 +126,8 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
 private[sources] class GcolScanBuilder(dir: String, full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
@@ -147,6 +148,27 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
     filters // all residual — Spark re-applies exactly above the scan
   }
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** LIMIT pushdown: an unfiltered, unordered LIMIT n needs at most
+    * the first ceil(n / rowsPerBlock) blocks — planning stops adding
+    * blocks once the kept row count reaches the limit. Spark still
+    * applies the exact LIMIT above (partial pushdown contract), so
+    * over-delivery by block granularity is sound. With filters the
+    * pushdown still helps: kept blocks COULD all fail the residual
+    * filter, but Spark's own GlobalLimit sits above a LocalLimit that
+    * early-outs, and the scan's block cap is an upper bound on IO, so
+    * this stays an optimization, never a correctness lever — except
+    * that a filtered limit may need MORE blocks than n rows' worth, so
+    * the cap only applies when NO filters were accepted.
+    */
+  private var limit: Option[Int] = None
+  override def pushLimit(n: Int): Boolean = {
+    if (accepted.isEmpty && pushedAgg.isEmpty) { limit = Some(n); true }
+    else false
+  }
+  // partial: block granularity over-delivers; Spark keeps its exact
+  // LIMIT above the scan
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregates: ungrouped COUNT(*), COUNT(col),
     * MIN/MAX(col) are exact footer algebra (row counts, null counts,
@@ -193,14 +215,16 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
     true
   }
 
-  override def build(): Scan = new GcolScan(dir, required, accepted, pushedAgg)
+  override def build(): Scan =
+    new GcolScan(dir, required, accepted, pushedAgg, limit)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
 // BatchScanExec.scan to reach the skip counters
 class GcolScan private[sources] (
     dir: String, required: StructType, filters: Array[Filter],
-    aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None)
+    aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -300,19 +324,28 @@ class GcolScan private[sources] (
   // driver-scale metadata, cheap to repeat)
   private def planned: Array[GcolBlockPartition] = {
     val effective = filters ++ runtimeFilters
+    // a pushed LIMIT caps planning at the first ceil(n/blockRows)
+    // blocks — but never when runtime filters arrived (they prune
+    // among the capped blocks and could under-deliver the limit)
+    val cap = if (runtimeFilters.isEmpty) limit else None
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
     var total = 0
+    var kept = 0L
     ColumnarFormat.listFiles(dir).foreach { f =>
-      val footer = ColumnarFormat.readFooter(f)
-      required.fields.foreach(r => require(
-        footer.schema.fieldNames.contains(r.name),
-        s"$f lacks required column ${r.name}"))
-      footer.blocks.foreach { blk =>
-        total += 1
-        if (effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
-          val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-          all += GcolBlockPartition(f.toString, blk.rows,
-            idx.map(blk.offs), idx.map(blk.lens), required.json)
+      lazy val footer = ColumnarFormat.readFooter(f)
+      if (cap.forall(kept < _)) {
+        required.fields.foreach(r => require(
+          footer.schema.fieldNames.contains(r.name),
+          s"$f lacks required column ${r.name}"))
+        footer.blocks.foreach { blk =>
+          total += 1
+          if (cap.forall(kept < _) &&
+              effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
+            val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
+            all += GcolBlockPartition(f.toString, blk.rows,
+              idx.map(blk.offs), idx.map(blk.lens), required.json)
+            kept += blk.rows
+          }
         }
       }
     }

@@ -204,6 +204,26 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"runtime pruning kept ${jScan.plannedBlocks}/${jScan.totalBlocks}")
   }
 
+  test("limit pushdown caps planned blocks; filters disable the cap") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 10000).select($"id".as("k"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val lim = spark.read.format("graft-columnar").load(dir).limit(1500)
+    assert(lim.collect().length === 1500)
+    val scan = gcolScan(lim)
+    assert(scan.plannedBlocks === 2,
+      s"LIMIT 1500 should plan 2 of 10 blocks, got ${scan.plannedBlocks}")
+    // with a filter, block granularity could under-deliver — the cap
+    // must not apply and the result stays exact
+    val fl = spark.read.format("graft-columnar").load(dir)
+      .filter($"k" >= 9000L).limit(500)
+    assert(fl.collect().length === 500)
+    assert(fl.collect().forall(_.getLong(0) >= 9000L))
+  }
+
   test("metadata-only aggregates: COUNT/MIN/MAX answered from footers, zero blocks read") {
     import spark.implicits._
     val dir = tmp()
