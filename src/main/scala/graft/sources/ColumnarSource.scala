@@ -58,6 +58,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     dynamic-pruning surface: a selective join build side hands the
   *     scan `In(key, values)` at execution time and the block list
   *     replans (spec: engine-driven DPP keeps 1 of 100 blocks).
+  *   - '''Limit / TopN pushdown''' (`SupportsPushDownLimit` /
+  *     `SupportsPushDownTopN`) — a bare LIMIT caps planning at the
+  *     first blocks; ORDER BY col LIMIT n excludes any block that
+  *     provably cannot reach the top n (blocks whose max sits below
+  *     its min already hold >= n rows). Both partial and filter-safe.
   *   - '''Micro-batch streaming''' — `readStream` over a commit-ordered
   *     journal, exactly-once from a checkpoint.
   *
@@ -127,7 +132,8 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
@@ -169,6 +175,38 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
   // partial: block granularity over-delivers; Spark keeps its exact
   // LIMIT above the scan
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown (ORDER BY col LIMIT n): zone maps give a SOUND
+    * block-exclusion criterion — for ascending order, block B cannot
+    * hold any of the n smallest rows iff the blocks whose max is
+    * STRICTLY below B's min already hold ≥ n rows (each such row is
+    * strictly smaller than every row of B, ties included). Descending
+    * is symmetric. Applied only when the sort column is null-free in
+    * every block (checked from footers at plan time — nulls sort
+    * outside the min/max range) and no filters were pushed. Partial:
+    * Spark keeps its exact TopN above the scan.
+    */
+  private var topN: Option[(String, Boolean, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (accepted.nonEmpty || pushedAgg.nonEmpty || orders.length != 1)
+      return false
+    orders(0).expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val name = nr.fieldNames()(0)
+        val ok = full.fields.find(_.name == name).exists(_.dataType match {
+          case IntegerType | LongType | DoubleType | StringType => true
+          case _ => false
+        })
+        if (!ok) return false
+        topN = Some((name,
+          orders(0).direction() == SortDirection.ASCENDING, n))
+        true
+      case _ => false
+    }
+  }
 
   /** Metadata-only aggregates: ungrouped COUNT(*), COUNT(col),
     * MIN/MAX(col) are exact footer algebra (row counts, null counts,
@@ -216,7 +254,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
   }
 
   override def build(): Scan =
-    new GcolScan(dir, required, accepted, pushedAgg, limit)
+    new GcolScan(dir, required, accepted, pushedAgg, limit, topN)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
@@ -224,7 +262,8 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
 class GcolScan private[sources] (
     dir: String, required: StructType, filters: Array[Filter],
     aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -349,9 +388,15 @@ class GcolScan private[sources] (
         }
       }
     }
+    val out = topN match {
+      case Some((colName, asc, n))
+          if runtimeFilters.isEmpty && filters.isEmpty =>
+        ColumnarFormat.topNPrune(dir, all.toArray, colName, asc, n)
+      case _ => all.toArray
+    }
     totalBlocks = total
-    plannedBlocks = all.size
-    all.toArray
+    plannedBlocks = out.length
+    out
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -626,6 +671,60 @@ object ColumnarFormat {
   val DefaultRowsPerBlock = 16384
   val Magic: Long = 0x47434F4C464D5431L // "GCOLFMT1"
   val JournalName = "_gcol_journal"
+
+  /** TopN block pruning. `parts` must be every block in footer
+    * iteration order (the only state topN is pushed in: no filters, so
+    * nothing was skipped); the exclusion criterion is the sound one
+    * from the ScanBuilder scaladoc. Bails to no-op (correct, just
+    * unpruned) when any block holds nulls or lacks a zone map, or when
+    * the partition list doesn't line up with the footers. O(B²) over
+    * driver-side block stats — fine at metadata scale; switch to
+    * sort + prefix sums if B ever reaches millions.
+    */
+  def topNPrune(dir: String, parts: Array[GcolBlockPartition],
+                colName: String, asc: Boolean, n: Int): Array[GcolBlockPartition] = {
+    case class BS(rows: Int, min: Any, max: Any, nulls: Int)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[BS]
+    var dt: DataType = null
+    listFiles(dir).foreach { f =>
+      val ft = readFooter(f)
+      if (!ft.schema.fieldNames.contains(colName)) return parts
+      val i = ft.schema.fieldIndex(colName)
+      dt = ft.schema.fields(i).dataType
+      ft.blocks.foreach { blk =>
+        val c = blk.cols(i)
+        stats += BS(blk.rows, c.min.orNull, c.max.orNull, c.nullCount)
+      }
+    }
+    if (stats.length != parts.length) return parts
+    if (stats.exists(s => s.nulls > 0 || s.min == null)) return parts
+    val comparable = dt match {
+      case IntegerType | DateType | LongType | TimestampType |
+           TimestampNTZType | DoubleType | StringType => true
+      case _ => false
+    }
+    if (!comparable) return parts
+    def cmp(a: Any, b: Any): Int = dt match {
+      case IntegerType | DateType =>
+        Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case DoubleType =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _ =>
+        UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+    }
+    parts.indices.filter { bi =>
+      val b = stats(bi)
+      var provablyBefore = 0L
+      stats.foreach { o =>
+        if (if (asc) cmp(o.max, b.min) < 0 else cmp(o.min, b.max) > 0)
+          provablyBefore += o.rows
+      }
+      provablyBefore < n // keep iff the block can still reach the top n
+    }.map(parts).toArray
+  }
 
   /** Footer-answerable aggregates (ungrouped, unfiltered). */
   sealed trait AggSpec

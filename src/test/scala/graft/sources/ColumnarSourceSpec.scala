@@ -224,6 +224,40 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fl.collect().forall(_.getLong(0) >= 9000L))
   }
 
+  test("topN pushdown keeps only blocks that can reach the top n") {
+    import spark.implicits._
+    val dir = tmp()
+    // clustered on k: block maxes are strictly increasing, so ORDER BY
+    // k ASC LIMIT 500 provably needs only the first block
+    spark.range(0, 10000).select($"id".as("k"), ($"id" * 7).as("v"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val asc = spark.read.format("graft-columnar").load(dir)
+      .orderBy($"k").limit(500)
+    val ascRows = asc.collect()
+    assert(ascRows.map(_.getLong(0)).toSeq === (0L until 500L))
+    assert(gcolScan(asc).plannedBlocks === 1,
+      s"asc topN kept ${gcolScan(asc).plannedBlocks} blocks")
+    val desc = spark.read.format("graft-columnar").load(dir)
+      .orderBy($"k".desc).limit(2500)
+    assert(desc.collect().map(_.getLong(0)).toSeq ===
+      (9999L to 7500L by -1L))
+    assert(gcolScan(desc).plannedBlocks === 3,
+      s"desc topN kept ${gcolScan(desc).plannedBlocks} blocks")
+    // interleaved data: every block overlaps the top range — nothing is
+    // excludable and the result must still be exact
+    val dir2 = tmp()
+    spark.range(0, 10000).select(($"id" % 10).as("k"), $"id".as("v"))
+      .repartition(1)
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir2)
+    val flat = spark.read.format("graft-columnar").load(dir2)
+      .orderBy($"k").limit(100)
+    assert(flat.collect().forall(_.getLong(0) === 0L))
+    assert(gcolScan(flat).plannedBlocks === 10, "overlapping blocks pruned")
+  }
+
   test("metadata-only aggregates: COUNT/MIN/MAX answered from footers, zero blocks read") {
     import spark.implicits._
     val dir = tmp()
