@@ -135,6 +135,7 @@ object Bench {
       ops.Layout.ensureMonthDim(spark, sfDir)
       ops.Layout.ensureOrcLineitem(spark, sfDir)
       ops.Layout.ensureColumnarLineitem(spark, sfDir)
+      ops.Layout.ensureColumnarOrders(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

@@ -503,6 +503,45 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  private val gcolOrdersOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Orders in graft-columnar, clustered on the UNIQUE o_orderkey —
+    * the fixture for q327's deterministic topN (a unique sort key means
+    * the top-n SET is well-defined; lineitem's keys all tie).
+    */
+  private[graft] def ensureColumnarOrders(s: SparkSession, dir: String): String =
+    gcolOrdersOnce.getOrElseUpdate(dir, {
+      val out = Core.tmp("graft_gcol_orders")
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  // q327: topN pushdown through graft-columnar — ORDER BY o_orderkey
+  // DESC LIMIT 1000 plans only the tail blocks (the zone-map exclusion
+  // rule: a block whose max sits below >= 1000 provably-larger rows
+  // cannot reach the top set; sound with ties, exercised tie-free here
+  // because o_orderkey is unique). The readout aggregates the selected
+  // set so the row is order-insensitive: count, min/max key, exact
+  // cents sum. Oracle runs the identical ORDER BY ... LIMIT over the
+  // parquet twin. Scale shape: at any SF the scan opens
+  // ceil(1000/2048)+boundary blocks, not the table — the "latest-N"
+  // query pattern (most recent orders) made O(N) instead of O(table).
+  private def columnarTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureColumnarOrders(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .orderBy($"o_orderkey".desc).limit(1000)
+      .agg(count(lit(1)).as("n_rows"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        sum(floor($"o_totalprice" * 100).cast(LongType)).as("sum_cents"))
+  }
+
   // q326: metadata-only aggregate through graft-columnar's
   // SupportsPushDownAggregates — ungrouped COUNT/MIN/MAX answered
   // ENTIRELY from file footers (row counts, null counts, zone maps):
@@ -531,6 +570,7 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_columnar_topn" -> (columnarTopN _),
     "q326_metadata_agg" -> (columnarMetadataAgg _),
     "q323_columnar_scan" -> (columnarScan _),
     "q318_partition_planner" -> (partitionPlanner _),
@@ -579,6 +619,16 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q327_columnar_topn" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM sel""".stripMargin,
     "q326_metadata_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
