@@ -80,17 +80,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * scale story is pruning + vectorization, not entropy coding.
   *
   * Where that trade lands, MEASURED (FormatBench, paired interleaved
-  * runs vs parquet on identical clustered lineitem, gcol_bench.json):
-  * gcol stores 3.5-3.7× parquet's bytes (no snappy/dictionary/RLE).
-  * At sf0.1 (data ≪ page cache) the memcpy decode wins every shape
-  * (full-agg 0.21 vs 0.28 s, selective 0.09 vs 0.19, narrow 0.12 vs
-  * 0.19); at sf1 the bandwidth term takes over and parquet wins the
-  * scan-everything shapes (full-agg 0.30 vs 0.55) while gcol STILL
-  * wins the selective shape (0.11 vs 0.19) because block skipping
-  * makes raw bytes moot. The honest conclusion for 100 TB: this
-  * format's edge is its pruning surfaces (zone maps, aggregates,
-  * topN, runtime filters); per-block compression is the known next
-  * rung if raw-scan parity ever matters.
+  * runs vs parquet on identical clustered lineitem, gcol_bench.json).
+  * The first round of measurements exposed a real scale flaw — one
+  * task per 16 384-row block billed ~0.3 s of pure scheduling to a
+  * 367-block sf1 scan and lost the scan-everything shapes to parquet
+  * — fixed by packing surviving blocks into split-sized tasks (the
+  * FilePartition formula below). After the fix the uncompressed
+  * format beats parquet on every measured shape at BOTH sf0.1 and sf1
+  * (e.g. sf1 full-agg 0.23 vs 0.32 s, narrow 0.08 vs 0.17) at the
+  * cost of 3.5× the bytes; `option("codec", "zstd"|"lz4")` adds
+  * per-SEGMENT compression that lands at byte PARITY with
+  * snappy-parquet while still beating it (sf0.1 full-agg 0.29 vs
+  * 0.56). The pruning surfaces (zone maps, aggregates, topN, runtime
+  * filters) remain the structural edge — a selective scan does ~2×
+  * better than either format's raw decode because it never opens the
+  * blocks at all.
   *
   * Scale shape: writers stream one bounded block (default 16 384 rows)
   * at a time — no partition-sized buffering; readers get one task per
@@ -134,7 +138,8 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GcolWriteBuilder(dir, info.schema(),
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
-        .getOrElse(ColumnarFormat.DefaultRowsPerBlock))
+        .getOrElse(ColumnarFormat.DefaultRowsPerBlock),
+      Option(info.options.get("codec")).getOrElse("none"))
 }
 
 // ---------------------------------------------------------------------
@@ -380,7 +385,7 @@ class GcolScan private[sources] (
     // blocks — but never when runtime filters arrived (they prune
     // among the capped blocks and could under-deliver the limit)
     val cap = if (runtimeFilters.isEmpty) limit else None
-    val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
+    val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
     var total = 0
     var kept = 0L
     ColumnarFormat.listFiles(dir).foreach { f =>
@@ -394,8 +399,9 @@ class GcolScan private[sources] (
           if (cap.forall(kept < _) &&
               effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
             val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-            all += GcolBlockPartition(f.toString, blk.rows,
-              idx.map(blk.offs), idx.map(blk.lens), required.json)
+            all += GcolBlockDesc(f.toString, blk.rows,
+              idx.map(blk.offs), idx.map(blk.lens),
+              idx.map(j => blk.cols(j).rawLen), footer.codec)
             kept += blk.rows
           }
         }
@@ -409,7 +415,28 @@ class GcolScan private[sources] (
     }
     totalBlocks = total
     plannedBlocks = out.length
-    out
+    // pack blocks into split-sized tasks, Spark's own file-source
+    // formula: honor maxPartitionBytes but never plan fewer tasks than
+    // the default parallelism can use
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val totalBytes = out.map(_.lens.sum).sum
+    val parallelism = math.max(1,
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    val target = math.max(conf.filesOpenCostInBytes,
+      math.min(conf.filesMaxPartitionBytes, totalBytes / parallelism + 1))
+    val packs = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
+    var curBytes = 0L
+    out.foreach { d =>
+      if (cur.nonEmpty && curBytes + d.lens.sum > target) {
+        packs += GcolBlockPartition(cur.toArray, required.json)
+        cur.clear(); curBytes = 0L
+      }
+      cur += d; curBytes += d.lens.sum
+    }
+    if (cur.nonEmpty)
+      packs += GcolBlockPartition(cur.toArray, required.json)
+    packs.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -436,7 +463,9 @@ class GcolScan private[sources] (
     new GcolMicroBatchStream(dir, required, filters)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val snap = if (aggregated) Array.empty[GcolBlockPartition] else planned
+    private val snap =
+      if (aggregated) Array.empty[GcolBlockDesc]
+      else planned.flatMap(_.blocks)
     private val rows = if (aggregated) 1L else snap.map(_.rows.toLong).sum
     private val bytes = if (aggregated) 64L else snap.map(_.lens.sum).sum
     override def sizeInBytes(): util.OptionalLong =
@@ -448,9 +477,22 @@ class GcolScan private[sources] (
 /** One surviving (file, block): byte ranges of the REQUIRED columns only,
   * in readSchema order. Everything here is a plain serializable value.
   */
-private[sources] case class GcolBlockPartition(
+/** One surviving block's byte ranges (required columns, readSchema
+  * order) — the decode unit.
+  */
+private[sources] case class GcolBlockDesc(
     path: String, rows: Int,
-    offs: Array[Long], lens: Array[Long],
+    offs: Array[Long], lens: Array[Long], rawLens: Array[Long],
+    codec: String)
+
+/** One TASK = a pack of surviving blocks up to the split-size target —
+  * task count tracks data volume (Spark's FilePartition discipline),
+  * never raw block count (round-14 FormatBench: one-task-per-16k-row-
+  * block billed ~0.3 s of pure scheduling to a 367-block sf1 scan).
+  * The reader emits one ColumnarBatch per block.
+  */
+private[sources] case class GcolBlockPartition(
+    blocks: Array[GcolBlockDesc],
     readSchemaJson: String) extends InputPartition
 
 /** One pre-aggregated row computed from footers on the driver; values
@@ -485,12 +527,20 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     val part = p.asInstanceOf[GcolBlockPartition]
+    val schema = DataType.fromJson(part.readSchemaJson)
+      .asInstanceOf[StructType]
     new PartitionReader[ColumnarBatch] {
-      private var emitted = false
+      private var i = 0
       private var batch: ColumnarBatch = _
-      override def next(): Boolean =
-        if (emitted) false
-        else { batch = ColumnarFormat.decodeBlock(part); emitted = true; true }
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (i >= part.blocks.length) false
+        else {
+          batch = ColumnarFormat.decodeBlock(part.blocks(i), schema)
+          i += 1
+          true
+        }
+      }
       override def get(): ColumnarBatch = batch
       override def close(): Unit = if (batch != null) batch.close()
     }
@@ -502,15 +552,16 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
 // ---------------------------------------------------------------------
 
 private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
-                                        rowsPerBlock: Int)
+                                        rowsPerBlock: Int, codec: String)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = {
     schema.fields.foreach(f => ColumnarFormat.checkType(f)) // fail NOW
+    ColumnarFormat.checkCodec(codec)
     new Write {
       override def toBatch: BatchWrite =
-        new GcolBatchWrite(dir, schema, rowsPerBlock, replace)
+        new GcolBatchWrite(dir, schema, rowsPerBlock, replace, codec)
     }
   }
 }
@@ -520,13 +571,14 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
   * overwrite), so a failed job leaves the directory readable.
   */
 private[sources] class GcolBatchWrite(dir: String, schema: StructType,
-                                      rowsPerBlock: Int, replace: Boolean)
+                                      rowsPerBlock: Int, replace: Boolean,
+                                      codec: String)
     extends BatchWrite {
   private val staging = s"_staging-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GcolWriterFactory(dir, staging, schema.json, rowsPerBlock)
+    new GcolWriterFactory(dir, staging, schema.json, rowsPerBlock, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
@@ -570,13 +622,14 @@ private[sources] case class GcolFileCommitted(rel: String)
     extends WriterCommitMessage
 
 private[sources] class GcolWriterFactory(dir: String, staging: String,
-                                         schemaJson: String, rowsPerBlock: Int)
+                                         schemaJson: String, rowsPerBlock: Int,
+                                         codec: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GcolDataWriter(dir, staging,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      rowsPerBlock, partitionId, taskId)
+      rowsPerBlock, codec, partitionId, taskId)
 }
 
 /** Buffers exactly ONE block (bounded memory), encodes and appends it
@@ -585,6 +638,7 @@ private[sources] class GcolWriterFactory(dir: String, staging: String,
   */
 private[sources] class GcolDataWriter(dir: String, staging: String,
                                       schema: StructType, rowsPerBlock: Int,
+                                      codec: String,
                                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
@@ -609,7 +663,7 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
   }
 
   private def flush(): Unit = if (enc.rows > 0) {
-    blockMetas += enc.writeTo(chan)
+    blockMetas += enc.writeTo(chan, codec)
     enc.reset()
   }
 
@@ -619,7 +673,7 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
       chan.close(); raf.close(); Files.deleteIfExists(path)
       GcolFileCommitted("")
     } else {
-      ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq)
+      ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq, codec)
       chan.close(); raf.close()
       GcolFileCommitted(rel)
     }
@@ -663,13 +717,16 @@ private[sources] class GcolMicroBatchStream(
     files.foreach { rel =>
       val f = Paths.get(dir).resolve(rel)
       val footer = ColumnarFormat.readFooter(f)
-      footer.blocks.foreach { blk =>
+      val descs = footer.blocks.flatMap { blk =>
         if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
           val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-          all += GcolBlockPartition(f.toString, blk.rows,
-            idx.map(blk.offs), idx.map(blk.lens), required.json)
-        }
+          Some(GcolBlockDesc(f.toString, blk.rows,
+            idx.map(blk.offs), idx.map(blk.lens),
+            idx.map(j => blk.cols(j).rawLen), footer.codec))
+        } else None
       }
+      if (descs.nonEmpty) // one task per journal file: batch-local unit
+        all += GcolBlockPartition(descs.toArray, required.json)
     }
     all.toArray[InputPartition]
   }
@@ -694,8 +751,8 @@ object ColumnarFormat {
     * driver-side block stats — fine at metadata scale; switch to
     * sort + prefix sums if B ever reaches millions.
     */
-  def topNPrune(dir: String, parts: Array[GcolBlockPartition],
-                colName: String, asc: Boolean, n: Int): Array[GcolBlockPartition] = {
+  def topNPrune(dir: String, parts: Array[GcolBlockDesc],
+                colName: String, asc: Boolean, n: Int): Array[GcolBlockDesc] = {
     case class BS(rows: Int, min: Any, max: Any, nulls: Int)
     val stats = scala.collection.mutable.ArrayBuffer.empty[BS]
     var dt: DataType = null
@@ -776,12 +833,16 @@ object ColumnarFormat {
   }
 
   case class ColMeta(off: Long, len: Long, nullCount: Int,
-                     min: Option[Any], max: Option[Any])
+                     min: Option[Any], max: Option[Any],
+                     raw: Long = -1L) {
+    def rawLen: Long = if (raw < 0) len else raw
+  }
   case class BlockMeta(rows: Int, cols: Array[ColMeta]) {
     def offs: Array[Long] = cols.map(_.off)
     def lens: Array[Long] = cols.map(_.len)
   }
-  case class Footer(schema: StructType, blockList: Seq[BlockMeta]) {
+  case class Footer(schema: StructType, blockList: Seq[BlockMeta],
+                    codec: String = "none") {
     def blocks: Seq[BlockView] = blockList.zipWithIndex.map { case (b, _) =>
       BlockView(b.rows, b.cols.map(_.off), b.cols.map(_.len), b.cols)
     }
@@ -790,6 +851,33 @@ object ColumnarFormat {
                        cols: Array[ColMeta])
 
   private val mapper = new ObjectMapper()
+
+  /** Per-segment codecs, all from Spark's own shipped jars. */
+  def checkCodec(codec: String): Unit = codec match {
+    case "none" | "zstd" | "lz4" => ()
+    case other => throw new IllegalArgumentException(
+      s"graft-columnar codec must be none|zstd|lz4, got `$other`")
+  }
+
+  def compress(codec: String, raw: Array[Byte]): Array[Byte] = codec match {
+    case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+    case "lz4" =>
+      net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        .compress(raw)
+    case _ => raw
+  }
+
+  def decompress(codec: String, comp: Array[Byte],
+                 rawLen: Int): Array[Byte] = codec match {
+    case "zstd" =>
+      val dst = new Array[Byte](rawLen)
+      com.github.luben.zstd.Zstd.decompress(dst, comp)
+      dst
+    case "lz4" =>
+      net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        .decompress(comp, rawLen)
+    case _ => comp
+  }
 
   def checkType(f: StructField): Unit = f.dataType match {
     case BooleanType | IntegerType | DateType | LongType | TimestampType |
@@ -814,9 +902,10 @@ object ColumnarFormat {
   // ---- footer ---------------------------------------------------------
 
   def writeFooter(chan: java.nio.channels.FileChannel, schema: StructType,
-                  blocks: Seq[BlockMeta]): Unit = {
+                  blocks: Seq[BlockMeta], codec: String = "none"): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("schema", schema.json)
+    root.put("codec", codec)
     val arr: ArrayNode = root.putArray("blocks")
     blocks.foreach { b =>
       val bn = arr.addObject()
@@ -825,6 +914,7 @@ object ColumnarFormat {
       b.cols.zip(schema.fields).foreach { case (c, f) =>
         val o = cn.addObject()
         o.put("o", c.off); o.put("l", c.len); o.put("nn", c.nullCount)
+        if (c.raw >= 0 && c.raw != c.len) o.put("rl", c.raw)
         (c.min, c.max) match {
           case (Some(mn), Some(mx)) => f.dataType match {
             case IntegerType | DateType =>
@@ -862,6 +952,8 @@ object ColumnarFormat {
       val root = mapper.readTree(fBuf.array())
       val schema = DataType.fromJson(root.get("schema").asText())
         .asInstanceOf[StructType]
+      val codec =
+        if (root.has("codec")) root.get("codec").asText() else "none"
       val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
       root.get("blocks").forEach { bn =>
         val cols = scala.collection.mutable.ArrayBuffer.empty[ColMeta]
@@ -882,12 +974,13 @@ object ColumnarFormat {
               case _ => (None, None)
             }
           cols += ColMeta(cn.get("o").asLong(), cn.get("l").asLong(),
-            cn.get("nn").asInt(), mm._1, mm._2)
+            cn.get("nn").asInt(), mm._1, mm._2,
+            if (cn.has("rl")) cn.get("rl").asLong() else cn.get("l").asLong())
           i += 1
         }
         blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
       }
-      Footer(schema, blocks.toSeq)
+      Footer(schema, blocks.toSeq, codec)
     } finally raf.close()
   }
 
@@ -1055,7 +1148,8 @@ object ColumnarFormat {
     def reset(): Unit = rows = 0
 
     /** Encode + append every column segment; returns the block's meta. */
-    def writeTo(chan: java.nio.channels.FileChannel): BlockMeta = {
+    def writeTo(chan: java.nio.channels.FileChannel,
+                codec: String = "none"): BlockMeta = {
       val metas = new Array[ColMeta](n)
       var i = 0
       while (i < n) {
@@ -1111,9 +1205,19 @@ object ColumnarFormat {
           case dt => throw new IllegalStateException(s"unreachable: $dt")
         }
         payload.flip()
-        while (payload.hasRemaining) chan.write(payload)
+        val rawLen = payload.limit()
+        if (codec == "none") {
+          while (payload.hasRemaining) chan.write(payload)
+        } else {
+          // per-SEGMENT compression: the unit of IO stays one (block,
+          // column), so pruning and column skipping are unaffected
+          val comp = ColumnarFormat.compress(codec,
+            java.util.Arrays.copyOf(payload.array(), rawLen))
+          val cb = ByteBuffer.wrap(comp)
+          while (cb.hasRemaining) chan.write(cb)
+        }
         metas(i) = ColMeta(off, chan.position() - off, nullCountOf(i),
-          minOf(i), maxOf(i))
+          minOf(i), maxOf(i), rawLen.toLong)
         i += 1
       }
       BlockMeta(rows, metas)
@@ -1181,9 +1285,7 @@ object ColumnarFormat {
     * vectors; the bulk fills (`putLongs`/`putInts`/`putDoubles`) are the
     * little-endian memcpy overloads, so decode is byte-copy speed.
     */
-  def decodeBlock(part: GcolBlockPartition): ColumnarBatch = {
-    val schema = DataType.fromJson(part.readSchemaJson)
-      .asInstanceOf[StructType]
+  def decodeBlock(part: GcolBlockDesc, schema: StructType): ColumnarBatch = {
     val rows = part.rows
     val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
     val raf = new RandomAccessFile(part.path, "r")
@@ -1198,7 +1300,9 @@ object ColumnarFormat {
           require(k > 0, s"${part.path}: truncated column segment")
           read += k
         }
-        val bytes = buf.array()
+        val bytes =
+          if (part.codec == "none") buf.array()
+          else decompress(part.codec, buf.array(), part.rawLens(i).toInt)
         val bitmapLen = (rows + 7) / 8
         val v = vectors(i)
         schema.fields(i).dataType match {

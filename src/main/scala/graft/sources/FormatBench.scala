@@ -41,14 +41,19 @@ object FormatBench {
       .repartitionByRange(4, $"l_orderkey").sortWithinPartitions("l_orderkey")
     val pqDir = graft.ops.Core.tmp("fmt_pq")
     val gcDir = graft.ops.Core.tmp("fmt_gc")
+    val gzDir = graft.ops.Core.tmp("fmt_gz")
     src.write.mode("overwrite").parquet(pqDir)
     src.write.format("graft-columnar").option("rowsPerBlock", "16384")
       .mode("overwrite").save(gcDir)
+    src.write.format("graft-columnar").option("rowsPerBlock", "16384")
+      .option("codec", "zstd").mode("overwrite").save(gzDir)
     val pqBytes = new java.io.File(pqDir).listFiles().map(_.length).sum
     val gcBytes = new java.io.File(gcDir).listFiles().map(_.length).sum
+    val gzBytes = new java.io.File(gzDir).listFiles().map(_.length).sum
 
     def pq = spark.read.parquet(pqDir)
     def gc = spark.read.format("graft-columnar").load(gcDir)
+    def gz = spark.read.format("graft-columnar").load(gzDir)
 
     val maxKey = src.agg(max($"l_orderkey")).collect().head.getLong(0)
     val shapes: Seq[(String, org.apache.spark.sql.DataFrame => Long)] = Seq(
@@ -66,18 +71,20 @@ object FormatBench {
       val t0 = System.nanoTime(); val r = f; require(r >= 0)
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both paths, then interleave
-    shapes.foreach { case (_, q) => q(pq); q(gc) }
+    // warm all paths, then interleave
+    shapes.foreach { case (_, q) => q(pq); q(gc); q(gz) }
     val out = shapes.map { case (name, q) =>
-      val reps = (1 to 5).map(_ => (timeIt(q(pq)), timeIt(q(gc))))
-      val (p, g) = (reps.map(_._1).min, reps.map(_._2).min)
-      // cross-check: identical results either side
-      require(q(pq) == q(gc), s"$name: format results diverge")
-      f""""$name":{"parquet_sec":$p%.3f,"gcol_sec":$g%.3f}"""
+      val reps = (1 to 5).map(_ => (timeIt(q(pq)), timeIt(q(gc)), timeIt(q(gz))))
+      val (p, g, z) =
+        (reps.map(_._1).min, reps.map(_._2).min, reps.map(_._3).min)
+      // cross-check: identical results on every path
+      require(q(pq) == q(gc) && q(gc) == q(gz),
+        s"$name: format results diverge")
+      f""""$name":{"parquet_sec":$p%.3f,"gcol_sec":$g%.3f,"gcol_zstd_sec":$z%.3f}"""
     }
     println(out.mkString(
-      s"""{"bytes":{"parquet":$pqBytes,"gcol":$gcBytes},""", ",",
-      s""","sf":"$dir","cpus":$cpus}"""))
+      s"""{"bytes":{"parquet":$pqBytes,"gcol":$gcBytes,"gcol_zstd":$gzBytes},""",
+      ",", s""","sf":"$dir","cpus":$cpus}"""))
     spark.stop()
   }
 }

@@ -169,11 +169,13 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val scan = gcolScan(df)
     assert(scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
       .filterAttributes().map(_.describe()).contains("k"))
-    val before = scan.toBatch.planInputPartitions().length
+    scan.toBatch.planInputPartitions()
+    val before = scan.plannedBlocks
     assert(before === 10)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("k", Array(42L, 43L, 8500L))))
-    val after = scan.toBatch.planInputPartitions().length
+    scan.toBatch.planInputPartitions()
+    val after = scan.plannedBlocks
     assert(after === 2, s"runtime In did not prune: $before -> $after")
     assert(scan.runtimeApplied.nonEmpty)
     // integration level: the ENGINE drives it end-to-end — a dim with a
@@ -222,6 +224,39 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .filter($"k" >= 9000L).limit(500)
     assert(fl.collect().length === 500)
     assert(fl.collect().forall(_.getLong(0) >= 9000L))
+  }
+
+  test("per-segment compression: zstd/lz4 round-trip, shrink, and keep pruning") {
+    val none = tmp(); val zstd = tmp(); val lz4 = tmp()
+    val clustered = sample.orderBy("k").repartition(1).sortWithinPartitions("k")
+    clustered.write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(none)
+    clustered.write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .option("codec", "zstd").mode("overwrite").save(zstd)
+    clustered.write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .option("codec", "lz4").mode("overwrite").save(lz4)
+    def bytes(d: String) = ColumnarFormat.listFiles(d).map(_.toFile.length).sum
+    assert(bytes(zstd) < bytes(none) && bytes(lz4) < bytes(none),
+      s"codecs did not shrink: none=${bytes(none)} zstd=${bytes(zstd)} lz4=${bytes(lz4)}")
+    val ref = spark.read.format("graft-columnar").load(none)
+      .collect().map(_.toString).sorted
+    Seq(zstd, lz4).foreach { d =>
+      val got = spark.read.format("graft-columnar").load(d)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(ref), s"$d: compressed round-trip drifted")
+      // zone maps live in the footer — pruning is codec-independent
+      val fl = spark.read.format("graft-columnar").load(d)
+        .filter(col("k") >= 9200L && col("k") < 9300L)
+      assert(fl.count() === 100)
+      val sc = gcolScan(fl)
+      assert(sc.plannedBlocks === 1,
+        s"$d: pruning broke under compression (${sc.plannedBlocks})")
+    }
+    val err = intercept[Exception] {
+      sample.write.format("graft-columnar").option("codec", "gzip")
+        .mode("overwrite").save(tmp())
+    }
+    assert(err.getMessage.contains("gzip"))
   }
 
   test("topN pushdown keeps only blocks that can reach the top n") {
