@@ -85,12 +85,19 @@ case class HllDistinct(
     // exact integer register sum: S = sum_j 2^(53 - M_j)  (M_j in
     // [0, 53]; 256 terms of <= 2^53 stay far under int64)
     var s = 0L
+    var any = false
     var j = 0
     while (j < M) {
+      if (buffer(j) != 0) any = true
       s += 1L << (MaxRho - buffer(j))
       j += 1
     }
-    C / s.toDouble // one IEEE division over exact operands
+    // an untouched buffer (empty relation / all-null input) uniquely
+    // identifies zero distinct values: any non-null update sets at
+    // least one register to rho >= 1. Without this branch the raw-HLL
+    // readout would report the alpha*m floor (~183.9) for zero rows.
+    if (!any) 0.0
+    else C / s.toDouble // one IEEE division over exact operands
   }
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer

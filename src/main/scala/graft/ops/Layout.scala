@@ -569,7 +569,103 @@ object Layout {
         max($"l_returnflag").as("max_flag"))
   }
 
+  private val gcolSpjOnce = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Orders + lineitem in graft-columnar, each CLUSTERED on the shared
+    * bucket key `bkt = o|l_orderkey % 32` via the write path's
+    * `clusterBy` option: `RequiresDistributionAndOrdering` makes the
+    * ENGINE shuffle+sort on bkt before any writer runs, and the writer
+    * cuts blocks at value boundaries, so every block is pure
+    * (zone-map min == max == its single bucket). That purity is what
+    * the read side reports as `KeyGroupedPartitioning(identity(bkt))`.
+    * Ingest-time layout work, pre-paid untimed like the q48 buckets.
+    */
+  private[graft] def ensureGcolSpjPair(s: SparkSession, dir: String): (String, String) =
+    gcolSpjOnce.getOrElseUpdate(dir, {
+      val oOut = Core.tmp("graft_gcol_spj_orders")
+      val lOut = Core.tmp("graft_gcol_spj_lineitem")
+      Tables.orders(s, dir)
+        .select(pmod(col("o_orderkey"), lit(32L)).cast(IntegerType).as("bkt"),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.format("graft-columnar").option("clusterBy", "bkt")
+        .mode("overwrite").save(oOut)
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_orderkey"), lit(32L)).cast(IntegerType).as("bkt"),
+          col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.format("graft-columnar").option("clusterBy", "bkt")
+        .mode("overwrite").save(lOut)
+      (oOut, lOut)
+    })
+
+  /** The lazy q328 join frame — factored out so PlanGuardsSpec can
+    * inspect the executed plan under the same conf window the query
+    * runs in (zero shuffle Exchange below the join).
+    */
+  private[graft] def gcolSpjFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oPath, lPath) = ensureGcolSpjPair(s, dir)
+    val ro = s.read.format("graft-columnar").load(oPath)
+    val rl = s.read.format("graft-columnar").load(lPath)
+    // join keys ⊇ partition keys: the bkt equality is IMPLIED by the
+    // orderkey equality (bkt is the same function of the key on both
+    // sides) — it is there to hand the planner the layout fact, not to
+    // change semantics, so the oracle is the plain orderkey join
+    ro.join(rl, ro("bkt") === rl("bkt") &&
+        ro("o_orderkey") === rl("l_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity" * 100).cast(LongType)).as("qty_centi"),
+        sum(floor($"l_extendedprice" * 100).cast(LongType)).as("price_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The SPJ conf window: storage-partitioned joins are opt-in
+    * (`v2.bucketing.enabled`), the bkt⊂(bkt,key) co-partition shape
+    * needs `requireAllClusterKeysForCoPartition=false`, and broadcast
+    * is disabled because at the 100-TB design point NEITHER side of an
+    * orders⋈lineitem join fits a broadcast — the measured plan should
+    * be the one a cluster would run. Scoped snapshot+restore (q322
+    * precedent) so nothing leaks into later queries.
+    */
+  private[graft] def withSpjConfs[T](s: SparkSession)(body: => T): T = {
+    val settings = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
+  // (SupportsReportPartitioning + SupportsReportOrdering): both tables
+  // are clustered on the same bucket key at WRITE time, the scans
+  // report KeyGroupedPartitioning(identity(bkt)), and Spark aligns the
+  // 32 partition values directly — the join runs with ZERO shuffle
+  // exchanges (PlanGuardsSpec pins it), the way q48 proves for parquet
+  // buckets. The result is executed eagerly INSIDE the scoped conf
+  // window (the plan, not the values, depends on the confs) and pinned
+  // to a local relation. Oracle: the plain orderkey join over the
+  // parquet twins — a layout must never change one bit of the result.
+  // Determinism: count + exact integer centi-sums, ordered by the
+  // 5-value priority dictionary.
+  // Scale shape: at 100 TB this is THE avoidable cost on the native
+  // format — two table-wide exchanges (the dominant shuffle of any
+  // fact-fact join) elided by metadata; per-partition work stays a
+  // local sort-merge over one bucket's blocks.
+  private def gcolSpjJoin(s: SparkSession, dir: String): DataFrame =
+    withSpjConfs(s) {
+      val res = gcolSpjFrame(s, dir)
+      val rows = res.collect() // execute inside the conf window
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_gcol_spj_join" -> (gcolSpjJoin _),
     "q327_columnar_topn" -> (columnarTopN _),
     "q326_metadata_agg" -> (columnarMetadataAgg _),
     "q323_columnar_scan" -> (columnarScan _),
@@ -619,6 +715,14 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q328_gcol_spj_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q327_columnar_topn" ->
       """WITH sel AS (
         |  SELECT o_orderkey, o_totalprice FROM orders

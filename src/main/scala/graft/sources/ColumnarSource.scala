@@ -139,7 +139,8 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
     new GcolWriteBuilder(dir, info.schema(),
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
         .getOrElse(ColumnarFormat.DefaultRowsPerBlock),
-      Option(info.options.get("codec")).getOrElse("none"))
+      Option(info.options.get("codec")).getOrElse("none"),
+      Option(info.options.get("clusterBy")).filter(_.nonEmpty))
 }
 
 // ---------------------------------------------------------------------
@@ -266,6 +267,28 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return false
+    // MIN/MAX are only answerable when EVERY block carries a zone map
+    // for the column (or is provably all-null): a NaN-bearing double
+    // segment writes no min/max, and skipping its values would return
+    // a wrong extremum. Footer reads here are driver-scale metadata —
+    // the same O(files) cost planInputPartitions pays anyway.
+    val mmCols = specs.flatten.collect {
+      case ColumnarFormat.AggMin(c, _) => c
+      case ColumnarFormat.AggMax(c, _) => c
+    }.distinct
+    if (mmCols.nonEmpty) {
+      val answerable = ColumnarFormat.listFiles(dir).forall { f =>
+        val ft = ColumnarFormat.readFooter(f)
+        mmCols.forall { c =>
+          ColumnarFormat.fieldIdx(ft.schema, c) match {
+            case Some(i) => ft.blocks.forall(b =>
+              b.cols(i).min.isDefined || b.cols(i).nullCount == b.rows)
+            case None => false
+          }
+        }
+      }
+      if (!answerable) return false
+    }
     pushedAgg = Some(specs.flatten.toSeq)
     required = ColumnarFormat.aggSchema(specs.flatten.toSeq)
     true
@@ -283,7 +306,9 @@ class GcolScan private[sources] (
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // spec observability: how many blocks the zone maps let through
   @volatile var plannedBlocks: Int = -1
@@ -376,16 +401,91 @@ class GcolScan private[sources] (
     GcolAggPartition(values.toArray, required.json)
   }
 
+  /** Key-grouped layout, detected ONCE per scan and frozen: Some(col,
+    * type, sorted distinct values) when every file footer declares the
+    * same `clusterBy` column, the column is in the read schema, and
+    * EVERY block is pure on it (min == max, no nulls — the clustered
+    * write path's invariant). The frozen value list is what keeps
+    * `outputPartitioning()` (logical planning) and
+    * `planInputPartitions()` (physical, possibly after runtime filters
+    * arrive) consistent: the partition SKELETON never changes, only
+    * which blocks sit inside each group.
+    */
+  private lazy val keyGroups: Option[(String, DataType, Array[Any])] = {
+    if (aggSpecs.nonEmpty || limit.nonEmpty || topN.nonEmpty) None
+    else {
+      val files = ColumnarFormat.listFiles(dir)
+      if (files.isEmpty) None
+      else {
+        val footers = files.map(ColumnarFormat.readFooter)
+        footers.head.clusterBy match {
+          case Some(c) if footers.forall(_.clusterBy.contains(c)) &&
+              required.fieldNames.contains(c) =>
+            val dt = footers.head.schema
+              .fields(footers.head.schema.fieldIndex(c)).dataType
+            val vals = scala.collection.mutable.LinkedHashSet.empty[Any]
+            val pure = footers.forall { ft =>
+              ColumnarFormat.fieldIdx(ft.schema, c).exists { i =>
+                ft.blocks.forall { b =>
+                  val cm = b.cols(i)
+                  val ok = cm.nullCount == 0 && cm.min.isDefined &&
+                    cm.min == cm.max
+                  if (ok) vals += cm.min.get
+                  ok
+                }
+              }
+            }
+            if (!pure) None
+            else Some((c, dt,
+              vals.toArray.sorted(ColumnarFormat.anyOrdering(dt))))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Storage-partitioned reads: a clustered table reports
+    * `KeyGroupedPartitioning(identity(col), #groups)` so a gcol⋈gcol
+    * join on the cluster key (plus a groupBy on it) elides its
+    * exchanges entirely — Spark aligns both sides' partition VALUES
+    * (`spark.sql.sources.v2.bucketing.enabled`) instead of shuffling
+    * 100 TB to co-locate what the layout already co-located.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyGroups match {
+      case Some((c, _, vals)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
+          vals.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Every key-grouped partition holds a single cluster value, so rows
+    * are trivially sorted by it — reporting the ordering lets a
+    * sort-merge join skip its per-partition sorts on that column.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyGroups match {
+      case Some((c, _, _)) =>
+        import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+        Array(Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+      case None => Array.empty
+    }
+
   // a def, not a lazy val: runtime filters can arrive AFTER statistics
   // were estimated, and the replan must see them (footer reads are
   // driver-scale metadata, cheap to repeat)
-  private def planned: Array[GcolBlockPartition] = {
+  private def planned: Array[GcolReadPartition] = {
     val effective = filters ++ runtimeFilters
     // a pushed LIMIT caps planning at the first ceil(n/blockRows)
     // blocks — but never when runtime filters arrived (they prune
     // among the capped blocks and could under-deliver the limit)
     val cap = if (runtimeFilters.isEmpty) limit else None
+    val grouping = keyGroups
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
+    val keyOf = scala.collection.mutable.AnyRefMap.empty[GcolBlockDesc, Any]
     var total = 0
     var kept = 0L
     ColumnarFormat.listFiles(dir).foreach { f =>
@@ -399,9 +499,13 @@ class GcolScan private[sources] (
           if (cap.forall(kept < _) &&
               effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
             val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-            all += GcolBlockDesc(f.toString, blk.rows,
+            val desc = GcolBlockDesc(f.toString, blk.rows,
               idx.map(blk.offs), idx.map(blk.lens),
               idx.map(j => blk.cols(j).rawLen), footer.codec)
+            all += desc
+            grouping.foreach { case (c, _, _) =>
+              keyOf(desc) = blk.cols(footer.schema.fieldIndex(c)).min.get
+            }
             kept += blk.rows
           }
         }
@@ -415,28 +519,41 @@ class GcolScan private[sources] (
     }
     totalBlocks = total
     plannedBlocks = out.length
-    // pack blocks into split-sized tasks, Spark's own file-source
-    // formula: honor maxPartitionBytes but never plan fewer tasks than
-    // the default parallelism can use
-    val conf = org.apache.spark.sql.internal.SQLConf.get
-    val totalBytes = out.map(_.lens.sum).sum
-    val parallelism = math.max(1,
-      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
-    val target = math.max(conf.filesOpenCostInBytes,
-      math.min(conf.filesMaxPartitionBytes, totalBytes / parallelism + 1))
-    val packs = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
-    var curBytes = 0L
-    out.foreach { d =>
-      if (cur.nonEmpty && curBytes + d.lens.sum > target) {
-        packs += GcolBlockPartition(cur.toArray, required.json)
-        cur.clear(); curBytes = 0L
-      }
-      cur += d; curBytes += d.lens.sum
+    grouping match {
+      case Some((_, dt, vals)) =>
+        // one InputPartition per FROZEN cluster value, in frozen order
+        // — a key whose blocks were all pruned (statically or by a
+        // runtime filter) still yields an (empty) partition, so the
+        // reported KeyGroupedPartitioning stays valid while the IO
+        // savings are fully kept
+        val byKey = out.groupBy(keyOf(_))
+        vals.map(v => GcolKeyedPartition(
+          byKey.getOrElse(v, Array.empty[GcolBlockDesc]),
+          required.json, v, dt): GcolReadPartition)
+      case None =>
+        // pack blocks into split-sized tasks, Spark's own file-source
+        // formula: honor maxPartitionBytes but never plan fewer tasks
+        // than the default parallelism can use
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val totalBytes = out.map(_.lens.sum).sum
+        val parallelism = math.max(1,
+          org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+        val target = math.max(conf.filesOpenCostInBytes,
+          math.min(conf.filesMaxPartitionBytes, totalBytes / parallelism + 1))
+        val packs = scala.collection.mutable.ArrayBuffer.empty[GcolReadPartition]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
+        var curBytes = 0L
+        out.foreach { d =>
+          if (cur.nonEmpty && curBytes + d.lens.sum > target) {
+            packs += GcolBlockPartition(cur.toArray, required.json)
+            cur.clear(); curBytes = 0L
+          }
+          cur += d; curBytes += d.lens.sum
+        }
+        if (cur.nonEmpty)
+          packs += GcolBlockPartition(cur.toArray, required.json)
+        packs.toArray
     }
-    if (cur.nonEmpty)
-      packs += GcolBlockPartition(cur.toArray, required.json)
-    packs.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -485,15 +602,43 @@ private[sources] case class GcolBlockDesc(
     offs: Array[Long], lens: Array[Long], rawLens: Array[Long],
     codec: String)
 
+/** Common shape of a data-reading task: a pack of blocks plus the read
+  * schema. The reader emits one ColumnarBatch per block.
+  */
+private[sources] sealed trait GcolReadPartition extends InputPartition {
+  def blocks: Array[GcolBlockDesc]
+  def readSchemaJson: String
+}
+
 /** One TASK = a pack of surviving blocks up to the split-size target —
   * task count tracks data volume (Spark's FilePartition discipline),
   * never raw block count (round-14 FormatBench: one-task-per-16k-row-
   * block billed ~0.3 s of pure scheduling to a 367-block sf1 scan).
-  * The reader emits one ColumnarBatch per block.
   */
 private[sources] case class GcolBlockPartition(
     blocks: Array[GcolBlockDesc],
-    readSchemaJson: String) extends InputPartition
+    readSchemaJson: String) extends GcolReadPartition
+
+/** One TASK = every surviving block of ONE cluster value; carries that
+  * value as its `HasPartitionKey` so Spark's storage-partitioned join
+  * can align both sides' groups without an exchange. Partition-per-key
+  * (not split-size packs) is the KeyGroupedPartitioning contract; a
+  * pathologically hot key therefore makes a big task — the documented
+  * trade, same as any bucketed layout with skew.
+  */
+private[sources] case class GcolKeyedPartition(
+    blocks: Array[GcolBlockDesc],
+    readSchemaJson: String,
+    keyValue: Any, keyType: DataType)
+    extends GcolReadPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](keyValue match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }))
+}
 
 /** One pre-aggregated row computed from footers on the driver; values
   * are plain JVM types (String for text) so the partition serializes.
@@ -503,7 +648,7 @@ private[sources] case class GcolAggPartition(
 
 private[sources] object GcolReaderFactory extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.isInstanceOf[GcolBlockPartition]
+    partition.isInstanceOf[GcolReadPartition]
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -526,7 +671,7 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val part = p.asInstanceOf[GcolBlockPartition]
+    val part = p.asInstanceOf[GcolReadPartition]
     val schema = DataType.fromJson(part.readSchemaJson)
       .asInstanceOf[StructType]
     new PartitionReader[ColumnarBatch] {
@@ -552,16 +697,41 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
 // ---------------------------------------------------------------------
 
 private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
-                                        rowsPerBlock: Int, codec: String)
+                                        rowsPerBlock: Int, codec: String,
+                                        clusterBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = {
     schema.fields.foreach(f => ColumnarFormat.checkType(f)) // fail NOW
     ColumnarFormat.checkCodec(codec)
-    new Write {
+    clusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"clusterBy column `$c` not in write schema")
+    }
+    /** A clustered write asks the ENGINE for its layout guarantee:
+      * `RequiresDistributionAndOrdering` makes Spark shuffle on the
+      * cluster column and sort within each task before any row reaches
+      * a writer, so one cluster value never straddles two tasks and
+      * arrives contiguously inside each — the writer then only has to
+      * cut blocks at value boundaries to make every block PURE
+      * (min == max). That purity is what the read side turns into
+      * `KeyGroupedPartitioning` (storage-partitioned joins, zero
+      * exchanges). Same contract as Iceberg's write distribution.
+      */
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+      override def requiredDistribution(): Distribution =
+        clusterBy.fold[Distribution](Distributions.unspecified())(c =>
+          Distributions.clustered(Array(Expressions.column(c))))
+      override def requiredOrdering(): Array[SortOrder] =
+        clusterBy.fold(Array.empty[SortOrder])(c => Array(
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)))
       override def toBatch: BatchWrite =
-        new GcolBatchWrite(dir, schema, rowsPerBlock, replace, codec)
+        new GcolBatchWrite(dir, schema, rowsPerBlock, replace, codec,
+          clusterBy)
     }
   }
 }
@@ -572,13 +742,19 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
   */
 private[sources] class GcolBatchWrite(dir: String, schema: StructType,
                                       rowsPerBlock: Int, replace: Boolean,
-                                      codec: String)
+                                      codec: String,
+                                      clusterBy: Option[String] = None)
     extends BatchWrite {
-  private val staging = s"_staging-${UUID.randomUUID()}"
+  // the job uid doubles as the data-file name suffix: partitionId/taskId
+  // are only unique within ONE Spark application, so an append from a
+  // fresh session would otherwise collide with existing files mid-move
+  private val jobUid = UUID.randomUUID().toString
+  private val staging = s"_staging-$jobUid"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GcolWriterFactory(dir, staging, schema.json, rowsPerBlock, codec)
+    new GcolWriterFactory(dir, staging, jobUid, schema.json, rowsPerBlock,
+      codec, clusterBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
@@ -587,11 +763,24 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
       ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
       Files.deleteIfExists(root.resolve(ColumnarFormat.JournalName))
     }
-    val committed = messages.collect {
-      case GcolFileCommitted(rel) if rel.nonEmpty =>
-        val src = root.resolve(staging).resolve(rel)
-        Files.move(src, root.resolve(rel))
-        rel
+    // publish all-or-nothing: a failed move UNWINDS the files already
+    // moved (they were never journaled, so nothing observed them as
+    // committed) instead of leaving a partially-published directory
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val committed = try {
+      messages.collect {
+        case GcolFileCommitted(rel) if rel.nonEmpty =>
+          val src = root.resolve(staging).resolve(rel)
+          val dst = root.resolve(rel)
+          Files.move(src, dst)
+          moved += dst
+          rel
+      }
+    } catch {
+      case t: Throwable =>
+        moved.foreach(Files.deleteIfExists)
+        cleanupStaging()
+        throw t
     }
     // commit-ordered journal: one line per published file, appended
     // atomically per logical write — the streaming read's offset axis
@@ -622,14 +811,16 @@ private[sources] case class GcolFileCommitted(rel: String)
     extends WriterCommitMessage
 
 private[sources] class GcolWriterFactory(dir: String, staging: String,
+                                         jobUid: String,
                                          schemaJson: String, rowsPerBlock: Int,
-                                         codec: String)
+                                         codec: String,
+                                         clusterBy: Option[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new GcolDataWriter(dir, staging,
+    new GcolDataWriter(dir, staging, jobUid,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      rowsPerBlock, codec, partitionId, taskId)
+      rowsPerBlock, codec, clusterBy, partitionId, taskId)
 }
 
 /** Buffers exactly ONE block (bounded memory), encodes and appends it
@@ -637,12 +828,15 @@ private[sources] class GcolWriterFactory(dir: String, staging: String,
   * distinct file names and lose in abort().
   */
 private[sources] class GcolDataWriter(dir: String, staging: String,
+                                      jobUid: String,
                                       schema: StructType, rowsPerBlock: Int,
                                       codec: String,
+                                      clusterBy: Option[String],
                                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val rel = s"part-$partitionId-$taskId.gcol"
+  // jobUid makes names unique ACROSS applications (appends never collide)
+  private val rel = s"part-$partitionId-$taskId-$jobUid.gcol"
   private val path = {
     val d = Paths.get(dir).resolve(staging)
     Files.createDirectories(d)
@@ -656,7 +850,30 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
     .empty[ColumnarFormat.BlockMeta]
   private var total = 0L
 
+  // clustered writes cut a block at every cluster-value boundary (rows
+  // arrive sorted by RequiresDistributionAndOrdering), so each block is
+  // PURE: zone map min == max == the block's single cluster value
+  private val clusterIdx: Option[Int] = clusterBy.map(schema.fieldIndex)
+  private var lastKey: Any = null
+  private var haveKey = false
+
+  private def clusterKeyOf(row: InternalRow, ci: Int): Any =
+    if (row.isNullAt(ci)) null
+    else schema.fields(ci).dataType match {
+      case StringType => row.getUTF8String(ci).toString // copy: rows reuse buffers
+      case IntegerType | DateType => row.getInt(ci)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(ci)
+      case DoubleType => row.getDouble(ci)
+      case BooleanType => row.getBoolean(ci)
+      case dt => throw new IllegalStateException(s"unreachable: $dt")
+    }
+
   override def write(row: InternalRow): Unit = {
+    clusterIdx.foreach { ci =>
+      val k = clusterKeyOf(row, ci)
+      if (haveKey && k != lastKey) flush()
+      lastKey = k; haveKey = true
+    }
     enc.add(row)
     total += 1
     if (enc.rows == rowsPerBlock) flush()
@@ -673,7 +890,8 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
       chan.close(); raf.close(); Files.deleteIfExists(path)
       GcolFileCommitted("")
     } else {
-      ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq, codec)
+      ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq, codec,
+        clusterBy)
       chan.close(); raf.close()
       GcolFileCommitted(rel)
     }
@@ -780,7 +998,12 @@ object ColumnarFormat {
       case LongType | TimestampType | TimestampNTZType =>
         java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
       case DoubleType =>
-        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+        // SQL zero equality: -0.0 ties with 0.0, so neither counts as
+        // "provably before" the other (NaN never reaches here — NaN
+        // segments have no zone map and the caller already bailed)
+        def z(d: Double): Double = if (d == 0.0) 0.0 else d
+        java.lang.Double.compare(z(a.asInstanceOf[Double]),
+          z(b.asInstanceOf[Double]))
       case _ =>
         UTF8String.fromString(a.asInstanceOf[String])
           .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
@@ -794,6 +1017,33 @@ object ColumnarFormat {
       }
       provablyBefore < n // keep iff the block can still reach the top n
     }.map(parts).toArray
+  }
+
+  /** Option-shaped fieldIndex (StructType.getFieldIndex is private[sql]). */
+  def fieldIdx(schema: StructType, name: String): Option[Int] = {
+    val i = schema.fields.indexWhere(_.name == name)
+    if (i < 0) None else Some(i)
+  }
+
+  /** Deterministic total order over footer-carried values of one type —
+    * used to freeze the key-group partition order (driver metadata
+    * scale only; cluster keys are null-free by the purity invariant).
+    */
+  def anyOrdering(dt: DataType): Ordering[Any] = new Ordering[Any] {
+    override def compare(a: Any, b: Any): Int = dt match {
+      case IntegerType | DateType =>
+        Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case DoubleType =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case StringType =>
+        UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+      case BooleanType =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case _ => 0
+    }
   }
 
   /** Footer-answerable aggregates (ungrouped, unfiltered). */
@@ -842,7 +1092,8 @@ object ColumnarFormat {
     def lens: Array[Long] = cols.map(_.len)
   }
   case class Footer(schema: StructType, blockList: Seq[BlockMeta],
-                    codec: String = "none") {
+                    codec: String = "none",
+                    clusterBy: Option[String] = None) {
     def blocks: Seq[BlockView] = blockList.zipWithIndex.map { case (b, _) =>
       BlockView(b.rows, b.cols.map(_.off), b.cols.map(_.len), b.cols)
     }
@@ -902,10 +1153,12 @@ object ColumnarFormat {
   // ---- footer ---------------------------------------------------------
 
   def writeFooter(chan: java.nio.channels.FileChannel, schema: StructType,
-                  blocks: Seq[BlockMeta], codec: String = "none"): Unit = {
+                  blocks: Seq[BlockMeta], codec: String = "none",
+                  clusterBy: Option[String] = None): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("schema", schema.json)
     root.put("codec", codec)
+    clusterBy.foreach(root.put("clusterBy", _))
     val arr: ArrayNode = root.putArray("blocks")
     blocks.foreach { b =>
       val bn = arr.addObject()
@@ -954,6 +1207,9 @@ object ColumnarFormat {
         .asInstanceOf[StructType]
       val codec =
         if (root.has("codec")) root.get("codec").asText() else "none"
+      val clusterBy =
+        if (root.has("clusterBy")) Some(root.get("clusterBy").asText())
+        else None
       val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
       root.get("blocks").forEach { bn =>
         val cols = scala.collection.mutable.ArrayBuffer.empty[ColMeta]
@@ -980,7 +1236,7 @@ object ColumnarFormat {
         }
         blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
       }
-      Footer(schema, blocks.toSeq, codec)
+      Footer(schema, blocks.toSeq, codec, clusterBy)
     } finally raf.close()
   }
 
@@ -1022,10 +1278,12 @@ object ColumnarFormat {
     * row can satisfy `f`. Unknown shapes answer true.
     */
   def mayMatch(schema: StructType, blk: BlockView, f: Filter): Boolean = {
-    def col(name: String): Option[(ColMeta, DataType)] = {
-      val i = schema.fieldIndex(name)
-      Some((blk.cols(i), schema.fields(i).dataType))
-    }
+    // getFieldIndex, not fieldIndex: a filter column missing from an
+    // older file's footer schema must fall through to `case None =>
+    // true` (block conservatively kept), not fail planning
+    def col(name: String): Option[(ColMeta, DataType)] =
+      fieldIdx(schema, name).map(i =>
+        (blk.cols(i), schema.fields(i).dataType))
     // three-way compare of zone bound vs literal in the column's domain
     def cmp(bound: Any, v: Any, dt: DataType): Option[Int] = dt match {
       case IntegerType | LongType =>
@@ -1038,10 +1296,15 @@ object ColumnarFormat {
           case _ => None // fractional literal vs integral column: keep block
         }
       case DoubleType =>
-        val b = bound.asInstanceOf[Double]
+        // SQL treats -0.0 = 0.0 but Double.compare orders -0.0 < 0.0;
+        // normalize both sides so a block holding only -0.0 is never
+        // pruned for `= 0.0` (NaN segments carry no zone map at all —
+        // BlockEncoder omits min/max when any NaN is present)
+        def z(d: Double): Double = if (d == 0.0) 0.0 else d
+        val b = z(bound.asInstanceOf[Double])
         v match {
-          case d: Double => Some(java.lang.Double.compare(b, d))
-          case fl: Float => Some(java.lang.Double.compare(b, fl.toDouble))
+          case d: Double => Some(java.lang.Double.compare(b, z(d)))
+          case fl: Float => Some(java.lang.Double.compare(b, z(fl.toDouble)))
           case i: Int => Some(java.lang.Double.compare(b, i.toDouble))
           case l: Long => Some(java.lang.Double.compare(b, l.toDouble))
           case _ => None
@@ -1065,7 +1328,11 @@ object ColumnarFormat {
                 case (Some(cl), Some(ch)) => test(cl, ch)
                 case _ => true
               }
-            case _ => false // all-null column: no non-null row can match
+            // stats absent: prunable ONLY when provably all-null (a
+            // NaN-bearing double segment also carries no zone map and
+            // must be kept — range predicates can still match its
+            // non-NaN rows)
+            case _ => c.nullCount != blk.rows
           }
         case None => true
       }
@@ -1260,6 +1527,11 @@ object ColumnarFormat {
                 else math.max(o.asInstanceOf[Int], v)))
             case DoubleType =>
               val v = dbls(i)(r)
+              // parquet convention: a segment containing NaN gets NO
+              // zone map at all — NaN poisons the min/max ordering
+              // (Double.compare puts it greatest) and would silently
+              // prune blocks whose real values match
+              if (java.lang.Double.isNaN(v)) return None
               out = Some(out.fold(v)(o => if (wantMin) math.min(o.asInstanceOf[Double], v)
                 else math.max(o.asInstanceOf[Double], v)))
             case StringType =>

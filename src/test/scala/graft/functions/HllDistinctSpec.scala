@@ -38,6 +38,20 @@ class HllDistinctSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(est(withNulls) == est(nonNull), "nulls entered the sketch")
   }
 
+  test("empty relation and all-null input report ZERO distinct, not the raw-HLL floor") {
+    import spark.implicits._
+    // an untouched buffer is uniquely the zero-distinct state (any
+    // non-null update sets a register to rho >= 1); without the guard
+    // the readout is alpha*m ~ 183.9 for zero rows
+    val empty = spark.range(0).select($"id".as("v"))
+    assert(est(empty) == 0.0, "empty relation must estimate 0 distinct")
+    val allNull = spark.range(100).select(lit(null).cast("long").as("v"))
+    assert(est(allNull) == 0.0, "all-null input must estimate 0 distinct")
+    // and one real value flips it off zero
+    val one = spark.range(1).select($"id".as("v"))
+    assert(est(one) > 0.0)
+  }
+
   test("agrees with a from-first-principles register replay") {
     import spark.implicits._
     val n = 5000L

@@ -103,6 +103,25 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"shuffle below the bucketed join:\n$below")
   }
 
+  test("q328: the storage-partitioned gcol join plans ZERO exchanges below the join") {
+    // the q328 query executes eagerly inside its conf window and returns
+    // a local relation, so the guard inspects the factored-out frame
+    // under the same confs (Layout.withSpjConfs)
+    graft.ops.Layout.withSpjConfs(spark) {
+      val df = graft.ops.Layout.gcolSpjFrame(spark, dir)
+      val p = df.queryExecution.sparkPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SortMergeJoin:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(bkt"),
+        s"the cluster key was shuffled — KeyGroupedPartitioning lost:\n$p")
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange"),
+        s"shuffle below the storage-partitioned join:\n$below")
+      // both scans must be the gcol source reporting the key grouping
+      assert("graft-columnar".r.findAllIn(p).size >= 2, s"not both gcol:\n$p")
+    }
+  }
+
   test("q66: the eval side of the decontamination join is the broadcast build") {
     val (_, p) = plan("q66_decontamination")
     // eval is the join's LEFT input, so the hinted broadcast must plan as

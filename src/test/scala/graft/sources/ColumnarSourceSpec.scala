@@ -372,6 +372,215 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally stream.stop()
   }
 
+  // ---- round-15: key-grouped layout + zone-map special values ---------
+
+  private def noShuffle(df: DataFrame): Boolean =
+    collectAll(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty
+
+  /** No shuffle exchange anywhere in the JOIN's subtree — the final
+    * SinglePartition merge of an ungrouped aggregate above it is not a
+    * data shuffle and is allowed.
+    */
+  private def joinSubtreeShuffleFree(df: DataFrame): Boolean = {
+    val joins = collectAll(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    joins.nonEmpty && joins.forall(j => collectAll(j) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("clusterBy write cuts pure blocks and records the cluster column") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 5000).select(($"id" % 16).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dir)
+    val files = ColumnarFormat.listFiles(dir)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ft = ColumnarFormat.readFooter(f)
+      assert(ft.clusterBy === Some("g"), "footer lost the cluster column")
+      val gi = ft.schema.fieldIndex("g")
+      ft.blocks.foreach { b =>
+        val c = b.cols(gi)
+        assert(c.nullCount === 0 && c.min.isDefined && c.min === c.max,
+          s"impure block in $f: min=${c.min} max=${c.max}")
+      }
+    }
+    // and the data round-trips
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.count() === 5000)
+    assert(back.agg(sum("k")).collect().head.getLong(0) ===
+      (0L until 5000L).sum)
+  }
+
+  test("clustered scan reports KeyGroupedPartitioning: groupBy elides its exchange") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 8000).select(($"id" % 16).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dir)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.read.format("graft-columnar").load(dir)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      val rows = agg.collect()
+      assert(rows.length === 16)
+      assert(rows.map(_.getLong(1)).sum === 8000L)
+      assert(noShuffle(agg),
+        s"groupBy on the cluster key still shuffles:\n${agg.queryExecution}")
+    }
+    // DOCUMENTED ENGINE BEHAVIOR: the aggregation-side elision does not
+    // require the v2 bucketing conf (only JOIN co-partition alignment
+    // does) — the reported KeyGroupedPartitioning satisfies the
+    // aggregate's ClusteredDistribution directly
+    val agg2 = spark.read.format("graft-columnar").load(dir)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(agg2.collect().length === 16)
+    assert(noShuffle(agg2),
+      "engine behavior changed: aggregate elision now gated by v2 bucketing conf")
+  }
+
+  test("storage-partitioned join: zero exchanges, same result as the shuffled plan") {
+    import spark.implicits._
+    val dirA = tmp(); val dirB = tmp()
+    val a = spark.range(0, 6000).select(($"id" % 8).cast(IntegerType).as("g"),
+      $"id".as("k"), ($"id" * 3).as("va"))
+    val b = spark.range(0, 6000, 2).select(($"id" % 8).cast(IntegerType).as("g"),
+      $"id".as("k"), ($"id" * 7).as("vb"))
+    a.write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dirA)
+    b.write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dirB)
+    val expected = a.join(b.withColumnRenamed("g", "g2"),
+      Seq("k")).agg(sum($"va" + $"vb")).collect().head.getLong(0)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val ra = spark.read.format("graft-columnar").load(dirA)
+      val rb = spark.read.format("graft-columnar").load(dirB)
+      val j = ra.join(rb, ra("g") === rb("g") && ra("k") === rb("k"))
+        .agg(sum(ra("va") + rb("vb")).as("s"))
+      assert(j.collect().head.getLong(0) === expected,
+        "storage-partitioned join changed the result")
+      assert(joinSubtreeShuffleFree(j),
+        s"SPJ still shuffles:\n${j.queryExecution.executedPlan}")
+    }
+  }
+
+  test("runtime/static pruning under key grouping keeps the partition skeleton") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 4000).select(($"id" % 8).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dir)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // a static filter that kills 6 of 8 groups: results stay exact and
+      // the aggregate still runs shuffle-free on the surviving skeleton
+      val agg = spark.read.format("graft-columnar").load(dir)
+        .filter($"g" < 2).groupBy("g").agg(count(lit(1)).as("n"))
+      val rows = agg.collect().sortBy(_.getInt(0))
+      assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1))
+      assert(rows.forall(_.getLong(1) === 500L))
+      assert(noShuffle(agg))
+      val scan = gcolScan(agg)
+      assert(scan.plannedBlocks < scan.totalBlocks,
+        "zone maps stopped pruning under key grouping")
+    }
+  }
+
+  test("NaN double segments carry no zone map and are never pruned (no row loss)") {
+    import spark.implicits._
+    val dir = tmp()
+    // block 0: plain values; block 1: values + NaN (sorted write, 1000/block)
+    spark.range(0, 2000).select($"id".as("k"),
+        when($"id" === 1500, lit(Double.NaN))
+          .otherwise($"id".cast(DoubleType)).as("d"))
+      .orderBy("k").repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val files = ColumnarFormat.listFiles(dir)
+    val ft = ColumnarFormat.readFooter(files.head)
+    val di = ft.schema.fieldIndex("d")
+    assert(ft.blocks.exists(_.cols(di).min.isEmpty),
+      "NaN-bearing segment still wrote a zone map")
+    assert(ft.blocks.exists(_.cols(di).min.isDefined),
+      "clean segment lost its zone map")
+    // equality and range filters over the NaN block's range: exact rows
+    val eq = spark.read.format("graft-columnar").load(dir)
+      .filter($"d" === 1400.0)
+    assert(eq.count() === 1, "row lost next to a NaN (equality)")
+    val lt = spark.read.format("graft-columnar").load(dir)
+      .filter($"d" >= 1200.0 && $"d" < 1300.0)
+    assert(lt.count() === 100, "rows lost next to a NaN (range)")
+    // MIN/MAX over the NaN table must NOT be footer-answered
+    val agg = spark.read.format("graft-columnar").load(dir)
+      .agg(min("d").as("mn"), max("d").as("mx"))
+    val r = agg.collect().head
+    val scan = gcolScan(agg)
+    assert(!scan.aggregated,
+      "MIN/MAX was footer-answered despite a NaN segment")
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1).isNaN, "engine max semantics: NaN is greatest")
+  }
+
+  test("a block holding only -0.0 is kept for = 0.0 (SQL zero equality)") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 2000).select($"id".as("k"),
+        when($"id" < 1000, lit(-0.0)).otherwise(lit(5.0)).as("d"))
+      .orderBy("k").repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val eq = spark.read.format("graft-columnar").load(dir)
+      .filter($"d" === 0.0)
+    assert(eq.count() === 1000,
+      "-0.0 block pruned for = 0.0: zone-map compare must use SQL zero equality")
+  }
+
+  test("mayMatch keeps blocks when the filter column is absent from a file's schema") {
+    import org.apache.spark.sql.sources.{EqualTo, IsNull}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val blk = ColumnarFormat.BlockView(10, Array(0L), Array(80L),
+      Array(ColumnarFormat.ColMeta(0L, 80L, 0, Some(1L), Some(9L))))
+    assert(ColumnarFormat.mayMatch(schema, blk, EqualTo("missing", 5L)),
+      "filter on a column absent from this file must keep the block")
+    assert(ColumnarFormat.mayMatch(schema, blk, IsNull("missing")))
+    assert(!ColumnarFormat.mayMatch(schema, blk, EqualTo("k", 99L)),
+      "zone maps must still prune on present columns")
+  }
+
+  test("data file names carry a per-job uid so appends never collide") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-columnar")
+      .mode("overwrite").save(dir)
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-columnar")
+      .mode("append").save(dir)
+    val names = ColumnarFormat.listFiles(dir).map(_.getFileName.toString)
+    assert(names.size === 2)
+    val pat = "part-\\d+-\\d+-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\\.gcol".r
+    names.foreach(n => assert(pat.matches(n), s"unexpected file name $n"))
+    assert(spark.read.format("graft-columnar").load(dir).count() === 2)
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
