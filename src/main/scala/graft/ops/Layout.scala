@@ -641,6 +641,66 @@ object Layout {
     }
   }
 
+  private val gcolMergeOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Customer in graft-columnar, key-sorted into 4 files (tight disjoint
+    * custkey ranges per file), with the q62 change classes MERGED in via
+    * GcolRowOps.merge — the copy-on-write row-level rung. Built once per
+    * (jvm, sf dir); the merge itself is the fixture's point: affected
+    * files are found by a metadata range join, only they are rewritten,
+    * inserts (+1e9 keys, outside every file range) land as new rows.
+    */
+  private[graft] def ensureGcolMerged(s: SparkSession, dir: String): String =
+    gcolMergeOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_merge")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      base.repartitionByRange(4, $"c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      // the q62 change classes in one batch: update %10 (+100 bal),
+      // delete %7∧¬%10, insert %13 as shifted keys (U with no match)
+      val changes = base.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey", lit("U").as("op"),
+          lit(null).cast(StringType).as("new_name"),
+          ($"c_acctbal" + 100.0).as("new_bal"))
+        .unionAll(base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+          .select($"c_custkey", lit("D").as("op"),
+            lit(null).cast(StringType).as("new_name"),
+            lit(null).cast(DoubleType).as("new_bal")))
+        .unionAll(base.filter($"c_custkey" % 13 === 0)
+          .select(($"c_custkey" + 1000000000L).as("c_custkey"),
+            lit("U").as("op"),
+            concat(lit("Customer#new"), $"c_custkey".cast(StringType))
+              .as("new_name"),
+            lit(1000.0).as("new_bal")))
+      graft.sources.GcolRowOps.merge(s, out, changes, "c_custkey",
+        Map("c_name" -> "new_name", "c_acctbal" -> "new_bal"))
+      out
+    })
+
+  // q329: MERGE INTO a graft-columnar table by copy-on-write — row-level
+  // operations on the library's own format (GcolRowOps.merge): the
+  // change keys range-join against BROADCAST footer ranges to pick the
+  // affected files (metadata-sized work), only those files' rows are
+  // re-read (the scan's `files` option) and rewritten through the q62
+  // full-outer change algebra, and the commit moves uid-named files in,
+  // drops the replaced ones, and journals the delta once
+  // (ColumnarSourceSpec pins the exactly-once journal append and that
+  // unaffected files survive byte-identical). Oracle: the q105 change
+  // algebra in pure SQL over the parquet twin — a storage-level merge
+  // must equal the logical merge exactly. Determinism: bal + 100.0 is
+  // one exact IEEE add on both engines (q105 precedent); no other
+  // arithmetic touches the hash.
+  // Scale shape: cost is churn + affected-files, never table-sized —
+  // the CoW contract that makes daily upserts affordable at 100 TB.
+  private def gcolMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureGcolMerged(s, dir)
+    s.read.format("graft-columnar").load(path).orderBy("c_custkey")
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -665,6 +725,7 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_gcol_merge" -> (gcolMerge _),
     "q328_gcol_spj_join" -> (gcolSpjJoin _),
     "q327_columnar_topn" -> (columnarTopN _),
     "q326_metadata_agg" -> (columnarMetadataAgg _),
@@ -715,6 +776,28 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the q105 change algebra in pure SQL (table/TableOps.scala twin):
+    // a storage-level copy-on-write merge must equal the logical merge
+    "q329_gcol_merge" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |del AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0),
+        |survivors AS (
+        |  SELECT c.c_custkey, c.c_name,
+        |         coalesce(u.new_bal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c
+        |  LEFT JOIN upd u USING (c_custkey)
+        |  LEFT JOIN del d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL)
+        |SELECT c_custkey, c_name, c_acctbal FROM survivors
+        |UNION ALL
+        |SELECT c_custkey + 1000000000,
+        |       'Customer#new' || CAST(c_custkey AS VARCHAR), 1000.0::DOUBLE
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "q328_gcol_spj_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)

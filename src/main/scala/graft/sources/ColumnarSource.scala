@@ -134,7 +134,12 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GcolScanBuilder(dir, tblSchema)
+    new GcolScanBuilder(dir, tblSchema,
+      // `files`: comma-separated RELATIVE names restricting the scan to a
+      // subset of the directory's data files — the hook GcolRowOps uses
+      // to rewrite ONLY the copy-on-write-affected files
+      Option(options.get("files")).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSet))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GcolWriteBuilder(dir, info.schema(),
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
@@ -147,7 +152,8 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
 // read path
 // ---------------------------------------------------------------------
 
-private[sources] class GcolScanBuilder(dir: String, full: StructType)
+private[sources] class GcolScanBuilder(dir: String, full: StructType,
+                                       filesOpt: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -277,7 +283,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
       case ColumnarFormat.AggMax(c, _) => c
     }.distinct
     if (mmCols.nonEmpty) {
-      val answerable = ColumnarFormat.listFiles(dir).forall { f =>
+      val answerable = ColumnarFormat.scopedFiles(dir, filesOpt).forall { f =>
         val ft = ColumnarFormat.readFooter(f)
         mmCols.forall { c =>
           ColumnarFormat.fieldIdx(ft.schema, c) match {
@@ -295,7 +301,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType)
   }
 
   override def build(): Scan =
-    new GcolScan(dir, required, accepted, pushedAgg, limit, topN)
+    new GcolScan(dir, required, accepted, pushedAgg, limit, topN, filesOpt)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
@@ -304,7 +310,8 @@ class GcolScan private[sources] (
     dir: String, required: StructType, filters: Array[Filter],
     aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None,
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    filesOpt: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -369,7 +376,7 @@ class GcolScan private[sources] (
         }
         if ((wantMin && cmp <= 0) || (!wantMin && cmp >= 0)) c else cand
     }
-    ColumnarFormat.listFiles(dir).foreach { f =>
+    ColumnarFormat.scopedFiles(dir, filesOpt).foreach { f =>
       val footer = ColumnarFormat.readFooter(f)
       footer.blocks.foreach { blk =>
         countStar += blk.rows
@@ -414,7 +421,7 @@ class GcolScan private[sources] (
   private lazy val keyGroups: Option[(String, DataType, Array[Any])] = {
     if (aggSpecs.nonEmpty || limit.nonEmpty || topN.nonEmpty) None
     else {
-      val files = ColumnarFormat.listFiles(dir)
+      val files = ColumnarFormat.scopedFiles(dir, filesOpt)
       if (files.isEmpty) None
       else {
         val footers = files.map(ColumnarFormat.readFooter)
@@ -488,7 +495,7 @@ class GcolScan private[sources] (
     val keyOf = scala.collection.mutable.AnyRefMap.empty[GcolBlockDesc, Any]
     var total = 0
     var kept = 0L
-    ColumnarFormat.listFiles(dir).foreach { f =>
+    ColumnarFormat.scopedFiles(dir, filesOpt).foreach { f =>
       lazy val footer = ColumnarFormat.readFooter(f)
       if (cap.forall(kept < _)) {
         required.fields.foreach(r => require(
@@ -514,7 +521,9 @@ class GcolScan private[sources] (
     val out = topN match {
       case Some((colName, asc, n))
           if runtimeFilters.isEmpty && filters.isEmpty =>
-        ColumnarFormat.topNPrune(dir, all.toArray, colName, asc, n)
+        ColumnarFormat.topNPrune(
+          ColumnarFormat.scopedFiles(dir, filesOpt), all.toArray,
+          colName, asc, n)
       case _ => all.toArray
     }
     totalBlocks = total
@@ -969,12 +978,12 @@ object ColumnarFormat {
     * driver-side block stats — fine at metadata scale; switch to
     * sort + prefix sums if B ever reaches millions.
     */
-  def topNPrune(dir: String, parts: Array[GcolBlockDesc],
+  def topNPrune(files: Seq[Path], parts: Array[GcolBlockDesc],
                 colName: String, asc: Boolean, n: Int): Array[GcolBlockDesc] = {
     case class BS(rows: Int, min: Any, max: Any, nulls: Int)
     val stats = scala.collection.mutable.ArrayBuffer.empty[BS]
     var dt: DataType = null
-    listFiles(dir).foreach { f =>
+    files.foreach { f =>
       val ft = readFooter(f)
       if (!ft.schema.fieldNames.contains(colName)) return parts
       val i = ft.schema.fieldIndex(colName)
@@ -1017,6 +1026,21 @@ object ColumnarFormat {
       }
       provablyBefore < n // keep iff the block can still reach the top n
     }.map(parts).toArray
+  }
+
+  /** The scan's file universe: the whole directory, or the `files`
+    * option's named subset (GcolRowOps' copy-on-write rewrite hook).
+    */
+  def scopedFiles(dir: String, only: Option[Set[String]]): Seq[Path] = {
+    val all = listFiles(dir)
+    only match {
+      case Some(names) =>
+        val sel = all.filter(f => names.contains(f.getFileName.toString))
+        require(sel.size == names.size,
+          s"files option names ${names.size} files, found ${sel.size} in $dir")
+        sel
+      case None => all
+    }
   }
 
   /** Option-shaped fieldIndex (StructType.getFieldIndex is private[sql]). */

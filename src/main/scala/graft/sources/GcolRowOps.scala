@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Row-level operations on a graft-columnar directory: MERGE (and its
+  * DELETE convenience) as distributed COPY-ON-WRITE of the affected
+  * files — the row-mutation rung the DSv2 connector was missing beside
+  * the transactional VersionedTable (table/VersionedTable.scala, whose
+  * q62/q105 full-outer change algebra this reuses verbatim).
+  *
+  * The change contract is q62's (ops/Relational.scala): `changes` carries
+  * the key column, an `op` column (`"U"` patches or inserts, `"D"`
+  * deletes), and one patch column per updatable table column (`patch:
+  * tableCol -> changesCol`); a `"U"` whose key is absent from the table
+  * inserts a row built from the patch columns (unpatched columns NULL).
+  *
+  * How it scales (the copy-on-write discipline, Iceberg/Delta CoW shape):
+  *
+  *   1. '''Affected files by METADATA''' — each file's footer yields a
+  *      (path, key_min, key_max) range row; the distinct change keys
+  *      range-join against a BROADCAST of those O(files) rows, so
+  *      finding the rewrite set costs one pass over the churn-sized
+  *      change set, never a table scan. Only the affected path LIST
+  *      (bounded by file count) is collected. Files whose key segment
+  *      lacks a zone map are conservatively affected.
+  *   2. '''Rewrite only what changed''' — the surviving rows are read
+  *      through the connector's `files` option (a scan scoped to the
+  *      affected subset; pruning/vectorization all still apply), merged
+  *      full-outer with the changes (one shuffle over churn + affected
+  *      rows), and written by the NORMAL gcol writer into a scratch
+  *      directory — preserving the table's codec and clusterBy layout.
+  *      A key in an unaffected file would contradict its zone map, so
+  *      joining changes against only the affected rows is complete.
+  *   3. '''Publish''' — new files MOVE into the table (names carry the
+  *      job uid, collision-free), replaced files are deleted, and the
+  *      journal appends the new names once. Batch readers see the new
+  *      state; a STREAMING reader over the journal sees rewritten files
+  *      as fresh arrivals (the Delta `ignoreChanges` contract — CoW
+  *      cannot retract already-delivered rows from an append log).
+  *      Single-writer contract, like the format's overwrite path; the
+  *      transactional multi-writer story lives in VersionedTable.
+  */
+object GcolRowOps {
+
+  /** MERGE `changes` into the gcol table at `dir`; returns the relative
+    * names of the files the commit published (exactly the journal
+    * delta, which ColumnarSourceSpec pins as exactly-once).
+    */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+            key: String, patch: Map[String, String]): Seq[String] = {
+    val all = ColumnarFormat.listFiles(dir)
+    require(all.nonEmpty, s"no gcol table at $dir")
+    val headFooter = ColumnarFormat.readFooter(all.head)
+    val schema = headFooter.schema
+    require(schema.fieldNames.contains(key), s"key `$key` not in table")
+
+    // 1) affected files: change keys range-joined vs broadcast footer
+    //    ranges (file-level min/max over the key's block zone maps)
+    val ranges = all.map { f =>
+      val ft = ColumnarFormat.readFooter(f)
+      val ki = ft.schema.fieldIndex(key)
+      val mins = ft.blocks.flatMap(_.cols(ki).min)
+      val maxs = ft.blocks.flatMap(_.cols(ki).max)
+      val conservative = ft.blocks.exists(b =>
+        b.cols(ki).min.isEmpty && b.cols(ki).nullCount < b.rows)
+      (f.getFileName.toString,
+        if (mins.isEmpty) None
+        else Some((mins.min(ColumnarFormat.anyOrdering(
+          ft.schema.fields(ki).dataType)),
+          maxs.max(ColumnarFormat.anyOrdering(
+            ft.schema.fields(ki).dataType)))),
+        conservative)
+    }
+    val alwaysAffected = ranges.collect {
+      case (n, None, _) => n
+      case (n, _, true) => n
+    }.toSet
+    val rangeRows = ranges.collect { case (n, Some((mn, mx)), false) =>
+      org.apache.spark.sql.Row(n, mn, mx)
+    }
+    val keyField = schema.fields(schema.fieldIndex(key))
+    val rangeSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("_gcol_path",
+        org.apache.spark.sql.types.StringType),
+      keyField.copy(name = "_gcol_kmin"), keyField.copy(name = "_gcol_kmax")))
+    val rangeDf = spark.createDataFrame(
+      java.util.Arrays.asList(rangeRows: _*), rangeSchema)
+    val rangeAffected =
+      if (rangeRows.isEmpty) Seq.empty[String]
+      else changes.select(col(key)).distinct()
+        .join(broadcast(rangeDf),
+          col(key) >= col("_gcol_kmin") && col(key) <= col("_gcol_kmax"))
+        .select("_gcol_path").distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by FILE count
+    val affected = (alwaysAffected ++ rangeAffected).toSeq.sorted
+
+    // 2) rewrite: surviving rows of the affected subset, q62 algebra
+    val current =
+      if (affected.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.format("graft-columnar")
+        .option("files", affected.mkString(",")).load(dir)
+    val merged = current.join(changes, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(schema.fields.map { f =>
+        if (f.name == key) col(key).cast(f.dataType).as(key)
+        else patch.get(f.name) match {
+          case Some(pc) =>
+            coalesce(col(pc), col(f.name)).cast(f.dataType).as(f.name)
+          case None => col(f.name).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+
+    // scratch write through the normal writer, same layout knobs
+    val scratch = Files.createTempDirectory("gcol_merge").toString
+    val w = merged.write.format("graft-columnar").mode("overwrite")
+    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
+    val w3 = if (headFooter.codec == "none") w2
+      else w2.option("codec", headFooter.codec)
+    w3.save(scratch)
+
+    // 3) publish: move new files in (uid names never collide), drop the
+    //    replaced files, journal the new names once
+    val root = Paths.get(dir)
+    val newRel = ColumnarFormat.listFiles(scratch).map { src =>
+      val rel = src.getFileName.toString
+      Files.move(src, root.resolve(rel))
+      rel
+    }
+    affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    if (newRel.nonEmpty)
+      Files.write(root.resolve(ColumnarFormat.JournalName),
+        newRel.sorted.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    deleteDirQuiet(Paths.get(scratch))
+    newRel
+  }
+
+  /** DELETE rows matching `predicate` (a SQL expression over the table's
+    * columns): builds q62-style `"D"` changes from a scoped scan, then
+    * merges — the scan, not the driver, evaluates the predicate.
+    */
+  def delete(spark: SparkSession, dir: String, key: String,
+             predicate: String): Seq[String] = {
+    val victims = spark.read.format("graft-columnar").load(dir)
+      .filter(expr(predicate))
+      .select(col(key), lit("D").as("op"))
+    merge(spark, dir, victims, key, Map.empty)
+  }
+
+  private def deleteDirQuiet(d: Path): Unit = {
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+    }
+    Files.deleteIfExists(d)
+  }
+}

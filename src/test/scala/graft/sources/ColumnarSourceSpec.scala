@@ -581,6 +581,108 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.format("graft-columnar").load(dir).count() === 2)
   }
 
+  test("files option scopes the scan to the named subset") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 4000).select($"id".as("k"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val names = ColumnarFormat.listFiles(dir).map(_.getFileName.toString)
+    assert(names.size === 4)
+    val two = spark.read.format("graft-columnar")
+      .option("files", names.take(2).mkString(",")).load(dir)
+    assert(two.count() === 2000)
+    intercept[Exception] {
+      spark.read.format("graft-columnar")
+        .option("files", "no-such-file.gcol").load(dir).count()
+    }
+  }
+
+  test("copy-on-write merge: affected files rewritten, others byte-identical, journal appended once") {
+    import spark.implicits._
+    val dir = tmp()
+    // 4 key-sorted files of 1000 rows each; changes touch ONLY file 0's
+    // range (keys < 1000) plus a brand-new insert key
+    spark.range(0, 4000).select($"id".as("k"),
+        ($"id" * 10).cast(DoubleType).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val before = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    val journalBefore = ColumnarFormat.journal(dir).size
+    val changes = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, "U", 999.0),
+      org.apache.spark.sql.Row(7L, "D", null),
+      org.apache.spark.sql.Row(99999L, "U", 1.5)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("op", StringType),
+        org.apache.spark.sql.types.StructField("new_v", DoubleType))))
+    val published = GcolRowOps.merge(spark, dir, changes, "k",
+      Map("v" -> "new_v"))
+    assert(published.nonEmpty)
+    val after = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    // the three files whose ranges the changes never touch are the SAME
+    // bytes; the affected file is gone, replaced by the published names
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size === 3, s"expected 3 untouched files: $before -> $after")
+    untouched.foreach(n => assert(before(n) === after(n), s"$n was rewritten"))
+    published.foreach(n => assert(after.contains(n)))
+    // journal appended the published names exactly once
+    val j = ColumnarFormat.journal(dir)
+    assert(j.size === journalBefore + published.size)
+    published.foreach(n => assert(j.count(_ == n) === 1))
+    // and the table content is the merged state
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.count() === 4000) // -1 delete +1 insert
+    assert(back.filter($"k" === 5L).collect().head.getDouble(1) === 999.0)
+    assert(back.filter($"k" === 7L).count() === 0)
+    assert(back.filter($"k" === 99999L).collect().head.getDouble(1) === 1.5)
+    assert(back.filter($"k" === 3999L).collect().head.getDouble(1) === 39990.0)
+  }
+
+  test("deleteWhere: predicate-built changes drop exactly the matching rows") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 3000).select($"id".as("k"),
+        ($"id" % 5).cast(IntegerType).as("g"))
+      .repartitionByRange(3, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    GcolRowOps.delete(spark, dir, "k", "g = 2")
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.count() === 2400)
+    assert(back.filter($"g" === 2).count() === 0)
+  }
+
+  test("merge preserves clusterBy layout: the rewritten table still key-groups") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 4000).select(($"id" % 8).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dir)
+    val changes = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(17L, "D")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("op", StringType))))
+    GcolRowOps.merge(spark, dir, changes, "k", Map.empty)
+    // every file still declares the cluster column with pure blocks
+    ColumnarFormat.listFiles(dir).foreach { f =>
+      val ft = ColumnarFormat.readFooter(f)
+      assert(ft.clusterBy === Some("g"), s"$f lost clusterBy through merge")
+    }
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.read.format("graft-columnar").load(dir)
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      assert(agg.collect().map(_.getLong(1)).sum === 3999L)
+      assert(noShuffle(agg), "merged table stopped key-grouping")
+    }
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
