@@ -701,6 +701,69 @@ object Layout {
     s.read.format("graft-columnar").load(path).orderBy("c_custkey")
   }
 
+  private val gcolDupEventsOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Events in graft-columnar with a REPLAYED duplicate wave: arrival 1
+    * is the full table, arrival 2 re-appends every event_id % 5 == 0 row
+    * (an at-least-once upstream retrying — the duplication pattern
+    * `dropDuplicatesWithinWatermark` exists for). The journal orders
+    * the two arrivals for the streaming read.
+    */
+  private[graft] def ensureGcolDupEvents(s: SparkSession, dir: String): String =
+    gcolDupEventsOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_events_dup")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      ev.write.format("graft-columnar").mode("overwrite").save(out)
+      ev.filter($"event_id" % 5 === 0)
+        .write.format("graft-columnar").mode("append").save(out)
+      out
+    })
+
+  // q330: STREAMING DEDUPLICATION, live — the row itself runs a real
+  // micro-batch query: readStream over the gcol journal (arrival 1 =
+  // all events, arrival 2 = an at-least-once replay of every 5th event),
+  // `withWatermark(ts) + dropDuplicatesWithinWatermark(event_id)`, the
+  // state-bounded streaming twin of exact dedup q20/q78. Survivors land
+  // in a scratch parquet via foreachBatch and the returned frame is
+  // their per-day census (count + exact event_id checksum — the
+  // checksum pins the surviving SET, not just its size). The oracle
+  // builds the same duplicated union in SQL and dedups it: live
+  // streaming == batch semantics, hash-checked (ColumnarSourceSpec
+  // additionally pins the two-arrival exactly-once path and that state
+  // EVICTS once the watermark passes). Determinism: duplicates are
+  // exact copies, so the surviving set is the distinct-event set
+  // regardless of which copy wins; integer epoch-day and id sums only.
+  // Scale shape: dedup state is bounded by the watermark delay × event
+  // rate, not corpus size — the property that makes streaming dedup
+  // viable at 100 TB/day; census is calendar-bounded.
+  private def streamDedupCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolDupEvents(s, dir)
+    val stage = Core.tmp("gcol_dedup_out")
+    val ckpt = Core.tmp("gcol_dedup_ckpt")
+    val q = s.readStream.format("graft-columnar").load(path)
+      // delay >> data span: nothing is late in the replayed-history
+      // demo, so live must equal batch EXACTLY; production tunes this
+      // to the real replay horizon and pays state for exactly that
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(stage); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(stage)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"event_id").as("id_sum"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+      .orderBy($"epoch_day")
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -725,6 +788,7 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_stream_dedup" -> (streamDedupCensus _),
     "q329_gcol_merge" -> (gcolMerge _),
     "q328_gcol_spj_join" -> (gcolSpjJoin _),
     "q327_columnar_topn" -> (columnarTopN _),
@@ -776,6 +840,20 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the duplicated union deduped in SQL: live streaming == batch
+    "q330_stream_dedup" ->
+      """WITH raw AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_id % 5 = 0),
+        |ded AS (SELECT DISTINCT event_id, ts, event_type FROM raw)
+        |SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM ded GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q105 change algebra in pure SQL (table/TableOps.scala twin):
     // a storage-level copy-on-write merge must equal the logical merge
     "q329_gcol_merge" ->

@@ -74,10 +74,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *            boolean bitmap | string int32 offsets (n+1) + UTF-8 bytes
   * }}}
   * The footer records schema, block row counts and per-(block, column)
-  * (offset, length, nullCount, min, max). Plain byte-aligned encodings
-  * — no general compression — keep the decode loop a straight
-  * `putLongs/putInts/putDoubles` memcpy into the vectors; the format's
-  * scale story is pruning + vectorization, not entropy coding.
+  * (offset, length, nullCount, min, max, encoding). Segments pick their
+  * encoding AUTOMATICALLY and size-gated: low-cardinality strings
+  * (<= 256 distinct) take a dictionary read back as a LAZY vector
+  * dictionary (parquet's trick — ids fill the vector, bytes materialize
+  * per consumed row), run-heavy int/long/date/timestamp columns take
+  * RLE (one bulk `putInts/putLongs` per run), everything else stays the
+  * plain byte-aligned memcpy layout. Zone maps are computed from VALUES
+  * before encoding, so pruning is encoding-independent, and `codec`
+  * compression composes on top of the encoded segment.
   *
   * Where that trade lands, MEASURED (FormatBench, paired interleaved
   * runs vs parquet on identical clustered lineitem, gcol_bench.json).
@@ -508,7 +513,8 @@ class GcolScan private[sources] (
             val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
             val desc = GcolBlockDesc(f.toString, blk.rows,
               idx.map(blk.offs), idx.map(blk.lens),
-              idx.map(j => blk.cols(j).rawLen), footer.codec)
+              idx.map(j => blk.cols(j).rawLen), footer.codec,
+              idx.map(j => blk.cols(j).enc))
             all += desc
             grouping.foreach { case (c, _, _) =>
               keyOf(desc) = blk.cols(footer.schema.fieldIndex(c)).min.get
@@ -609,7 +615,9 @@ class GcolScan private[sources] (
 private[sources] case class GcolBlockDesc(
     path: String, rows: Int,
     offs: Array[Long], lens: Array[Long], rawLens: Array[Long],
-    codec: String)
+    codec: String, encs: Array[String] = Array.empty) {
+  def encOf(i: Int): String = if (i < encs.length) encs(i) else "plain"
+}
 
 /** Common shape of a data-reading task: a pack of blocks plus the read
   * schema. The reader emits one ColumnarBatch per block.
@@ -949,7 +957,8 @@ private[sources] class GcolMicroBatchStream(
           val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
           Some(GcolBlockDesc(f.toString, blk.rows,
             idx.map(blk.offs), idx.map(blk.lens),
-            idx.map(j => blk.cols(j).rawLen), footer.codec))
+            idx.map(j => blk.cols(j).rawLen), footer.codec,
+            idx.map(j => blk.cols(j).enc)))
         } else None
       }
       if (descs.nonEmpty) // one task per journal file: batch-local unit
@@ -1108,7 +1117,7 @@ object ColumnarFormat {
 
   case class ColMeta(off: Long, len: Long, nullCount: Int,
                      min: Option[Any], max: Option[Any],
-                     raw: Long = -1L) {
+                     raw: Long = -1L, enc: String = "plain") {
     def rawLen: Long = if (raw < 0) len else raw
   }
   case class BlockMeta(rows: Int, cols: Array[ColMeta]) {
@@ -1192,6 +1201,7 @@ object ColumnarFormat {
         val o = cn.addObject()
         o.put("o", c.off); o.put("l", c.len); o.put("nn", c.nullCount)
         if (c.raw >= 0 && c.raw != c.len) o.put("rl", c.raw)
+        if (c.enc != "plain") o.put("e", c.enc)
         (c.min, c.max) match {
           case (Some(mn), Some(mx)) => f.dataType match {
             case IntegerType | DateType =>
@@ -1255,7 +1265,8 @@ object ColumnarFormat {
             }
           cols += ColMeta(cn.get("o").asLong(), cn.get("l").asLong(),
             cn.get("nn").asInt(), mm._1, mm._2,
-            if (cn.has("rl")) cn.get("rl").asLong() else cn.get("l").asLong())
+            if (cn.has("rl")) cn.get("rl").asLong() else cn.get("l").asLong(),
+            if (cn.has("e")) cn.get("e").asText() else "plain")
           i += 1
         }
         blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
@@ -1438,7 +1449,128 @@ object ColumnarFormat {
 
     def reset(): Unit = rows = 0
 
-    /** Encode + append every column segment; returns the block's meta. */
+    /** Fixed-width segment with an optional RLE alternative: null rows
+      * inherit the previous value so clustered/sorted columns collapse
+      * to a handful of runs. Chosen only when it SAVES bytes; zone maps
+      * are computed from the raw values either way, so pruning is
+      * encoding-independent.
+      */
+    private def encodeFixed(i: Int, width: Int,
+                            get: Int => Long): (ByteBuffer, String) = {
+      val bitmapLen = (rows + 7) / 8
+      // effective values: null rows repeat the previous value (stale
+      // buffer content must never leak into runs)
+      val eff = new Array[Long](rows)
+      var r = 0
+      var prev = 0L
+      while (r < rows) {
+        if (!nulls(i)(r)) prev = get(r)
+        eff(r) = prev
+        r += 1
+      }
+      var nRuns = if (rows == 0) 0 else 1
+      r = 1
+      while (r < rows) { if (eff(r) != eff(r - 1)) nRuns += 1; r += 1 }
+      val rleBytes = bitmapLen + 4 + nRuns * (4 + width)
+      val plainBytes = bitmapLen + width * rows
+      if (rows > 0 && rleBytes < plainBytes) {
+        val b = ByteBuffer.allocate(rleBytes).order(ByteOrder.LITTLE_ENDIAN)
+        putBitmap(b, nulls(i), rows)
+        b.putInt(nRuns)
+        var start = 0
+        r = 1
+        while (r <= rows) {
+          if (r == rows || eff(r) != eff(start)) {
+            b.putInt(r - start)
+            if (width == 8) b.putLong(eff(start)) else b.putInt(eff(start).toInt)
+            start = r
+          }
+          r += 1
+        }
+        (b, "rle")
+      } else {
+        val b = ByteBuffer.allocate(plainBytes).order(ByteOrder.LITTLE_ENDIAN)
+        putBitmap(b, nulls(i), rows)
+        r = 0
+        while (r < rows) {
+          if (width == 8) b.putLong(get(r)) else b.putInt(get(r).toInt)
+          r += 1
+        }
+        (b, "plain")
+      }
+    }
+
+    /** String segment with an optional dictionary alternative (<= 256
+      * distinct values, 1-byte codes): layout [bitmap][d:int32]
+      * [offsets int32*(d+1)][dict bytes][codes 1B*rows]. The reader
+      * decodes it as a LAZY vector dictionary (parquet's trick) — ids
+      * fill the vector, strings materialize only when actually read.
+      */
+    private def encodeString(i: Int): (ByteBuffer, String) = {
+      val bitmapLen = (rows + 7) / 8
+      var strBytes = 0
+      var r = 0
+      while (r < rows) {
+        if (!nulls(i)(r)) strBytes += strs(i)(r).length; r += 1
+      }
+      // attempt the dictionary: value-equality via UTF8String keys
+      val index = new java.util.LinkedHashMap[UTF8String, Integer]()
+      val codes = new Array[Int](rows)
+      var fits = rows > 0
+      r = 0
+      while (fits && r < rows) {
+        if (!nulls(i)(r)) {
+          val k = UTF8String.fromBytes(strs(i)(r))
+          var c = index.get(k)
+          if (c == null) {
+            if (index.size() >= 256) fits = false
+            else { c = index.size(); index.put(k, c) }
+          }
+          if (fits) codes(r) = c
+        }
+        r += 1
+      }
+      val d = index.size()
+      var dictBytes = 0
+      index.forEach((k, _) => dictBytes += k.numBytes())
+      val dictTotal = bitmapLen + 4 + 4 * (d + 1) + dictBytes + rows
+      val plainTotal = bitmapLen + 4 * (rows + 1) + strBytes
+      if (fits && dictTotal < plainTotal) {
+        val b = ByteBuffer.allocate(dictTotal).order(ByteOrder.LITTLE_ENDIAN)
+        putBitmap(b, nulls(i), rows)
+        b.putInt(d)
+        var acc = 0
+        b.putInt(0)
+        index.forEach((k, _) => { acc += k.numBytes(); b.putInt(acc) })
+        index.forEach((k, _) => b.put(k.getBytes))
+        r = 0
+        while (r < rows) { b.put(codes(r).toByte); r += 1 }
+        (b, "dict")
+      } else {
+        val b = ByteBuffer.allocate(plainTotal).order(ByteOrder.LITTLE_ENDIAN)
+        putBitmap(b, nulls(i), rows)
+        var acc = 0
+        b.putInt(0)
+        r = 0
+        while (r < rows) {
+          if (!nulls(i)(r)) acc += strs(i)(r).length
+          b.putInt(acc); r += 1
+        }
+        r = 0
+        while (r < rows) {
+          if (!nulls(i)(r)) b.put(strs(i)(r)); r += 1
+        }
+        (b, "plain")
+      }
+    }
+
+    /** Encode + append every column segment; returns the block's meta.
+      * Per-segment encoding is AUTOMATIC and size-gated: strings take a
+      * dictionary when <= 256 distinct values shrink the segment,
+      * int/long/date/timestamp take RLE when runs do; everything else
+      * (and every loser) stays the plain memcpy layout. The footer tags
+      * each segment, so old files (untagged = plain) read unchanged.
+      */
     def writeTo(chan: java.nio.channels.FileChannel,
                 codec: String = "none"): BlockMeta = {
       val metas = new Array[ColMeta](n)
@@ -1447,52 +1579,24 @@ object ColumnarFormat {
         val off = chan.position()
         val bitmapLen = (rows + 7) / 8
         val f = schema.fields(i)
-        val payload: ByteBuffer = f.dataType match {
+        val (payload: ByteBuffer, enc: String) = f.dataType match {
           case LongType | TimestampType | TimestampNTZType =>
-            val b = ByteBuffer.allocate(bitmapLen + 8 * rows)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            putBitmap(b, nulls(i), rows)
-            var r = 0; while (r < rows) { b.putLong(longs(i)(r)); r += 1 }
-            b
+            encodeFixed(i, 8, r => longs(i)(r))
           case IntegerType | DateType =>
-            val b = ByteBuffer.allocate(bitmapLen + 4 * rows)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            putBitmap(b, nulls(i), rows)
-            var r = 0; while (r < rows) { b.putInt(ints(i)(r)); r += 1 }
-            b
+            encodeFixed(i, 4, r => ints(i)(r).toLong)
           case DoubleType =>
             val b = ByteBuffer.allocate(bitmapLen + 8 * rows)
               .order(ByteOrder.LITTLE_ENDIAN)
             putBitmap(b, nulls(i), rows)
             var r = 0; while (r < rows) { b.putDouble(dbls(i)(r)); r += 1 }
-            b
+            (b, "plain")
           case BooleanType =>
             val b = ByteBuffer.allocate(bitmapLen * 2)
               .order(ByteOrder.LITTLE_ENDIAN)
             putBitmap(b, nulls(i), rows)
             putBitmap(b, bools(i), rows)
-            b
-          case StringType =>
-            var bytes = 0
-            var r = 0
-            while (r < rows) {
-              if (!nulls(i)(r)) bytes += strs(i)(r).length; r += 1
-            }
-            val b = ByteBuffer.allocate(bitmapLen + 4 * (rows + 1) + bytes)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            putBitmap(b, nulls(i), rows)
-            var acc = 0
-            b.putInt(0)
-            r = 0
-            while (r < rows) {
-              if (!nulls(i)(r)) acc += strs(i)(r).length
-              b.putInt(acc); r += 1
-            }
-            r = 0
-            while (r < rows) {
-              if (!nulls(i)(r)) b.put(strs(i)(r)); r += 1
-            }
-            b
+            (b, "plain")
+          case StringType => encodeString(i)
           case dt => throw new IllegalStateException(s"unreachable: $dt")
         }
         payload.flip()
@@ -1508,7 +1612,7 @@ object ColumnarFormat {
           while (cb.hasRemaining) chan.write(cb)
         }
         metas(i) = ColMeta(off, chan.position() - off, nullCountOf(i),
-          minOf(i), maxOf(i), rawLen.toLong)
+          minOf(i), maxOf(i), rawLen.toLong, enc)
         i += 1
       }
       BlockMeta(rows, metas)
@@ -1577,6 +1681,24 @@ object ColumnarFormat {
 
   // ---- block decode (executor side) ------------------------------------
 
+  /** RLE expansion into the vector: one bulk fill per run. */
+  private def decodeRleFixed(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      bytes: Array[Byte], bitmapLen: Int, width: Int): Unit = {
+    val buf = ByteBuffer.wrap(bytes, bitmapLen, bytes.length - bitmapLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val nRuns = buf.getInt()
+    var row = 0
+    var run = 0
+    while (run < nRuns) {
+      val len = buf.getInt()
+      if (width == 8) v.putLongs(row, len, buf.getLong())
+      else v.putInts(row, len, buf.getInt())
+      row += len
+      run += 1
+    }
+  }
+
   /** Read ONLY the partition's column byte ranges and fill on-heap
     * vectors; the bulk fills (`putLongs`/`putInts`/`putDoubles`) are the
     * little-endian memcpy overloads, so decode is byte-copy speed.
@@ -1601,11 +1723,14 @@ object ColumnarFormat {
           else decompress(part.codec, buf.array(), part.rawLens(i).toInt)
         val bitmapLen = (rows + 7) / 8
         val v = vectors(i)
+        val enc = part.encOf(i)
         schema.fields(i).dataType match {
           case LongType | TimestampType | TimestampNTZType =>
-            v.putLongs(0, rows, bytes, bitmapLen)
+            if (enc == "rle") decodeRleFixed(v, bytes, bitmapLen, width = 8)
+            else v.putLongs(0, rows, bytes, bitmapLen)
           case IntegerType | DateType =>
-            v.putInts(0, rows, bytes, bitmapLen)
+            if (enc == "rle") decodeRleFixed(v, bytes, bitmapLen, width = 4)
+            else v.putInts(0, rows, bytes, bitmapLen)
           case DoubleType =>
             v.putDoubles(0, rows, bytes, bitmapLen)
           case BooleanType =>
@@ -1614,6 +1739,31 @@ object ColumnarFormat {
               v.putBoolean(r, (bytes(bitmapLen + r / 8) & (1 << (r % 8))) != 0)
               r += 1
             }
+          case StringType if enc == "dict" =>
+            // lazy vector dictionary: ids fill now, string bytes
+            // materialize only when a row is actually read
+            val buf = ByteBuffer.wrap(bytes, bitmapLen,
+              bytes.length - bitmapLen).order(ByteOrder.LITTLE_ENDIAN)
+            val d = buf.getInt()
+            val offs = new Array[Int](d + 1)
+            var k = 0
+            while (k <= d) { offs(k) = buf.getInt(); k += 1 }
+            val dataStart = bitmapLen + 4 + 4 * (d + 1)
+            val dict = new Array[Array[Byte]](d)
+            k = 0
+            while (k < d) {
+              dict(k) = java.util.Arrays.copyOfRange(bytes,
+                dataStart + offs(k), dataStart + offs(k + 1))
+              k += 1
+            }
+            val codeStart = dataStart + offs(d)
+            val ids = v.reserveDictionaryIds(rows)
+            var r = 0
+            while (r < rows) {
+              ids.putInt(r, bytes(codeStart + r) & 0xFF)
+              r += 1
+            }
+            v.setDictionary(new GcolBinaryDictionary(dict))
           case StringType =>
             val offs = ByteBuffer.wrap(bytes, bitmapLen, 4 * (rows + 1))
               .order(ByteOrder.LITTLE_ENDIAN)
