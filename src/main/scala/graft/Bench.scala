@@ -136,6 +136,11 @@ object Bench {
       ops.Layout.ensureOrcLineitem(spark, sfDir)
       ops.Layout.ensureColumnarLineitem(spark, sfDir)
       ops.Layout.ensureColumnarOrders(spark, sfDir)
+      ops.Layout.ensureGcolSpjPair(spark, sfDir)
+      ops.Layout.ensureGcolMerged(spark, sfDir)
+      ops.Layout.ensureGcolDupEvents(spark, sfDir)
+      ops.Layout.ensureGcolMorTable(spark, sfDir)
+      ops.Layout.ensureGcolSessionEvents(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

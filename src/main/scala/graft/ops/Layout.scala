@@ -764,6 +764,89 @@ object Layout {
       .orderBy($"epoch_day")
   }
 
+  private val gcolMorOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Customer in graft-columnar with the q62 delete class applied as a
+    * MERGE-ON-READ delete sidecar (GcolRowOps.deleteWhereMoR): no data
+    * file rewritten, the deleted keys live under `_gcol_deletes/`.
+    */
+  private[graft] def ensureGcolMorTable(s: SparkSession, dir: String): String =
+    gcolMorOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_mor")
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .repartitionByRange(4, $"c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      graft.sources.GcolRowOps.deleteWhereMoR(s, out, "c_custkey",
+        "c_custkey % 7 = 3 AND c_custkey % 10 != 0")
+      out
+    })
+
+  // q331: MERGE-ON-READ deletes on graft-columnar — the copy-on-write
+  // complement (q329 is CoW): a delete writes ONLY the churn-sized key
+  // sidecar (`_gcol_deletes/`, itself a gcol table invisible to the
+  // main scan) and every read subtracts it with a key anti-join until
+  // compaction folds it in — Iceberg v2's position/equality-delete
+  // trade, delete-heavy tables pay O(churn) writes instead of O(file)
+  // rewrites. The row reads through GcolRowOps.readMoR; the oracle is
+  // the survivor predicate in SQL. ColumnarSourceSpec pins the other
+  // halves SQL cannot see: the sidecar is invisible to the plain scan,
+  // compact() makes plain == MoR and clears the sidecar, and the
+  // anti-join build side is the delete set. Determinism: no arithmetic
+  // at all — key-predicate row selection only.
+  // Scale shape: the anti-join broadcasts the churn-sized delete set
+  // against the streamed table scan; read amplification is bounded by
+  // compaction cadence, the knob a 100-TB deployment tunes.
+  private def gcolMorRead(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureGcolMorTable(s, dir)
+    graft.sources.GcolRowOps.readMoR(s, path, "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  private val gcolSessEventsOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Events (user_id, ts) in graft-columnar plus a far-future SENTINEL
+    * arrival (user_id = -1): the closing tick that advances the final
+    * watermark past every real session's inactivity timer.
+    */
+  private[graft] def ensureGcolSessionEvents(s: SparkSession, dir: String): String =
+    gcolSessEventsOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_sess_events")
+      val ev = Tables.events(s, dir).select($"user_id", $"ts")
+      ev.write.format("graft-columnar").mode("overwrite").save(out)
+      ev.agg(max($"ts").as("m")).select(lit(-1L).as("user_id"),
+          ($"m" + expr("INTERVAL 3650 DAYS")).as("ts"))
+        .write.format("graft-columnar").mode("append").save(out)
+      out
+    })
+
+  // q332: EVENT-TIME TIMER sessionization, live — transformWithState
+  // with timers (streaming/TimerSessionizer.scala), the half of the
+  // arbitrary-state API no input row can drive: a session closes on
+  // INACTIVITY, so the emit happens in handleExpiredTimer when the
+  // WATERMARK passes `session end + 30 min`, not when data arrives.
+  // The row runs the real micro-batch query over the gcol journal
+  // (events + a sentinel closing tick) and returns every closed session
+  // (user, start, end, event count). Oracle: the classic lag/gap-break
+  // sessionization in SQL — timer-closed streaming sessions must equal
+  // the batch gap algorithm exactly. Determinism: epoch-micro integers
+  // only; within-batch rows are sorted per key before folding, and
+  // same-timestamp ties merge into one session under both algorithms.
+  // Scale shape: state = one (session, armed-expiry) pair per ACTIVE
+  // user (concurrent-user-bounded, never event-volume); timers fire by
+  // RocksDB expiry range scan, O(expired) not O(keys).
+  private def timerSessions(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureGcolSessionEvents(s, dir)
+    graft.streaming.TimerSessionizer
+      .sessions(s, path, "q332_timer_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_"))
+      .orderBy("user_id", "start_us")
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -788,6 +871,8 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_timer_sessions" -> (timerSessions _),
+    "q331_gcol_mor" -> (gcolMorRead _),
     "q330_stream_dedup" -> (streamDedupCensus _),
     "q329_gcol_merge" -> (gcolMerge _),
     "q328_gcol_spj_join" -> (gcolSpjJoin _),
@@ -840,6 +925,28 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // timer-closed streaming sessions == the batch lag/gap algorithm
+    "q332_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |                  OR t - lag(t) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, CAST(min(t) AS BIGINT) AS start_us,
+        |       CAST(max(t) AS BIGINT) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    // merge-on-read == the survivor predicate (no arithmetic at all)
+    "q331_gcol_mor" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 10 != 0)
+        |ORDER BY c_custkey""".stripMargin,
     // the duplicated union deduped in SQL: live streaming == batch
     "q330_stream_dedup" ->
       """WITH raw AS (

@@ -155,6 +155,56 @@ object GcolRowOps {
     merge(spark, dir, victims, key, Map.empty)
   }
 
+  /** Merge-on-read sidecar: deleted KEYS live under `_gcol_deletes/`
+    * (itself a gcol table, invisible to the main scan — listFiles only
+    * sees the table directory's own `*.gcol`). The MoR trade vs
+    * [[merge]]'s copy-on-write is Iceberg v2's: a delete WRITES only
+    * the churn-sized key list (no data file rewritten), and every READ
+    * pays a key anti-join until [[compact]] folds the sidecar back in
+    * — choose MoR for delete-heavy/read-light tables, CoW for the
+    * opposite. At scale the anti-join build side is the delete set:
+    * churn-sized, broadcast by the planner off the scan's reported
+    * statistics.
+    */
+  val DeletesSubdir = "_gcol_deletes"
+
+  private def deletesDir(dir: String): String =
+    Paths.get(dir).resolve(DeletesSubdir).toString
+
+  /** MoR DELETE: append the matching keys to the sidecar. No data file
+    * is touched — O(churn) write, zero read amplification until read.
+    */
+  def deleteWhereMoR(spark: SparkSession, dir: String, key: String,
+                     predicate: String): Unit = {
+    spark.read.format("graft-columnar").load(dir)
+      .filter(expr(predicate)).select(col(key))
+      .write.format("graft-columnar").mode("append").save(deletesDir(dir))
+  }
+
+  /** MoR READ: the table minus the sidecar keys (left anti join). */
+  def readMoR(spark: SparkSession, dir: String, key: String): DataFrame = {
+    val data = spark.read.format("graft-columnar").load(dir)
+    if (ColumnarFormat.listFiles(deletesDir(dir)).isEmpty) data
+    else data.join(
+      spark.read.format("graft-columnar").load(deletesDir(dir))
+        .select(col(key)).distinct(),
+      Seq(key), "left_anti")
+  }
+
+  /** Fold the delete sidecar into the data files (the CoW [[merge]]
+    * path does the rewrite) and clear it — after compaction the PLAIN
+    * scan equals the MoR read, and reads stop paying the anti-join.
+    */
+  def compact(spark: SparkSession, dir: String, key: String): Seq[String] = {
+    val dels = ColumnarFormat.listFiles(deletesDir(dir))
+    if (dels.isEmpty) return Nil
+    val changes = spark.read.format("graft-columnar").load(deletesDir(dir))
+      .select(col(key)).distinct().withColumn("op", lit("D"))
+    val published = merge(spark, dir, changes, key, Map.empty)
+    deleteDirQuiet(Paths.get(deletesDir(dir)))
+    published
+  }
+
   private def deleteDirQuiet(d: Path): Unit = {
     if (Files.isDirectory(d)) {
       val s = Files.list(d)

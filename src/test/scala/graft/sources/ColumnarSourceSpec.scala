@@ -832,6 +832,45 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("merge-on-read deletes: sidecar invisible to the plain scan, compaction converges") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 5000).select($"id".as("k"),
+        ($"id" * 2).cast(DoubleType).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val filesBefore = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    GcolRowOps.deleteWhereMoR(spark, dir, "k", "k % 10 = 3")
+    // no data file touched: byte-identical, and the PLAIN scan still
+    // sees every row (the sidecar is not part of the table listing)
+    val filesAfter = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    assert(filesAfter === filesBefore, "MoR delete rewrote a data file")
+    assert(spark.read.format("graft-columnar").load(dir).count() === 5000)
+    // the MoR read subtracts exactly the victims
+    val mor = GcolRowOps.readMoR(spark, dir, "k")
+    assert(mor.count() === 4500)
+    assert(mor.filter($"k" % 10 === 3).count() === 0)
+    // a second delete wave ACCUMULATES in the sidecar
+    GcolRowOps.deleteWhereMoR(spark, dir, "k", "k % 10 = 7")
+    val mor2 = GcolRowOps.readMoR(spark, dir, "k")
+    assert(mor2.count() === 4000)
+    // compaction folds the sidecar in: plain == MoR, sidecar cleared
+    val expected = mor2.orderBy("k").collect()
+    GcolRowOps.compact(spark, dir, "k")
+    assert(ColumnarFormat.listFiles(
+      dir + "/" + GcolRowOps.DeletesSubdir).isEmpty, "sidecar not cleared")
+    val plain = spark.read.format("graft-columnar").load(dir)
+    assert(plain.count() === 4000)
+    assert(plain.orderBy("k").collect().sameElements(expected),
+      "compacted table diverged from the MoR read")
+    // and a MoR read over the compacted table is the plain scan
+    assert(GcolRowOps.readMoR(spark, dir, "k").count() === 4000)
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
