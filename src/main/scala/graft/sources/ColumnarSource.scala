@@ -536,15 +536,34 @@ class GcolScan private[sources] (
     plannedBlocks = out.length
     grouping match {
       case Some((_, dt, vals)) =>
-        // one InputPartition per FROZEN cluster value, in frozen order
-        // — a key whose blocks were all pruned (statically or by a
-        // runtime filter) still yields an (empty) partition, so the
-        // reported KeyGroupedPartitioning stays valid while the IO
-        // savings are fully kept
+        // partitions per FROZEN cluster value, in frozen order — a key
+        // whose blocks were all pruned (statically or by a runtime
+        // filter) still yields an (empty) partition, so the reported
+        // KeyGroupedPartitioning stays valid while the IO savings are
+        // fully kept. A HOT key's blocks additionally split into
+        // split-size packs that share the partition key: Spark groups
+        // same-key partitions itself (v2 bucketing, default-on in
+        // Spark 4) for joins, while scans/aggregates get task sizes
+        // bounded by maxPartitionBytes instead of by the skew.
+        val conf = org.apache.spark.sql.internal.SQLConf.get
         val byKey = out.groupBy(keyOf(_))
-        vals.map(v => GcolKeyedPartition(
-          byKey.getOrElse(v, Array.empty[GcolBlockDesc]),
-          required.json, v, dt): GcolReadPartition)
+        vals.flatMap { v =>
+          val blocks = byKey.getOrElse(v, Array.empty[GcolBlockDesc])
+          val target = math.max(conf.filesOpenCostInBytes,
+            conf.filesMaxPartitionBytes)
+          val packs = scala.collection.mutable.ArrayBuffer.empty[GcolReadPartition]
+          val cur = scala.collection.mutable.ArrayBuffer.empty[GcolBlockDesc]
+          var curBytes = 0L
+          blocks.foreach { d =>
+            if (cur.nonEmpty && curBytes + d.lens.sum > target) {
+              packs += GcolKeyedPartition(cur.toArray, required.json, v, dt)
+              cur.clear(); curBytes = 0L
+            }
+            cur += d; curBytes += d.lens.sum
+          }
+          packs += GcolKeyedPartition(cur.toArray, required.json, v, dt)
+          packs
+        }
       case None =>
         // pack blocks into split-sized tasks, Spark's own file-source
         // formula: honor maxPartitionBytes but never plan fewer tasks

@@ -871,6 +871,38 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(GcolRowOps.readMoR(spark, dir, "k").count() === 4000)
   }
 
+  test("a hot cluster key splits into size-bounded keyed partitions; results unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    // 90% of rows land on key 0 — the skew shape; key-pure blocks still
+    spark.range(0, 20000).select(
+        when($"id" % 10 === 0, (expr("id div 10") % 4 + 1).cast(IntegerType))
+          .otherwise(lit(0)).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .option("rowsPerBlock", "512").mode("overwrite").save(dir)
+    withConfs("spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "1024") {
+      val df = spark.read.format("graft-columnar").load(dir)
+      df.collect()
+      val parts = gcolScan(df).toBatch.planInputPartitions()
+      assert(parts.forall(_.isInstanceOf[GcolKeyedPartition]))
+      val byKey = parts.map(_.asInstanceOf[GcolKeyedPartition])
+        .groupBy(_.keyValue)
+      assert(byKey.size === 5, s"expected 5 keys: ${byKey.keys}")
+      assert(byKey(0).length > 1,
+        "the hot key never split into size-bounded packs")
+      // and the engine (v2 bucketing default-on) still groups them:
+      // per-key aggregate stays exchange-free and exact
+      val agg = spark.read.format("graft-columnar").load(dir)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      val rows = agg.collect()
+      assert(rows.map(_.getLong(1)).sum === 20000L)
+      assert(rows.find(_.getInt(0) == 0).get.getLong(1) === 18000L)
+      assert(noShuffle(agg), "split keyed partitions broke the elision")
+    }
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
