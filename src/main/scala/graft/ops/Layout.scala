@@ -847,6 +847,35 @@ object Layout {
       .orderBy("user_id", "start_us")
   }
 
+  // q333: METADATA COLUMNS on graft-columnar (SupportsMetadataColumns —
+  // the hidden `_gcol_file` / `_gcol_block` / `_gcol_pos` provenance
+  // surface Delta/Iceberg expose as `_metadata`, synthesized by the
+  // reader, zero bytes on disk): a per-bucket census of the q328
+  // clustered orders table proving the PHYSICAL layout the clustered
+  // write promised — every bucket lives in exactly ONE file (the
+  // engine's clustered distribution), its block count is exactly
+  // ceil(n/rowsPerBlock) (blocks cut at value boundaries), and row
+  // positions are block-local. The oracle derives all of it by pure
+  // arithmetic from the bucket counts — layout metadata must be
+  // PREDICTABLE from the write contract, not just present.
+  // Determinism: counts and integer arithmetic only.
+  // Scale shape: one scan + bucket-sized census; the metadata columns
+  // are per-block constants/sequences, codegen-consumed like any other
+  // vector.
+  private def metadataCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oPath, _) = ensureGcolSpjPair(s, dir)
+    s.read.format("graft-columnar").load(oPath)
+      .select($"bkt", col("_gcol_file"), col("_gcol_block"), col("_gcol_pos"))
+      .groupBy($"bkt")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_gcol_file")).as("n_files"),
+        countDistinct(concat_ws(":", col("_gcol_file"),
+          col("_gcol_block"))).as("n_blocks"),
+        max(col("_gcol_pos")).cast(LongType).as("max_pos"))
+      .orderBy($"bkt")
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -871,6 +900,7 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_metadata_cols" -> (metadataCensus _),
     "q332_timer_sessions" -> (timerSessions _),
     "q331_gcol_mor" -> (gcolMorRead _),
     "q330_stream_dedup" -> (streamDedupCensus _),
@@ -925,6 +955,17 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the physical layout is PREDICTABLE from the write contract:
+    // 1 file per bucket (clustered distribution), ceil(n/16384) blocks
+    // (value-boundary cuts), block-local positions
+    "q333_metadata_cols" ->
+      """SELECT CAST(o_orderkey % 32 AS INTEGER) AS bkt,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST((count(*) + 16383) // 16384 AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN count(*) >= 16384 THEN 16383
+        |            ELSE count(*) - 1 END AS BIGINT) AS max_pos
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // timer-closed streaming sessions == the batch lag/gap algorithm
     "q332_timer_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

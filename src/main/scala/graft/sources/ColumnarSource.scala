@@ -131,7 +131,36 @@ class ColumnarSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GcolTable(dir: String, tblSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  /** Hidden METADATA COLUMNS (`SELECT _gcol_file, _gcol_block,
+    * _gcol_pos` — the DSv2 surface Delta/Iceberg expose as `_metadata`):
+    * provenance for audits and the row-ADDRESS a position-delete
+    * implementation would key on. Synthesized by the reader per block —
+    * zero bytes on disk.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = ColumnarFormat.MetaFile
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file holding the row"
+      },
+      new MetadataColumn {
+        override def name(): String = ColumnarFormat.MetaBlock
+        override def dataType(): DataType = IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String = "block index within the file"
+      },
+      new MetadataColumn {
+        override def name(): String = ColumnarFormat.MetaPos
+        override def dataType(): DataType = IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within the block"
+      })
+  }
   override def name(): String =
     "graft_columnar_" + dir.replaceAll("[^A-Za-z0-9_]", "_")
   override def schema(): StructType = tblSchema
@@ -169,12 +198,18 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
   private var accepted: Array[Filter] = Array.empty
   private var pushedAgg: Option[Seq[ColumnarFormat.AggSpec]] = None
 
+  private var metaCols: Seq[String] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve FILE column order; the reader decodes segments in file
-    // order and the scan's readSchema must match what it emits
-    if (pushedAgg.isEmpty)
+    // order and the scan's readSchema must match what it emits.
+    // Metadata columns (reserved _gcol_* names) are split off — they
+    // are synthesized per block, never read from disk.
+    if (pushedAgg.isEmpty) {
       required = StructType(
         full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      metaCols = ColumnarFormat.MetaNames
+        .filter(requiredSchema.fieldNames.contains)
+    }
 
   /** Accept filters the zone maps can evaluate; everything is returned
     * as residual because block skipping is approximate by granularity.
@@ -306,7 +341,8 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
   }
 
   override def build(): Scan =
-    new GcolScan(dir, required, accepted, pushedAgg, limit, topN, filesOpt)
+    new GcolScan(dir, required, accepted, pushedAgg, limit, topN, filesOpt,
+      metaCols)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
@@ -316,7 +352,8 @@ class GcolScan private[sources] (
     aggSpecs: Option[Seq[ColumnarFormat.AggSpec]] = None,
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    filesOpt: Option[Set[String]] = None)
+    filesOpt: Option[Set[String]] = None,
+    metaCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -348,7 +385,8 @@ class GcolScan private[sources] (
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(ColumnarFormat.supportedFilter(required, _))
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    StructType(required.fields ++ metaCols.map(ColumnarFormat.metaField))
   override def description(): String =
     s"graft-columnar $dir PushedFilters: [${filters.mkString(", ")}], " +
       aggSpecs.fold("")(a => s"PushedAggregates: [${a.mkString(", ")}], ") +
@@ -506,7 +544,9 @@ class GcolScan private[sources] (
         required.fields.foreach(r => require(
           footer.schema.fieldNames.contains(r.name),
           s"$f lacks required column ${r.name}"))
+        var blkIdx = -1
         footer.blocks.foreach { blk =>
+          blkIdx += 1
           total += 1
           if (cap.forall(kept < _) &&
               effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
@@ -514,7 +554,7 @@ class GcolScan private[sources] (
             val desc = GcolBlockDesc(f.toString, blk.rows,
               idx.map(blk.offs), idx.map(blk.lens),
               idx.map(j => blk.cols(j).rawLen), footer.codec,
-              idx.map(j => blk.cols(j).enc))
+              idx.map(j => blk.cols(j).enc), blkIdx)
             all += desc
             grouping.foreach { case (c, _, _) =>
               keyOf(desc) = blk.cols(footer.schema.fieldIndex(c)).min.get
@@ -556,12 +596,12 @@ class GcolScan private[sources] (
           var curBytes = 0L
           blocks.foreach { d =>
             if (cur.nonEmpty && curBytes + d.lens.sum > target) {
-              packs += GcolKeyedPartition(cur.toArray, required.json, v, dt)
+              packs += GcolKeyedPartition(cur.toArray, readSchema().json, v, dt)
               cur.clear(); curBytes = 0L
             }
             cur += d; curBytes += d.lens.sum
           }
-          packs += GcolKeyedPartition(cur.toArray, required.json, v, dt)
+          packs += GcolKeyedPartition(cur.toArray, readSchema().json, v, dt)
           packs
         }
       case None =>
@@ -579,13 +619,13 @@ class GcolScan private[sources] (
         var curBytes = 0L
         out.foreach { d =>
           if (cur.nonEmpty && curBytes + d.lens.sum > target) {
-            packs += GcolBlockPartition(cur.toArray, required.json)
+            packs += GcolBlockPartition(cur.toArray, readSchema().json)
             cur.clear(); curBytes = 0L
           }
           cur += d; curBytes += d.lens.sum
         }
         if (cur.nonEmpty)
-          packs += GcolBlockPartition(cur.toArray, required.json)
+          packs += GcolBlockPartition(cur.toArray, readSchema().json)
         packs.toArray
     }
   }
@@ -634,7 +674,8 @@ class GcolScan private[sources] (
 private[sources] case class GcolBlockDesc(
     path: String, rows: Int,
     offs: Array[Long], lens: Array[Long], rawLens: Array[Long],
-    codec: String, encs: Array[String] = Array.empty) {
+    codec: String, encs: Array[String] = Array.empty,
+    blockIdx: Int = -1) {
   def encOf(i: Int): String = if (i < encs.length) encs(i) else "plain"
 }
 
@@ -971,13 +1012,13 @@ private[sources] class GcolMicroBatchStream(
     files.foreach { rel =>
       val f = Paths.get(dir).resolve(rel)
       val footer = ColumnarFormat.readFooter(f)
-      val descs = footer.blocks.flatMap { blk =>
+      val descs = footer.blocks.zipWithIndex.flatMap { case (blk, bi) =>
         if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
           val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
           Some(GcolBlockDesc(f.toString, blk.rows,
             idx.map(blk.offs), idx.map(blk.lens),
             idx.map(j => blk.cols(j).rawLen), footer.codec,
-            idx.map(j => blk.cols(j).enc)))
+            idx.map(j => blk.cols(j).enc), bi))
         } else None
       }
       if (descs.nonEmpty) // one task per journal file: batch-local unit
@@ -1054,6 +1095,17 @@ object ColumnarFormat {
       }
       provablyBefore < n // keep iff the block can still reach the top n
     }.map(parts).toArray
+  }
+
+  /** Reserved metadata-column names (SupportsMetadataColumns). */
+  val MetaFile = "_gcol_file"
+  val MetaBlock = "_gcol_block"
+  val MetaPos = "_gcol_pos"
+  val MetaNames: Seq[String] = Seq(MetaFile, MetaBlock, MetaPos)
+
+  def metaField(name: String): StructField = name match {
+    case MetaFile => StructField(MetaFile, StringType, nullable = false)
+    case _ => StructField(name, IntegerType, nullable = false)
   }
 
   /** The scan's file universe: the whole directory, or the `files`
@@ -1725,10 +1777,31 @@ object ColumnarFormat {
   def decodeBlock(part: GcolBlockDesc, schema: StructType): ColumnarBatch = {
     val rows = part.rows
     val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
+    // synthesize any requested metadata fields (reserved _gcol_* names,
+    // appended after the data fields) — zero disk bytes behind them
+    val metaAt = schema.fields.indexWhere(f => MetaNames.contains(f.name))
+    val dataLen = if (metaAt < 0) schema.length else metaAt
+    var m = dataLen
+    while (m < schema.length) {
+      val v = vectors(m)
+      schema.fields(m).name match {
+        case MetaFile =>
+          val bytes = Paths.get(part.path).getFileName.toString
+            .getBytes(StandardCharsets.UTF_8)
+          var r = 0
+          while (r < rows) { v.putByteArray(r, bytes, 0, bytes.length); r += 1 }
+        case MetaBlock =>
+          v.putInts(0, rows, part.blockIdx)
+        case _ => // MetaPos
+          var r = 0
+          while (r < rows) { v.putInt(r, r); r += 1 }
+      }
+      m += 1
+    }
     val raf = new RandomAccessFile(part.path, "r")
     try {
       var i = 0
-      while (i < schema.length) {
+      while (i < dataLen) {
         val len = part.lens(i).toInt
         val buf = ByteBuffer.allocate(len)
         var read = 0

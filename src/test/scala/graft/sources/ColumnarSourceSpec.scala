@@ -587,11 +587,18 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     spark.range(0, 4000).select($"id".as("k"))
       .repartitionByRange(4, $"k").sortWithinPartitions("k")
       .write.format("graft-columnar").mode("overwrite").save(dir)
-    val names = ColumnarFormat.listFiles(dir).map(_.getFileName.toString)
+    val files = ColumnarFormat.listFiles(dir)
+    val names = files.map(_.getFileName.toString)
     assert(names.size === 4)
     val two = spark.read.format("graft-columnar")
       .option("files", names.take(2).mkString(",")).load(dir)
-    assert(two.count() === 2000)
+    // repartitionByRange SAMPLES its bounds, so per-file counts drift
+    // run to run — the contract is "exactly the named files' rows",
+    // which the footers state authoritatively
+    val expected = files.take(2)
+      .map(f => ColumnarFormat.readFooter(f).blocks.map(_.rows.toLong).sum).sum
+    assert(two.count() === expected)
+    assert(expected > 0 && expected < 4000)
     intercept[Exception] {
       spark.read.format("graft-columnar")
         .option("files", "no-such-file.gcol").load(dir).count()
@@ -901,6 +908,38 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(rows.find(_.getInt(0) == 0).get.getLong(1) === 18000L)
       assert(noShuffle(agg), "split keyed partitions broke the elision")
     }
+  }
+
+  test("metadata columns: hidden from *, selectable, and physically truthful") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 5000).select($"id".as("k"))
+      .repartitionByRange(2, $"k").sortWithinPartitions("k")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val plain = spark.read.format("graft-columnar").load(dir)
+    // hidden: SELECT * must not surface the reserved names
+    assert(plain.columns.toSeq === Seq("k"))
+    val meta = plain.select($"k", col("_gcol_file"), col("_gcol_block"),
+      col("_gcol_pos"))
+    assert(meta.count() === 5000)
+    // file names are real directory entries
+    val names = ColumnarFormat.listFiles(dir).map(_.getFileName.toString).toSet
+    val seen = meta.select("_gcol_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(seen === names, s"metadata files $seen != $names")
+    // positions are block-local (0 until rowsPerBlock), blocks 0-based
+    val r = meta.agg(min("_gcol_pos"), max("_gcol_pos"),
+      min("_gcol_block"), max("_gcol_block")).collect().head
+    assert(r.getInt(0) === 0 && r.getInt(1) === 999)
+    assert(r.getInt(2) === 0 && r.getInt(3) >= 1)
+    // (file, block, pos) is a unique row address — the delete-vector key
+    assert(meta.select("_gcol_file", "_gcol_block", "_gcol_pos")
+      .distinct().count() === 5000)
+    // filters on data columns still prune while metadata is projected
+    val f = plain.select($"k", col("_gcol_block")).filter($"k" < 500)
+    assert(f.count() === 500)
+    assert(gcolScan(f).plannedBlocks === 1)
   }
 
   test("multi-file writes parallelize and statistics see pruned sizes") {
