@@ -141,6 +141,7 @@ object Bench {
       ops.Layout.ensureGcolDupEvents(spark, sfDir)
       ops.Layout.ensureGcolMorTable(spark, sfDir)
       ops.Layout.ensureGcolSessionEvents(spark, sfDir)
+      ops.Layout.ensureGcolPosMor(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

@@ -876,6 +876,50 @@ object Layout {
       .orderBy($"bkt")
   }
 
+  private val gcolPosMorOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Lineitem (no unique key!) in graft-columnar with a POSITION-delete
+    * sidecar: every `l_quantity <= 5` row's (file, block, pos) address
+    * recorded under `_gcol_pos_deletes/` — no data file rewritten.
+    */
+  private[graft] def ensureGcolPosMor(s: SparkSession, dir: String): String =
+    gcolPosMorOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_posmor")
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag")
+        .write.format("graft-columnar").mode("overwrite").save(out)
+      graft.sources.GcolRowOps.deleteWherePos(s, out, "l_quantity <= 5")
+      out
+    })
+
+  // q334: POSITION-delete vectors on graft-columnar — the key-free twin
+  // of q331's equality deletes, enabled by q333's metadata columns: a
+  // delete records ROW ADDRESSES (file, block, pos), which works on
+  // tables with NO unique key (lineitem) and can name one physical row
+  // among value-identical duplicates — the case no key anti-join can
+  // express (spec pins exactly that, plus: rewrites refuse while
+  // addresses are pending, and compactPos folds the sidecar in and
+  // converges plain == MoR). The row reads through readMoRPos and
+  // censuses by returnflag with exact integer cents; the oracle applies
+  // the survivor predicate in SQL. Determinism: the predicate selects
+  // value-defined rows, so WHICH duplicate holds which address never
+  // reaches the result.
+  // Scale shape: O(churn) address rows written; reads pay a broadcast
+  // anti-join on the address triple until compaction — read
+  // amplification bounded by compaction cadence, as q331.
+  private def gcolPosMorRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolPosMor(s, dir)
+    graft.sources.GcolRowOps.readMoRPos(s, path)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity" * 100).cast(LongType)).as("qty_centi"),
+        sum(floor($"l_extendedprice" * 100).cast(LongType)).as("price_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -900,6 +944,7 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_gcol_pos_delete" -> (gcolPosMorRead _),
     "q333_metadata_cols" -> (metadataCensus _),
     "q332_timer_sessions" -> (timerSessions _),
     "q331_gcol_mor" -> (gcolMorRead _),
@@ -955,6 +1000,16 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // position deletes == the survivor predicate (addresses are an
+    // implementation detail the result must not see)
+    "q334_gcol_pos_delete" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem WHERE NOT (l_quantity <= 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the physical layout is PREDICTABLE from the write contract:
     // 1 file per bucket (clustered distribution), ceil(n/16384) blocks
     // (value-boundary cuts), block-local positions

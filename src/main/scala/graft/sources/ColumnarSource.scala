@@ -141,7 +141,10 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
     import org.apache.spark.sql.connector.catalog.MetadataColumn
-    Array(
+    // a DATA column with a reserved name shadows the metadata column
+    // (e.g. a position-delete sidecar stores addresses AS data) —
+    // advertising both would make the reference ambiguous
+    val all: Array[MetadataColumn] = Array(
       new MetadataColumn {
         override def name(): String = ColumnarFormat.MetaFile
         override def dataType(): DataType = StringType
@@ -160,6 +163,7 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
         override def isNullable: Boolean = false
         override def comment(): String = "row position within the block"
       })
+    all.filter(mc => !tblSchema.fieldNames.contains(mc.name()))
   }
   override def name(): String =
     "graft_columnar_" + dir.replaceAll("[^A-Za-z0-9_]", "_")
@@ -208,7 +212,8 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
       required = StructType(
         full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
       metaCols = ColumnarFormat.MetaNames
-        .filter(requiredSchema.fieldNames.contains)
+        .filter(n => requiredSchema.fieldNames.contains(n) &&
+          !full.fieldNames.contains(n)) // data columns shadow metadata
     }
 
   /** Accept filters the zone maps can evaluate; everything is returned
@@ -596,12 +601,14 @@ class GcolScan private[sources] (
           var curBytes = 0L
           blocks.foreach { d =>
             if (cur.nonEmpty && curBytes + d.lens.sum > target) {
-              packs += GcolKeyedPartition(cur.toArray, readSchema().json, v, dt)
+              packs += GcolKeyedPartition(cur.toArray, readSchema().json,
+                v, dt, metaCols.length)
               cur.clear(); curBytes = 0L
             }
             cur += d; curBytes += d.lens.sum
           }
-          packs += GcolKeyedPartition(cur.toArray, readSchema().json, v, dt)
+          packs += GcolKeyedPartition(cur.toArray, readSchema().json,
+            v, dt, metaCols.length)
           packs
         }
       case None =>
@@ -619,13 +626,15 @@ class GcolScan private[sources] (
         var curBytes = 0L
         out.foreach { d =>
           if (cur.nonEmpty && curBytes + d.lens.sum > target) {
-            packs += GcolBlockPartition(cur.toArray, readSchema().json)
+            packs += GcolBlockPartition(cur.toArray, readSchema().json,
+              metaCols.length)
             cur.clear(); curBytes = 0L
           }
           cur += d; curBytes += d.lens.sum
         }
         if (cur.nonEmpty)
-          packs += GcolBlockPartition(cur.toArray, readSchema().json)
+          packs += GcolBlockPartition(cur.toArray, readSchema().json,
+            metaCols.length)
         packs.toArray
     }
   }
@@ -685,6 +694,12 @@ private[sources] case class GcolBlockDesc(
 private[sources] sealed trait GcolReadPartition extends InputPartition {
   def blocks: Array[GcolBlockDesc]
   def readSchemaJson: String
+  /** How many TRAILING fields of the read schema are synthesized
+    * metadata — by COUNT, not by name: a data column may legitimately
+    * carry a reserved name (a position-delete sidecar stores addresses
+    * as data) and must be read from disk, not synthesized.
+    */
+  def nMeta: Int
 }
 
 /** One TASK = a pack of surviving blocks up to the split-size target —
@@ -694,7 +709,8 @@ private[sources] sealed trait GcolReadPartition extends InputPartition {
   */
 private[sources] case class GcolBlockPartition(
     blocks: Array[GcolBlockDesc],
-    readSchemaJson: String) extends GcolReadPartition
+    readSchemaJson: String,
+    nMeta: Int = 0) extends GcolReadPartition
 
 /** One TASK = every surviving block of ONE cluster value; carries that
   * value as its `HasPartitionKey` so Spark's storage-partitioned join
@@ -706,7 +722,8 @@ private[sources] case class GcolBlockPartition(
 private[sources] case class GcolKeyedPartition(
     blocks: Array[GcolBlockDesc],
     readSchemaJson: String,
-    keyValue: Any, keyType: DataType)
+    keyValue: Any, keyType: DataType,
+    nMeta: Int = 0)
     extends GcolReadPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -758,7 +775,7 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
         if (batch != null) { batch.close(); batch = null }
         if (i >= part.blocks.length) false
         else {
-          batch = ColumnarFormat.decodeBlock(part.blocks(i), schema)
+          batch = ColumnarFormat.decodeBlock(part.blocks(i), schema, part.nMeta)
           i += 1
           true
         }
@@ -1774,13 +1791,14 @@ object ColumnarFormat {
     * vectors; the bulk fills (`putLongs`/`putInts`/`putDoubles`) are the
     * little-endian memcpy overloads, so decode is byte-copy speed.
     */
-  def decodeBlock(part: GcolBlockDesc, schema: StructType): ColumnarBatch = {
+  def decodeBlock(part: GcolBlockDesc, schema: StructType,
+                  nMeta: Int = 0): ColumnarBatch = {
     val rows = part.rows
     val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
-    // synthesize any requested metadata fields (reserved _gcol_* names,
-    // appended after the data fields) — zero disk bytes behind them
-    val metaAt = schema.fields.indexWhere(f => MetaNames.contains(f.name))
-    val dataLen = if (metaAt < 0) schema.length else metaAt
+    // synthesize the TRAILING nMeta metadata fields (zero disk bytes
+    // behind them); the split is by count — a data column may carry a
+    // reserved name and must still be read from disk
+    val dataLen = schema.length - nMeta
     var m = dataLen
     while (m < schema.length) {
       val v = vectors(m)

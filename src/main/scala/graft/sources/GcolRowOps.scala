@@ -54,6 +54,9 @@ object GcolRowOps {
             key: String, patch: Map[String, String]): Seq[String] = {
     val all = ColumnarFormat.listFiles(dir)
     require(all.nonEmpty, s"no gcol table at $dir")
+    require(ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty,
+      "pending position deletes: a rewrite would invalidate their row " +
+        s"addresses — apply them first (GcolRowOps.compactPos($dir))")
     val headFooter = ColumnarFormat.readFooter(all.head)
     val schema = headFooter.schema
     require(schema.fieldNames.contains(key), s"key `$key` not in table")
@@ -191,6 +194,49 @@ object GcolRowOps {
       Seq(key), "left_anti")
   }
 
+  /** POSITION-delete sidecar (`_gcol_pos_deletes/`): rows addressed by
+    * the metadata columns (file, block, pos) instead of a key — the
+    * Iceberg position-delete twin of [[deleteWhereMoR]]'s equality
+    * deletes. The difference matters exactly when no unique key exists:
+    * a predicate can name one physical row among value-identical
+    * duplicates, which no key anti-join can. Addresses survive because
+    * data files are immutable until a rewrite (merge/compact), which
+    * would invalidate them — so those paths refuse while position
+    * deletes are pending.
+    */
+  val PosDeletesSubdir = "_gcol_pos_deletes"
+
+  private def posDeletesDir(dir: String): String =
+    Paths.get(dir).resolve(PosDeletesSubdir).toString
+
+  private val addr = Seq("_gcol_file", "_gcol_block", "_gcol_pos")
+
+  /** MoR position DELETE: record the ADDRESSES of rows matching the
+    * predicate. Key-free — works on tables with no unique column.
+    */
+  def deleteWherePos(spark: SparkSession, dir: String,
+                     predicate: String): Unit = {
+    spark.read.format("graft-columnar").load(dir)
+      .filter(expr(predicate))
+      .select(addr.map(col): _*)
+      .write.format("graft-columnar").mode("append").save(posDeletesDir(dir))
+  }
+
+  /** MoR READ with position deletes applied: anti-join on the row
+    * address, metadata columns dropped from the result. Composes with
+    * the equality sidecar when both exist.
+    */
+  def readMoRPos(spark: SparkSession, dir: String): DataFrame = {
+    val data = spark.read.format("graft-columnar").load(dir)
+    val dataCols = data.columns.toSeq
+    if (ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty) data
+    else data.select((dataCols ++ addr).map(col): _*)
+      .join(spark.read.format("graft-columnar").load(posDeletesDir(dir))
+        .select(addr.map(col): _*).distinct(),
+        addr, "left_anti")
+      .select(dataCols.map(col): _*)
+  }
+
   /** Fold the delete sidecar into the data files (the CoW [[merge]]
     * path does the rewrite) and clear it — after compaction the PLAIN
     * scan equals the MoR read, and reads stop paying the anti-join.
@@ -203,6 +249,48 @@ object GcolRowOps {
     val published = merge(spark, dir, changes, key, Map.empty)
     deleteDirQuiet(Paths.get(deletesDir(dir)))
     published
+  }
+
+  /** Fold the POSITION sidecar in: rewrite exactly the addressed files
+    * without the addressed rows, publish, clear the sidecar. After
+    * this, plain == MoR-pos and [[merge]]/[[compact]] are unblocked.
+    */
+  def compactPos(spark: SparkSession, dir: String): Seq[String] = {
+    if (ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty) return Nil
+    val dels = spark.read.format("graft-columnar").load(posDeletesDir(dir))
+      .select(addr.map(col): _*).distinct()
+    val affected = dels.select("_gcol_file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded by FILE count
+    val headFooter = ColumnarFormat.readFooter(
+      ColumnarFormat.listFiles(dir).head)
+    val current = spark.read.format("graft-columnar")
+      .option("files", affected.mkString(",")).load(dir)
+    val dataCols = current.columns.toSeq
+    val survivors = current.select((dataCols ++ addr).map(col): _*)
+      .join(dels, addr, "left_anti")
+      .select(dataCols.map(col): _*)
+    val scratch = Files.createTempDirectory("gcol_compact_pos").toString
+    val w = survivors.write.format("graft-columnar").mode("overwrite")
+    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
+    val w3 = if (headFooter.codec == "none") w2
+      else w2.option("codec", headFooter.codec)
+    w3.save(scratch)
+    val root = Paths.get(dir)
+    val newRel = ColumnarFormat.listFiles(scratch).map { src =>
+      val rel = src.getFileName.toString
+      Files.move(src, root.resolve(rel))
+      rel
+    }
+    affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    if (newRel.nonEmpty)
+      Files.write(root.resolve(ColumnarFormat.JournalName),
+        newRel.sorted.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    deleteDirQuiet(Paths.get(scratch))
+    deleteDirQuiet(Paths.get(posDeletesDir(dir)))
+    newRel
   }
 
   private def deleteDirQuiet(d: Path): Unit = {

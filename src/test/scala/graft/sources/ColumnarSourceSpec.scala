@@ -942,6 +942,49 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(gcolScan(f).plannedBlocks === 1)
   }
 
+  test("position deletes: one-of-N duplicate precision, rewrite guard, compaction converges") {
+    import spark.implicits._
+    val dir = tmp()
+    // duplicate-heavy table with NO unique key: k=7 appears twice with
+    // IDENTICAL payloads
+    spark.range(0, 1000).select(($"id" % 500).as("k"),
+        lit("same").as("v"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    // address exactly ONE of the two identical k=7 rows — the delete no
+    // key anti-join can express
+    val one = spark.read.format("graft-columnar").load(dir)
+      .filter($"k" === 7)
+      .select(col("_gcol_file"), col("_gcol_block"), col("_gcol_pos"))
+      .limit(1)
+    one.write.format("graft-columnar").mode("append")
+      .save(dir + "/" + GcolRowOps.PosDeletesSubdir)
+    val mor = GcolRowOps.readMoRPos(spark, dir)
+    assert(mor.count() === 999)
+    assert(mor.filter($"k" === 7).count() === 1,
+      "position delete must remove exactly one of two identical rows")
+    // rewrites refuse while addresses are pending
+    val err = intercept[Exception] {
+      GcolRowOps.delete(spark, dir, "k", "k = 3")
+    }
+    assert(err.getMessage.contains("position deletes"), err.getMessage)
+    // predicate-driven position delete accumulates
+    GcolRowOps.deleteWherePos(spark, dir, "k >= 490")
+    assert(GcolRowOps.readMoRPos(spark, dir).count() === 979) // -20 -1
+    // compaction folds everything in and clears the sidecar
+    val expected = GcolRowOps.readMoRPos(spark, dir).orderBy("k").collect()
+    GcolRowOps.compactPos(spark, dir)
+    assert(ColumnarFormat.listFiles(
+      dir + "/" + GcolRowOps.PosDeletesSubdir).isEmpty)
+    val plain = spark.read.format("graft-columnar").load(dir)
+    assert(plain.count() === 979)
+    assert(plain.orderBy("k").collect().sameElements(expected))
+    // and the rewrite guard lifts
+    GcolRowOps.delete(spark, dir, "k", "k = 3")
+    assert(spark.read.format("graft-columnar").load(dir)
+      .filter($"k" === 3).count() === 0)
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
