@@ -142,6 +142,7 @@ object Bench {
       ops.Layout.ensureGcolMorTable(spark, sfDir)
       ops.Layout.ensureGcolSessionEvents(spark, sfDir)
       ops.Layout.ensureGcolPosMor(spark, sfDir)
+      ops.Layout.ensureGcolBloomOrders(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

@@ -920,6 +920,56 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  private val gcolBloomOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Orders in graft-columnar sorted by CUSTKEY with a per-block bloom
+    * on o_orderkey (`option("bloomFor","o_orderkey")`): the layout where
+    * zone maps are BLIND for key lookups — every block's orderkey
+    * [min,max] spans the whole domain because the sort key is something
+    * else. The bloom is the point-predicate index for exactly this.
+    */
+  private[graft] def ensureGcolBloomOrders(s: SparkSession, dir: String): String =
+    gcolBloomOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_bloom_orders")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderpriority")
+        .repartitionByRange(4, $"o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .option("bloomFor", "o_orderkey")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  // q335: per-block BLOOM-filter pruning on graft-columnar — the
+  // point-predicate index for columns zone maps cannot help (high-
+  // cardinality, UNSORTED: here orderkey lookups in a custkey-sorted
+  // table, the classic "find my order in a fact laid out for someone
+  // else's query" shape). An opt-in footer bloom (1 byte/row, k=5,
+  // ~2-3% false keeps) answers `=` and `IN` per block — and therefore
+  // also sharpens runtime In-filters (DPP) for free, since both ride
+  // mayMatch. The lookup census is hash-checked against the plain SQL
+  // filter; ColumnarSourceSpec pins the PRUNING (unique-key lookup
+  // opens ~1 of N blocks where zone maps alone open all N) and the
+  // canonical-form contract (integral literal widths all match).
+  // Determinism: bloom affects only which blocks are OPENED, never the
+  // rows that survive the exact residual filter; exact cents sums.
+  // Scale shape: footers grow 1 byte/row for the chosen column —
+  // bounded, driver-metadata-scale; block IO for a point lookup drops
+  // from O(table) to O(matches + fpp·blocks).
+  private def gcolBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolBloomOrders(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .filter($"o_orderkey".isin(17L, 293L, 641L, 987L, 1361L))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        sum(floor($"o_totalprice" * 100).cast(LongType)).as("price_cents"))
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -944,6 +994,7 @@ object Layout {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_gcol_bloom" -> (gcolBloomLookup _),
     "q334_gcol_pos_delete" -> (gcolPosMorRead _),
     "q333_metadata_cols" -> (metadataCensus _),
     "q332_timer_sessions" -> (timerSessions _),
@@ -1000,6 +1051,14 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // bloom pruning opens fewer blocks but must change no row
+    "q335_gcol_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey IN (17, 293, 641, 987, 1361)""".stripMargin,
     // position deletes == the survivor predicate (addresses are an
     // implementation detail the result must not see)
     "q334_gcol_pos_delete" ->

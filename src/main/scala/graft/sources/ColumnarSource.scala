@@ -183,7 +183,9 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
         .getOrElse(ColumnarFormat.DefaultRowsPerBlock),
       Option(info.options.get("codec")).getOrElse("none"),
-      Option(info.options.get("clusterBy")).filter(_.nonEmpty))
+      Option(info.options.get("clusterBy")).filter(_.nonEmpty),
+      Option(info.options.get("bloomFor")).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSet).getOrElse(Set.empty))
 }
 
 // ---------------------------------------------------------------------
@@ -792,7 +794,8 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
 
 private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
                                         rowsPerBlock: Int, codec: String,
-                                        clusterBy: Option[String] = None)
+                                        clusterBy: Option[String] = None,
+                                        bloomFor: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -802,6 +805,16 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
     clusterBy.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"clusterBy column `$c` not in write schema")
+    }
+    bloomFor.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.nonEmpty, s"bloomFor column `$c` not in write schema")
+      require(f.get.dataType match {
+        case IntegerType | DateType | LongType | TimestampType |
+             TimestampNTZType | StringType => true
+        case _ => false
+      }, s"bloomFor supports int/date/long/timestamp/string, `$c` is " +
+        f.get.dataType.simpleString)
     }
     /** A clustered write asks the ENGINE for its layout guarantee:
       * `RequiresDistributionAndOrdering` makes Spark shuffle on the
@@ -825,7 +838,7 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
             SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)))
       override def toBatch: BatchWrite =
         new GcolBatchWrite(dir, schema, rowsPerBlock, replace, codec,
-          clusterBy)
+          clusterBy, bloomFor)
     }
   }
 }
@@ -837,7 +850,8 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
 private[sources] class GcolBatchWrite(dir: String, schema: StructType,
                                       rowsPerBlock: Int, replace: Boolean,
                                       codec: String,
-                                      clusterBy: Option[String] = None)
+                                      clusterBy: Option[String] = None,
+                                      bloomFor: Set[String] = Set.empty)
     extends BatchWrite {
   // the job uid doubles as the data-file name suffix: partitionId/taskId
   // are only unique within ONE Spark application, so an append from a
@@ -848,7 +862,7 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GcolWriterFactory(dir, staging, jobUid, schema.json, rowsPerBlock,
-      codec, clusterBy)
+      codec, clusterBy, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
@@ -908,13 +922,14 @@ private[sources] class GcolWriterFactory(dir: String, staging: String,
                                          jobUid: String,
                                          schemaJson: String, rowsPerBlock: Int,
                                          codec: String,
-                                         clusterBy: Option[String])
+                                         clusterBy: Option[String],
+                                         bloomFor: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GcolDataWriter(dir, staging, jobUid,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      rowsPerBlock, codec, clusterBy, partitionId, taskId)
+      rowsPerBlock, codec, clusterBy, bloomFor, partitionId, taskId)
 }
 
 /** Buffers exactly ONE block (bounded memory), encodes and appends it
@@ -926,6 +941,7 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
                                       schema: StructType, rowsPerBlock: Int,
                                       codec: String,
                                       clusterBy: Option[String],
+                                      bloomFor: Set[String],
                                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
@@ -939,7 +955,8 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
   private val raf = new RandomAccessFile(path.toFile, "rw")
   private val chan = raf.getChannel
 
-  private val enc = new ColumnarFormat.BlockEncoder(schema, rowsPerBlock)
+  private val enc = new ColumnarFormat.BlockEncoder(schema, rowsPerBlock,
+    bloomFor)
   private val blockMetas = scala.collection.mutable.ArrayBuffer
     .empty[ColumnarFormat.BlockMeta]
   private var total = 0L
@@ -1114,6 +1131,61 @@ object ColumnarFormat {
     }.map(parts).toArray
   }
 
+  // ---- per-block BLOOM filters (opt-in, `option("bloomFor","c1,c2")`) --
+  //
+  // Zone maps prune RANGES and are blind on a high-cardinality UNSORTED
+  // column (every block's [min,max] spans the domain). A per-(block,
+  // column) bloom in the footer answers point predicates (=, IN — and
+  // therefore runtime In-filters from DPP) there: 1 byte/row, k=5,
+  // ~2-3% false keeps. Values hash by a CANONICAL byte form (integers
+  // widened to int64 LE, strings as UTF-8) so any integral literal
+  // width matches; doubles are excluded (exact equality on floats is
+  // not a sane pruning contract).
+
+  val BloomK = 5
+
+  def bloomCanonical(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
+    case u: UTF8String => Some(u.getBytes)
+    case i: Int => Some(longBytes(i.toLong))
+    case l: Long => Some(longBytes(l))
+    case sh: Short => Some(longBytes(sh.toLong))
+    case by: Byte => Some(longBytes(by.toLong))
+    case _ => None
+  }
+
+  private def longBytes(l: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+
+  /** Kirsch–Mitzenmacher double hashing over the md5-based h15. */
+  private def bloomIdx(h1: Long, i: Int, nBits: Int): Int = {
+    val h2 = (h1 * 0x9E3779B97F4A7C15L) | 1L
+    (((h1 + i.toLong * h2) & Long.MaxValue) % nBits).toInt
+  }
+
+  def bloomAdd(bits: Array[Byte], bytes: Array[Byte]): Unit = {
+    val nBits = bits.length * 8
+    val h1 = graft.functions.MinHashSig.h15(bytes)
+    var i = 0
+    while (i < BloomK) {
+      val idx = bloomIdx(h1, i, nBits)
+      bits(idx / 8) = (bits(idx / 8) | (1 << (idx % 8))).toByte
+      i += 1
+    }
+  }
+
+  def bloomMayContain(bits: Array[Byte], bytes: Array[Byte]): Boolean = {
+    val nBits = bits.length * 8
+    val h1 = graft.functions.MinHashSig.h15(bytes)
+    var i = 0
+    while (i < BloomK) {
+      val idx = bloomIdx(h1, i, nBits)
+      if ((bits(idx / 8) & (1 << (idx % 8))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Reserved metadata-column names (SupportsMetadataColumns). */
   val MetaFile = "_gcol_file"
   val MetaBlock = "_gcol_block"
@@ -1205,7 +1277,8 @@ object ColumnarFormat {
 
   case class ColMeta(off: Long, len: Long, nullCount: Int,
                      min: Option[Any], max: Option[Any],
-                     raw: Long = -1L, enc: String = "plain") {
+                     raw: Long = -1L, enc: String = "plain",
+                     bloom: Option[Array[Byte]] = None) {
     def rawLen: Long = if (raw < 0) len else raw
   }
   case class BlockMeta(rows: Int, cols: Array[ColMeta]) {
@@ -1290,6 +1363,10 @@ object ColumnarFormat {
         o.put("o", c.off); o.put("l", c.len); o.put("nn", c.nullCount)
         if (c.raw >= 0 && c.raw != c.len) o.put("rl", c.raw)
         if (c.enc != "plain") o.put("e", c.enc)
+        c.bloom.foreach { b =>
+          o.put("bf", java.util.Base64.getEncoder.encodeToString(b))
+          o.put("bfk", BloomK)
+        }
         (c.min, c.max) match {
           case (Some(mn), Some(mx)) => f.dataType match {
             case IntegerType | DateType =>
@@ -1354,7 +1431,10 @@ object ColumnarFormat {
           cols += ColMeta(cn.get("o").asLong(), cn.get("l").asLong(),
             cn.get("nn").asInt(), mm._1, mm._2,
             if (cn.has("rl")) cn.get("rl").asLong() else cn.get("l").asLong(),
-            if (cn.has("e")) cn.get("e").asText() else "plain")
+            if (cn.has("e")) cn.get("e").asText() else "plain",
+            if (cn.has("bf"))
+              Some(java.util.Base64.getDecoder.decode(cn.get("bf").asText()))
+            else None)
           i += 1
         }
         blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
@@ -1459,14 +1539,26 @@ object ColumnarFormat {
           }
         case None => true
       }
+    // point-predicate refinement: after the zone range passes, a
+    // footer bloom (if present) can still prove the value absent
+    def bloomPass(name: String, v: Any): Boolean =
+      col(name) match {
+        case Some((c, _)) => (c.bloom, bloomCanonical(v)) match {
+          case (Some(bits), Some(bytes)) => bloomMayContain(bits, bytes)
+          case _ => true
+        }
+        case None => true
+      }
     f match {
-      case EqualTo(a, v) => range(a, v)((cl, ch) => cl <= 0 && ch >= 0)
+      case EqualTo(a, v) =>
+        range(a, v)((cl, ch) => cl <= 0 && ch >= 0) && bloomPass(a, v)
       case GreaterThan(a, v) => range(a, v)((_, ch) => ch > 0)
       case GreaterThanOrEqual(a, v) => range(a, v)((_, ch) => ch >= 0)
       case LessThan(a, v) => range(a, v)((cl, _) => cl < 0)
       case LessThanOrEqual(a, v) => range(a, v)((cl, _) => cl <= 0)
       case In(a, vs) =>
-        vs.exists(v => range(a, v)((cl, ch) => cl <= 0 && ch >= 0))
+        vs.exists(v => range(a, v)((cl, ch) => cl <= 0 && ch >= 0) &&
+          bloomPass(a, v))
       case IsNull(a) =>
         col(a).forall { case (c, _) => c.nullCount > 0 }
       case IsNotNull(a) =>
@@ -1480,7 +1572,8 @@ object ColumnarFormat {
   // ---- block encode ---------------------------------------------------
 
   /** One block's worth of column builders; bounded at rowsPerBlock. */
-  final class BlockEncoder(schema: StructType, cap: Int) {
+  final class BlockEncoder(schema: StructType, cap: Int,
+                           bloomFor: Set[String] = Set.empty) {
     private val n = schema.length
     private val nulls = Array.fill(n)(new Array[Boolean](cap))
     private val longs = schema.fields.map {
@@ -1700,7 +1793,7 @@ object ColumnarFormat {
           while (cb.hasRemaining) chan.write(cb)
         }
         metas(i) = ColMeta(off, chan.position() - off, nullCountOf(i),
-          minOf(i), maxOf(i), rawLen.toLong, enc)
+          minOf(i), maxOf(i), rawLen.toLong, enc, bloomOf(i))
         i += 1
       }
       BlockMeta(rows, metas)
@@ -1718,6 +1811,36 @@ object ColumnarFormat {
         b.put(v.toByte)
         byteI += 1
       }
+    }
+
+    /** Opt-in per-block bloom over the column's non-null values:
+      * 1 byte/row (min 64 bits), k = BloomK — ~2-3% false keeps at the
+      * point predicates zone maps cannot answer on unsorted columns.
+      */
+    private def bloomOf(i: Int): Option[Array[Byte]] = {
+      val f = schema.fields(i)
+      if (!bloomFor.contains(f.name) || rows == 0) return None
+      val ok = f.dataType match {
+        case IntegerType | DateType | LongType | TimestampType |
+             TimestampNTZType | StringType => true
+        case _ => false
+      }
+      if (!ok) return None
+      val bits = new Array[Byte](math.max(8, rows))
+      var r = 0
+      while (r < rows) {
+        if (!nulls(i)(r)) {
+          val bytes = f.dataType match {
+            case StringType => strs(i)(r)
+            case IntegerType | DateType =>
+              ColumnarFormat.bloomCanonical(ints(i)(r)).get
+            case _ => ColumnarFormat.bloomCanonical(longs(i)(r)).get
+          }
+          ColumnarFormat.bloomAdd(bits, bytes)
+        }
+        r += 1
+      }
+      Some(bits)
     }
 
     private def nullCountOf(i: Int): Int = {

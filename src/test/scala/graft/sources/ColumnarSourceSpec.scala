@@ -985,6 +985,55 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .filter($"k" === 3).count() === 0)
   }
 
+  test("bloom pruning: point lookups on an unsorted column open ~1 block, zone maps alone open all") {
+    import spark.implicits._
+    val dirB = tmp(); val dirZ = tmp()
+    // k is unique but the table is sorted by g — every block's k-range
+    // spans the domain, so zone maps are blind for k lookups
+    val df = spark.range(0, 20000).select(
+      (($"id" * 7919) % 20000).as("k"), $"id".as("g"))
+    df.repartition(1).sortWithinPartitions("g")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .option("bloomFor", "k").mode("overwrite").save(dirB)
+    df.repartition(1).sortWithinPartitions("g")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dirZ)
+    // the same unique-key equality on both layouts
+    val withBloom = spark.read.format("graft-columnar").load(dirB)
+      .filter($"k" === 4033L)
+    val zoneOnly = spark.read.format("graft-columnar").load(dirZ)
+      .filter($"k" === 4033L)
+    assert(withBloom.count() === 1)
+    assert(zoneOnly.count() === 1)
+    val sb = gcolScan(withBloom); val sz = gcolScan(zoneOnly)
+    assert(sz.plannedBlocks === sz.totalBlocks,
+      "zone maps should be blind on the unsorted unique column")
+    assert(sb.plannedBlocks <= 3,
+      s"bloom kept ${sb.plannedBlocks}/${sb.totalBlocks} blocks")
+    // IN literals of a DIFFERENT integral width still match (canonical
+    // int64 form), and a missing value prunes everything
+    val in = spark.read.format("graft-columnar").load(dirB)
+      .filter($"k".isin(4033, 9001))
+    assert(in.count() === 2)
+    val none = spark.read.format("graft-columnar").load(dirB)
+      .filter($"k" === 777777L)
+    assert(none.count() === 0)
+    assert(gcolScan(none).plannedBlocks === 0,
+      "an absent value should prune every block via the bloom")
+    // strings too
+    val dirS = tmp()
+    spark.range(0, 5000).select(
+        concat(lit("id-"), (($"id" * 7919) % 5000).cast(StringType)).as("s"),
+        $"id".as("g"))
+      .repartition(1).sortWithinPartitions("g")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .option("bloomFor", "s").mode("overwrite").save(dirS)
+    val sEq = spark.read.format("graft-columnar").load(dirS)
+      .filter($"s" === "id-1234")
+    assert(sEq.count() === 1)
+    assert(gcolScan(sEq).plannedBlocks <= 2)
+  }
+
   test("multi-file writes parallelize and statistics see pruned sizes") {
     val dir = tmp()
     sample.repartition(4).write.format("graft-columnar")
