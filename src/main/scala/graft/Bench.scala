@@ -143,6 +143,10 @@ object Bench {
       ops.Layout.ensureGcolSessionEvents(spark, sfDir)
       ops.Layout.ensureGcolPosMor(spark, sfDir)
       ops.Layout.ensureGcolBloomOrders(spark, sfDir)
+      ops.Layout.ensureGcolEvolved(spark, sfDir)
+      ops.Layout.ensureGcolPosUpdated(spark, sfDir)
+      ops.Layout.ensureGcolBloomRetrofit(spark, sfDir)
+      ops.Layout.ensureGcolBucketSpjPair(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

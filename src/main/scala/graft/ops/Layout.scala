@@ -970,6 +970,163 @@ object Layout {
         sum(floor($"o_totalprice" * 100).cast(LongType)).as("price_cents"))
   }
 
+  private val gcolEvoOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Customer in graft-columnar taken through the FULL schema-evolution
+    * ladder (GcolSchemaOps): written at v0 as (c_custkey, c_name,
+    * c_acctbal), then rename c_acctbal → acct_bal, add loyalty_pts
+    * (bigint, null in old files), drop c_name, then a v1 APPEND in the
+    * evolved schema (shifted keys, loyalty populated). Data files are
+    * never rewritten — the v0 files still carry their original footer
+    * schema and read through the lineage.
+    */
+  private[graft] def ensureGcolEvolved(s: SparkSession, dir: String): String =
+    gcolEvoOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_evolved")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      base.repartitionByRange(4, $"c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      graft.sources.GcolSchemaOps.renameColumn(out, "c_acctbal", "acct_bal")
+      graft.sources.GcolSchemaOps.addColumn(out, "loyalty_pts", LongType)
+      graft.sources.GcolSchemaOps.dropColumn(out, "c_name")
+      base.select(($"c_custkey" + 2000000000L).as("c_custkey"),
+          $"c_acctbal".as("acct_bal"),
+          ($"c_custkey" % 97).as("loyalty_pts"))
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("append").save(out)
+      out
+    })
+
+  // q336: SCHEMA EVOLUTION on graft-columnar — add/drop/rename as
+  // metadata-only DDL (GcolSchemaOps; the Iceberg/Delta `ALTER TABLE`
+  // rung, r15 verdict item #1): old data files are NEVER rewritten and
+  // read through a rename lineage in the table-level `_gcol_schema`
+  // file — a renamed column keeps serving (and zone-map-PRUNING, the
+  // scan pushes filters through the rename per file) from its old
+  // segments, an added column synthesizes an all-null vector in
+  // pre-DDL files, a dropped column's bytes just stop being read. The
+  // census scans the evolved union (v0 files + v1 append) through one
+  // schema; the oracle builds the same union in SQL. ColumnarSourceSpec
+  // pins what SQL cannot see: v0 files byte-identical through all
+  // three DDLs, pruning alive across the rename, type changes and name
+  // recycling refused. Determinism: count + exact integer cents/sums.
+  // Scale shape: each DDL is one O(files) driver metadata sweep plus an
+  // atomic file write — `ALTER TABLE` on a 100 TB table in
+  // milliseconds, the property every long-lived production table hits
+  // within months.
+  private def gcolSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolEvolved(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .filter($"acct_bal" > 0.0)
+      .groupBy(($"c_custkey" % 10).as("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor($"acct_bal" * 100).cast(LongType)).as("bal_cents"),
+        count($"loyalty_pts").as("n_loyal"),
+        sum($"loyalty_pts").as("loyal_sum"))
+      .orderBy($"decile")
+  }
+
+  private val gcolPosUpdOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Lineitem in graft-columnar with a POSITION-UPDATE vector applied
+    * (GcolRowOps.updateWherePos): every `l_quantity <= 3` row's address
+    * joins the delete vector and its patched replacement (price + 1.0,
+    * returnflag 'U') lands in the upsert sidecar — NO data file
+    * rewritten.
+    */
+  private[graft] def ensureGcolPosUpdated(s: SparkSession, dir: String): String =
+    gcolPosUpdOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_posupd")
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag")
+        .write.format("graft-columnar").mode("overwrite").save(out)
+      graft.sources.GcolRowOps.updateWherePos(s, out, "l_quantity <= 3",
+        Map("l_extendedprice" -> "l_extendedprice + 1.0",
+          "l_returnflag" -> "'U'"))
+      out
+    })
+
+  // q337: POSITION-UPDATE vectors on graft-columnar — UPDATE as a
+  // delete+insert pair riding q334's position sidecars (r15 verdict
+  // item #3, Iceberg v2's MoR update): the old row's ADDRESS joins the
+  // delete vector, the patched replacement lands in an upsert sidecar,
+  // and no data file is rewritten — a one-column UPDATE stops paying
+  // q329's whole-file CoW rewrite. Reads anti-join the deletes and
+  // union the upserts (readMoRPos); compactPos folds both back in and
+  // plain == MoR converges (spec-pinned, along with data files byte-
+  // identical through the update and the no-stacking refusal). Oracle:
+  // the same UPDATE as a CASE expression in SQL — the storage-level
+  // update must equal the logical one exactly. Determinism: price+1.0
+  // is one exact IEEE add; census is count + exact integer cents.
+  // Scale shape: O(churn) writes, read amplification bounded by
+  // compaction cadence — the delete-heavy trade q331/q334 document,
+  // now covering updates.
+  private def gcolPosUpdateRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolPosUpdated(s, dir)
+    graft.sources.GcolRowOps.readMoRPos(s, path)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity" * 100).cast(LongType)).as("qty_centi"),
+        sum(floor($"l_extendedprice" * 100).cast(LongType)).as("price_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val gcolBloomRetroOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Orders in graft-columnar custkey-sorted WITHOUT write-time blooms,
+    * then retrofitted via GcolIndexOps.addBloom(o_orderkey): the q335
+    * layout reached by MAINTENANCE instead of foresight — footers
+    * rewritten in place, data segments byte-identical (spec-pinned).
+    */
+  private[graft] def ensureGcolBloomRetrofit(s: SparkSession, dir: String): String =
+    gcolBloomRetroOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_bloom_retro")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderpriority")
+        .repartitionByRange(4, $"o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      graft.sources.GcolIndexOps.addBloom(s, out, Set("o_orderkey"))
+      out
+    })
+
+  // q338: RETROFITTED bloom indexes on graft-columnar — q335's
+  // point-predicate blooms added to an EXISTING table by a maintenance
+  // op (GcolIndexOps.addBloom, r15 verdict item #7), the way compact()
+  // retrofits layout: existing tables were written before anyone knew
+  // which column the lookups would hit, and re-ingesting 100 TB to gain
+  // an index is not a plan. The op decodes only the indexed column,
+  // one task per file, truncates the old footer off and appends one
+  // carrying the blooms — file names unchanged (journal unaffected),
+  // data segments byte-identical, idempotent on re-run (spec pins all
+  // three plus the lookup pruning going green). Oracle: the identical
+  // IN-lookup over the parquet twin — an index must change no row.
+  // Determinism: blooms affect which blocks are OPENED, never the rows
+  // surviving the exact residual filter; exact cents sums.
+  // Scale shape: one column-scoped scan of the indexed column,
+  // parallel per file; footer growth 1 byte/row.
+  private def gcolBloomRetrofitLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolBloomRetrofit(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .filter($"o_orderkey".isin(23L, 457L, 811L, 1201L, 1733L))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        sum(floor($"o_totalprice" * 100).cast(LongType)).as("price_cents"))
+  }
+
   // q328: storage-partitioned gcol⋈gcol join — the last DSv2 rung
   // (SupportsReportPartitioning + SupportsReportOrdering): both tables
   // are clustered on the same bucket key at WRITE time, the scans
@@ -993,7 +1150,85 @@ object Layout {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }
 
+  private val gcolBucketSpjOnce = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Orders + lineitem written with the `bucketSpec` layout: the
+    * materialized bucket-id column (pmod(key, 32)) clusters the blocks,
+    * and the footer declares it as bucket(32, orderkey) — so the scan
+    * reports the TRANSFORM of the key, not identity of the id.
+    */
+  private[graft] def ensureGcolBucketSpjPair(s: SparkSession, dir: String): (String, String) =
+    gcolBucketSpjOnce.getOrElseUpdate(dir, {
+      val oOut = Core.tmp("graft_gcol_bspj_orders")
+      val lOut = Core.tmp("graft_gcol_bspj_lineitem")
+      Tables.orders(s, dir)
+        .select(pmod(col("o_orderkey"), lit(32L)).cast(IntegerType).as("bkt"),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.format("graft-columnar").option("clusterBy", "bkt")
+        .option("bucketSpec", "o_orderkey:32")
+        .mode("overwrite").save(oOut)
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_orderkey"), lit(32L)).cast(IntegerType).as("bkt"),
+          col("l_orderkey"), col("l_quantity"))
+        .write.format("graft-columnar").option("clusterBy", "bkt")
+        .option("bucketSpec", "l_orderkey:32")
+        .mode("overwrite").save(lOut)
+      (oOut, lOut)
+    })
+
+  /** The lazy q339 join frame, factored for PlanGuardsSpec: loaded via
+    * GcolCatalog (the function-catalog route that resolves `bucket`),
+    * joined on the KEY ALONE — no bucket column in the join condition
+    * or even the projection.
+    */
+  private[graft] def gcolBucketSpjFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oPath, lPath) = ensureGcolBucketSpjPair(s, dir)
+    s.conf.set("spark.sql.catalog.gcol_cat", "graft.sources.GcolCatalog")
+    val ro = s.table(s"gcol_cat.`$oPath`")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val rl = s.table(s"gcol_cat.`$lPath`")
+      .select($"l_orderkey", $"l_quantity")
+    ro.join(rl, ro("o_orderkey") === rl("l_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity" * 100).cast(LongType)).as("qty_centi"),
+        sum(floor($"o_totalprice" * 100).cast(LongType)).as("opri_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // q339: BUCKET-transform storage-partitioned join — q328 taken from
+  // identity clustering to the real lakehouse shape (r15 verdict item
+  // #4): both tables are written with `bucketSpec` (a materialized
+  // pmod(key, 32) id clustering the blocks, declared in the footer as
+  // bucket(32, key)), the scans report KeyGroupedPartitioning of the
+  // TRANSFORM, and Spark resolves the V2 `bucket` function through
+  // GcolCatalog (TableCatalog + FunctionCatalog; a plain format() read
+  // has no function catalog, so the transform would stay unresolved —
+  // which is WHY this rung needs the catalog; the fallback is a normal
+  // shuffle plan, spec-pinned sound). The join condition is the KEY
+  // EQUALITY ALONE — the user never names the bucket column, and
+  // differently-sized tables co-partition because their bucket-ID value
+  // sets agree even though their key sets differ, the case identity
+  // clustering cannot express. Zero shuffle exchanges below the join
+  // (PlanGuardsSpec). Oracle: the plain orderkey join over the parquet
+  // twins. Determinism: count + exact integer centi-sums.
+  // Scale shape: the two table-wide exchanges of a fact-fact join
+  // elided by metadata + one resolvable function — at 100 TB the
+  // dominant avoidable cost, now without requiring both tables to
+  // carry aligned value sets.
+  private def gcolBucketSpjJoin(s: SparkSession, dir: String): DataFrame =
+    withSpjConfs(s) {
+      val res = gcolBucketSpjFrame(s, dir)
+      val rows = res.collect() // execute inside the conf window
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_gcol_bucket_spj" -> (gcolBucketSpjJoin _),
+    "q338_gcol_bloom_retrofit" -> (gcolBloomRetrofitLookup _),
+    "q337_gcol_pos_update" -> (gcolPosUpdateRead _),
+    "q336_schema_evolution" -> (gcolSchemaEvolution _),
     "q335_gcol_bloom" -> (gcolBloomLookup _),
     "q334_gcol_pos_delete" -> (gcolPosMorRead _),
     "q333_metadata_cols" -> (metadataCensus _),
@@ -1051,6 +1286,57 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // a bucket layout must never change one bit of the join result
+    "q339_gcol_bucket_spj" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS opri_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a retrofitted index must change no row
+    "q338_gcol_bloom_retrofit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders
+        |WHERE o_orderkey IN (23, 457, 811, 1201, 1733)""".stripMargin,
+    // the storage-level MoR update == the logical UPDATE as a CASE
+    "q337_gcol_pos_update" ->
+      """WITH updated AS (
+        |  SELECT l_orderkey, l_quantity,
+        |    CASE WHEN l_quantity <= 3 THEN l_extendedprice + 1.0
+        |         ELSE l_extendedprice END AS l_extendedprice,
+        |    CASE WHEN l_quantity <= 3 THEN 'U'
+        |         ELSE l_returnflag END AS l_returnflag
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the evolved table == the v0 rows (renamed bal, null loyalty,
+    // dropped name) plus the v1 append, read through ONE schema
+    "q336_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT c_custkey, c_acctbal AS acct_bal,
+        |         CAST(NULL AS BIGINT) AS loyalty_pts
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000000, c_acctbal, c_custkey % 97
+        |  FROM customer)
+        |SELECT CAST(c_custkey % 10 AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(acct_bal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(count(loyalty_pts) AS BIGINT) AS n_loyal,
+        |  CAST(sum(loyalty_pts) AS BIGINT) AS loyal_sum
+        |FROM evolved WHERE acct_bal > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // bloom pruning opens fewer blocks but must change no row
     "q335_gcol_bloom" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

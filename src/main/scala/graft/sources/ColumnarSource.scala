@@ -117,9 +117,9 @@ class ColumnarSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null && dir.nonEmpty, "graft-columnar requires a path")
-    val files = ColumnarFormat.listFiles(dir)
-    require(files.nonEmpty, s"no .gcol files under $dir")
-    ColumnarFormat.readFooter(files.head).schema
+    // evolved tables carry their CURRENT schema in `_gcol_schema`
+    // (GcolSchemaOps DDL); untouched tables read the head footer
+    ColumnarFormat.tableSchema(dir)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -185,7 +185,14 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
       Option(info.options.get("codec")).getOrElse("none"),
       Option(info.options.get("clusterBy")).filter(_.nonEmpty),
       Option(info.options.get("bloomFor")).map(_.split(',').map(_.trim)
-        .filter(_.nonEmpty).toSet).getOrElse(Set.empty))
+        .filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+      // `bucketSpec` = "keyCol:N": declares the clusterBy column as
+      // bucket(N, keyCol) so the scan can report a BUCKET transform
+      // (storage-partitioned joins across tables of different sizes)
+      Option(info.options.get("bucketSpec")).filter(_.nonEmpty).map { s =>
+        val Array(k, n) = s.split(':')
+        (k.trim, n.trim.toInt)
+      })
 }
 
 // ---------------------------------------------------------------------
@@ -330,13 +337,17 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
       case ColumnarFormat.AggMax(c, _) => c
     }.distinct
     if (mmCols.nonEmpty) {
+      val lin = ColumnarFormat.lineage(dir)
       val answerable = ColumnarFormat.scopedFiles(dir, filesOpt).forall { f =>
         val ft = ColumnarFormat.readFooter(f)
         mmCols.forall { c =>
-          ColumnarFormat.fieldIdx(ft.schema, c) match {
+          ColumnarFormat.resolveName(ft.schema, c, lin)
+            .flatMap(n => ColumnarFormat.fieldIdx(ft.schema, n)) match {
             case Some(i) => ft.blocks.forall(b =>
               b.cols(i).min.isDefined || b.cols(i).nullCount == b.rows)
-            case None => false
+            // the column postdates this file: provably all-null here
+            // (the evolution contract), so it contributes no extremum
+            case None => true
           }
         }
       }
@@ -369,6 +380,22 @@ class GcolScan private[sources] (
   // spec observability: how many blocks the zone maps let through
   @volatile var plannedBlocks: Int = -1
   @volatile var totalBlocks: Int = -1
+
+  /** The scan's file universe, SNAPSHOTTED once per scan: keyGroups
+    * (logical planning) freezes the partition skeleton from this list
+    * and planInputPartitions (physical, possibly replanned after
+    * runtime filters) must see the SAME files — re-listing there could
+    * group a concurrently-appended file under a cluster key the frozen
+    * skeleton never visits and silently drop its blocks (r15 ADVICE).
+    */
+  private lazy val scanFiles: Seq[Path] =
+    ColumnarFormat.scopedFiles(dir, filesOpt)
+
+  /** Rename lineage of an evolved table (empty otherwise), loaded once
+    * per scan — every footer resolution below goes through it.
+    */
+  private lazy val lin: Map[String, Seq[String]] =
+    ColumnarFormat.lineage(dir)
   def pushedAccepted: Array[Filter] = filters
   def aggregated: Boolean = aggSpecs.nonEmpty
 
@@ -426,23 +453,28 @@ class GcolScan private[sources] (
         }
         if ((wantMin && cmp <= 0) || (!wantMin && cmp >= 0)) c else cand
     }
-    ColumnarFormat.scopedFiles(dir, filesOpt).foreach { f =>
+    scanFiles.foreach { f =>
       val footer = ColumnarFormat.readFooter(f)
+      // lineage-aware: a renamed column's stats live under its file-
+      // local name; a column ADDED after this file was written is
+      // all-null here, so it contributes nothing (count 0, no extrema)
+      def idxOf(c: String): Option[Int] =
+        ColumnarFormat.resolveName(footer.schema, c, lin)
+          .flatMap(n => ColumnarFormat.fieldIdx(footer.schema, n))
       footer.blocks.foreach { blk =>
         countStar += blk.rows
         specs.foreach {
           case ColumnarFormat.AggCount(c) =>
-            val i = footer.schema.fieldIndex(c)
-            counts(c) = counts.getOrElse(c, 0L) +
-              (blk.rows - blk.cols(i).nullCount)
+            idxOf(c).foreach { i =>
+              counts(c) = counts.getOrElse(c, 0L) +
+                (blk.rows - blk.cols(i).nullCount)
+            }
           case ColumnarFormat.AggMin(c, dt) =>
-            val i = footer.schema.fieldIndex(c)
-            blk.cols(i).min.foreach(v =>
-              mins(c) = better(mins.get(c), v, dt, wantMin = true))
+            idxOf(c).foreach(i => blk.cols(i).min.foreach(v =>
+              mins(c) = better(mins.get(c), v, dt, wantMin = true)))
           case ColumnarFormat.AggMax(c, dt) =>
-            val i = footer.schema.fieldIndex(c)
-            blk.cols(i).max.foreach(v =>
-              maxs(c) = better(maxs.get(c), v, dt, wantMin = false))
+            idxOf(c).foreach(i => blk.cols(i).max.foreach(v =>
+              maxs(c) = better(maxs.get(c), v, dt, wantMin = false)))
           case ColumnarFormat.AggCountStar => ()
         }
       }
@@ -468,21 +500,37 @@ class GcolScan private[sources] (
     * arrive) consistent: the partition SKELETON never changes, only
     * which blocks sit inside each group.
     */
-  private lazy val keyGroups: Option[(String, DataType, Array[Any])] = {
+  /** A detected key-grouped layout: the cluster column's CURRENT table
+    * name, its value type, the frozen sorted distinct values, the
+    * partition transform the scan reports, and whether that transform
+    * is the identity (bucket layouts report `bucket(N, key)` instead —
+    * resolvable only through GcolCatalog's FunctionCatalog).
+    */
+  private case class KeyLayout(
+      clusterCol: String, dt: DataType, vals: Array[Any],
+      transform: org.apache.spark.sql.connector.expressions.Transform,
+      identity: Boolean)
+
+  private lazy val keyGroups: Option[KeyLayout] = {
     if (aggSpecs.nonEmpty || limit.nonEmpty || topN.nonEmpty) None
     else {
-      val files = ColumnarFormat.scopedFiles(dir, filesOpt)
+      val files = scanFiles
       if (files.isEmpty) None
       else {
         val footers = files.map(ColumnarFormat.readFooter)
-        footers.head.clusterBy match {
-          case Some(c) if footers.forall(_.clusterBy.contains(c)) &&
-              required.fieldNames.contains(c) =>
-            val dt = footers.head.schema
-              .fields(footers.head.schema.fieldIndex(c)).dataType
+        // footers carry the FILE-LOCAL cluster name; map each through
+        // the rename lineage to its current table name, so a renamed
+        // cluster column keeps its storage-partitioned layout
+        val currentOf: Map[String, String] = lin.flatMap {
+          case (cur, olds) => olds.map(_ -> cur)
+        }
+        def pureVals(c0: Option[String]): Option[(DataType, Array[Any])] =
+          c0.flatMap { _ =>
+            val hi = footers.head.schema.fieldIndex(footers.head.clusterBy.get)
+            val dt = footers.head.schema.fields(hi).dataType
             val vals = scala.collection.mutable.LinkedHashSet.empty[Any]
             val pure = footers.forall { ft =>
-              ColumnarFormat.fieldIdx(ft.schema, c).exists { i =>
+              ColumnarFormat.fieldIdx(ft.schema, ft.clusterBy.get).exists { i =>
                 ft.blocks.forall { b =>
                   val cm = b.cols(i)
                   val ok = cm.nullCount == 0 && cm.min.isDefined &&
@@ -492,9 +540,47 @@ class GcolScan private[sources] (
                 }
               }
             }
-            if (!pure) None
-            else Some((c, dt,
-              vals.toArray.sorted(ColumnarFormat.anyOrdering(dt))))
+            if (pure)
+              Some((dt, vals.toArray.sorted(ColumnarFormat.anyOrdering(dt))))
+            else None
+          }
+        val cCur = footers.head.clusterBy.map(n => currentOf.getOrElse(n, n))
+          .filter(c => footers.forall(_.clusterBy
+            .map(n => currentOf.getOrElse(n, n)).contains(c)))
+        // BUCKET layout: every footer declares the same bucketSpec — the
+        // cluster column is bucket(N, key), so the scan reports that
+        // TRANSFORM of the key instead of identity of the bucket id.
+        // The key (not the id) must be in the read schema; the id
+        // column itself need not be projected at all. Differently-sized
+        // tables bucketed at the same N co-partition on the key — the
+        // case identity clustering cannot express (its value sets
+        // differ). The transform resolves through a FunctionCatalog, so
+        // bucket SPJ needs the table read via GcolCatalog; a plain
+        // format("graft-columnar") read leaves it unresolved and Spark
+        // falls back to a normal shuffle plan (sound, just unoptimized).
+        val bucket = footers.head.bucketSpec
+          .filter(bs => footers.forall(_.bucketSpec.contains(bs)))
+          .map { case (k, n) => (currentOf.getOrElse(k, k), n) }
+          .filter { case (k, _) => required.fieldNames.contains(k) }
+        (cCur, bucket) match {
+          case (Some(c), Some((k, n))) =>
+            pureVals(cCur).collect {
+              case (dt, vals)
+                  if dt == IntegerType &&
+                    vals.forall(v => v.asInstanceOf[Int] >= 0 &&
+                      v.asInstanceOf[Int] < n) =>
+                KeyLayout(c, dt, vals,
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, k),
+                  identity = false)
+            }
+          case (Some(c), None) if required.fieldNames.contains(c) =>
+            pureVals(cCur).map { case (dt, vals) =>
+              KeyLayout(c, dt, vals,
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c),
+                identity = true)
+            }
           case _ => None
         }
       }
@@ -510,10 +596,9 @@ class GcolScan private[sources] (
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyGroups match {
-      case Some((c, _, vals)) =>
+      case Some(kl) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
-          vals.length)
+          Array(kl.transform), kl.vals.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -524,11 +609,13 @@ class GcolScan private[sources] (
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     keyGroups match {
-      case Some((c, _, _)) =>
+      // identity layouts only: a bucket partition holds ONE bucket id
+      // but its key values are arbitrary, so no ordering is truthful
+      case Some(kl) if kl.identity =>
         import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
-        Array(Expressions.sort(Expressions.column(c),
+        Array(Expressions.sort(Expressions.column(kl.clusterCol),
           SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
-      case None => Array.empty
+      case _ => Array.empty
     }
 
   // a def, not a lazy val: runtime filters can arrive AFTER statistics
@@ -545,26 +632,34 @@ class GcolScan private[sources] (
     val keyOf = scala.collection.mutable.AnyRefMap.empty[GcolBlockDesc, Any]
     var total = 0
     var kept = 0L
-    ColumnarFormat.scopedFiles(dir, filesOpt).foreach { f =>
+    scanFiles.foreach { f =>
       lazy val footer = ColumnarFormat.readFooter(f)
       if (cap.forall(kept < _)) {
-        required.fields.foreach(r => require(
-          footer.schema.fieldNames.contains(r.name),
-          s"$f lacks required column ${r.name}"))
+        // push the filters through the rename lineage into this file's
+        // LOCAL names so a renamed column's zone maps (and blooms)
+        // still prune; a column the file never had keeps its table
+        // name and mayMatch's missing-column path keeps the block
+        // (its synthesized null vector feeds the residual filter)
+        val localName: Map[String, String] = required.fields.flatMap(r =>
+          ColumnarFormat.resolveName(footer.schema, r.name, lin)
+            .filter(_ != r.name).map(r.name -> _)).toMap
+        val localFilters =
+          if (localName.isEmpty) effective
+          else effective.map(ColumnarFormat.renameFilter(_, localName))
         var blkIdx = -1
         footer.blocks.foreach { blk =>
           blkIdx += 1
           total += 1
           if (cap.forall(kept < _) &&
-              effective.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
-            val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-            val desc = GcolBlockDesc(f.toString, blk.rows,
-              idx.map(blk.offs), idx.map(blk.lens),
-              idx.map(j => blk.cols(j).rawLen), footer.codec,
-              idx.map(j => blk.cols(j).enc), blkIdx)
+              localFilters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
+            val desc =
+              ColumnarFormat.blockDesc(f, footer, blk, blkIdx, required, lin)
             all += desc
-            grouping.foreach { case (c, _, _) =>
-              keyOf(desc) = blk.cols(footer.schema.fieldIndex(c)).min.get
+            grouping.foreach { kl =>
+              val c = kl.clusterCol
+              val ci = footer.schema.fieldIndex(
+                ColumnarFormat.resolveName(footer.schema, c, lin).getOrElse(c))
+              keyOf(desc) = blk.cols(ci).min.get
             }
             kept += blk.rows
           }
@@ -574,15 +669,13 @@ class GcolScan private[sources] (
     val out = topN match {
       case Some((colName, asc, n))
           if runtimeFilters.isEmpty && filters.isEmpty =>
-        ColumnarFormat.topNPrune(
-          ColumnarFormat.scopedFiles(dir, filesOpt), all.toArray,
-          colName, asc, n)
+        ColumnarFormat.topNPrune(scanFiles, all.toArray, colName, asc, n)
       case _ => all.toArray
     }
     totalBlocks = total
     plannedBlocks = out.length
     grouping match {
-      case Some((_, dt, vals)) =>
+      case Some(KeyLayout(_, dt, vals, _, _)) =>
         // partitions per FROZEN cluster value, in frozen order — a key
         // whose blocks were all pruned (statically or by a runtime
         // filter) still yields an (empty) partition, so the reported
@@ -594,6 +687,13 @@ class GcolScan private[sources] (
         // bounded by maxPartitionBytes instead of by the skew.
         val conf = org.apache.spark.sql.internal.SQLConf.get
         val byKey = out.groupBy(keyOf(_))
+        // scanFiles is snapshotted, so every block's key is in the
+        // frozen skeleton by construction — fail LOUDLY rather than
+        // drop rows if that invariant is ever broken
+        val unknown = byKey.keySet.diff(vals.toSet)
+        require(unknown.isEmpty,
+          s"gcol key-grouped scan: cluster values $unknown appeared " +
+            "after the partition skeleton froze (concurrent append?)")
         vals.flatMap { v =>
           val blocks = byKey.getOrElse(v, Array.empty[GcolBlockDesc])
           val target = math.max(conf.filesOpenCostInBytes,
@@ -795,7 +895,8 @@ private[sources] object GcolReaderFactory extends PartitionReaderFactory {
 private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
                                         rowsPerBlock: Int, codec: String,
                                         clusterBy: Option[String] = None,
-                                        bloomFor: Set[String] = Set.empty)
+                                        bloomFor: Set[String] = Set.empty,
+                                        bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -805,6 +906,20 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
     clusterBy.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"clusterBy column `$c` not in write schema")
+    }
+    bucketSpec.foreach { case (k, n) =>
+      require(clusterBy.nonEmpty,
+        "bucketSpec requires clusterBy (the materialized bucket-id column)")
+      require(n > 0, s"bucketSpec bucket count must be positive, got $n")
+      require(schema.fieldNames.contains(k),
+        s"bucketSpec key column `$k` not in write schema")
+      val kt = schema.fields(schema.fieldIndex(k)).dataType
+      require(kt == IntegerType || kt == LongType,
+        s"bucketSpec key must be int/bigint, `$k` is ${kt.simpleString}")
+      val ct = schema.fields(schema.fieldIndex(clusterBy.get)).dataType
+      require(ct == IntegerType,
+        s"the bucket-id column `${clusterBy.get}` must be int, is " +
+          ct.simpleString)
     }
     bloomFor.foreach { c =>
       val f = schema.fields.find(_.name == c)
@@ -838,7 +953,7 @@ private[sources] class GcolWriteBuilder(dir: String, schema: StructType,
             SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)))
       override def toBatch: BatchWrite =
         new GcolBatchWrite(dir, schema, rowsPerBlock, replace, codec,
-          clusterBy, bloomFor)
+          clusterBy, bloomFor, bucketSpec)
     }
   }
 }
@@ -851,7 +966,8 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
                                       rowsPerBlock: Int, replace: Boolean,
                                       codec: String,
                                       clusterBy: Option[String] = None,
-                                      bloomFor: Set[String] = Set.empty)
+                                      bloomFor: Set[String] = Set.empty,
+                                      bucketSpec: Option[(String, Int)] = None)
     extends BatchWrite {
   // the job uid doubles as the data-file name suffix: partitionId/taskId
   // are only unique within ONE Spark application, so an append from a
@@ -862,7 +978,7 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GcolWriterFactory(dir, staging, jobUid, schema.json, rowsPerBlock,
-      codec, clusterBy, bloomFor)
+      codec, clusterBy, bloomFor, bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
@@ -923,13 +1039,15 @@ private[sources] class GcolWriterFactory(dir: String, staging: String,
                                          schemaJson: String, rowsPerBlock: Int,
                                          codec: String,
                                          clusterBy: Option[String],
-                                         bloomFor: Set[String] = Set.empty)
+                                         bloomFor: Set[String] = Set.empty,
+                                         bucketSpec: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GcolDataWriter(dir, staging, jobUid,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      rowsPerBlock, codec, clusterBy, bloomFor, partitionId, taskId)
+      rowsPerBlock, codec, clusterBy, bloomFor, partitionId, taskId,
+      bucketSpec)
 }
 
 /** Buffers exactly ONE block (bounded memory), encodes and appends it
@@ -942,7 +1060,8 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
                                       codec: String,
                                       clusterBy: Option[String],
                                       bloomFor: Set[String],
-                                      partitionId: Int, taskId: Long)
+                                      partitionId: Int, taskId: Long,
+                                      bucketSpec: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
 
   // jobUid makes names unique ACROSS applications (appends never collide)
@@ -1002,7 +1121,7 @@ private[sources] class GcolDataWriter(dir: String, staging: String,
       GcolFileCommitted("")
     } else {
       ColumnarFormat.writeFooter(chan, schema, blockMetas.toSeq, codec,
-        clusterBy)
+        clusterBy, bucketSpec)
       chan.close(); raf.close()
       GcolFileCommitted(rel)
     }
@@ -1042,21 +1161,28 @@ private[sources] class GcolMicroBatchStream(
     val s = start.asInstanceOf[GcolOffset].n.toInt
     val e = end.asInstanceOf[GcolOffset].n.toInt
     val files = ColumnarFormat.journal(dir).slice(s, e)
+    val lin = ColumnarFormat.lineage(dir)
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
     files.foreach { rel =>
       val f = Paths.get(dir).resolve(rel)
-      val footer = ColumnarFormat.readFooter(f)
-      val descs = footer.blocks.zipWithIndex.flatMap { case (blk, bi) =>
-        if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
-          val idx = required.fields.map(r => footer.schema.fieldIndex(r.name))
-          Some(GcolBlockDesc(f.toString, blk.rows,
-            idx.map(blk.offs), idx.map(blk.lens),
-            idx.map(j => blk.cols(j).rawLen), footer.codec,
-            idx.map(j => blk.cols(j).enc), bi))
-        } else None
+      // A journaled file may have been REPLACED by a copy-on-write
+      // rewrite (GcolRowOps.merge/compact) and deleted — its surviving
+      // rows were re-journaled under the rewrite's new names later in
+      // the log. Skipping it keeps exactly-once replay ALIVE across a
+      // rewrite (the Delta `ignoreChanges` contract: already-delivered
+      // rows are never retracted; a reader starting from offset 0 gets
+      // the post-rewrite state from the re-journaled files) instead of
+      // crashing every checkpoint whose range spans the rewrite.
+      if (Files.exists(f)) {
+        val footer = ColumnarFormat.readFooter(f)
+        val descs = footer.blocks.zipWithIndex.flatMap { case (blk, bi) =>
+          if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _)))
+            Some(ColumnarFormat.blockDesc(f, footer, blk, bi, required, lin))
+          else None
+        }
+        if (descs.nonEmpty) // one task per journal file: batch-local unit
+          all += GcolBlockPartition(descs.toArray, required.json)
       }
-      if (descs.nonEmpty) // one task per journal file: batch-local unit
-        all += GcolBlockPartition(descs.toArray, required.json)
     }
     all.toArray[InputPartition]
   }
@@ -1071,6 +1197,145 @@ object ColumnarFormat {
   val DefaultRowsPerBlock = 16384
   val Magic: Long = 0x47434F4C464D5431L // "GCOLFMT1"
   val JournalName = "_gcol_journal"
+
+  // ---- schema evolution (GcolSchemaOps writes, every reader resolves) --
+  //
+  // A table-level `_gcol_schema` file (written atomically by the DDL ops
+  // in GcolSchemaOps) carries the CURRENT schema plus, per column, the
+  // column's FORMER names (rename lineage). Data files keep the schema
+  // they were written with; readers resolve each table column against a
+  // file footer by current name first, then formers newest-first —
+  // so a renamed column still reads (and zone-map-prunes) from old
+  // files, and a column ADDED after a file was written resolves to
+  // nothing and is synthesized as an all-null vector (the Iceberg
+  // add-column contract). Absent `_gcol_schema`, the head footer is the
+  // schema and the lineage is empty — untouched tables behave exactly
+  // as before.
+
+  val SchemaFileName = "_gcol_schema"
+
+  /** Table schema: the evolved `_gcol_schema` if present, else the head
+    * data file's footer schema (the pre-evolution behavior).
+    */
+  def tableSchema(dir: String): StructType =
+    readSchemaState(dir).map(_._1).getOrElse {
+      val files = listFiles(dir)
+      require(files.nonEmpty, s"no .gcol files under $dir")
+      readFooter(files.head).schema
+    }
+
+  /** Rename lineage: current column name -> former names, NEWEST first.
+    * Empty for never-evolved tables.
+    */
+  def lineage(dir: String): Map[String, Seq[String]] =
+    readSchemaState(dir).map(_._2).getOrElse(Map.empty)
+
+  /** (schema, formers) from `_gcol_schema`, or None if absent. */
+  def readSchemaState(dir: String): Option[(StructType, Map[String, Seq[String]])] = {
+    val p = Paths.get(dir).resolve(SchemaFileName)
+    if (!Files.exists(p)) return None
+    val root = mapper.readTree(Files.readAllBytes(p))
+    val schema = DataType.fromJson(root.get("schema").asText())
+      .asInstanceOf[StructType]
+    val formers = scala.collection.mutable.Map.empty[String, Seq[String]]
+    if (root.has("formers")) {
+      val it = root.get("formers").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        e.getValue.forEach(n => names += n.asText())
+        formers(e.getKey) = names.toSeq
+      }
+    }
+    Some((schema, formers.toMap))
+  }
+
+  /** Atomic write of the schema state (tmp + move): readers see either
+    * the old or the new schema, never a torn file.
+    */
+  def writeSchemaState(dir: String, schema: StructType,
+                       formers: Map[String, Seq[String]]): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("schema", schema.json)
+    val fn = root.putObject("formers")
+    formers.foreach { case (cur, olds) =>
+      if (olds.nonEmpty) {
+        val a = fn.putArray(cur)
+        olds.foreach(a.add)
+      }
+    }
+    val tmp = Paths.get(dir).resolve(SchemaFileName + ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(root))
+    Files.move(tmp, Paths.get(dir).resolve(SchemaFileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve a table column against a data file's footer schema:
+    * current name first, then former names newest-first. None = the
+    * column postdates the file (reads as all-null). A hit with a
+    * DIFFERENT data type fails loudly — type evolution is not part of
+    * the contract.
+    */
+  def resolveField(fileSchema: StructType, field: StructField,
+                   lin: Map[String, Seq[String]]): Option[Int] = {
+    val names = field.name +: lin.getOrElse(field.name, Nil)
+    names.iterator.flatMap(n => fieldIdx(fileSchema, n)).nextOption()
+      .map { i =>
+        require(fileSchema.fields(i).dataType == field.dataType,
+          s"column `${field.name}` is ${field.dataType.simpleString} in " +
+            s"the table schema but ${fileSchema.fields(i).dataType.simpleString} " +
+            "in an existing data file; gcol schema evolution does not " +
+            "change column types")
+        i
+      }
+  }
+
+  /** The file-LOCAL name a table column resolves to (for pushing the
+    * scan's filters through a rename), or None when the column postdates
+    * the file.
+    */
+  def resolveName(fileSchema: StructType, name: String,
+                  lin: Map[String, Seq[String]]): Option[String] =
+    (name +: lin.getOrElse(name, Nil)).find(n =>
+      fieldIdx(fileSchema, n).isDefined)
+
+  /** Rewrite a pushed filter's attribute names into one data file's
+    * local names (rename lineage); attributes the file never had keep
+    * their table name — mayMatch's missing-column path keeps the block
+    * and the residual filter evaluates over the synthesized null vector.
+    */
+  def renameFilter(f: Filter, m: Map[String, String]): Filter = {
+    def n(a: String): String = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(n(a), v)
+      case GreaterThan(a, v) => GreaterThan(n(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(n(a), v)
+      case LessThan(a, v) => LessThan(n(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(n(a), v)
+      case In(a, vs) => In(n(a), vs)
+      case IsNull(a) => IsNull(n(a))
+      case IsNotNull(a) => IsNotNull(n(a))
+      case And(l, r) => And(renameFilter(l, m), renameFilter(r, m))
+      case Or(l, r) => Or(renameFilter(l, m), renameFilter(r, m))
+      case other => other
+    }
+  }
+
+  /** One block's read descriptor with evolution-aware column resolution:
+    * a table column the file lacks gets the ABSENT sentinel (off = -1)
+    * and decodes as an all-null vector of the table type.
+    */
+  def blockDesc(f: Path, footer: Footer, blk: BlockView, blkIdx: Int,
+                required: StructType,
+                lin: Map[String, Seq[String]]): GcolBlockDesc = {
+    val idx = required.fields.map(r => resolveField(footer.schema, r, lin))
+    GcolBlockDesc(f.toString, blk.rows,
+      idx.map(_.fold(-1L)(blk.offs)),
+      idx.map(_.fold(0L)(blk.lens)),
+      idx.map(_.fold(0L)(j => blk.cols(j).rawLen)), footer.codec,
+      idx.map(_.fold("absent")(j => blk.cols(j).enc)), blkIdx)
+  }
 
   /** TopN block pruning. `parts` must be every block in footer
     * iteration order (the only state topN is pushed in: no filters, so
@@ -1287,7 +1552,8 @@ object ColumnarFormat {
   }
   case class Footer(schema: StructType, blockList: Seq[BlockMeta],
                     codec: String = "none",
-                    clusterBy: Option[String] = None) {
+                    clusterBy: Option[String] = None,
+                    bucketSpec: Option[(String, Int)] = None) {
     def blocks: Seq[BlockView] = blockList.zipWithIndex.map { case (b, _) =>
       BlockView(b.rows, b.cols.map(_.off), b.cols.map(_.len), b.cols)
     }
@@ -1348,11 +1614,15 @@ object ColumnarFormat {
 
   def writeFooter(chan: java.nio.channels.FileChannel, schema: StructType,
                   blocks: Seq[BlockMeta], codec: String = "none",
-                  clusterBy: Option[String] = None): Unit = {
+                  clusterBy: Option[String] = None,
+                  bucketSpec: Option[(String, Int)] = None): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("schema", schema.json)
     root.put("codec", codec)
     clusterBy.foreach(root.put("clusterBy", _))
+    bucketSpec.foreach { case (k, n) =>
+      root.put("bucketKey", k); root.put("bucketN", n)
+    }
     val arr: ArrayNode = root.putArray("blocks")
     blocks.foreach { b =>
       val bn = arr.addObject()
@@ -1409,6 +1679,10 @@ object ColumnarFormat {
       val clusterBy =
         if (root.has("clusterBy")) Some(root.get("clusterBy").asText())
         else None
+      val bucketSpec =
+        if (root.has("bucketKey"))
+          Some((root.get("bucketKey").asText(), root.get("bucketN").asInt()))
+        else None
       val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
       root.get("blocks").forEach { bn =>
         val cols = scala.collection.mutable.ArrayBuffer.empty[ColMeta]
@@ -1439,7 +1713,7 @@ object ColumnarFormat {
         }
         blocks += BlockMeta(bn.get("rows").asInt(), cols.toArray)
       }
-      Footer(schema, blocks.toSeq, codec, clusterBy)
+      Footer(schema, blocks.toSeq, codec, clusterBy, bucketSpec)
     } finally raf.close()
   }
 
@@ -1943,6 +2217,13 @@ object ColumnarFormat {
     try {
       var i = 0
       while (i < dataLen) {
+        if (part.offs(i) < 0) {
+          // ABSENT sentinel: the column was added to the table schema
+          // after this file was written — all-null vector of the table
+          // type, zero disk bytes behind it (the add-column contract)
+          vectors(i).putNulls(0, rows)
+          i += 1
+        } else {
         val len = part.lens(i).toInt
         val buf = ByteBuffer.allocate(len)
         var read = 0
@@ -2018,6 +2299,7 @@ object ColumnarFormat {
           r += 1
         }
         i += 1
+        }
       }
       new ColumnarBatch(vectors.toArray[ColumnVector], rows)
     } finally raf.close()

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Row-level operations on a graft-columnar directory: MERGE (and its
   * DELETE convenience) as distributed COPY-ON-WRITE of the affected
@@ -57,35 +57,66 @@ object GcolRowOps {
     require(ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty,
       "pending position deletes: a rewrite would invalidate their row " +
         s"addresses — apply them first (GcolRowOps.compactPos($dir))")
+    require(ColumnarFormat.listFiles(posUpsertsDir(dir)).isEmpty,
+      "pending position-update rows: a rewrite would not carry them — " +
+        s"apply them first (GcolRowOps.compactPos($dir))")
     val headFooter = ColumnarFormat.readFooter(all.head)
-    val schema = headFooter.schema
+    // the EVOLVED table schema (add/drop/rename DDL) — the rewrite
+    // reads through the connector, which resolves old files through
+    // the lineage, and writes the current schema
+    val schema = ColumnarFormat.tableSchema(dir)
+    val lin = ColumnarFormat.lineage(dir)
     require(schema.fieldNames.contains(key), s"key `$key` not in table")
 
     // 1) affected files: change keys range-joined vs broadcast footer
     //    ranges (file-level min/max over the key's block zone maps)
     val ranges = all.map { f =>
       val ft = ColumnarFormat.readFooter(f)
-      val ki = ft.schema.fieldIndex(key)
-      val mins = ft.blocks.flatMap(_.cols(ki).min)
-      val maxs = ft.blocks.flatMap(_.cols(ki).max)
-      val conservative = ft.blocks.exists(b =>
-        b.cols(ki).min.isEmpty && b.cols(ki).nullCount < b.rows)
-      (f.getFileName.toString,
-        if (mins.isEmpty) None
-        else Some((mins.min(ColumnarFormat.anyOrdering(
-          ft.schema.fields(ki).dataType)),
-          maxs.max(ColumnarFormat.anyOrdering(
-            ft.schema.fields(ki).dataType)))),
-        conservative)
+      ColumnarFormat.resolveName(ft.schema, key, lin)
+        .flatMap(n => ColumnarFormat.fieldIdx(ft.schema, n)) match {
+        case None =>
+          // the key column postdates this file: every row's key is
+          // null there — conservatively affected (a rewrite folds the
+          // evolved schema in as a side effect)
+          (f.getFileName.toString, None, true)
+        case Some(ki) =>
+          val mins = ft.blocks.flatMap(_.cols(ki).min)
+          val maxs = ft.blocks.flatMap(_.cols(ki).max)
+          val conservative = ft.blocks.exists(b =>
+            b.cols(ki).min.isEmpty && b.cols(ki).nullCount < b.rows)
+          (f.getFileName.toString,
+            if (mins.isEmpty) None
+            else Some((mins.min(ColumnarFormat.anyOrdering(
+              ft.schema.fields(ki).dataType)),
+              maxs.max(ColumnarFormat.anyOrdering(
+                ft.schema.fields(ki).dataType)))),
+            conservative)
+      }
     }
     val alwaysAffected = ranges.collect {
       case (n, None, _) => n
       case (n, _, true) => n
     }.toSet
-    val rangeRows = ranges.collect { case (n, Some((mn, mx)), false) =>
-      org.apache.spark.sql.Row(n, mn, mx)
-    }
     val keyField = schema.fields(schema.fieldIndex(key))
+    // footer zone-map values are the INTERNAL representations (days for
+    // dates, micros for timestamps); createDataFrame takes EXTERNAL
+    // java.sql/java.time values — convert, or date/timestamp-keyed
+    // merges throw "not a valid external type" (r15 ADVICE)
+    def external(v: Any): Any = keyField.dataType match {
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaDate(v.asInstanceOf[Int])
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[Long])
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(v.asInstanceOf[Long])
+      case _ => v
+    }
+    val rangeRows = ranges.collect { case (n, Some((mn, mx)), false) =>
+      org.apache.spark.sql.Row(n, external(mn), external(mx))
+    }
     val rangeSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_gcol_path",
         org.apache.spark.sql.types.StringType),
@@ -123,12 +154,23 @@ object GcolRowOps {
     val scratch = Files.createTempDirectory("gcol_merge").toString
     val w = merged.write.format("graft-columnar").mode("overwrite")
     val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-    val w3 = if (headFooter.codec == "none") w2
-      else w2.option("codec", headFooter.codec)
+    val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
+      w2.option("bucketSpec", s"$k:$n") }
+    val w3 = if (headFooter.codec == "none") w2b
+      else w2b.option("codec", headFooter.codec)
     w3.save(scratch)
 
     // 3) publish: move new files in (uid names never collide), drop the
-    //    replaced files, journal the new names once
+    //    replaced files, journal the new names once.
+    //    KNOWN READER RACE (single-WRITER contract, documented): a batch
+    //    scan listing the directory between the moves and the deletes
+    //    sees rewritten rows TWICE (old file + new file). Move-first is
+    //    kept deliberately — the inverse order turns a crash mid-publish
+    //    into permanent data loss, while this order's worst crash
+    //    outcome is duplicates an operator can repair by re-running the
+    //    delete half. The clean fix is a manifest/snapshot pointer
+    //    readers plan from (the Delta/Iceberg commit model) — out of
+    //    scope for the directory-listing read path.
     val root = Paths.get(dir)
     val newRel = ColumnarFormat.listFiles(scratch).map { src =>
       val rel = src.getFileName.toString
@@ -222,19 +264,72 @@ object GcolRowOps {
       .write.format("graft-columnar").mode("append").save(posDeletesDir(dir))
   }
 
-  /** MoR READ with position deletes applied: anti-join on the row
-    * address, metadata columns dropped from the result. Composes with
-    * the equality sidecar when both exist.
+  /** POSITION-UPDATE vectors (`_gcol_pos_upserts/`): a row UPDATE as a
+    * delete+insert pair riding the position sidecars — the addressed
+    * old row joins the delete vector and its patched replacement lands
+    * in an upsert sidecar (a gcol table with the data schema). NO data
+    * file is rewritten: a one-column UPDATE stops paying [[merge]]'s
+    * whole-file CoW rewrite (r15 verdict item #3; Iceberg v2's MoR
+    * update shape). Reads compose both sidecars; [[compactPos]] folds
+    * them back into data files.
+    */
+  val PosUpsertsSubdir = "_gcol_pos_upserts"
+
+  private def posUpsertsDir(dir: String): String =
+    Paths.get(dir).resolve(PosUpsertsSubdir).toString
+
+  /** MoR position UPDATE: rows matching `predicate` get each `set`
+    * column replaced by its SQL expression (evaluated over the old
+    * row). O(churn) writes: the old addresses append to the delete
+    * vector, the patched rows to the upsert sidecar. One pending
+    * update batch at a time (refuses on non-empty sidecars): the
+    * patch expressions evaluate against BASE rows, so stacking a
+    * second batch on un-compacted state would fork two replacements
+    * from one original. Compact between batches — the same
+    * serialize-commits contract the CoW path's single-writer rule
+    * already imposes.
+    */
+  def updateWherePos(spark: SparkSession, dir: String, predicate: String,
+                     set: Map[String, String]): Unit = {
+    require(ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty &&
+      ColumnarFormat.listFiles(posUpsertsDir(dir)).isEmpty,
+      "pending position deletes/updates: compactPos first — patch " +
+        "expressions evaluate against base rows, so batches must not stack")
+    val schema = ColumnarFormat.tableSchema(dir)
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"set column `$c` not in table"))
+    val victims = spark.read.format("graft-columnar").load(dir)
+      .filter(expr(predicate))
+    victims.select(addr.map(col): _*)
+      .write.format("graft-columnar").mode("append").save(posDeletesDir(dir))
+    victims.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => expr(e).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+      .write.format("graft-columnar").mode("append").save(posUpsertsDir(dir))
+  }
+
+  /** MoR READ with position deletes AND updates applied: anti-join on
+    * the row address, then the upsert rows union in; metadata columns
+    * dropped from the result. Composes with the equality sidecar when
+    * both exist.
     */
   def readMoRPos(spark: SparkSession, dir: String): DataFrame = {
     val data = spark.read.format("graft-columnar").load(dir)
     val dataCols = data.columns.toSeq
-    if (ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty) data
-    else data.select((dataCols ++ addr).map(col): _*)
-      .join(spark.read.format("graft-columnar").load(posDeletesDir(dir))
-        .select(addr.map(col): _*).distinct(),
-        addr, "left_anti")
-      .select(dataCols.map(col): _*)
+    val base =
+      if (ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty) data
+      else data.select((dataCols ++ addr).map(col): _*)
+        .join(spark.read.format("graft-columnar").load(posDeletesDir(dir))
+          .select(addr.map(col): _*).distinct(),
+          addr, "left_anti")
+        .select(dataCols.map(col): _*)
+    if (ColumnarFormat.listFiles(posUpsertsDir(dir)).isEmpty) base
+    else base.unionAll(
+      spark.read.format("graft-columnar").load(posUpsertsDir(dir))
+        .select(dataCols.map(col): _*))
   }
 
   /** Fold the delete sidecar into the data files (the CoW [[merge]]
@@ -251,45 +346,70 @@ object GcolRowOps {
     published
   }
 
-  /** Fold the POSITION sidecar in: rewrite exactly the addressed files
-    * without the addressed rows, publish, clear the sidecar. After
-    * this, plain == MoR-pos and [[merge]]/[[compact]] are unblocked.
+  /** Fold the POSITION sidecars in: rewrite exactly the addressed files
+    * without the addressed rows, publish, append the pending UPDATE
+    * replacements through the normal writer (which journals them), and
+    * clear both sidecars. After this, plain == MoR-pos and
+    * [[merge]]/[[compact]] are unblocked.
     */
   def compactPos(spark: SparkSession, dir: String): Seq[String] = {
-    if (ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty) return Nil
-    val dels = spark.read.format("graft-columnar").load(posDeletesDir(dir))
-      .select(addr.map(col): _*).distinct()
-    val affected = dels.select("_gcol_file").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted // bounded by FILE count
+    val hasDels = ColumnarFormat.listFiles(posDeletesDir(dir)).nonEmpty
+    val hasUps = ColumnarFormat.listFiles(posUpsertsDir(dir)).nonEmpty
+    if (!hasDels && !hasUps) return Nil
     val headFooter = ColumnarFormat.readFooter(
       ColumnarFormat.listFiles(dir).head)
-    val current = spark.read.format("graft-columnar")
-      .option("files", affected.mkString(",")).load(dir)
-    val dataCols = current.columns.toSeq
-    val survivors = current.select((dataCols ++ addr).map(col): _*)
-      .join(dels, addr, "left_anti")
-      .select(dataCols.map(col): _*)
-    val scratch = Files.createTempDirectory("gcol_compact_pos").toString
-    val w = survivors.write.format("graft-columnar").mode("overwrite")
-    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-    val w3 = if (headFooter.codec == "none") w2
-      else w2.option("codec", headFooter.codec)
-    w3.save(scratch)
-    val root = Paths.get(dir)
-    val newRel = ColumnarFormat.listFiles(scratch).map { src =>
-      val rel = src.getFileName.toString
-      Files.move(src, root.resolve(rel))
-      rel
+    val newRel: Seq[String] = if (!hasDels) Nil else {
+      val dels = spark.read.format("graft-columnar").load(posDeletesDir(dir))
+        .select(addr.map(col): _*).distinct()
+      val affected = dels.select("_gcol_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted // bounded by FILE count
+      val current = spark.read.format("graft-columnar")
+        .option("files", affected.mkString(",")).load(dir)
+      val dataCols = current.columns.toSeq
+      val survivors = current.select((dataCols ++ addr).map(col): _*)
+        .join(dels, addr, "left_anti")
+        .select(dataCols.map(col): _*)
+      val scratch = Files.createTempDirectory("gcol_compact_pos").toString
+      val w = survivors.write.format("graft-columnar").mode("overwrite")
+      val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
+      val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
+        w2.option("bucketSpec", s"$k:$n") }
+      val w3 = if (headFooter.codec == "none") w2b
+        else w2b.option("codec", headFooter.codec)
+      w3.save(scratch)
+      val root = Paths.get(dir)
+      val moved = ColumnarFormat.listFiles(scratch).map { src =>
+        val rel = src.getFileName.toString
+        Files.move(src, root.resolve(rel))
+        rel
+      }
+      affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
+      if (moved.nonEmpty)
+        Files.write(root.resolve(ColumnarFormat.JournalName),
+          moved.sorted.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      deleteDirQuiet(Paths.get(scratch))
+      moved
     }
-    affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
-    if (newRel.nonEmpty)
-      Files.write(root.resolve(ColumnarFormat.JournalName),
-        newRel.sorted.mkString("", "\n", "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    deleteDirQuiet(Paths.get(scratch))
+    if (hasUps) {
+      // the patched replacement rows land as a NORMAL append: the
+      // writer keeps the table's codec/clusterBy layout and journals
+      // the new files itself
+      val schema = ColumnarFormat.tableSchema(dir)
+      val ups = spark.read.format("graft-columnar").load(posUpsertsDir(dir))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val w = ups.write.format("graft-columnar").mode("append")
+      val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
+      val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
+        w2.option("bucketSpec", s"$k:$n") }
+      val w3 = if (headFooter.codec == "none") w2b
+        else w2b.option("codec", headFooter.codec)
+      w3.save(dir)
+    }
     deleteDirQuiet(Paths.get(posDeletesDir(dir)))
+    deleteDirQuiet(Paths.get(posUpsertsDir(dir)))
     newRel
   }
 

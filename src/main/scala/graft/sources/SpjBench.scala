@@ -1,15 +1,25 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
-/** Paired A/B for the storage-partitioned join (q328): the SAME
-  * clustered gcol orders⋈lineitem aggregate timed with the reported
-  * KeyGroupedPartitioning honored (zero join exchanges) vs ignored
-  * (both sides shuffled) — interleaved warm min-of-k in one session, so
-  * the delta is the two table-wide exchanges and their sorts, nothing
-  * else. Broadcast stays off on BOTH arms (the 100-TB design point:
-  * neither side of a fact-fact join broadcasts). Run:
+/** Paired A/Bs for the storage-partitioned join surfaces, all
+  * interleaved warm min-of-k in one session so each delta isolates one
+  * plan property. Broadcast stays off on every arm (the 100-TB design
+  * point: neither side of a fact-fact join broadcasts).
+  *
+  *   - '''identity''' (q328): the clustered gcol orders⋈lineitem with
+  *     the reported KeyGroupedPartitioning honored (zero join
+  *     exchanges) vs ignored (both sides shuffled).
+  *   - '''bucket''' (q339): the bucketSpec pair joined on the KEY
+  *     through GcolCatalog's function resolution vs the same join with
+  *     v2 bucketing off — measures what the bucket transform elides.
+  *   - '''skew''': a pair whose cluster key is HOT (~28% of rows in one
+  *     bucket), SPJ on in both arms, with vs without
+  *     `partiallyClusteredDistribution` — the engine replicating the
+  *     smaller side across the hot key's size-bounded splits instead of
+  *     fusing them into one straggler task.
   *
   * {{{ sbt "runMain graft.sources.SpjBench /root/testdata/sf0.1" }}}
   */
@@ -27,9 +37,32 @@ object SpjBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (oPath, lPath) = graft.ops.Layout.ensureGcolSpjPair(spark, dir)
+    def timeIt(f: () => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f()
+      require(n > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** Interleaved warm min-of-k of two arms. */
+    def pair(a: () => Long, b: () => Long): (Double, Double) = {
+      timeIt(a); timeIt(b)
+      var am = Double.MaxValue
+      var bm = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        am = math.min(am, timeIt(a))
+        bm = math.min(bm, timeIt(b))
+      }
+      (am, bm)
+    }
+    def withConf(pairs: (String, String)*)(body: => Long): Long = {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    }
+    val off = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
-    def join(): Long = {
+    // ---- identity SPJ (q328) ------------------------------------------
+    val (oPath, lPath) = graft.ops.Layout.ensureGcolSpjPair(spark, dir)
+    def identityJoin(): Long = {
       val ro = spark.read.format("graft-columnar").load(oPath)
       val rl = spark.read.format("graft-columnar").load(lPath)
       ro.join(rl, ro("bkt") === rl("bkt") &&
@@ -38,34 +71,83 @@ object SpjBench {
         .agg(count(lit(1)).as("n"))
         .collect().map(_.getLong(1)).sum
     }
+    val (spjMin, exMin) = pair(
+      () => withConf(off ++ Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false"): _*)(
+        identityJoin()),
+      () => withConf(off ++ Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "true"): _*)(
+        identityJoin()))
 
-    def arm(spj: Boolean): () => Long = () => {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
-      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
-        (!spj).toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      join()
+    // ---- bucket-transform SPJ (q339) ----------------------------------
+    val (boPath, blPath) = graft.ops.Layout.ensureGcolBucketSpjPair(spark, dir)
+    spark.conf.set("spark.sql.catalog.gcol_cat", "graft.sources.GcolCatalog")
+    def bucketJoin(): Long = {
+      val ro = spark.table(s"gcol_cat.`$boPath`")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val rl = spark.table(s"gcol_cat.`$blPath`")
+        .select(col("l_orderkey"), col("l_quantity"))
+      ro.join(rl, ro("o_orderkey") === rl("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sum
     }
+    val (bSpjMin, bExMin) = pair(
+      () => withConf(off ++ Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true"): _*)(
+        bucketJoin()),
+      () => withConf(off ++ Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false"): _*)(
+        bucketJoin()))
 
-    def timeIt(f: () => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f()
-      require(n > 0)
-      (System.nanoTime() - t0) / 1e9
+    // ---- skewed SPJ: partiallyClusteredDistribution A/B ---------------
+    // hot key: every orderkey % 4 == 0 collapses into bucket 0, so one
+    // cluster value holds ~28% of both tables (bucket 0's natural share
+    // plus a quarter of the table)
+    val skewO = graft.ops.Core.tmp("graft_gcol_skew_o")
+    val skewL = graft.ops.Core.tmp("graft_gcol_skew_l")
+    def hot(c: org.apache.spark.sql.Column) =
+      when(c % 4 === 0, lit(0)).otherwise(pmod(c, lit(32L)).cast(IntegerType))
+    graft.Tables.orders(spark, dir)
+      .select(hot(col("o_orderkey")).as("bkt"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .write.format("graft-columnar").option("clusterBy", "bkt")
+      .mode("overwrite").save(skewO)
+    graft.Tables.lineitem(spark, dir)
+      .select(hot(col("l_orderkey")).as("bkt"), col("l_orderkey"),
+        col("l_quantity"))
+      .write.format("graft-columnar").option("clusterBy", "bkt")
+      .mode("overwrite").save(skewL)
+    def skewJoin(): Long = {
+      val ro = spark.read.format("graft-columnar").load(skewO)
+      val rl = spark.read.format("graft-columnar").load(skewL)
+      ro.join(rl, ro("bkt") === rl("bkt") &&
+          ro("o_orderkey") === rl("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sum
     }
+    val spjOn = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val (pcdMin, fusedMin) = pair(
+      () => withConf(off ++ spjOn ++ Seq(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true"): _*)(
+        skewJoin()),
+      () => withConf(off ++ spjOn ++ Seq(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "false"): _*)(
+        skewJoin()))
 
-    val spjArm = arm(spj = true)
-    val exArm = arm(spj = false)
-    // warmup once each, then interleaved min-of-k
-    timeIt(spjArm); timeIt(exArm)
-    var spjMin = Double.MaxValue
-    var exMin = Double.MaxValue
-    (0 until reps).foreach { _ =>
-      spjMin = math.min(spjMin, timeIt(spjArm))
-      exMin = math.min(exMin, timeIt(exArm))
-    }
-    println(f"""{"spj_join_sec":$spjMin%.3f,"exchange_join_sec":$exMin%.3f,""" +
-      f""""speedup":${exMin / spjMin}%.2f,"sf":"$dir","cpus":$cpus,"reps":$reps}""")
+    println(
+      f"""{"spj_join_sec":$spjMin%.3f,"exchange_join_sec":$exMin%.3f,""" +
+      f""""speedup":${exMin / spjMin}%.2f,""" +
+      f""""bucket_spj_sec":$bSpjMin%.3f,"bucket_exchange_sec":$bExMin%.3f,""" +
+      f""""bucket_speedup":${bExMin / bSpjMin}%.2f,""" +
+      f""""skew_pcd_sec":$pcdMin%.3f,"skew_fused_sec":$fusedMin%.3f,""" +
+      f""""skew_pcd_speedup":${fusedMin / pcdMin}%.2f,""" +
+      f""""sf":"$dir","cpus":$cpus,"reps":$reps}""")
     spark.stop()
   }
 }

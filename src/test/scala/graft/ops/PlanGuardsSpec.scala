@@ -122,6 +122,23 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q339: the BUCKET-transform gcol join plans ZERO exchanges, keyed on the key alone") {
+    graft.ops.Layout.withSpjConfs(spark) {
+      val df = graft.ops.Layout.gcolBucketSpjFrame(spark, dir)
+      val p = df.queryExecution.sparkPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SortMergeJoin:\n$p")
+      // the join keys are the ORDER KEYS — the bucket id column is
+      // never in the condition, the projection, or any shuffle
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"the bucket transform did not resolve — join shuffled:\n$p")
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange"),
+        s"shuffle below the bucket-transform join:\n$below")
+      assert("graft-columnar".r.findAllIn(p).size >= 2, s"not both gcol:\n$p")
+    }
+  }
+
   test("q66: the eval side of the decontamination join is the broadcast build") {
     val (_, p) = plan("q66_decontamination")
     // eval is the join's LEFT input, so the hinted broadcast must plan as

@@ -484,6 +484,53 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("bucket-transform SPJ: the join runs on the KEY, resolved through the function catalog, zero exchanges") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gcol_cat_spec",
+      "graft.sources.GcolCatalog")
+    val dirA = tmp(); val dirB = tmp()
+    // DIFFERENTLY-SIZED tables: their bucket-id VALUE sets agree (0..7)
+    // even though their key sets differ — the co-partition case
+    // identity clustering cannot express
+    val a = spark.range(0, 4000).select($"id".as("k"), ($"id" * 3).as("va"))
+      .withColumn("bkt", pmod($"k", lit(8)).cast(IntegerType))
+    val b = spark.range(0, 12000).select(($"id" % 4000).as("k"),
+        ($"id" * 7).as("vb"))
+      .withColumn("bkt", pmod($"k", lit(8)).cast(IntegerType))
+    a.write.format("graft-columnar").option("clusterBy", "bkt")
+      .option("bucketSpec", "k:8").mode("overwrite").save(dirA)
+    b.write.format("graft-columnar").option("clusterBy", "bkt")
+      .option("bucketSpec", "k:8").mode("overwrite").save(dirB)
+    val expected = a.join(b.select($"k", $"vb"), Seq("k"))
+      .agg(sum($"va" + $"vb")).collect().head.getLong(0)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // join on the KEY alone — the bucket column is never projected;
+      // the scans report KeyGroupedPartitioning(bucket(8, k)) and the
+      // catalog's V2 function lets Spark align the bucket ids
+      val ra = spark.table(s"gcol_cat_spec.`$dirA`").select($"k", $"va")
+      val rb = spark.table(s"gcol_cat_spec.`$dirB`").select($"k", $"vb")
+      val j = ra.join(rb, "k").agg(sum($"va" + $"vb").as("s"))
+      assert(j.collect().head.getLong(0) === expected,
+        "bucket SPJ changed the result")
+      assert(joinSubtreeShuffleFree(j),
+        s"bucket SPJ still shuffles:\n${j.queryExecution.executedPlan}")
+    }
+    // without the catalog (plain format read) the transform cannot
+    // resolve: plan falls back to shuffles, result identical
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val ra = spark.read.format("graft-columnar").load(dirA)
+        .select($"k", $"va")
+      val rb = spark.read.format("graft-columnar").load(dirB)
+        .select($"k", $"vb")
+      val j = ra.join(rb, "k").agg(sum($"va" + $"vb").as("s"))
+      assert(j.collect().head.getLong(0) === expected)
+    }
+  }
+
   test("runtime/static pruning under key grouping keeps the partition skeleton") {
     import spark.implicits._
     val dir = tmp()
@@ -1051,5 +1098,227 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sK.sizeInBytes().getAsLong < sAll.sizeInBytes().getAsLong,
       "pruned scan should report fewer bytes")
     assert(sK.numRows().getAsLong === 10000L)
+  }
+
+  test("schema evolution: add/drop/rename never rewrite data, pruning survives the rename") {
+    import spark.implicits._
+    val dir = tmp()
+    // v0: 4 key-sorted files, blocks tight on k
+    spark.range(0, 4000).select($"id".as("k"),
+        ($"id" * 10).cast(DoubleType).as("v"),
+        concat(lit("n"), $"id".cast(StringType)).as("nm"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").option("rowsPerBlock", "500")
+      .mode("overwrite").save(dir)
+    val before = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    GcolSchemaOps.renameColumn(dir, "k", "key_id")
+    GcolSchemaOps.addColumn(dir, "extra", LongType)
+    GcolSchemaOps.dropColumn(dir, "nm")
+    // data files BYTE-IDENTICAL through all three DDLs
+    val after = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    assert(after === before, "DDL must be metadata-only")
+    // v1 append in the evolved schema
+    Seq((100000L, 1.5, 7L), (100001L, 2.5, 8L))
+      .toDF("key_id", "v", "extra")
+      .write.format("graft-columnar").mode("append").save(dir)
+    val t = spark.read.format("graft-columnar").load(dir)
+    assert(t.schema.fieldNames.toSeq === Seq("key_id", "v", "extra"))
+    assert(t.count() === 4002)
+    // renamed column serves old values; added column is null in v0 rows
+    assert(t.filter($"key_id" === 5L).collect().head.getDouble(1) === 50.0)
+    assert(t.filter($"key_id" === 5L).collect().head.isNullAt(2))
+    assert(t.filter($"key_id" === 100000L).collect().head.getLong(2) === 7L)
+    assert(t.filter($"extra".isNotNull).count() === 2)
+    // zone-map pruning SURVIVES the rename: old files prune on key_id
+    // through their local name `k`
+    val q = t.filter($"key_id" === 5L)
+    q.count()
+    val scan = gcolScan(q)
+    assert(scan.plannedBlocks < scan.totalBlocks,
+      s"rename killed pruning: ${scan.plannedBlocks}/${scan.totalBlocks}")
+    // metadata-only aggregates stay correct across evolution: MIN/MAX
+    // of the renamed column span v0+v1, COUNT of the added column
+    // counts only v1 rows
+    val agg = t.agg(min($"key_id"), max($"key_id"), count($"extra"))
+      .collect().head
+    assert(agg.getLong(0) === 0L && agg.getLong(1) === 100001L &&
+      agg.getLong(2) === 2L)
+    // refused, loudly: type recycling and name resurrection
+    intercept[IllegalArgumentException] {
+      GcolSchemaOps.addColumn(dir, "nm", LongType) // lives in v0 footers
+    }
+    intercept[IllegalArgumentException] {
+      GcolSchemaOps.renameColumn(dir, "v", "k") // former name of key_id
+    }
+    // CoW merge still works on the evolved table (key = renamed column)
+    val changes = Seq((5L, "U", 999.0)).toDF("key_id", "op", "new_v")
+    GcolRowOps.merge(spark, dir, changes, "key_id", Map("v" -> "new_v"))
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.filter($"key_id" === 5L).collect().head.getDouble(1) === 999.0)
+    assert(back.count() === 4002)
+  }
+
+  test("merge on a DATE-keyed table: footer ranges convert to external values") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 1000).select(
+        date_add(lit("2020-01-01").cast(DateType), $"id".cast(IntegerType))
+          .as("day"),
+        ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"day").sortWithinPartitions("day")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val changes = Seq(("2020-01-03", "U", 77L), ("2020-01-05", "D", 0L))
+      .toDF("day_s", "op", "new_v")
+      .select($"day_s".cast(DateType).as("day"), $"op", $"new_v")
+    GcolRowOps.merge(spark, dir, changes, "day", Map("v" -> "new_v"))
+    val back = spark.read.format("graft-columnar").load(dir)
+    assert(back.count() === 999)
+    assert(back.filter($"day" === lit("2020-01-03").cast(DateType))
+      .collect().head.getLong(1) === 77L)
+    assert(back.filter($"day" === lit("2020-01-05").cast(DateType))
+      .count() === 0)
+    // and TIMESTAMP keys too (micros -> java.sql.Timestamp)
+    val dir2 = tmp()
+    spark.range(0, 100).select(
+        timestamp_seconds($"id" * 3600).as("at"), $"id".as("v"))
+      .write.format("graft-columnar").mode("overwrite").save(dir2)
+    val ch2 = Seq((7L * 3600L, "D", 0L)).toDF("sec", "op", "new_v")
+      .select(timestamp_seconds($"sec").as("at"), $"op", $"new_v")
+    GcolRowOps.merge(spark, dir2, ch2, "at", Map("v" -> "new_v"))
+    assert(spark.read.format("graft-columnar").load(dir2).count() === 99)
+  }
+
+  test("streaming replay survives a CoW rewrite: replaced journal entries are skipped, not fatal") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 2000).select($"id".as("k"), ($"id" * 10).as("v"))
+      .repartitionByRange(2, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    // rewrite file 0's range: its journal line now names a DELETED file
+    val changes = Seq((5L, "D", 0L)).toDF("k", "op", "new_v")
+    GcolRowOps.merge(spark, dir, changes, "k", Map("v" -> "new_v"))
+    val gone = ColumnarFormat.journal(dir).filterNot(rel =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir).resolve(rel)))
+    assert(gone.nonEmpty, "the rewrite should have replaced a journaled file")
+    // a FRESH stream from offset 0 replays without crashing and
+    // delivers exactly the post-rewrite state (ignoreChanges contract)
+    val qn = "gcol_replay_" + System.nanoTime()
+    val stream = spark.readStream.format("graft-columnar").load(dir)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp())
+      .start()
+    try {
+      stream.processAllAvailable()
+      val got = spark.table(qn).agg(count(lit(1)), sum($"k")).collect().head
+      val want = spark.read.format("graft-columnar").load(dir)
+        .agg(count(lit(1)), sum($"k")).collect().head
+      assert(got === want, s"replayed $got, table holds $want")
+    } finally stream.stop()
+  }
+
+  test("position updates: no data file rewritten, batches refuse to stack, compaction converges") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 3000).select($"id".as("k"),
+        ($"id" % 5).cast(IntegerType).as("g"),
+        ($"id" * 10).cast(DoubleType).as("v"))
+      .repartitionByRange(3, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    val before = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    GcolRowOps.updateWherePos(spark, dir, "g = 2",
+      Map("v" -> "v + 0.5", "g" -> "9"))
+    // data files BYTE-IDENTICAL: the update lives in the sidecars
+    val after = ColumnarFormat.listFiles(dir)
+      .map(f => f.getFileName.toString ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    assert(after === before, "MoR update must not touch data files")
+    val mor = GcolRowOps.readMoRPos(spark, dir)
+    assert(mor.count() === 3000)
+    assert(mor.filter($"g" === 2).count() === 0)
+    assert(mor.filter($"g" === 9).count() === 600)
+    assert(mor.filter($"k" === 2L).collect().head.getDouble(2) === 20.5)
+    assert(mor.filter($"k" === 3L).collect().head.getDouble(2) === 30.0)
+    // stacking refused: patch expressions evaluate against BASE rows
+    intercept[IllegalArgumentException] {
+      GcolRowOps.updateWherePos(spark, dir, "g = 9", Map("v" -> "v"))
+    }
+    // merge refused while update rows are pending
+    intercept[IllegalArgumentException] {
+      GcolRowOps.merge(spark, dir,
+        Seq((1L, "D", 0L)).toDF("k", "op", "new_v"), "k", Map.empty)
+    }
+    // compaction folds deletes AND upserts in; plain == MoR; sidecars gone
+    val morRows = mor.orderBy("k", "g").collect()
+    GcolRowOps.compactPos(spark, dir)
+    val plain = spark.read.format("graft-columnar").load(dir)
+    assert(plain.orderBy("k", "g").collect() === morRows)
+    assert(ColumnarFormat.listFiles(
+      java.nio.file.Paths.get(dir).resolve(GcolRowOps.PosDeletesSubdir)
+        .toString).isEmpty)
+    assert(ColumnarFormat.listFiles(
+      java.nio.file.Paths.get(dir).resolve(GcolRowOps.PosUpsertsSubdir)
+        .toString).isEmpty)
+    // and a second update cycle now proceeds
+    GcolRowOps.updateWherePos(spark, dir, "k = 0", Map("v" -> "v + 1.0"))
+    assert(GcolRowOps.readMoRPos(spark, dir)
+      .filter($"k" === 0L).collect().head.getDouble(2) === 1.0)
+  }
+
+  test("bloom retrofit: data segments byte-identical, idempotent, lookup pruning goes green") {
+    import spark.implicits._
+    val dir = tmp()
+    // custkey-sorted, so zone maps are BLIND on k (every block spans
+    // the key domain) — the q335 shape, but written WITHOUT blooms
+    spark.range(0, 20000).select($"id".as("k"),
+        (($"id" * 7919L) % 100L).as("c"), ($"id" * 10).as("v"))
+      .repartitionByRange(2, $"c").sortWithinPartitions("c")
+      .write.format("graft-columnar").option("rowsPerBlock", "1000")
+      .mode("overwrite").save(dir)
+    val files = ColumnarFormat.listFiles(dir)
+    def dataRegion(f: java.nio.file.Path): (Long, Int) = {
+      val ft = ColumnarFormat.readFooter(f)
+      val end = ft.blockList.iterator
+        .flatMap(_.cols.iterator.map(c => c.off + c.len)).max
+      val bytes = java.nio.file.Files.readAllBytes(f).take(end.toInt)
+      (end, java.util.Arrays.hashCode(bytes))
+    }
+    val before = files.map(f => f.getFileName.toString -> dataRegion(f)).toMap
+    // zone maps alone: the point lookup opens EVERY block
+    val noBloom = {
+      val q = spark.read.format("graft-columnar").load(dir)
+        .filter($"k" === 12345L)
+      val r = q.collect()
+      (gcolScan(q), r)
+    }
+    assert(noBloom._1.plannedBlocks === noBloom._1.totalBlocks,
+      "custkey-sorted layout should leave zone maps blind on k")
+    GcolIndexOps.addBloom(spark, dir, Set("k"))
+    // file names unchanged; data regions byte-identical
+    val afterFiles = ColumnarFormat.listFiles(dir)
+    assert(afterFiles.map(_.getFileName.toString) ===
+      files.map(_.getFileName.toString))
+    val after = afterFiles.map(f => f.getFileName.toString -> dataRegion(f)).toMap
+    assert(after === before, "retrofit must not touch data segments")
+    // idempotent: a second run leaves the files alone entirely
+    val full = afterFiles.map(f => f.getFileName.toString ->
+      java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    GcolIndexOps.addBloom(spark, dir, Set("k"))
+    val full2 = ColumnarFormat.listFiles(dir).map(f => f.getFileName.toString ->
+      java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))).toMap
+    assert(full2 === full, "second addBloom run must be a no-op")
+    // the lookup now opens ~1 block and returns the identical rows
+    val q2 = spark.read.format("graft-columnar").load(dir)
+      .filter($"k" === 12345L)
+    val r2 = q2.collect()
+    val scan2 = gcolScan(q2)
+    assert(r2 === noBloom._2)
+    assert(scan2.plannedBlocks < scan2.totalBlocks / 4,
+      s"bloom should prune most blocks: ${scan2.plannedBlocks}/${scan2.totalBlocks}")
   }
 }
