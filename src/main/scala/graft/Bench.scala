@@ -147,6 +147,7 @@ object Bench {
       ops.Layout.ensureGcolPosUpdated(spark, sfDir)
       ops.Layout.ensureGcolBloomRetrofit(spark, sfDir)
       ops.Layout.ensureGcolBucketSpjPair(spark, sfDir)
+      ops.Layout.ensureGcolSnapshots(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

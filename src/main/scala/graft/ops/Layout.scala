@@ -1224,7 +1224,78 @@ object Layout {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }
 
+  private val gcolSnapOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Customer in graft-columnar with SNAPSHOT COMMITS enabled, then the
+    * q329 change classes merged: v1 = the original table, v2 = the
+    * merged state; the replaced files stay on disk backing v1.
+    */
+  private[graft] def ensureGcolSnapshots(s: SparkSession, dir: String): String =
+    gcolSnapOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_snap")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      base.repartitionByRange(4, $"c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.format("graft-columnar").option("rowsPerBlock", "2048")
+        .mode("overwrite").save(out)
+      graft.sources.GcolSnapshots.enable(out)
+      val changes = base.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey", lit("U").as("op"),
+          lit(null).cast(StringType).as("new_name"),
+          ($"c_acctbal" + 100.0).as("new_bal"))
+        .unionAll(base.filter($"c_custkey" % 7 === 3 && $"c_custkey" % 10 =!= 0)
+          .select($"c_custkey", lit("D").as("op"),
+            lit(null).cast(StringType).as("new_name"),
+            lit(null).cast(DoubleType).as("new_bal")))
+        .unionAll(base.filter($"c_custkey" % 13 === 0)
+          .select(($"c_custkey" + 1000000000L).as("c_custkey"),
+            lit("U").as("op"),
+            concat(lit("Customer#new"), $"c_custkey".cast(StringType))
+              .as("new_name"),
+            lit(1000.0).as("new_bal")))
+      graft.sources.GcolRowOps.merge(s, out, changes, "c_custkey",
+        Map("c_name" -> "new_name", "c_acctbal" -> "new_bal"))
+      out
+    })
+
+  // q340: SNAPSHOT COMMITS + TIME TRAVEL on graft-columnar — the
+  // metadata-pointer commit model (GcolSnapshots; Delta/Iceberg's
+  // answer to the one hole a directory-listing read path cannot close:
+  // a reader racing a CoW publish seeing rewritten rows twice). Opt-in
+  // per table: every commit writes `_gcol_snapshots/v{N}.json` and
+  // atomically swaps the `_gcol_head` pointer LAST; replaced files are
+  // KEPT on disk, so concurrent readers plan from the old version or
+  // the new one, never a mix, and `option("asOf", N)` reproduces any
+  // retained version exactly — the reproducible-training-run audit
+  // surface. vacuum() is the explicit GC (reading a vacuumed version
+  // fails loudly; spec-pinned, along with atomic-pointer content, kept
+  // replaced files, append/overwrite bumps and the lost-update guard).
+  // The row reads BOTH versions of a snapshot-merged table; the oracle
+  // computes both states in SQL — time travel must be exact, not
+  // approximate. Determinism: counts + exact cents/key sums; bal+100.0
+  // is one exact IEEE add (q329 rule).
+  // Scale shape: a snapshot is O(files) names, written once per commit
+  // and read once per scan planning — the same driver metadata budget
+  // the footer sweep pays; data file IO is untouched.
+  private def gcolSnapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolSnapshots(s, dir)
+    def census(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(floor($"c_acctbal" * 100).cast(LongType)).as("bal_cents"),
+        sum($"c_custkey").as("key_sum"))
+        .select(lit(tag).as("state"), $"n_rows", $"bal_cents", $"key_sum")
+    census(s.read.format("graft-columnar").option("asOf", "1").load(path),
+        "1_original")
+      .unionAll(census(s.read.format("graft-columnar").load(path),
+        "2_merged"))
+      .orderBy($"state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_gcol_snapshots" -> (gcolSnapshotTimeTravel _),
     "q339_gcol_bucket_spj" -> (gcolBucketSpjJoin _),
     "q338_gcol_bloom_retrofit" -> (gcolBloomRetrofitLookup _),
     "q337_gcol_pos_update" -> (gcolPosUpdateRead _),
@@ -1286,6 +1357,35 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // time travel must be exact: v1 == the original table, head == the
+    // q329 merge algebra
+    "q340_gcol_snapshots" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |del AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0),
+        |merged AS (
+        |  SELECT c.c_custkey,
+        |         coalesce(u.new_bal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c
+        |  LEFT JOIN upd u USING (c_custkey)
+        |  LEFT JOIN del d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000, 1000.0::DOUBLE
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT '1_original' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer
+        |UNION ALL
+        |SELECT '2_merged', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(sum(c_custkey) AS BIGINT)
+        |FROM merged ORDER BY state""".stripMargin,
     // a bucket layout must never change one bit of the join result
     "q339_gcol_bucket_spj" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

@@ -177,7 +177,10 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
       // subset of the directory's data files — the hook GcolRowOps uses
       // to rewrite ONLY the copy-on-write-affected files
       Option(options.get("files")).map(_.split(',').map(_.trim)
-        .filter(_.nonEmpty).toSet))
+        .filter(_.nonEmpty).toSet),
+      // `asOf`: TIME TRAVEL on a snapshot-enabled table (GcolSnapshots)
+      // — plan any retained version's file set instead of the head
+      Option(options.get("asOf")).map(_.trim.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GcolWriteBuilder(dir, info.schema(),
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
@@ -200,7 +203,8 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
 // ---------------------------------------------------------------------
 
 private[sources] class GcolScanBuilder(dir: String, full: StructType,
-                                       filesOpt: Option[Set[String]] = None)
+                                       filesOpt: Option[Set[String]] = None,
+                                       asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -338,7 +342,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
     }.distinct
     if (mmCols.nonEmpty) {
       val lin = ColumnarFormat.lineage(dir)
-      val answerable = ColumnarFormat.scopedFiles(dir, filesOpt).forall { f =>
+      val answerable = ColumnarFormat.scopedFiles(dir, filesOpt, asOf).forall { f =>
         val ft = ColumnarFormat.readFooter(f)
         mmCols.forall { c =>
           ColumnarFormat.resolveName(ft.schema, c, lin)
@@ -360,7 +364,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
 
   override def build(): Scan =
     new GcolScan(dir, required, accepted, pushedAgg, limit, topN, filesOpt,
-      metaCols)
+      metaCols, asOf)
 }
 
 // public (not private[sources]): plan guards in other packages downcast
@@ -371,7 +375,8 @@ class GcolScan private[sources] (
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
     filesOpt: Option[Set[String]] = None,
-    metaCols: Seq[String] = Nil)
+    metaCols: Seq[String] = Nil,
+    asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -389,7 +394,7 @@ class GcolScan private[sources] (
     * skeleton never visits and silently drop its blocks (r15 ADVICE).
     */
   private lazy val scanFiles: Seq[Path] =
-    ColumnarFormat.scopedFiles(dir, filesOpt)
+    ColumnarFormat.scopedFiles(dir, filesOpt, asOf)
 
   /** Rename lineage of an evolved table (empty otherwise), loaded once
     * per scan — every footer resolution below goes through it.
@@ -983,8 +988,13 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
+    // snapshot-enabled tables (GcolSnapshots): REPLACED files are kept
+    // on disk — in-flight readers planning from the old head still find
+    // them, and they back time travel; vacuum() reclaims them
+    val snapHead = GcolSnapshots.headVersion(dir)
     if (replace) {
-      ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
+      if (snapHead.isEmpty)
+        ColumnarFormat.listFiles(dir).foreach(Files.deleteIfExists)
       Files.deleteIfExists(root.resolve(ColumnarFormat.JournalName))
     }
     // publish all-or-nothing: a failed move UNWINDS the files already
@@ -1015,6 +1025,12 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // the POINTER SWAP is the commit on snapshot tables: readers see
+    // the previous version or this one, never a mix
+    snapHead.foreach { h =>
+      val base = if (replace) Nil else GcolSnapshots.files(dir, h)
+      GcolSnapshots.commit(dir, base ++ committed, expectedHead = Some(h))
+    }
     cleanupStaging()
   }
 
@@ -1162,6 +1178,13 @@ private[sources] class GcolMicroBatchStream(
     val e = end.asInstanceOf[GcolOffset].n.toInt
     val files = ColumnarFormat.journal(dir).slice(s, e)
     val lin = ColumnarFormat.lineage(dir)
+    // snapshot tables KEEP replaced files on disk (time travel), so
+    // existence alone no longer proves liveness — restrict to the head
+    // snapshot's set, keeping replay semantics identical to the
+    // deleted-file skip below (ignoreChanges: the rewrite's files were
+    // re-journaled later in the log)
+    val live: Option[Set[String]] =
+      GcolSnapshots.headFiles(dir).map(_.toSet)
     val all = scala.collection.mutable.ArrayBuffer.empty[GcolBlockPartition]
     files.foreach { rel =>
       val f = Paths.get(dir).resolve(rel)
@@ -1173,7 +1196,7 @@ private[sources] class GcolMicroBatchStream(
       // rows are never retracted; a reader starting from offset 0 gets
       // the post-rewrite state from the re-journaled files) instead of
       // crashing every checkpoint whose range spans the rewrite.
-      if (Files.exists(f)) {
+      if (Files.exists(f) && live.forall(_.contains(rel))) {
         val footer = ColumnarFormat.readFooter(f)
         val descs = footer.blocks.zipWithIndex.flatMap { case (blk, bi) =>
           if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _)))
@@ -1219,7 +1242,7 @@ object ColumnarFormat {
     */
   def tableSchema(dir: String): StructType =
     readSchemaState(dir).map(_._1).getOrElse {
-      val files = listFiles(dir)
+      val files = scopedFiles(dir, None) // snapshot head when enabled
       require(files.nonEmpty, s"no .gcol files under $dir")
       readFooter(files.head).schema
     }
@@ -1462,11 +1485,23 @@ object ColumnarFormat {
     case _ => StructField(name, IntegerType, nullable = false)
   }
 
-  /** The scan's file universe: the whole directory, or the `files`
-    * option's named subset (GcolRowOps' copy-on-write rewrite hook).
+  /** The scan's file universe: the HEAD SNAPSHOT when the table routes
+    * commits through GcolSnapshots (readers then never race a publish:
+    * the pointer swap is atomic and replaced files stay on disk), a
+    * retained older snapshot under `asOf`, else the directory listing;
+    * optionally narrowed to the `files` option's named subset
+    * (GcolRowOps' copy-on-write rewrite hook).
     */
-  def scopedFiles(dir: String, only: Option[Set[String]]): Seq[Path] = {
-    val all = listFiles(dir)
+  def scopedFiles(dir: String, only: Option[Set[String]],
+                  asOf: Option[Long] = None): Seq[Path] = {
+    val all: Seq[Path] = asOf match {
+      case Some(v) =>
+        GcolSnapshots.files(dir, v).map(n => Paths.get(dir).resolve(n))
+      case None => GcolSnapshots.headFiles(dir) match {
+        case Some(names) => names.map(n => Paths.get(dir).resolve(n))
+        case None => listFiles(dir)
+      }
+    }
     only match {
       case Some(names) =>
         val sel = all.filter(f => names.contains(f.getFileName.toString))

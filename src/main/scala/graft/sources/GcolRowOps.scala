@@ -52,7 +52,9 @@ object GcolRowOps {
     */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
             key: String, patch: Map[String, String]): Seq[String] = {
-    val all = ColumnarFormat.listFiles(dir)
+    // the table's CURRENT file universe: the head snapshot when the
+    // table routes commits through GcolSnapshots, else the directory
+    val all = ColumnarFormat.scopedFiles(dir, None)
     require(all.nonEmpty, s"no gcol table at $dir")
     require(ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty,
       "pending position deletes: a rewrite would invalidate their row " +
@@ -160,30 +162,50 @@ object GcolRowOps {
       else w2b.option("codec", headFooter.codec)
     w3.save(scratch)
 
-    // 3) publish: move new files in (uid names never collide), drop the
-    //    replaced files, journal the new names once.
-    //    KNOWN READER RACE (single-WRITER contract, documented): a batch
-    //    scan listing the directory between the moves and the deletes
-    //    sees rewritten rows TWICE (old file + new file). Move-first is
-    //    kept deliberately — the inverse order turns a crash mid-publish
-    //    into permanent data loss, while this order's worst crash
-    //    outcome is duplicates an operator can repair by re-running the
-    //    delete half. The clean fix is a manifest/snapshot pointer
-    //    readers plan from (the Delta/Iceberg commit model) — out of
-    //    scope for the directory-listing read path.
+    // 3) publish. Two postures:
+    //    - SNAPSHOT tables (GcolSnapshots.enabled): move new files in,
+    //      journal, then swap the head POINTER atomically with replaced
+    //      files KEPT on disk — concurrent readers plan from the old or
+    //      new snapshot, never a mix (the Delta/Iceberg commit model;
+    //      vacuum() reclaims the replaced files).
+    //    - directory-listing tables: move new files in, DELETE the
+    //      replaced ones, journal once. KNOWN READER RACE (single-
+    //      WRITER contract, documented): a batch scan listing the
+    //      directory between the moves and the deletes sees rewritten
+    //      rows TWICE. Move-first is kept deliberately — the inverse
+    //      order turns a crash mid-publish into permanent data loss.
+    //      Tables that cannot tolerate the window should enable
+    //      snapshots; that IS the clean fix.
+    publish(dir, scratch, affected)
+  }
+
+  /** Shared CoW publish tail: move scratch files in, journal, and
+    * either snapshot-commit (replaced files kept) or delete the
+    * replaced files (listing tables). Returns the published names.
+    */
+  private def publish(dir: String, scratch: String,
+                      affected: Seq[String]): Seq[String] = {
     val root = Paths.get(dir)
+    val snapHead = GcolSnapshots.headVersion(dir)
     val newRel = ColumnarFormat.listFiles(scratch).map { src =>
       val rel = src.getFileName.toString
       Files.move(src, root.resolve(rel))
       rel
     }
-    affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
     if (newRel.nonEmpty)
       Files.write(root.resolve(ColumnarFormat.JournalName),
         newRel.sorted.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    snapHead match {
+      case Some(h) =>
+        val base = GcolSnapshots.files(dir, h)
+          .filterNot(affected.contains)
+        GcolSnapshots.commit(dir, base ++ newRel, expectedHead = Some(h))
+      case None =>
+        affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    }
     deleteDirQuiet(Paths.get(scratch))
     newRel
   }
@@ -357,7 +379,7 @@ object GcolRowOps {
     val hasUps = ColumnarFormat.listFiles(posUpsertsDir(dir)).nonEmpty
     if (!hasDels && !hasUps) return Nil
     val headFooter = ColumnarFormat.readFooter(
-      ColumnarFormat.listFiles(dir).head)
+      ColumnarFormat.scopedFiles(dir, None).head)
     val newRel: Seq[String] = if (!hasDels) Nil else {
       val dels = spark.read.format("graft-columnar").load(posDeletesDir(dir))
         .select(addr.map(col): _*).distinct()
@@ -377,21 +399,7 @@ object GcolRowOps {
       val w3 = if (headFooter.codec == "none") w2b
         else w2b.option("codec", headFooter.codec)
       w3.save(scratch)
-      val root = Paths.get(dir)
-      val moved = ColumnarFormat.listFiles(scratch).map { src =>
-        val rel = src.getFileName.toString
-        Files.move(src, root.resolve(rel))
-        rel
-      }
-      affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
-      if (moved.nonEmpty)
-        Files.write(root.resolve(ColumnarFormat.JournalName),
-          moved.sorted.mkString("", "\n", "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-      deleteDirQuiet(Paths.get(scratch))
-      moved
+      publish(dir, scratch, affected)
     }
     if (hasUps) {
       // the patched replacement rows land as a NORMAL append: the

@@ -105,7 +105,14 @@ object SpjBench {
     // ---- skewed SPJ: partiallyClusteredDistribution A/B ---------------
     // hot key: every orderkey % 4 == 0 collapses into bucket 0, so one
     // cluster value holds ~28% of both tables (bucket 0's natural share
-    // plus a quarter of the table)
+    // plus a quarter of the table).
+    // MEASURED (r16, spj_bench.json): a WASH at both SFs — 0.97× at
+    // sf0.1, 0.98× at sf1. The fused hot partition still fits one
+    // sub-second task at these scales, so replicating the smaller side
+    // across the hot key's size-bounded splits buys back exactly the
+    // overhead it adds. Keep PCD off as the default posture; its
+    // crossover is a hot partition that is a multi-minute straggler
+    // (the true 100-TB case) — re-measure there before flipping.
     val skewO = graft.ops.Core.tmp("graft_gcol_skew_o")
     val skewL = graft.ops.Core.tmp("graft_gcol_skew_l")
     def hot(c: org.apache.spark.sql.Column) =

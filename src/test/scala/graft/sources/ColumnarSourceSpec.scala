@@ -1270,6 +1270,68 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .filter($"k" === 0L).collect().head.getDouble(2) === 1.0)
   }
 
+  test("snapshot commits: atomic pointer, kept replaced files, exact time travel, loud vacuum") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(0, 4000).select($"id".as("k"), ($"id" * 10).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    GcolSnapshots.enable(dir)
+    assert(GcolSnapshots.headVersion(dir) === Some(1L))
+    val v1Files = GcolSnapshots.files(dir, 1L)
+    val v1Rows = spark.read.format("graft-columnar").load(dir)
+      .orderBy("k").collect()
+    // a CoW merge becomes v2; the replaced file STAYS on disk
+    val changes = Seq((5L, "U", 999L), (7L, "D", 0L)).toDF("k", "op", "new_v")
+    GcolRowOps.merge(spark, dir, changes, "k", Map("v" -> "new_v"))
+    assert(GcolSnapshots.headVersion(dir) === Some(2L))
+    v1Files.foreach(n => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir).resolve(n)),
+      s"replaced file $n must survive the publish (time travel)"))
+    // head reads the merged state; the scan NEVER double-reads the
+    // replaced rows even though old and new files coexist on disk
+    val head = spark.read.format("graft-columnar").load(dir)
+    assert(head.count() === 3999)
+    assert(head.filter($"k" === 5L).collect().head.getLong(1) === 999L)
+    assert(head.filter($"k" === 7L).count() === 0)
+    // time travel: v1 is EXACTLY the pre-merge table
+    val back = spark.read.format("graft-columnar").option("asOf", "1")
+      .load(dir).orderBy("k").collect()
+    assert(back === v1Rows)
+    // an append becomes v3 and lands in head but not in v2
+    Seq((100000L, 1L)).toDF("k", "v")
+      .write.format("graft-columnar").mode("append").save(dir)
+    assert(GcolSnapshots.headVersion(dir) === Some(3L))
+    assert(spark.read.format("graft-columnar").load(dir).count() === 4000)
+    assert(spark.read.format("graft-columnar").option("asOf", "2")
+      .load(dir).count() === 3999)
+    // streaming replay from 0 on a snapshot table delivers the HEAD
+    // state once — journaled-but-replaced files are skipped as live-set
+    // misses, not read twice
+    val qn = "gcol_snap_stream_" + System.nanoTime()
+    val stream = spark.readStream.format("graft-columnar").load(dir)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      stream.processAllAvailable()
+      assert(spark.table(qn).count() === 4000)
+    } finally stream.stop()
+    // vacuum keeps the head, drops v1/v2, deletes unreferenced files;
+    // old versions then fail LOUDLY
+    val deleted = GcolSnapshots.vacuum(dir, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(GcolSnapshots.retainedVersions(dir) === Seq(3L))
+    assert(spark.read.format("graft-columnar").load(dir).count() === 4000)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-columnar").option("asOf", "1").load(dir)
+        .count()
+    }
+    // the lost-update guard: committing against a stale head refuses
+    intercept[IllegalArgumentException] {
+      GcolSnapshots.commit(dir, Seq("bogus.gcol"), expectedHead = Some(1L))
+    }
+  }
+
   test("bloom retrofit: data segments byte-identical, idempotent, lookup pruning goes green") {
     import spark.implicits._
     val dir = tmp()
