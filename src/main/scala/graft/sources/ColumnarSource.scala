@@ -130,7 +130,8 @@ class ColumnarSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class GcolTable(dir: String, tblSchema: StructType)
+private[sources] class GcolTable(dir: String, tblSchema: StructType,
+                                 asOfTable: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   /** Hidden METADATA COLUMNS (`SELECT _gcol_file, _gcol_block,
@@ -179,9 +180,12 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
       Option(options.get("files")).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).toSet),
       // `asOf`: TIME TRAVEL on a snapshot-enabled table (GcolSnapshots)
-      // — plan any retained version's file set instead of the head
-      Option(options.get("asOf")).map(_.trim.toLong))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      // — plan any retained version's file set instead of the head;
+      // the catalog's `VERSION AS OF` pins it at the table level
+      Option(options.get("asOf")).map(_.trim.toLong).orElse(asOfTable))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfTable.isEmpty,
+      "cannot write to a version-pinned (VERSION AS OF) gcol table")
     new GcolWriteBuilder(dir, info.schema(),
       Option(info.options.get("rowsPerBlock")).map(_.toInt)
         .getOrElse(ColumnarFormat.DefaultRowsPerBlock),
@@ -196,6 +200,7 @@ private[sources] class GcolTable(dir: String, tblSchema: StructType)
         val Array(k, n) = s.split(':')
         (k.trim, n.trim.toInt)
       })
+  }
 }
 
 // ---------------------------------------------------------------------

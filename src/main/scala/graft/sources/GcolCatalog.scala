@@ -73,15 +73,57 @@ class GcolCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no namespace to enumerate
 
+  /** SQL time travel: `VERSION AS OF n` on a snapshot-enabled table
+    * (GcolSnapshots) — the catalog twin of `option("asOf", n)`.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (ColumnarFormat.listFiles(dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gcol VERSION AS OF takes a snapshot number, got `$version`")
+    }
+    GcolSnapshots.files(dir, v) // fails loudly on unknown/vacuumed
+    new GcolTable(dir, ColumnarFormat.tableSchema(dir), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "gcol tables are directories: write them with " +
         "df.write.format(\"graft-columnar\").save(path)")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "use graft.sources.GcolSchemaOps for gcol DDL")
+
+  /** SQL DDL (`ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP
+    * COLUMN`) routed to GcolSchemaOps — the metadata-only evolution
+    * surface, now reachable from plain SQL through this catalog.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (ColumnarFormat.listFiles(dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "gcol columns are top-level only")
+        require(a.isNullable,
+          "added gcol columns must be nullable — pre-DDL files read " +
+            "them as null")
+        GcolSchemaOps.addColumn(dir, a.fieldNames()(0), a.dataType())
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "gcol columns are top-level only")
+        GcolSchemaOps.renameColumn(dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "gcol columns are top-level only")
+        GcolSchemaOps.dropColumn(dir, d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"gcol DDL supports add/rename/drop column only, got $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("gcol tables are directories")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

@@ -1332,6 +1332,36 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("catalog SQL surface: ALTER TABLE routes to schema evolution, VERSION AS OF time-travels") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gcol_ddl", "graft.sources.GcolCatalog")
+    val dir = tmp()
+    spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    GcolSnapshots.enable(dir)
+    // plain SQL DDL, metadata-only underneath
+    spark.sql(s"ALTER TABLE gcol_ddl.`$dir` RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE gcol_ddl.`$dir` ADD COLUMNS (note STRING)")
+    val t = spark.table(s"gcol_ddl.`$dir`")
+    assert(t.schema.fieldNames.toSeq === Seq("k", "val", "note"))
+    assert(t.filter($"k" === 5L).collect().head.getLong(1) === 10L)
+    // an append becomes v2; SQL time travel reads v1 exactly
+    Seq((5000L, 1L, "x")).toDF("k", "val", "note")
+      .write.format("graft-columnar").mode("append").save(dir)
+    assert(spark.table(s"gcol_ddl.`$dir`").count() === 1001)
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n FROM gcol_ddl.`$dir` VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(v1 === 1000L)
+    spark.sql(s"ALTER TABLE gcol_ddl.`$dir` DROP COLUMN note")
+    assert(spark.table(s"gcol_ddl.`$dir`").schema.fieldNames.toSeq ===
+      Seq("k", "val"))
+    // type changes are NOT part of the contract — refused, not silent
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcol_ddl.`$dir` ALTER COLUMN k TYPE STRING")
+    }
+  }
+
   test("bloom retrofit: data segments byte-identical, idempotent, lookup pruning goes green") {
     import spark.implicits._
     val dir = tmp()
