@@ -4629,7 +4629,11 @@ object Relational {
     // frame had to fully materialize anyway to seed the next peel).
     // Re-paired post-fix (r16, clean window, warm min-of-5 @sf0.1):
     // 7.27 s vs 8.03 s in r14 / 8.81 s in the r15 closing window —
-    // the accumulated-cache leak WAS the r14→r15 regression.
+    // the accumulated-cache leak WAS the r14→r15 regression. The r16
+    // closing BOARD read 10.53 in a steal-heavy window (eff-cores
+    // dipped to 1.5/32 mid-run); a same-window warm Profile min-of-5
+    // immediately after read 7.73 — board number is weather, the 7.3-
+    // 7.7 s floor is the plan's.
     def censusRow(r: Int, e: DataFrame): (Long, Long, Long, Long) = {
       val row = e.groupBy($"s").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
