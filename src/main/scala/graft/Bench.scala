@@ -148,6 +148,8 @@ object Bench {
       ops.Layout.ensureGcolBloomRetrofit(spark, sfDir)
       ops.Layout.ensureGcolBucketSpjPair(spark, sfDir)
       ops.Layout.ensureGcolSnapshots(spark, sfDir)
+      ops.Layout.ensureGcolIncremental(spark, sfDir)
+      ops.Layout.ensureGcolCompacted(spark, sfDir)
       table.TableOps.ensureDemoTable(spark, sfDir)
       table.TableOps.ensureEvoTable(spark, sfDir)
       table.TableOps.ensureRestoreTable(spark, sfDir)

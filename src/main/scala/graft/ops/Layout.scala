@@ -1294,7 +1294,107 @@ object Layout {
       .orderBy($"state")
   }
 
+  private val gcolIncrOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Snapshot-enabled customer table with two APPEND commits after the
+    * base: v1 = base, v2 = +2e9-shifted batch (bal + 10), v3 =
+    * +3e9-shifted batch (bal + 25) — the append-mostly ingest shape
+    * whose increments are exactly the added files.
+    */
+  private[graft] def ensureGcolIncremental(s: SparkSession, dir: String): String =
+    gcolIncrOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_incr")
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      base.write.format("graft-columnar").mode("overwrite").save(out)
+      graft.sources.GcolSnapshots.enable(out)
+      base.select(($"c_custkey" + 2000000000L).as("c_custkey"),
+          ($"c_acctbal" + 10.0).as("c_acctbal"))
+        .write.format("graft-columnar").mode("append").save(out)
+      base.select(($"c_custkey" + 3000000000L).as("c_custkey"),
+          ($"c_acctbal" + 25.0).as("c_acctbal"))
+        .write.format("graft-columnar").mode("append").save(out)
+      out
+    })
+
+  // q341: INCREMENTAL snapshot reads — the file-level change feed
+  // (GcolSnapshots.addedFiles): an incremental consumer that has
+  // processed version N reads ONLY the files later commits added
+  // (`option("files", addedFiles(N, head))`), O(delta) instead of
+  // O(table) — the batch-side twin of the streaming journal, and the
+  // shape every nightly ingest/dedup pipeline wants ("process what
+  // arrived since my last run", the Delta CDF idea at file grain; for
+  // CoW rewrites the added files also carry surviving rewritten rows —
+  // consumers needing row-level +/- diff against removedFiles, still
+  // O(churn)). The row censuses everything added AFTER v1 on a
+  // three-commit table; the oracle builds the two appended batches in
+  // SQL. Determinism: +10.0/+25.0 are single exact IEEE adds; count +
+  // exact cents/key sums.
+  // Scale shape: planning is two O(files) name-list diffs; the scan
+  // reads only the delta's bytes.
+  private def gcolIncrementalRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolIncremental(s, dir)
+    val head = graft.sources.GcolSnapshots.headVersion(path).get
+    val added = graft.sources.GcolSnapshots.addedFiles(path, 1L, head)
+    s.read.format("graft-columnar")
+      .option("files", added.mkString(",")).load(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor($"c_acctbal" * 100).cast(LongType)).as("bal_cents"),
+        sum($"c_custkey").as("key_sum"))
+  }
+
+  private val gcolCompactOnce = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Customer sprayed into 64 tiny gcol files (the streaming-sink
+    * small-file pathology), snapshot-enabled, then bin-packed by
+    * GcolRowOps.compactFiles — published atomically via the head swap.
+    */
+  private[graft] def ensureGcolCompacted(s: SparkSession, dir: String): String =
+    gcolCompactOnce.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Core.tmp("graft_gcol_compacted")
+      Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+        .repartition(64)
+        .write.format("graft-columnar").mode("overwrite").save(out)
+      graft.sources.GcolSnapshots.enable(out)
+      graft.sources.GcolRowOps.compactFiles(s, out,
+        targetBytes = 8L * 1024 * 1024)
+      out
+    })
+
+  // q342: SMALL-FILE COMPACTION on graft-columnar — the routine 100-TB
+  // maintenance chore (streaming sinks and over-parallel writers leave
+  // thousands of KB files whose per-file open/footer cost dominates
+  // scans; q318 prices it, Layout.compact does it for parquet, this is
+  // the native format's version): GcolRowOps.compactFiles bin-packs
+  // the sub-threshold files into ~target-sized outputs through a
+  // `files`-scoped scan + one shuffle, preserves codec/clusterBy/
+  // bucketSpec (clustered tables keep their storage-partitioned
+  // joins), refuses while position sidecars are pending, and publishes
+  // through the shared CoW tail — on snapshot tables the head-pointer
+  // swap makes the layout change ATOMIC to readers, with the
+  // pre-compaction version still time-travelable. Oracle: the plain
+  // customer census — compaction must not change one bit. Spec pins
+  // the file-count collapse, content equality, snapshot atomicity and
+  // the untouched-large-file guarantee. Determinism: no arithmetic
+  // beyond exact cents.
+  // Scale shape: O(small-file bytes) read + one shuffle into
+  // ceil(bytes/target) writers — never table-sized when the table is
+  // mostly healthy.
+  private def gcolCompactedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureGcolCompacted(s, dir)
+    s.read.format("graft-columnar").load(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor($"c_acctbal" * 100).cast(LongType)).as("bal_cents"),
+        sum($"c_custkey").as("key_sum"),
+        sum(length($"c_name")).as("name_len_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_gcol_compaction" -> (gcolCompactedRead _),
+    "q341_gcol_incremental" -> (gcolIncrementalRead _),
     "q340_gcol_snapshots" -> (gcolSnapshotTimeTravel _),
     "q339_gcol_bucket_spj" -> (gcolBucketSpjJoin _),
     "q338_gcol_bloom_retrofit" -> (gcolBloomRetrofitLookup _),
@@ -1357,6 +1457,26 @@ object Layout {
       .mkString(" + ") + ") AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // compaction must not change one bit of the table
+    "q342_gcol_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(length(c_name)) AS BIGINT) AS name_len_sum
+        |FROM customer""".stripMargin,
+    // the increment == exactly the two appended batches
+    "q341_gcol_incremental" ->
+      """WITH delta AS (
+        |  SELECT c_custkey + 2000000000 AS c_custkey,
+        |         c_acctbal + 10.0 AS c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000000, c_acctbal + 25.0 FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM delta""".stripMargin,
     // time travel must be exact: v1 == the original table, head == the
     // q329 merge algebra
     "q340_gcol_snapshots" ->

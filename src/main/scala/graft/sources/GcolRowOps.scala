@@ -421,6 +421,55 @@ object GcolRowOps {
     newRel
   }
 
+  /** SMALL-FILE COMPACTION: bin-pack the table's files below
+    * `smallBytes` into ~`targetBytes` outputs — the routine maintenance
+    * chore of every streaming/over-parallel ingest (thousands of
+    * KB-sized files whose per-file footer/open cost comes to dominate
+    * scans; the gcol twin of Layout.compact's parquet version, but
+    * published ATOMICALLY through the shared CoW publish: on snapshot
+    * tables readers flip from the old file set to the compacted one at
+    * the head-pointer swap, and the layout knobs (codec, clusterBy,
+    * bucketSpec) are preserved so clustered tables keep their
+    * storage-partitioned joins. Files already at/above `smallBytes`
+    * are left byte-identical. Refuses while position sidecars are
+    * pending (a rewrite would invalidate row addresses). Returns the
+    * published names (empty = nothing worth compacting).
+    *
+    * Scale shape: reads exactly the small files (the `files`-scoped
+    * scan), one shuffle into ceil(bytes/target) writer tasks —
+    * O(small-file bytes), never table-sized.
+    */
+  def compactFiles(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   smallBytes: Long = -1L): Seq[String] = {
+    require(ColumnarFormat.listFiles(posDeletesDir(dir)).isEmpty &&
+      ColumnarFormat.listFiles(posUpsertsDir(dir)).isEmpty,
+      "pending position deletes/updates: compactPos first — a rewrite " +
+        "would invalidate their row addresses")
+    val threshold = if (smallBytes > 0) smallBytes else targetBytes / 2
+    val all = ColumnarFormat.scopedFiles(dir, None)
+    require(all.nonEmpty, s"no gcol table at $dir")
+    val small = all.filter(f => Files.size(f) < threshold)
+    if (small.size < 2) return Nil // nothing to gain from one file
+    val headFooter = ColumnarFormat.readFooter(all.head)
+    val names = small.map(_.getFileName.toString)
+    val totalBytes = small.map(Files.size).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val rows = spark.read.format("graft-columnar")
+      .option("files", names.mkString(",")).load(dir)
+      .repartition(nOut)
+    val scratch = Files.createTempDirectory("gcol_compact_files").toString
+    val w = rows.write.format("graft-columnar").mode("overwrite")
+    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
+    val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
+      w2.option("bucketSpec", s"$k:$n") }
+    val w3 = if (headFooter.codec == "none") w2b
+      else w2b.option("codec", headFooter.codec)
+    w3.save(scratch)
+    publish(dir, scratch, names)
+  }
+
   private def deleteDirQuiet(d: Path): Unit = {
     if (Files.isDirectory(d)) {
       val s = Files.list(d)

@@ -119,6 +119,28 @@ object GcolSnapshots {
     next
   }
 
+  /** Files ADDED between two retained versions — the file-level change
+    * feed: for append-mostly pipelines (ingest, journaling sinks) the
+    * rows of the added files ARE the logical increment, so an
+    * incremental consumer reads exactly
+    * `option("files", addedFiles(dir, lastSeen, head)).load(dir)`
+    * instead of re-scanning the table (the Delta CDF shape, at file
+    * granularity: O(delta), not O(table)). For CoW rewrites the added
+    * files also carry the surviving rows of the replaced files —
+    * consumers that need row-level +/- diff against [[removedFiles]]'s
+    * content, both still O(churn).
+    */
+  def addedFiles(dir: String, from: Long, to: Long): Seq[String] = {
+    val before = files(dir, from).toSet
+    files(dir, to).filterNot(before.contains)
+  }
+
+  /** Files REMOVED between two retained versions (CoW replacements). */
+  def removedFiles(dir: String, from: Long, to: Long): Seq[String] = {
+    val after = files(dir, to).toSet
+    files(dir, from).filterNot(after.contains)
+  }
+
   /** Drop all snapshots but the newest `keepLast` and DELETE data files
     * no retained snapshot references — the explicit storage reclaim.
     * Returns the deleted data file names.

@@ -1362,6 +1362,65 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("incremental reads + small-file compaction: O(delta) consumption, atomic bin-packing") {
+    import spark.implicits._
+    val dir = tmp()
+    // 32 tiny files (the streaming-sink pathology), snapshot-enabled
+    spark.range(0, 4000).select($"id".as("k"), ($"id" * 3).as("v"))
+      .repartition(32)
+      .write.format("graft-columnar").mode("overwrite").save(dir)
+    GcolSnapshots.enable(dir)
+    assert(ColumnarFormat.scopedFiles(dir, None).size === 32)
+    // two appends; the file-level change feed is exactly their files
+    Seq((90001L, 1L)).toDF("k", "v")
+      .write.format("graft-columnar").mode("append").save(dir)
+    Seq((90002L, 2L), (90003L, 3L)).toDF("k", "v")
+      .write.format("graft-columnar").mode("append").save(dir)
+    val head = GcolSnapshots.headVersion(dir).get
+    val added = GcolSnapshots.addedFiles(dir, 1L, head)
+    val inc = spark.read.format("graft-columnar")
+      .option("files", added.mkString(",")).load(dir)
+    assert(inc.count() === 3)
+    assert(inc.agg(sum($"k")).collect().head.getLong(0) === 270006L)
+    assert(GcolSnapshots.removedFiles(dir, 1L, head).isEmpty)
+    // compaction bin-packs the 35 small files into few, atomically
+    val before = spark.read.format("graft-columnar").load(dir)
+      .orderBy("k").collect()
+    val published = GcolRowOps.compactFiles(spark, dir,
+      targetBytes = 64L * 1024 * 1024)
+    assert(published.nonEmpty)
+    val filesAfter = ColumnarFormat.scopedFiles(dir, None)
+    assert(filesAfter.size < 32,
+      s"expected a file-count collapse, still ${filesAfter.size}")
+    assert(spark.read.format("graft-columnar").load(dir)
+      .orderBy("k").collect() === before)
+    // the pre-compaction version is still time-travelable (files kept)
+    assert(spark.read.format("graft-columnar").option("asOf", head.toString)
+      .load(dir).count() === 4003)
+    // the compaction IS the change feed's removal set at this step
+    val head2 = GcolSnapshots.headVersion(dir).get
+    assert(GcolSnapshots.removedFiles(dir, head, head2).size === 35)
+    assert(GcolSnapshots.addedFiles(dir, head, head2).toSet ===
+      published.toSet)
+    // a healthy table (all files above threshold) is a no-op
+    assert(GcolRowOps.compactFiles(spark, dir, targetBytes = 1024L) === Nil)
+    // clustered tables keep their layout through compaction
+    val dir2 = tmp()
+    spark.range(0, 4000).select(($"id" % 8).cast(IntegerType).as("g"),
+        $"id".as("k"))
+      .repartition(16)
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(dir2)
+    GcolRowOps.compactFiles(spark, dir2, targetBytes = 64L * 1024 * 1024)
+    val scan = {
+      val q = spark.read.format("graft-columnar").load(dir2)
+        .filter($"g" < 2)
+      q.count(); gcolScan(q)
+    }
+    assert(scan.plannedBlocks < scan.totalBlocks,
+      "compaction lost the clustered (pure-block) layout")
+  }
+
   test("bloom retrofit: data segments byte-identical, idempotent, lookup pruning goes green") {
     import spark.implicits._
     val dir = tmp()
