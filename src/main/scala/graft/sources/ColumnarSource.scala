@@ -117,9 +117,13 @@ class ColumnarSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null && dir.nonEmpty, "graft-columnar requires a path")
-    // evolved tables carry their CURRENT schema in `_gcol_schema`
-    // (GcolSchemaOps DDL); untouched tables read the head footer
-    ColumnarFormat.tableSchema(dir)
+    // an asOf read resolves against the schema the SNAPSHOT was
+    // committed under (time travel stays exact across later DDL);
+    // otherwise evolved tables carry their CURRENT schema in
+    // `_gcol_schema` and untouched tables read the head footer
+    Option(options.get("asOf")).map(_.trim.toLong)
+      .flatMap(v => GcolSnapshots.schemaState(dir, v).map(_._1))
+      .getOrElse(ColumnarFormat.tableSchema(dir))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -347,6 +351,7 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
     }.distinct
     if (mmCols.nonEmpty) {
       val lin = ColumnarFormat.lineage(dir)
+      val evolved = ColumnarFormat.readSchemaState(dir).isDefined
       val answerable = ColumnarFormat.scopedFiles(dir, filesOpt, asOf).forall { f =>
         val ft = ColumnarFormat.readFooter(f)
         mmCols.forall { c =>
@@ -354,9 +359,11 @@ private[sources] class GcolScanBuilder(dir: String, full: StructType,
             .flatMap(n => ColumnarFormat.fieldIdx(ft.schema, n)) match {
             case Some(i) => ft.blocks.forall(b =>
               b.cols(i).min.isDefined || b.cols(i).nullCount == b.rows)
-            // the column postdates this file: provably all-null here
-            // (the evolution contract), so it contributes no extremum
-            case None => true
+            // on an EVOLVED table the column postdates this file:
+            // provably all-null, contributes no extremum; without DDL a
+            // missing column is corruption — refuse the pushdown and
+            // let the block path fail loudly
+            case None => evolved
           }
         }
       }
@@ -401,11 +408,17 @@ class GcolScan private[sources] (
   private lazy val scanFiles: Seq[Path] =
     ColumnarFormat.scopedFiles(dir, filesOpt, asOf)
 
-  /** Rename lineage of an evolved table (empty otherwise), loaded once
-    * per scan — every footer resolution below goes through it.
+  /** Rename lineage + DDL flag the scan resolves against: the
+    * snapshot's COMMIT-TIME state for asOf reads (time travel exact
+    * across later DDL), the current `_gcol_schema` otherwise. The flag
+    * gates the missing-column null-vector path — without DDL, a
+    * missing column is corruption, not evolution.
     */
-  private lazy val lin: Map[String, Seq[String]] =
-    ColumnarFormat.lineage(dir)
+  private lazy val (lin: Map[String, Seq[String]], evolved: Boolean) =
+    asOf.flatMap(v => GcolSnapshots.schemaState(dir, v))
+      .map { case (_, formers, e) => (formers, e) }
+      .getOrElse((ColumnarFormat.lineage(dir),
+        ColumnarFormat.readSchemaState(dir).isDefined))
   def pushedAccepted: Array[Filter] = filters
   def aggregated: Boolean = aggSpecs.nonEmpty
 
@@ -467,10 +480,16 @@ class GcolScan private[sources] (
       val footer = ColumnarFormat.readFooter(f)
       // lineage-aware: a renamed column's stats live under its file-
       // local name; a column ADDED after this file was written is
-      // all-null here, so it contributes nothing (count 0, no extrema)
-      def idxOf(c: String): Option[Int] =
-        ColumnarFormat.resolveName(footer.schema, c, lin)
+      // all-null here, so it contributes nothing (count 0, no extrema).
+      // Missing WITHOUT evolution = corruption, loud (blockDesc rule)
+      def idxOf(c: String): Option[Int] = {
+        val o = ColumnarFormat.resolveName(footer.schema, c, lin)
           .flatMap(n => ColumnarFormat.fieldIdx(footer.schema, n))
+        require(o.isDefined || evolved,
+          s"$f lacks aggregated column $c and the table has no " +
+            "_gcol_schema declaring it as a later addition")
+        o
+      }
       footer.blocks.foreach { blk =>
         countStar += blk.rows
         specs.foreach {
@@ -568,9 +587,13 @@ class GcolScan private[sources] (
         // bucket SPJ needs the table read via GcolCatalog; a plain
         // format("graft-columnar") read leaves it unresolved and Spark
         // falls back to a normal shuffle plan (sound, just unoptimized).
-        val bucket = footers.head.bucketSpec
-          .filter(bs => footers.forall(_.bucketSpec.contains(bs)))
-          .map { case (k, n) => (currentOf.getOrElse(k, k), n) }
+        // each footer's spec maps through the rename lineage BEFORE the
+        // consistency check — files written pre- and post-rename of the
+        // bucket key agree on the CURRENT name and keep the layout
+        def curSpec(ft: ColumnarFormat.Footer): Option[(String, Int)] =
+          ft.bucketSpec.map { case (k, n) => (currentOf.getOrElse(k, k), n) }
+        val bucket = curSpec(footers.head)
+          .filter(bs => footers.forall(curSpec(_).contains(bs)))
           .filter { case (k, _) => required.fieldNames.contains(k) }
         (cCur, bucket) match {
           case (Some(c), Some((k, n))) =>
@@ -663,7 +686,8 @@ class GcolScan private[sources] (
           if (cap.forall(kept < _) &&
               localFilters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _))) {
             val desc =
-              ColumnarFormat.blockDesc(f, footer, blk, blkIdx, required, lin)
+              ColumnarFormat.blockDesc(f, footer, blk, blkIdx, required, lin,
+                evolved)
             all += desc
             grouping.foreach { kl =>
               val c = kl.clusterCol
@@ -1024,18 +1048,24 @@ private[sources] class GcolBatchWrite(dir: String, schema: StructType,
     // commit-ordered journal: one line per published file, appended
     // atomically per logical write — the streaming read's offset axis
     // (sorted directory names don't encode arrival order; this does)
+    // the POINTER SWAP is the commit on snapshot tables: readers see
+    // the previous version or this one, never a mix. It runs BEFORE
+    // the journal append: the micro-batch planner skips journaled
+    // files outside the head live-set, so journal-first would open a
+    // window where a stream plans the new entry, finds it not yet
+    // live, and checkpoints past it — permanently losing the rows.
+    // Snapshot-first means a journal entry is live the moment a
+    // stream can see it.
+    snapHead.foreach { h =>
+      val base = if (replace) Nil else GcolSnapshots.files(dir, h)
+      GcolSnapshots.commit(dir, base ++ committed, expectedHead = Some(h))
+    }
     if (committed.nonEmpty)
       Files.write(root.resolve(ColumnarFormat.JournalName),
         committed.sorted.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    // the POINTER SWAP is the commit on snapshot tables: readers see
-    // the previous version or this one, never a mix
-    snapHead.foreach { h =>
-      val base = if (replace) Nil else GcolSnapshots.files(dir, h)
-      GcolSnapshots.commit(dir, base ++ committed, expectedHead = Some(h))
-    }
     cleanupStaging()
   }
 
@@ -1183,6 +1213,7 @@ private[sources] class GcolMicroBatchStream(
     val e = end.asInstanceOf[GcolOffset].n.toInt
     val files = ColumnarFormat.journal(dir).slice(s, e)
     val lin = ColumnarFormat.lineage(dir)
+    val evolved = ColumnarFormat.readSchemaState(dir).isDefined
     // snapshot tables KEEP replaced files on disk (time travel), so
     // existence alone no longer proves liveness — restrict to the head
     // snapshot's set, keeping replay semantics identical to the
@@ -1205,7 +1236,8 @@ private[sources] class GcolMicroBatchStream(
         val footer = ColumnarFormat.readFooter(f)
         val descs = footer.blocks.zipWithIndex.flatMap { case (blk, bi) =>
           if (filters.forall(ColumnarFormat.mayMatch(footer.schema, blk, _)))
-            Some(ColumnarFormat.blockDesc(f, footer, blk, bi, required, lin))
+            Some(ColumnarFormat.blockDesc(f, footer, blk, bi, required, lin,
+              evolved))
           else None
         }
         if (descs.nonEmpty) // one task per journal file: batch-local unit
@@ -1352,12 +1384,26 @@ object ColumnarFormat {
 
   /** One block's read descriptor with evolution-aware column resolution:
     * a table column the file lacks gets the ABSENT sentinel (off = -1)
-    * and decodes as an all-null vector of the table type.
+    * and decodes as an all-null vector of the table type — but ONLY on
+    * tables that actually evolved (`evolved` = a `_gcol_schema` exists,
+    * so a missing column IS a post-file addition by contract). On a
+    * never-evolved table a file lacking a required column is
+    * CORRUPTION (a stray file of another schema, a half-finished
+    * overwrite) and fails loudly, as it always did — silently reading
+    * nulls there would reclassify damage as evolution.
     */
   def blockDesc(f: Path, footer: Footer, blk: BlockView, blkIdx: Int,
                 required: StructType,
-                lin: Map[String, Seq[String]]): GcolBlockDesc = {
-    val idx = required.fields.map(r => resolveField(footer.schema, r, lin))
+                lin: Map[String, Seq[String]],
+                evolved: Boolean = false): GcolBlockDesc = {
+    val idx = required.fields.map { r =>
+      val o = resolveField(footer.schema, r, lin)
+      require(o.isDefined || evolved,
+        s"$f lacks required column ${r.name}, and the table has no " +
+          "_gcol_schema declaring it as a later addition — mixed-schema " +
+          "directory?")
+      o
+    }
     GcolBlockDesc(f.toString, blk.rows,
       idx.map(_.fold(-1L)(blk.offs)),
       idx.map(_.fold(0L)(blk.lens)),

@@ -85,7 +85,12 @@ class GcolCatalog extends TableCatalog with FunctionCatalog {
         s"gcol VERSION AS OF takes a snapshot number, got `$version`")
     }
     GcolSnapshots.files(dir, v) // fails loudly on unknown/vacuumed
-    new GcolTable(dir, ColumnarFormat.tableSchema(dir), Some(v))
+    // read through the schema the snapshot was COMMITTED under, not
+    // the current one — later DDL must not leak into the old version
+    new GcolTable(dir,
+      GcolSnapshots.schemaState(dir, v).map(_._1)
+        .getOrElse(ColumnarFormat.tableSchema(dir)),
+      Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

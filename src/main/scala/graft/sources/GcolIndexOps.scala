@@ -114,8 +114,10 @@ object GcolIndexOps {
       val chan = raf.getChannel
       chan.truncate(dataEnd)
       chan.position(dataEnd)
+      // every footer field must survive the rewrite — dropping
+      // bucketSpec here would silently un-bucket the table's SPJ layout
       ColumnarFormat.writeFooter(chan, footer.schema, newBlocks,
-        footer.codec, footer.clusterBy)
+        footer.codec, footer.clusterBy, footer.bucketSpec)
     } finally raf.close()
   }
 }

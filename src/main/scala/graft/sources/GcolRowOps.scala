@@ -154,12 +154,8 @@ object GcolRowOps {
 
     // scratch write through the normal writer, same layout knobs
     val scratch = Files.createTempDirectory("gcol_merge").toString
-    val w = merged.write.format("graft-columnar").mode("overwrite")
-    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-    val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
-      w2.option("bucketSpec", s"$k:$n") }
-    val w3 = if (headFooter.codec == "none") w2b
-      else w2b.option("codec", headFooter.codec)
+    val w3 = withLayout(
+      merged.write.format("graft-columnar").mode("overwrite"), dir, headFooter)
     w3.save(scratch)
 
     // 3) publish. Two postures:
@@ -192,20 +188,24 @@ object GcolRowOps {
       Files.move(src, root.resolve(rel))
       rel
     }
+    // snapshot swap BEFORE the journal append (same ordering as the
+    // batch writer's commit): the micro-batch planner skips journaled
+    // files outside the head live-set, so a stream planning between a
+    // journal-first append and the head swap would checkpoint past the
+    // new files and lose their rows permanently
+    snapHead.foreach { h =>
+      val base = GcolSnapshots.files(dir, h)
+        .filterNot(affected.contains)
+      GcolSnapshots.commit(dir, base ++ newRel, expectedHead = Some(h))
+    }
     if (newRel.nonEmpty)
       Files.write(root.resolve(ColumnarFormat.JournalName),
         newRel.sorted.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    snapHead match {
-      case Some(h) =>
-        val base = GcolSnapshots.files(dir, h)
-          .filterNot(affected.contains)
-        GcolSnapshots.commit(dir, base ++ newRel, expectedHead = Some(h))
-      case None =>
-        affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
-    }
+    if (snapHead.isEmpty)
+      affected.foreach(n => Files.deleteIfExists(root.resolve(n)))
     deleteDirQuiet(Paths.get(scratch))
     newRel
   }
@@ -322,15 +322,22 @@ object GcolRowOps {
       s"set column `$c` not in table"))
     val victims = spark.read.format("graft-columnar").load(dir)
       .filter(expr(predicate))
-    victims.select(addr.map(col): _*)
-      .write.format("graft-columnar").mode("append").save(posDeletesDir(dir))
-    victims.select(schema.fields.map { f =>
+    // resolve BOTH frames (predicate and every set expression) before
+    // any sidecar write: select() analyzes eagerly, so a typo'd patch
+    // expression throws HERE — with zero sidecar state written —
+    // instead of after the delete vector already committed (which
+    // would silently drop the matched rows and block the retry)
+    val deletes = victims.select(addr.map(col): _*)
+    val replacement = victims.select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(e) => expr(e).cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
     }.toSeq: _*)
-      .write.format("graft-columnar").mode("append").save(posUpsertsDir(dir))
+    deletes.write.format("graft-columnar").mode("append")
+      .save(posDeletesDir(dir))
+    replacement.write.format("graft-columnar").mode("append")
+      .save(posUpsertsDir(dir))
   }
 
   /** MoR READ with position deletes AND updates applied: anti-join on
@@ -392,12 +399,8 @@ object GcolRowOps {
         .join(dels, addr, "left_anti")
         .select(dataCols.map(col): _*)
       val scratch = Files.createTempDirectory("gcol_compact_pos").toString
-      val w = survivors.write.format("graft-columnar").mode("overwrite")
-      val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-      val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
-        w2.option("bucketSpec", s"$k:$n") }
-      val w3 = if (headFooter.codec == "none") w2b
-        else w2b.option("codec", headFooter.codec)
+      val w3 = withLayout(
+        survivors.write.format("graft-columnar").mode("overwrite"), dir, headFooter)
       w3.save(scratch)
       publish(dir, scratch, affected)
     }
@@ -408,12 +411,8 @@ object GcolRowOps {
       val schema = ColumnarFormat.tableSchema(dir)
       val ups = spark.read.format("graft-columnar").load(posUpsertsDir(dir))
         .select(schema.fieldNames.map(col).toSeq: _*)
-      val w = ups.write.format("graft-columnar").mode("append")
-      val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-      val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
-        w2.option("bucketSpec", s"$k:$n") }
-      val w3 = if (headFooter.codec == "none") w2b
-        else w2b.option("codec", headFooter.codec)
+      val w3 = withLayout(
+        ups.write.format("graft-columnar").mode("append"), dir, headFooter)
       w3.save(dir)
     }
     deleteDirQuiet(Paths.get(posDeletesDir(dir)))
@@ -460,14 +459,31 @@ object GcolRowOps {
       .option("files", names.mkString(",")).load(dir)
       .repartition(nOut)
     val scratch = Files.createTempDirectory("gcol_compact_files").toString
-    val w = rows.write.format("graft-columnar").mode("overwrite")
-    val w2 = headFooter.clusterBy.fold(w)(c => w.option("clusterBy", c))
-    val w2b = headFooter.bucketSpec.fold(w2) { case (k, n) =>
-      w2.option("bucketSpec", s"$k:$n") }
-    val w3 = if (headFooter.codec == "none") w2b
-      else w2b.option("codec", headFooter.codec)
+    val w3 = withLayout(
+      rows.write.format("graft-columnar").mode("overwrite"), dir, headFooter)
     w3.save(scratch)
     publish(dir, scratch, names)
+  }
+
+  /** Replay the table's layout knobs onto a rewrite's writer, with the
+    * clusterBy/bucketSpec column names mapped through the rename
+    * lineage to their CURRENT names: the rewrite's frame carries
+    * evolved names, so replaying a file-local pre-rename name would be
+    * refused by the write builder and every CoW op on a renamed-key
+    * table would fail.
+    */
+  private def withLayout(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      dir: String, headFooter: ColumnarFormat.Footer) = {
+    val currentOf = ColumnarFormat.lineage(dir).flatMap {
+      case (cur, olds) => olds.map(_ -> cur)
+    }
+    val w2 = headFooter.clusterBy.fold(w)(c =>
+      w.option("clusterBy", currentOf.getOrElse(c, c)))
+    val w3 = headFooter.bucketSpec.fold(w2) { case (k, n) =>
+      w2.option("bucketSpec", s"${currentOf.getOrElse(k, k)}:$n") }
+    if (headFooter.codec == "none") w3
+    else w3.option("codec", headFooter.codec)
   }
 
   private def deleteDirQuiet(d: Path): Unit = {

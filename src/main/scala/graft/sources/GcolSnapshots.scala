@@ -90,10 +90,41 @@ object GcolSnapshots {
     commit(dir, names, expectedHead = None)
   }
 
+  /** The SCHEMA STATE a version was committed under: (schema, rename
+    * lineage, whether DDL had run) — what an `asOf` read resolves
+    * against, so time travel reproduces the version exactly even after
+    * later add/drop/rename DDL. None for snapshots that predate schema
+    * recording (read falls back to the current schema).
+    */
+  def schemaState(dir: String, v: Long)
+      : Option[(org.apache.spark.sql.types.StructType, Map[String, Seq[String]], Boolean)] = {
+    val p = snapDir(dir).resolve(s"v$v.json")
+    if (!Files.exists(p)) return None
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(p))
+    if (!root.has("schema")) return None
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(root.get("schema").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val formers = scala.collection.mutable.Map.empty[String, Seq[String]]
+    if (root.has("formers")) {
+      val it = root.get("formers").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+        e.getValue.forEach(n => ns += n.asText())
+        formers(e.getKey) = ns.toSeq
+      }
+    }
+    Some((schema, formers.toMap,
+      root.has("evolved") && root.get("evolved").asBoolean()))
+  }
+
   /** Write version head+1 with `names` and move the head pointer —
     * the ATOMIC publish every commit path routes through. `expectedHead`
     * guards against a lost-update between read and commit (the
-    * single-writer contract made checkable).
+    * single-writer contract made checkable). The commit-time schema
+    * state rides along so `asOf` reads resolve against it.
     */
   def commit(dir: String, names: Seq[String],
              expectedHead: Option[Long]): Long = {
@@ -108,6 +139,25 @@ object GcolSnapshots {
     root.put("version", next)
     val arr = root.putArray("files")
     names.sorted.foreach(arr.add)
+    val state: Option[(org.apache.spark.sql.types.StructType, Map[String, Seq[String]], Boolean)] =
+      ColumnarFormat.readSchemaState(dir)
+        .map { case (s, f) => (s, f, true) }
+        .orElse(names.headOption.map { n =>
+          (ColumnarFormat.readFooter(Paths.get(dir).resolve(n)).schema,
+            Map.empty[String, Seq[String]], false)
+        })
+        .orElse(cur.flatMap(schemaState(dir, _)))
+    state.foreach { case (s, formers, evolved) =>
+      root.put("schema", s.json)
+      root.put("evolved", evolved)
+      val fn = root.putObject("formers")
+      formers.foreach { case (c, olds) =>
+        if (olds.nonEmpty) {
+          val a = fn.putArray(c)
+          olds.foreach(a.add)
+        }
+      }
+    }
     Files.write(snapDir(dir).resolve(s"v$next.json"),
       mapper.writeValueAsBytes(root))
     // the pointer swap is the commit: tmp + ATOMIC_MOVE on one file

@@ -103,38 +103,79 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"shuffle below the bucketed join:\n$below")
   }
 
-  test("q328: the storage-partitioned gcol join plans ZERO exchanges below the join") {
+  // EnsureRequirements inserts join exchanges only into executedPlan —
+  // sparkPlan NEVER shows them (verified empirically: a forced
+  // sort-merge join prints zero Exchange nodes in sparkPlan), so a
+  // no-Exchange assertion there is vacuous. These guards walk the
+  // EXECUTED plan, descending through the AQE wrappers.
+  private def collectExec[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectExec(_)(pf))
+  }
+
+  /** The join subtree holds no ShuffleExchange (the SinglePartition
+    * merge of a final ungrouped aggregate above it is allowed).
+    */
+  private def assertSpjShuffleFree(df: DataFrame, what: String): Unit = {
+    df.collect() // finalize AQE so executedPlan is the real one
+    val joins = collectExec(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"$what: expected a shuffle-family join:\n" +
+      df.queryExecution.executedPlan)
+    joins.foreach { j =>
+      val ex = collectExec(j) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty, s"$what: shuffle below the join:\n$j")
+    }
+  }
+
+  test("q328: the storage-partitioned gcol join executes ZERO exchanges below the join") {
     // the q328 query executes eagerly inside its conf window and returns
     // a local relation, so the guard inspects the factored-out frame
     // under the same confs (Layout.withSpjConfs)
     graft.ops.Layout.withSpjConfs(spark) {
       val df = graft.ops.Layout.gcolSpjFrame(spark, dir)
-      val p = df.queryExecution.sparkPlan.toString
-      val joinIdx = p.indexOf("SortMergeJoin")
-      assert(joinIdx >= 0, s"expected SortMergeJoin:\n$p")
-      assert(!p.contains("Exchange hashpartitioning(bkt"),
-        s"the cluster key was shuffled — KeyGroupedPartitioning lost:\n$p")
-      val below = p.substring(joinIdx)
-      assert(!below.contains("Exchange"),
-        s"shuffle below the storage-partitioned join:\n$below")
-      // both scans must be the gcol source reporting the key grouping
+      assertSpjShuffleFree(df, "q328")
+      val p = df.queryExecution.executedPlan.toString
       assert("graft-columnar".r.findAllIn(p).size >= 2, s"not both gcol:\n$p")
+    }
+    // negative control — the guard can actually fail: with v2
+    // bucketing off the same frame DOES shuffle below its join
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Layout.gcolSpjFrame(spark, dir)
+      df.collect()
+      val joins = collectExec(df.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.exists(j => collectExec(j) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.nonEmpty), "control: expected the unoptimized plan to shuffle")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
-  test("q339: the BUCKET-transform gcol join plans ZERO exchanges, keyed on the key alone") {
+  test("q339: the BUCKET-transform gcol join executes ZERO exchanges, keyed on the key alone") {
     graft.ops.Layout.withSpjConfs(spark) {
-      val df = graft.ops.Layout.gcolBucketSpjFrame(spark, dir)
-      val p = df.queryExecution.sparkPlan.toString
-      val joinIdx = p.indexOf("SortMergeJoin")
-      assert(joinIdx >= 0, s"expected SortMergeJoin:\n$p")
       // the join keys are the ORDER KEYS — the bucket id column is
       // never in the condition, the projection, or any shuffle
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"the bucket transform did not resolve — join shuffled:\n$p")
-      val below = p.substring(joinIdx)
-      assert(!below.contains("Exchange"),
-        s"shuffle below the bucket-transform join:\n$below")
+      val df = graft.ops.Layout.gcolBucketSpjFrame(spark, dir)
+      assertSpjShuffleFree(df, "q339")
+      val p = df.queryExecution.executedPlan.toString
       assert("graft-columnar".r.findAllIn(p).size >= 2, s"not both gcol:\n$p")
     }
   }

@@ -1421,6 +1421,132 @@ class ColumnarSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "compaction lost the clustered (pure-block) layout")
   }
 
+  test("review hardening: retrofit keeps bucketSpec, bad updates write nothing, corruption stays loud") {
+    import spark.implicits._
+    // 1) addBloom must preserve EVERY footer field — losing bucketSpec
+    //    would silently un-bucket the SPJ layout
+    val bdir = tmp()
+    spark.range(0, 4000).select($"id".as("k"), ($"id" * 3).as("va"))
+      .withColumn("bkt", pmod($"k", lit(8)).cast(IntegerType))
+      .write.format("graft-columnar").option("clusterBy", "bkt")
+      .option("bucketSpec", "k:8").mode("overwrite").save(bdir)
+    GcolIndexOps.addBloom(spark, bdir, Set("k"))
+    ColumnarFormat.listFiles(bdir).foreach { f =>
+      val ft = ColumnarFormat.readFooter(f)
+      assert(ft.bucketSpec === Some(("k", 8)),
+        s"$f lost its bucketSpec through the bloom retrofit")
+      assert(ft.clusterBy === Some("bkt"))
+    }
+    // 2) a typo'd update expression must throw BEFORE any sidecar write
+    val udir = tmp()
+    spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+      .write.format("graft-columnar").mode("overwrite").save(udir)
+    intercept[Exception] {
+      GcolRowOps.updateWherePos(spark, udir, "k < 5",
+        Map("v" -> "no_such_column + 1"))
+    }
+    assert(ColumnarFormat.listFiles(
+      java.nio.file.Paths.get(udir).resolve(GcolRowOps.PosDeletesSubdir)
+        .toString).isEmpty,
+      "a failed update left a delete vector behind — rows silently lost")
+    // the table is untouched and a corrected update then proceeds
+    GcolRowOps.updateWherePos(spark, udir, "k < 5", Map("v" -> "v + 1"))
+    assert(GcolRowOps.readMoRPos(spark, udir)
+      .filter($"k" === 0L).collect().head.getLong(1) === 1L)
+    // 3) a mixed-schema directory WITHOUT evolution DDL fails loudly —
+    //    silent null-vectors are reserved for declared evolution
+    val mdir = tmp()
+    spark.range(0, 100).select($"id".as("x"), ($"id" * 2).as("y"))
+      .write.format("graft-columnar").mode("overwrite").save(mdir)
+    val stray = tmp()
+    spark.range(0, 100).select($"id".as("x"), ($"id" * 3).as("z"))
+      .write.format("graft-columnar").mode("overwrite").save(stray)
+    val strayFile = ColumnarFormat.listFiles(stray).head
+    java.nio.file.Files.copy(strayFile,
+      java.nio.file.Paths.get(mdir).resolve("stray-" +
+        strayFile.getFileName.toString))
+    // (a bare count() legitimately answers from footers — row counts
+    // are schema-independent; reading VALUES must fail loudly)
+    val err = intercept[Exception] {
+      spark.read.format("graft-columnar").load(mdir)
+        .agg(sum($"y")).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("lacks required column"),
+      s"expected the loud mixed-schema failure, got: ${err.getMessage}")
+  }
+
+  test("review hardening: CoW ops and SPJ survive a cluster/bucket-key rename; asOf is DDL-exact") {
+    import spark.implicits._
+    // 1) rename the CLUSTER column, then merge: the rewrite must replay
+    //    the layout under the CURRENT name (file-local name would be
+    //    refused by the write builder)
+    val cdir = tmp()
+    spark.range(0, 4000).select(($"id" % 8).cast(IntegerType).as("g"),
+        $"id".as("k"), ($"id" * 10).as("v"))
+      .write.format("graft-columnar").option("clusterBy", "g")
+      .mode("overwrite").save(cdir)
+    GcolSchemaOps.renameColumn(cdir, "g", "grp")
+    GcolRowOps.merge(spark, cdir,
+      Seq((5L, "U", 999L)).toDF("k", "op", "new_v"), "k", Map("v" -> "new_v"))
+    val back = spark.read.format("graft-columnar").load(cdir)
+    assert(back.schema.fieldNames.toSeq === Seq("grp", "k", "v"))
+    assert(back.filter($"k" === 5L).collect().head.getLong(2) === 999L)
+    // rewritten files carry the layout under the NEW name and the
+    // key-grouped detection still fires across mixed old/new footers
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.read.format("graft-columnar").load(cdir)
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      agg.collect()
+      assert(noShuffle(agg),
+        s"rename broke key grouping:\n${agg.queryExecution.executedPlan}")
+    }
+    // 2) rename the BUCKET KEY, append post-rename, and the bucket SPJ
+    //    layout survives the mixed footers
+    spark.conf.set("spark.sql.catalog.gcol_rh", "graft.sources.GcolCatalog")
+    val b1 = tmp(); val b2 = tmp()
+    def writeB(dir: String, n: Long): Unit =
+      spark.range(0, n).select($"id".as("k"), ($"id" * 3).as("va"))
+        .withColumn("bkt", pmod($"k", lit(8)).cast(IntegerType))
+        .write.format("graft-columnar").option("clusterBy", "bkt")
+        .option("bucketSpec", "k:8").mode("overwrite").save(dir)
+    writeB(b1, 4000); writeB(b2, 8000)
+    GcolSchemaOps.renameColumn(b1, "k", "kk")
+    Seq((90001L, 7L, 1)).toDF("kk", "va", "bkt")
+      .select($"kk", $"va", pmod($"kk", lit(8)).cast(IntegerType).as("bkt"))
+      .write.format("graft-columnar").option("clusterBy", "bkt")
+      .option("bucketSpec", "kk:8").mode("append").save(b1)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val ra = spark.table(s"gcol_rh.`$b1`").select($"kk", $"va")
+      val rb = spark.table(s"gcol_rh.`$b2`").select($"k", col("va").as("vb"))
+      val j = ra.join(rb, ra("kk") === rb("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(j.collect().head.getLong(0) === 4000L)
+      assert(joinSubtreeShuffleFree(j),
+        s"bucket-key rename broke SPJ:\n${j.queryExecution.executedPlan}")
+    }
+    // 3) time travel is DDL-exact: a snapshot taken before a drop/add
+    //    still reads with its commit-time schema
+    val sdir = tmp()
+    spark.range(0, 500).select($"id".as("k"), ($"id" * 2).as("v"))
+      .write.format("graft-columnar").mode("overwrite").save(sdir)
+    GcolSnapshots.enable(sdir)
+    Seq((9000L, 1L)).toDF("k", "v")
+      .write.format("graft-columnar").mode("append").save(sdir) // v2
+    GcolSchemaOps.dropColumn(sdir, "v")
+    GcolSchemaOps.addColumn(sdir, "w", LongType)
+    assert(spark.read.format("graft-columnar").load(sdir)
+      .schema.fieldNames.toSeq === Seq("k", "w"))
+    val v1 = spark.read.format("graft-columnar").option("asOf", "1")
+      .load(sdir)
+    assert(v1.schema.fieldNames.toSeq === Seq("k", "v"),
+      "asOf must read with the snapshot's commit-time schema")
+    assert(v1.count() === 500)
+    assert(v1.agg(sum($"v")).collect().head.getLong(0) === 249500L)
+  }
+
   test("bloom retrofit: data segments byte-identical, idempotent, lookup pruning goes green") {
     import spark.implicits._
     val dir = tmp()
