@@ -4578,20 +4578,17 @@ object Relational {
   // twice, but 4 unrolled rounds are plain SQL); once a round's
   // min_deg ≥ k the remaining rounds are provably identical, so the
   // census itself shows where the fixpoint landed. All-integer algebra.
-  // Scale shape: each round is one map-side-combinable degree count
-  // plus two left-semi joins against the node-dictionary-sized
-  // survivor set, pruning the previous round's CACHED edge frame. The
-  // survivor aggregate is deliberately NOT persisted and the census
-  // re-derives it: leaving the aggregate live in the plan keeps the
-  // whole round inside AQE's reach, and AQE converts both semi-joins
-  // to runtime broadcasts (measured: 6.0 s warm at sf0.1 vs 21.6 s
-  // with a persisted degree frame — an InMemoryRelation boundary pins
-  // the exchanges, so the "saved" re-aggregation cost 3.5× the query;
-  // the per-round repartition was equally dead weight, broadcast joins
-  // preserve the up-front src clustering). At the broadcast ceiling
-  // (billions of surviving nodes at 100 TB) AQE falls back to shuffle
-  // semi-joins on the node key — same per-round plan; the round-count
-  // becomes a driver loop bound at fixpoint, not a shape change.
+  // Scale shape: each round is a degree aggregate over the s-clustered
+  // LOCALLY-CHECKPOINTED edge frame (exchange-free: the partitioning
+  // survives the checkpoint), feeding the 1-row census and the
+  // survivor filter, plus two left-semi joins against that survivor
+  // set pruning the checkpointed frame. The semi-join side broadcasts
+  // under an explicit size-gated hint (measured edge count ≤ 5M ⇒
+  // nodes fit); past the ceiling (billions of surviving nodes at
+  // 100 TB) the hint drops away and the joins run as shuffle
+  // semi-joins on the node key — same per-round plan shape; the
+  // round-count becomes a driver loop bound at fixpoint, not a shape
+  // change. See the loop comment for the r16 lineage-truncation A/B.
   private def kcorePeeling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -4629,13 +4626,39 @@ object Relational {
     // frame had to fully materialize anyway to seed the next peel).
     // Re-paired post-fix (r16, clean window, warm min-of-5 @sf0.1):
     // 7.27 s vs 8.03 s in r14 / 8.81 s in the r15 closing window —
-    // the accumulated-cache leak WAS the r14→r15 regression. The r16
-    // closing BOARD read 10.53 in a steal-heavy window (eff-cores
-    // dipped to 1.5/32 mid-run); a same-window warm Profile min-of-5
-    // immediately after read 7.73 — board number is weather, the 7.3-
-    // 7.7 s floor is the plan's.
-    def censusRow(r: Int, e: DataFrame): (Long, Long, Long, Long) = {
-      val row = e.groupBy($"s").agg(count(lit(1)).as("c"))
+    // the accumulated-cache leak WAS the r14→r15 regression.
+    //
+    // r16 OPTIMIZATION-round restructure (guide §3.3/§5: very deep
+    // iterative plans make PLANNING the bottleneck; localCheckpoint
+    // truncates them). Each round's logical plan used to nest the
+    // previous round's THREE times (edges ⋈ keep ⋈ keepT, keep itself
+    // an aggregate over edges), so by round 4 the analyzer/optimizer/
+    // cache-lookup walked ~3⁴ copies of the base plan per action — the
+    // driver spent more wall between jobs than in them (measured: job
+    // sum ~2.6 s inside a 5.53 s wall). `localCheckpoint()` on each
+    // round's survivor frame cuts the lineage to a LogicalRDD leaf:
+    // round r+1 plans over a leaf, not over round r's whole history.
+    // A/B in one quiet ~20-eff-core window (warm min-of-3, sf0.1):
+    //   persist-chain (old)            5.53 s
+    //   persist-chain + explicit hint  6.52 s  (hint alone: no help)
+    //   persist every round's degree  31-39 s  (cache-on-cache poison)
+    //   localCheckpoint chain          2.78 s  ← shipped
+    // The keep-set broadcast is an explicit hint gated on the MEASURED
+    // edge count (the dupClusters bcastFrontier idiom; nodes ≤
+    // 2·edges) — past the ceiling the hint drops away and the joins
+    // run as shuffle semi-joins on the node key, the same degraded
+    // plan AQE produced before, so the 100-TB posture is unchanged.
+    // Checkpoint blocks are MEMORY_AND_DISK like the persists they
+    // replace; they are freed by the ContextCleaner when the round
+    // frames go unreferenced (the eval harness's periodic System.gc()
+    // bounds the lag). Trade-off, documented: a lost block now fails
+    // the job instead of recomputing lineage — the standard iterative-
+    // graph posture (Pregel checkpoints for exactly this reason); a
+    // cluster deployment would swap in reliable checkpoints.
+    val bcastKeep = nEdges <= 5000000L
+    val hinted = (d: DataFrame) => if (bcastKeep) broadcast(d) else d
+    def censusRow(r: Int, deg: DataFrame): (Long, Long, Long, Long) = {
+      val row = deg
         .agg(count(lit(1)).as("n_nodes"), sum($"c").as("m2"),
           min($"c").as("md"))
         .select($"n_nodes",
@@ -4644,21 +4667,25 @@ object Relational {
         .collect()(0)
       (r.toLong, row.getLong(0), row.getLong(1), row.getLong(2))
     }
-    val rows = scala.collection.mutable.ArrayBuffer(censusRow(0, edges))
+    // Exchange-free over the s-clustered round frame: ClusteredDistribution(s)
+    // is satisfied by the up-front hash partitioning, which the semi-joins
+    // (broadcast or co-partitioned) preserve.
+    def degreeOf(e: DataFrame): DataFrame =
+      e.groupBy($"s").agg(count(lit(1)).as("c"))
+    var cur = edges
+    val rows = scala.collection.mutable.ArrayBuffer(censusRow(0, degreeOf(cur)))
     for (r <- 1 to 4) {
-      val keep = edges.groupBy($"s").agg(count(lit(1)).as("c"))
-        .filter($"c" >= K).select($"s")
-      val next = edges
-        .join(keep, Seq("s"), "left_semi")
-        .join(keep.withColumnRenamed("s", "t"), Seq("t"), "left_semi")
+      val keep = degreeOf(cur).filter($"c" >= K).select($"s")
+      val keepT = keep.withColumnRenamed("s", "t")
+      val next = cur
+        .join(hinted(keep), Seq("s"), "left_semi")
+        .join(hinted(keepT), Seq("t"), "left_semi")
         .select($"s", $"t")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      rows += censusRow(r, next) // materializes next's cache
-      edges.unpersist()          // previous generation no longer referenced
-      edges = next
+        .localCheckpoint()
+      rows += censusRow(r, degreeOf(next))
+      if (r == 1) { edges.unpersist(); pairs.unpersist() }
+      cur = next
     }
-    edges.unpersist()
-    pairs.unpersist()
     rows.toSeq.toDF("round", "n_nodes", "n_edges", "min_deg")
       .orderBy($"round")
   }
