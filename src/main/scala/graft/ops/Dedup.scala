@@ -760,10 +760,12 @@ object Dedup {
 
   /** Min-label-propagation connected components over a PERSISTED
     * canonical pair frame (doc_a < doc_b). Returns (doc_id, cluster),
-    * materialized and cached by the convergence actions themselves;
-    * every internal frame is released before return, but `pairs` stays
-    * persisted — the caller built it and decides when to drop it (q57
-    * drops it immediately; q246 keeps deriving from it).
+    * materialized as a LOCAL CHECKPOINT (a LogicalRDD leaf — downstream
+    * consumers plan over a leaf, not the loop's lineage; blocks are
+    * ContextCleaner-freed once unreferenced). The edge cache is
+    * released before return, but `pairs` stays persisted — the caller
+    * built it and decides when to drop it (q57 drops it immediately;
+    * q246 keeps deriving from it).
     */
   private def ccFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
@@ -807,8 +809,21 @@ object Dedup {
     // (self-loop included) is a plain aggregate over the edge set
     // (exchange-free on the broadcast path: edges are already clustered
     // by the aggregate key).
+    // r16 optimization-round lineage truncation (the q245 lesson applied
+    // to the CC loop): label generation r's logical plan used to chain
+    // r copies of the edge frame's WHOLE upstream plan (the callers'
+    // band-join machinery, ~60 nodes per level), so every in-loop
+    // action — and every downstream consumer action in q57/q157/q246/
+    // q267 — re-analyzed a plan that grew with the iteration count
+    // (explain of q246's census read 486 BroadcastHashJoin nodes).
+    // `localCheckpoint()` pins each generation to a LogicalRDD leaf:
+    // in-loop planning is O(1) per iteration and consumers plan over a
+    // leaf. Blocks are MEMORY_AND_DISK like the persists they replace,
+    // freed by the ContextCleaner once a generation goes unreferenced.
+    // Measured (same quiet window, warm min-of-3, sf0.1):
+    //   q57 1.92→1.32  q157 1.93→1.37  q246 2.13→1.42  q267 1.80→1.57
     var labels = edges.groupBy($"u".as("doc_id")).agg(min($"v").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def step(lbl: DataFrame): DataFrame = {
       val l = lbl.select($"doc_id".as("v"), $"lbl")
       val joined =
@@ -836,14 +851,10 @@ object Dedup {
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty
     while (!done && iter < 16) {
-      val next = step(labels)
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
-      val curSum = lblSum(next) // materializes next's cache
+      val next = step(labels).localCheckpoint() // eager: materializes here
+      val curSum = lblSum(next) // cheap aggregate over checkpointed blocks
       System.err.println(s"[cc] iter=$iter sum=$curSum took=${(System.nanoTime()-t0)/1e9}s")
-      // next is cached now; dropping the previous round's cache is safe
-      // (a re-computation would fall back to the persisted edges).
-      labels.unpersist()
       labels = next
       done = curSum.compareTo(prevSum) == 0
       prevSum = curSum
