@@ -709,6 +709,20 @@ class PlanGuardsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"cartesian in the pair-counting census:\n$p")
   }
 
+  test("q57: CC labels reach consumers as a checkpoint leaf, not loop lineage") {
+    // r16 optimization pin: ccFromPairs localCheckpoints each label
+    // generation, so a consumer's plan is bounded — it must contain the
+    // checkpoint leaf (Scan ExistingRDD) and must NOT re-embed the
+    // band-join machinery once per CC iteration (the pre-r16 plan
+    // string was ~0.6 MB; q246's reached 1.3 MB / 486 broadcast joins).
+    val (_, p) = plan("q57_dup_clusters")
+    assert(p.contains("Scan ExistingRDD"),
+      s"labels no longer a checkpoint leaf:\n$p")
+    assert(p.length < 100000,
+      s"q57 plan blew back up to ${p.length} chars — lineage leak")
+    spark.catalog.clearCache()
+  }
+
   test("q247/q250/q255: moment censuses prune their scans and reuse exchanges") {
     for ((q, cols) <- Seq(("q247_jackknife_variance", 2),
         ("q250_benford_audit", 1), ("q255_mann_whitney", 2))) {
