@@ -2964,6 +2964,13 @@ object Relational {
     // hint — ranks then arrive via one hash exchange onto the edges'
     // src partitioning, which is the classic Pregel shape and the same
     // plan this query shipped through round 10.
+    // r16 optimization round: localCheckpoint-per-step was A/B'd here
+    // (the q245/CC lineage lesson) and LOST — back-to-back same-window
+    // pairs, warm min-of-5 at sf0.1: persist 1.99/2.11 s vs checkpoint
+    // 2.20/2.25 s. The rank frames are KBs and the chain is only 4
+    // deep, so the extra eager materialization job per step costs more
+    // than the planning it saves; lineage truncation pays at q245/CC
+    // depth-x-width, not here. Kept the persist.
     def step(rk: DataFrame): DataFrame =
       ewd.join(broadcast(rk.withColumnRenamed("node", "src")), Seq("src"))
         .withColumn("share", expr("rank div outdeg"))
