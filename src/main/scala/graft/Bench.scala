@@ -102,6 +102,21 @@ object Bench {
       // planning latency is repaid by runtime coalescing even at toy
       // scale, so ON wins on both axes.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // r16 optimization round: the whole-stage-codegen source cache is a
+      // STATIC conf capped at 100 entries by default — a 338-query resident
+      // suite compiles ~thousands of distinct fragments, so by the time the
+      // timed pass reaches a query, the warmup's compiled classes have been
+      // evicted and Janino recompiles INSIDE the timed region (reproduced:
+      // q278 benches 2.31 s alone but 3.69 s after 30 alphabetical
+      // predecessors in the same harness, same-window; pass1 4.34). Sizing
+      // the cache to hold the whole suite's fragments makes the timed pass
+      // measure steady-state execution, which is what the warmup pass
+      // exists to guarantee — and is the resident-session posture (a
+      // Thrift/Connect server serving a fixed query set wants exactly
+      // this). Parameterized; ~40 KB/entry ⇒ the 5000 default costs
+      // ~200 MB against the driver heap, trivial at the bench's sizes.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // Sub-second-tail A/B (round-12 verdict item #6): the suite's ~110
       // trivial queries were billed ~0.42 s/query in the round-11 driver
       // run. Measured in-session over 12 representative tail queries,

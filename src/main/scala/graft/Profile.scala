@@ -20,6 +20,11 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match the bench session: without this, multi-query profiling
+      // re-measures Janino recompilation once the 100-entry default
+      // codegen cache starts evicting (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Opt-in per-job breakdown (`-Dgraft.profile.jobs=true`): prints each
