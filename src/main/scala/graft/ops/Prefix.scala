@@ -106,12 +106,31 @@ object Prefix {
     * @param smallNdv  measured-row-count threshold below which the
     *                  plain one-partition window runs instead of the
     *                  bucketed decomposition (tests pass 0 to force
-    *                  the bucketed path on small fixtures)
+    *                  the bucketed path on small fixtures). Default
+    *                  retuned in the r16 optimization round with
+    *                  same-window A/B pairs (warm min-of-4 at sf0.1,
+    *                  two reps each):
+    *                    1M (old): q268 2.89/3.50, q294 1.97/2.12 —
+    *                      the ~450k-row price dictionaries sat on the
+    *                      ONE-TASK sort, serializing the rank
+    *                      machinery;
+    *                    64k: q268 1.62/1.65 but q294 2.72/3.00 — its
+    *                      ~75k-row calib dictionaries paid the
+    *                      bucketed census collect (2 extra jobs per
+    *                      call) for sorts costing ~50 ms;
+    *                    256k (shipped): q268 1.36/1.56, q294
+    *                      1.94/2.23, q289 1.37/1.42, q280 1.20/1.30,
+    *                      q211/q255 at their plain floors — best or
+    *                      tied on every caller.
+    *                  The decision input stays the MEASURED row
+    *                  count, so a 100-TB dictionary takes the
+    *                  bucketed path regardless; the constant is
+    *                  env-tunable (GRAFT_SMALLNDV) for re-pairing.
     */
   def cumsum(dict: DataFrame, valueCol: String, sums: Seq[(String, String)],
              asc: Boolean = true, partCols: Seq[String] = Nil,
              buckets: Int = 64, leadCol: Option[String] = None,
-             smallNdv: Long = 1L << 20): DataFrame = {
+             smallNdv: Long = sys.env.getOrElse("GRAFT_SMALLNDV", (1L << 18).toString).toLong): DataFrame = {
     val v = col(valueCol).cast(LongType)
     val b0 = dict.agg(min(v).as("lo"), max(v).as("hi"),
       count(lit(1)).as("ndv")).collect()(0)
