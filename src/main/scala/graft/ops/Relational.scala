@@ -3040,11 +3040,14 @@ object Relational {
     // 1.21 s materializing collect. Also A/B'd: folding the three
     // pruned dictOf scans into one exploded scan is a wash (2.70 s)
     // and reads the same column bytes at any scale — kept the simpler
-    // union. The remaining ~2.7 s is structural: ~1.2 s NDV-bounded
-    // dictionary cumsum materialization + the row-scale ranked pass +
-    // ~8 sequential job fixed costs; r12's 1.55 s board reading
-    // predates the bucketed Prefix.cumsum adoption (the scale-correct
-    // trade, same adjudication as q280).
+    // union. r16 optimization round: the "~1.2 s structural cumsum
+    // materialization" in the old adjudication was actually the
+    // helper's measured-small gate parking the ~450k-row tagged
+    // dictionary on a ONE-TASK sort — the smallNdv retune
+    // (Prefix.scala, 1M → 256k) routes it onto the 64-way bucketed
+    // prefix and the warm floor dropped 2.89/3.50 → 1.36/1.56 s
+    // (same-window pairs); hash-green vs DuckDB at sf0.1 where the
+    // bucketed path runs.
     val r2All = Prefix.cumsum(dictAll, "v", Seq("nv" -> "cw"),
         partCols = Seq("tag"))
       .withColumn("r2", lit(2L) * ($"cw" - $"nv") + $"nv" + 1L)
